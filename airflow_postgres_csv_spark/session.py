@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` in one JVM, but every config here is chosen
+so the same code runs unchanged on a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join conversion from runtime stats).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster this
+  is a starting point that AQE coalesces/expands per stage.
+- Arrow enabled so any pandas-UDF path is batch-vectorized, never per-row.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle used in differential tests.
+- ANSI mode on (Spark 4 default) so casts/overflow error like
+  PostgreSQL — the engine whose delegated-SQL surface we reproduce
+  (reference operators.py:80 pushes user SQL to the PG planner).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "airflow-postgres-csv-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for local runs; on a real cluster pass ``None`` in spark-submit mode and
+    the cluster manager's master wins.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- shuffle & adaptivity (the 100 TB levers) ---
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python interop: Arrow batches, never per-row pickling ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- determinism / oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        # parquet ns timestamps (events.ts) -> truncate to micros like DuckDB
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # --- local-mode memory; irrelevant under a cluster manager ---
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

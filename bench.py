@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style action (driver-side collect of
+aggregated results only — never a full-table collect). The first run of the
+session pays JVM/codegen warmup; we run one untimed warmup action first so
+the numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from airflow_postgres_csv_spark.queries import registry  # noqa: E402
+from airflow_postgres_csv_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship agg, the heavy joins, windows, and the
+# representative extension ops. Kept in sync with the registry as modules
+# land — any registered name present here is timed.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_orders_customer_inner",
+    "window_running_sum",
+    "window_topk_per_group",
+    "agg_cube",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "similarity_topk_bruteforce",
+    "text_token_stats",
+    "events_tumbling_window",
+    "events_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    reg = registry()
+    names = [n for n in HEADLINE if n in reg] or sorted(reg)[:5]
+    spark = get_spark("bench")
+
+    # warmup: trigger JVM + codegen + parquet footer reads once, untimed
+    reg[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = reg[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
