@@ -1,1 +1,472 @@
-"""(stub — populated in later milestones)"""
+"""Scalar / expression function surface: string, date/time, math,
+conditional, cast, JSON, array, and aggregation-composition functions —
+the function vocabulary of the delegated SQL (reference operators.py:80).
+
+All exact functions (string ops, floor/ceil/abs/sqrt, integer math, casts)
+run over full tables. Transcendentals (ln/exp/pow) are applied only after
+aggregation to a handful of rows and rounded — Java's Math and C's libm
+agree to ≤1 ulp but are not both correctly-rounded, so full-table
+comparisons of raw transcendental outputs would be flaky by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import dec, t
+
+# ---------------------------------------------------------------------------
+# String functions.
+# ---------------------------------------------------------------------------
+
+register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS uname,
+           LOWER(p_brand) AS lbrand,
+           SUBSTRING(p_type, 1, 5) AS type5,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+           REPLACE(p_name, 'a', '_') AS repl,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           CASE WHEN p_name LIKE '%ab%' THEN 1 ELSE 0 END AS has_ab,
+           STRPOS(p_name, 'e') AS first_e
+    FROM part
+    ORDER BY p_partkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.lower("p_brand").alias("lbrand"),
+            F.substring("p_type", 1, 5).alias("type5"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+            F.replace(F.col("p_name"), F.lit("a"), F.lit("_")).alias("repl"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+            F.when(F.col("p_name").like("%ab%"), 1).otherwise(0).alias("has_ab"),
+            F.instr(F.col("p_name"), "e").alias("first_e"),
+        )
+        .orderBy("p_partkey")
+    )
+)
+
+register(
+    "regexp_funcs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+           CASE WHEN regexp_matches(text, 'spark|data') THEN 1 ELSE 0 END AS mentions,
+           len(regexp_extract_all(text, '([a-z]+)', 1)) AS n_words
+    FROM documents
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias("novowel_len"),
+            F.col("text").rlike("spark|data").cast("int").alias("mentions"),
+            F.size(F.regexp_extract_all("text", F.lit("([a-z]+)"), 1)).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+)
+
+# Ordered string aggregation (PG string_agg / Spark listagg-equivalent via
+# sorted collect_list — deterministic because we sort inside the array).
+register(
+    "string_agg_sorted",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("n_regionkey")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Date / time functions. All outputs string-formatted or integer so the
+# comparison is engine-neutral; weekday uses ISO numbering on both sides.
+# ---------------------------------------------------------------------------
+
+register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dy,
+           isodow(o_orderdate) AS iso_dow,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+            (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+            )
+            .cast("long")
+            .alias("days_since"),
+            F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Math functions. Exact ops over the full table; transcendentals post-agg.
+# ---------------------------------------------------------------------------
+
+register(
+    "math_funcs_exact",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.7 AS DECIMAL(2,1)), 2) AS DOUBLE) AS scaled,
+           FLOOR(l_quantity) AS qfloor,
+           CEIL(l_quantity) AS qceil,
+           ABS(l_quantity - 25) AS qdev,
+           SQRT(l_quantity) AS qsqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(dec("l_extendedprice") * F.lit(0.7).cast("decimal(2,1)"), 2)
+            .cast("double")
+            .alias("scaled"),
+            F.floor("l_quantity").cast("double").alias("qfloor"),
+            F.ceil("l_quantity").cast("double").alias("qceil"),
+            F.abs(F.col("l_quantity") - 25).alias("qdev"),
+            F.sqrt("l_quantity").alias("qsqrt"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+)
+
+register(
+    "math_funcs_transcendental",
+    """
+    SELECT l_returnflag,
+           ROUND(LN(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)), 9) AS ln_qty,
+           ROUND(LOG10(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)), 9) AS log10_price,
+           ROUND(POWER(COUNT(*), 0.5), 9) AS sqrt_n,
+           ROUND(EXP(CAST(COUNT(DISTINCT l_linestatus) AS DOUBLE)), 9) AS exp_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.log(F.sum(dec("l_quantity")).cast("double")), 9).alias("ln_qty"),
+            F.round(F.log10(F.sum(dec("l_extendedprice")).cast("double")), 9).alias(
+                "log10_price"
+            ),
+            F.round(F.pow(F.count(F.lit(1)), 0.5), 9).alias("sqrt_n"),
+            F.round(F.exp(F.countDistinct("l_linestatus").cast("double")), 9).alias(
+                "exp_status"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Conditionals and null handling.
+# ---------------------------------------------------------------------------
+
+register(
+    "conditional_funcs",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_class,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           GREATEST(c_acctbal, 0.0) AS bal_pos,
+           LEAST(c_acctbal, 1000.0) AS bal_capped,
+           CASE WHEN c_nationkey % 2 = 0 THEN NULL ELSE c_nationkey END AS odd_nation
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("bal_class"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg_or_other"
+            ),
+            F.greatest("c_acctbal", F.lit(0.0)).alias("bal_pos"),
+            F.least("c_acctbal", F.lit(1000.0)).alias("bal_capped"),
+            F.when(F.col("c_nationkey") % 2 == 0, F.lit(None).cast("int"))
+            .otherwise(F.col("c_nationkey"))
+            .alias("odd_nation"),
+        )
+        .orderBy("c_custkey")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Casts. Note: double→int differs by dialect (Spark truncates, DuckDB
+# rounds), so integer conversion goes through explicit FLOOR on both sides.
+# try_cast on malformed input returns NULL in both engines.
+# ---------------------------------------------------------------------------
+
+register(
+    "cast_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast_null,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.floor("o_totalprice").alias("price_floor"),
+            F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+            F.col("o_orderpriority").try_cast("long").alias("bad_cast_null"),
+            dec("o_totalprice").cast("double").alias("price_dec"),
+        )
+        .orderBy("o_orderkey")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# JSON functions over events.props (JSON text column).
+# ---------------------------------------------------------------------------
+
+register(
+    "json_funcs",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_null
+    FROM events
+    ORDER BY event_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+            F.get_json_object("props", "$.missing").alias("missing_null"),
+        )
+        .orderBy("event_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Array functions over embeddings (ArrayType(FloatType), 64-dim).
+# Element access and sequential folds are order-identical in both engines;
+# floats are cast to double before arithmetic (exact widening).
+# ---------------------------------------------------------------------------
+
+register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_el,
+           CAST(embedding[64] AS DOUBLE) AS last_el,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS el_sum,
+           CAST(list_max(embedding) AS DOUBLE) AS el_max
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_el"),
+            F.element_at("embedding", 64).cast("double").alias("last_el"),
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias("el_sum"),
+            F.array_max("embedding").cast("double").alias("el_max"),
+        )
+        .orderBy("vec_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (Spark .pivot) vs conditional-aggregation oracle; plus unpivot via
+# stack() — PG would spell these crosstab / UNION ALL.
+# ---------------------------------------------------------------------------
+
+register(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["F", "O"])
+        .orderBy("l_returnflag")
+    )
+)
+
+register(
+    "unpivot_stack",
+    """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    ) u
+    ORDER BY c_custkey, metric
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+        )
+        .orderBy("c_custkey", "metric")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: stddev/variance (sample), corr, covar.
+# Variance is computed from exact-decimal sums (sum, sum of squares, n) so
+# both engines see bit-identical doubles; raw stddev() over doubles would
+# depend on summation order.
+# ---------------------------------------------------------------------------
+
+register(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1), 6) AS var_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)(
+    lambda spark, sf_dir: _stats_aggregates(spark, sf_dir)
+)
+
+
+def _stats_aggregates(spark, sf_dir):
+    q = dec("l_quantity")
+    n = F.count(F.lit(1))
+    sum_q = F.sum(q).cast("double")
+    sum_q2 = F.sum(q * q).cast("double")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1)), 6).alias("var_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile (interpolated, PG percentile_cont semantics).
+# ---------------------------------------------------------------------------
+
+register(
+    "percentile_cont",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+)

@@ -50,8 +50,9 @@ def get_spark(
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
-        # parquet ns timestamps (events.ts) -> truncate to micros like DuckDB
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # parquet ns timestamps (events.ts) read as raw longs; catalog.load
+        # rebuilds a micros TimestampType (matches DuckDB's ns->us truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- local-mode memory; irrelevant under a cluster manager ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         .config("spark.ui.enabled", "false")
