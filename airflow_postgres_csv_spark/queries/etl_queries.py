@@ -1,1 +1,129 @@
-"""(stub — populated in later milestones)"""
+"""ETL operator surface as oracle-checked queries: a full export→import
+round-trip through the engine's CSV path must reproduce the source table
+exactly (the reference's core contract: COPY out must COPY back in,
+operators.py:80 + 163-170).
+
+The Spark side really writes and re-reads files (gzip, dialect options);
+the DuckDB oracle is simply the source table — so any loss in the CSV path
+(quoting, nulls, timestamps, float text round-trip) fails the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.catalog import load
+from airflow_postgres_csv_spark.operators import etl
+from airflow_postgres_csv_spark.queries import register
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _tmp_path(name: str) -> str:
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    return os.path.join(_TMP_ROOT, f"{name}-{uuid.uuid4().hex[:8]}")
+
+
+def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → gzip CSV (header) → read back with schema → identical."""
+    src = load(spark, sf_dir, "customer")
+    path = _tmp_path("customer") + ".csv.gz"
+    try:
+        etl.df_to_csv(src, path, has_header=True, compression="gzip")
+        back = etl.read_csv(spark, path, schema=src.schema).cache()
+        back.count()  # materialize before the temp file disappears
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+    return back.orderBy("c_custkey")
+
+
+register(
+    "csv_roundtrip_customer",
+    "SELECT * FROM customer ORDER BY c_custkey",
+)(csv_roundtrip_customer)
+
+
+def csv_roundtrip_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with NULLs through a hostile dialect: '|' delimiter, single
+    quote char, 'NULL' null-string, no header, positional column mapping —
+    every option of reference operators.py:129-133 in one pass."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+    )
+    path = _tmp_path("orders") + ".csv"
+    try:
+        etl.df_to_csv(
+            src, path, has_header=False, delimiter="|", quote_char="'", null_string="NULL"
+        )
+        back = etl.read_csv(
+            spark,
+            path,
+            schema="c0 bigint, c1 string, c2 double, c3 string",
+            has_header=False,
+            delimiter="|",
+            quote_char="'",
+            null_string="NULL",
+            columns=["o_orderkey", "status_or_null", "o_totalprice", "odate"],
+        ).cache()
+        back.count()
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+    return back.orderBy("o_orderkey")
+
+
+register(
+    "csv_roundtrip_dialect",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+    FROM orders ORDER BY o_orderkey
+    """,
+)(csv_roundtrip_dialect)
+
+
+def csv_multifile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable export path: directory of part files written in
+    parallel (one per partition), read back as one dataset. This is the
+    100 TB-shaped contract — no coalesce(1) bottleneck."""
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out_dir = _tmp_path("lineitem_parts")
+    try:
+        etl.df_to_csv(src.repartition(8), out_dir, single_file=False)
+        back = etl.read_csv(
+            spark, out_dir, schema="l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
+        ).cache()
+        back.count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "csv_multifile_export",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)(csv_multifile_export)
