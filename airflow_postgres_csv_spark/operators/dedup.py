@@ -1,0 +1,322 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.3):
+
+- exact dedup (hash-groupBy),
+- exact n-gram Jaccard similarity join (shingle-explode + equi-join),
+- MinHash + LSH near-dup (shingle → signature → band → bucket join),
+- SimHash (64-bit) with bank-blocked Hamming candidates,
+- embedding-cosine near-dup.
+
+All batch operators are pure DataFrame compositions — no Python UDFs — so
+they run JVM-side and scale with executors.
+
+100 TB design notes (apply to every operator here):
+- The only all-pairs computation ever performed is *within candidate
+  buckets* (shared shingle / LSH band / SimHash bank / block key). Bucket
+  sizes are bounded by data skew, not dataset size; hot buckets (stop-
+  shingles) should be dropped via a document-frequency cap before the join
+  (``max_shingle_df``).
+- Every join key is a hash (uniform distribution → no skew); AQE skew-join
+  handles residual imbalance.
+- Hash functions are MD5 here so results are engine-portable and
+  differentially testable; swap ``F.md5`` → ``F.xxhash64`` for production
+  (same shapes, ~4× cheaper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.functions import texts as X
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_band_buckets",
+    "minhash_near_dup_pairs",
+    "simhash_bits",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+def dedup_exact(
+    df: DataFrame, key: Column | list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the minimum id per key; one hash-agg shuffle.
+
+    Returns (key, survivor_id, n_dups). The reference has no dedup —
+    this is extension surface; semantics = SQL ``GROUP BY key``.
+    """
+    key_cols = [F.col(c) for c in key] if isinstance(key, list) else [key.alias("dedup_key")]
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(id[, extra], shingle) — distinct word-n-gram shingles per doc."""
+    return (
+        df.select(id_col, *(extra_cols or []), F.explode(X.token_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Shape: explode distinct shingles → (optionally drop shingles appearing
+    in > ``max_shingle_df`` docs — the stop-shingle/skew guard) → self
+    equi-join on shingle (+ block key) → count common shingles per pair →
+    jaccard = common / (|A| + |B| - common) → filter ≥ threshold.
+
+    Only documents sharing ≥1 shingle ever meet, so the complexity is
+    Σ_bucket |bucket|², not N² — the scalable exact-verification kernel
+    that MinHash candidates also run through.
+    """
+    blk = [block_col] if block_col else []
+    sh = _doc_shingles(df, id_col, text_col, n, blk)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy(*blk, "shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_shingle_df)
+            .select(*blk, "shingle")
+        )
+        sh = sh.join(hot, blk + ["shingle"], "left_anti")
+    sizes = sh.groupBy(id_col, *blk).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(*blk, F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(*blk, F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, blk + ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: sig_i(doc) = min over shingles of md5(shingle#i).
+
+    One explode + one groupBy (single shuffle) computes all ``num_hashes``
+    signature components as parallel MIN aggregates. MD5-on-string min is
+    engine-portable; production swap: xxhash64 → min over longs.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_key): hash each band of signature components.
+
+    Docs agreeing on *any* full band land in the same bucket — the classic
+    banding amplification: P(candidate) = 1-(1-j^r)^b for jaccard j,
+    r = num_hashes/bands rows per band.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"sig_{bi * r + j}") for j in range(r)])
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(band_structs).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline with exact-Jaccard verification.
+
+    candidates (band bucket join, distinct pairs) → verify with the exact
+    shingle-join jaccard restricted to candidate pairs. False positives are
+    filtered by verification; false negatives bounded by the band curve.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bb = minhash_band_buckets(sig, id_col, num_hashes, bands)
+    a = bb.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bb.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n=shingle_n, threshold=threshold
+    )
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_bits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 64,
+    banks: int = 4,
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64; bit b of the signature is the
+    sign of Σ_tokens (±1 depending on token-hash bit b).
+
+    Output: (id, bits array<int>, bank_0..bank_{banks-1} int) where banks
+    are contiguous bit-groups used for near-dup blocking: two docs within
+    Hamming distance < banks must agree exactly on ≥1 bank (pigeonhole).
+    Computed as ``num_bits`` conditional-sum aggregates in one shuffle.
+    """
+    toks = (
+        df.select(id_col, F.explode(X.tokens(text_col)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(num_bits)
+        ]
+    )
+    bits = F.array(*[(F.col(f"s_{b}") > 0).cast("int") for b in range(num_bits)])
+    out = sums.select(id_col, bits.alias("bits"))
+    per_bank = num_bits // banks
+    for k in range(banks):
+        bank_val = None
+        for j in range(per_bank):
+            term = F.col("bits")[k * per_bank + j] * (2**j)
+            bank_val = term if bank_val is None else bank_val + term
+        out = out.withColumn(f"bank_{k}", bank_val)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    banks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: bank-blocked candidates, Hamming verification.
+
+    With 4 banks, any pair at Hamming ≤ 3 shares at least one identical
+    16-bit bank → candidate generation is an equi-join on (bank_idx,
+    bank_value), never all-pairs.
+    """
+    sh = simhash_bits(df, id_col, text_col, banks=banks)
+    bank_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("bank_idx"), F.col(f"bank_{k}").alias("bank_val"))
+            for k in range(banks)
+        ]
+    )
+    blocked = sh.select(id_col, "bits", F.explode(bank_structs).alias("bk")).select(
+        id_col, "bits", F.col("bk.bank_idx").alias("bank_idx"), F.col("bk.bank_val").alias("bank_val")
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("bits").alias("bits_a"), "bank_idx", "bank_val")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("bits").alias("bits_b"), "bank_idx", "bank_val")
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["bank_idx", "bank_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity between two array<float> columns, computed as a
+    sequential double fold (engine-portable, deterministic)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p.cast("double") * q.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(ac, bc) / F.sqrt(dot(ac, ac) * dot(bc, bc))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    With ``block_col`` (e.g. a cluster/label/LSH-bucket id) the join is
+    an equi-join on the block key — the scale path. Without it this is an
+    explicit all-pairs (only for small dims or pre-filtered sets).
+    """
+    blk = [block_col] if block_col else []
+    a = df.select(*blk, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(*blk, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = (
+        a.join(b, blk) if blk else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

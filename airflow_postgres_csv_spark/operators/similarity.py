@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3).
+
+- :func:`topk_cosine_bruteforce` — exact top-k: block-joined (or broadcast
+  cross-joined) cosine + per-query window top-k. The correctness baseline.
+- :func:`lsh_bucket_topk` — approximate top-k via random-hyperplane LSH:
+  sign-bit bucketing with multi-probe, rerank only within probed buckets.
+
+100 TB design:
+- Brute force is O(Q·N) dot products — viable only when Q is small and the
+  query side is broadcast (each executor scans its partition of N once,
+  no shuffle of the corpus). The window top-k shuffles just (Q·N) score
+  rows — avoid by pre-aggregating per-partition top-k first
+  (``partial_topk=True``), which cuts the shuffle to Q·k·partitions rows.
+- LSH replaces the N-side scan with a bucket equi-join: each query probes
+  its own bucket plus Hamming-1 neighbors (multi-probe) — recall tunable
+  by n_planes / probes without ever computing N² pairs.
+- Hyperplanes are generated from a fixed seed and inlined as literal
+  arrays into the plan (tiny: n_planes × dim floats), so executors need no
+  side-channel broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from airflow_postgres_csv_spark.operators.dedup import cosine_expr
+
+__all__ = ["topk_cosine_bruteforce", "random_hyperplanes", "lsh_bucket_topk"]
+
+
+def topk_cosine_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    partial_topk: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast; the corpus is
+    scanned once per partition. Ties broken by corpus id (deterministic).
+
+    ``partial_topk`` pre-reduces each corpus partition to its local top-k
+    per query before the global window — the map-side-combine analog for
+    top-k, shrinking the shuffle from Q·N to Q·k·partitions rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(vec_col, "_qvec").alias("cosine"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    if partial_topk:
+        # local (per-partition) top-k first: cheap heap-style reduction
+        scored = (
+            scored.repartition(query_id_col)  # co-locate each query's scores
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64").tolist()
+
+
+def _bucket_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (vec · plane_i) > 0, packed into an int."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (dot > 0).cast("int") * (2**i)
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, rerank inside buckets.
+
+    - ``multiprobe``: also probe every Hamming-1 neighbor bucket of the
+      query's bucket (flip each sign bit) — n_planes× more candidate rows,
+      much better recall, still bucket-local.
+    - ``n_tables``: L independent hash tables (fresh hyperplanes per
+      table); a neighbor is a candidate if it collides in ANY table —
+      the classic recall amplifier when neighbors sit at wide angles
+      (miss probability decays as miss_single^L). Candidates are unioned
+      via the (table, bucket) composite join key, so cost grows linearly
+      in L, never quadratically in N.
+    """
+    c = corpus
+    q_parts = []
+    for t_idx in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t_idx)
+        c = c.withColumn(f"_bucket_{t_idx}", _bucket_expr(vec_col, planes))
+        qb = _bucket_expr(vec_col, planes)
+        q_parts.append((t_idx, qb))
+    c_buckets = c.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t_idx).alias("tbl"), F.col(f"_bucket_{t_idx}").alias("bkt")
+                    )
+                    for t_idx in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select(id_col, vec_col, F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bucket"))
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        *[qb.alias(f"_qb_{t_idx}") for t_idx, qb in q_parts],
+    )
+    probe_structs = []
+    for t_idx in range(n_tables):
+        probe_structs.append(
+            F.struct(F.lit(t_idx).alias("tbl"), F.col(f"_qb_{t_idx}").alias("bkt"))
+        )
+        if multiprobe:
+            probe_structs.extend(
+                F.struct(
+                    F.lit(t_idx).alias("tbl"),
+                    F.col(f"_qb_{t_idx}").bitwiseXOR(F.lit(2**i)).cast("int").alias("bkt"),
+                )
+                for i in range(n_planes)
+            )
+    q = q.select(
+        query_id_col, "_qvec", F.explode(F.array(*probe_structs)).alias("_tb")
+    ).select(
+        query_id_col,
+        "_qvec",
+        F.col("_tb.tbl").alias("_tbl"),
+        F.col("_tb.bkt").alias("_bucket"),
+    )
+    scored = (
+        c_buckets.join(F.broadcast(q), ["_tbl", "_bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(vec_col, "_qvec").alias("cosine"),
+        )
+        .distinct()  # multiprobe/tables can hit the same pair repeatedly
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

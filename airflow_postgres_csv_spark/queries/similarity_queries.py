@@ -1,1 +1,132 @@
-"""(stub — populated in later milestones)"""
+"""Similarity-search query corpus (SURVEY.md §2.3).
+
+Brute-force exact top-k is oracle-checked against DuckDB (identical
+double-fold cosine + identical tie-break). The LSH variant is approximate
+(engine-specific hyperplane math) → reported with a Spark-side recall
+self-check against the exact result: the output row is the measured
+recall, which the oracle pins to the expected constant-checkable shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators import similarity as S
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+
+_COS = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]), (x,y) -> x + y)"
+    " / SQRT(list_reduce(list_transform(list_zip({a}, {a}), s -> s[1] * s[2]), (x,y) -> x + y)"
+    "      * list_reduce(list_transform(list_zip({b}, {b}), s -> s[1] * s[2]), (x,y) -> x + y))"
+)
+
+register(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a='e.v', b='q.qv')} AS cosine
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 9) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)(
+    lambda spark, sf_dir: _topk_bruteforce(spark, sf_dir)
+)
+
+
+def _topk_bruteforce(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.topk_cosine_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cosine", F.round("cosine", 9)).orderBy("query_id", "rank")
+
+
+# LSH ANN: approximate — the deliverable is the measured recall@5 against
+# the exact top-k, computed entirely Spark-side. The oracle pins the
+# contract: 10 queries evaluated, recall above the design floor (0.5; the
+# 4-plane × 8-table multiprobe config measures 1.0 on this corpus — the
+# multi-table union is what rescues recall for near-orthogonal neighbors).
+register(
+    "similarity_ann_lsh_recall",
+    "SELECT 10 AS n_queries, 1 AS recall_ok",
+)(
+    lambda spark, sf_dir: _ann_recall(spark, sf_dir)
+)
+
+
+def _ann_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.topk_cosine_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.lsh_bucket_topk(
+        emb, queries, k=5, n_planes=4, n_tables=8, multiprobe=True
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    per_query = exact.groupBy("query_id").count().withColumnRenamed("count", "n_exact")
+    recall = (
+        per_query.join(hits.withColumnRenamed("count", "n_hit"), "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("n_hit") / F.sum("n_exact")).alias("recall"),
+        )
+    )
+    return recall.select(
+        "n_queries", (F.col("recall") >= 0.5).cast("int").alias("recall_ok")
+    )
+
+
+# Embedding norm statistics — exercises array math at corpus scale; the
+# double fold is engine-portable so this is fully oracle-checked.
+register(
+    "similarity_norm_stats",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             SQRT(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+    FROM e GROUP BY label ORDER BY label
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("nrm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+)

@@ -1,1 +1,188 @@
-"""(stub — populated in later milestones)"""
+"""Text-analysis operators over the documents corpus (SURVEY.md §2.3):
+token statistics, BPE-ish token counting, quality scoring, language-ID
+heuristic, MD5 fingerprinting — all oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.functions import texts as X
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+
+# Shared DuckDB fragments mirroring functions/texts.py definitions.
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_TOKENS = f"string_split({SQL_NORM}, ' ')"
+
+register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id, lang,
+           len({SQL_TOKENS}) AS n_tokens,
+           LENGTH(text) AS n_chars_measured,
+           n_chars,
+           CAST(LENGTH(replace({SQL_NORM}, ' ', '')) AS DOUBLE) / len({SQL_TOKENS}) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(X.tokens("text")).alias("n_tokens"),
+            F.length("text").alias("n_chars_measured"),
+            "n_chars",
+            (
+                F.length(F.replace(X.normalize_text("text"), F.lit(" "), F.lit("")))
+                .cast("double")
+                / F.size(X.tokens("text"))
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+)
+
+
+register(
+    "text_token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
+)
+
+
+register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(len(list_filter({SQL_TOKENS}, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / len({SQL_TOKENS}) AS stop_ratio,
+           (CASE WHEN LENGTH(text) BETWEEN 100 AND 5000 THEN 40 ELSE 0 END
+            + CASE WHEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text) < 0.10 THEN 30 ELSE 0 END
+            + CASE WHEN CAST(len(list_filter({SQL_TOKENS}, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                        / len({SQL_TOKENS}) > 0.01 THEN 30 ELSE 0 END) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            X.punct_ratio("text").alias("punct_ratio"),
+            X.stopword_ratio("text").alias("stop_ratio"),
+            X.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+)
+
+
+# Language-ID: marker-word scores per language, argmax with deterministic
+# tie-break (score desc, language name asc). The fixture text is synthetic
+# same-vocabulary prose, so 'en' usually wins — the operator (scoring +
+# argmax over a language set) is what's exercised.
+_LANGS = ("de", "en", "es", "fr")
+_SQL_MARKERS = {
+    "en": "('the','a','of','and')",
+    "de": "('der','die','das','und')",
+    "es": "('el','la','los','que')",
+    "fr": "('le','la','les','et')",
+}
+_hits_sql = {
+    lang: f"len(list_filter({SQL_TOKENS}, x -> x IN {_SQL_MARKERS[lang]}))" for lang in _LANGS
+}
+
+register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_hits_sql['en']} AS hits_en,
+           {_hits_sql['de']} AS hits_de,
+           {_hits_sql['es']} AS hits_es,
+           {_hits_sql['fr']} AS hits_fr,
+           (SELECT s.l FROM (
+              VALUES ({_hits_sql['de']}, 'de'), ({_hits_sql['en']}, 'en'),
+                     ({_hits_sql['es']}, 'es'), ({_hits_sql['fr']}, 'fr')
+            ) s(h, l) ORDER BY s.h DESC, s.l LIMIT 1) AS predicted_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: _lang_id(spark, sf_dir)
+)
+
+
+def _lang_id(spark, sf_dir):
+    df = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[X.lang_marker_hits("text", lang).alias(f"hits_{lang}") for lang in _LANGS],
+    )
+    # argmax via array of (score, lang) structs sorted desc — no UDF
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"hits_{lang}").alias("h"), F.lit(lang).alias("l"))
+            for lang in _LANGS
+        ]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["h"] > b["h"], -1)
+        .when(a["h"] < b["h"], 1)
+        .when(a["l"] < b["l"], -1)
+        .when(a["l"] > b["l"], 1)
+        .otherwise(0),
+    )[0]["l"]
+    return df.withColumn("predicted_lang", best).orderBy("doc_id")
+
+
+register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({SQL_NORM}) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", X.fingerprint_md5("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+)
+
+
+register(
+    "text_lang_source_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+)
