@@ -1,1 +1,188 @@
-"""(stub — populated in later milestones)"""
+"""Event-stream operators in batch mode, oracle-checked (SURVEY.md §2.3).
+
+These are the *semantic* definitions of the streaming operators: the same
+tumbling/sliding/session windows run as Structured Streaming queries in
+``airflow_postgres_csv_spark.streaming`` (driven in tests/test_streaming.py);
+batch mode lets DuckDB replay them for the correctness gate.
+
+Window starts are emitted as epoch seconds/micros (BIGINT): Spark's window
+alignment is instant-based, so epoch outputs are identical under any driver
+session timezone (verified under UTC and Asia/Kathmandu +05:45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import dec, t
+
+# ---------------------------------------------------------------------------
+# Tumbling window: 10-minute buckets × event_type.
+# ---------------------------------------------------------------------------
+
+register(
+    "events_tumbling_window",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: 10-minute width, 5-minute slide (each event in exactly 2
+# windows). Oracle replays the expansion with a 2-row offset cross join.
+# ---------------------------------------------------------------------------
+
+register(
+    "events_sliding_window",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) - o.off AS BIGINT) AS window_start_s,
+           COUNT(*) AS n
+    FROM events, (VALUES (0), (300)) o(off)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "n")
+        .orderBy("window_start_s")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Session windows: per-user sessions with a 30-minute inactivity gap.
+# Spark: native session_window. Oracle: gaps-and-islands (lag + running
+# flag sum). session_end in Spark is last_event + gap — replayed likewise.
+# ---------------------------------------------------------------------------
+
+register(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL '30 minutes') AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Stream dedup (batch semantics): first event per (user_id, event_type) in
+# event-time order — what dropDuplicatesWithinWatermark converges to when
+# every duplicate arrives within the watermark.
+# ---------------------------------------------------------------------------
+
+register(
+    "events_dedup_first",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("user_id", "event_type")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-rate statistics — the "user profile" aggregation shape.
+# ---------------------------------------------------------------------------
+
+register(
+    "events_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           epoch_us(MIN(ts)) AS first_us,
+           epoch_us(MAX(ts)) AS last_us
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.unix_micros(F.min("ts")).alias("first_us"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+        )
+        .orderBy("user_id")
+    )
+)

@@ -1,0 +1,133 @@
+"""Structured Streaming operators over the events stream.
+
+The batch queries in ``queries/events_queries.py`` define the semantics
+(and are oracle-checked); this module runs the same logical operators as
+real streaming queries: ``readStream`` source → event-time watermark →
+windowed aggregation / dedup → sink.
+
+Scale notes:
+- Watermarks bound state: a windowed agg keeps only windows newer than
+  (max event time - watermark); dropDuplicatesWithinWatermark keeps only
+  keys within the horizon. State store size is O(active windows/keys),
+  not O(stream length) — the property that lets these run forever.
+- File-source streams here (parquet dirs) stand in for Kafka; swapping
+  ``format("parquet")`` for ``format("kafka")`` changes no operator code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Open the events directory as a file-source stream.
+
+    ``ts`` arrives as raw nanos (same nanosAsLong contract as the batch
+    catalog) and is rebuilt into a micros TimestampType event-time column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a late-data watermark.
+
+    Streaming twin of the oracle-checked ``events_tumbling_window``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts (streaming twin of ``events_sliding_window``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user (streaming twin of ``events_sessionization``).
+
+    Session state merges adjacent windows as events arrive; the watermark
+    finalizes (and emits) a session once no event can extend it.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Drop duplicate events, keeping state only inside the watermark
+    horizon (streaming twin of ``events_dedup_first``'s convergence)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["user_id", "event_type"]
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drive a streaming DataFrame to a memory sink synchronously.
+
+    Starts the query, processes everything currently available, and
+    returns the StreamingQuery (caller stops it). The test harness for
+    every operator above.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
