@@ -39,6 +39,7 @@ _MODULES = (
     "dedup_queries",
     "similarity_queries",
     "events_queries",
+    "multimodal_queries",
 )
 
 

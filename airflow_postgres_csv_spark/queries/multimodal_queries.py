@@ -1,0 +1,113 @@
+"""Multimodal-column queries, oracle-checked (SURVEY.md §2.3).
+
+The FAKE1 container attributes are pure functions of ``doc_id`` and the
+document text (operators/multimodal.py), so DuckDB replays each pipeline
+*without* parsing bytes — i.e. the oracle independently validates the whole
+encode → Arrow-batch decode round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators import multimodal as MM
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+
+# DuckDB replay of _media_cols + body attributes (see attach_media docstring)
+_SQL_MEDIA = """
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+         CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 8 + doc_id % 24 END AS INT) AS n_frames,
+         CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+         md5(text) AS body_md5
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full decode round trip: Spark builds binary payloads and parses them back
+# in an Arrow-batched mapInPandas; DuckDB recomputes every field directly.
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_decode_meta",
+    f"WITH m AS ({_SQL_MEDIA}) SELECT * FROM m ORDER BY doc_id",
+)(
+    lambda spark, sf_dir: (
+        MM.decode_media(MM.attach_media(t(spark, sf_dir, "documents"))).orderBy(
+            "doc_id"
+        )
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only stats: runs entirely on the meta struct / payload length —
+# the payload-pruning access pattern a 100 TB media table lives on.
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_payload_stats",
+    f"""
+    WITH m AS ({_SQL_MEDIA})
+    SELECT media_type,
+           COUNT(*) AS n,
+           -- header is pure ASCII, so char length == byte length
+           CAST(SUM(body_len + length(
+             'FAKE1|' || media_type || '|' || CAST(width AS VARCHAR) || 'x' ||
+             CAST(height AS VARCHAR) || '|' || CAST(n_frames AS VARCHAR) || '|'
+           )) AS BIGINT) AS total_payload_bytes,
+           MAX(width) AS max_width,
+           MAX(n_frames) AS max_frames
+    FROM m GROUP BY media_type ORDER BY media_type
+    """,
+)(
+    lambda spark, sf_dir: (
+        MM.attach_media(t(spark, sf_dir, "documents"))
+        .groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_payload_bytes"),
+            F.max("meta.width").alias("max_width"),
+            F.max("meta.n_frames").alias("max_frames"),
+        )
+        .orderBy("media_type")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling: JVM-only sequence/explode/binary-substring; oracle
+# replays the frame arithmetic with range() expansion.
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_frame_sample",
+    f"""
+    WITH m AS ({_SQL_MEDIA}),
+    f AS (
+      SELECT doc_id, body_len,
+             unnest(range(0, CAST(ceil(body_len / 256.0) AS BIGINT), 4)) AS fi
+      FROM m WHERE media_type = 'video' AND body_len > 0
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(LEAST(256, body_len - fi * 256) AS INT) AS frame_len
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)(
+    lambda spark, sf_dir: (
+        MM.sample_frames(
+            MM.attach_media(t(spark, sf_dir, "documents")).filter(
+                F.col("meta.body_len") > 0
+            ),
+            frame_bytes=256,
+            every=4,
+        )
+        .select("doc_id", "frame_idx", "frame_len")
+        .orderBy("doc_id", "frame_idx")
+    )
+)
