@@ -1,0 +1,77 @@
+"""Physical-plan introspection helpers.
+
+The 100 TB posture is only real if the plans prove it: filters reach the
+parquet scan, small dimensions broadcast, bucketed joins skip their
+shuffles, hot paths stay inside whole-stage codegen. These helpers turn
+those properties into assertions (tests/test_plans.py) instead of hopes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "physical_plan",
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema",
+    "has_broadcast_join",
+    "num_shuffles",
+    "codegen_stage_count",
+]
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The (initial) executed plan as a string. Under AQE this is the
+    pre-runtime plan — exactly what static assertions should look at.
+    After execution, AdaptiveSparkPlan's toString repeats the tree as
+    "Current Plan" + "Initial Plan"; keep only the first to avoid
+    double-counting nodes."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return text.split("+- == Initial Plan ==")[0]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`EXPLAIN FORMATTED` text (node tree + per-node details, including
+    PushedFilters / ReadSchema on scans)."""
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jqe.explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All data-source-pushed filters across the plan's scans."""
+    text = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names each scan actually reads (post column-pruning)."""
+    text = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Count shuffle exchanges (broadcast exchanges excluded — those move
+    only the small side and are the cheap kind)."""
+    return len(re.findall(r"Exchange (?:hash|range|SinglePartition|rebalance)", physical_plan(df)))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", physical_plan(df))))

@@ -1,0 +1,107 @@
+"""Plan-shape assertions: the scale properties the engine promises
+(pushdown, pruning, broadcast, shuffle-free bucketed joins, salting
+equivalence) verified against actual physical plans."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.catalog import load
+from airflow_postgres_csv_spark.plans import bucketing, introspect as I, skew
+from airflow_postgres_csv_spark.queries import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = registry()["q1_pricing_summary"].fn(spark, SF)
+    pushed = I.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    cols = I.read_schema(df)
+    # lineitem has 16 columns; q1 needs only 7 — the scan must not read more
+    assert "l_orderkey" not in cols and "l_comment" not in cols, cols
+    assert "l_quantity" in cols
+
+
+def test_q5_broadcasts_small_dimensions(spark):
+    df = registry()["q5_local_supplier_volume"].fn(spark, SF)
+    assert I.has_broadcast_join(df)
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load(spark, SF, "lineitem")
+    plain = {
+        (r.l_returnflag, r.l_linestatus): (r.n, float(r.qty))
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+        .collect()
+    }
+    salted = skew.salted_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "qty": ("sum", F.sum(F.col("l_quantity").cast("decimal(18,2)"))),
+        },
+        salt_cols=["l_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n, float(r.qty)) for r in salted.collect()
+    }
+    assert got == plain
+    # phase1 fans each key out across salts: two shuffles total (by design)
+    assert I.num_shuffles(salted) == 2
+
+
+def test_replicated_skew_join_matches_plain(spark):
+    orders = load(spark, SF, "orders")
+    customer = load(spark, SF, "customer")
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name")
+    salted = skew.replicated_skew_join(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        on=["custkey"],
+        salt_cols=["o_orderkey"],
+        n_salts=4,
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"li_b_{suffix}", f"ord_b_{suffix}"
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    try:
+        bl, br = bucketing.bucketed_pair(
+            spark,
+            li.withColumnRenamed("l_orderkey", "k"),
+            orders.withColumnRenamed("o_orderkey", "k"),
+            key="k",
+            left_table=lt,
+            right_table=rt,
+            n_buckets=8,
+        )
+        with_bucketing = bl.join(br, "k")
+        # force sort-merge so the comparison is shuffle vs no-shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert I.num_shuffles(bl.join(br, "k")) == 0
+            unbucketed = li.withColumnRenamed("l_orderkey", "k").join(
+                orders.withColumnRenamed("o_orderkey", "k"), "k"
+            )
+            assert I.num_shuffles(unbucketed) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        assert with_bucketing.count() == li.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
