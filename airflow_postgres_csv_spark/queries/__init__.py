@@ -40,6 +40,7 @@ _MODULES = (
     "similarity_queries",
     "events_queries",
     "multimodal_queries",
+    "advanced_sql",
 )
 
 

@@ -1,0 +1,105 @@
+"""Advanced SQL surface: grouping sets, lateral joins, recursive CTEs.
+
+These run through the SQL path (``spark.sql`` over registered views) —
+the exact shape a user of the reference would push through the ``sql``
+parameter (reference operators.py:80 delegates any PostgreSQL SELECT;
+Spark 4 serves all three natively, recursive CTEs included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airflow_postgres_csv_spark.catalog import register_views
+from airflow_postgres_csv_spark.queries import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(q)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id disambiguation (cube/rollup's general
+# form). One shuffle; Spark expands the sets in the Expand operator, so
+# input rows are replicated per set — fine for low-cardinality keys.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       {gid} AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+register(
+    "agg_grouping_sets",
+    _GROUPING_SETS.format(gid="GROUPING_ID(o_orderstatus, o_orderpriority)"),
+)(
+    lambda spark, sf_dir: _sql(
+        spark,
+        sf_dir,
+        _GROUPING_SETS.format(gid="GROUPING_ID(o_orderstatus, o_orderpriority)"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery: each region's top-2 nations by name — the
+# per-row dependent subquery shape (Catalyst plans it as a LateralJoin;
+# DuckDB runs the same SQL).
+# ---------------------------------------------------------------------------
+
+_LATERAL = """
+SELECT r.r_name, t.n_name, t.n_nationkey
+FROM region r,
+     LATERAL (
+       SELECT n_name, n_nationkey
+       FROM nation n
+       WHERE n.n_regionkey = r.r_regionkey
+       ORDER BY n_name
+       LIMIT 2
+     ) t
+ORDER BY r.r_name, t.n_name
+"""
+
+register("join_lateral_topn", _LATERAL)(
+    lambda spark, sf_dir: _sql(spark, sf_dir, _LATERAL)
+)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: a generated month spine left-joined to per-month order
+# counts (months with no orders kept — the shape a coverage/backfill
+# report needs). Spark 4 executes WITH RECURSIVE natively (iterative
+# union under the hood); DuckDB runs the identical SQL.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1992-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+  WHERE m < CAST('1998-12-01' AS DATE)
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders
+  GROUP BY 1
+)
+SELECT CAST(months.m AS STRING) AS month,
+       COALESCE(per_month.n_orders, 0) AS n_orders,
+       COALESCE(per_month.total, 0.0) AS total
+FROM months LEFT JOIN per_month ON months.m = per_month.m
+ORDER BY months.m
+"""
+
+register("recursive_month_spine", _RECURSIVE)(
+    lambda spark, sf_dir: _sql(spark, sf_dir, _RECURSIVE)
+)
