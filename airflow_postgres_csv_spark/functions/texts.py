@@ -20,6 +20,7 @@ __all__ = [
     "normalize_text",
     "tokens",
     "token_ngrams",
+    "ngrams_of_tokens",
     "char_shingles",
     "bpe_ish_token_count",
     "fingerprint_md5",
@@ -52,13 +53,17 @@ def tokens(col: str | Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
-def token_ngrams(col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>), the MinHash/Jaccard unit.
+def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
 
-    Built with transform-over-sequence (codegen'd, no UDF): shingle i is
-    tokens[i..i+n) joined by space. Docs shorter than n yield [].
+    ``toks`` must be a plain column reference (e.g. added via
+    ``withColumn("_toks", tokens(text))``), not the tokenization
+    expression itself: a free-standing expression referenced inside a
+    higher-order-function lambda is re-evaluated per element, turning the
+    normalize+split pipeline O(tokens²) per row (measured 8× slower on the
+    documents corpus). Shingle i is tokens[i..i+n) joined by space; docs
+    shorter than n yield [].
     """
-    toks = tokens(col)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -67,13 +72,37 @@ def token_ngrams(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def token_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>), the MinHash/Jaccard unit.
+
+    Single-expression form. The tokenization is let-bound via a
+    1-element-array transform so it evaluates once per row (lambda-bound
+    variables are evaluated once; free expression references are not). In
+    hot paths prefer ``withColumn("_toks", tokens(c))`` +
+    :func:`ngrams_of_tokens` — a real projection is faster still.
+    """
+    return F.flatten(
+        F.transform(F.array(tokens(col)), lambda t: ngrams_of_tokens(t, n))
+    )
+
+
 def char_shingles(col: str | Column, k: int = 8) -> Column:
-    """Character k-shingles of the normalized text (array<string>)."""
-    s = normalize_text(col)
-    return F.when(F.length(s) < k, F.array().cast("array<string>")).otherwise(
+    """Character k-shingles of the normalized text (array<string>).
+
+    The normalized string is let-bound (see :func:`token_ngrams`) so the
+    regex normalization runs once per row, not once per shingle.
+    """
+    return F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.length(s) - (k - 1)),
-            lambda i: F.substring(s, i, k),
+            F.array(normalize_text(col)),
+            lambda s: F.when(
+                F.length(s) < k, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - (k - 1)),
+                    lambda i: F.substring(s, i, k),
+                )
+            ),
         )
     )
 

@@ -58,9 +58,18 @@ def dedup_exact(
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
 ) -> DataFrame:
-    """(id[, extra], shingle) — distinct word-n-gram shingles per doc."""
+    """(id[, extra], shingle) — distinct word-n-gram shingles per doc.
+
+    Tokenizes into a real projection first so the normalize+split pipeline
+    runs once per row, not once per shingle (see texts.ngrams_of_tokens).
+    """
     return (
-        df.select(id_col, *(extra_cols or []), F.explode(X.token_ngrams(text_col, n)).alias("shingle"))
+        df.withColumn("_toks", X.tokens(text_col))
+        .select(
+            id_col,
+            *(extra_cols or []),
+            F.explode(X.ngrams_of_tokens(F.col("_toks"), n)).alias("shingle"),
+        )
         .distinct()
     )
 
