@@ -41,6 +41,7 @@ _MODULES = (
     "events_queries",
     "multimodal_queries",
     "advanced_sql",
+    "streaming_live",
 )
 
 

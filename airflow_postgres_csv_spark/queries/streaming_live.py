@@ -1,0 +1,158 @@
+"""LIVE Structured Streaming queries in the correctness corpus.
+
+Unlike the batch twins in ``events_queries``, these actually run a
+``readStream`` → watermark → stateful-operator → memory-sink pipeline and
+return the sink's contents. Determinism argument: the fixture is staged as
+ONE file → ONE micro-batch, and in update mode every window/session/key
+state created in that batch is emitted exactly once with its final value —
+so the result equals the batch aggregation and the same DuckDB oracle
+applies. (Multi-batch emission timing is exercised separately in
+tests/test_streaming.py, where it belongs — it is watermark-dependent and
+not oracle-expressible.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import dec
+from airflow_postgres_csv_spark.streaming import windows as SW
+
+
+def _staged_stream(
+    spark: SparkSession, sf_dir: str, sentinels: bool = False
+) -> DataFrame:
+    """Stage the events fixture into a temp dir (file-source streams need a
+    directory) and open it as a stream.
+
+    ``sentinels=True`` appends two far-future single-event files (fresh
+    negative user ids) as separate micro-batches. This is the heartbeat
+    pattern for append-mode finalization: sentinel 1 advances the
+    watermark past every real session at the end of batch 2, sentinel 2
+    triggers batch 3 which evicts-and-emits them all. The sentinel
+    sessions themselves never finalize, so they are absent from output.
+    """
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    dst = os.path.join(tmp, "000.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    os.utime(dst, (1_000_000, 1_000_000))
+    if sentinels:
+        far_ns = 4_000_000_000 * 1_000_000_000  # year 2096, past any fixture ts
+        for i, (uid, off) in enumerate([(-1, 0), (-2, 3_600 * 10**9)], start=1):
+            pdf = spark.createDataFrame(
+                [(-i, far_ns + off, uid, "_sentinel", 0.0, "{}")],
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string",
+            )
+            sub = os.path.join(tmp, f"_s{i}")
+            pdf.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst_i = os.path.join(tmp, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(sub, part), dst_i)
+            os.utime(dst_i, (1_000_000 + i, 1_000_000 + i))
+    return SW.stream_events(spark, tmp)
+
+
+def _run(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"live_{uuid.uuid4().hex[:12]}"
+    q = SW.run_to_memory_sink(stream_df, name, output_mode=output_mode)
+    q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+register(
+    "streaming_tumbling_live",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        _staged_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        ),
+        output_mode="update",
+    ).orderBy("window_start_s", "event_type")
+)
+
+
+register(
+    "streaming_session_live",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL '30 minutes') AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        SW.session_counts(
+            _staged_stream(spark, sf_dir, sentinels=True),
+            gap="30 minutes",
+            watermark="30 minutes",
+        ),
+        output_mode="append",
+    )
+    # a trailing no-data batch may finalize sentinel 1's own session once
+    # sentinel 2 advances the watermark far enough — strip sentinel users
+    .filter(F.col("user_id") >= 0)
+    .orderBy("user_id", "session_start_us")
+)
+
+
+register(
+    "streaming_dedup_live",
+    # append-mode dedup emits each (user_id, event_type)'s first arrival;
+    # WHICH event arrives first is partition-order-dependent, so only the
+    # key set is deterministic — and that equals DISTINCT.
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+)(
+    lambda spark, sf_dir: _run(
+        _staged_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"]),
+        output_mode="append",
+    )
+    .select("user_id", "event_type")
+    .orderBy("user_id", "event_type")
+)
