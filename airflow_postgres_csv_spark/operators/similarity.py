@@ -28,7 +28,13 @@ from pyspark.sql import Window as W
 
 from airflow_postgres_csv_spark.operators.dedup import cosine_expr
 
-__all__ = ["topk_cosine_bruteforce", "random_hyperplanes", "lsh_bucket_topk"]
+__all__ = [
+    "topk_cosine_bruteforce",
+    "random_hyperplanes",
+    "lsh_bucket_topk",
+    "ivf_centroids",
+    "ivf_topk",
+]
 
 
 def topk_cosine_bruteforce(
@@ -206,6 +212,112 @@ def lsh_bucket_topk(
             cosine_expr(vec_col, "_qvec").alias("cosine"),
         )
         .distinct()  # multiprobe/tables can hit the same pair repeatedly
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer: k-means centroids on a deterministic
+    corpus sample (first ``sample`` rows by id — reproducible, unlike
+    rand-sampling). Fitting is driver-side numpy on n_cells × dim floats —
+    the standard IVF shape: the quantizer is tiny even when the corpus is
+    100 TB; only assignment is distributed."""
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding
+    centroids = [X[rng.integers(len(X))]]
+    for _ in range(n_cells - 1):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centroids], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(X[rng.choice(len(X), p=probs)])
+    C = np.array(centroids)
+    for _ in range(iters):  # Lloyd
+        assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
+def _cell_dists(vec_col: str | Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d2, cell>>: squared distance to every centroid —
+    centroids are literal-inlined (n_cells × dim floats), so executors
+    need no side-channel broadcast and the whole computation is JVM-side."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    entries = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d2.alias("d2"), F.lit(j).alias("cell")))
+    return F.array(*entries)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: assign each corpus
+    vector to its nearest k-means cell, have each query probe its
+    ``n_probe`` nearest cells, rerank cosine inside the probed cells only.
+
+    Complexity per query is O(n_probe/n_cells · N) instead of O(N); the
+    probed-cell equi-join is the same shuffle shape as a plain key join, so
+    it scales exactly like any bucketed join. Recall is tuned by n_probe
+    (probing all cells degenerates to exact search).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    dists = _cell_dists(vec_col, centroids)
+    c_cells = corpus.select(
+        id_col, vec_col, F.array_min(dists)["cell"].alias("_cell")
+    )
+    q_probes = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+            )
+        ).alias("_cell"),
+    )
+    from airflow_postgres_csv_spark.operators.dedup import cosine_expr
+
+    scored = (
+        c_cells.join(F.broadcast(q_probes), "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(vec_col, "_qvec").alias("cosine"),
+        )
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -130,3 +130,39 @@ register(
         .orderBy("label")
     )
 )
+
+
+# IVF (inverted-file) ANN: k-means coarse quantizer (driver-fit on a
+# deterministic sample, literal-inlined centroids), n_probe-of-n_cells
+# probing, cosine rerank inside probed cells. Per-query cost is
+# O(n_probe/n_cells · N); recall floor checked against exact top-k.
+register(
+    "similarity_ann_ivf_recall",
+    "SELECT 10 AS n_queries, 1 AS recall_ok",
+)(
+    lambda spark, sf_dir: _ivf_recall(spark, sf_dir)
+)
+
+
+def _ivf_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.topk_cosine_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    per_query = exact.groupBy("query_id").count().withColumnRenamed("count", "n_exact")
+    recall = (
+        per_query.join(hits.withColumnRenamed("count", "n_hit"), "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("n_hit") / F.sum("n_exact")).alias("recall"),
+        )
+    )
+    return recall.select(
+        "n_queries", (F.col("recall") >= 0.5).cast("int").alias("recall_ok")
+    )

@@ -89,3 +89,23 @@ def test_partial_topk_matches_plain(spark, sf_dir):
     reduced = S.topk_cosine_bruteforce(emb, queries, k=5, partial_topk=True)
     key = lambda r: (r.query_id, r.rank, r.neighbor_id)
     assert sorted(map(key, plain.collect())) == sorted(map(key, reduced.collect()))
+
+
+def test_ivf_recall_and_cell_locality(spark, sf_dir):
+    """IVF probing must beat the recall floor, and probing ALL cells must
+    recover exact top-k (the degenerate-correctness property)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.ivf_centroids(emb, n_cells=8)
+    exact = S.topk_cosine_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4, centroids=cents)
+    hits = exact.join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits / exact.count() >= 0.4
+    full = S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8, centroids=cents)
+    assert sorted(map(tuple, full.select("query_id", "neighbor_id").collect())) == sorted(
+        map(tuple, exact.collect())
+    )
