@@ -170,6 +170,11 @@ def read_csv(
     (operators.py:133, 204-208): names are assigned by position. When the
     file also has a header row it is skipped, not trusted
     (operators.py:161, 180-181).
+
+    Known divergence from Postgres COPY (pinned in
+    tests/test_etl_property.py): with a whitespace delimiter (tab) and an
+    empty null marker, an all-NULL row serializes to a whitespace-only
+    line, which Spark's CSV reader skips as blank.
     """
     if not os.path.exists(csv_path):
         raise FileNotFoundError(f"CSV file not found: {csv_path}")

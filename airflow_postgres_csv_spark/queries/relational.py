@@ -461,3 +461,71 @@ register(
         )
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling — the reproducible, engine-portable form of
+# TABLESAMPLE (RNG-based sampling can't be replayed across engines, and at
+# scale partition-dependent Bernoulli draws aren't stable either; an
+# md5-prefix predicate is bit-identical everywhere and pushes down).
+# ---------------------------------------------------------------------------
+
+register(
+    "scan_hash_sample",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) LIKE '0%'
+    ORDER BY o_orderkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "orders")
+        .filter(F.md5(F.col("o_orderkey").cast("string")).startswith("0"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        )
+        .orderBy("o_orderkey")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile (t-digest style sketch) sanity-gated against the
+# exact percentile: |approx - exact| / exact must stay under 5%. The flag
+# pattern keeps the query oracle-checkable even though the sketch itself
+# is engine-specific.
+# ---------------------------------------------------------------------------
+
+register(
+    "approx_percentile_accuracy",
+    "SELECT 3 AS n_checked, 1 AS within_tolerance",
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .agg(
+            *[
+                F.percentile_approx("l_extendedprice", p, 1000).alias(f"a{i}")
+                for i, p in enumerate((0.25, 0.5, 0.95))
+            ],
+            *[
+                F.expr(f"percentile(l_extendedprice, {p})").alias(f"e{i}")
+                for i, p in enumerate((0.25, 0.5, 0.95))
+            ],
+        )
+        .select(
+            F.lit(3).alias("n_checked"),
+            F.when(
+                (F.abs(F.col("a0") - F.col("e0")) / F.col("e0") < 0.05)
+                & (F.abs(F.col("a1") - F.col("e1")) / F.col("e1") < 0.05)
+                & (F.abs(F.col("a2") - F.col("e2")) / F.col("e2") < 0.05),
+                1,
+            )
+            .otherwise(0)
+            .alias("within_tolerance"),
+        )
+    )
+)

@@ -40,6 +40,7 @@ HEADLINE = [
     "text_token_stats",
     "events_tumbling_window",
     "events_sessionization",
+    "multimodal_decode_meta",
 ]
 
 

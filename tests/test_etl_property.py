@@ -85,7 +85,13 @@ def test_csv_dialect_roundtrip_property(
         # the documented lossy edge: null-string and "" read back as NULL
         return None if s in (None, "", null_string) else s
 
+    expected_rows = [(norm(s), i, d, b) for (s, i, d, b) in rows]
+    if delimiter == "\t" and null_string == "":
+        # documented divergence: an all-NULL row with an empty null marker
+        # serializes to a whitespace-only line, which Spark's CSV reader
+        # skips (univocity line trimming) — see operators/etl.py
+        expected_rows = [r for r in expected_rows if any(v is not None for v in r)]
     none_safe = lambda t: tuple((v is None, v) for v in t)
-    expected = sorted(((norm(s), i, d, b) for (s, i, d, b) in rows), key=none_safe)
+    expected = sorted(expected_rows, key=none_safe)
     got = sorted(((r.s, r.i, r.d, r.b) for r in back.collect()), key=none_safe)
     assert got == expected
