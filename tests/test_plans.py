@@ -105,3 +105,21 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_jaccard_join_is_equi_not_nested_loop(spark):
+    """The shingle self-join must plan as a hash/sort-merge equi-join —
+    a nested-loop there would be the O(N^2) cliff at scale."""
+    from airflow_postgres_csv_spark.operators import dedup
+
+    df = dedup.ngram_jaccard_pairs(load(spark, SF, "documents"), threshold=0.5)
+    plan = I.physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_similarity_broadcasts_query_side(spark):
+    from airflow_postgres_csv_spark.operators import similarity as S
+
+    emb = load(spark, SF, "embeddings")
+    df = S.topk_cosine_bruteforce(emb, emb.limit(3), k=5)
+    assert "BroadcastNestedLoopJoin" in I.physical_plan(df) or "BroadcastExchange" in I.physical_plan(df)

@@ -207,3 +207,41 @@ def test_stateful_user_profiles(spark, events_stream_dir):
             assert abs(r.total_value - tv) < 1e-6
     finally:
         q.stop()
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
+    """Stop a checkpointed file-sink query mid-stream, add data, restart
+    with the same checkpoint: every input row appears exactly once."""
+    from airflow_postgres_csv_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base_us = 1_700_000_000_000_000
+
+    def add_file(idx, ids):
+        pdf = spark.createDataFrame(
+            [(i, (base_us + i * 1_000_000) * 1000, 1, "t", 1.0, "{}") for i in ids],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        d = str(tmp_path / f"pc_{idx}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f), os.path.join(src, f"{idx:03d}.parquet"))
+
+    add_file(0, [1, 2, 3])
+    ev = SW.stream_events(spark, src)
+    q = sinks.start_parquet_sink(ev.select("event_id", "user_id"), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    add_file(1, [4, 5])
+    ev2 = SW.stream_events(spark, src)
+    q2 = sinks.start_parquet_sink(ev2.select("event_id", "user_id"), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
