@@ -42,6 +42,7 @@ _MODULES = (
     "multimodal_queries",
     "advanced_sql",
     "streaming_live",
+    "pipeline_queries",
 )
 
 

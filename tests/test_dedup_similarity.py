@@ -3,6 +3,7 @@ sanity checks for the dedup operator family at sf0.001."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.catalog import load
@@ -109,3 +110,15 @@ def test_ivf_recall_and_cell_locality(spark, sf_dir):
     assert sorted(map(tuple, full.select("query_id", "neighbor_id").collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_embed_real_path_is_gated(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators import embedding as E
+
+    docs = load(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError, match="encoder"):
+        E.embed_texts_real(docs)
+    # fake path: deterministic, unit-norm-free but bounded features
+    row = E.embed_texts(docs, dim=8).select("embedding").first()
+    assert len(row.embedding) == 8
+    assert all(0.0 <= v <= 1.0 for v in row.embedding)
