@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.functions import texts as X
 from airflow_postgres_csv_spark.operators.embedding import embed_texts
+from airflow_postgres_csv_spark.operators.grouped import rank_normalize
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import t
 from airflow_postgres_csv_spark.queries.text_queries import SQL_NORM, SQL_TOKENS
@@ -83,5 +84,26 @@ register(
         )
         .select("doc_id", "lang", "n_tokens", "quality")
         .orderBy("doc_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-user percent-rank normalization. The
+# oracle replays it with window percent_rank — proving the pandas path
+# produces exactly what the declarative plan would.
+# ---------------------------------------------------------------------------
+
+register(
+    "pipeline_rank_normalize",
+    """
+    SELECT user_id, event_id, value,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_pct
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        rank_normalize(t(spark, sf_dir, "events")).orderBy("user_id", "event_id")
     )
 )

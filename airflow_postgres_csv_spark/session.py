@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python interop: Arrow batches, never per-row pickling ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size = model/decoder batch size for pandas UDFs
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # split size for file scans: 128 MiB keeps scan tasks memory-safe
+        # at any corpus size (tune up for wide clusters, down for skew)
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
