@@ -1,0 +1,143 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+The reference delegates all SQL to Postgres (reference operators.py:80),
+where users can express these with LATERAL / correlated subqueries; at
+100 TB neither a correlated subquery nor a naive inequality join
+survives, so both operators here are re-architected around a single
+equi-shuffle:
+
+- ``asof_join`` — the classic union+window formulation: tag both sides,
+  union, sort each key group once by time, and carry the last-seen right
+  payload forward with ``last(ignorenulls)``. Cost = one shuffle on the
+  key (identical to a sort-merge join) regardless of how many right rows
+  precede each left row; the naive formulation (join on key + ``r.ts <=
+  l.ts`` + argmax) explodes to O(|L|·|R|/keys) intermediate rows.
+- ``bucketed_range_join`` — interval-overlap join turned into an
+  equi-join on a time bucket: each interval explodes into the buckets it
+  covers, each point maps to exactly one bucket, equi-join on bucket,
+  then refine with the exact predicate. Turns the broadcast-nested-loop
+  plan Catalyst would pick for a pure inequality join into a shuffled
+  hash/sort-merge join that scales linearly. Bucket width should be on
+  the order of the median interval length: wider buckets → fewer
+  duplicate interval rows but more false candidate pairs to refine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "bucketed_range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row at-or-before it.
+
+    ``strict=True`` requires ``right.ts < left.ts`` (pandas
+    ``merge_asof(allow_exact_matches=False)``); default is ``<=``.
+    ``tolerance_us`` nulls the match when the gap exceeds that many
+    microseconds (pandas ``tolerance``). Right-side payload columns come
+    back as ``asof_<name>``, null when no match. Right rows must be
+    unique per (key, right_ts) for a deterministic result — pre-aggregate
+    with ``max_by`` otherwise.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # Order within a (key, ts) tie decides whether an equal-ts right row
+    # is visible to the left row: inclusive -> right first (0 < 1),
+    # strict -> right last (1 > 0).
+    left_ord, right_ord = (0, 1) if strict else (1, 0)
+
+    lhs = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__ord", F.lit(left_ord))
+        .withColumn("__is_left", F.lit(True))
+    )
+    rhs = (
+        right.select(
+            *[F.col(k) for k in keys],
+            F.col(right_ts).alias("__ts"),
+            F.struct(
+                F.col(right_ts).alias("__rts"),
+                *[F.col(c) for c in right_cols],
+            ).alias("__r"),
+        )
+        .withColumn("__ord", F.lit(right_ord))
+        .withColumn("__is_left", F.lit(False))
+    )
+    # allowMissingColumns fills the other side's payload with NULLs — the
+    # union is the only data movement; the window below reuses its sort.
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__is_left")
+    )
+
+    gap_ok: Column = F.lit(True)
+    if tolerance_us is not None:
+        gap_ok = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        ) <= F.lit(tolerance_us)
+    keep = F.col("__m").isNotNull() & gap_ok
+
+    out = matched.select(
+        *left.columns,
+        *[
+            F.when(keep, F.col(f"__m.{c}")).alias(f"asof_{c}")
+            for c in ["__rts", *right_cols]
+        ],
+    ).withColumnRenamed("asof___rts", f"asof_{right_ts}")
+    return out
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Join points to every interval containing them: ``start <= ts < end``.
+
+    Intervals may overlap (a point can match many). Each point lands in
+    exactly one bucket, so the equi-join introduces no duplicate
+    (point, interval) pairs — no post-distinct needed. ``extra_on``
+    adds equi-key columns shared by both sides to the join.
+    """
+    us = F.lit(int(bucket_seconds) * 1_000_000)
+    expl = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / us),
+                # end is exclusive, but a point in end's bucket can still
+                # precede it — keep that bucket as a candidate.
+                F.floor(F.unix_micros(F.col(end_col)) / us),
+            )
+        ),
+    )
+    pts = left.withColumn("__b", F.floor(F.unix_micros(F.col(left_ts)) / us))
+    on = ["__b", *(extra_on or [])]
+    return (
+        pts.join(expl, on=on)
+        .where(
+            (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
+        )
+        .drop("__b")
+    )

@@ -41,6 +41,7 @@ _MODULES = (
     "events_queries",
     "multimodal_queries",
     "advanced_sql",
+    "temporal_queries",
     "streaming_live",
     "pipeline_queries",
 )

@@ -127,3 +127,29 @@ register(
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )(csv_multifile_export)
+
+
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → gzip JSONL → read back with schema → identical.
+
+    JSONL is the corpus interchange format CSV can't be (lossless unicode
+    text with embedded newlines/quotes, explicit nulls, nested types) —
+    the round-trip proves the full fidelity of the path."""
+    from airflow_postgres_csv_spark.operators import jsonl
+
+    src = load(spark, sf_dir, "documents")
+    path = _tmp_path("documents") + ".jsonl.gz"
+    try:
+        jsonl.df_to_jsonl(src, path, compression="gzip")
+        back = jsonl.read_jsonl(spark, path, schema=src.schema).cache()
+        back.count()
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+    return back.orderBy("doc_id")
+
+
+register(
+    "jsonl_roundtrip_documents",
+    "SELECT * FROM documents ORDER BY doc_id",
+)(jsonl_roundtrip_documents)

@@ -1,0 +1,193 @@
+"""Temporal-join and merge queries, oracle-checked.
+
+The as-of oracle uses DuckDB's native ``ASOF JOIN`` — an independent
+implementation of the same semantics — so the union+window formulation
+in ``operators/temporal.py`` is differentially tested against a second
+engine's purpose-built operator, not against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.merge import merge_upsert
+from airflow_postgres_csv_spark.operators.temporal import asof_join, bucketed_range_join
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import dsum, t
+
+# ---------------------------------------------------------------------------
+# As-of join: attribute every event to the user's last *strictly earlier*
+# click. Classic attribution shape; (user_id, ts) is unique in the fixture
+# so the match is deterministic.
+# ---------------------------------------------------------------------------
+
+
+def join_asof_last_click(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("asof_event_id").alias("last_click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+register(
+    "join_asof_last_click",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.event_id AS last_click_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id AS cu, ts, event_id
+        FROM events WHERE event_type = 'click'
+    ) c ON e.user_id = c.cu AND e.ts > c.ts
+    ORDER BY e.event_id
+    """,
+)(join_asof_last_click)
+
+
+# ---------------------------------------------------------------------------
+# As-of with tolerance: purchases attributed to the last click within 30
+# minutes, else unattributed. Tolerance nulls the match (pandas
+# merge_asof(tolerance=...) semantics) — it does NOT fall back to an older
+# click, and the oracle must reproduce exactly that.
+# ---------------------------------------------------------------------------
+
+_TOL_US = 30 * 60 * 1_000_000
+
+
+def join_asof_tolerance(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        strict=True,
+        tolerance_us=_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("asof_event_id").alias("attributed_click_id"),
+    ).orderBy("event_id")
+
+
+register(
+    "join_asof_tolerance",
+    f"""
+    SELECT p.event_id, p.user_id, p.value,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {_TOL_US}
+                THEN c.event_id END AS attributed_click_id
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id AS cu, ts, event_id
+        FROM events WHERE event_type = 'click'
+    ) c ON p.user_id = c.cu AND p.ts > c.ts
+    ORDER BY p.event_id
+    """,
+)(join_asof_tolerance)
+
+
+# ---------------------------------------------------------------------------
+# Range join: events vs OVERLAPPING 7-day windows sliding by 2 days (each
+# event lands in up to 4 windows). The bucketed rewrite turns the
+# inequality join Catalyst would BNL into an equi-shuffle join; the oracle
+# runs the plain inequality join in DuckDB (IEJoin) — two different
+# physical strategies, same relation.
+# ---------------------------------------------------------------------------
+
+
+def join_range_interval_overlap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    iv = spark.range(15).select(
+        F.col("id").alias("w_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id*2 AS INT),0,0,0)"
+        ).alias("w_start"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id*2+7 AS INT),0,0,0)"
+        ).alias("w_end"),
+    )
+    joined = bucketed_range_join(
+        ev, iv, left_ts="ts", start_col="w_start", end_col="w_end",
+        bucket_seconds=7 * 86400,
+    )
+    return (
+        joined.groupBy("w_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("w_id")
+    )
+
+
+register(
+    "join_range_interval_overlap",
+    """
+    WITH iv AS (
+        SELECT i AS w_id,
+               TIMESTAMP '2024-01-01' + INTERVAL (i*2) DAY AS w_start,
+               TIMESTAMP '2024-01-01' + INTERVAL (i*2+7) DAY AS w_end
+        FROM generate_series(0, 14) AS t(i)
+    )
+    SELECT w_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY w_id ORDER BY w_id
+    """,
+)(join_range_interval_overlap)
+
+
+# ---------------------------------------------------------------------------
+# Merge/upsert: incremental batch replaces matching keys, keeps the rest.
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert_customer(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    return merge_upsert(cust, updates, keys=["c_custkey"]).orderBy("c_custkey")
+
+
+register(
+    "merge_upsert_customer",
+    """
+    WITH src AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM src
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    ORDER BY c_custkey
+    """,
+)(merge_upsert_customer)
