@@ -42,6 +42,7 @@ _MODULES = (
     "multimodal_queries",
     "advanced_sql",
     "temporal_queries",
+    "tpch_more",
     "streaming_live",
     "pipeline_queries",
 )
