@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from airflow_postgres_csv_spark.functions import texts as X
 
@@ -93,9 +94,43 @@ def ngram_jaccard_pairs(
     Only documents sharing ≥1 shingle ever meet, so the complexity is
     Σ_bucket |bucket|², not N² — the scalable exact-verification kernel
     that MinHash candidates also run through.
+
+    Plan shape (one shuffle-join + one agg, no size-lookup joins): the
+    distinct shingle set is built as an *array projection* per document
+    (``array_distinct`` — no distinct() shuffle), its size rides through
+    the explode on both join sides, and the join key is ``xxhash64`` of
+    the shingle (fixed 8-byte key instead of the n-gram string; a cross-
+    document 64-bit collision would need ~2³² distinct shingles to become
+    likely — far beyond any real shingle universe per join). The shingle
+    set + its size are packed into ONE struct emitted by a generator, so
+    the tokenize→ngram expression is evaluated exactly once per document
+    — CollapseProject would otherwise inline it into both ``size()`` and
+    ``explode()`` (see texts.ngrams_of_tokens on the O(tokens²) trap).
+    The explicit ``repartition`` on the hashed shingle is the exchange
+    both self-join sides reuse, so the whole document scan + shingling
+    runs once, not once per side.
     """
     blk = [block_col] if block_col else []
-    sh = _doc_shingles(df, id_col, text_col, n, blk)
+    packed = df.select(
+        id_col,
+        *blk,
+        F.explode(
+            F.transform(
+                F.array(F.array_distinct(X.token_ngrams(text_col, n))),
+                lambda a: F.struct(F.size(a).alias("n"), a.alias("shs")),
+            )
+        ).alias("_p"),
+    )
+    sh = (
+        packed.select(
+            id_col,
+            *blk,
+            F.col("_p.n").alias("n_shingles"),
+            F.explode("_p.shs").alias("shingle"),
+        )
+        .withColumn("shingle", F.xxhash64("shingle"))
+        .repartition(F.col("shingle"))
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy(*blk, "shingle")
@@ -103,24 +138,26 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_count") > max_shingle_df)
             .select(*blk, "shingle")
         )
-        sh = sh.join(hot, blk + ["shingle"], "left_anti")
-    # per-doc counts from the exploded set: its distinct() exchange is
-    # computed once and reused by the a/b join sides (ReusedExchange) —
-    # measurably cheaper than a separate array_distinct pass over the docs
-    sizes = sh.groupBy(id_col, *blk).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(*blk, F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(*blk, F.col(id_col).alias("id_b"), "shingle")
-    common = (
+        # hot shingles leave both the pair counts and the doc sizes, so
+        # |A| is recomputed post-filter to keep jaccard exact
+        sh = (
+            sh.join(hot, blk + ["shingle"], "left_anti")
+            .withColumn(
+                "n_shingles",
+                F.count(F.lit(1)).over(Window.partitionBy(id_col, *blk)),
+            )
+        )
+    a = sh.select(*blk, F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
+    b = sh.select(*blk, F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    return (
         a.join(b, blk + ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
