@@ -529,3 +529,48 @@ register(
         )
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate cardinality
+# (min(a,b) and a-b occurrences respectively) — distinct plan shape from
+# the DISTINCT variants above (no dedup aggregate over the union).
+# ---------------------------------------------------------------------------
+
+register(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(
+            t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+        )
+        .orderBy("nationkey")
+    )
+)
+
+register(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(
+            t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+        )
+        .orderBy("nationkey")
+    )
+)

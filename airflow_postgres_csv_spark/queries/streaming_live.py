@@ -156,3 +156,32 @@ register(
     .select("user_id", "event_type")
     .orderBy("user_id", "event_type")
 )
+
+
+register(
+    "streaming_join_live",
+    # Stream-stream inner interval join: all matches inside one micro-batch
+    # are emitted in that batch, so the single-file staging makes the live
+    # result equal the batch join the oracle runs.
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           p.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+    ORDER BY purchase_id, click_id
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        SW.stream_stream_attribution(
+            _staged_stream(spark, sf_dir), window_minutes=10
+        ),
+        output_mode="append",
+    ).orderBy("purchase_id", "click_id")
+)

@@ -186,3 +186,62 @@ register(
         .orderBy("lang")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF, pure DataFrame (SURVEY.md §2.3 names HashingTF+IDF; the exact
+# formulation here is oracle-checkable where the hashed one is not, and at
+# scale it is the same two shuffles: tf groupBy + df-join on token).
+# Top-5 terms per document by tf·ln(N/df), ties broken by token.
+# ---------------------------------------------------------------------------
+
+
+def text_tfidf_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tok = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tok, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            # 1-ulp ln() divergence between JVM and libm: round to 9 dp both sides
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 9),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", "tf", "df_docs", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+register(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf, df_docs,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 9) AS tfidf
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        FROM scored
+    )
+    SELECT doc_id, token, tf, df_docs, tfidf, rk FROM ranked WHERE rk <= 5
+    ORDER BY doc_id, rk
+    """,
+)(text_tfidf_topk)

@@ -131,3 +131,52 @@ def run_to_memory_sink(
     )
     q.processAllAvailable()
     return q
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with every click by
+    the same user in the preceding ``window_minutes``.
+
+    The canonical two-stream interval join (Spark Structured Streaming's
+    flagship stateful op beyond aggregation). Both sides carry a
+    watermark; the time-range predicate bounds the join state — click
+    state is dropped once the purchase-side watermark passes
+    click.ts + window, so state size is O(rate x window), not O(stream).
+    Output is append-mode safe (inner joins emit matches as they form).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+        "value",
+    )

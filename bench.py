@@ -30,7 +30,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_nation_profit",
     "join_orders_customer_inner",
+    "join_asof_last_click",
     "window_running_sum",
     "window_topk_per_group",
     "agg_cube",
@@ -38,6 +40,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
     "text_token_stats",
+    "text_tfidf_topk",
+    "rollup_gapfill_locf",
     "events_tumbling_window",
     "events_sessionization",
     "multimodal_decode_meta",
