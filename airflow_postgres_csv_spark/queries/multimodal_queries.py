@@ -36,10 +36,15 @@ register(
     "multimodal_decode_meta",
     f"WITH m AS ({_SQL_MEDIA}) SELECT * FROM m ORDER BY doc_id",
 )(
+    # the fixture is ONE parquet file -> one scan partition; a real corpus
+    # arrives as many files/row-groups. Repartition before the decode so
+    # the Python stage uses every core, as it would on real input splits.
     lambda spark, sf_dir: (
-        MM.decode_media(MM.attach_media(t(spark, sf_dir, "documents"))).orderBy(
-            "doc_id"
-        )
+        MM.decode_media(
+            MM.attach_media(t(spark, sf_dir, "documents")).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        ).orderBy("doc_id")
     )
 )
 

@@ -245,3 +245,43 @@ register(
     ORDER BY doc_id, rk
     """,
 )(text_tfidf_topk)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/chunking.py): overlapping 64-token windows,
+# stride 48. The DuckDB oracle rebuilds the windows with list_slice over
+# generate_series — an independent formulation of the same windows.
+# ---------------------------------------------------------------------------
+
+
+def text_chunk_windows(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+register(
+    "text_chunk_windows",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ), base AS (
+        SELECT doc_id, tk, len(tk) AS n,
+               CASE WHEN len(tk) <= 64 THEN 1
+                    ELSE (len(tk) - 64 + 47) // 48 + 1 END AS n_chunks
+        FROM toks
+    ), idx AS (
+        SELECT doc_id, tk, n,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM base
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(tk[chunk_idx*48 + 1 : least(chunk_idx*48 + 64, n)], ' ')
+             AS chunk_text,
+           CAST(least(64, n - chunk_idx*48) AS INT) AS n_tokens
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+)(text_chunk_windows)

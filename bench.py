@@ -55,8 +55,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in reg] or sorted(reg)[:5]
     spark = get_spark("bench")
 
-    # warmup: trigger JVM + codegen + parquet footer reads once, untimed
+    # warmup: trigger JVM + codegen + parquet footer reads once, untimed;
+    # the mapInPandas no-op forks the Python worker pool so Arrow-UDF
+    # queries measure steady-state execution, not daemon startup
     reg[names[0]].fn(spark, sf_dir).count()
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:
