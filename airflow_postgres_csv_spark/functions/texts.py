@@ -28,6 +28,7 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "lang_marker_hits",
+    "top_token_count",
     "STOPWORDS_EN",
 ]
 
@@ -141,6 +142,33 @@ def quality_score(col: str | Column) -> Column:
     return (
         len_ok.cast("int") * 40 + punct_ok.cast("int") * 30 + stop_ok.cast("int") * 30
     ).alias("quality")
+
+
+def top_token_count(toks: Column) -> Column:
+    """Occurrence count of the most frequent token (int).
+
+    Sorting the array groups equal tokens, so the mode count is the
+    longest run in the sorted array — one ``F.aggregate`` pass with a
+    (prev, run, best) accumulator. Stays map-only: the explode +
+    groupBy(doc, token) + max alternative costs two shuffles at corpus
+    scale for the same number.
+    """
+    s = F.array_sort(toks)
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
 
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

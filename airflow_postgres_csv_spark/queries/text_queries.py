@@ -285,3 +285,71 @@ register(
     ORDER BY doc_id, chunk_idx
     """,
 )(text_chunk_windows)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style pretraining-data filters): duplicate
+# 2-/3-gram fractions and top-token fraction per document. All map-only
+# JVM expressions — the mode count is a sorted-array run-length aggregate
+# (functions/texts.py top_token_count), not an explode+groupBy, so the
+# whole query is shuffle-free at corpus scale. The DuckDB oracle computes
+# the same mode via unnest + GROUP BY — an independent formulation.
+# ---------------------------------------------------------------------------
+
+
+def text_repetition(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array(X.tokens("text"))).alias("_tk")
+    )
+    g2 = X.ngrams_of_tokens(F.col("_tk"), 2)
+    g3 = X.ngrams_of_tokens(F.col("_tk"), 3)
+
+    def dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        )
+
+    return d.select(
+        "doc_id",
+        F.size("_tk").alias("n_tokens"),
+        (X.top_token_count(F.col("_tk")).cast("double") / F.size("_tk")).alias(
+            "top_token_frac"
+        ),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+    ).orderBy("doc_id")
+
+
+register(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ), grams AS (
+        SELECT doc_id, len(tk) AS n,
+               list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                              i -> array_to_string(tk[i:i+1], ' ')) AS g2,
+               list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                              i -> array_to_string(tk[i:i+2], ' ')) AS g3
+        FROM toks
+    ), mode_cnt AS (
+        SELECT doc_id, max(c) AS mx FROM (
+            SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           g.n AS n_tokens,
+           CAST(m.mx AS DOUBLE) / g.n AS top_token_frac,
+           CASE WHEN len(g.g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+           END AS dup_2gram_frac,
+           CASE WHEN len(g.g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3)
+           END AS dup_3gram_frac
+    FROM grams g JOIN mode_cnt m USING (doc_id)
+    ORDER BY g.doc_id
+    """,
+)(text_repetition)
