@@ -1,0 +1,78 @@
+"""Deterministic corpus sampling: stratified quotas and train/test splits.
+
+Curation steps for a training-data pipeline: take exactly ``quota``
+documents per stratum (language, source, ...) and carve reproducible
+train/test splits. Both are driven by ``md5(key)`` rather than an RNG so
+the selection is bit-identical across engines, re-runs, and cluster
+topologies — TABLESAMPLE / RAND draws depend on partition layout and
+cannot be replayed, which disqualifies them for lineage-tracked corpora
+(reference delegates sampling to SQL, operators.py:45; we make it a
+first-class deterministic op).
+
+Scale notes (100 TB): the split is a pure map-side predicate on a hash
+prefix — no shuffle, pushes through the scan. The quota sample windows
+per stratum; with few strata each window partition is huge, so
+``prefilter_frac`` cheaply pre-thins rows with the same hash ordering
+(a hash-prefix filter keeps exactly the lowest-hash rows, which are the
+ones row_number would pick) before the per-stratum sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_key", "sample_stratified_quota", "split_train_test"]
+
+
+def hash_key(key_col: str | Column) -> Column:
+    """Engine-portable ordering hash: lowercase-hex md5 of the key as text."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.md5(c.cast("string"))
+
+
+def sample_stratified_quota(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_col: str,
+    prefilter_hex: str | None = None,
+) -> DataFrame:
+    """Exactly ``min(quota, stratum size)`` rows per stratum, chosen as the
+    lowest ``md5(key)`` values (ties broken by the key itself).
+
+    ``prefilter_hex``: optional hex-prefix upper bound (e.g. ``"4"`` keeps
+    hashes < '4…', ~25% of rows). Sound only if every stratum retains ≥
+    quota rows under the filter; it exists to shrink the windowed sort at
+    scale, not to change the result.
+    """
+    h = hash_key(key_col)
+    if prefilter_hex is not None:
+        df = df.filter(h < F.lit(prefilter_hex))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def split_train_test(
+    df: DataFrame, key_col: str, test_threshold_hex: str = "14"
+) -> DataFrame:
+    """Label each row 'test' when the 2-hex-char md5 prefix of its key is
+    lexicographically below ``test_threshold_hex``, else 'train'.
+
+    The threshold is a fraction in 256ths: "14" (hex 20) ≈ 7.8% test.
+    Fixed-width lowercase hex compares correctly as text, so the same
+    predicate runs verbatim in any SQL engine for lineage checks.
+    """
+    if len(test_threshold_hex) != 2:
+        raise ValueError("test_threshold_hex must be exactly 2 hex chars")
+    prefix = F.substring(hash_key(key_col), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(prefix < F.lit(test_threshold_hex), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -46,6 +46,7 @@ _MODULES = (
     "rollup_queries",
     "streaming_live",
     "pipeline_queries",
+    "sampling_queries",
 )
 
 
