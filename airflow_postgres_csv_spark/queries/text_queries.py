@@ -353,3 +353,73 @@ register(
     ORDER BY g.doc_id
     """,
 )(text_repetition)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): chunk the corpus (64-token
+# windows, stride 48, as in text_chunk_windows), then greedily pack the
+# chunks per language into 256-token training sequences. Spark runs a
+# grouped-map pandas pass; the oracle replays the same greedy scan as a
+# DuckDB recursive CTE — an independent sequential formulation.
+# ---------------------------------------------------------------------------
+
+
+def text_pack_sequences(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.chunking import chunk_documents
+    from airflow_postgres_csv_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_tokens"
+    )
+    chunks = chunks.join(docs.select("doc_id", "lang"), "doc_id")
+    return pack_sequences(
+        chunks,
+        group_col="lang",
+        order_cols=["doc_id", "chunk_idx"],
+        tokens_col="n_tokens",
+        budget=256,
+    ).orderBy("lang", "doc_id", "chunk_idx")
+
+
+register(
+    "text_pack_sequences",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, {SQL_TOKENS} AS tk FROM documents
+    ), base AS (
+        SELECT doc_id, lang, len(tk) AS n,
+               CASE WHEN len(tk) <= 64 THEN 1
+                    ELSE (len(tk) - 64 + 47) // 48 + 1 END AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, lang, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(least(64, n - chunk_idx*48) AS INT) AS n_tokens
+        FROM (SELECT doc_id, lang, n,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+              FROM base)
+    ), ord AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    ), packed AS (
+        SELECT lang, rn, doc_id, chunk_idx, n_tokens,
+               CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+               CAST(n_tokens AS BIGINT) AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.lang, o.rn, o.doc_id, o.chunk_idx, o.n_tokens,
+               CASE WHEN p.fill + o.n_tokens > 256
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + o.n_tokens > 256
+                    THEN CAST(0 AS BIGINT) ELSE p.fill END,
+               CASE WHEN p.fill + o.n_tokens > 256
+                    THEN CAST(o.n_tokens AS BIGINT)
+                    ELSE p.fill + o.n_tokens END
+        FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, chunk_idx, n_tokens, lang, seq_id, seq_offset
+    FROM packed
+    ORDER BY lang, doc_id, chunk_idx
+    """,
+)(text_pack_sequences)
