@@ -41,6 +41,10 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_token_stats",
     "text_tfidf_topk",
+    "text_chunk_windows",
+    "text_pack_sequences",
+    "text_repetition",
+    "sample_stratified_lang",
     "rollup_gapfill_locf",
     "events_tumbling_window",
     "events_sessionization",
