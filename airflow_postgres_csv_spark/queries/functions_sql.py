@@ -470,3 +470,74 @@ register(
         .orderBy("l_returnflag")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Map functions (create_map / map_keys / map_values / element_at /
+# map_contains_key / map_concat / map_entries round-trip / map_filter /
+# transform_values). DuckDB's element_at returns a single-element LIST, so
+# the oracle indexes [1] to surface the same scalar Spark returns; a missing
+# key is NULL on both sides. cardinality() is cast to INT to match size().
+# ---------------------------------------------------------------------------
+
+register(
+    "map_funcs",
+    """
+    WITH m AS (
+        SELECT p_partkey,
+               MAP(['brand','type','size'],
+                   [p_brand, p_type, CAST(p_size AS VARCHAR)]) AS mp
+        FROM part
+    )
+    SELECT p_partkey,
+           list_sort(map_keys(mp)) AS keys_sorted,
+           list_sort(map_values(mp)) AS vals_sorted,
+           element_at(mp, 'brand')[1] AS brand_val,
+           element_at(mp, 'nope')[1] AS missing_val,
+           CAST(cardinality(mp) AS INT) AS m_size,
+           CAST(list_contains(map_keys(mp), 'type') AS INT) AS has_type,
+           CAST(cardinality(map_concat(mp, MAP(['extra'], ['x']))) AS INT)
+               AS concat_size,
+           CAST(cardinality(mp) AS INT) AS entries_roundtrip_size,
+           list_sort(list_filter(map_keys(mp), k -> k <> 'size'))
+               AS filtered_keys,
+           UPPER(element_at(mp, 'brand')[1]) AS upper_brand
+    FROM m
+    ORDER BY p_partkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.create_map(
+                F.lit("brand"), F.col("p_brand"),
+                F.lit("type"), F.col("p_type"),
+                F.lit("size"), F.col("p_size").cast("string"),
+            ).alias("mp"),
+        )
+        .select(
+            "p_partkey",
+            F.sort_array(F.map_keys("mp")).alias("keys_sorted"),
+            F.sort_array(F.map_values("mp")).alias("vals_sorted"),
+            F.element_at("mp", F.lit("brand")).alias("brand_val"),
+            F.element_at("mp", F.lit("nope")).alias("missing_val"),
+            F.size("mp").alias("m_size"),
+            F.map_contains_key("mp", "type").cast("int").alias("has_type"),
+            F.size(
+                F.map_concat("mp", F.create_map(F.lit("extra"), F.lit("x")))
+            ).alias("concat_size"),
+            F.size(F.map_from_entries(F.map_entries("mp"))).alias(
+                "entries_roundtrip_size"
+            ),
+            F.sort_array(
+                F.map_keys(F.map_filter("mp", lambda k, v: k != F.lit("size")))
+            ).alias("filtered_keys"),
+            F.element_at(
+                F.transform_values("mp", lambda k, v: F.upper(v)),
+                F.lit("brand"),
+            ).alias("upper_brand"),
+        )
+        .orderBy("p_partkey")
+    )
+)

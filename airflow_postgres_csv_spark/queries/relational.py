@@ -474,7 +474,7 @@ register(
     "scan_hash_sample",
     """
     SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM orders
     WHERE md5(CAST(o_orderkey AS VARCHAR)) LIKE '0%'
     ORDER BY o_orderkey
@@ -486,7 +486,7 @@ register(
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"),
         )
         .orderBy("o_orderkey")
     )
