@@ -234,6 +234,12 @@ def minhash_near_dup_pairs(
     candidates (band bucket join, distinct pairs) → verify with the exact
     shingle-join jaccard restricted to candidate pairs. False positives are
     filtered by verification; false negatives bounded by the band curve.
+
+    The exact-jaccard pass runs only over documents that appear in at least
+    one candidate pair (semi-join on the candidate id set), so verification
+    cost is proportional to the candidate set LSH produced — not a full
+    corpus self-join. A pair's jaccard depends only on its own two shingle
+    sets, so restricting the input leaves every surviving value unchanged.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     bb = minhash_band_buckets(sig, id_col, num_hashes, bands)
@@ -245,8 +251,17 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     exact = ngram_jaccard_pairs(
-        df, id_col, text_col, n=shingle_n, threshold=threshold
+        df.join(cand_ids, id_col, "left_semi"),
+        id_col,
+        text_col,
+        n=shingle_n,
+        threshold=threshold,
     )
     return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
@@ -258,22 +273,43 @@ def simhash_bits(
     num_bits: int = 64,
     banks: int = 4,
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64; bit b of the signature is the
+    """64-bit SimHash: per-token hash; bit b of the signature is the
     sign of Σ_tokens (±1 depending on token-hash bit b).
+
+    The per-token hash is the first ``num_bits/4`` hex nibbles of
+    ``md5(token)`` (bit b = bit ``b%4`` of nibble ``b//4``) — the same
+    engine-portable MD5 convention as the MinHash oracle, so the whole
+    pipeline replays bit-identically in DuckDB SQL. Production swap:
+    ``xxhash64(token)`` bit extraction (same shapes, cheaper hash).
 
     Output: (id, bits array<int>, bank_0..bank_{banks-1} int) where banks
     are contiguous bit-groups used for near-dup blocking: two docs within
     Hamming distance < banks must agree exactly on ≥1 bank (pigeonhole).
-    Computed as ``num_bits`` conditional-sum aggregates in one shuffle.
+    Computed as ``num_bits`` conditional-sum aggregates in one shuffle;
+    the nibble array is materialized once per token, not per bit.
     """
+    n_nibs = num_bits // 4
     toks = (
         df.select(id_col, F.explode(X.tokens(text_col)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", F.md5("tok"))
+        .withColumn(
+            "nibs",
+            F.expr(
+                f"transform(sequence(1, {n_nibs}),"
+                " i -> instr('0123456789abcdef', substr(h, i, 1)) - 1)"
+            ),
+        )
     )
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+                F.when(
+                    F.expr(
+                        f"((shiftright(element_at(nibs, {b // 4 + 1}), {b % 4})"
+                        " & 1) = 1)"
+                    ),
+                    1,
+                ).otherwise(-1)
             ).alias(f"s_{b}")
             for b in range(num_bits)
         ]

@@ -1,10 +1,10 @@
 """Deduplication query corpus (SURVEY.md §2.3) over documents/embeddings.
 
-Exact dedup, n-gram Jaccard, and the *entire* MinHash+LSH pipeline are
-oracle-checked: MD5-based signatures are bit-identical across engines, so
-the DuckDB oracle replays signature → banding → candidates → verification
-in SQL. SimHash uses xxhash64 (no DuckDB equivalent) → rows-only with a
-pytest invariant instead.
+Exact dedup, n-gram Jaccard, MinHash+LSH, and SimHash are ALL
+oracle-checked: every hash in the pipelines is MD5-based (bit-identical
+across engines), so the DuckDB oracles replay the full pipelines in SQL —
+shingle → signature → banding → candidates → verification for MinHash, and
+per-token nibble bits → signed sums → bank blocking → Hamming for SimHash.
 """
 
 from __future__ import annotations
@@ -74,18 +74,49 @@ register(
 )
 
 
+# Stop-shingle guard active: shingles appearing in > 5 docs are dropped
+# before the self-join and per-doc sizes are recomputed post-filter — at
+# corpus scale hot shingles (boilerplate phrases) otherwise create
+# quadratic join buckets. The cap is exercised at sf0.01 (max df there is
+# 7) so the guarded code path is what the oracle certifies.
+_NGRAM_DF_CAP = 5
+
+_SQL_SHINGLES_CAPPED = f"""
+raw_shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents)
+),
+hot AS (
+  SELECT shingle FROM raw_shingles GROUP BY shingle HAVING COUNT(*) > {_NGRAM_DF_CAP}
+),
+cshingles AS (
+  SELECT * FROM raw_shingles WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+csizes AS (SELECT doc_id, COUNT(*) AS n FROM cshingles GROUP BY doc_id)
+"""
+
 register(
     "dedup_ngram_jaccard",
     f"""
-    WITH {_SQL_SHINGLES}
-    SELECT id_a, id_b, jaccard FROM jacc
-    WHERE jaccard >= 0.5
+    WITH {_SQL_SHINGLES_CAPPED}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) AS jaccard
+    FROM cshingles a
+    JOIN cshingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN csizes sa ON sa.doc_id = a.doc_id
+    JOIN csizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+    HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) >= 0.5
     ORDER BY id_a, id_b
     """,
 )(
     lambda spark, sf_dir: (
         D.ngram_jaccard_pairs(
-            t(spark, sf_dir, "documents"), threshold=0.5
+            t(spark, sf_dir, "documents"),
+            threshold=0.5,
+            max_shingle_df=_NGRAM_DF_CAP,
         ).orderBy("id_a", "id_b")
     )
 )
@@ -134,9 +165,65 @@ register(
 )
 
 
-# SimHash: xxhash64-based → no cross-engine oracle; rows-only check here,
-# invariants (symmetry with exact jaccard pairs) in tests/test_dedup.py.
-register("dedup_simhash", None)(
+# SimHash, fully replayed in SQL: per-token hash = first 16 hex nibbles of
+# md5(token) (bit b = bit b%4 of nibble b//4), 64 signed sums per doc,
+# 4×16-bit banks for candidate blocking, exact Hamming verification.
+_SH_SUMS = ",\n".join(
+    f"      SUM(CASE WHEN ((nibs[{b // 4 + 1}] >> {b % 4}) & 1) = 1"
+    f" THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(64)
+)
+_SH_BITS = (
+    "["
+    + ", ".join(f"CASE WHEN s_{b} > 0 THEN 1 ELSE 0 END" for b in range(64))
+    + "]"
+)
+_SH_BANKS = ",\n".join(
+    f"        ({k}, "
+    + " + ".join(f"bl[{k * 16 + j + 1}] * {1 << j}" for j in range(16))
+    + ")"
+    for k in range(4)
+)
+
+register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    tn AS (
+      SELECT doc_id,
+             list_transform(range(1, 17),
+                            i -> strpos('0123456789abcdef',
+                                        substr(md5(tok), i, 1)) - 1) AS nibs
+      FROM toks
+    ),
+    sums AS (
+      SELECT doc_id,
+{_SH_SUMS}
+      FROM tn GROUP BY doc_id
+    ),
+    bitsl AS (SELECT doc_id, {_SH_BITS} AS bl FROM sums),
+    banks AS (
+      SELECT doc_id, bl, b.bank_idx, b.bank_val
+      FROM bitsl, LATERAL (VALUES
+{_SH_BANKS}
+      ) b(bank_idx, bank_val)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_reduce(list_transform(list_zip(a.bl, b.bl),
+                                        s -> abs(s[1] - s[2])),
+                         (x, y) -> x + y) AS hamming
+      FROM banks a
+      JOIN banks b ON a.bank_idx = b.bank_idx AND a.bank_val = b.bank_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming
+    FROM pairs WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+)(
     lambda spark, sf_dir: (
         D.simhash_near_dup_pairs(
             t(spark, sf_dir, "documents"), max_hamming=3
