@@ -18,6 +18,7 @@ __all__ = [
     "pushed_filters",
     "read_schema",
     "has_broadcast_join",
+    "broadcast_hint_count",
     "num_shuffles",
     "codegen_stage_count",
 ]
@@ -65,6 +66,18 @@ def read_schema(df: DataFrame) -> list[str]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast hints in the analyzed logical plan.
+
+    A forced ``F.broadcast`` overrides AQE's size threshold, so at scale it
+    is only safe on constant-size dims (nation/region) or provably tiny
+    filtered sides. Tests pin the hint budget per query so a fact-scale
+    hint can't sneak back in (AQE still auto-broadcasts small sides from
+    runtime stats — that path needs no hint)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return analyzed.count("ResolvedHint (strategy=broadcast)")
 
 
 def num_shuffles(df: DataFrame) -> int:

@@ -20,7 +20,10 @@ from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import dec, t
 
 # ---------------------------------------------------------------------------
-# Inner equi-join, broadcast dim side.
+# Inner equi-join. No broadcast hint: customer is fact-scale in TPC-H
+# (~1/7 of lineitem's bytes), so a forced F.broadcast would override AQE's
+# size threshold and OOM at 100 TB. AQE's runtime-stats conversion still
+# broadcasts it when it is genuinely small (as at test SFs).
 # ---------------------------------------------------------------------------
 
 register(
@@ -36,7 +39,7 @@ register(
     lambda spark, sf_dir: (
         t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(t(spark, sf_dir, "customer")),
+            t(spark, sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"),
             "inner",
         )
@@ -286,7 +289,10 @@ register(
 
 # ---------------------------------------------------------------------------
 # TPC-H Q5-style: 6-way join through the whole star, revenue per nation.
-# All dims broadcast; the only shuffle is orders⋈lineitem + final agg.
+# Only the constant-size dims (nation 25 rows, region 5 rows) carry
+# broadcast hints; customer and supplier grow with SF, so they are left to
+# AQE — at test SFs AQE still broadcasts them from runtime stats, at 100 TB
+# they become shuffle joins instead of executor OOMs.
 # ---------------------------------------------------------------------------
 
 register(
@@ -318,12 +324,12 @@ register(
             "inner",
         )
         .join(
-            F.broadcast(t(spark, sf_dir, "customer")),
+            t(spark, sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"),
             "inner",
         )
         .join(
-            F.broadcast(t(spark, sf_dir, "supplier")),
+            t(spark, sf_dir, "supplier"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
             "inner",

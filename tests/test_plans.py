@@ -30,6 +30,19 @@ def test_q5_broadcasts_small_dimensions(spark):
     assert I.has_broadcast_join(df)
 
 
+def test_broadcast_hints_only_on_constant_size_dims(spark):
+    """Explicit F.broadcast hints override AQE's size threshold, so the
+    hint budget per query is pinned: q5 hints exactly nation+region (2),
+    q3 hints only its filtered customer side (1), and the plain
+    orders⋈customer join carries none — fact-scale sides are left to
+    AQE's runtime-stats conversion (hinting customer/supplier was the
+    round-1 executor-OOM risk at 100 TB)."""
+    reg = registry()
+    assert I.broadcast_hint_count(reg["q5_local_supplier_volume"].fn(spark, SF)) == 2
+    assert I.broadcast_hint_count(reg["q3_shipping_priority"].fn(spark, SF)) == 1
+    assert I.broadcast_hint_count(reg["join_orders_customer_inner"].fn(spark, SF)) == 0
+
+
 def test_salted_agg_matches_plain(spark):
     li = load(spark, SF, "lineitem")
     plain = {
