@@ -30,8 +30,11 @@ Option-surface parity (reference file:line → here):
 
 Scale posture: the natural Spark output is a *directory* of part files —
 one per task, written in parallel; that is what a 1000-executor job must
-produce. ``single_file=True`` reproduces the reference's one-file contract
-(coalesce(1) + rename) and is documented as the non-scalable convenience.
+produce, and it is the DEFAULT (``single_file=False``). ``single_file=True``
+reproduces the reference's one-file contract (coalesce(1) + rename) and is
+the opt-in, non-scalable convenience. Rowcounts come from an ``Observation``
+attached to the written plan — one scan per export, never a second
+``count()`` execution of the source query.
 """
 
 from __future__ import annotations
@@ -40,7 +43,8 @@ import glob
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "resolve_sql",
@@ -72,7 +76,7 @@ def query_to_csv(
     parameters: dict | None = None,
     has_header: bool = True,
     compression: str | None = None,
-    single_file: bool = True,
+    single_file: bool = False,
     delimiter: str = ",",
     quote_char: str = '"',
     null_string: str = "",
@@ -102,21 +106,29 @@ def df_to_csv(
     csv_path: str,
     has_header: bool = True,
     compression: str | None = None,
-    single_file: bool = True,
+    single_file: bool = False,
     delimiter: str = ",",
     quote_char: str = '"',
     null_string: str = "",
 ) -> tuple[str, int]:
     """Write a DataFrame to CSV with the reference's option surface.
 
-    ``single_file=False`` writes a directory of part files (the scalable
-    path — every executor writes its partition in parallel).
-    ``single_file=True`` mirrors the reference's exactly-one-file contract
-    via coalesce(1); fine for exports that fit one machine, not for 100 TB.
+    The default writes a directory of part files — the scalable path
+    (every executor writes its partition in parallel; Spark's CSV reader
+    consumes the directory transparently). ``single_file=True`` mirrors
+    the reference's exactly-one-file contract via coalesce(1); fine for
+    exports that fit one machine, not for 100 TB.
+
+    The returned rowcount is observed on the write pass itself
+    (``df.observe``) — the source plan executes exactly once, and the
+    count always describes the rows actually written (a re-run of a
+    non-deterministic query could disagree).
     """
     if compression not in (None, "gzip"):
         raise ValueError(f"unsupported compression: {compression!r}")
-    out_df = df.coalesce(1) if single_file else df
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+    out_df = observed.coalesce(1) if single_file else observed
     tmp_dir = csv_path + "._spark_tmp" if single_file else csv_path
     writer = (
         out_df.write.mode("overwrite")
@@ -131,8 +143,7 @@ def df_to_csv(
     if compression == "gzip":
         writer = writer.option("compression", "gzip")
     writer.csv(tmp_dir)
-    # rowcount from what was written, not a re-run of the query
-    n = _count_csv_rows_cheap(df)
+    n = int(obs.get["rows_written"])
     if single_file:
         ext = ".csv.gz" if compression == "gzip" else ".csv"
         parts = glob.glob(os.path.join(tmp_dir, "part-*"))
@@ -144,13 +155,6 @@ def df_to_csv(
         shutil.rmtree(tmp_dir)
         _ = ext  # extension is the caller's choice; we honor csv_path as-is
     return csv_path, n
-
-
-def _count_csv_rows_cheap(df: DataFrame) -> int:
-    # count() re-executes the plan; with AQE the reused exchange makes this
-    # cheap for aggregates. For huge exports, prefer observing write metrics
-    # via a QueryExecutionListener (SURVEY.md §2.1 row 11).
-    return df.count()
 
 
 def read_csv(
@@ -231,6 +235,8 @@ def csv_to_table(
         null_string=null_string,
         columns=columns,
     )
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     mode = "overwrite" if truncate else "append"
-    df.write.mode(mode).saveAsTable(table_name)
-    return spark.table(table_name).count() if truncate else df.count()
+    observed.write.mode(mode).saveAsTable(table_name)
+    return int(obs.get["rows_written"])

@@ -21,6 +21,8 @@ Semantic notes vs the reference:
 
 from __future__ import annotations
 
+import math
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +103,12 @@ def _bind_parameters(sql: str, parameters: dict | None) -> str:
     JDBC ``query`` option cannot carry bind variables, so this mirrors what
     ``cursor.mogrify`` produced (operators.py:77). Numeric types pass
     through unquoted; everything else is quoted and escaped.
+
+    Only ``%(name)s`` tokens are substituted (via regex, not Python's ``%``
+    operator), so literal percent signs elsewhere in the SQL — ``LIKE
+    '%x%'``, modulo, ``to_char`` format masks — pass through untouched and
+    need no ``%%`` doubling. Non-finite floats are rejected: ``repr(inf)``
+    is not SQL.
     """
     if not parameters:
         return sql
@@ -110,11 +118,20 @@ def _bind_parameters(sql: str, parameters: dict | None) -> str:
             rendered[k] = "NULL"
         elif isinstance(v, bool):
             rendered[k] = "TRUE" if v else "FALSE"
+        elif isinstance(v, float) and not math.isfinite(v):
+            raise ValueError(f"parameter {k!r} is non-finite ({v}): not a SQL literal")
         elif isinstance(v, (int, float)):
             rendered[k] = repr(v)
         else:
             rendered[k] = "'" + str(v).replace("'", "''") + "'"
-    return sql % rendered
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in rendered:
+            raise KeyError(f"SQL references parameter {name!r} but it was not supplied")
+        return rendered[name]
+
+    return re.sub(r"%\((\w+)\)s", sub, sql)
 
 
 def write_options(
@@ -179,7 +196,12 @@ def postgres_to_csv(
     df = jdbc_read(
         spark, url=url, sql=sql, parameters=parameters, timeout_minutes=timeout, **read_kwargs
     )
-    return df_to_csv(df, csv_file_path, has_header=has_header, compression=compression)
+    # single_file=True: the reference's contract is exactly one CSV file
+    # at csv_file_path (operators.py:86-94); callers wanting the scalable
+    # directory-of-parts export use df_to_csv directly with its default.
+    return df_to_csv(
+        df, csv_file_path, has_header=has_header, compression=compression, single_file=True
+    )
 
 
 def csv_to_postgres(

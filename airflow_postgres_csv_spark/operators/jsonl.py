@@ -19,7 +19,8 @@ import glob
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["df_to_jsonl", "read_jsonl", "query_to_jsonl"]
 
@@ -30,17 +31,20 @@ def df_to_jsonl(
     df: DataFrame,
     path: str,
     compression: str | None = None,
-    single_file: bool = True,
+    single_file: bool = False,
 ) -> tuple[str, int]:
     """Write a DataFrame as JSON-lines. Returns ``(path, rowcount)``.
 
-    ``single_file=False`` is the scalable path (one part per task,
-    written in parallel); ``single_file=True`` mirrors the reference's
-    one-file contract via coalesce(1).
+    The default (directory of part files, one per task) is the scalable
+    path; ``single_file=True`` mirrors the reference's one-file contract
+    via coalesce(1). The rowcount is observed on the write pass — the
+    source plan executes once.
     """
     if compression not in (None, "gzip"):
         raise ValueError(f"unsupported compression: {compression!r}")
-    out_df = df.coalesce(1) if single_file else df
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+    out_df = observed.coalesce(1) if single_file else observed
     tmp_dir = path + "._spark_tmp" if single_file else path
     writer = (
         out_df.write.mode("overwrite")
@@ -51,7 +55,7 @@ def df_to_jsonl(
     if compression == "gzip":
         writer = writer.option("compression", "gzip")
     writer.json(tmp_dir)
-    n = df.count()
+    n = int(obs.get["rows_written"])
     if single_file:
         parts = glob.glob(os.path.join(tmp_dir, "part-*"))
         if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees one
@@ -69,7 +73,7 @@ def query_to_jsonl(
     path: str,
     parameters: dict | None = None,
     compression: str | None = None,
-    single_file: bool = True,
+    single_file: bool = False,
 ) -> tuple[str, int]:
     """Run ``sql`` (named ``:param`` binding) and export the result as JSONL."""
     from airflow_postgres_csv_spark.operators.etl import resolve_sql

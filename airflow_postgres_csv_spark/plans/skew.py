@@ -67,7 +67,18 @@ def replicated_skew_join(
     Cost: right side grows n_salts×, but each (key, salt) reduce bucket
     shrinks n_salts× — the classic trade for hot keys too big for one task
     yet too many for a broadcast join.
+
+    Only left-preserving joins are allowed: with the right side replicated
+    ``n_salts`` times, a right/full outer join would emit every unmatched
+    right row once per salt value (duplicate output rows).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"replicated_skew_join supports left-preserving joins only "
+            f"(got {how!r}): the replicated right side would duplicate "
+            f"unmatched right rows in right/full outer joins"
+        )
     salted_left = with_salt(left, salt_cols, n_salts)
     replicated_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -34,7 +34,7 @@ def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "customer")
     path = _tmp_path("customer") + ".csv.gz"
     try:
-        etl.df_to_csv(src, path, has_header=True, compression="gzip")
+        etl.df_to_csv(src, path, has_header=True, compression="gzip", single_file=True)
         back = etl.read_csv(spark, path, schema=src.schema).cache()
         back.count()  # materialize before the temp file disappears
     finally:
@@ -62,7 +62,13 @@ def csv_roundtrip_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_path("orders") + ".csv"
     try:
         etl.df_to_csv(
-            src, path, has_header=False, delimiter="|", quote_char="'", null_string="NULL"
+            src,
+            path,
+            has_header=False,
+            delimiter="|",
+            quote_char="'",
+            null_string="NULL",
+            single_file=True,
         )
         back = etl.read_csv(
             spark,
@@ -140,7 +146,7 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "documents")
     path = _tmp_path("documents") + ".jsonl.gz"
     try:
-        jsonl.df_to_jsonl(src, path, compression="gzip")
+        jsonl.df_to_jsonl(src, path, compression="gzip", single_file=True)
         back = jsonl.read_jsonl(spark, path, schema=src.schema).cache()
         back.count()
     finally:

@@ -24,7 +24,7 @@ def small_df(spark):
 
 def test_export_header_and_content(spark, small_df, tmp_out):
     path = os.path.join(tmp_out, "out.csv")
-    out_path, n = etl.df_to_csv(small_df, path, has_header=True)
+    out_path, n = etl.df_to_csv(small_df, path, has_header=True, single_file=True)
     assert out_path == path and n == 3
     lines = open(path).read().splitlines()
     assert lines[0] == "a,b"
@@ -34,7 +34,7 @@ def test_export_header_and_content(spark, small_df, tmp_out):
 
 def test_export_no_header(spark, small_df, tmp_out):
     path = os.path.join(tmp_out, "nh.csv")
-    etl.df_to_csv(small_df, path, has_header=False)
+    etl.df_to_csv(small_df, path, has_header=False, single_file=True)
     lines = open(path).read().splitlines()
     assert lines[0] != "a,b" and len(lines) == 3
 
@@ -42,7 +42,7 @@ def test_export_no_header(spark, small_df, tmp_out):
 def test_export_gzip_roundtrip(spark, small_df, tmp_out):
     """Reference test_operators.py:89-102 — gzip export is decompressible."""
     path = os.path.join(tmp_out, "out.csv.gz")
-    etl.df_to_csv(small_df, path, compression="gzip")
+    etl.df_to_csv(small_df, path, compression="gzip", single_file=True)
     with gzip.open(path, "rt") as f:
         lines = f.read().splitlines()
     assert lines[0] == "a,b" and len(lines) == 4
@@ -94,7 +94,7 @@ def test_dialect_options_roundtrip(spark, tmp_out):
     """delimiter/quote/null options (reference operators.py:129-131)."""
     df = spark.createDataFrame([Row(a=1, b="x'y"), Row(a=2, b=None)])
     path = os.path.join(tmp_out, "d.csv")
-    etl.df_to_csv(df, path, delimiter="|", quote_char="'", null_string="NULLY")
+    etl.df_to_csv(df, path, delimiter="|", quote_char="'", null_string="NULLY", single_file=True)
     raw = open(path).read()
     assert "a|b" in raw and "NULLY" in raw
     back = etl.read_csv(
@@ -149,3 +149,25 @@ def test_timestamp_roundtrip(spark, sf_dir, tmp_out):
     a = {r.o_orderkey: r.o_orderdate for r in orders.collect()}
     b = {r.o_orderkey: r.o_orderdate for r in back.collect()}
     assert a == b
+
+
+def test_parallel_default_writes_directory_with_observed_count(spark, small_df, tmp_out):
+    """The default export path is the scalable one: a directory of part
+    files written in parallel, with the rowcount observed on the write
+    pass itself (no second execution of the source plan)."""
+    out_dir = os.path.join(tmp_out, "parts_out")
+    path, n = etl.df_to_csv(small_df.repartition(4), out_dir)
+    assert path == out_dir and n == 3
+    assert os.path.isdir(out_dir)
+    parts = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    assert len(parts) >= 1
+    back = etl.read_csv(spark, out_dir, schema="a bigint, b string")
+    assert back.count() == 3
+
+
+def test_observed_count_empty_result(spark, small_df, tmp_out):
+    """Zero-row exports still report an observed count of 0 (the
+    Observation fires when the write finishes, rows or not)."""
+    out_dir = os.path.join(tmp_out, "empty_out")
+    _, n = etl.df_to_csv(small_df.filter("a > 100"), out_dir)
+    assert n == 0

@@ -63,6 +63,25 @@ def test_parameter_binding_literals():
     assert sql == "SELECT * FROM t WHERE active = TRUE AND name = 'O''Brien' AND n = 3"
 
 
+def test_parameter_binding_preserves_literal_percent():
+    """LIKE '%x%', modulo and format masks must survive binding untouched —
+    only %(name)s tokens are substituted (no %%-doubling convention)."""
+    sql = jdbc._bind_parameters(
+        "SELECT * FROM t WHERE name LIKE '%abc%' AND id %% 2 = 0 AND k = %(k)s",
+        {"k": 7},
+    )
+    assert sql == "SELECT * FROM t WHERE name LIKE '%abc%' AND id %% 2 = 0 AND k = 7"
+    # no parameters → SQL passes through verbatim
+    assert jdbc._bind_parameters("SELECT '100%'", None) == "SELECT '100%'"
+
+
+def test_parameter_binding_rejects_nonfinite_and_missing():
+    with pytest.raises(ValueError, match="non-finite"):
+        jdbc._bind_parameters("SELECT %(x)s", {"x": float("inf")})
+    with pytest.raises(KeyError, match="not supplied"):
+        jdbc._bind_parameters("SELECT %(x)s", {"y": 1})
+
+
 def test_write_options_truncate_mode():
     """Reference test_operators.py:165-180 — TRUNCATE before load."""
     mode, opts = jdbc.write_options("u", "public.users", truncate=True)

@@ -136,3 +136,12 @@ def test_similarity_broadcasts_query_side(spark):
     emb = load(spark, SF, "embeddings")
     df = S.topk_cosine_bruteforce(emb, emb.limit(3), k=5)
     assert "BroadcastNestedLoopJoin" in I.physical_plan(df) or "BroadcastExchange" in I.physical_plan(df)
+
+
+def test_replicated_skew_join_rejects_right_preserving(spark):
+    """Right/full outer would duplicate unmatched right rows n_salts times."""
+    import pytest
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="left-preserving"):
+        skew.replicated_skew_join(df, df, on=["k"], salt_cols=["k"], how="full_outer")
