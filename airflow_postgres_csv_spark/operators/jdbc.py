@@ -11,6 +11,10 @@ functions are written as thin, *pure* option-builders around
 ``spark.read.format("jdbc")`` / ``df.write.format("jdbc")`` — unit tests
 assert the generated options and SQL strings, exactly the strategy the
 reference's own fully-mocked tests use (tests/test_operators.py:12-31).
+The ``driver`` parameter swaps the JDBC driver class; tests/test_jdbc.py
+additionally runs the full write→read→truncate path end-to-end against
+embedded Apache Derby (the one JDBC engine shipped inside Spark), so the
+write path executes against a real database, not only against mocks.
 
 Semantic notes vs the reference:
 - Reference truncate+load is one transaction (operators.py:172-184). Spark
@@ -59,6 +63,7 @@ def read_options(
     upper_bound: int | None = None,
     num_partitions: int | None = None,
     fetchsize: int = 10_000,
+    driver: str = "org.postgresql.Driver",
 ) -> dict[str, str]:
     """Build the option dict for a JDBC read.
 
@@ -76,7 +81,7 @@ def read_options(
 
     opts: dict[str, str] = {
         "url": url,
-        "driver": "org.postgresql.Driver",
+        "driver": driver,
         "queryTimeout": str(timeout_minutes * 60),
         "fetchsize": str(fetchsize),
     }
@@ -141,6 +146,7 @@ def write_options(
     timeout_minutes: int = 60,
     batchsize: int = 10_000,
     num_partitions: int | None = None,
+    driver: str = "org.postgresql.Driver",
 ) -> tuple[str, dict[str, str]]:
     """Build (mode, options) for a JDBC write.
 
@@ -153,7 +159,7 @@ def write_options(
     """
     opts = {
         "url": url,
-        "driver": "org.postgresql.Driver",
+        "driver": driver,
         "dbtable": quote_identifier(table),
         "queryTimeout": str(timeout_minutes * 60),
         "batchsize": str(batchsize),
