@@ -224,6 +224,7 @@ def csv_to_postgres(
     timeout: int = 60,
     schema=None,
     batchsize: int = 10_000,
+    driver: str = "org.postgresql.Driver",
 ) -> int:
     """Composite operator #2: local CSV → Postgres table.
 
@@ -250,6 +251,7 @@ def csv_to_postgres(
         truncate=truncate,
         timeout_minutes=timeout,
         batchsize=batchsize,
+        driver=driver,
     )
     return n
 
