@@ -43,6 +43,7 @@ _MODULES = (
     "advanced_sql",
     "temporal_queries",
     "tpch_more",
+    "tpch_depth2",
     "rollup_queries",
     "streaming_live",
     "pipeline_queries",

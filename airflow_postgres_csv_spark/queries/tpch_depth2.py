@@ -1,0 +1,586 @@
+"""TPC-H-style depth, part 2: the remaining canonical query shapes
+(q2 q7 q8 q11 q12 q13 q15 q16 q17 q19 q21 analogues) adapted to the
+fixture schema.
+
+The reference delegates its entire SQL surface to Postgres (reference
+operators.py:80), so parity means covering the canonical ad-hoc-analytics
+shapes natively. Fixture deltas from real TPC-H (FIXTURES.md): no
+``partsupp`` table and no ``l_commitdate``/``l_receiptdate``/
+``l_shipmode``/``p_container`` columns, so:
+
+- q2/q11/q16/q17's partsupp references re-base on the (l_partkey,
+  l_suppkey) association and sale prices in ``lineitem`` — identical plan
+  shapes (correlated-min, scalar-subquery HAVING, distinct-count group).
+- q12/q21's commit-vs-receipt lateness re-bases on
+  ``l_shipdate > o_orderdate + 365 days`` — identical conditional-agg /
+  exists+not-exists shapes.
+
+Scale notes (100 TB posture):
+- q7/q8: lineitem⋈orders is the one fact⋈fact shuffle; customer/supplier
+  ride AQE (no forced broadcast — round-1 lesson), nation/region are
+  hinted (constant 25/5 rows).
+- q2/q15/q16: aggregate-then-join — the heavy groupBy happens before any
+  join, so the join inputs are already reduced.
+- q11: the scalar total is a 1-row broadcast; no second scan of the
+  per-part aggregate (the HAVING reuses it).
+- q21: the textbook exists/not-exists is reformulated as one per-order
+  aggregation + filter — two shuffles total instead of two correlated
+  self-joins of lineitem (the standard scalable rewrite).
+- q17: per-part avg via a window over the part-filtered lineitem slice
+  (small after the brand filter), not a full-table self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import dec, t
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations, by direction and year.
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)(q7_nation_volume)
+
+
+# ---------------------------------------------------------------------------
+# q8 — market share of one supplier nation within a region's customers.
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n_supp = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk"))
+        .join(F.broadcast(r), F.col("cn_rk") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    "q8_market_share",
+    f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_5' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)(q8_market_share)
+
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier (correlated MIN re-based on avg sale price).
+# ---------------------------------------------------------------------------
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price")
+        )
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 25).select("p_partkey", "p_brand")
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .withColumn("min_price", F.min("avg_price").over(w))
+        .filter(F.col("avg_price") == F.col("min_price"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("s_acctbal"),
+            F.round("avg_price", 6).alias("best_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(20)
+    )
+
+
+register(
+    "q2_min_price_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT p_partkey, p_brand, l_suppkey, avg_price,
+             MIN(avg_price) OVER (PARTITION BY p_partkey) AS min_price
+      FROM ps JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 25
+    )
+    SELECT p_partkey, p_brand, s_name, s_acctbal,
+           ROUND(avg_price, 6) AS best_price
+    FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+    WHERE avg_price = min_price
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 20
+    """,
+)(q2_min_price_supplier)
+
+
+# ---------------------------------------------------------------------------
+# q11 — important parts: per-part value vs a scalar-subquery threshold.
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.0008
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_part = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).cast("double").alias("part_value"))
+    )
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value")
+    )  # 1 row -> broadcast join
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * _Q11_FRACTION)
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+register(
+    "q11_important_parts",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey, CAST(SUM({_REV}) AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(part_value, 4) AS part_value
+    FROM per_part
+    WHERE part_value > (SELECT SUM(part_value) FROM per_part) * {_Q11_FRACTION}
+    ORDER BY part_value DESC, l_partkey
+    """,
+)(q11_important_parts)
+
+
+# ---------------------------------------------------------------------------
+# q12 — late shipments by priority class (conditional aggregation).
+# ---------------------------------------------------------------------------
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(high.cast("int")).alias("high_line_count"),
+            F.sum((~high).cast("int")).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+register(
+    "q12_late_shipments",
+    """
+    SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+)(q12_late_shipments)
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (left outer + double aggregate).
+# ---------------------------------------------------------------------------
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+register(
+    "q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)(q13_order_distribution)
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier(s) by quarterly revenue (CTE + scalar MAX equality).
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)(q15_top_supplier)
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier counts per part attribute group (distinct-count, exclusion).
+# ---------------------------------------------------------------------------
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assoc = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        assoc.join(p, assoc.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+register(
+    "q16_part_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) assoc
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 40
+    """,
+)(q16_part_supplier_counts)
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity revenue vs per-part average (correlated avg).
+# ---------------------------------------------------------------------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    lp = t(spark, sf_dir, "lineitem").join(p, F.col("l_partkey") == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(dec("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        lp.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    "q17_small_quantity_revenue",
+    """
+    WITH lp AS (
+      SELECT l_partkey, l_quantity, l_extendedprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  OVER (PARTITION BY l_partkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lp
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)(q17_small_quantity_revenue)
+
+
+# ---------------------------------------------------------------------------
+# q19 — disjunctive brand/size/quantity predicates (OR-of-ANDs pushdown).
+# ---------------------------------------------------------------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)(q19_disjunctive_revenue)
+
+
+# ---------------------------------------------------------------------------
+# q21 — sole late supplier on multi-supplier orders. The textbook
+# exists/not-exists pair is reformulated as ONE per-order aggregation
+# (supplier count + late-supplier count) — the scalable rewrite: two
+# shuffles instead of two correlated lineitem self-joins.
+# ---------------------------------------------------------------------------
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_supp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("is_late").alias("n_late"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+register(
+    "q21_sole_late_supplier",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_suppliers, SUM(is_late) AS n_late
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_supp
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE is_late = 1 AND n_suppliers >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)(q21_sole_late_supplier)
