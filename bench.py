@@ -31,6 +31,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q9_nation_profit",
+    "q7_nation_volume",
+    "q13_order_distribution",
+    "q16_part_supplier_counts",
+    "q21_sole_late_supplier",
     "join_orders_customer_inner",
     "join_asof_last_click",
     "window_running_sum",
