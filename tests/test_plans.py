@@ -41,6 +41,13 @@ def test_broadcast_hints_only_on_constant_size_dims(spark):
     assert I.broadcast_hint_count(reg["q5_local_supplier_volume"].fn(spark, SF)) == 2
     assert I.broadcast_hint_count(reg["q3_shipping_priority"].fn(spark, SF)) == 1
     assert I.broadcast_hint_count(reg["join_orders_customer_inner"].fn(spark, SF)) == 0
+    # depth-2 star joins: only nation/region (and 1-row scalar aggregates)
+    # may carry hints — customer/supplier always ride AQE
+    assert I.broadcast_hint_count(reg["q7_nation_volume"].fn(spark, SF)) == 2
+    assert I.broadcast_hint_count(reg["q8_market_share"].fn(spark, SF)) == 3
+    assert I.broadcast_hint_count(reg["q11_important_parts"].fn(spark, SF)) == 1
+    assert I.broadcast_hint_count(reg["q15_top_supplier"].fn(spark, SF)) == 1
+    assert I.broadcast_hint_count(reg["q21_sole_late_supplier"].fn(spark, SF)) == 0
 
 
 def test_salted_agg_matches_plain(spark):
