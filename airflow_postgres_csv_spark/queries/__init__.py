@@ -48,6 +48,7 @@ _MODULES = (
     "streaming_live",
     "pipeline_queries",
     "sampling_queries",
+    "decontam_queries",
 )
 
 

@@ -1,0 +1,101 @@
+"""Decontamination + dedup-cluster queries (SURVEY.md §2.3 extension).
+
+``decontam_overlap`` treats every 10th document as the held-out benchmark
+and flags the rest of the corpus for 8-gram overlap — the classic
+training-hygiene pass. ``dedup_clusters`` closes the near-dup pair list
+into connected components (transitive closure), the step that turns
+pairwise similarity into one-survivor-per-cluster dedup; the DuckDB
+oracle computes the same closure with a recursive CTE, independently of
+the Spark label-propagation implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_postgres_csv_spark.operators import decontam as DC
+from airflow_postgres_csv_spark.operators import dedup as D
+from airflow_postgres_csv_spark.operators.graph import connected_components
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+from airflow_postgres_csv_spark.queries.dedup_queries import (
+    _NGRAM_DF_CAP,
+    _SQL_SHINGLES_CAPPED,
+    SQL_TOKENS,
+)
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return DC.contaminated_docs(train, bench, n=8).orderBy("doc_id")
+
+
+register(
+    "decontam_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> list_aggregate(tk[i:i+7], 'string_agg', ' '))) AS s
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+    SELECT c.doc_id, COUNT(*) AS n_overlap
+    FROM sh c JOIN bench b ON c.s = b.s
+    WHERE c.doc_id % 10 <> 0
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)(decontam_overlap)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_NGRAM_DF_CAP
+    ).select("id_a", "id_b")
+    assign = connected_components(
+        edges, docs.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    return (
+        assign.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM cshingles a
+      JOIN cshingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN csizes sa ON sa.doc_id = a.doc_id
+      JOIN csizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) >= 0.5
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, w.root FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    assign AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign
+    ORDER BY doc_id
+    """,
+)(dedup_clusters)

@@ -423,3 +423,71 @@ register(
     ORDER BY lang, doc_id, chunk_idx
     """,
 )(text_pack_sequences)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction: the tokenizer-training precursor — corpus-wide
+# term frequencies + document frequencies, top terms first. One explode +
+# one shuffle; at 100 TB the groupBy key (token) is Zipf-skewed, which AQE
+# skew-split handles (or pre-aggregate per partition — Spark's hash
+# aggregate already does map-side partials).
+# ---------------------------------------------------------------------------
+
+register(
+    "text_vocab_topk",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents)
+    SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+    FROM tk GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 100
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(100)
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting lists for frequent terms: token → sorted doc ids.
+# collect_set + sort_array is the right shape ONLY with a df floor/ceiling
+# bounding the list length — an unbounded posting list for a stop-word is
+# the single-row OOM at corpus scale (same reasoning as the stop-shingle
+# cap in dedup). Oracle: DuckDB list(DISTINCT ...) + list_sort.
+# ---------------------------------------------------------------------------
+
+register(
+    "text_posting_lists",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents),
+    v AS (
+      SELECT token, list_sort(list(DISTINCT doc_id)) AS postings,
+             COUNT(DISTINCT doc_id) AS df
+      FROM tk GROUP BY token
+    )
+    SELECT token, postings, df FROM v
+    WHERE df >= 100
+    ORDER BY token
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 100)
+        .orderBy("token")
+    )
+)

@@ -1,0 +1,58 @@
+"""Unit tests: connected components (dedup clustering) + decontamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from airflow_postgres_csv_spark.operators.decontam import contaminated_docs
+from airflow_postgres_csv_spark.operators.graph import connected_components
+
+
+def _assign(spark, edges, nodes, **kw):
+    e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    n = spark.createDataFrame([(x,) for x in nodes], "id bigint")
+    out = connected_components(e, n, **kw)
+    return {r.id: r.cluster_id for r in out.collect()}
+
+
+def test_cc_chain_and_singleton(spark):
+    """A 4-node chain collapses to min-id; isolated node stays itself.
+    Chains are the worst case for per-hop propagation (diameter rounds)."""
+    got = _assign(spark, [(1, 2), (2, 3), (3, 4), (10, 11)], [1, 2, 3, 4, 7, 10, 11])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_cc_edge_order_invariant(spark):
+    """Pairs may arrive in either orientation; closure is the same."""
+    a = _assign(spark, [(5, 2), (2, 9)], [2, 5, 9])
+    b = _assign(spark, [(9, 2), (2, 5)], [2, 5, 9])
+    assert a == b == {2: 2, 5: 2, 9: 2}
+
+
+def test_cc_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _assign(spark, [(i, i + 1) for i in range(1, 12)], list(range(1, 13)), max_iter=2)
+
+
+def test_contaminated_docs_flags_exact_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="totally different words here everywhere now"),
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta extra tail"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=99, text="prefix alpha beta gamma delta epsilon zeta")]
+    )
+    got = {r.doc_id: r.n_overlap for r in contaminated_docs(docs, bench, n=5).collect()}
+    # doc 1: shingles of a 6-token text at n=5 -> 2, both present in bench
+    # doc 3 shares the same leading 5-grams; doc 2 shares nothing
+    assert got[1] == 2 and got[3] >= 1 and 2 not in got
+
+
+def test_contaminated_docs_short_docs_never_match(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="too short")])
+    bench = spark.createDataFrame([Row(doc_id=9, text="too short as well yes")])
+    assert contaminated_docs(docs, bench, n=5).count() == 0
