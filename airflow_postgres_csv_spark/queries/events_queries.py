@@ -186,3 +186,131 @@ register(
         .orderBy("user_id")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: view → click → purchase, each stage strictly after the
+# user's previous-stage first event. Three filtered aggregations chained by
+# user_id equi-joins — every stage input shrinks (stage-k users ⊆ stage-k-1
+# users), so at scale each join is smaller than the last; no window over
+# the full event stream, no per-user event sorting.
+# ---------------------------------------------------------------------------
+
+
+def events_funnel(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            F.round(
+                F.col("n_click_users").cast("double") / F.col("n_view_users"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_users").cast("double") / F.col("n_click_users"), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+           (SELECT COUNT(*) FROM c) AS n_click_users,
+           (SELECT COUNT(*) FROM p) AS n_purchase_users,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+    """,
+)(events_funnel)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-activity week, activity counted
+# per (cohort, week-offset). Week indices are pure integer arithmetic on
+# epoch seconds (engine-neutral — no date_trunc week-start conventions).
+# Two shuffles: first-event agg + the cohort-cell agg.
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+_WEEK_S = 7 * 86400
+
+
+def events_cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    first = e.groupBy("user_id").agg(F.min("s").alias("first_s"))
+    wk = lambda col: F.floor((F.col(col) - F.lit(_EPOCH_2024)) / F.lit(_WEEK_S))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            wk("first_s").alias("cohort_week"),
+            (wk("s") - wk("first_s")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    "events_cohort_retention",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s FROM events
+    ),
+    first AS (SELECT user_id, MIN(s) AS first_s FROM e GROUP BY user_id)
+    SELECT CAST(FLOOR((first_s - {_EPOCH_2024}) / {_WEEK_S}.0) AS BIGINT)
+             AS cohort_week,
+           CAST(FLOOR((s - {_EPOCH_2024}) / {_WEEK_S}.0) AS BIGINT)
+             - CAST(FLOOR((first_s - {_EPOCH_2024}) / {_WEEK_S}.0) AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN first ON e.user_id = first.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)(events_cohort_retention)
