@@ -20,6 +20,7 @@ __all__ = [
     "has_broadcast_join",
     "broadcast_hint_count",
     "num_shuffles",
+    "final_plan",
     "codegen_stage_count",
 ]
 
@@ -86,5 +87,19 @@ def num_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"Exchange (?:hash|range|SinglePartition|rebalance)", physical_plan(df)))
 
 
+def final_plan(df: DataFrame) -> str:
+    """The AQE-finalized physical plan. Triggers one execution of THIS
+    DataFrame's own query execution (``collect`` — ``count()`` would build
+    a separate execution and leave this plan unfinalized). Under AQE the
+    pre-execution plan carries no codegen annotations and stage shapes can
+    still change, so runtime properties (codegen spans, AQE broadcast
+    conversions, coalesced partition counts) are only readable here."""
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return text.split("+- == Initial Plan ==")[0]
+
+
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", physical_plan(df))))
+    """Distinct whole-stage-codegen spans in the FINAL plan (executes the
+    query once). Spark prints them as ``*(N)`` node prefixes."""
+    return len(set(re.findall(r"\*\((\d+)\)", final_plan(df))))

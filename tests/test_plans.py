@@ -152,3 +152,10 @@ def test_replicated_skew_join_rejects_right_preserving(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="left-preserving"):
         skew.replicated_skew_join(df, df, on=["k"], salt_cols=["k"], how="full_outer")
+
+
+def test_q1_hot_path_is_whole_stage_codegen(spark):
+    """The scan→filter→partial-agg hot path of the flagship query must run
+    inside whole-stage codegen (readable only from the AQE-final plan)."""
+    df = registry()["q1_pricing_summary"].fn(spark, SF)
+    assert I.codegen_stage_count(df) >= 2, I.final_plan(df)
