@@ -541,3 +541,38 @@ register(
         .orderBy("p_partkey")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Schema-driven JSON parsing (from_json → typed struct), complementing the
+# path-extraction coverage of json_funcs: parse events.props against a
+# declared schema, bucket the typed field, aggregate. At scale from_json
+# with an explicit schema is the right corpus-JSON path — single parse,
+# typed columns, no per-access re-parsing.
+# ---------------------------------------------------------------------------
+
+register(
+    "json_from_schema_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .select(
+            F.from_json("props", "k INT").getField("k").alias("k_typed"),
+            "value",
+        )
+        .groupBy((F.col("k_typed") / 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+)
