@@ -245,3 +245,41 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_jdbc_upsert_sink_exactly_once(spark, events_stream_dir, tmp_path):
+    """Streaming → foreachBatch keyed MERGE into a real JDBC table
+    (embedded Derby): after all micro-batches, the table holds exactly the
+    distinct event keys; replaying the whole stream from scratch (fresh
+    checkpoint, same sink table) changes nothing — the keyed merge is
+    idempotent, which is what turns at-least-once replay into effective
+    exactly-once."""
+    from airflow_postgres_csv_spark.operators import jdbc
+    from airflow_postgres_csv_spark.streaming import sinks
+
+    derby = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+    DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def run(checkpoint: str):
+        ev = SW.stream_events(spark, events_stream_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = sinks.start_jdbc_upsert_sink(
+            ev,
+            url=derby,
+            table="ev_upsert",
+            key_cols=["event_id"],
+            checkpoint_dir=str(tmp_path / checkpoint),
+            driver=DERBY,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ckpt1")
+    back = jdbc.jdbc_read(spark, url=derby, table="ev_upsert", driver=DERBY)
+    n_events = load(spark, SF, "events").select("event_id").distinct().count()
+    assert back.count() == n_events
+
+    run("ckpt2")  # full replay, fresh checkpoint -> merge no-ops
+    back2 = jdbc.jdbc_read(spark, url=derby, table="ev_upsert", driver=DERBY)
+    assert back2.count() == n_events
