@@ -154,6 +154,17 @@ def test_replicated_skew_join_rejects_right_preserving(spark):
         skew.replicated_skew_join(df, df, on=["k"], salt_cols=["k"], how="full_outer")
 
 
+def test_q5_aqe_converts_unhinted_dims_to_broadcast(spark):
+    """The no-hint policy's other half: at a SF where customer/supplier ARE
+    small, AQE's runtime-stats conversion must still broadcast them — all
+    5 q5 joins end up BroadcastHashJoin in the final plan with only 2
+    explicit hints. Forced hints are not needed for small-side speed; they
+    only add the fact-scale OOM risk."""
+    df = registry()["q5_local_supplier_volume"].fn(spark, SF)
+    fp = I.final_plan(df)
+    assert fp.count("BroadcastHashJoin") == 5, fp
+
+
 def test_q1_hot_path_is_whole_stage_codegen(spark):
     """The scan→filter→partial-agg hot path of the flagship query must run
     inside whole-stage codegen (readable only from the AQE-final plan)."""
