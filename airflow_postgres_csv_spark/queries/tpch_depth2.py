@@ -543,15 +543,20 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("is_late").alias("n_late"),
-    )
+    # per-order stats as windows instead of a groupBy + join-back: the
+    # window partitioning (l_orderkey) is a strict coarsening of the
+    # aggregate's (l_orderkey, l_suppkey) grid, so this costs one shuffle
+    # where the aggregate+self-join shape costs two
+    w = Window.partitionBy("l_orderkey")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_supp.filter(F.col("is_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late") == 1))
+        per_supp.withColumn("n_suppliers", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late") == 1)
+        )
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
