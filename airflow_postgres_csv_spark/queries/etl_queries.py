@@ -159,3 +159,28 @@ register(
     "jsonl_roundtrip_documents",
     "SELECT * FROM documents ORDER BY doc_id",
 )(jsonl_roundtrip_documents)
+
+
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC directory (parallel parts) → read back → identical.
+
+    ORC is the third columnar interchange format next to parquet/CSV/JSONL
+    — native in Spark (predicate pushdown, column pruning, zlib/zstd),
+    common in Hive-lineage warehouses. DuckDB can't read ORC, so the
+    oracle is the source table itself: a lossless round trip must equal
+    it bit-for-bit."""
+    src = load(spark, sf_dir, "part")
+    out_dir = _tmp_path("part_orc")
+    try:
+        src.write.mode("overwrite").orc(out_dir)
+        back = spark.read.schema(src.schema).orc(out_dir).cache()
+        back.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return back.orderBy("p_partkey")
+
+
+register(
+    "orc_roundtrip_part",
+    "SELECT * FROM part ORDER BY p_partkey",
+)(orc_roundtrip_part)
