@@ -103,3 +103,43 @@ ORDER BY months.m
 register("recursive_month_spine", _RECURSIVE)(
     lambda spark, sf_dir: _sql(spark, sf_dir, _RECURSIVE)
 )
+
+
+# ---------------------------------------------------------------------------
+# The reference's literal input surface is a SQL *string* (operators.py:80
+# pushes the user's text to the database). Everything above expresses plans
+# via the DataFrame API; this query runs raw SQL text through spark.sql()
+# over registered views — CTE + join + window + aggregate in one string —
+# proving the string surface end-to-end (same Catalyst plan either way).
+# ---------------------------------------------------------------------------
+
+_RAW_SQL = """
+    WITH seg AS (
+        SELECT c_custkey, c_mktsegment FROM {customer}
+    ),
+    rev AS (
+        SELECT o.o_custkey, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM {orders} o GROUP BY o.o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) AS segment_spend,
+           RANK() OVER (ORDER BY SUM(CAST(spend AS DECIMAL(18,4))) DESC) AS spend_rank
+    FROM seg JOIN rev ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY spend_rank, c_mktsegment
+"""
+
+
+def sql_string_surface(spark, sf_dir):
+    from airflow_postgres_csv_spark.catalog import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_v_orders")
+    return spark.sql(_RAW_SQL.format(customer="_v_customer", orders="_v_orders"))
+
+
+register(
+    "sql_string_surface",
+    _RAW_SQL.format(customer="customer", orders="orders"),
+)(sql_string_surface)
