@@ -184,3 +184,27 @@ register(
     "orc_roundtrip_part",
     "SELECT * FROM part ORDER BY p_partkey",
 )(orc_roundtrip_part)
+
+
+def xml_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML (rowTag=nation, parallel parts) → read back → identical.
+
+    Spark 4 ships the XML data source natively (the spark-xml lineage),
+    which the reference's COPY-to-text world would cover with psql's text
+    formats. DuckDB can't parse XML, so — like ORC — the oracle is the
+    source table itself: a lossless round trip must equal it."""
+    src = load(spark, sf_dir, "nation")
+    out_dir = _tmp_path("nation_xml")
+    try:
+        src.write.mode("overwrite").option("rowTag", "nation").xml(out_dir)
+        back = spark.read.option("rowTag", "nation").schema(src.schema).xml(out_dir).cache()
+        back.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return back.orderBy("n_nationkey")
+
+
+register(
+    "xml_roundtrip_nation",
+    "SELECT * FROM nation ORDER BY n_nationkey",
+)(xml_roundtrip_nation)

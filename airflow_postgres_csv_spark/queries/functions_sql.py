@@ -576,3 +576,146 @@ register(
         .orderBy("k_bucket")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT type (Spark 4 native semi-structured storage). parse_json stores
+# the document once in a binary columnar form; variant_get does typed path
+# extraction without re-parsing — the scale answer to string-JSON columns
+# (events.props). The oracle replays the same extractions with DuckDB's
+# JSON functions; to_json(variant) canonicalizes to minified JSON, which
+# DuckDB's json() also produces.
+# ---------------------------------------------------------------------------
+
+register(
+    "variant_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json('{"k": ' || json_extract_string(props, '$.k') || '}') AS VARCHAR) AS canon,
+           json_extract_string(props, '$.missing') AS missing_null
+    FROM events
+    ORDER BY event_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .select("event_id", F.parse_json("props").alias("v"))
+        .select(
+            "event_id",
+            F.expr("variant_get(v, '$.k', 'int')").alias("k_int"),
+            F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+            F.to_json("v").alias("canon"),
+            F.expr("variant_get(v, '$.missing', 'string')").alias("missing_null"),
+        )
+        .orderBy("event_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order (lambda) functions over array columns — filter/exists/forall/
+# zip_with/reduce/sort. These run inside the JVM expression engine (no
+# Python), which is exactly why array-heavy corpus work (embeddings, token
+# lists) should reach for them before any UDF. Element-wise folds are
+# sequential, so casting each element to double first makes the arithmetic
+# bit-identical to DuckDB's list_* lambdas.
+# ---------------------------------------------------------------------------
+
+register(
+    "higher_order_funcs",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.2)) > 0 AS any_big,
+           len(list_filter(embedding, x -> NOT (x > -1 AND x < 1))) = 0 AS all_unit,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS sq_norm,
+           CAST(list_sort(embedding)[2] AS DOUBLE) AS second_min,
+           CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS max_el
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+            F.exists("embedding", lambda x: x > 0.2).alias("any_big"),
+            F.forall("embedding", lambda x: (x > -1) & (x < 1)).alias("all_unit"),
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "embedding",
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sq_norm"),
+            F.element_at(F.array_sort("embedding"), 2).cast("double").alias("second_min"),
+            F.element_at(F.sort_array("embedding", asc=False), 1).cast("double").alias("max_el"),
+        )
+        .orderBy("vec_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (Apache DataSketches, Spark 3.5+). Unlike
+# approx_count_distinct (whose HLL++ state is internal), hll_sketch_agg
+# emits a *binary, mergeable* sketch: partial sketches built per partition
+# or per group can be unioned later — the building block for incremental
+# distinct-count rollups over 100 TB (sketch per day-partition, union at
+# query time). Engines' sketches differ bit-wise, so the oracle checks the
+# self-verifying invariant: the union-of-group-sketches estimate must be
+# within 5% of the exact global distinct (and per-group estimates within
+# 5% of exact per-group counts).
+# ---------------------------------------------------------------------------
+
+def _hll_fn(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_nd"),
+        F.hll_sketch_agg("user_id").alias("_sk"),
+    )
+    # Union the per-group sketches into one global estimate — the mergeable
+    # path a 100 TB rollup would take (per-partition sketches, one union).
+    union_est = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_est")
+    )
+    exact_global = ev.agg(F.countDistinct("user_id").alias("_exact_global"))
+    return (
+        per_group.withColumn("_est", F.hll_sketch_estimate("_sk"))
+        .crossJoin(F.broadcast(union_est))  # 1-row aggregates: broadcast is exact-size-safe
+        .crossJoin(F.broadcast(exact_global))
+        .select(
+            "event_type",
+            "exact_nd",
+            (
+                (F.col("_est") >= F.col("exact_nd") * 0.95)
+                & (F.col("_est") <= F.col("exact_nd") * 1.05)
+            )
+            .cast("int")
+            .alias("group_ok"),
+            (
+                (F.col("_union_est") >= F.col("_exact_global") * 0.95)
+                & (F.col("_union_est") <= F.col("_exact_global") * 1.05)
+            )
+            .cast("int")
+            .alias("union_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+register(
+    "hll_sketch_mergeable",
+    """
+    WITH g AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_nd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_nd, 1 AS group_ok, 1 AS union_ok
+    FROM g ORDER BY event_type
+    """,
+)(_hll_fn)

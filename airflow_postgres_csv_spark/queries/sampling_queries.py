@@ -6,6 +6,7 @@ documents corpus.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from airflow_postgres_csv_spark.operators import sampling as S
 from airflow_postgres_csv_spark.queries import register
@@ -52,5 +53,140 @@ register(
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "split")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle — the "global shuffle before training" pass.
+# A true global ORDER BY + row_number is a single-partition sort at 100 TB;
+# the distributed form is shard-then-shuffle: assign each doc to one of N
+# shards by key hash, then order within the shard by a seeded hash. Both
+# levels are md5-deterministic, so the oracle replays them exactly, and the
+# Spark plan keeps N-way parallelism (window partitioned by shard, never a
+# global sort).
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "ep1"
+_SHUF_SHARDS = 16
+
+register(
+    "corpus_shuffle_deterministic",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SHUF_SEED}'), 1, 8)) AS BIGINT)
+                 % {_SHUF_SHARDS} AS shard,
+               md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS pos_in_shard
+    FROM keyed
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        lambda keyed: keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number()
+            .over(Window.partitionBy("shard").orderBy("sort_key", "doc_id"))
+            .alias("pos_in_shard"),
+        ).orderBy("doc_id")
+    )(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUF_SEED}"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _SHUF_SHARDS
+            ).alias("shard"),
+            F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))).alias(
+                "sort_key"
+            ),
+        )
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture weights — given a target mixture (uniform across languages
+# here), compute per-language sampling rates and effective epochs from the
+# measured token counts. This is the planning step of mixture-weighted
+# corpus assembly (e.g. rebalancing web/code/books): one token-count agg
+# over the corpus, a tiny grid of per-stratum arithmetic after it. All
+# counts are exact bigints; the two divisions happen once per language and
+# are rounded to 9 dp.
+# ---------------------------------------------------------------------------
+
+register(
+    "data_mixture_weights",
+    """
+    WITH lt AS (
+        SELECT lang,
+               SUM(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS lang_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM lt
+    )
+    SELECT lang, lang_tokens,
+           ROUND(CAST(lang_tokens AS DOUBLE) / total_tokens, 9) AS corpus_share,
+           ROUND(1.0 / n_langs, 9) AS target_share,
+           ROUND(LEAST(1.0, (CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens), 9) AS sample_rate,
+           ROUND((CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens, 9) AS epochs_at_target
+    FROM lt CROSS JOIN tot
+    ORDER BY lang
+    """,
+)(
+    lambda spark, sf_dir: (
+        lambda lt: lt.crossJoin(
+            F.broadcast(
+                lt.agg(
+                    F.sum("lang_tokens").alias("total_tokens"),
+                    F.count(F.lit(1)).alias("n_langs"),
+                )
+            )
+        ).select(
+            "lang",
+            "lang_tokens",
+            F.round(F.col("lang_tokens").cast("double") / F.col("total_tokens"), 9).alias(
+                "corpus_share"
+            ),
+            F.round(F.lit(1.0) / F.col("n_langs"), 9).alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("total_tokens").cast("double") / F.col("n_langs"))
+                    / F.col("lang_tokens"),
+                ),
+                9,
+            ).alias("sample_rate"),
+            F.round(
+                (F.col("total_tokens").cast("double") / F.col("n_langs"))
+                / F.col("lang_tokens"),
+                9,
+            ).alias("epochs_at_target"),
+        ).orderBy("lang")
+    )(
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " "
+                )
+            ).alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tokens"))
     )
 )

@@ -491,3 +491,133 @@ register(
         .orderBy("token")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (CCNet-style quality signal): build the
+# token→probability table from the corpus itself, then score each document
+# by its mean token log-probability. Rare/garbled documents score low.
+# Plan shape: one explode → one token-count agg (map-side partial) → one
+# token join (skewed by stop-words at scale — AQE skew split handles it,
+# and the token table is tiny relative to the corpus: broadcast candidate)
+# → one per-doc agg. Log-probs are rounded to 9 dp and summed as exact
+# decimals so the per-doc mean is summation-order independent.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    total AS (
+        SELECT sum(n) AS total_n FROM vocab
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(LN(CAST(v.n AS DOUBLE) / total.total_n), 9) AS DECIMAL(18,9)) AS logp
+        FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _unigram_logprob(spark, sf_dir):
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total_n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n").cast("double") / F.col("total_n")), 9)
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register("text_unigram_logprob", _UNIGRAM_ORACLE)(_unigram_logprob)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the pre-training scrub pass. The fixture corpus is
+# synthetic and PII-free, so the query plants deterministic fake PII
+# (an email and a phone derived from doc_id) and then removes it with the
+# JVM-side regex pipeline a real scrubber would use: regexp_count for the
+# audit tally, regexp_replace (global) for the rewrite. Output carries an
+# md5 of the redacted text so the oracle checks the exact rewritten bytes
+# without hauling full documents through the hash comparison.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "555-[0-9]{4}"
+
+register(
+    "text_pii_redact",
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text2, '{_PII_PHONE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+           LENGTH(regexp_replace(regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                 '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_len
+    FROM planted
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text2"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_count("text2", F.lit(_PII_EMAIL)).alias("n_emails"),
+            F.regexp_count("text2", F.lit(_PII_PHONE)).alias("n_phones"),
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace("text2", _PII_EMAIL, "<EMAIL>"),
+                    _PII_PHONE,
+                    "<PHONE>",
+                )
+            ).alias("redacted_md5"),
+            F.length(
+                F.regexp_replace(
+                    F.regexp_replace("text2", _PII_EMAIL, "<EMAIL>"),
+                    _PII_PHONE,
+                    "<PHONE>",
+                )
+            ).alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+)
