@@ -42,7 +42,9 @@ HEADLINE = [
     "agg_cube",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_ann_lsh_recall",
     "text_token_stats",
     "text_tfidf_topk",
     "text_chunk_windows",
@@ -53,6 +55,7 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionization",
     "multimodal_decode_meta",
+    "streaming_session_live",
 ]
 
 
