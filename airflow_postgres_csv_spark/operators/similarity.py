@@ -22,6 +22,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -115,19 +116,30 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).astype("float64").tolist()
 
 
-def _bucket_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = (vec · plane_i) > 0, packed into an int."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + (dot > 0).cast("int") * (2**i)
-    return bucket
+def _bucket_codes_udf(planes_stack: "np.ndarray", n_tables: int, n_planes: int):
+    """Vectorized sign-LSH bucket codes for ALL tables in one kernel.
+
+    Returns a pandas_udf ``vec -> array<int>`` (one bucket id per table):
+    each Arrow batch does a single (B×dim)·(dim×T·P) matmul, then packs
+    sign bits per table. This replaces T·P per-row Catalyst folds —
+    higher-order expressions never reach whole-stage codegen, and inlining
+    T·P×dim literal floats bloats the plan — with one numpy matmul per
+    batch, which is the per-row cost that dominates bucket assignment at
+    corpus scale. The plane matrix rides inside the task closure (tiny:
+    T·P×dim floats), so executors need no side-channel broadcast.
+    """
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ planes_stack.T) > 0
+        packed = (bits.reshape(len(X), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(packed.astype("int32").tolist())
+
+    return codes
 
 
 def lsh_bucket_topk(
@@ -154,54 +166,42 @@ def lsh_bucket_topk(
       (miss probability decays as miss_single^L). Candidates are unioned
       via the (table, bucket) composite join key, so cost grows linearly
       in L, never quadratically in N.
-    """
-    c = corpus
-    q_parts = []
-    for t_idx in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + t_idx)
-        c = c.withColumn(f"_bucket_{t_idx}", _bucket_expr(vec_col, planes))
-        qb = _bucket_expr(vec_col, planes)
-        q_parts.append((t_idx, qb))
-    c_buckets = c.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t_idx).alias("tbl"), F.col(f"_bucket_{t_idx}").alias("bkt")
-                    )
-                    for t_idx in range(n_tables)
-                ]
-            )
-        ).alias("_tb"),
-    ).select(id_col, vec_col, F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bucket"))
 
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        *[qb.alias(f"_qb_{t_idx}") for t_idx, qb in q_parts],
+    Bucket assignment for all L tables happens in ONE corpus scan and ONE
+    Arrow-vectorized kernel (``_bucket_codes_udf``) whose array output is
+    posexploded into (table, bucket) join keys.
+    """
+    planes_stack = np.vstack(
+        [
+            np.asarray(random_hyperplanes(dim, n_planes, seed + t_idx))
+            for t_idx in range(n_tables)
+        ]
     )
-    probe_structs = []
-    for t_idx in range(n_tables):
-        probe_structs.append(
-            F.struct(F.lit(t_idx).alias("tbl"), F.col(f"_qb_{t_idx}").alias("bkt"))
-        )
-        if multiprobe:
-            probe_structs.extend(
-                F.struct(
-                    F.lit(t_idx).alias("tbl"),
-                    F.col(f"_qb_{t_idx}").bitwiseXOR(F.lit(2**i)).cast("int").alias("bkt"),
-                )
+    codes = _bucket_codes_udf(planes_stack, n_tables, n_planes)
+    c_buckets = corpus.select(
+        id_col, vec_col, F.posexplode(codes(vec_col)).alias("_tbl", "_bucket")
+    )
+    probe_arr = F.array(F.col("_qb"))
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("_qb"),
+            *[
+                F.col("_qb").bitwiseXOR(F.lit(2**i)).cast("int")
                 for i in range(n_planes)
-            )
-    q = q.select(
-        query_id_col, "_qvec", F.explode(F.array(*probe_structs)).alias("_tb")
-    ).select(
-        query_id_col,
-        "_qvec",
-        F.col("_tb.tbl").alias("_tbl"),
-        F.col("_tb.bkt").alias("_bucket"),
+            ],
+        )
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.posexplode(codes(vec_col)).alias("_tbl", "_qb"),
+        )
+        .select(
+            query_id_col,
+            "_qvec",
+            "_tbl",
+            F.explode(probe_arr).alias("_bucket"),
+        )
     )
     scored = (
         c_buckets.join(F.broadcast(q), ["_tbl", "_bucket"])

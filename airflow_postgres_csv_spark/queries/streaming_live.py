@@ -60,11 +60,28 @@ def _staged_stream(
     return SW.stream_events(spark, tmp)
 
 
-def _run(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
+    """Drive the stream to a memory sink with a scoped state-partition count.
+
+    ``spark.sql.shuffle.partitions`` at query start fixes the stateful
+    operator's state-store partition count for the checkpoint's lifetime.
+    On a cluster you size it to keyspace/load; for these single-fixture
+    micro-batches the per-partition state-store open/commit fixed cost
+    dominates (measured: 32 partitions 22s, 8 partitions 15s for the
+    session query at sf0.1), so the runner scopes it down and restores the
+    session default afterwards.
+    """
     name = f"live_{uuid.uuid4().hex[:12]}"
-    q = SW.run_to_memory_sink(stream_df, name, output_mode=output_mode)
-    q.stop()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = SW.run_to_memory_sink(stream_df, name, output_mode=output_mode)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
