@@ -256,21 +256,30 @@ def ivf_centroids(
     return C.tolist()
 
 
-def _cell_dists(vec_col: str | Column, centroids: list[list[float]]) -> Column:
-    """array<struct<d2, cell>>: squared distance to every centroid —
-    centroids are literal-inlined (n_cells × dim floats), so executors
-    need no side-channel broadcast and the whole computation is JVM-side."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    entries = []
-    for j, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(x) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(vec, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d2.alias("d2"), F.lit(j).alias("cell")))
-    return F.array(*entries)
+def _cell_ranking_udf(centroids: list[list[float]]):
+    """Vectorized coarse-quantizer assignment: pandas_udf ``vec ->
+    array<int>`` of cell ids ordered by ascending squared distance.
+
+    One Arrow batch computes all B×n_cells distances with the
+    ``|x-c|² = |x|² - 2x·c + |c|²`` expansion (a single matmul) and
+    argsorts per row — replacing n_cells interpreted Catalyst folds with
+    literal-inlined centroids. The centroid matrix travels in the task
+    closure (n_cells × dim floats — tiny at any corpus scale). Ties are
+    broken by cell id (stable argsort on (d2, cell)), deterministic.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norms = (C**2).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def ranking(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (X**2).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + c_norms
+        order = np.argsort(d2, axis=1, kind="stable")
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return ranking
 
 
 def ivf_topk(
@@ -295,18 +304,14 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    dists = _cell_dists(vec_col, centroids)
+    ranking = _cell_ranking_udf(centroids)
     c_cells = corpus.select(
-        id_col, vec_col, F.array_min(dists)["cell"].alias("_cell")
+        id_col, vec_col, F.element_at(ranking(vec_col), 1).alias("_cell")
     )
     q_probes = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
-            )
-        ).alias("_cell"),
+        F.explode(F.slice(ranking(vec_col), 1, n_probe)).alias("_cell"),
     )
     from airflow_postgres_csv_spark.operators.dedup import cosine_expr
 
