@@ -49,6 +49,7 @@ _MODULES = (
     "pipeline_queries",
     "sampling_queries",
     "decontam_queries",
+    "analytics_queries",
 )
 
 

@@ -1,0 +1,196 @@
+"""Analytics surface: histograms, interval-sweep concurrency, URL parsing.
+
+Three operator families a warehouse user of the reference would push into
+the delegated-SQL surface (SURVEY.md §2.2 "delegated SQL" — the reference
+runs arbitrary SELECTs server-side, `operators.py:80`), each with a shape
+that matters at 100 TB:
+
+- ``hist_width_bucket``: fixed-bound bucketing is a map-only projection +
+  one hash-agg shuffle keyed on ~12 buckets — constant output, no skew.
+  DuckDB has no ``width_bucket``, so the oracle replays the bucket
+  arithmetic explicitly — an independent check of Spark's implementation.
+- ``orders_max_inflight``: the classic interval-overlap ("how many open
+  at once") sweep. The naive form is a range join (rows × days); the
+  sweep form pre-aggregates +1/-1 deltas **per day first**, so the
+  global running sum orders only O(distinct days) rows — a window over a
+  few thousand rows regardless of fact-table size. Pre-aggregation also
+  makes the running sum deterministic (no intra-day tie ordering).
+- ``text_url_parse``: `parse_url` host/path/query extraction. URLs are
+  synthesized deterministically from fixture columns (the corpus has no
+  URL column); the oracle rebuilds the same components with plain string
+  concatenation, independently checking Spark's URI parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+
+# ---------------------------------------------------------------------------
+# Histogram via width_bucket: events.value over [0, 500) in 10 buckets,
+# bucket 0 = underflow, bucket 11 = overflow. Oracle replays the bucket
+# function as arithmetic (DuckDB has no width_bucket). Bucket edges are
+# exact doubles (multiples of 50), so floor() agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+
+register(
+    "hist_width_bucket",
+    """
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 500 THEN 11
+                     ELSE FLOOR(value / 50.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .select(
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(10)).alias(
+                "bucket"
+            ),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep: an order is "in flight" from its order date until its
+# last lineitem ships. Per-month max of the daily in-flight count.
+#
+# Shape: per-order close date (one agg), per-day +1/-1 deltas (one agg on
+# ~O(days) groups), ONE global running sum over distinct days only, then a
+# per-month max. The single-partition window is over date cardinality
+# (~2.4k rows for 7 years), not fact rows — safe at any fact scale.
+# ---------------------------------------------------------------------------
+
+
+def _orders_max_inflight(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d")
+    )
+    spans = orders.join(
+        close, orders.o_orderkey == close.l_orderkey, "inner"
+    ).select(F.to_date("o_orderdate").alias("open_d"), "close_d")
+    deltas = (
+        spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            spans.select(
+                F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    daily = deltas.select(
+        "d",
+        F.sum("net")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("in_flight"),
+    )
+    return (
+        daily.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(F.max("in_flight").alias("max_in_flight"))
+        .orderBy("month")
+    )
+
+
+register(
+    "orders_max_inflight",
+    """
+    WITH close AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+      FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+      SELECT CAST(o_orderdate AS DATE) AS open_d, close_d
+      FROM orders JOIN close ON o_orderkey = l_orderkey
+    ),
+    deltas AS (
+      SELECT d, SUM(delta) AS net FROM (
+        SELECT open_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_d + INTERVAL 1 DAY, -1 FROM spans
+      ) GROUP BY 1
+    ),
+    daily AS (
+      SELECT d, SUM(net) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS in_flight
+      FROM deltas
+    )
+    SELECT strftime(d, '%Y-%m') AS month,
+           MAX(in_flight) AS max_in_flight
+    FROM daily
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(_orders_max_inflight)
+
+
+# ---------------------------------------------------------------------------
+# parse_url surface: synthesize a deterministic URL per document, extract
+# HOST / PATH / QUERY and a single query parameter, aggregate per host.
+# Oracle rebuilds each component from the same source columns with string
+# concatenation — it never parses, so Spark's URI parser is checked
+# against an independent construction.
+# ---------------------------------------------------------------------------
+
+
+def _text_url_parse(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?q="),
+        F.col("n_chars"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).cast("long").alias("q_param"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_param").alias("total_q"),
+            F.count_distinct(F.substring_index("path", "/", 2)).alias("n_langs"),
+        )
+        .orderBy("host")
+    )
+
+
+register(
+    "text_url_parse",
+    """
+    SELECT source || '.example.com' AS host,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_q,
+           COUNT(DISTINCT '/' || lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(_text_url_parse)
