@@ -314,3 +314,152 @@ register(
     ORDER BY cohort_week, week_offset
     """,
 )(events_cohort_retention)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: count and
+# probability of each (prev_state -> state) transition. One window pass
+# (lag over user_id) + one hash agg on a tiny key space (|types|^2) + a
+# per-source share window over that tiny aggregate — the expensive shuffle
+# is keyed by user_id, the rest is constant-size. Sequence-mining staple
+# (clickstream modeling, next-event prediction).
+# ---------------------------------------------------------------------------
+
+
+def events_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    prev = F.lag("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("prev_type"))
+    return (
+        pairs.select(
+            "prev_type",
+            "event_type",
+            "n",
+            # exact: integer-ratio via DECIMAL division, surfaced as double
+            (F.col("n").cast("decimal(18,0)") / total.cast("decimal(18,0)"))
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("p"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+register(
+    "events_transition_matrix",
+    """
+    WITH pairs AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_type
+      FROM events
+    ),
+    agg AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n,
+           CAST(CAST(CAST(n AS DECIMAL(18,0))
+                     / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DECIMAL(18,0))
+                AS DECIMAL(18,9)) AS DOUBLE) AS p
+    FROM agg
+    ORDER BY prev_type, event_type
+    """,
+)(events_transition_matrix)
+
+
+# ---------------------------------------------------------------------------
+# SCD2-style state history: collapse each user's consecutive identical
+# event_type runs into validity intervals (gaps-and-islands), with
+# valid_from/valid_to and a version counter. The warehouse pattern for
+# building slowly-changing-dimension type-2 tables from change streams.
+# Two window passes over the same (user_id, ts, event_id) sort order —
+# Catalyst reuses one sort/exchange for both.
+# ---------------------------------------------------------------------------
+
+
+def events_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(order))
+        .withColumn(
+            "is_change",
+            (F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "version",
+            F.sum("is_change").over(
+                order.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    runs = e.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    nxt = W.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        F.unix_micros("from_ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("from_ts").over(nxt)).alias("valid_to_us"),
+        "n_events",
+    ).orderBy("user_id", "version")
+
+
+register(
+    "events_scd2_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                     THEN 1 ELSE 0 END AS is_change
+      FROM e
+    ),
+    versioned AS (
+      SELECT *, SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, version,
+             MIN(event_type) AS state,
+             MIN(ts) AS from_ts,
+             COUNT(*) AS n_events
+      FROM versioned
+      GROUP BY user_id, version
+    )
+    SELECT user_id, version, state,
+           epoch_us(from_ts) AS valid_from_us,
+           epoch_us(LEAD(from_ts) OVER (PARTITION BY user_id ORDER BY version))
+             AS valid_to_us,
+           n_events
+    FROM runs
+    ORDER BY user_id, version
+    """,
+)(events_scd2_intervals)

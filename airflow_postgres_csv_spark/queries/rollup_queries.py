@@ -162,3 +162,76 @@ register(
     ORDER BY grp, bucket_s
     """,
 )(rollup_gapfill_linear)
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TimescaleDB `time_weight('LOCF', ...)` shape):
+# each observation holds its value until the next one, so the average
+# weights each value by its holding duration. One lead() window pass per
+# user + one agg — all numerator/denominator arithmetic stays in exact
+# integers/decimals (micros × 2-decimal value), and the final single
+# division is the same IEEE double op in both engines.
+# ---------------------------------------------------------------------------
+
+
+def rollup_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("next_us", F.lead("us").over(order))
+        .filter(F.col("next_us").isNotNull())
+        .withColumn("dt_us", F.col("next_us") - F.col("us"))
+    )
+    num = F.sum(dec("value") * F.col("dt_us").cast("decimal(20,0)"))
+    den = F.sum(F.col("dt_us").cast("decimal(20,0)"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            # quotient surfaced at a fixed 9-decimal scale: the numerator's
+            # unscaled value can exceed 2^53, where DuckDB's decimal→double
+            # conversion is not correctly rounded — rounding the quotient
+            # (~11 sig digits, double ulp ~7e-15) absorbs that last-ulp gap.
+            # Operands are first cast down (still lossless: num < 1e23,
+            # den < 1e16) so Spark's decimal-division scale rule keeps 15
+            # fractional digits instead of clamping to 6.
+            (num.cast("decimal(25,2)") / den.cast("decimal(16,0)"))
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("twa_value"),
+            den.cast("long").alias("span_us"),
+            F.count(F.lit(1)).alias("n_holds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "rollup_time_weighted_avg",
+    """
+    WITH held AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_us,
+             value
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, value, next_us - us AS dt_us
+      FROM held WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(dt_us AS DECIMAL(20,0)))
+                     / SUM(CAST(dt_us AS DECIMAL(20,0))) AS DECIMAL(18,9)) AS DOUBLE)
+             AS twa_value,
+           CAST(SUM(CAST(dt_us AS DECIMAL(20,0))) AS BIGINT) AS span_us,
+           COUNT(*) AS n_holds
+    FROM spans
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)(rollup_time_weighted_avg)

@@ -44,18 +44,26 @@ def _staged_stream(
     shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
     os.utime(dst, (1_000_000, 1_000_000))
     if sentinels:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         far_ns = 4_000_000_000 * 1_000_000_000  # year 2096, past any fixture ts
         for i, (uid, off) in enumerate([(-1, 0), (-2, 3_600 * 10**9)], start=1):
-            pdf = spark.createDataFrame(
-                [(-i, far_ns + off, uid, "_sentinel", 0.0, "{}")],
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string",
+            # single-row control records — written driver-side with pyarrow
+            # (a Spark write job here cost ~5 s each in staging; the stream
+            # reader's explicit schema reads int64 ts the same either way)
+            table = pa.table(
+                {
+                    "event_id": pa.array([-i], pa.int64()),
+                    "ts": pa.array([far_ns + off], pa.int64()),
+                    "user_id": pa.array([uid], pa.int64()),
+                    "event_type": pa.array(["_sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
             )
-            sub = os.path.join(tmp, f"_s{i}")
-            pdf.coalesce(1).write.mode("overwrite").parquet(sub)
-            part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
             dst_i = os.path.join(tmp, f"{i:03d}.parquet")
-            shutil.copy(os.path.join(sub, part), dst_i)
+            pq.write_table(table, dst_i)
             os.utime(dst_i, (1_000_000 + i, 1_000_000 + i))
     return SW.stream_events(spark, tmp)
 
@@ -201,4 +209,48 @@ register(
         ),
         output_mode="append",
     ).orderBy("purchase_id", "click_id")
+)
+
+
+register(
+    "streaming_enrich_live",
+    # Stream-static enrichment join: each micro-batch joins against the
+    # static dimension (broadcast — it never shuffles the stream), then a
+    # windowed aggregation keyed by the enriched attribute. The canonical
+    # "decorate events with dims, then aggregate" streaming pipeline.
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', e.ts)) AS BIGINT) AS window_start_s,
+           c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        _staged_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .join(
+            F.broadcast(
+                __import__(
+                    "airflow_postgres_csv_spark.catalog", fromlist=["load"]
+                ).load(spark, sf_dir, "customer")
+            ),
+            F.col("user_id") == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n",
+            "total_value",
+        ),
+        output_mode="update",
+    ).orderBy("window_start_s", "mktsegment")
 )
