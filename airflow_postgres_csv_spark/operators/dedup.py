@@ -178,15 +178,25 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: sig_i(doc) = min over shingles of md5(shingle#i).
+    """MinHash signatures via Kirsch–Mitzenmacher double hashing.
 
-    One explode + one groupBy (single shuffle) computes all ``num_hashes``
-    signature components as parallel MIN aggregates. MD5-on-string min is
-    engine-portable; production swap: xxhash64 → min over longs.
+    ONE md5 per shingle; hash family i is derived arithmetically from two
+    independent 32-bit halves of the digest: g_i = (h1 + i*h2) mod 2^32
+    (Kirsch & Mitzenmacher 2006 — two hash functions simulate k independent
+    ones with no loss in the min-wise estimate). sig_i(doc) = min over
+    shingles of g_i. One explode + one groupBy (single shuffle) computes all
+    ``num_hashes`` components as parallel MIN aggregates; hashing cost is
+    1 digest per shingle instead of ``num_hashes``. MD5 keeps the pipeline
+    engine-portable (DuckDB replays it bit-identically); production swap:
+    xxhash64 → two halves of the 64-bit word.
     """
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    h = F.md5(F.col("shingle"))
+    sh = sh.withColumn("h1", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")).withColumn(
+        "h2", F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(1 << 32)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -212,7 +222,10 @@ def minhash_band_buckets(
             F.struct(
                 F.lit(bi).alias("band_idx"),
                 F.md5(
-                    F.concat_ws("|", *[F.col(f"sig_{bi * r + j}") for j in range(r)])
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{bi * r + j}").cast("string") for j in range(r)],
+                    )
                 ).alias("band_key"),
             )
             for bi in range(bands)

@@ -122,12 +122,19 @@ register(
 )
 
 
-# MinHash + LSH, fully replayed in SQL: 8 hashes, 4 bands of 2.
+# MinHash + LSH, fully replayed in SQL: 8 hashes via Kirsch–Mitzenmacher
+# double hashing (one md5 per shingle, g_i = (h1 + i*h2) mod 2^32 from the
+# digest's two 32-bit halves), 4 bands of 2.
+_SQL_H1 = "('0x' || substring(md5(shingle), 1, 8))::BIGINT"
+_SQL_H2 = "('0x' || substring(md5(shingle), 9, 8))::BIGINT"
 _SIG_COLS = ",\n".join(
-    f"    MIN(md5(shingle || '#{i}')) AS sig_{i}" for i in range(8)
+    f"    MIN(({_SQL_H1} + {i} * {_SQL_H2}) % 4294967296) AS sig_{i}"
+    for i in range(8)
 )
 _BAND_ROWS = ",\n".join(
-    f"    ({bi}, md5(sig_{2 * bi} || '|' || sig_{2 * bi + 1}))" for bi in range(4)
+    f"    ({bi}, md5(CAST(sig_{2 * bi} AS VARCHAR) || '|' ||"
+    f" CAST(sig_{2 * bi + 1} AS VARCHAR)))"
+    for bi in range(4)
 )
 
 register(
