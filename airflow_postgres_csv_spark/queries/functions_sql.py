@@ -719,3 +719,196 @@ register(
     FROM g ORDER BY event_type
     """,
 )(_hll_fn)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches (DataSketches): mergeable SET-OPERATION sketches — unlike
+# HLL, theta supports intersection/difference, which is the scale tool for
+# estimating cross-corpus n-gram overlap (decontamination triage) without
+# materializing the pairwise distinct-join. Per-lang sketches over 3-gram
+# shingles, pairwise intersection/union estimates, invariant-checked against
+# the exact distinct-intersection computed alongside (10% tolerance: theta
+# relative error grows on small intersections). The oracle replays the exact
+# set sizes; estimate flags are 1 when the sketch is within tolerance.
+# ---------------------------------------------------------------------------
+
+def _theta_overlap_fn(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.dedup import _doc_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, "doc_id", "text", 3).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    lang_sh = sh.select("lang", "shingle").distinct()
+    per_lang = lang_sh.groupBy("lang").agg(
+        F.theta_sketch_agg("shingle").alias("sk"),
+        F.count(F.lit(1)).alias("exact_nd"),
+    )
+    a = per_lang.select(
+        F.col("lang").alias("lang_a"), F.col("sk").alias("sk_a"), F.col("exact_nd").alias("nd_a")
+    )
+    b = per_lang.select(
+        F.col("lang").alias("lang_b"), F.col("sk").alias("sk_b"), F.col("exact_nd").alias("nd_b")
+    )
+    # 5 langs -> 10 pairs: the pair grid is broadcast-tiny; the heavy work
+    # (shingle distinct + sketch build) happened in ONE pass over the corpus.
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            "nd_a",
+            "nd_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+            ).alias("inter_est"),
+            F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b"))).alias(
+                "union_est"
+            ),
+        )
+    )
+    sa = lang_sh.select(F.col("lang").alias("lang_a"), "shingle")
+    sb = lang_sh.select(F.col("lang").alias("lang_b"), "shingle")
+    exact = (
+        sa.join(sb, "shingle")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        est.join(exact, ["lang_a", "lang_b"])
+        .select(
+            "lang_a",
+            "lang_b",
+            "exact_inter",
+            (F.col("nd_a") + F.col("nd_b") - F.col("exact_inter")).alias("exact_union"),
+            F.round(
+                F.col("exact_inter").cast("double")
+                / (F.col("nd_a") + F.col("nd_b") - F.col("exact_inter")),
+                9,
+            ).alias("jaccard"),
+            (
+                (F.col("inter_est") >= F.col("exact_inter") * 0.9)
+                & (F.col("inter_est") <= F.col("exact_inter") * 1.1)
+            )
+            .cast("int")
+            .alias("inter_ok"),
+            (
+                (F.col("union_est") >= F.col("exact_union") * 0.9)
+                & (F.col("union_est") <= F.col("exact_union") * 1.1)
+            )
+            .cast("int")
+            .alias("union_ok"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+register(
+    "theta_sketch_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT d.lang,
+             unnest(list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      FROM toks JOIN documents d USING (doc_id)
+    ),
+    nd AS (SELECT lang, COUNT(*) AS exact_nd FROM sh GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS exact_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b, exact_inter,
+           na.exact_nd + nb.exact_nd - exact_inter AS exact_union,
+           ROUND(CAST(exact_inter AS DOUBLE)
+                 / (na.exact_nd + nb.exact_nd - exact_inter), 9) AS jaccard,
+           1 AS inter_ok, 1 AS union_ok
+    FROM inter
+    JOIN nd na ON na.lang = lang_a
+    JOIN nd nb ON nb.lang = lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)(_theta_overlap_fn)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches: mergeable distributed quantiles (per-group sketches,
+# one merge — the rollup path percentile_approx cannot take, since KLL
+# sketches are first-class values that survive shuffles/storage). Invariant:
+# the exact rank of each estimated quantile must be within 3% of the target
+# (KLL k=200 default => ~1.65% rank error at 99% confidence).
+# ---------------------------------------------------------------------------
+
+def _kll_quantile_fn(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("price").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    est = per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("q50_est"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("q90_est"),
+    )
+    # exact rank of each estimate, computed in the same engine: one extra
+    # broadcast of the 3-row estimate grid against the fact scan.
+    ranked = (
+        l.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            (
+                F.sum((F.col("price") <= F.col("q50_est")).cast("long"))
+                / F.first("n_rows")
+            ).alias("q50_rank"),
+            (
+                F.sum((F.col("price") <= F.col("q90_est")).cast("long"))
+                / F.first("n_rows")
+            ).alias("q90_rank"),
+        )
+    )
+    # merged global sketch (the mergeable path): rank-check the merged q50.
+    merged = per_flag.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("sk"), F.lit(0.5)
+        ).alias("g50_est")
+    )
+    g_rank = (
+        l.crossJoin(F.broadcast(merged))
+        .agg(
+            (
+                F.sum((F.col("price") <= F.col("g50_est")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("g50_rank")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(g_rank))
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.abs(F.col("q50_rank") - 0.5) <= 0.03).cast("int").alias("q50_ok"),
+            (F.abs(F.col("q90_rank") - 0.9) <= 0.03).cast("int").alias("q90_ok"),
+            (F.abs(F.col("g50_rank") - 0.5) <= 0.03).cast("int").alias("global_q50_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "kll_quantile_sketch",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           1 AS q50_ok, 1 AS q90_ok, 1 AS global_q50_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)(_kll_quantile_fn)

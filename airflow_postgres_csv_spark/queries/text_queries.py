@@ -621,3 +621,107 @@ register(
         .orderBy("doc_id")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 document ranking for a fixed term query. The standard retrieval
+# scorer (idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), Lucene-style
+# smoothed idf). Scale shape: tokens are filtered to the query terms BEFORE
+# the tf aggregation, so the shuffled volume is |terms|·|docs| rows, not the
+# full posting list; dl/avgdl ride the same single explode; the 1-row corpus
+# stats and per-term dfs are broadcast. Per-term contributions are rounded
+# to 9 dp (1-ulp ln divergence JVM vs libm) and summed as DECIMAL so the
+# per-doc score is bit-identical across engines regardless of sum order.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "stream", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tok = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_tok), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("c", F.round(contrib, 9).cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").cast("double").alias("bm25"),
+        )
+    )
+    # top-20 via sort+limit (planned as TakeOrderedAndProject — per-partition
+    # partial top-k, no global shuffle); the unpartitioned rank window then
+    # runs over only the 20 survivors, never the full scored set.
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "n_terms", "bm25", "rk")
+        .orderBy("rk")
+    )
+
+
+register(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {str(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(CAST(ROUND(
+                 ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                 * (tf * ({_BM25_K1} + 1.0))
+                 / (tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, n_terms, bm25, rk FROM ranked WHERE rk <= 20
+    ORDER BY rk
+    """,
+)(text_bm25_topk)
