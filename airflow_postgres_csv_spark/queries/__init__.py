@@ -50,6 +50,7 @@ _MODULES = (
     "sampling_queries",
     "decontam_queries",
     "analytics_queries",
+    "scale_queries",
 )
 
 

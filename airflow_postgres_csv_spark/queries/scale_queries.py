@@ -1,0 +1,91 @@
+"""Scale-toolkit queries: the pre-planned skew mitigations from ``plans/skew.py``
+exercised as oracle-checked corpus queries.
+
+AQE handles *detected* skew at runtime; these helpers pre-plan around skew
+you know about (power-law group keys, hot join keys). Salting is pure
+restructuring — the results must be bit-identical to the unsalted plan —
+so the DuckDB oracles here are the PLAIN formulations: the differential
+check certifies that the salted rewrites change the physical shape only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.plans.skew import replicated_skew_join, salted_agg
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import dec, sql_dsum, t
+
+
+def _salted_agg_fn(spark, sf_dir):
+    # event_type has ~5 values over the whole corpus — the archetypal hot
+    # group key. Phase 1 fans each key across 16 salt buckets (salt hashed
+    # from the unique event_id), phase 2 merges 16 partials per key, so no
+    # reduce task ever holds a full key's rows. Partials are exact decimals,
+    # so the two-phase sum is bit-identical to the one-phase plan.
+    ev = t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("sum", F.count(F.lit(1))),
+            "total_value": ("sum", F.sum(dec("value"))),
+        },
+        salt_cols=["event_id"],
+        n_salts=16,
+    )
+    return (
+        out.select(
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "skew_salted_agg_events",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)(_salted_agg_fn)
+
+
+def _salted_join_fn(spark, sf_dir):
+    # lineitem (big, salted on the unique line id) joined to supplier
+    # (small side, replicated 8x) on the join key + salt: each
+    # (l_suppkey, salt) reduce bucket holds ~1/8 of a hot supplier's rows.
+    # The oracle is the plain join — salting must not change a single row.
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = replicated_skew_join(
+        l,
+        s.withColumnRenamed("s_suppkey", "l_suppkey"),
+        on=["l_suppkey"],
+        salt_cols=["l_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+register(
+    "join_salted_replicated",
+    f"""
+    SELECT s_nationkey, COUNT(*) AS n_lines,
+           {sql_dsum("l_extendedprice", "revenue")}
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)(_salted_join_fn)
