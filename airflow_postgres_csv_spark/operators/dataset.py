@@ -10,7 +10,8 @@ tasks × partitions files instead of ~1 per partition per shuffle slot).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 __all__ = ["write_partitioned_dataset"]
 
@@ -28,8 +29,14 @@ def write_partitioned_dataset(
     ``sort_within`` sorts rows inside each task's output (after the
     partition-key repartition), which tightens parquet min/max column
     stats for post-prune file skipping.
+
+    The returned rowcount is observed on the write pass itself
+    (``df.observe``) — the source plan executes exactly once.
     """
-    out = df.repartition(*partition_by)
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows_written")).repartition(
+        *partition_by
+    )
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     (
@@ -38,4 +45,4 @@ def write_partitioned_dataset(
         .partitionBy(*partition_by)
         .parquet(path)
     )
-    return df.count()
+    return int(obs.get["rows_written"])

@@ -208,3 +208,44 @@ register(
     "xml_roundtrip_nation",
     "SELECT * FROM nation ORDER BY n_nationkey",
 )(xml_roundtrip_nation)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-dataset sink round-trip (operators/dataset.py): documents →
+# Hive-partitioned parquet (lang=…/) → read back with a partition filter.
+# The lang IN (…) predicate is satisfied by directory pruning alone — the
+# de/serialization, partition-column restoration, and pruned-read path are
+# what the oracle certifies (text integrity via md5). Plan-level pruning
+# assertions live in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+
+def dataset_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.dataset import write_partitioned_dataset
+
+    src = load(spark, sf_dir, "documents")
+    path = _tmp_path("docs_part")
+    try:
+        n = write_partitioned_dataset(
+            src, path, partition_by=["lang"], sort_within=["doc_id"]
+        )
+        assert n == src.count()
+        back = (
+            spark.read.parquet(path)
+            .filter(F.col("lang").isin("en", "fr"))
+            .select("doc_id", "lang", "n_chars", F.md5("text").alias("text_md5"))
+            .cache()
+        )
+        back.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return back.orderBy("doc_id")
+
+
+register(
+    "dataset_partitioned_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id
+    """,
+)(dataset_partitioned_roundtrip)
