@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "text_bm25_topk",
+    "theta_sketch_overlap",
+    "join_salted_replicated",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh_recall",
     "text_token_stats",

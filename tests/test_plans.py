@@ -170,3 +170,29 @@ def test_q1_hot_path_is_whole_stage_codegen(spark):
     inside whole-stage codegen (readable only from the AQE-final plan)."""
     df = registry()["q1_pricing_summary"].fn(spark, SF)
     assert I.codegen_stage_count(df) >= 2, I.final_plan(df)
+
+
+def test_partitioned_dataset_read_prunes_partitions(spark, tmp_path):
+    """A lang= filter over a Hive-partitioned dataset must be satisfied by
+    directory pruning: the scan's PartitionFilters carry the predicate and
+    the file scan touches only the selected partitions' files."""
+    from airflow_postgres_csv_spark.operators.dataset import write_partitioned_dataset
+
+    docs = load(spark, SF, "documents")
+    path = str(tmp_path / "docs_part")
+    n = write_partitioned_dataset(docs, path, partition_by=["lang"])
+    assert n == docs.count()
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = I.formatted_plan(back)
+    # the predicate must land in PartitionFilters (directory-level pruning),
+    # not in the row-level PushedFilters
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "lang" in m.group(1), plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "lang" not in pushed.group(1), plan
+    # and every file actually read lives under the selected directory
+    files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    assert files and all("lang=en" in f for f in files), files
