@@ -912,3 +912,77 @@ register(
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )(_kll_quantile_fn)
+
+
+# ---------------------------------------------------------------------------
+# try_* arithmetic: the ANSI-mode-safe variants (the engine runs with
+# spark.sql.ansi.enabled=true for Postgres-parity erroring, so overflow /
+# divide-by-zero must be opted OUT per-expression via try_add/try_divide —
+# SURVEY §7 trap). DuckDB oracle expresses the same null-on-error semantics
+# with guards.
+# ---------------------------------------------------------------------------
+
+register(
+    "try_arith_funcs",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 3) = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+           CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+                ELSE CAST(NULL AS BIGINT) END AS overflow_null,
+           o_orderkey * 2 AS mult_ok,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS bad_double
+    FROM orders ORDER BY o_orderkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
+            # every o_orderkey >= 1, so this long add always overflows:
+            # under ANSI mode a plain + would raise; try_add yields NULL
+            F.try_add(F.col("o_orderkey"), F.lit(9223372036854775807)).alias(
+                "overflow_null"
+            ),
+            F.try_multiply(F.col("o_orderkey"), F.lit(2)).alias("mult_ok"),
+            F.col("o_orderpriority").try_cast("double").alias("bad_double"),
+        )
+        .orderBy("o_orderkey")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching: levenshtein pairs over nation names —
+# the building block for small-domain entity resolution (joins on
+# near-equal codes/names). Bounded variant (threshold arg) lets Spark
+# early-exit the DP at scale.
+# ---------------------------------------------------------------------------
+
+register(
+    "fuzzy_levenshtein_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "nation")
+        .alias("a")
+        .join(
+            t(spark, sf_dir, "nation").alias("b"),
+            F.col("a.n_nationkey") < F.col("b.n_nationkey"),
+        )
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )
+)

@@ -247,3 +247,43 @@ register(
         .orderBy("o_orderkey")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist over the customer
+# balance within each nation. Both are rank-arithmetic (no value sums), so
+# cross-engine determinism needs only a total order — ties broken by key.
+# ---------------------------------------------------------------------------
+
+register(
+    "window_percent_cume",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(percent_rank() OVER w, 9) AS bal_pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(
+                F.percent_rank().over(
+                    W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+                ),
+                9,
+            ).alias("bal_pct_rank"),
+            F.round(
+                F.cume_dist().over(
+                    W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+                ),
+                9,
+            ).alias("bal_cume_dist"),
+        )
+        .orderBy("c_custkey")
+    )
+)
