@@ -395,9 +395,11 @@ register(
 
 
 def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assoc = (
-        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
+    # No pre-distinct on (l_partkey, l_suppkey): COUNT(DISTINCT l_suppkey)
+    # dedups within each output group anyway (partial distinct-agg runs
+    # map-side), so a standalone distinct would add a full lineitem
+    # shuffle for nothing — at 100 TB that's the dominant cost.
+    assoc = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
