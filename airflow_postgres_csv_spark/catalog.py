@@ -34,13 +34,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar, pushdown-friendly.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects by default. We read it as a raw nanos long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — a runtime conf, safe to set
-    on any session including the driver's) and rebuild a microsecond
-    TimestampType instant with integer arithmetic (``ts DIV 1000`` — exact;
-    a double division would lose precision above 2^53 ns). This matches
-    DuckDB's own nanos→micros truncation, so oracle comparisons line up.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations, so the loader type-guards on the dtype Spark actually
+    read rather than assuming either one:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it by
+      default; with ``spark.sql.legacy.parquet.nanosAsLong`` (runtime
+      conf, safe on any session) it arrives as a raw nanos LongType and
+      we rebuild a microsecond TimestampType instant with integer
+      arithmetic (``ts DIV 1000`` — exact; double division would lose
+      precision above 2^53 ns). Matches DuckDB's ns→us truncation.
+    - parquet timestamp[us] (isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ; cast to TimestampType — a numeric no-op under the
+      engine's pinned UTC session timezone, and what DuckDB's naive
+      TIMESTAMP compares equal to.
     """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
@@ -48,10 +55,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

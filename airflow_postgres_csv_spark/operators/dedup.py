@@ -403,19 +403,69 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     block_col: str | None = None,
+    auto_lsh_planes: int = 8,
+    auto_lsh_tables: int = 4,
+    seed: int = 42,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs.
+    """Embedding-cosine near-dup pairs — equi-join blocked by default.
 
-    With ``block_col`` (e.g. a cluster/label/LSH-bucket id) the join is
-    an equi-join on the block key — the scale path. Without it this is an
-    explicit all-pairs (only for small dims or pre-filtered sets).
+    Blocking strategy (the scale contract — a cross join over 100 TB of
+    embeddings is O(n²) and never acceptable by accident):
+
+    - ``block_col`` given (cluster/label/precomputed bucket): equi-join on
+      it — the cheapest path when a natural key exists.
+    - otherwise: auto sign-LSH blocking — ``auto_lsh_tables`` independent
+      random-hyperplane codes per vector, pairs compared iff they share a
+      (table, bucket) key. Near-identical vectors (the ``threshold≈0.9``
+      regime this operator targets) land in the same bucket in at least
+      one table with high probability; recall is tuned via
+      ``auto_lsh_planes`` (fewer planes → bigger buckets → higher recall,
+      more comparisons) and ``auto_lsh_tables``. Output is deduped across
+      tables.
+    - ``allow_quadratic=True``: explicit all-pairs opt-in, small inputs
+      only (tests / pre-filtered candidate sets).
     """
-    blk = [block_col] if block_col else []
-    a = df.select(*blk, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(*blk, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    joined = (
-        a.join(b, blk) if blk else a.crossJoin(b)
-    ).filter(F.col("id_a") < F.col("id_b"))
+    a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")]
+    b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")]
+    if block_col:
+        a = df.select(block_col, *a_cols)
+        b = df.select(block_col, *b_cols)
+        joined = a.join(b, [block_col]).filter(F.col("id_a") < F.col("id_b"))
+    elif allow_quadratic:
+        joined = (
+            df.select(*a_cols)
+            .crossJoin(df.select(*b_cols))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+    else:
+        from airflow_postgres_csv_spark.operators.similarity import (
+            _bucket_codes_udf,
+            random_hyperplanes,
+        )
+        import numpy as np
+
+        dim = len(df.select(vec_col).first()[0])
+        planes_stack = np.vstack(
+            [
+                np.asarray(random_hyperplanes(dim, auto_lsh_planes, seed + t))
+                for t in range(auto_lsh_tables)
+            ]
+        )
+        codes = _bucket_codes_udf(planes_stack, auto_lsh_tables, auto_lsh_planes)
+        bucketed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(codes(vec_col)).alias("_tbl", "_bucket"),
+        )
+        a = bucketed.select("_tbl", "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = bucketed.select("_tbl", "_bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        joined = (
+            a.join(b, ["_tbl", "_bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            # a pair can collide in several tables — count it once
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         joined.withColumn("cosine", cosine_expr("va", "vb"))
         .filter(F.col("cosine") >= threshold)

@@ -196,8 +196,14 @@ def postgres_to_csv(
 
     Signature mirrors ``PostgresToCsvOperator.__init__``
     (operators.py:41-59): returns ``(csv_file_path, rowcount)``.
+
+    ``timeout`` guards BOTH halves of the statement, like the reference's
+    ``SET statement_timeout`` (operators.py:49,76): server-side via JDBC
+    ``queryTimeout``, and Spark-side via a job-group cancel watchdog over
+    the read+write jobs.
     """
     from airflow_postgres_csv_spark.operators.etl import df_to_csv
+    from airflow_postgres_csv_spark.operators.timeout import statement_timeout
 
     df = jdbc_read(
         spark, url=url, sql=sql, parameters=parameters, timeout_minutes=timeout, **read_kwargs
@@ -205,9 +211,10 @@ def postgres_to_csv(
     # single_file=True: the reference's contract is exactly one CSV file
     # at csv_file_path (operators.py:86-94); callers wanting the scalable
     # directory-of-parts export use df_to_csv directly with its default.
-    return df_to_csv(
-        df, csv_file_path, has_header=has_header, compression=compression, single_file=True
-    )
+    with statement_timeout(spark, timeout, "postgres_to_csv"):
+        return df_to_csv(
+            df, csv_file_path, has_header=has_header, compression=compression, single_file=True
+        )
 
 
 def csv_to_postgres(
@@ -230,8 +237,14 @@ def csv_to_postgres(
 
     Signature mirrors ``CsvToPostgresOperator.__init__``
     (operators.py:124-150); returns the loaded rowcount (operators.py:192).
+
+    ``timeout`` guards the whole load Spark-side (job-group cancel
+    watchdog) in addition to the per-statement JDBC ``queryTimeout`` —
+    the parity path for the reference's ``SET statement_timeout``
+    (operators.py:174).
     """
     from airflow_postgres_csv_spark.operators.etl import read_csv
+    from airflow_postgres_csv_spark.operators.timeout import statement_timeout
 
     df = read_csv(
         spark,
@@ -243,16 +256,17 @@ def csv_to_postgres(
         null_string=null_string,
         columns=columns,
     )
-    n = df.count()
-    jdbc_write(
-        df,
-        url=url,
-        table=table_name,
-        truncate=truncate,
-        timeout_minutes=timeout,
-        batchsize=batchsize,
-        driver=driver,
-    )
+    with statement_timeout(spark, timeout, "csv_to_postgres"):
+        n = df.count()
+        jdbc_write(
+            df,
+            url=url,
+            table=table_name,
+            truncate=truncate,
+            timeout_minutes=timeout,
+            batchsize=batchsize,
+            driver=driver,
+        )
     return n
 
 

@@ -1,0 +1,79 @@
+"""Spark-side statement-timeout guard.
+
+The reference enforces ``SET statement_timeout`` on every database session
+(reference operators.py:49,76,174), so a runaway query dies server-side.
+The JDBC paths here already forward that as ``queryTimeout``; this module
+adds the missing half — a guard for the *Spark* jobs an operator runs
+(scan, shuffle, CSV write), which JDBC timeouts never cover.
+
+Mechanism: the guarded block runs inside a dedicated job group; a
+watchdog ``threading.Timer`` cancels the group (``interruptOnCancel``)
+when the deadline passes, and the block raises :class:`QueryTimeoutError`.
+Job-group cancellation is Spark's own cooperative cancel — tasks stop at
+the next record boundary, executors stay healthy, and only the guarded
+statement dies, exactly like a server-side statement_timeout.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+__all__ = ["QueryTimeoutError", "statement_timeout"]
+
+
+class QueryTimeoutError(TimeoutError):
+    """A guarded statement exceeded its timeout and was cancelled."""
+
+
+@contextmanager
+def statement_timeout(
+    spark: SparkSession, timeout_minutes: float, description: str = "statement"
+):
+    """Run the enclosed Spark actions under a wall-clock deadline.
+
+    Every job started by the current thread inside the block belongs to a
+    fresh job group; on expiry the watchdog cancels the group and the
+    block's pending action fails, surfaced as :class:`QueryTimeoutError`.
+    ``timeout_minutes`` may be fractional (the reference's unit is minutes;
+    tests use seconds-scale fractions).
+    """
+    sc = spark.sparkContext
+    group = f"stmt_timeout_{uuid.uuid4().hex[:12]}"
+    expired = threading.Event()
+
+    def _cancel() -> None:
+        expired.set()
+        try:
+            sc.cancelJobGroup(group)
+        except Exception:  # pragma: no cover - sc already stopped
+            pass
+
+    timer = threading.Timer(timeout_minutes * 60.0, _cancel)
+    timer.daemon = True
+    sc.setJobGroup(group, description, interruptOnCancel=True)
+    timer.start()
+    try:
+        yield
+        if expired.is_set():
+            raise QueryTimeoutError(
+                f"{description} exceeded {timeout_minutes} min and was cancelled"
+            )
+    except QueryTimeoutError:
+        raise
+    except Exception as exc:
+        if expired.is_set():
+            raise QueryTimeoutError(
+                f"{description} exceeded {timeout_minutes} min and was cancelled"
+            ) from exc
+        raise
+    finally:
+        timer.cancel()
+        # clearJobGroup is gone in PySpark 4 — reset the thread-local
+        # properties setJobGroup wrote
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)

@@ -490,8 +490,8 @@ register(
         FROM part
     )
     SELECT p_partkey,
-           list_sort(map_keys(mp)) AS keys_sorted,
-           list_sort(map_values(mp)) AS vals_sorted,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(mp)), ',') AS vals_sorted,
            element_at(mp, 'brand')[1] AS brand_val,
            element_at(mp, 'nope')[1] AS missing_val,
            CAST(cardinality(mp) AS INT) AS m_size,
@@ -499,7 +499,7 @@ register(
            CAST(cardinality(map_concat(mp, MAP(['extra'], ['x']))) AS INT)
                AS concat_size,
            CAST(cardinality(mp) AS INT) AS entries_roundtrip_size,
-           list_sort(list_filter(map_keys(mp), k -> k <> 'size'))
+           array_to_string(list_sort(list_filter(map_keys(mp), k -> k <> 'size')), ',')
                AS filtered_keys,
            UPPER(element_at(mp, 'brand')[1]) AS upper_brand
     FROM m
@@ -518,8 +518,10 @@ register(
         )
         .select(
             "p_partkey",
-            F.sort_array(F.map_keys("mp")).alias("keys_sorted"),
-            F.sort_array(F.map_values("mp")).alias("vals_sorted"),
+            # array_join → scalar string: the harness canonicalizer sorts
+            # rows via pandas and chokes on unhashable list cells
+            F.array_join(F.sort_array(F.map_keys("mp")), ",").alias("keys_sorted"),
+            F.array_join(F.sort_array(F.map_values("mp")), ",").alias("vals_sorted"),
             F.element_at("mp", F.lit("brand")).alias("brand_val"),
             F.element_at("mp", F.lit("nope")).alias("missing_val"),
             F.size("mp").alias("m_size"),
@@ -530,8 +532,11 @@ register(
             F.size(F.map_from_entries(F.map_entries("mp"))).alias(
                 "entries_roundtrip_size"
             ),
-            F.sort_array(
-                F.map_keys(F.map_filter("mp", lambda k, v: k != F.lit("size")))
+            F.array_join(
+                F.sort_array(
+                    F.map_keys(F.map_filter("mp", lambda k, v: k != F.lit("size")))
+                ),
+                ",",
             ).alias("filtered_keys"),
             F.element_at(
                 F.transform_values("mp", lambda k, v: F.upper(v)),

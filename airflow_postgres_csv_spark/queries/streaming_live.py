@@ -47,15 +47,24 @@ def _staged_stream(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # match the fixture's physical ts encoding (int64-nanos vs
+        # timestamp[us]) so the stream's single explicit schema reads
+        # fixture and sentinel files alike — same dtype-guard contract
+        # as catalog.load / stream_events
+        ts_arrow = pq.read_schema(dst).field("ts").type
         far_ns = 4_000_000_000 * 1_000_000_000  # year 2096, past any fixture ts
         for i, (uid, off) in enumerate([(-1, 0), (-2, 3_600 * 10**9)], start=1):
             # single-row control records — written driver-side with pyarrow
-            # (a Spark write job here cost ~5 s each in staging; the stream
-            # reader's explicit schema reads int64 ts the same either way)
+            # (a Spark write job here cost ~5 s each in staging)
+            ts_ns = far_ns + off
+            if pa.types.is_timestamp(ts_arrow):
+                ts_arr = pa.array([ts_ns // 1000], pa.timestamp("us")).cast(ts_arrow)
+            else:
+                ts_arr = pa.array([ts_ns], pa.int64())
             table = pa.table(
                 {
                     "event_id": pa.array([-i], pa.int64()),
-                    "ts": pa.array([far_ns + off], pa.int64()),
+                    "ts": ts_arr,
                     "user_id": pa.array([uid], pa.int64()),
                     "event_type": pa.array(["_sentinel"], pa.string()),
                     "value": pa.array([0.0], pa.float64()),

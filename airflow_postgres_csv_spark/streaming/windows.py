@@ -20,32 +20,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Legacy fixture generation: ts = parquet TIMESTAMP(NANOS) read as raw longs
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """Open the events directory as a file-source stream.
 
-    ``ts`` arrives as raw nanos (same nanosAsLong contract as the batch
-    catalog) and is rebuilt into a micros TimestampType event-time column.
+    File-source streams need an explicit schema, and ``events.ts`` has
+    shipped as both TIMESTAMP(NANOS) (read as raw nanos longs) and
+    timestamp[us] (read as TIMESTAMP_NTZ) across fixture generations —
+    so probe the dtype with a one-off batch read of the same directory
+    (footer-only, no data scan) and declare the matching stream schema.
+    Same dtype-guard contract as ``catalog.load``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(events_dir).schema["ts"].dataType
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .load(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

@@ -72,30 +72,40 @@ def main() -> None:
     # warmup: trigger JVM + codegen + parquet footer reads once, untimed;
     # the mapInPandas no-op forks the Python worker pool so Arrow-UDF
     # queries measure steady-state execution, not daemon startup
-    reg[names[0]].fn(spark, sf_dir).count()
+    try:
+        reg[names[0]].fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
+        print(f"warmup failed: {exc}", file=sys.stderr)
     spark.range(spark.sparkContext.defaultParallelism).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    # one broken query must never zero the whole bench: isolate each
+    # timed run and always emit the JSON line (r2 lost all numbers to a
+    # single AnalysisException before the first print)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.time()
-        df = reg[name].fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = reg[name].fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -196,3 +196,36 @@ def test_partitioned_dataset_read_prunes_partitions(spark, tmp_path):
     # and every file actually read lives under the selected directory
     files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
     assert files and all("lang=en" in f for f in files), files
+
+
+def test_embedding_near_dup_default_is_equi_join(spark):
+    """Without block_col the operator must auto-LSH-block, never silently
+    cross-join: the default path at 100 TB has to be an equi-join. The
+    all-pairs plan is reachable only via allow_quadratic=True."""
+    from airflow_postgres_csv_spark.operators import dedup
+
+    emb = load(spark, SF, "embeddings")
+    auto = dedup.embedding_near_dup_pairs(emb, threshold=0.99)
+    plan = I.physical_plan(auto)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    quad = dedup.embedding_near_dup_pairs(emb, threshold=0.99, allow_quadratic=True)
+    qplan = I.physical_plan(quad)
+    assert "CartesianProduct" in qplan or "NestedLoop" in qplan
+
+
+def test_embedding_near_dup_auto_lsh_finds_exact_dups(spark):
+    """Recall sanity for the auto-LSH block path: an exact duplicate vector
+    collides in every table, so the (dup) pair must always be found."""
+    from airflow_postgres_csv_spark.operators import dedup
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding").limit(50)
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        emb.unionByName(dup), threshold=0.999
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    first_id = emb.first().vec_id
+    assert (first_id, first_id + 1_000_000) in ids
