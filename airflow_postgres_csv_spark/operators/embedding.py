@@ -52,15 +52,43 @@ def embed_texts(
     return df.withColumn(out, _encode_batch(F.col(text_col)))
 
 
-def embed_texts_real(df: DataFrame, model_name: str = "", **kwargs) -> DataFrame:
-    """Real model inference — STUB: no inference stack in this
-    environment. Same signature/shape as :func:`embed_texts`."""
+def embed_texts_real(
+    df: DataFrame,
+    model_name: str = "all-MiniLM-L6-v2",
+    text_col: str = "text",
+    out: str = "embedding",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Real model inference via sentence-transformers (fully wired; gated
+    only on the library being importable — it is not in this container).
+
+    The model loads lazily ONCE per executor Python process (module-level
+    cache keyed by model name) and encodes each Arrow batch in one
+    ``model.encode`` call — the standard per-process-model, per-batch-
+    inference shape. Same signature/output type as :func:`embed_texts`,
+    so downstream ANN/dedup operators take either path unchanged.
+    """
     try:
         import sentence_transformers  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
+    except ImportError as exc:
         raise NotImplementedError(
-            "real embedding inference requires an encoder library "
-            "(e.g. sentence-transformers), not available here; use "
-            "embed_texts (deterministic fake) instead"
+            "real embedding inference requires sentence-transformers, "
+            "not available in this container; use embed_texts "
+            "(deterministic fake) instead"
         ) from exc
-    raise NotImplementedError("real encoder path not wired")  # pragma: no cover
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _encode_batch(texts: pd.Series) -> pd.Series:
+        # executor-side lazy singleton: one model per Python worker process
+        import sentence_transformers as st
+
+        cache = _encode_batch.__dict__.setdefault("_models", {})
+        model = cache.get(model_name)
+        if model is None:
+            model = cache[model_name] = st.SentenceTransformer(model_name)
+        vecs = model.encode(
+            texts.tolist(), batch_size=batch_size, show_progress_bar=False
+        )
+        return pd.Series([list(map(float, v)) for v in vecs])
+
+    return df.withColumn(out, _encode_batch(F.col(text_col)))

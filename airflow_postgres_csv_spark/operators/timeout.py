@@ -7,8 +7,9 @@ adds the missing half — a guard for the *Spark* jobs an operator runs
 (scan, shuffle, CSV write), which JDBC timeouts never cover.
 
 Mechanism: the guarded block runs inside a dedicated job group; a
-watchdog ``threading.Timer`` cancels the group (``interruptOnCancel``)
-when the deadline passes, and the block raises :class:`QueryTimeoutError`.
+watchdog thread cancels the group (``interruptOnCancel``) when the
+deadline passes — including jobs still in submission at that moment —
+and the block raises :class:`QueryTimeoutError`.
 Job-group cancellation is Spark's own cooperative cancel — tasks stop at
 the next record boundary, executors stay healthy, and only the guarded
 statement dies, exactly like a server-side statement_timeout.
@@ -44,16 +45,29 @@ def statement_timeout(
     sc = spark.sparkContext
     group = f"stmt_timeout_{uuid.uuid4().hex[:12]}"
     expired = threading.Event()
+    done = threading.Event()
 
-    def _cancel() -> None:
+    def _watchdog() -> None:
+        if done.wait(timeout_minutes * 60.0):
+            return
         expired.set()
-        try:
-            sc.cancelJobGroup(group)
-        except Exception:  # pragma: no cover - sc already stopped
-            pass
+        while not done.is_set():
+            # cancelJobGroup only kills jobs ACTIVE at call time; a job
+            # still in submission (UDF pickling, analysis, cold Python
+            # workers) when the deadline passes would slip through a
+            # single cancel. Prefer the JVM-side and-future-jobs variant
+            # (Spark 4); re-issue as a fallback until the block exits.
+            try:
+                jvm_sc = sc._jsc.sc()
+                if hasattr(jvm_sc, "cancelJobGroupAndFutureJobs"):
+                    jvm_sc.cancelJobGroupAndFutureJobs(group)
+                else:  # pragma: no cover - Spark < 4
+                    sc.cancelJobGroup(group)
+            except Exception:  # pragma: no cover - sc already stopped
+                return
+            done.wait(0.25)
 
-    timer = threading.Timer(timeout_minutes * 60.0, _cancel)
-    timer.daemon = True
+    timer = threading.Thread(target=_watchdog, daemon=True)
     sc.setJobGroup(group, description, interruptOnCancel=True)
     timer.start()
     try:
@@ -71,7 +85,7 @@ def statement_timeout(
             ) from exc
         raise
     finally:
-        timer.cancel()
+        done.set()
         # clearJobGroup is gone in PySpark 4 — reset the thread-local
         # properties setJobGroup wrote
         sc.setLocalProperty("spark.jobGroup.id", None)

@@ -50,6 +50,36 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# REAL codec round trip: Spark encodes actual spec-compliant PNG files
+# (stdlib zlib IDAT, correct CRCs) per document, then parses the real byte
+# layout back for format/dimensions. Dims are deterministic functions of
+# doc_id, so the oracle predicts what the decoder must report without
+# touching any bytes — independently certifying the codec.
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_decode_real_png",
+    """
+    SELECT doc_id,
+           'png' AS format,
+           CAST(1 + doc_id % 16 AS INT) AS width,
+           CAST(1 + doc_id % 9 AS INT) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        MM.decode_image_real(
+            MM.attach_real_images(t(spark, sf_dir, "documents")).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only stats: runs entirely on the meta struct / payload length —
 # the payload-pruning access pattern a 100 TB media table lives on.
 # ---------------------------------------------------------------------------

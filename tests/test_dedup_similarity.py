@@ -116,7 +116,7 @@ def test_embed_real_path_is_gated(spark, sf_dir):
     from airflow_postgres_csv_spark.operators import embedding as E
 
     docs = load(spark, sf_dir, "documents").limit(1)
-    with pytest.raises(NotImplementedError, match="encoder"):
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
         E.embed_texts_real(docs)
     # fake path: deterministic, unit-norm-free but bounded features
     row = E.embed_texts(docs, dim=8).select("embedding").first()

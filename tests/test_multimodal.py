@@ -52,7 +52,61 @@ def test_metadata_scan_prunes_payload(spark, tmp_path):
     assert df.count() > 0
 
 
-def test_real_codec_path_is_gated(spark):
-    media = MM.attach_media(load(spark, SF, "documents").limit(1))
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        MM.decode_image_real(media)
+def test_png_bytes_is_spec_compliant():
+    """The stdlib PNG writer must produce a structurally valid file:
+    signature, IHDR fields, chunk CRCs, and an IDAT that zlib-decompresses
+    to exactly height filter-0 RGB scanlines."""
+    import struct
+    import zlib
+
+    raw = MM.png_bytes(5, 3, (10, 20, 30))
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # walk chunks, checking every CRC
+    i, chunks = 8, {}
+    while i < len(raw):
+        (ln,) = struct.unpack(">I", raw[i : i + 4])
+        typ = raw[i + 4 : i + 8]
+        data = raw[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(">I", raw[i + 8 + ln : i + 12 + ln])
+        assert crc == zlib.crc32(typ + data) & 0xFFFFFFFF
+        chunks[typ] = data
+        i += 12 + ln
+    w, h, depth, ctype = struct.unpack(">IIBB", chunks[b"IHDR"][:10])
+    assert (w, h, depth, ctype) == (5, 3, 8, 2)
+    pixels = zlib.decompress(chunks[b"IDAT"])
+    assert pixels == (b"\x00" + bytes((10, 20, 30)) * 5) * 3
+
+
+def test_parse_image_header_all_formats():
+    """Real header decode for PNG (our own real encoder output) plus
+    hand-assembled minimal JPEG/GIF/BMP headers per spec."""
+    import struct
+
+    assert MM.parse_image_header(MM.png_bytes(7, 4, (0, 0, 0))) == ("png", 7, 4)
+    # JPEG: SOI + APP0 stub + SOF0 (precision 8, h=33, w=77, 3 comps)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 77) + b"\x03"
+    )
+    assert MM.parse_image_header(jpeg) == ("jpeg", 77, 33)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 3
+    assert MM.parse_image_header(gif) == ("gif", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert MM.parse_image_header(bmp) == ("bmp", 640, 480)
+    with pytest.raises(ValueError, match="unrecognized"):
+        MM.parse_image_header(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
+
+def test_real_png_encode_decode_round_trip(spark):
+    """End-to-end on the cluster path: real PNGs encoded per document in
+    mapInPandas, then decoded back — dims must match the deterministic
+    doc_id functions the oracle predicts."""
+    docs = load(spark, SF, "documents").limit(40)
+    decoded = MM.decode_image_real(MM.attach_real_images(docs)).collect()
+    assert len(decoded) == 40
+    for r in decoded:
+        assert r.format == "png"
+        assert r.width == 1 + r.doc_id % 16
+        assert r.height == 1 + r.doc_id % 9
+        assert r.n_bytes > 44  # sig + IHDR + IEND overhead alone is 44

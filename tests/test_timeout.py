@@ -15,18 +15,26 @@ from airflow_postgres_csv_spark.operators.timeout import (
 )
 
 
-def _slow_df(spark, seconds_per_row: float = 0.5, rows: int = 120):
+def _slow_sum(spark, seconds_per_row: float = 0.5, rows: int = 120) -> int:
     # one partition, sleeping UDF → a job that runs ~rows*seconds and is
-    # only stoppable by cancellation
+    # only stoppable by cancellation. The aggregate CONSUMES the UDF
+    # column — a bare count() would let Catalyst prune the UDF (and the
+    # sleep) right out of the plan.
     sleep = F.udf(lambda x: (time.sleep(seconds_per_row), x)[1], "long")
-    return spark.range(rows).coalesce(1).select(sleep("id").alias("id"))
+    return (
+        spark.range(rows)
+        .coalesce(1)
+        .select(sleep("id").alias("slow_id"))
+        .agg(F.sum("slow_id"))
+        .collect()[0][0]
+    )
 
 
 def test_timeout_cancels_runaway_job(spark):
     t0 = time.time()
     with pytest.raises(QueryTimeoutError):
         with statement_timeout(spark, timeout_minutes=2 / 60, description="slow"):
-            _slow_df(spark).count()
+            _slow_sum(spark)
     # cancelled near the 2 s deadline, nowhere near the ~60 s full runtime
     assert time.time() - t0 < 30
 
