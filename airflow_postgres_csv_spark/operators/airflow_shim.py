@@ -76,6 +76,38 @@ def _active_spark():
     return spark
 
 
+def _render_template_fields(op, context: dict | None) -> dict[str, str]:
+    """Render each string attr named in ``template_fields`` with Jinja
+    against ``context`` — the reference's main UX (its operators declare
+    ``template_fields = ("sql", "csv_file_path")`` etc., reference
+    operators.py:35-39,122, and Airflow renders ``{{ ds }}``-style values
+    before ``execute``). Outside a real Airflow DAG run nothing performs
+    that render, so the shim does it itself at execute() time.
+
+    Jinja2 (a hard dependency of Airflow itself) is used when importable;
+    otherwise fields pass through unchanged — matching no-context
+    behavior. A ``.sql``-suffixed value renders as a path string here
+    (e.g. ``/data/{{ ds }}/q.sql``); its file contents are resolved later
+    by resolve_sql. (Airflow's ``template_ext`` content-rendering of the
+    file body itself is not reproduced — that requires a full DAG
+    template environment.)
+    """
+    out: dict[str, str] = {}
+    for fld in getattr(op, "template_fields", ()):  # pragma: no branch
+        val = getattr(op, fld, None)
+        out[fld] = val
+        if not context or not isinstance(val, str) or "{{" not in val:
+            continue
+        try:
+            import jinja2
+        except ImportError:  # pragma: no cover - jinja2 ships with airflow
+            continue
+        out[fld] = jinja2.Template(val, undefined=jinja2.StrictUndefined).render(
+            **context
+        )
+    return out
+
+
 class PostgresToCsvOperator(BaseOperator):
     """Execute SQL against the database behind ``conn_id`` and save the
     result as a CSV file. Mirrors reference operators.py:12-98: same
@@ -110,10 +142,11 @@ class PostgresToCsvOperator(BaseOperator):
     def execute(self, context=None):
         from airflow_postgres_csv_spark.operators.jdbc import postgres_to_csv
 
+        rendered = _render_template_fields(self, context)
         path, rows = postgres_to_csv(
             _active_spark(),
-            sql=self.sql,
-            csv_file_path=self.csv_file_path,
+            sql=rendered["sql"],
+            csv_file_path=rendered["csv_file_path"],
             parameters=self.parameters,
             has_header=self.has_header,
             compression=self.compression,
@@ -169,15 +202,16 @@ class CsvToPostgresOperator(BaseOperator):
     def execute(self, context=None):
         from airflow_postgres_csv_spark.operators.jdbc import csv_to_postgres
 
-        if self.compression == "gzip" and not self.csv_file_path.endswith(".gz"):
+        rendered = _render_template_fields(self, context)
+        if self.compression == "gzip" and not rendered["csv_file_path"].endswith(".gz"):
             raise ValueError(
                 "gzip input must use a .gz extension (Spark infers the codec "
-                f"from the filename): {self.csv_file_path!r}"
+                f"from the filename): {rendered['csv_file_path']!r}"
             )
         rows = csv_to_postgres(
             _active_spark(),
-            table_name=self.table_name,
-            csv_file_path=self.csv_file_path,
+            table_name=rendered["table_name"],
+            csv_file_path=rendered["csv_file_path"],
             delimiter=self.delimiter,
             quote_char=self.quote_char,
             null_string=self.null_string,

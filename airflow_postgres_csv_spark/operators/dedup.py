@@ -189,6 +189,12 @@ def minhash_signatures(
     1 digest per shingle instead of ``num_hashes``. MD5 keeps the pipeline
     engine-portable (DuckDB replays it bit-identically); production swap:
     xxhash64 → two halves of the 64-bit word.
+
+    Keeps the per-doc DISTINCT before hashing: MIN over duplicates equals
+    MIN over distinct values, so correctness allows skipping it, but
+    measured at sf0.1 the md5+base-conversion per duplicate occurrence
+    costs more than the dedup shuffle saves (2.7 s → 3.1 s without it) —
+    hash-per-distinct-shingle wins.
     """
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
     h = F.md5(F.col("shingle"))

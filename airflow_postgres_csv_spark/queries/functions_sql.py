@@ -738,16 +738,34 @@ register(
 # ---------------------------------------------------------------------------
 
 def _theta_overlap_fn(spark, sf_dir):
-    from airflow_postgres_csv_spark.operators.dedup import _doc_shingles
+    from airflow_postgres_csv_spark.functions import texts as X
 
     docs = t(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, "doc_id", "text", 3).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # ONE wide shuffle for the whole query: raw (lang, shingle) pairs are
+    # grouped by shingle and collect_set dedups langs in the aggregate
+    # (subsuming the per-(lang,shingle) DISTINCT a naive plan would
+    # shuffle for separately). Everything downstream — per-lang sketches
+    # AND exact pair intersections — derives from this one table, so the
+    # old shape's second full shuffle + shingle self-join (the scale
+    # bottleneck: shingle-keyed join of the corpus against itself) are
+    # gone. Pair expansion is an in-row lambda over the <=5-element lang
+    # set, never a join.
+    lang_sets = (
+        docs.withColumn("_toks", X.tokens("text"))
+        .select(
+            F.col("lang"),
+            F.explode(X.ngrams_of_tokens(F.col("_toks"), 3)).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("lang")).alias("ls"))
     )
-    lang_sh = sh.select("lang", "shingle").distinct()
-    per_lang = lang_sh.groupBy("lang").agg(
-        F.theta_sketch_agg("shingle").alias("sk"),
-        F.count(F.lit(1)).alias("exact_nd"),
+    per_lang = (
+        lang_sets.select(F.explode("ls").alias("lang"), "shingle")
+        .groupBy("lang")
+        .agg(
+            F.theta_sketch_agg("shingle").alias("sk"),
+            F.count(F.lit(1)).alias("exact_nd"),
+        )
     )
     a = per_lang.select(
         F.col("lang").alias("lang_a"), F.col("sk").alias("sk_a"), F.col("exact_nd").alias("nd_a")
@@ -756,7 +774,7 @@ def _theta_overlap_fn(spark, sf_dir):
         F.col("lang").alias("lang_b"), F.col("sk").alias("sk_b"), F.col("exact_nd").alias("nd_b")
     )
     # 5 langs -> 10 pairs: the pair grid is broadcast-tiny; the heavy work
-    # (shingle distinct + sketch build) happened in ONE pass over the corpus.
+    # (shingle grouping + sketch build) happened in ONE pass over the corpus.
     est = (
         a.crossJoin(b)
         .filter(F.col("lang_a") < F.col("lang_b"))
@@ -773,12 +791,18 @@ def _theta_overlap_fn(spark, sf_dir):
             ),
         )
     )
-    sa = lang_sh.select(F.col("lang").alias("lang_a"), "shingle")
-    sb = lang_sh.select(F.col("lang").alias("lang_b"), "shingle")
     exact = (
-        sa.join(sb, "shingle")
-        .filter(F.col("lang_a") < F.col("lang_b"))
-        .groupBy("lang_a", "lang_b")
+        lang_sets.filter(F.size("ls") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ls, (x, i) -> "
+                    "transform(slice(ls, i + 2, size(ls)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("lang_a"), F.col("p.b").alias("lang_b"))
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
     return (

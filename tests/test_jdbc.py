@@ -234,3 +234,49 @@ def test_airflow_operator_shims_e2e(spark, derby_url, tmp_path):
         shim.PostgresToCsvOperator(
             conn_id="nope", csv_file_path="/tmp/x", sql="SELECT 1"
         ).execute()
+
+
+def test_operator_template_fields_render(spark, derby_url, tmp_path):
+    """Airflow-style Jinja templating of template_fields at execute():
+    {{ ds }}-style placeholders in sql / csv_file_path / table_name render
+    against the provided context (reference operators.py:35-39,122 declare
+    these fields templated; Airflow renders them before execute)."""
+    from airflow_postgres_csv_spark.operators import airflow_shim as shim
+
+    shim.register_connection("tpl_wh", derby_url, driver=DERBY)
+    src = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "id int, name string"
+    )
+    jdbc.jdbc_write(src, url=derby_url, table="t_tpl_src", driver=DERBY)
+
+    out_dir = tmp_path / "2024-01-01"
+    out_dir.mkdir()
+    export = shim.PostgresToCsvOperator(
+        conn_id="tpl_wh",
+        csv_file_path=str(tmp_path / "{{ ds }}" / "export.csv"),
+        sql='SELECT "id", "name" FROM "t_tpl_src" WHERE "id" < {{ params.hi }}',
+        task_id="tpl_export",
+    )
+    path = export.execute(context={"ds": "2024-01-01", "params": {"hi": 4}})
+    assert path == str(out_dir / "export.csv")
+    assert os.path.isfile(path)
+
+    load_op = shim.CsvToPostgresOperator(
+        conn_id="tpl_wh",
+        table_name="t_tpl_{{ ds_nodash }}",
+        csv_file_path=path,
+        task_id="tpl_load",
+    )
+    assert load_op.execute(context={"ds_nodash": "20240101"}) == 4
+    back = jdbc.jdbc_read(spark, url=derby_url, table="t_tpl_20240101", driver=DERBY)
+    assert back.count() == 4
+
+    # no context -> fields pass through verbatim (and an un-rendered
+    # placeholder in a path is simply a missing file)
+    with pytest.raises(Exception):
+        shim.CsvToPostgresOperator(
+            conn_id="tpl_wh",
+            table_name="t_x",
+            csv_file_path=str(tmp_path / "{{ ds }}" / "export.csv"),
+            task_id="tpl_nocontext",
+        ).execute()
