@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_key", "sample_stratified_quota", "split_train_test"]
+__all__ = [
+    "hash_key",
+    "sample_stratified_quota",
+    "split_train_test",
+    "sample_weighted_bernoulli",
+]
 
 
 def hash_key(key_col: str | Column) -> Column:
@@ -75,4 +80,39 @@ def split_train_test(
         F.when(prefix < F.lit(test_threshold_hex), F.lit("test")).otherwise(
             F.lit("train")
         ),
+    )
+
+
+def sample_weighted_bernoulli(
+    df: DataFrame,
+    weight_col: str | Column,
+    rate_denom: int = 100_000,
+    key_col: str = "doc_id",
+    salt: str = ":wsample",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli (Poisson) sampling: each row is
+    included independently with probability ``min(1, weight/rate_denom)``,
+    decided by an md5-derived 32-bit uniform of the row key — so the
+    sample is reproducible from content alone (no RNG state), stable
+    under re-partitioning/retries, and exactly replayable by another
+    engine. The inclusion test is pure 64-bit integer arithmetic
+    (``u32 * rate_denom < 2^32 * weight``): no float rounding to diverge
+    between engines.
+
+    This is the importance-sampling primitive of mixture building: set
+    ``weight`` to a quality score, token count, or per-source up/down
+    weight and the expected sample composition follows it. Embarrassingly
+    parallel — a filter, no shuffle; at 100 TB it runs entirely map-side.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("u32", u32)
+    return out.filter(
+        F.col("u32") * F.lit(rate_denom) < F.lit(1 << 32) * w.cast("long")
     )

@@ -267,3 +267,89 @@ register(
         .orderBy("id_a", "id_b")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication scoring: the copy-paste contamination signal
+# that document-level dedup misses (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" motivates removing repeated ~50-token
+# spans, not just whole-document dups). Every 10-token window is hashed;
+# a window whose hash occurs in >1 document is "shared"; each doc reports
+# its shared-window fraction. All hash-keyed equi-joins/aggs — no
+# pairwise comparison anywhere, so cost is O(total windows) at any scale.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 10
+
+
+def _substring_windows_fn(spark, sf_dir):
+    from airflow_postgres_csv_spark.functions import texts as X
+
+    docs = t(spark, sf_dir, "documents")
+    h = (
+        docs.withColumn("_toks", X.tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(X.ngrams_of_tokens(F.col("_toks"), _WIN_K)).alias("w"),
+        )
+        .select("doc_id", F.md5("w").alias("wh"))
+    )
+    spread = h.groupBy("wh").agg(F.count_distinct("doc_id").alias("ndocs"))
+    per = (
+        h.join(spread, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_shared_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_shared_windows", F.lit(0)).alias("n_shared_windows"),
+            (
+                F.coalesce("n_shared_windows", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_substring_windows",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    w AS (
+      SELECT doc_id, md5(win) AS wh
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - {_WIN_K - 2}),
+                      i -> array_to_string(tk[i:i+{_WIN_K - 1}], ' '))) AS win
+        FROM tk
+      )
+    ),
+    spread AS (SELECT wh, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY wh),
+    per AS (
+      SELECT doc_id,
+             COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_windows
+      FROM w JOIN spread s USING (wh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(n_shared_windows, 0) AS n_shared_windows,
+           CAST(COALESCE(n_shared_windows, 0) AS DOUBLE)
+             / GREATEST(COALESCE(n_windows, 0), 1) AS shared_ratio
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)(_substring_windows_fn)

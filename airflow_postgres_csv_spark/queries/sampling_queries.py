@@ -190,3 +190,33 @@ register(
         .agg(F.sum("n_tok").alias("lang_tokens"))
     )
 )
+
+
+# Weighted deterministic sampling: inclusion probability proportional to
+# n_chars (stand-in for any importance weight), decided by integer
+# arithmetic over a content-derived hash — bit-identical across engines,
+# no RNG, no shuffle.
+register(
+    "sample_weighted_hash",
+    """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8))::BIGINT AS u32
+      FROM documents
+    )
+    SELECT doc_id, n_chars, u32
+    FROM u
+    WHERE u32 * 100000 < 4294967296 * n_chars
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        S.sample_weighted_bernoulli(
+            t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+            weight_col="n_chars",
+            rate_denom=100_000,
+        )
+        .select("doc_id", "n_chars", "u32")
+        .orderBy("doc_id")
+    )
+)

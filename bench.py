@@ -71,8 +71,14 @@ def main() -> None:
 
     # warmup: trigger JVM + codegen + parquet footer reads once, untimed;
     # the mapInPandas no-op forks the Python worker pool so Arrow-UDF
-    # queries measure steady-state execution, not daemon startup
+    # queries measure steady-state execution, not daemon startup. Every
+    # fixture table is scanned once so footer/page-cache first-touch cost
+    # isn't charged to whichever timed query happens to read it first.
     try:
+        from airflow_postgres_csv_spark.catalog import TABLES, load
+
+        for tbl in TABLES:
+            load(spark, sf_dir, tbl).count()
         reg[names[0]].fn(spark, sf_dir).count()
     except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
         print(f"warmup failed: {exc}", file=sys.stderr)
