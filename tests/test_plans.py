@@ -229,3 +229,11 @@ def test_embedding_near_dup_auto_lsh_finds_exact_dups(spark):
     ids = {(r.id_a, r.id_b) for r in pairs}
     first_id = emb.first().vec_id
     assert (first_id, first_id + 1_000_000) in ids
+
+
+def test_substring_windows_all_equi_joins(spark):
+    """Substring-dup scoring must stay hash-keyed end to end: window-hash
+    join + doc_id join, never a nested loop or cartesian product."""
+    df = registry()["dedup_substring_windows"].fn(spark, SF)
+    plan = I.physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
