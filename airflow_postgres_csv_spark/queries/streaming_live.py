@@ -263,3 +263,37 @@ register(
         output_mode="update",
     ).orderBy("window_start_s", "mktsegment")
 )
+
+
+register(
+    "streaming_stateful_profiles_live",
+    # Custom stateful operator (applyInPandasWithState) with a FULL oracle:
+    # the fixture stages as ONE micro-batch, so update mode emits each
+    # user's final profile exactly once, and that equals the batch
+    # aggregate. total_value is rounded to 2 decimals on both sides: the
+    # exact sum of 2-decimal inputs is itself a 2-decimal value, and the
+    # float summation error (~1e-10 at this row count) can never move a
+    # 2-decimal value across a 2-decimal rounding boundary — so the round
+    # is order-insensitive and engine-stable.
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        __import__(
+            "airflow_postgres_csv_spark.streaming.stateful", fromlist=["user_profiles"]
+        ).user_profiles(_staged_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    .select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts_us",
+    )
+    .orderBy("user_id")
+)
