@@ -39,6 +39,7 @@ __all__ = [
     "simhash_bits",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "incremental_exact_matches",
 ]
 
 
@@ -476,4 +477,38 @@ def embedding_near_dup_pairs(
         joined.withColumn("cosine", cosine_expr("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def incremental_exact_matches(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-corpus) exact dedup: for each incoming document
+    whose dedup key already exists in the standing corpus, emit
+    ``(doc_id, matched_corpus_id)`` — the reject list of a streaming
+    ingestion pass. ``key`` defaults to the md5 fingerprint of normalized
+    text.
+
+    Shape: corpus side reduces to (key → min id) with one hash-agg, then
+    a key equi-join against the (usually much smaller) new batch — the
+    corpus is never compared pairwise with itself, and on a cluster the
+    reduced corpus key table is the thing you persist between ingestion
+    runs instead of recomputing (content-addressed, so it only ever
+    appends).
+    """
+    from airflow_postgres_csv_spark.functions import texts as X
+
+    k = key if key is not None else X.fingerprint_md5("text")
+    corpus_keys = (
+        corpus_df.select(k.alias("_k"), F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias("matched_corpus_id"))
+    )
+    return (
+        new_df.select(F.col(id_col), k.alias("_k"))
+        .join(corpus_keys, "_k")
+        .select(id_col, "matched_corpus_id")
     )

@@ -99,3 +99,109 @@ register(
     ORDER BY doc_id
     """,
 )(dedup_clusters)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: every 10th document plays the incoming
+# batch; the rest is the standing corpus. Rejected = incoming docs whose
+# normalized-text fingerprint already exists in the corpus. The corpus
+# reduces to a (fingerprint -> min id) table first — content-addressed, so
+# on a real pipeline it persists between ingestion runs and only appends.
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_incremental_rejects",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+      FROM documents
+    ),
+    corpus AS (
+      SELECT k, MIN(doc_id) AS matched_corpus_id
+      FROM fp WHERE doc_id % 10 <> 0 GROUP BY k
+    )
+    SELECT n.doc_id, c.matched_corpus_id
+    FROM (SELECT * FROM fp WHERE doc_id % 10 = 0) n
+    JOIN corpus c USING (k)
+    ORDER BY n.doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        D.incremental_exact_matches(
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0),
+        ).orderBy("doc_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection: connected components close near-dup pairs into
+# clusters; each cluster keeps its best document (longest text, ties by
+# lowest id). The output is the doc -> survivor mapping the rewrite/drop
+# pass consumes. Window over cluster_id — one extra small shuffle on top
+# of the clustering itself.
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_NGRAM_DF_CAP
+    ).select("id_a", "id_b")
+    assign = connected_components(
+        edges, docs.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    ranked = assign.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "survivor_id",
+        F.first("doc_id").over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
+register(
+    "dedup_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM cshingles a
+      JOIN cshingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN csizes sa ON sa.doc_id = a.doc_id
+      JOIN csizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) >= 0.5
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, w.root FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    assign AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node
+    ),
+    ranked AS (
+      SELECT a.doc_id, a.cluster_id,
+             FIRST_VALUE(a.doc_id) OVER (
+               PARTITION BY a.cluster_id
+               ORDER BY d.n_chars DESC, a.doc_id ASC
+             ) AS survivor_id
+      FROM assign a JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, survivor_id,
+           CAST(doc_id = survivor_id AS INT) AS is_survivor
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)(dedup_cluster_survivors)
