@@ -234,7 +234,14 @@ def ivf_centroids(
     corpus sample (first ``sample`` rows by id — reproducible, unlike
     rand-sampling). Fitting is driver-side numpy on n_cells × dim floats —
     the standard IVF shape: the quantizer is tiny even when the corpus is
-    100 TB; only assignment is distributed."""
+    100 TB; only assignment is distributed. ``sample`` is hard-capped so
+    the driver-side collect can never silently become a corpus download."""
+    if sample > 100_000:
+        raise ValueError(
+            f"ivf_centroids sample={sample} exceeds the 100k driver-side cap; "
+            "the coarse quantizer does not improve with more — train on a "
+            "bounded sample"
+        )
     rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)

@@ -237,3 +237,14 @@ def test_substring_windows_all_equi_joins(spark):
     df = registry()["dedup_substring_windows"].fn(spark, SF)
     plan = I.physical_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_corpus_plan_audit_clean(spark):
+    """Corpus-wide lint: no batch query may plan a CartesianProduct or
+    BroadcastNestedLoopJoin unless it is on the audited BY_DESIGN list
+    (tools/plan_audit.py — each entry documents why its shape is bounded).
+    A new query that accidentally goes all-pairs fails here, not at 100 TB."""
+    from tools.plan_audit import audit
+
+    findings = audit(SF)
+    assert findings == {}, findings

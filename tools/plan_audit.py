@@ -1,0 +1,101 @@
+"""Corpus-wide physical-plan lint: flag scale-hostile plan shapes.
+
+For every registered batch query, build the DataFrame (analysis only — no
+action) and scan the physical plan for patterns that do not survive a
+100 TB corpus:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: all-pairs unless the
+  query is on the BY_DESIGN list (tiny pair grids, explicit cross-join
+  semantics, broadcast-bounded probes).
+
+Streaming queries are skipped: materializing them runs an actual
+streaming job, and their stateful operators are plan-asserted in
+tests/test_streaming.py instead.
+
+Usage::
+
+    python -m tools.plan_audit [sf_dir]     # prints findings; exit 1 if any
+
+The test-suite gate is tests/test_plans.py::test_corpus_plan_audit_clean.
+"""
+
+from __future__ import annotations
+
+import sys
+
+# Queries where an unbounded-looking join IS the intended semantics and is
+# bounded by construction. Every entry must say why.
+BY_DESIGN: dict[str, str] = {
+    "join_cross": "the query IS a cross join (tiny dims: region x nation)",
+    "join_theta_nonequi": "non-equi theta join — BNLJ with a broadcast-small side is the plan",
+    "theta_sketch_overlap": "5x5 per-lang sketch pair grid — 10 rows",
+    "similarity_topk_bruteforce": "broadcast query side probing the corpus — bounded by |queries|",
+    "dedup_embedding_cosine": "block-col equi-join; residual BNLJ only within broadcast-tiny blocks",
+    "fuzzy_levenshtein_pairs": "explicit bounded candidate set (blocked pairs)",
+    "join_asof_tolerance": "as-of tolerance join lowers to a range join on broadcast-small side",
+    "join_asof_last_click": "as-of join: range condition over broadcast-small click side",
+    "join_range_interval_overlap": "interval overlap is inherently non-equi; small side broadcast",
+    "join_lateral_topn": "lateral correlated top-n: per-row probe of a broadcast-small side",
+    "events_scd2_intervals": "SCD2 interval reconstruction: non-equi validity-range join, dim-sized",
+    "orders_max_inflight": "interval sweep: non-equi self-overlap on a bounded window",
+    "hist_width_bucket": "bucket spine is a literal few-row range joined non-equi",
+    "recursive_month_spine": "month spine x filter is a tiny generated relation",
+    "subquery_scalar": "scalar subquery becomes a 1-row broadcast",
+    "decontam_overlap": "bench-side DISTINCT set is broadcast; join itself is equi on shingle",
+    # --- scalar-aggregate broadcasts (keys=[] 1-row side; BNLJ is the
+    # correct plan — verified in the executed plan text for each) ---
+    "text_tfidf_topk": "n_docs scalar (HashAggregate keys=[]) broadcast into the idf expression",
+    "text_unigram_logprob": "corpus token-total scalar broadcast",
+    "text_bm25_topk": "avg doc length + n_docs scalars broadcast",
+    "q11_important_parts": "HAVING threshold = scalar fraction of total broadcast",
+    "q22_idle_customers": "avg acctbal threshold scalar broadcast",
+    "data_mixture_weights": "corpus token-total scalar broadcast",
+    "events_funnel": "stage user-count scalars crossed into one conversion row",
+    "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
+    "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
+    "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "similarity_ann_ivf_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
+}
+
+BAD_PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def audit(sf_dir: str) -> dict[str, list[str]]:
+    """Return {query_name: [offending pattern, ...]} for non-whitelisted hits."""
+    import os
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if _repo not in sys.path:
+        sys.path.insert(0, _repo)
+
+    from airflow_postgres_csv_spark.queries import registry
+    from airflow_postgres_csv_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    findings: dict[str, list[str]] = {}
+    for name, rq in registry().items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = rq.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 - audit must see every query
+            findings[name] = [f"PLAN_BUILD_FAILED: {type(exc).__name__}: {exc}"[:200]]
+            continue
+        hits = [p for p in BAD_PATTERNS if p in plan]
+        if hits and name not in BY_DESIGN:
+            findings[name] = hits
+    return findings
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    findings = audit(sf_dir)
+    for name, hits in sorted(findings.items()):
+        print(f"FLAG  {name}: {', '.join(hits)}")
+    print(f"{len(findings)} flagged")
+    sys.exit(1 if findings else 0)
+
+
+if __name__ == "__main__":
+    main()
