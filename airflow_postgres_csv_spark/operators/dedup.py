@@ -57,25 +57,6 @@ def dedup_exact(
     )
 
 
-def _doc_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
-) -> DataFrame:
-    """(id[, extra], shingle) — distinct word-n-gram shingles per doc.
-
-    Tokenizes into a real projection first so the normalize+split pipeline
-    runs once per row, not once per shingle (see texts.ngrams_of_tokens).
-    """
-    return (
-        df.withColumn("_toks", X.tokens(text_col))
-        .select(
-            id_col,
-            *(extra_cols or []),
-            F.explode(X.ngrams_of_tokens(F.col("_toks"), n)).alias("shingle"),
-        )
-        .distinct()
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,13 +172,19 @@ def minhash_signatures(
     engine-portable (DuckDB replays it bit-identically); production swap:
     xxhash64 → two halves of the 64-bit word.
 
-    Keeps the per-doc DISTINCT before hashing: MIN over duplicates equals
-    MIN over distinct values, so correctness allows skipping it, but
-    measured at sf0.1 the md5+base-conversion per duplicate occurrence
-    costs more than the dedup shuffle saves (2.7 s → 3.1 s without it) —
-    hash-per-distinct-shingle wins.
+    Per-doc dedup happens MAP-SIDE via ``array_distinct`` on the per-row
+    shingle array (no distinct() shuffle — the same projection trick as
+    ngram_jaccard_pairs), so the whole stage is one shuffle: explode →
+    groupBy(id) with partial MINs. Hashing still runs once per DISTINCT
+    shingle — measured at sf0.1, hashing duplicate occurrences instead
+    costs more than any shuffle saved (2.7 s → 3.1 s).
     """
-    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    sh = df.withColumn("_toks", X.tokens(text_col)).select(
+        id_col,
+        F.explode(
+            F.array_distinct(X.ngrams_of_tokens(F.col("_toks"), shingle_n))
+        ).alias("shingle"),
+    )
     h = F.md5(F.col("shingle"))
     sh = sh.withColumn("h1", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")).withColumn(
         "h2", F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
