@@ -59,6 +59,22 @@ BY_DESIGN: dict[str, str] = {
 
 BAD_PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+# Queries with selective literal predicates on fixture columns: the filter
+# MUST reach the parquet scan (PushedFilters non-empty), otherwise the scan
+# reads the whole table before filtering — the difference between touching
+# one month and touching 100 TB.
+PUSHDOWN_EXPECT = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_late_shipments",
+    "q14_promo_effect",
+    "q19_disjunctive_revenue",
+    "filter_project",
+    "decontam_overlap",
+)
+
 
 def audit(sf_dir: str) -> dict[str, list[str]]:
     """Return {query_name: [offending pattern, ...]} for non-whitelisted hits."""
@@ -68,6 +84,7 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
     if _repo not in sys.path:
         sys.path.insert(0, _repo)
 
+    from airflow_postgres_csv_spark.plans import introspect as I
     from airflow_postgres_csv_spark.queries import registry
     from airflow_postgres_csv_spark.session import get_spark
 
@@ -85,6 +102,8 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
         hits = [p for p in BAD_PATTERNS if p in plan]
         if hits and name not in BY_DESIGN:
             findings[name] = hits
+        if name in PUSHDOWN_EXPECT and not I.pushed_filters(df):
+            findings.setdefault(name, []).append("NO_PUSHED_FILTERS")
     return findings
 
 
