@@ -463,3 +463,61 @@ register(
     ORDER BY user_id, version
     """,
 )(events_scd2_intervals)
+
+
+# ---------------------------------------------------------------------------
+# Hourly volume anomaly scoring: z-score of each (event_type, hour) count
+# against that type's hourly history. No stddev_samp/STDDEV builtins —
+# Spark (Welford) and DuckDB disagree in the last float ulps — instead the
+# variance is spelled out from exact BIGINT sums with the SAME expression
+# tree on both engines, so every double op is bit-identical IEEE.
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_zscore(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).alias(
+                "bucket_s"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum("n").over(w).cast("double")
+    sq = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    mean = s / cnt
+    var = (sq - s * s / cnt) / (cnt - F.lit(1.0))
+    return (
+        hourly.withColumn("z", (F.col("n") - mean) / F.sqrt(var))
+        .select("event_type", "bucket_s", "n", "z")
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, bucket_s, n,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS cnt,
+             CAST(SUM(n) OVER w AS DOUBLE) AS s,
+             CAST(SUM(n * n) OVER w AS DOUBLE) AS sq
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, bucket_s, n,
+           (n - s / cnt) / sqrt((sq - s * s / cnt) / (cnt - 1.0)) AS z
+    FROM st
+    ORDER BY event_type, bucket_s
+    """,
+)(events_anomaly_zscore)

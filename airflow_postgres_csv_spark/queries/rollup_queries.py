@@ -235,3 +235,63 @@ register(
     ORDER BY user_id
     """,
 )(rollup_time_weighted_avg)
+
+
+# ---------------------------------------------------------------------------
+# Hourly OHLC (open/high/low/close) — the canonical financial/telemetry
+# candle rollup. Open/close are value-at-min/max event time; ties on ts
+# break by event_id so both engines pick the same row (min/max over a
+# (ts, event_id, value) struct — pure built-in aggregates, one shuffle).
+# Values go through the exact DECIMAL(18,2) view so candles hash-match.
+# ---------------------------------------------------------------------------
+
+
+def rollup_ohlc_hourly(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % _HOUR).alias(
+        "bucket_s"
+    )
+    # lexicographic (ts, event_id) composite as a zero-padded string — a
+    # total order both engines agree on (DuckDB arg_min/max take VARCHAR
+    # keys; struct keys do not bind there)
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(bucket, F.col("value"), ordkey.alias("_k"))
+        .groupBy("bucket_s")
+        .agg(
+            F.min_by(dec("value"), F.col("_k")).cast("double").alias("open"),
+            F.max(dec("value")).cast("double").alias("high"),
+            F.min(dec("value")).cast("double").alias("low"),
+            F.max_by(dec("value"), F.col("_k")).cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            dsum("value", "volume"),
+        )
+        .orderBy("bucket_s")
+    )
+
+
+register(
+    "rollup_ohlc_hourly",
+    f"""
+    WITH p AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bucket_s,
+           CAST(arg_min(v, k) AS DOUBLE) AS open,
+           CAST(MAX(v) AS DOUBLE) AS high,
+           CAST(MIN(v) AS DOUBLE) AS low,
+           CAST(arg_max(v, k) AS DOUBLE) AS close,
+           COUNT(*) AS n_trades,
+           CAST(SUM(v) AS DOUBLE) AS volume
+    FROM p
+    GROUP BY bucket_s
+    ORDER BY bucket_s
+    """,
+)(rollup_ohlc_hourly)
