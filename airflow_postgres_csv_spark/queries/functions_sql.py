@@ -1015,3 +1015,49 @@ register(
         .orderBy("name_a", "name_b")
     )
 )
+
+
+# Second string-function tranche: the PostgreSQL-surface functions not in
+# string_funcs (translate/reverse/repeat/left/right/ascii/split_part/
+# trim-with-charset/predicate trio). initcap is Spark-only (DuckDB lacks
+# it), so it is exercised via a locale-free manual equivalent on the
+# oracle side would be fragile — omitted here, covered by text casing in
+# string_funcs (UPPER/LOWER).
+register(
+    "string_funcs2",
+    """
+    SELECT p_partkey,
+           translate(p_brand, '#', '_') AS brand_tr,
+           reverse(p_type) AS type_rev,
+           repeat(p_brand, 2) AS brand2,
+           left(p_name, 6) AS name_l6,
+           right(p_name, 4) AS name_r4,
+           ascii(p_name) AS first_cp,
+           split_part(p_type, ' ', 1) AS type_head,
+           ltrim(p_name, 'aeiou') AS name_novowel_prefix,
+           CAST(contains(p_name, 'an') AS INT) AS has_an,
+           CAST(starts_with(p_type, 'STANDARD') AS INT) AS is_std,
+           CAST(ends_with(p_brand, '5') AS INT) AS brand_ends5
+    FROM part
+    ORDER BY p_partkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.translate("p_brand", "#", "_").alias("brand_tr"),
+            F.reverse("p_type").alias("type_rev"),
+            F.repeat("p_brand", 2).alias("brand2"),
+            F.substring("p_name", 1, 6).alias("name_l6"),
+            F.expr("right(p_name, 4)").alias("name_r4"),
+            F.ascii("p_name").alias("first_cp"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+            F.ltrim(F.col("p_name"), F.lit("aeiou")).alias("name_novowel_prefix"),
+            F.contains(F.col("p_name"), F.lit("an")).cast("int").alias("has_an"),
+            F.startswith(F.col("p_type"), F.lit("STANDARD")).cast("int").alias("is_std"),
+            F.endswith(F.col("p_brand"), F.lit("5")).cast("int").alias("brand_ends5"),
+        )
+        .orderBy("p_partkey")
+    )
+)
