@@ -1061,3 +1061,39 @@ register(
         .orderBy("p_partkey")
     )
 )
+
+
+# Bitwise / boolean / conditional aggregate tranche — integer-exact on
+# both engines (no float accumulation anywhere). median over BIGINT
+# interpolates at most to .5 — exactly representable, engine-stable.
+register(
+    "agg_bit_bool",
+    """
+    SELECT l_returnflag,
+           bit_and(l_orderkey) AS k_and,
+           bit_or(l_orderkey) AS k_or,
+           bit_xor(l_orderkey) AS k_xor,
+           CAST(bool_and(l_quantity > 1) AS INT) AS all_gt1,
+           CAST(bool_or(l_quantity > 49) AS INT) AS any_gt49,
+           count_if(l_discount > 0.05) AS n_disc,
+           CAST(median(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").alias("k_and"),
+            F.bit_or("l_orderkey").alias("k_or"),
+            F.bit_xor("l_orderkey").alias("k_xor"),
+            F.bool_and(F.col("l_quantity") > 1).cast("int").alias("all_gt1"),
+            F.bool_or(F.col("l_quantity") > 49).cast("int").alias("any_gt49"),
+            F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+            F.median(F.col("l_quantity").cast("bigint")).cast("double").alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+)
