@@ -1097,3 +1097,51 @@ register(
         .orderBy("l_returnflag")
     )
 )
+
+
+# Second date/time tranche over events.ts — the time-of-day and
+# year-position extractors date_funcs (orders dates) cannot exercise.
+# minutes_since uses minute-truncated integer arithmetic (DIV) so both
+# engines count minute-boundary crossings identically.
+register(
+    "date_funcs2",
+    """
+    SELECT event_id,
+           quarter(ts) AS qtr,
+           week(ts) AS iso_week,
+           dayofyear(ts) AS doy,
+           hour(ts) AS hh,
+           minute(ts) AS mi,
+           second(ts) AS ss,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) // 60
+             - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 60
+             AS minutes_since
+    FROM events
+    ORDER BY event_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.quarter("ts").cast("long").alias("qtr"),
+            F.weekofyear("ts").cast("long").alias("iso_week"),
+            F.dayofyear("ts").cast("long").alias("doy"),
+            F.hour("ts").cast("long").alias("hh"),
+            F.minute("ts").cast("long").alias("mi"),
+            F.second("ts").cast("long").alias("ss"),
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"),
+            (
+                F.unix_timestamp("ts") / 60
+                - F.unix_timestamp(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+                / 60
+            )
+            .cast("long")
+            .alias("minutes_since"),
+        )
+        .orderBy("event_id")
+    )
+)
