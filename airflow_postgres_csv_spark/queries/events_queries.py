@@ -521,3 +521,63 @@ register(
     ORDER BY event_type, bucket_s
     """,
 )(events_anomaly_zscore)
+
+
+# ---------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) user segmentation — the standard
+# marketing-analytics rollup. Quintile assignment via ntile over a fully
+# deterministic order (metric, then user_id) so both engines tie-break
+# identically; monetary goes through the exact decimal view.
+# Scale note: the unpartitioned ntile windows sort the PER-USER rollup
+# (cardinality = users, not events) — inherent to global quantile
+# assignment; at extreme user counts swap ntile for width_bucket over
+# approx_percentile boundaries to stay partition-parallel.
+# ---------------------------------------------------------------------------
+
+
+def events_rfm_segments(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = e.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("value")).cast("double").alias("monetary"),
+    )
+    return (
+        per_user.withColumn(
+            "r_quintile",
+            F.ntile(5).over(W.orderBy(F.col("last_us").desc(), F.col("user_id"))),
+        )
+        .withColumn(
+            "f_quintile",
+            F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id"))),
+        )
+        .withColumn(
+            "m_quintile",
+            F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("user_id"))),
+        )
+        .select(
+            "user_id", "last_us", "frequency", "monetary",
+            "r_quintile", "f_quintile", "m_quintile",
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_rfm_segments",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             epoch_us(MAX(ts)) AS last_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, last_us, frequency, monetary,
+           ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r_quintile,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_quintile,
+           ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_quintile
+    FROM per_user
+    ORDER BY user_id
+    """,
+)(events_rfm_segments)
