@@ -581,3 +581,63 @@ register(
     ORDER BY user_id
     """,
 )(events_rfm_segments)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival (dwell-time) statistics per user ordered by event time —
+# the session-behavior signal feeding bot detection and engagement scores.
+# Gaps are integer microseconds (lag diffs); mean is exact-int-sum /
+# count and the median interpolates BIGINTs (at worst .5 — exact), so
+# every output is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+def events_interarrival_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            "event_type",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_gap_us"
+            ),
+            F.median("gap_us").cast("double").alias("median_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_us,
+           CAST(median(gap_us) AS DOUBLE) AS median_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(events_interarrival_stats)
