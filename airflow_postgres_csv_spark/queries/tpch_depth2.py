@@ -591,3 +591,74 @@ register(
     LIMIT 20
     """,
 )(q21_sole_late_supplier)
+
+
+# ---------------------------------------------------------------------------
+# q20 analogue — dominant suppliers of a part family (TPC-H q20's
+# "excess stock" shape without the partsupp table: the availqty>half-of-
+# shipped test becomes supplier-shipped-share > 30% of the part's total
+# in the window). Nested semi-join pipeline: parts by name prefix →
+# per-(part, supplier) shipped qty vs per-part total (window, not a
+# join-back) → suppliers passing for ANY part, joined to nation.
+# ---------------------------------------------------------------------------
+
+
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    per = (
+        l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty").cast("double") > 0.3 * F.col("part_qty").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+register(
+    "q20_dominant_part_suppliers",
+    """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM (
+        SELECT l_suppkey, supp_qty,
+               SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per
+      )
+      WHERE CAST(supp_qty AS DOUBLE) > 0.3 * CAST(part_qty AS DOUBLE)
+    )
+    SELECT s_name, n_name AS nation
+    FROM supplier
+    JOIN dominant ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+)(q20_dominant_part_suppliers)
