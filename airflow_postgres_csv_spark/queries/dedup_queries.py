@@ -353,3 +353,63 @@ register(
     ORDER BY d.doc_id
     """,
 )(_substring_windows_fn)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality dashboard rollup: per source, how much of it is exact
+# duplicates (docs sharing a normalized fingerprint with ANY doc in the
+# corpus, survivors excluded from the dup count). The per-source health
+# metric a curation pipeline tracks per crawl batch. Two hash-agg
+# shuffles, no joins wider than fingerprint cardinality.
+# ---------------------------------------------------------------------------
+
+
+def dedup_rate_by_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", "source", X.fingerprint_md5("text").alias("fp")
+    )
+    spread = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("doc_id").alias("survivor_id")
+    )
+    return (
+        fps.join(spread, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("n_fp") > 1) & (F.col("doc_id") != F.col("survivor_id")))
+                .cast("long")
+            ).alias("n_redundant"),
+            F.count_distinct("fp").alias("n_unique_fp"),
+        )
+        .withColumn(
+            "redundancy",
+            F.col("n_redundant").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "dedup_rate_by_source",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source, md5({SQL_NORM}) AS fp FROM documents
+    ),
+    spread AS (
+      SELECT fp, COUNT(*) AS n_fp, MIN(doc_id) AS survivor_id
+      FROM fps GROUP BY fp
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_fp > 1 AND doc_id <> survivor_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+           COUNT(DISTINCT fp) AS n_unique_fp,
+           CAST(SUM(CASE WHEN n_fp > 1 AND doc_id <> survivor_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS redundancy
+    FROM fps JOIN spread USING (fp)
+    GROUP BY source
+    ORDER BY source
+    """,
+)(dedup_rate_by_source)

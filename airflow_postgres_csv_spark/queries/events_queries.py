@@ -641,3 +641,55 @@ register(
     ORDER BY event_type
     """,
 )(events_interarrival_stats)
+
+
+# ---------------------------------------------------------------------------
+# Ordered 3-step path analysis: each user's first three events (by time,
+# event_id tie-break) as a path string, counted across users — the
+# top-paths view of funnel analytics. Ordered string_agg on both engines.
+# ---------------------------------------------------------------------------
+
+
+def events_top_paths(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            # collect in rn order: sort (rn, event_type) structs then strip
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+    )
+
+
+register(
+    "events_top_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    """,
+)(events_top_paths)
