@@ -40,6 +40,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
     "incremental_exact_matches",
+    "ngram_containment_pairs",
 ]
 
 
@@ -123,7 +124,7 @@ def ngram_jaccard_pairs(
         sh = (
             sh.withColumn(
                 "df_count",
-                F.count(F.lit(1)).over(Window.partitionBy(*blk, "shingle")),
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
             )
             .filter(F.col("df_count") <= max_shingle_df)
             .drop("df_count")
@@ -498,4 +499,76 @@ def incremental_exact_matches(
         new_df.select(F.col(id_col), k.alias("_k"))
         .join(corpus_keys, "_k")
         .select(id_col, "matched_corpus_id")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: containment(A in B) = |A∩B| / |A|
+    (Broder's containment, vs the symmetric resemblance/Jaccard). Catches
+    the doc-inside-doc case Jaccard misses: a paragraph fully embedded in
+    a much larger document has low Jaccard but containment ≈ 1.
+
+    Same bucketed shape as :func:`ngram_jaccard_pairs` (shingle
+    equi-self-join, never all-pairs); emits a pair when EITHER direction's
+    containment clears the threshold, with both directions reported.
+    """
+    packed = df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.array(F.array_distinct(X.token_ngrams(text_col, n))),
+                lambda a: F.struct(F.size(a).alias("n"), a.alias("shs")),
+            )
+        ).alias("_p"),
+    )
+    sh = (
+        packed.select(
+            id_col,
+            F.col("_p.n").alias("n_shingles"),
+            F.explode("_p.shs").alias("shingle"),
+        )
+        .withColumn("shingle", F.xxhash64("shingle"))
+        .repartition(F.col("shingle"))
+    )
+    if max_shingle_df is not None:
+        sh = (
+            sh.withColumn(
+                "df_count",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
+            .filter(F.col("df_count") <= max_shingle_df)
+            .drop("df_count")
+            .withColumn(
+                "n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+            )
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    return (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .withColumn(
+            "containment_a", F.col("n_common").cast("double") / F.col("n_a")
+        )
+        .withColumn(
+            "containment_b", F.col("n_common").cast("double") / F.col("n_b")
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )

@@ -413,3 +413,35 @@ register(
     ORDER BY source
     """,
 )(dedup_rate_by_source)
+
+
+# Containment (asymmetric) near-dup: |A∩B|/|A| — flags a small doc fully
+# embedded in a big one, which the symmetric Jaccard measure misses.
+register(
+    "dedup_containment",
+    f"""
+    WITH {_SQL_SHINGLES},
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+             sa.n AS n_a, sb.n AS n_b
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / n_a AS containment_a,
+           CAST(n_common AS DOUBLE) / n_b AS containment_b
+    FROM pair
+    WHERE CAST(n_common AS DOUBLE) / n_a >= 0.8
+       OR CAST(n_common AS DOUBLE) / n_b >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)(
+    lambda spark, sf_dir: (
+        D.ngram_containment_pairs(
+            t(spark, sf_dir, "documents"), threshold=0.8
+        ).orderBy("id_a", "id_b")
+    )
+)
