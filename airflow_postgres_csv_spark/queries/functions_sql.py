@@ -490,8 +490,8 @@ register(
         FROM part
     )
     SELECT p_partkey,
-           array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
-           array_to_string(list_sort(map_values(mp)), ',') AS vals_sorted,
+           COALESCE(array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+           COALESCE(array_to_string(list_sort(map_values(mp)), ',') AS vals_sorted,
            element_at(mp, 'brand')[1] AS brand_val,
            element_at(mp, 'nope')[1] AS missing_val,
            CAST(cardinality(mp) AS INT) AS m_size,
@@ -499,7 +499,7 @@ register(
            CAST(cardinality(map_concat(mp, MAP(['extra'], ['x']))) AS INT)
                AS concat_size,
            CAST(cardinality(mp) AS INT) AS entries_roundtrip_size,
-           array_to_string(list_sort(list_filter(map_keys(mp), k -> k <> 'size')), ',')
+           COALESCE(array_to_string(list_sort(list_filter(map_keys(mp), k -> k <> 'size')), ',')
                AS filtered_keys,
            UPPER(element_at(mp, 'brand')[1]) AS upper_brand
     FROM m
@@ -1143,5 +1143,69 @@ register(
             .alias("minutes_since"),
         )
         .orderBy("event_id")
+    )
+)
+
+
+# Second array tranche: set algebra on arrays, position/remove/slice/
+# flatten/sequence/desc-sort. Set-op outputs are sorted then joined to
+# scalar strings: Spark's array_union/intersect/except preserve
+# first-occurrence order while DuckDB's list_distinct does not guarantee
+# one, so ordering is normalized before comparison.
+register(
+    "array_funcs2",
+    """
+    WITH a AS (
+      SELECT p_partkey,
+             string_split(p_type, ' ') AS ty,
+             string_split(p_name, ' ') AS nm
+      FROM part
+    )
+    SELECT p_partkey,
+           COALESCE(array_to_string(list_sort(list_distinct(list_cat(ty, nm))), ','), '') AS union_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(ty, nm))), ','), '') AS intersect_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(ty, x -> NOT list_contains(nm, x)))), ','), '') AS except_sorted,
+           CAST(coalesce(list_position(ty, 'PLATED'), 0) AS INT) AS plated_pos,
+           COALESCE(array_to_string(list_filter(ty, x -> x <> 'STANDARD'), ','), '') AS no_std,
+           COALESCE(array_to_string(flatten([ty, nm]), ','), '') AS flat,
+           COALESCE(array_to_string(ty[2:len(ty)], ','), '') AS ty_tail,
+           COALESCE(array_to_string(list_transform(range(1, CAST(len(ty) AS BIGINT) + 1),
+                                          i -> CAST(i AS VARCHAR)), ','), '') AS idx_seq,
+           COALESCE(array_to_string(list_sort(nm, 'DESC'), ','), '') AS nm_desc
+    FROM a
+    ORDER BY p_partkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.split("p_type", " ").alias("ty"),
+            F.split("p_name", " ").alias("nm"),
+        )
+        .select(
+            "p_partkey",
+            F.array_join(F.sort_array(F.array_union("ty", "nm")), ",").alias(
+                "union_sorted"
+            ),
+            F.array_join(F.sort_array(F.array_intersect("ty", "nm")), ",").alias(
+                "intersect_sorted"
+            ),
+            F.array_join(F.sort_array(F.array_except("ty", "nm")), ",").alias(
+                "except_sorted"
+            ),
+            F.array_position("ty", "PLATED").cast("int").alias("plated_pos"),
+            F.array_join(F.array_remove("ty", "STANDARD"), ",").alias("no_std"),
+            F.array_join(F.flatten(F.array("ty", "nm")), ",").alias("flat"),
+            F.array_join(F.slice("ty", 2, F.size("ty") - 1), ",").alias("ty_tail"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ty")), lambda i: i.cast("string")
+                ),
+                ",",
+            ).alias("idx_seq"),
+            F.array_join(F.sort_array("nm", asc=False), ",").alias("nm_desc"),
+        )
+        .orderBy("p_partkey")
     )
 )
