@@ -693,3 +693,46 @@ register(
     ORDER BY n_users DESC, path
     """,
 )(events_top_paths)
+
+
+# ---------------------------------------------------------------------------
+# User-growth curve: new users per day (by first-seen day) and the
+# cumulative distinct-user count — computed as first-day dedup + windowed
+# cumulative sum of integers, never a windowed COUNT(DISTINCT) (which
+# would hold per-window user sets in state at scale).
+# ---------------------------------------------------------------------------
+
+
+def events_user_growth(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    first_day = (
+        e.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        first_day.withColumn("cum_users", F.sum("new_users").over(w))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "new_users", "cum_users")
+        .orderBy("day")
+    )
+
+
+register(
+    "events_user_growth",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d, COUNT(*) AS new_users FROM first_day GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           SUM(new_users) OVER (ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_users
+    FROM per_day
+    ORDER BY day
+    """,
+)(events_user_growth)

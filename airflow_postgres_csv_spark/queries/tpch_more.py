@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import dec, dsum, t
@@ -342,3 +343,57 @@ register(
     ORDER BY c_mktsegment
     """,
 )(q22_idle_customers)
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration: suppliers ranked by exact-decimal revenue
+# with running cumulative totals — the 80/20 concentration curve. All
+# outputs are decimal-exact sums and integer ranks (no float threshold
+# filters whose boundary could flip between engines).
+# ---------------------------------------------------------------------------
+
+
+def supplier_pareto(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
+        ).alias("revenue")
+    )
+    w = W.orderBy(F.col("revenue").desc(), "l_suppkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_revenue",
+            F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .select(
+            "l_suppkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "rnk",
+            F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        )
+        .orderBy("rnk")
+    )
+
+
+register(
+    "supplier_pareto",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           row_number() OVER (ORDER BY revenue DESC, l_suppkey) AS rnk,
+           CAST(SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM rev
+    ORDER BY rnk
+    """,
+)(supplier_pareto)
