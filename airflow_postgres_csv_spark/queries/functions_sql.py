@@ -490,8 +490,8 @@ register(
         FROM part
     )
     SELECT p_partkey,
-           COALESCE(array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
-           COALESCE(array_to_string(list_sort(map_values(mp)), ',') AS vals_sorted,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(mp)), ',') AS vals_sorted,
            element_at(mp, 'brand')[1] AS brand_val,
            element_at(mp, 'nope')[1] AS missing_val,
            CAST(cardinality(mp) AS INT) AS m_size,
@@ -499,7 +499,7 @@ register(
            CAST(cardinality(map_concat(mp, MAP(['extra'], ['x']))) AS INT)
                AS concat_size,
            CAST(cardinality(mp) AS INT) AS entries_roundtrip_size,
-           COALESCE(array_to_string(list_sort(list_filter(map_keys(mp), k -> k <> 'size')), ',')
+           array_to_string(list_sort(list_filter(map_keys(mp), k -> k <> 'size')), ',')
                AS filtered_keys,
            UPPER(element_at(mp, 'brand')[1]) AS upper_brand
     FROM m
