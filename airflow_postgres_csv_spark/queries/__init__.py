@@ -22,8 +22,11 @@ Determinism rules for oracle-checked queries (see SURVEY.md §7 traps):
 from __future__ import annotations
 
 import importlib
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -64,73 +67,77 @@ class RegisteredQuery:
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 # The driver's correctness gate samples the FIRST 50 registered queries, so
-# registration order is part of the contract: this priority window lists one
-# (or more) representative per SURVEY.md §2.1/§2.2/§2.3 family so every
-# family gets a hard driver-verified CORRECTNESS row each round. Everything
-# not named here follows in module registration order and stays covered by
-# tools/verify_local.py (same methodology, run locally over all queries).
-_PRIORITY: tuple[str, ...] = (
-    # §2.2 relational core: scan/sample, filter, agg, approx, sort, sets,
-    # subqueries, windows.
-    "q1_pricing_summary",
-    "scan_hash_sample",
-    "filter_project",
-    "agg_grouping_sets",
-    "approx_percentile_accuracy",
-    "sort_limit_topk",
-    "set_intersect_all",
-    "subquery_exists_correlated",
-    "recursive_month_spine",
-    "window_topk_per_group",
-    # §2.2 joins (inner/outer/lateral + TPC-H depth).
-    "join_orders_customer_inner",
-    "join_full_outer",
-    "q3_shipping_priority",
-    "join_lateral_topn",
-    "q5_local_supplier_volume",
-    "q9_nation_profit",
-    # §2.2 scalar-function families.
-    "string_funcs",
-    "date_funcs",
-    "math_funcs_exact",
-    "array_funcs",
-    "json_funcs",
-    "map_funcs",
-    "conditional_funcs",
-    "cast_funcs",
-    "pivot_status_by_flag",
-    # §2.1 ETL surface (CSV export/import dialects, JSONL).
-    "csv_roundtrip_customer",
-    "csv_roundtrip_dialect",
-    "jsonl_roundtrip_documents",
-    # §2.3 dedup family.
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # §2.3 similarity search.
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh_recall",
-    "similarity_ann_ivf_recall",
-    # §2.3 text analysis / chunking / packing.
-    "text_lang_id",
-    "text_tfidf_topk",
-    "text_chunk_windows",
-    "text_repetition",
-    "text_pack_sequences",
-    # §2.3 events, live streaming, temporal, merge, rollup.
-    "events_sessionization",
-    "streaming_session_live",
-    "join_asof_last_click",
-    "join_range_interval_overlap",
-    "merge_upsert_customer",
-    "rollup_gapfill_locf",
-    # §2.3 multimodal, embedding pipeline, sampling.
-    "multimodal_decode_meta",
-    "pipeline_embed_texts",
-    "sample_stratified_lang",
+# registration order is part of the contract. The 50-name window is
+# ANCHORS + a deterministic ROTATION:
+#
+# - ``_ANCHORS`` — one representative per coarse SURVEY.md §2 family, pinned
+#   every round so each family always has a fresh driver-verified
+#   CORRECTNESS row.
+# - The remaining ``50 - len(_ANCHORS)`` slots are filled with names that
+#   have NEVER appeared in any committed ``CORRECTNESS_r*.json`` (sorted by
+#   name), so the whole corpus accumulates driver-grade evidence across
+#   rounds instead of re-grading the same 50 forever. Once every query has
+#   been graded at least once, slots refill with the LEAST-RECENTLY graded
+#   names (by last round seen, then name) — a stable round-robin.
+#
+# The schedule is a pure function of the committed CORRECTNESS files, so it
+# advances exactly once per round and is reproducible from a checkout.
+# Everything outside the window stays covered by tools/verify_local.py
+# (same rows+schema+hash methodology, run locally over all queries).
+_WINDOW_SIZE = 50
+
+_ANCHORS: tuple[str, ...] = (
+    "q1_pricing_summary",  # §2.2 scan/agg/sort (TPC-H q1)
+    "q9_nation_profit",  # §2.2 multi-way joins
+    "agg_grouping_sets",  # §2.2 advanced aggregation
+    "window_topk_per_group",  # §2.2 window functions
+    "recursive_month_spine",  # §2.2 subqueries/CTE/recursive
+    "string_funcs",  # §2.2 scalar string/regexp fns
+    "array_funcs",  # §2.2 array/map/json/lambda fns
+    "cast_funcs",  # §2.2 conditional/null/cast + ANSI opt-outs
+    "csv_roundtrip_dialect",  # §2.1 ETL CSV surface
+    "dedup_minhash_lsh",  # §2.3 dedup family
+    "similarity_topk_bruteforce",  # §2.3 similarity search
+    "text_tfidf_topk",  # §2.3 text analysis
+    "streaming_session_live",  # §2.3 structured streaming
+    "events_sessionization",  # §2.3 events/temporal
+    "multimodal_decode_meta",  # §2.3 multimodal columns
 )
+
+
+def _correctness_history() -> dict[str, int]:
+    """Map query name -> last round number it was driver-graded in.
+
+    Reads the committed ``CORRECTNESS_r*.json`` artifacts at the repo root;
+    returns {} when none are present (fresh checkout), in which case the
+    rotation is simply the alphabetical head of the non-anchor corpus.
+    """
+    root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            graded = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(graded, dict):
+            continue
+        for name in graded:
+            last[name] = max(rnd, last.get(name, 0))
+    return last
+
+
+def priority_window(all_names: list[str]) -> list[str]:
+    """The 50 names the driver will grade this round, in order."""
+    last = _correctness_history()
+    pool = [n for n in all_names if n not in _ANCHORS]
+    # Never graded first (alphabetical), then least-recently graded.
+    pool.sort(key=lambda n: (last.get(n, 0), n))
+    window = list(_ANCHORS) + pool[: _WINDOW_SIZE - len(_ANCHORS)]
+    return window[:_WINDOW_SIZE]
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -152,10 +159,11 @@ def _load_all() -> None:
 
 def registry() -> dict[str, RegisteredQuery]:
     _load_all()
-    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    missing = [n for n in _ANCHORS if n not in _REGISTRY]
     if missing:
-        raise RuntimeError(f"_PRIORITY names unknown queries: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+        raise RuntimeError(f"_ANCHORS names unknown queries: {missing}")
+    window = priority_window(list(_REGISTRY))
+    ordered = {n: _REGISTRY[n] for n in window}
     ordered.update((n, rq) for n, rq in _REGISTRY.items() if n not in ordered)
     return ordered
 

@@ -1,0 +1,71 @@
+"""Regression guard for the driver-graded sample window.
+
+The driver grades the FIRST 50 registered queries, so registration order is
+load-bearing: an accidental import reorder or a rotation bug would silently
+swap the graded set. These tests pin the contract:
+
+- the window is exactly ``priority_window(...)`` (anchors + rotation);
+- every anchor (one per coarse SURVEY.md §2 family) is in the window;
+- the rotation actually advances coverage — at least 35 window names were
+  never graded in any committed ``CORRECTNESS_r*.json``, until the corpus
+  is exhausted, after which slots refill least-recently-graded first.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from airflow_postgres_csv_spark.queries import (
+    _ANCHORS,
+    _WINDOW_SIZE,
+    _correctness_history,
+    priority_window,
+    registry,
+)
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_first_50_is_priority_window():
+    reg = registry()
+    names = list(reg)
+    assert names[:_WINDOW_SIZE] == priority_window(names)
+
+
+def test_anchors_registered_and_in_window():
+    names = list(registry())
+    window = set(names[:_WINDOW_SIZE])
+    assert set(_ANCHORS) <= window
+    assert len(set(_ANCHORS)) == len(_ANCHORS)
+
+
+def test_rotation_prefers_never_graded():
+    names = list(registry())
+    window = names[:_WINDOW_SIZE]
+    history = _correctness_history()
+    never = [n for n in names if n not in history and n not in _ANCHORS]
+    rotated = [n for n in window if n not in _ANCHORS]
+    want = min(len(rotated), len(never))
+    got = sum(1 for n in rotated if n not in history)
+    assert got == want, f"rotation should take never-graded first: {got} != {want}"
+
+
+def test_window_names_all_registered_and_unique():
+    reg = registry()
+    window = list(reg)[:_WINDOW_SIZE]
+    assert len(window) == len(set(window)) == _WINDOW_SIZE
+    assert all(n in reg for n in window)
+
+
+def test_history_parses_committed_artifacts():
+    # At round >= 4 the repo carries CORRECTNESS_r01..r03; the parser must
+    # see them (guards against a path-resolution regression after a move).
+    files = sorted(ROOT.glob("CORRECTNESS_r*.json"))
+    if not files:  # fresh checkout — rotation degrades to alphabetical head
+        return
+    history = _correctness_history()
+    union = set()
+    for f in files:
+        union |= set(json.loads(f.read_text()))
+    assert set(history) == union
