@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from airflow_postgres_csv_spark.operators.global_order import with_global_order_stats
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import dec, t
 
@@ -542,20 +543,19 @@ def events_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("value")).cast("double").alias("monetary"),
     )
+    # Three global quintiles over user-cardinality aggregates: each uses the
+    # distributed bucket-offset ntile (operators/global_order.py), never an
+    # unpartitioned window — users scale with the corpus.
+    for col, out in (
+        ("last_us", "r_quintile"),
+        ("frequency", "f_quintile"),
+        ("monetary", "m_quintile"),
+    ):
+        per_user = with_global_order_stats(
+            per_user, col, descending=True, tiebreak="user_id", ntile=5, ntile_col=out
+        )
     return (
-        per_user.withColumn(
-            "r_quintile",
-            F.ntile(5).over(W.orderBy(F.col("last_us").desc(), F.col("user_id"))),
-        )
-        .withColumn(
-            "f_quintile",
-            F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id"))),
-        )
-        .withColumn(
-            "m_quintile",
-            F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("user_id"))),
-        )
-        .select(
+        per_user.select(
             "user_id", "last_us", "frequency", "monetary",
             "r_quintile", "f_quintile", "m_quintile",
         )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from airflow_postgres_csv_spark.operators.global_order import with_global_order_stats
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import dec, dsum, t
 
@@ -360,12 +361,17 @@ def supplier_pareto(spark, sf_dir):
             dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
         ).alias("revenue")
     )
-    w = W.orderBy(F.col("revenue").desc(), "l_suppkey")
+    # Global rank + running revenue over supplier-cardinality aggregates via
+    # the distributed bucket-offset scheme (operators/global_order.py) — an
+    # unpartitioned window here would serialize every supplier to one task.
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .withColumn(
-            "cum_revenue",
-            F.sum("revenue").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        with_global_order_stats(
+            rev,
+            "revenue",
+            descending=True,
+            tiebreak="l_suppkey",
+            rank_col="rnk",
+            cumsum={"cum_revenue": F.col("revenue")},
         )
         .select(
             "l_suppkey",

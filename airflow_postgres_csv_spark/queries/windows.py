@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from airflow_postgres_csv_spark.operators.global_order import with_global_order_stats
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import dec, t
 
@@ -202,17 +203,27 @@ register(
 
 
 def _ntile_first_last(spark, sf_dir):
+    """Global NTILE(4) without a single-partition window.
+
+    ``ntile`` over an unpartitioned ``Window.orderBy`` serializes the whole
+    table onto one task; ``with_global_order_stats`` reconstructs the exact
+    same quartiles with partitioned shuffles only (bucket-by-value, local
+    row_number, broadcast bucket offsets — see operators/global_order.py).
+    """
     wn = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     frame = wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    # NTILE over the whole table: single-partition window — acceptable only
-    # because it's the documented PG semantic; at scale prefer ntile within
-    # a partition key or a percent_rank-based bucketing.
-    wg = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
-        t(spark, sf_dir, "customer")
+        with_global_order_stats(
+            t(spark, sf_dir, "customer"),
+            "c_acctbal",
+            descending=True,
+            tiebreak="c_custkey",
+            ntile=4,
+            ntile_col="quartile",
+        )
         .select(
             "c_custkey",
-            F.ntile(4).over(wg).alias("quartile"),
+            "quartile",
             F.first("c_custkey").over(frame).alias("richest_in_nation"),
             F.last("c_custkey").over(frame).alias("poorest_in_nation"),
         )

@@ -21,6 +21,7 @@ The test-suite gate is tests/test_plans.py::test_corpus_plan_audit_clean.
 
 from __future__ import annotations
 
+import re
 import sys
 
 # Queries where an unbounded-looking join IS the intended semantics and is
@@ -55,9 +56,34 @@ BY_DESIGN: dict[str, str] = {
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
     "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_ivf_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "window_ntile_first_last": (
+        "distributed global-ntile: 1-row min/max scalar broadcast + running-sum "
+        "theta-join over the 64-row bucket-count table (B^2 = 4096 pairs max)"
+    ),
+    "events_rfm_segments": (
+        "distributed global-ntile x3 (global_order.py): scalar stats broadcast + "
+        "64-row bucket-offset theta-joins"
+    ),
+    "supplier_pareto": (
+        "distributed global rank/cumsum (global_order.py): scalar stats broadcast "
+        "+ 64-row bucket-offset theta-join"
+    ),
 }
 
 BAD_PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# Queries allowed to keep an UNPARTITIONED window (single-task sort): the
+# windowed relation must be bounded by construction, not by the corpus.
+# Unbounded global orderings use operators/global_order.py instead.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "events_user_growth": "window over calendar days — bounded by time span, not corpus size",
+    "orders_max_inflight": "interval sweep over distinct days — bounded by time span",
+    "text_bm25_topk": "rank window runs over the top-20 survivors of TakeOrderedAndProject",
+    "sql_string_surface": "rank over c_mktsegment groups — 5 rows",
+}
+
+# First windowspecdefinition arg is an ordering column => no partition keys.
+_GLOBAL_WINDOW_RE = r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)"
 
 # Queries with selective literal predicates on fixture columns: the filter
 # MUST reach the parquet scan (PushedFilters non-empty), otherwise the scan
@@ -102,6 +128,8 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
         hits = [p for p in BAD_PATTERNS if p in plan]
         if hits and name not in BY_DESIGN:
             findings[name] = hits
+        if re.search(_GLOBAL_WINDOW_RE, plan) and name not in GLOBAL_WINDOW_OK:
+            findings.setdefault(name, []).append("UNPARTITIONED_WINDOW")
         if name in PUSHDOWN_EXPECT and not I.pushed_filters(df):
             findings.setdefault(name, []).append("NO_PUSHED_FILTERS")
     return findings
