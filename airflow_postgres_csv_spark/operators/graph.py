@@ -3,29 +3,30 @@
 Near-dup pipelines don't stop at pairs: (a,b) and (b,c) must collapse into
 one cluster with one survivor, which is a connected-components problem over
 the pair graph. The reference has no analog (extension surface,
-SURVEY.md §2.3); semantics = transitive closure of the edge set.
+SURVEY.md §2.3); semantics = transitive closure of the edge set, every node
+labeled with the minimum id reachable from it — a canonical,
+iteration-order-independent cluster id (which is what makes the result
+oracle-checkable against a DuckDB recursive-CTE transitive closure).
 
-Algorithm: iterative min-label propagation. Every node starts labeled with
-its own id; each round replaces a node's label with the minimum label in
-its closed neighborhood; at the fixpoint every node carries the minimum id
-reachable from it — a canonical, iteration-order-independent cluster id
-(which is what makes the result oracle-checkable against a DuckDB
-recursive-CTE transitive closure).
+Two implementations, same contract:
 
-100 TB design notes:
-- Each round is one shuffle join (symmetric edges ⋈ labels) + one groupBy
-  — all DataFrame ops, executed distributed; the driver loop only checks
-  a 1-row convergence aggregate per round.
-- Rounds needed = graph diameter. Near-dup graphs are unions of small
-  dense cliques (diameter ~2-4); for adversarial long-chain graphs switch
-  to the large-star/small-star algorithm (Kiveris et al., "Connected
-  Components in MapReduce and Beyond") — same join primitive, O(log n)
-  rounds.
+- ``connected_components`` (default) — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14). Each half-round is one equi-join + one groupBy over the edge
+  list; the edge set converges to a union of stars (every member pointing
+  at its component minimum) in **O(log n) rounds regardless of graph
+  diameter** — a 100 TB near-dup chain of any length converges within the
+  default budget, where per-hop propagation needs diameter rounds.
+- ``connected_components_propagation`` — the min-label-propagation loop,
+  kept as the independent cross-check (tests compare the two on random
+  graphs). Rounds = graph diameter; raises beyond ``max_iter``.
+
+Shared 100 TB design notes:
+- All per-round work is DataFrame joins/groupBys (distributed); the driver
+  loop only collects scalar convergence aggregates.
 - ``localCheckpoint`` truncates lineage each round so the plan doesn't
   grow with iterations (the classic iterative-algorithm OOM trap).
-- Convergence test: Σ labels is strictly decreasing until the fixpoint
-  (labels only ever decrease), so comparing one DECIMAL(38,0) sum per
-  round is an exact, overflow-safe stop condition.
+- Both raise rather than returning an unconverged (garbage) labeling.
 """
 
 from __future__ import annotations
@@ -33,7 +34,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_propagation"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's closed-neighborhood min.
+
+    Input/output: undirected edge list (u, v), each edge in one canonical
+    orientation, no self-loops.
+    """
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-neighbor star, rewire everything to the min."""
+    # Direct each edge from the larger to the smaller endpoint.
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    j = d.join(mins, "u")
+    rewired = j.where(F.col("v") != F.col("m")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    center = j.select(F.col("u"), F.col("m").alias("v")).distinct()
+    return rewired.unionByName(center).where(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components(
@@ -48,9 +83,65 @@ def connected_components(
 
     ``edges`` is an undirected pair list (each pair once, either order);
     ``nodes`` is the full node universe (isolated nodes come out as
-    singleton clusters labeled with their own id). Raises if the fixpoint
-    is not reached within ``max_iter`` rounds — a converged result is the
-    correctness contract, not a best effort.
+    singleton clusters labeled with their own id). Alternating
+    large-star/small-star: O(log n) rounds, so ``max_iter=25`` covers any
+    physically storable graph. Raises if the fixpoint is not reached — a
+    converged result is the correctness contract, not a best effort.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    converged = e.isEmpty()
+    if not converged:
+        for _ in range(max_iter):
+            e1 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # Exact set equality: equal counts + one-sided difference empty.
+            converged = e1.count() == e.count() and e1.exceptAll(e).isEmpty()
+            e = e1
+            if converged:
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+
+    # At the fixpoint the edge set is a union of stars (member -> root, with
+    # member > root); roots and isolated nodes label themselves.
+    member_root = e.select(
+        F.greatest("u", "v").alias("n"), F.least("u", "v").alias("root")
+    ).groupBy("n").agg(F.min("root").alias("root"))
+    return (
+        nodes.select(F.col(id_col).alias("n"))
+        .join(member_root, "n", "left")
+        .select(
+            F.col("n").alias(id_col),
+            F.coalesce("root", F.col("n")).alias("cluster_id"),
+        )
+    )
+
+
+def connected_components_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation baseline — O(graph diameter) rounds.
+
+    Kept as the independent oracle cross-check for ``connected_components``;
+    prefer the star algorithm for anything that might contain long chains.
+    Convergence test: Σ labels is strictly decreasing until the fixpoint
+    (labels only ever decrease), so comparing one DECIMAL(38,0) sum per
+    round is an exact, overflow-safe stop condition.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -6,7 +6,10 @@ import pytest
 from pyspark.sql import Row
 
 from airflow_postgres_csv_spark.operators.decontam import contaminated_docs
-from airflow_postgres_csv_spark.operators.graph import connected_components
+from airflow_postgres_csv_spark.operators.graph import (
+    connected_components,
+    connected_components_propagation,
+)
 
 
 def _assign(spark, edges, nodes, **kw):
@@ -33,6 +36,38 @@ def test_cc_edge_order_invariant(spark):
 def test_cc_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _assign(spark, [(i, i + 1) for i in range(1, 12)], list(range(1, 13)), max_iter=2)
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """A 60-deep path graph: diameter 60 > 25, so per-hop propagation
+    exhausts its round budget, while the large-star/small-star default
+    converges in O(log n) rounds (VERDICT r3 'Next round' #3)."""
+    edges = [(i, i + 1) for i in range(60)]
+    nodes = list(range(61))
+    got = _assign(spark, edges, nodes)  # default max_iter=25
+    assert got == {i: 0 for i in nodes}
+
+    e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    n = spark.createDataFrame([(x,) for x in nodes], "id bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_propagation(e, n).collect()
+
+
+def test_cc_star_matches_propagation_on_random_graphs(spark):
+    """The two algorithms are independent derivations of the same closure;
+    they must agree exactly on random sparse graphs (incl. cliques,
+    isolated nodes, and multi-component mixes)."""
+    import random
+
+    rng = random.Random(404)
+    nodes = list(range(80))
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    n = spark.createDataFrame([(x,) for x in nodes], "id bigint")
+    star = {r.id: r.cluster_id for r in connected_components(e, n).collect()}
+    prop = {r.id: r.cluster_id for r in connected_components_propagation(e, n).collect()}
+    assert star == prop
 
 
 def test_contaminated_docs_flags_exact_overlap(spark):
