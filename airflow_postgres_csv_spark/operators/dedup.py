@@ -402,6 +402,7 @@ def embedding_near_dup_pairs(
     auto_lsh_tables: int = 4,
     seed: int = 42,
     allow_quadratic: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — equi-join blocked by default.
 
@@ -420,6 +421,11 @@ def embedding_near_dup_pairs(
       tables.
     - ``allow_quadratic=True``: explicit all-pairs opt-in, small inputs
       only (tests / pre-filtered candidate sets).
+
+    ``dim`` (auto-LSH path only): the embedding dimensionality. Pass it in
+    pipelines to keep plan construction fully lazy — when absent, a
+    driver-side ``first()`` probe runs one job just to learn the vector
+    width (and an empty input yields an empty pair set, not a crash).
     """
     a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")]
     b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")]
@@ -440,7 +446,17 @@ def embedding_near_dup_pairs(
         )
         import numpy as np
 
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            probe = df.select(vec_col).first()
+            if probe is None or probe[0] is None:
+                # Empty input: every other path returns an empty pair set —
+                # so does this one, instead of a NoneType crash.
+                return df.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
+            dim = len(probe[0])
         planes_stack = np.vstack(
             [
                 np.asarray(random_hyperplanes(dim, auto_lsh_planes, seed + t))

@@ -95,9 +95,16 @@ def sample_weighted_bernoulli(
     decided by an md5-derived 32-bit uniform of the row key — so the
     sample is reproducible from content alone (no RNG state), stable
     under re-partitioning/retries, and exactly replayable by another
-    engine. The inclusion test is pure 64-bit integer arithmetic
-    (``u32 * rate_denom < 2^32 * weight``): no float rounding to diverge
-    between engines.
+    engine. The inclusion test is 64-bit integer arithmetic against a
+    fixed-point threshold::
+
+        u32 * rate_denom  <  2^32 * floor(w) + round(frac(w) * 2^32)
+
+    For integral weights the threshold is exactly ``2^32 * w`` (bit-for-bit
+    the historical pure-integer contract); fractional weights quantize the
+    fractional part to 1/2^32 — e.g. a 0.7 quality score at the default
+    denom samples with probability 0.7/100000, not 0 (a plain
+    ``cast("long")`` would floor it to nothing, silently).
 
     This is the importance-sampling primitive of mixture building: set
     ``weight`` to a quality score, token count, or per-source up/down
@@ -112,7 +119,8 @@ def sample_weighted_bernoulli(
         16,
         10,
     ).cast("long")
+    wl = F.floor(w).cast("long")
+    frac = w.cast("double") - wl.cast("double")
+    thr = F.lit(1 << 32) * wl + F.round(frac * F.lit(float(1 << 32))).cast("long")
     out = df.withColumn("u32", u32)
-    return out.filter(
-        F.col("u32") * F.lit(rate_denom) < F.lit(1 << 32) * w.cast("long")
-    )
+    return out.filter(F.col("u32") * F.lit(rate_denom) < thr)

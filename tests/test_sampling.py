@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.operators.sampling import (
     sample_stratified_quota,
+    sample_weighted_bernoulli,
     split_train_test,
 )
 
@@ -61,3 +62,45 @@ def test_split_deterministic_across_runs(spark):
     a = {(r.doc_id, r.split) for r in split_train_test(df, "doc_id").collect()}
     b = {(r.doc_id, r.split) for r in split_train_test(df.repartition(5), "doc_id").collect()}
     assert a == b
+
+
+def test_weighted_bernoulli_fractional_weights(spark):
+    """A fractional weight must sample at its documented probability
+    min(1, w/denom), not be floored to zero (ADVICE r3, medium): weight
+    0.5 at denom 1 keeps ~half the rows, deterministically."""
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = sample_weighted_bernoulli(df, F.lit(0.5), rate_denom=1).count()
+    assert 850 <= got <= 1150  # md5-uniform, 2000 trials at p=0.5
+    # replay-identical (content-hash decision, no RNG state)
+    again = sample_weighted_bernoulli(df, F.lit(0.5), rate_denom=1).count()
+    assert got == again
+
+
+def test_weighted_bernoulli_integer_weights_bit_compatible(spark):
+    """Integral weights keep the historical pure-integer threshold
+    2^32 * w exactly — the registered oracle depends on it."""
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    new = sample_weighted_bernoulli(df, "w", rate_denom=10)
+    old = df.withColumn(
+        "u32",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+    ).filter(F.col("u32") * F.lit(10) < F.lit(1 << 32) * F.col("w").cast("long"))
+    assert sorted(r.doc_id for r in new.collect()) == sorted(
+        r.doc_id for r in old.collect()
+    )
+
+
+def test_weighted_bernoulli_degenerate_weights(spark):
+    """w >= denom => always kept; w <= 0 => never kept."""
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    assert sample_weighted_bernoulli(df, F.lit(5.0), rate_denom=5).count() == 100
+    assert sample_weighted_bernoulli(df, F.lit(0.0), rate_denom=5).count() == 0
+    assert sample_weighted_bernoulli(df, F.lit(-0.7), rate_denom=5).count() == 0
