@@ -68,6 +68,12 @@ def statement_timeout(
             done.wait(0.25)
 
     timer = threading.Thread(target=_watchdog, daemon=True)
+    # Capture the caller's job-group properties so nesting is safe: an
+    # enclosing statement_timeout (or any caller-set job group) must get its
+    # group back when this guard exits, or its watchdog could no longer
+    # cancel jobs submitted after the inner block (ADVICE r3).
+    _KEYS = ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel")
+    saved = {k: sc.getLocalProperty(k) for k in _KEYS}
     sc.setJobGroup(group, description, interruptOnCancel=True)
     timer.start()
     try:
@@ -86,8 +92,8 @@ def statement_timeout(
         raise
     finally:
         done.set()
-        # clearJobGroup is gone in PySpark 4 — reset the thread-local
-        # properties setJobGroup wrote
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        sc.setLocalProperty("spark.job.description", None)
-        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+        # clearJobGroup is gone in PySpark 4 — restore the thread-local
+        # properties setJobGroup wrote to their pre-guard values (None for
+        # a top-level guard; the enclosing group when nested).
+        for k, v in saved.items():
+            sc.setLocalProperty(k, v)

@@ -1101,8 +1101,12 @@ register(
 
 # Second date/time tranche over events.ts — the time-of-day and
 # year-position extractors date_funcs (orders dates) cannot exercise.
-# minutes_since uses minute-truncated integer arithmetic (DIV) so both
-# engines count minute-boundary crossings identically.
+# minutes_since subtracts exact minute indexes: each side is
+# epoch(date_trunc minute)/60, whose quotient is integral by construction
+# (epochs of minute boundaries are divisible by 60), so trunc-vs-floor
+# semantics cannot diverge even for events before the 2024 anchor
+# (ADVICE r3: the old double-division + cast('long') truncated toward
+# zero while the oracle floors).
 register(
     "date_funcs2",
     """
@@ -1133,14 +1137,11 @@ register(
             F.second("ts").cast("long").alias("ss"),
             F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"),
             (
-                F.unix_timestamp("ts") / 60
-                - F.unix_timestamp(
-                    F.lit("2024-01-01 00:00:00").cast("timestamp")
-                )
-                / 60
-            )
-            .cast("long")
-            .alias("minutes_since"),
+                (F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 60).cast("long")
+                - (
+                    F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")) / 60
+                ).cast("long")
+            ).alias("minutes_since"),
         )
         .orderBy("event_id")
     )

@@ -49,3 +49,19 @@ def test_timeout_does_not_mask_real_errors(spark):
         with statement_timeout(spark, timeout_minutes=5, description="bad"):
             spark.sql("SELECT * FROM nonexistent_table_xyz").count()
     assert not isinstance(ei.value, QueryTimeoutError)
+
+
+def test_nested_guards_restore_outer_group(spark):
+    """Exiting an inner guard must restore the enclosing guard's job group
+    (not wipe it to None), so the outer watchdog can still cancel jobs
+    submitted after the inner block (ADVICE r3)."""
+    sc = spark.sparkContext
+    with statement_timeout(spark, 10.0, "outer"):
+        outer_group = sc.getLocalProperty("spark.jobGroup.id")
+        assert outer_group and outer_group.startswith("stmt_timeout_")
+        with statement_timeout(spark, 10.0, "inner"):
+            inner_group = sc.getLocalProperty("spark.jobGroup.id")
+            assert inner_group != outer_group
+        assert sc.getLocalProperty("spark.jobGroup.id") == outer_group
+        assert sc.getLocalProperty("spark.job.description") == "outer"
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
