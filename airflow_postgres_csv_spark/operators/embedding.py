@@ -52,6 +52,31 @@ def embed_texts(
     return df.withColumn(out, _encode_batch(F.col(text_col)))
 
 
+# One model per executor Python process: module globals are per-process, so
+# this cache is exactly the "load once per worker" contract.
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _encode_texts_batch(
+    texts: list[str],
+    model_name: str,
+    batch_size: int,
+    cache: dict[str, object] | None = None,
+) -> list[list[float]]:
+    """Executor-side batch encode: lazy per-process model singleton + one
+    ``model.encode`` call per Arrow batch. Kept as a plain function so the
+    contract is unit-testable with a stubbed ``sentence_transformers``
+    module (no network / model download)."""
+    import sentence_transformers as st
+
+    cache = _MODEL_CACHE if cache is None else cache
+    model = cache.get(model_name)
+    if model is None:
+        model = cache[model_name] = st.SentenceTransformer(model_name)
+    vecs = model.encode(texts, batch_size=batch_size, show_progress_bar=False)
+    return [list(map(float, v)) for v in vecs]
+
+
 def embed_texts_real(
     df: DataFrame,
     model_name: str = "all-MiniLM-L6-v2",
@@ -79,16 +104,6 @@ def embed_texts_real(
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _encode_batch(texts: pd.Series) -> pd.Series:
-        # executor-side lazy singleton: one model per Python worker process
-        import sentence_transformers as st
-
-        cache = _encode_batch.__dict__.setdefault("_models", {})
-        model = cache.get(model_name)
-        if model is None:
-            model = cache[model_name] = st.SentenceTransformer(model_name)
-        vecs = model.encode(
-            texts.tolist(), batch_size=batch_size, show_progress_bar=False
-        )
-        return pd.Series([list(map(float, v)) for v in vecs])
+        return pd.Series(_encode_texts_batch(texts.tolist(), model_name, batch_size))
 
     return df.withColumn(out, _encode_batch(F.col(text_col)))
