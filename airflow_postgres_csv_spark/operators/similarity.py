@@ -31,6 +31,7 @@ from airflow_postgres_csv_spark.operators.dedup import cosine_expr
 
 __all__ = [
     "topk_cosine_bruteforce",
+    "radius_cosine_search",
     "random_hyperplanes",
     "lsh_bucket_topk",
     "ivf_centroids",
@@ -76,6 +77,40 @@ def topk_cosine_bruteforce(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def radius_cosine_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Range (radius) search: every corpus vector with cosine >= radius of
+    each query — the fixed-threshold sibling of top-k (retrieval recall
+    sweeps, near-duplicate probes, GDPR-style similarity lookups).
+
+    Same scale shape as :func:`topk_cosine_bruteforce`: the query side is
+    broadcast and the corpus streams map-side (one scan, no shuffle at
+    all — unlike top-k there is no ranking window), so cost is
+    O(|corpus| * |queries|) compute with zero data movement. For
+    corpus-side pre-filtering at very large |queries|, feed the blocked
+    pair set from the LSH/IVF operators instead.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(vec_col, "_qvec").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= radius)
     )
 
 

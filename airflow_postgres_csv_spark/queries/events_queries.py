@@ -529,10 +529,10 @@ register(
 # marketing-analytics rollup. Quintile assignment via ntile over a fully
 # deterministic order (metric, then user_id) so both engines tie-break
 # identically; monetary goes through the exact decimal view.
-# Scale note: the unpartitioned ntile windows sort the PER-USER rollup
-# (cardinality = users, not events) — inherent to global quantile
-# assignment; at extreme user counts swap ntile for width_bucket over
-# approx_percentile boundaries to stay partition-parallel.
+# Scale note: each quintile is a distributed bucket-offset ntile over the
+# PER-USER rollup (cardinality = users) — partition-parallel at any user
+# count; the rollup itself is checkpointed once so the three orderings
+# (and their min/max scalar passes) don't re-aggregate the events scan.
 # ---------------------------------------------------------------------------
 
 
@@ -542,7 +542,7 @@ def events_rfm_segments(spark, sf_dir):
         F.unix_micros(F.max("ts")).alias("last_us"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("value")).cast("double").alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
     # Three global quintiles over user-cardinality aggregates: each uses the
     # distributed bucket-offset ntile (operators/global_order.py), never an
     # unpartitioned window — users scale with the corpus.

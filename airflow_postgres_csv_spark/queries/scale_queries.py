@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.plans.skew import replicated_skew_join, salted_agg
 from airflow_postgres_csv_spark.queries import register
-from airflow_postgres_csv_spark.queries._helpers import dec, sql_dsum, t
+from airflow_postgres_csv_spark.queries._helpers import dec, dsum, sql_dsum, t
 
 
 def _salted_agg_fn(spark, sf_dir):
@@ -89,3 +89,61 @@ register(
     GROUP BY s_nationkey ORDER BY s_nationkey
     """,
 )(_salted_join_fn)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: both sides persisted bucketed by the join key
+# (8 buckets, parquet, warehouse-managed), so the sort-merge join reads
+# bucket i against bucket i with NO Exchange on either side — the
+# pre-shuffle trade every repeated big-big join should make at 100 TB
+# (pay the shuffle once at write time, never at read time). The MERGE
+# hint keeps the demo on the SMJ path (at this sf the optimizer would
+# otherwise broadcast, which ignores bucketing). The oracle is the PLAIN
+# join+agg — bucketing must change the physical shape only.
+# tests/test_plans.py asserts the executed plan has no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_colocated_fn(spark, sf_dir):
+    import shutil
+    from urllib.parse import urlparse
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # The warehouse dir outlives the (per-process Derby) metastore, so a
+    # table location can exist without a catalog entry: clear both.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("bkt_customer", "bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    cust.write.mode("overwrite").format("parquet").bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).saveAsTable("bkt_customer")
+    orders.write.mode("overwrite").format("parquet").bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).saveAsTable("bkt_orders")
+    c = spark.table("bkt_customer")
+    o = spark.table("bkt_orders")
+    return (
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "segment_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "join_bucketed_colocated",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)(_bucketed_colocated_fn)

@@ -166,3 +166,37 @@ def _ivf_recall(spark, sf_dir):
     return recall.select(
         "n_queries", (F.col("recall") >= 0.5).cast("int").alias("recall_ok")
     )
+
+
+# Range (radius) search: all neighbors above a fixed cosine — the
+# threshold sibling of top-k. Exact-oracle-checked like the brute-force
+# top-k (identical double-fold cosine, 9-dp rounding only for display);
+# membership is decided on the unrounded value in both engines.
+register(
+    "similarity_radius_search",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a='e.v', b='q.qv')} AS cosine
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 9) AS cosine
+    FROM scored WHERE cosine >= 0.25
+    ORDER BY query_id, neighbor_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        S.radius_cosine_search(
+            t(spark, sf_dir, "embeddings"),
+            t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
+            radius=0.25,
+        )
+        .withColumn("cosine", F.round("cosine", 9))
+        .orderBy("query_id", "neighbor_id")
+    )
+)

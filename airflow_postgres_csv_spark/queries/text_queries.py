@@ -725,3 +725,68 @@ register(
     ORDER BY rk
     """,
 )(text_bm25_topk)
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats: split on terminal punctuation runs, keep
+# non-blank segments, report per-doc sentence count / char totals / longest
+# sentence. All-JVM (split + higher-order filter/transform/aggregate — no
+# UDF); counts and char sums are exact integers, the mean is one IEEE
+# int/int division identical in both engines. The chunking/packing
+# operators work in tokens; this is the sentence-level signal quality
+# filters use (avg sentence length separates prose from boilerplate).
+# ---------------------------------------------------------------------------
+
+_SENT_SPARK = "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0)"
+_SENT_DUCK = "list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0)"
+
+register(
+    "text_sentence_stats",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_SENT_DUCK} AS sents FROM documents)
+    SELECT doc_id, lang,
+           len(sents) AS n_sentences,
+           list_reduce(list_prepend(0, list_transform(sents, x -> length(x))), (a, b) -> a + b)
+             AS sentence_chars,
+           COALESCE(list_max(list_transform(sents, x -> length(x))), 0) AS max_sentence_chars,
+           CASE WHEN len(sents) = 0 THEN 0.0
+                ELSE CAST(list_reduce(list_prepend(0, list_transform(sents, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+                     / len(sents) END AS avg_sentence_chars
+    FROM s
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_SENT_SPARK).alias("sents"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size("sents").cast("long").alias("n_sentences"),
+            F.aggregate(
+                F.transform("sents", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("sentence_chars"),
+            F.coalesce(
+                F.array_max(F.transform("sents", lambda x: F.length(x).cast("long"))),
+                F.lit(0).cast("long"),
+            ).alias("max_sentence_chars"),
+            F.when(F.size("sents") == 0, F.lit(0.0))
+            .otherwise(
+                F.aggregate(
+                    F.transform("sents", lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, b: a + b,
+                ).cast("double")
+                / F.size("sents").cast("double")
+            )
+            .alias("avg_sentence_chars"),
+        )
+        .orderBy("doc_id")
+    )
+)

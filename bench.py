@@ -39,10 +39,19 @@ HEADLINE = [
     "join_asof_last_click",
     "window_running_sum",
     "window_topk_per_group",
+    # distributed global-order path (operators/global_order.py)
+    "window_ntile_first_last",
+    "events_rfm_segments",
+    "supplier_pareto",
     "agg_cube",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # iterative/graph dedup path (VERDICT r3 #6): the slowest local
+    # verifies, benched so regressions in star-CC / SimHash banking show up
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_cluster_survivors",
     "text_bm25_topk",
     "theta_sketch_overlap",
     "join_salted_replicated",

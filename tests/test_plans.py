@@ -282,3 +282,20 @@ def test_corpus_plan_audit_clean(spark):
 
     findings = audit(SF)
     assert findings == {}, findings
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The point of join_bucketed_colocated: bucket-aligned sort-merge join
+    must read bucket i vs bucket i with NO shuffle on either side."""
+    from airflow_postgres_csv_spark.queries import registry
+
+    df = registry()["join_bucketed_colocated"].fn(spark, SF)
+    df.collect()  # AQE finalizes the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # drop AQE's pre-plan echo
+    # the agg above the join may shuffle (5 groups); the JOIN subtree — the
+    # tree text from SortMergeJoin down — must not, and both scans must be
+    # bucket-aligned
+    assert "SortMergeJoin" in final
+    assert "Exchange" not in final[final.index("SortMergeJoin"):]
+    assert final.count("Bucketed: true") == 2

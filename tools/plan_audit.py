@@ -56,6 +56,7 @@ BY_DESIGN: dict[str, str] = {
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
     "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_ivf_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "similarity_radius_search": "radius probe: corpus x broadcast query set, bounded by |queries|",
     "window_ntile_first_last": (
         "distributed global-ntile: 1-row min/max scalar broadcast + running-sum "
         "theta-join over the 64-row bucket-count table (B^2 = 4096 pairs max)"
