@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from airflow_postgres_csv_spark.operators.global_order import with_global_order_stats
+from airflow_postgres_csv_spark.operators.sketches import heavy_hitters
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import t
 
@@ -194,3 +196,73 @@ register(
     ORDER BY 1
     """,
 )(_text_url_parse)
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram (equal row count per bucket) of order totals: the
+# complement of hist_width_bucket's fixed bounds, and the optimizer-
+# statistics shape (quantile bins) every planner keeps. Bucket assignment
+# is exact NTILE(8) over (o_totalprice, o_orderkey) — computed distributed
+# by operators/global_order.py (bucket-offset scheme, no single-partition
+# window); per-bucket bounds and exact-decimal sums come from one hash-agg
+# over 8 groups. Oracle replays it with a plain NTILE window.
+# ---------------------------------------------------------------------------
+
+register(
+    "hist_equi_depth",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)(
+    lambda spark, sf_dir: (
+        with_global_order_stats(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+            "o_totalprice",
+            descending=False,
+            tiebreak="o_orderkey",
+            ntile=8,
+            ntile_col="bucket",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Frequent-items (heavy hitters): users contributing > 0.8% of all events,
+# via per-partition Misra-Gries candidate summaries + one exact candidate-
+# restricted count (operators/sketches.py — candidate recall is guaranteed
+# by the MG error bound, so the output equals the plain GROUP BY/HAVING
+# oracle exactly while the only shuffle is the candidate-set aggregation).
+# ---------------------------------------------------------------------------
+
+register(
+    "events_heavy_hitters",
+    """
+    SELECT user_id AS item, COUNT(*) AS freq
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) * 0.008
+    ORDER BY item
+    """,
+)(
+    lambda spark, sf_dir: (
+        heavy_hitters(t(spark, sf_dir, "events"), "user_id", 0.008).orderBy("item")
+    )
+)

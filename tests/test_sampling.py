@@ -104,3 +104,37 @@ def test_weighted_bernoulli_degenerate_weights(spark):
     assert sample_weighted_bernoulli(df, F.lit(5.0), rate_denom=5).count() == 100
     assert sample_weighted_bernoulli(df, F.lit(0.0), rate_denom=5).count() == 0
     assert sample_weighted_bernoulli(df, F.lit(-0.7), rate_denom=5).count() == 0
+
+
+def test_heavy_hitters_guarantee_and_exactness(spark):
+    """Misra-Gries candidate recall is guaranteed for any item above the
+    ratio, and the exact pass must reproduce plain groupBy/HAVING counts —
+    checked on a skewed synthetic stream against the brute-force answer."""
+    import random
+
+    from airflow_postgres_csv_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(7)
+    # 2 heavy items (~30% and ~10%) buried in a long uniform tail
+    vals = [1] * 3000 + [2] * 1000 + [rng.randrange(100, 5000) for _ in range(6000)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long").repartition(8)
+    got = {(r.item, r.freq) for r in heavy_hitters(df, "user_id", 0.05).collect()}
+    want = {
+        (r.user_id, r.c)
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > len(vals) * 0.05)
+        .collect()
+    }
+    assert got == want and {i for i, _ in got} == {1, 2}
+
+
+def test_heavy_hitters_rejects_bad_ratio(spark):
+    import pytest
+
+    from airflow_postgres_csv_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(10).withColumnRenamed("id", "user_id")
+    with pytest.raises(ValueError, match="min_freq_ratio"):
+        heavy_hitters(df, "user_id", 0.0)

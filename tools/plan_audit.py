@@ -52,6 +52,11 @@ BY_DESIGN: dict[str, str] = {
     "q22_idle_customers": "avg acctbal threshold scalar broadcast",
     "data_mixture_weights": "corpus token-total scalar broadcast",
     "events_funnel": "stage user-count scalars crossed into one conversion row",
+    "events_heavy_hitters": "row-count scalar broadcast into the HAVING threshold",
+    "hist_equi_depth": (
+        "distributed global-ntile (global_order.py): scalar stats broadcast + "
+        "64-row bucket-offset theta-join"
+    ),
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
     "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
