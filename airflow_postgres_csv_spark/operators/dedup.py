@@ -41,6 +41,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "incremental_exact_matches",
     "ngram_containment_pairs",
+    "segment_dedup_clean",
 ]
 
 
@@ -587,4 +588,67 @@ def ngram_containment_pairs(
             | (F.col("containment_b") >= threshold)
         )
         .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
+def segment_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level dedup with text reconstruction (the
+    C4/CCNet move: drop duplicated spans, keep the document).
+
+    Documents are cut into consecutive ``seg_tokens``-token segments; for
+    every segment content seen anywhere in the corpus, only the FIRST
+    occurrence (lowest ``(id, seg_idx)``) survives — including repeats
+    *within* one document — and each document's text is rebuilt from its
+    surviving segments in order. Returns
+    ``(id_col, n_segs, n_kept, clean_text)``; a document whose every
+    segment was seen earlier comes back with ``n_kept = 0`` and empty
+    ``clean_text`` (caller filters).
+
+    Scale shape: one explode (×n_segs ≈ tokens/seg_tokens), one shuffle
+    partitioned by the segment's 128-bit md5 fingerprint (so the wire
+    carries 16-byte keys, uniform — no skew beyond true content
+    duplication), one groupBy(id) to reassemble. No driver-side state.
+    Rows with NULL text are dropped (posexplode of a null array).
+    Collision note: an md5 collision would merge two distinct segments —
+    at 2^-64 scales this is below hardware-error rates.
+    """
+    base = df.select(F.col(id_col).alias("_id"), X.tokens(text_col).alias("_tk"))
+    n_segs = F.ceil(F.size("_tk") / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_tk"), i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    exploded = base.select("_id", F.posexplode(segs).alias("seg_idx", "seg"))
+    first_w = Window.partitionBy(F.md5("seg")).orderBy("_id", "seg_idx")
+    kept = (
+        exploded.withColumn("_occ", F.row_number().over(first_w))
+        .filter(F.col("_occ") == 1)
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    totals = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

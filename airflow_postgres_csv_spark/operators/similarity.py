@@ -36,6 +36,9 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_centroids",
     "ivf_topk",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -280,9 +283,14 @@ def ivf_centroids(
     rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
-    # k-means++ seeding
+    return _kmeans_fit(X, n_cells, iters, rng).tolist()
+
+
+def _kmeans_fit(X: "np.ndarray", k: int, iters: int, rng) -> "np.ndarray":
+    """k-means++ seeding + Lloyd iterations (shared by the IVF coarse
+    quantizer and the per-subspace PQ codebooks)."""
     centroids = [X[rng.integers(len(X))]]
-    for _ in range(n_cells - 1):
+    for _ in range(k - 1):
         d2 = np.min(
             [((X - c) ** 2).sum(axis=1) for c in centroids], axis=0
         )
@@ -291,11 +299,11 @@ def ivf_centroids(
     C = np.array(centroids)
     for _ in range(iters):  # Lloyd
         assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
-        for j in range(n_cells):
+        for j in range(k):
             members = X[assign == j]
             if len(members):
                 C[j] = members.mean(axis=0)
-    return C.tolist()
+    return C
 
 
 def _cell_ranking_udf(centroids: list[list[float]]):
@@ -369,6 +377,170 @@ def ivf_topk(
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split the vector into ``m``
+# subspaces, k-means each subspace into ``n_codes`` centroids, store each
+# corpus vector as m small codes. At 64-dim float32 with m=8, n_codes=16
+# that is 8 bytes/vector instead of 256 — a 32× smaller corpus scan, which
+# is THE lever at 100 TB: candidate generation reads codes + a broadcast
+# codebook (m·n_codes·dsub floats), never the raw vectors. Scoring against
+# the reconstruction is exactly the ADC (asymmetric distance computation)
+# estimate; the true vectors are touched only for the final
+# ``k·rerank_factor`` candidates per query (a metadata-sized join).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks on a deterministic, hard-capped
+    corpus sample (same driver-side discipline as :func:`ivf_centroids`).
+    Returns m codebooks of n_codes × (dim/m) floats; requires dim % m == 0.
+    """
+    if sample > 100_000:
+        raise ValueError(
+            f"pq_codebooks sample={sample} exceeds the 100k driver-side cap; "
+            "codebooks do not improve with more — train on a bounded sample"
+        )
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    return [
+        _kmeans_fit(X[:, j * dsub : (j + 1) * dsub], n_codes, iters, rng).tolist()
+        for j in range(m)
+    ]
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Vectorized encoder ``vec -> array<int>`` of m codes: per subspace,
+    one |x|²-2x·c+|c|² matmul + argmin over the Arrow batch. Codebooks
+    travel in the task closure (m·n_codes·dsub floats — tiny)."""
+    B = np.asarray(codebooks, dtype=np.float64)  # m × n_codes × dsub
+    m, _, dsub = B.shape
+    norms = (B**2).sum(axis=2)  # m × n_codes
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        Xs = X.reshape(X.shape[0], m, dsub)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            d2 = -2.0 * (Xs[:, j, :] @ B[j].T) + norms[j]  # |x|² constant per argmin row
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def _pq_decode_udf(codebooks: list[list[list[float]]]):
+    """Vectorized decoder ``codes -> array<double>``: concatenate the m
+    codebook entries — the reconstruction whose distance to a query IS the
+    ADC estimate."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+
+    @F.pandas_udf("array<double>")
+    def decode(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        out = np.empty((C.shape[0], m * dsub))
+        for j in range(m):
+            out[:, j * dsub : (j + 1) * dsub] = B[j][C[:, j]]
+        return pd.Series([row.tolist() for row in out])
+
+    return decode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus to ``(id_col, pq_codes array<int>)`` — the
+    persistable 32×-smaller table candidate generation scans."""
+    encode = _pq_encode_udf(codebooks)
+    return corpus.select(id_col, encode(vec_col).alias("pq_codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ: encode the corpus to m-byte codes, score
+    queries against reconstructions (= ADC), keep ``k·rerank_factor``
+    candidates per query, then rerank exactly on the true vectors of just
+    those candidates. Output matches the exact searcher's shape:
+    (query_id, neighbor_id, cosine, rank) with exact cosines.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    encode = _pq_encode_udf(codebooks)
+    decode = _pq_decode_udf(codebooks)
+    recon = corpus.select(id_col, decode(encode(vec_col)).alias("_recon"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    approx = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr("_recon", "_qvec").alias("_approx"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("_approx").desc(), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select(query_id_col, "neighbor_id")
+    )
+    # Exact rerank: candidates are Q·k·rerank rows — broadcast them against
+    # the corpus (equi-join on id), never the other way around.
+    exact = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_expr("_nvec", "_qvec").alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )

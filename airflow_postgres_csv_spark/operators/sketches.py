@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "cms_sketch", "cms_estimate"]
 
 
 def _mg_fold(values: Iterator[pd.Series], capacity: int) -> dict:
@@ -85,4 +85,96 @@ def heavy_hitters(df: DataFrame, col: str, min_freq_ratio: float) -> DataFrame:
         .join(F.broadcast(total))
         .where(F.col("freq") > F.col("_n") * F.lit(min_freq_ratio))
         .select(F.col(col).alias("item"), "freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as a RELATION. Spark's count_min_sketch() aggregate emits
+# an opaque binary blob with no SQL-side estimator, so instead the sketch
+# here IS a DataFrame of (depth_row, bucket, cnt) counters — the d×w counter
+# matrix in relational form (Cormode & Muthukrishnan 2005). That makes it:
+#
+# - **mergeable** by construction: union two sketch relations and re-sum —
+#   the per-partition/per-day rollup path a 100 TB pipeline needs;
+# - **bounded**: at most d·w rows regardless of input size (the groupBy is
+#   a map-side-combinable sum onto d·w cells);
+# - **differential-testable**: bucket assignment is md5-based and replayed
+#   bit-identically in the DuckDB oracle, so estimates (not just error
+#   bounds) are EXACT-comparable across engines.
+#
+# Estimation joins a (small, broadcast) key set against the sketch on
+# (depth_row, bucket) and takes min(cnt) per key — the classic CMS read,
+# expressed as an equi-join + groupBy.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key, row: int, width: int):
+    """Bucket of ``key`` for hash row ``row``: first 8 md5 hex digits of
+    ``'row:key'`` mod width. 32 hash bits over a ≤2^16 width keeps the
+    modulo bias < 2^-16 — immaterial for counter placement."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), key)), 1, 8), 16, 10)
+    return (h.cast("long") % width).cast("int")
+
+
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Build a count-min sketch of ``col`` as a (depth_row, bucket, cnt)
+    relation with ``depth`` hash rows and ``width`` buckets per row.
+
+    Guarantees (per CMS): for any key, estimate >= true count, and with
+    probability 1 - (1/2)^depth, estimate <= true count + 2n/width.
+    One wide-then-narrow aggregation: rows explode ×depth map-side, then
+    hash-aggregate onto at most depth·width cells (partial aggregation
+    makes the shuffle metadata-sized).
+    """
+    if depth < 1 or width < 2 or width > 65536:
+        raise ValueError("cms_sketch: need depth >= 1 and 2 <= width <= 65536")
+    key = F.col(col).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("depth_row"),
+                    _cms_bucket(key, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("_cell")
+    )
+    return rows.groupBy(
+        F.col("_cell.depth_row").alias("depth_row"),
+        F.col("_cell.bucket").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch relation for every key in ``keys[col]``:
+    returns (col, est) with est = min over hash rows of the key's bucket
+    counter. ``depth``/``width`` must match the build call.
+
+    The sketch side is broadcast (it is at most depth·width rows by
+    construction — counter state, not data). An EMPTY cell is a 0 counter:
+    the probe left-joins the sketch and coalesces misses to 0, so a key
+    the data never touched estimates 0, as CMS specifies — an inner join
+    would drop the empty cell and silently take min over the others.
+    """
+    key = F.col(col).cast("string")
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("depth_row"),
+                    _cms_bucket(key, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("_cell"),
+    ).select(col, "_cell.depth_row", "_cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["depth_row", "bucket"], "left")
+        .select(col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est"))
     )

@@ -266,3 +266,78 @@ register(
         heavy_hitters(t(spark, sf_dir, "events"), "user_id", 0.008).orderBy("item")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketches.py cms_sketch/cms_estimate): the
+# d×w counter matrix is a RELATION, built by one map-side-combinable
+# aggregation and point-queried by a broadcast equi-join + min(). Bucket
+# hashing is md5-based, so the oracle replays the ENTIRE sketch in SQL and
+# the estimates compare exactly — alongside the two analytic guarantees
+# (est >= exact; est <= exact + n/width witnessed here) surfaced as flags.
+# ---------------------------------------------------------------------------
+
+register(
+    "count_min_sketch_freq",
+    """
+    WITH cells AS (
+      SELECT d.r AS depth_row,
+             CAST(('0x' || substring(md5(d.r || ':' || event_type), 1, 8))::BIGINT % 256
+                  AS INT) AS bucket
+      FROM events, (SELECT unnest(['0','1','2','3']) AS r) d
+    ),
+    sketch AS (
+      SELECT depth_row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    probes AS (
+      SELECT k.event_type, d.r AS depth_row,
+             CAST(('0x' || substring(md5(d.r || ':' || k.event_type), 1, 8))::BIGINT % 256
+                  AS INT) AS bucket
+      FROM keys k, (SELECT unnest(['0','1','2','3']) AS r) d
+    ),
+    est AS (
+      SELECT p.event_type, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM probes p LEFT JOIN sketch s USING (depth_row, bucket)
+      GROUP BY 1
+    ),
+    exact AS (SELECT event_type, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM events)
+    SELECT e.event_type, x.exact_cnt, e.est,
+           CAST(e.est >= x.exact_cnt AS INT) AS never_under,
+           CAST(e.est <= x.exact_cnt + CAST(CEIL(n.n_total / 256.0) AS BIGINT) AS INT)
+             AS within_bound
+    FROM est e JOIN exact x USING (event_type) CROSS JOIN n
+    ORDER BY e.event_type
+    """,
+)(
+    lambda spark, sf_dir: _count_min_sketch_freq(spark, sf_dir)
+)
+
+
+def _count_min_sketch_freq(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = t(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "event_type", depth=4, width=256)
+    keys = ev.select("event_type").distinct()
+    est = cms_estimate(sketch, keys, "event_type", depth=4, width=256)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.join(exact, "event_type")
+        .crossJoin(F.broadcast(n))  # 1-row total: broadcast is exact-size-safe
+        .select(
+            "event_type",
+            "exact_cnt",
+            "est",
+            (F.col("est") >= F.col("exact_cnt")).cast("int").alias("never_under"),
+            (
+                F.col("est")
+                <= F.col("exact_cnt") + F.ceil(F.col("n_total") / 256.0).cast("long")
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )

@@ -445,3 +445,52 @@ register(
         ).orderBy("id_a", "id_b")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (C4/CCNet-style) dedup WITH text reconstruction: every
+# 20-token segment content keeps only its first corpus occurrence
+# (including within-doc repeats) and each doc is rebuilt from surviving
+# segments. This catches the copy-paste contamination document-level dedup
+# misses while KEEPING the documents. The oracle replays the identical
+# segmentation (1-based inclusive list slices = Spark's slice), first-
+# occurrence window, and ordered string_agg reassembly.
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_segments_clean",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ), base AS (
+      SELECT doc_id, tk, CAST(CEIL(len(tk) / 20.0) AS BIGINT) AS n FROM toks
+    ), idx AS (
+      SELECT doc_id, tk, unnest(generate_series(0, n - 1)) AS seg_idx FROM base
+    ), seg AS (
+      SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+             array_to_string(tk[seg_idx*20 + 1 : seg_idx*20 + 20], ' ') AS seg
+      FROM idx
+    ), occ AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    ), kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM occ WHERE rn = 1 GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segs,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        D.segment_dedup_clean(
+            t(spark, sf_dir, "documents"), seg_tokens=20
+        ).orderBy("doc_id")
+    )
+)

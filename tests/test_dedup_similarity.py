@@ -234,3 +234,105 @@ def test_embed_real_e2e_with_stub_module(spark, tmp_path):
     finally:
         sys.path[:] = path_before
         sys.modules.pop("sentence_transformers", None)
+
+
+def test_pq_exact_rerank_and_shapes(spark, sf_dir):
+    """PQ top-k returns exact cosines for its candidates (rerank stage) and
+    with rerank over the full corpus (rerank_factor covering N) it must
+    EQUAL exact search — PQ only orders candidates, exactness comes back in
+    the rerank."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = S.topk_cosine_bruteforce(emb, queries, k=3).collect()
+    # rerank_factor big enough that candidates == whole corpus
+    pq_all = S.pq_topk(
+        emb, queries, k=3, m=8, n_codes=8, rerank_factor=(n // 3) + 1
+    ).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in exact} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in pq_all
+    }
+    # cosines are EXACT (not reconstruction-approximate) in the output
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in pq_all:
+        assert abs(ex[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+
+
+def test_pq_encode_is_bounded_and_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb, m=8, n_codes=8)
+    assert len(books) == 8 and len(books[0]) == 8 and len(books[0][0]) == 8
+    codes = S.pq_encode(emb, books).collect()
+    assert all(len(r.pq_codes) == 8 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r.pq_codes)
+    again = {r.vec_id: r.pq_codes for r in S.pq_encode(emb, books).collect()}
+    assert all(again[r.vec_id] == r.pq_codes for r in codes)
+
+
+def test_pq_codebooks_guards(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="cap"):
+        S.pq_codebooks(emb, sample=200_000)
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_codebooks(emb, m=7)
+
+
+def test_segment_dedup_clean_removes_cross_doc_repeats(spark):
+    """A doc that repeats another doc's segment (and its own) keeps only
+    first occurrences; reconstruction preserves order."""
+    w = [f"w{i}" for i in range(40)]  # doc a: segments A0 (w0..19), A1 (w20..39)
+    a_text = " ".join(w)
+    # doc b: fresh 20 tokens, then doc a's FIRST segment verbatim
+    b_text = " ".join([f"x{i}" for i in range(20)] + w[:20])
+    # doc c: b's fresh segment twice (within-doc repeat)
+    c_text = " ".join([f"x{i}" for i in range(20)] * 2)
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in __import__(
+            "airflow_postgres_csv_spark.operators.dedup", fromlist=["d"]
+        ).segment_dedup_clean(df, seg_tokens=20).collect()
+    }
+    assert out[1].n_segs == 2 and out[1].n_kept == 2
+    assert out[1].clean_text == a_text
+    assert out[2].n_segs == 2 and out[2].n_kept == 1
+    assert out[2].clean_text == " ".join(f"x{i}" for i in range(20))
+    # doc 3's only segment content was already kept by doc 2 → nothing left
+    assert out[3].n_segs == 2 and out[3].n_kept == 0
+    assert out[3].clean_text == ""
+
+
+def test_cms_estimate_never_underestimates_and_zero_for_absent(spark):
+    from airflow_postgres_csv_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    data = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(data, ["k"])
+    sketch = cms_sketch(df, "k", depth=4, width=64)
+    # sketch is bounded by depth*width cells and totals depth*n
+    cells = sketch.collect()
+    assert len(cells) <= 4 * 64
+    assert sum(r.cnt for r in cells) == 4 * len(data)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["k"])
+    est = {r.k: r.est for r in cms_estimate(sketch, keys, "k", depth=4, width=64).collect()}
+    assert est["a"] >= 100 and est["b"] >= 10 and est["c"] >= 1
+    # 'zzz' never inserted: with width 64 and 3 keys, at least one of its 4
+    # cells is overwhelmingly likely to be empty -> 0; never negative
+    assert est["zzz"] >= 0
+    # mergeability: union of two half-sketches == sketch of the whole
+    half1 = spark.createDataFrame([("a",)] * 40 + [("b",)] * 7, ["k"])
+    half2 = spark.createDataFrame([("a",)] * 60 + [("b",)] * 3 + [("c",)], ["k"])
+    h1 = cms_sketch(half1, "k", depth=4, width=64)
+    h2 = cms_sketch(half2, "k", depth=4, width=64)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("depth_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.depth_row, r.bucket): r.cnt for r in sketch.collect()}
+    got = {(r.depth_row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
