@@ -146,3 +146,35 @@ register(
         .orderBy("doc_id", "frame_idx")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio containers: spec-compliant PCM WAV encode (RIFF/fmt/data,
+# stdlib-only) + header-walk decode (operators/multimodal.py wav_bytes /
+# parse_audio_header). Duration is a deterministic function of doc_id, so
+# the oracle predicts every decoded attribute — including the container
+# byte size (44-byte canonical header + 2 bytes per 16-bit mono sample) —
+# without parsing any bytes.
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_decode_real_wav",
+    """
+    SELECT doc_id,
+           'wav' AS format,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           16 AS bits,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           CAST(44 + 2 * (100 + doc_id % 400) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        MM.decode_audio_real(
+            MM.attach_real_audio(t(spark, sf_dir, "documents")).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        ).orderBy("doc_id")
+    )
+)

@@ -110,3 +110,46 @@ def test_real_png_encode_decode_round_trip(spark):
         assert r.width == 1 + r.doc_id % 16
         assert r.height == 1 + r.doc_id % 9
         assert r.n_bytes > 44  # sig + IHDR + IEND overhead alone is 44
+
+
+def test_wav_bytes_is_spec_compliant_and_parseable():
+    """The stdlib WAV encoder must produce a container Python's own `wave`
+    module (an independent RIFF implementation) agrees with, and
+    parse_audio_header must report the same attributes."""
+    import io
+    import wave
+
+    from airflow_postgres_csv_spark.operators.multimodal import (
+        parse_audio_header,
+        wav_bytes,
+    )
+
+    raw = wav_bytes(250, sample_rate=8000, freq_hz=440.0)
+    with wave.open(io.BytesIO(raw)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 8000
+        assert w.getnframes() == 250
+    fmt, rate, channels, bits, n_samples = parse_audio_header(raw)
+    assert (fmt, rate, channels, bits, n_samples) == ("wav", 8000, 1, 16, 250)
+    assert len(raw) == 44 + 2 * 250
+
+
+def test_parse_audio_header_flac_streaminfo():
+    """Hand-build a FLAC STREAMINFO block and check the bitfield walk."""
+    from airflow_postgres_csv_spark.operators.multimodal import parse_audio_header
+
+    rate, channels, bits, total = 44100, 2, 16, 123456
+    word = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    body = bytes(10) + word.to_bytes(8, "big") + bytes(16)
+    raw = b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body
+    assert parse_audio_header(raw) == ("flac", rate, channels, bits, total)
+
+
+def test_parse_audio_header_rejects_unknown():
+    import pytest
+
+    from airflow_postgres_csv_spark.operators.multimodal import parse_audio_header
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_audio_header(b"OggS\x00\x00")

@@ -58,6 +58,8 @@ BY_DESIGN: dict[str, str] = {
         "64-row bucket-offset theta-join"
     ),
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
+    "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
+    "similarity_ann_pq_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
     "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_ivf_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
