@@ -108,6 +108,22 @@ def _render_template_fields(op, context: dict | None) -> dict[str, str]:
     return out
 
 
+def _searchpath(op, context: dict | None) -> tuple[str, ...] | None:
+    """Directories relative ``.sql`` paths resolve against: the operator's
+    own ``template_searchpath`` plus the DAG's (Airflow declares it at the
+    DAG level — ``context['dag'].template_searchpath`` — the shim accepts
+    both so it works with and without a real DAG run)."""
+    dirs: list[str] = []
+    own = getattr(op, "template_searchpath", None)
+    if own:
+        dirs.extend([own] if isinstance(own, str) else own)
+    dag = (context or {}).get("dag")
+    dag_sp = getattr(dag, "template_searchpath", None)
+    if dag_sp:
+        dirs.extend([dag_sp] if isinstance(dag_sp, str) else dag_sp)
+    return tuple(dirs) or None
+
+
 class PostgresToCsvOperator(BaseOperator):
     """Execute SQL against the database behind ``conn_id`` and save the
     result as a CSV file. Mirrors reference operators.py:12-98: same
@@ -128,6 +144,7 @@ class PostgresToCsvOperator(BaseOperator):
         has_header: bool = True,
         compression: str | None = None,
         timeout: int = 60,
+        template_searchpath: str | Sequence[str] | None = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -138,14 +155,23 @@ class PostgresToCsvOperator(BaseOperator):
         self.has_header = has_header
         self.compression = compression
         self.timeout = timeout
+        self.template_searchpath = template_searchpath
 
     def execute(self, context=None):
+        from airflow_postgres_csv_spark.operators.etl import resolve_sql
         from airflow_postgres_csv_spark.operators.jdbc import postgres_to_csv
 
         rendered = _render_template_fields(self, context)
+        sql = rendered["sql"]
+        sp = _searchpath(self, context)
+        if sp and sql.strip().endswith(".sql"):
+            # resolve the relative .sql against the search path here (the
+            # downstream resolver has no DAG context); the result is the
+            # file's SQL text, which passes through resolve_sql unchanged
+            sql = resolve_sql(sql, search_path=sp)
         path, rows = postgres_to_csv(
             _active_spark(),
-            sql=rendered["sql"],
+            sql=sql,
             csv_file_path=rendered["csv_file_path"],
             parameters=self.parameters,
             has_header=self.has_header,

@@ -57,13 +57,31 @@ __all__ = [
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
-def resolve_sql(sql: str) -> str:
+def resolve_sql(sql: str, search_path: list[str] | tuple[str, ...] | None = None) -> str:
     """Reference semantics: ``.sql`` suffix → read file; strip trailing ';'.
 
     (reference operators.py:39, 63-67, 70)
+
+    ``search_path``: directories a RELATIVE ``.sql`` path is resolved
+    against, first hit wins — the engine-side analog of Airflow's DAG
+    ``template_searchpath`` (the reference relies on Airflow's
+    ``template_ext`` machinery for this; operators.py:39). An absolute
+    path, or no ``search_path``, keeps the original open-as-given
+    behavior. A relative path found in no search dir raises with every
+    location tried.
     """
     if sql.strip().endswith(".sql"):
         path = sql.strip()
+        if search_path and not os.path.isabs(path):
+            tried = [os.path.join(d, path) for d in search_path]
+            for cand in tried:
+                if os.path.isfile(cand):
+                    path = cand
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"{path!r} not found on template search path; tried: {tried}"
+                )
         with open(path, encoding="utf-8") as f:
             sql = f.read()
     return sql.strip().rstrip(";")

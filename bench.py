@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_cluster_survivors",
+    "dedup_segments_clean",
+    "similarity_ann_pq_recall",
+    "count_min_sketch_freq",
     "text_bm25_topk",
     "theta_sketch_overlap",
     "join_salted_replicated",

@@ -280,3 +280,50 @@ def test_operator_template_fields_render(spark, derby_url, tmp_path):
             csv_file_path=str(tmp_path / "{{ ds }}" / "export.csv"),
             task_id="tpl_nocontext",
         ).execute()
+
+
+def test_operator_template_searchpath_relative_sql(spark, derby_url, tmp_path):
+    """A RELATIVE .sql path resolves against the operator's (or DAG's)
+    template_searchpath — Airflow's template_searchpath behavior the
+    reference gets from template_ext (reference operators.py:39)."""
+    from airflow_postgres_csv_spark.operators import airflow_shim as shim
+    from airflow_postgres_csv_spark.operators.etl import resolve_sql
+
+    shim.register_connection("sp_wh", derby_url, driver=DERBY)
+    src = spark.createDataFrame([(i,) for i in range(5)], "id int")
+    jdbc.jdbc_write(src, url=derby_url, table="t_sp_src", driver=DERBY)
+
+    sql_dir = tmp_path / "dag_sql"
+    sql_dir.mkdir()
+    (sql_dir / "q.sql").write_text('SELECT "id" FROM "t_sp_src" WHERE "id" < 3;')
+
+    export = shim.PostgresToCsvOperator(
+        conn_id="sp_wh",
+        csv_file_path=str(tmp_path / "sp_out.csv"),
+        sql="q.sql",
+        template_searchpath=str(sql_dir),
+        task_id="sp_export",
+    )
+    path = export.execute()
+    with open(path, encoding="utf-8") as f:
+        rows = f.read().strip().splitlines()
+    assert rows[0] == "id" and sorted(rows[1:]) == ["0", "1", "2"]
+
+    # DAG-level searchpath via context is honored too
+    class _Dag:
+        template_searchpath = [str(sql_dir)]
+
+    export2 = shim.PostgresToCsvOperator(
+        conn_id="sp_wh",
+        csv_file_path=str(tmp_path / "sp_out2.csv"),
+        sql="q.sql",
+        task_id="sp_export2",
+    )
+    path2 = export2.execute(context={"dag": _Dag()})
+    assert os.path.isfile(path2)
+
+    # unresolvable relative path raises with the locations tried
+    with pytest.raises(FileNotFoundError, match="template search path"):
+        resolve_sql("missing.sql", search_path=[str(sql_dir)])
+    # absolute paths keep the original open-as-given behavior
+    assert resolve_sql(str(sql_dir / "q.sql")).startswith("SELECT")
