@@ -31,7 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "cms_sketch", "cms_estimate"]
+__all__ = [
+    "heavy_hitters",
+    "cms_sketch",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_might_contain",
+]
 
 
 def _mg_fold(values: Iterator[pd.Series], capacity: int) -> dict:
@@ -178,3 +184,88 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a RELATION — same design decision as the CMS above:
+# Spark's runtime row-level-filtering bloom functions are internal, so the
+# filter here is a DataFrame of (word_idx, word) 64-bit words, built with a
+# map-side-combinable bit_or aggregation. Mergeable (union + re-bit_or),
+# bounded (ceil(m/64) rows), md5-replayable in the DuckDB oracle. The
+# classic use is PRE-JOIN PRUNING: build the filter over the small side's
+# keys, semi-check the big side against it before the shuffle — rows that
+# fail (guaranteed non-matches) never enter the exchange; false positives
+# only cost wasted shuffle, never wrong results.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bits(key, k_hashes: int, m_bits: int):
+    """The k probe bit positions of ``key``: two independent 32-bit md5
+    halves combined Kirsch-Mitzenmacher style (g_i = h1 + i*h2 mod m) — one
+    digest per key for any k, the same trick the MinHash operator uses."""
+    h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return [((h1 + F.lit(i) * h2) % m_bits).alias(f"_bit_{i}") for i in range(k_hashes)]
+
+
+def bloom_build(
+    df: DataFrame, col: str, k_hashes: int = 4, m_bits: int = 4096
+) -> DataFrame:
+    """Build a Bloom filter of ``col`` as a (word_idx, word) relation:
+    ``m_bits`` bits packed 63-per-long via bit_or aggregation (63, not
+    64: DuckDB's checked ``<<`` overflows into the sign bit at 63 while
+    Java's wraps — 63-bit words keep the oracle replay engine-identical).
+    One explode (×k) + one map-side-combinable groupBy onto ≤ m/64 cells.
+    """
+    if m_bits < 63:
+        raise ValueError("bloom_build: m_bits must be >= 63")
+    key = F.col(col).cast("string")
+    bit = F.explode(F.array(*_bloom_bits(key, k_hashes, m_bits))).alias("_bit")
+    return (
+        df.select(bit)
+        .select(
+            (F.col("_bit") / 63).cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 63 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, bloom: DataFrame, col: str, k_hashes: int = 4, m_bits: int = 4096
+) -> DataFrame:
+    """Keep only rows of ``df`` whose ``col`` MIGHT be in the filter (all k
+    probe bits set) — the pre-join pruning pass. Guarantees: no false
+    negatives; false-positive rate ≈ (1 - e^{-k·n/m})^k.
+
+    Shape: k sequential broadcast hash joins (the filter relation is
+    ≤ m/64 rows of state), each checking one probe bit and FILTERING —
+    row multiplicity is preserved exactly (no row identity needed, unlike
+    a probe-explode + regroup), and each probe only sees the rows the
+    previous probes let through, so most non-members die on the first
+    broadcast lookup without ever shuffling.
+    """
+    out = df
+    bits = _bloom_bits(F.col(col).cast("string"), k_hashes, m_bits)
+    bloom = F.broadcast(
+        bloom.select(F.col("word_idx").alias("_widx"), F.col("word").alias("_bword"))
+    )
+    for bit in bits:
+        out = (
+            out.withColumn("_bit", bit)
+            .withColumn("_widx", (F.col("_bit") / 63).cast("int"))
+            .withColumn(
+                "_mask",
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 63 AS INT))"),
+            )
+            .join(bloom, "_widx", "left")
+            .filter(
+                F.coalesce(F.col("_bword"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
+            )
+            .drop("_bit", "_widx", "_mask", "_bword")
+        )
+    return out

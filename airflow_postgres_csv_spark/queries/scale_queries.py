@@ -147,3 +147,98 @@ register(
     ORDER BY c_mktsegment
     """,
 )(_bucketed_colocated_fn)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join pruning (operators/sketches.py bloom_build /
+# bloom_might_contain): build the filter over the small side's keys
+# (urgent orders), drop big-side rows (lineitem) that cannot match BEFORE
+# any shuffle. The filter is a (word_idx, word) relation — md5/KM bucket
+# bits — so the DuckDB oracle replays the exact bit matrix and the pass
+# counts compare EXACTLY, not just within an error bound. no_false_neg is
+# the Bloom guarantee (every true match survives pruning).
+# ---------------------------------------------------------------------------
+
+register(
+    "bloom_prejoin_prune",
+    """
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    kb AS (
+      SELECT ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT AS h2
+      FROM keys
+    ),
+    bits AS (
+      SELECT DISTINCT ((h1 + i * h2) % 8192) AS bit
+      FROM kb, (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    words AS (
+      SELECT CAST(bit // 63 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS word
+      FROM bits GROUP BY 1
+    ),
+    lkeys AS (
+      SELECT DISTINCT l_orderkey,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 9, 8))::BIGINT AS h2
+      FROM lineitem
+    ),
+    lbits AS (
+      SELECT l_orderkey, ((h1 + i * h2) % 8192) AS bit
+      FROM lkeys, (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    perkey AS (
+      SELECT b.l_orderkey,
+             SUM(CASE WHEN (COALESCE(w.word, 0) &
+                            (CAST(1 AS BIGINT) << CAST(b.bit % 63 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS n_hits
+      FROM lbits b LEFT JOIN words w ON w.word_idx = CAST(b.bit // 63 AS INT)
+      GROUP BY b.l_orderkey
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_bloom_pass
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM perkey WHERE n_hits = 4)
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact
+      FROM lineitem WHERE l_orderkey IN (SELECT k FROM keys)
+    )
+    SELECT a.n_bloom_pass, e.n_exact,
+           a.n_bloom_pass - e.n_exact AS n_false_pos,
+           CAST(a.n_bloom_pass >= e.n_exact AS INT) AS no_false_neg
+    FROM agg a CROSS JOIN exact e
+    """,
+)(
+    lambda spark, sf_dir: _bloom_prejoin_fn(spark, sf_dir)
+)
+
+
+def _bloom_prejoin_fn(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    bf = bloom_build(urgent.select("o_orderkey"), "o_orderkey", k_hashes=4, m_bits=8192)
+    pruned = bloom_might_contain(li, bf, "l_orderkey", k_hashes=4, m_bits=8192)
+    n_pass = pruned.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_exact = (
+        li.join(urgent.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        n_pass.crossJoin(F.broadcast(n_exact))  # two 1-row aggregates
+        .select(
+            "n_bloom_pass",
+            "n_exact",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
+            (F.col("n_bloom_pass") >= F.col("n_exact")).cast("int").alias("no_false_neg"),
+        )
+    )

@@ -336,3 +336,35 @@ def test_cms_estimate_never_underestimates_and_zero_for_absent(spark):
     whole = {(r.depth_row, r.bucket): r.cnt for r in sketch.collect()}
     got = {(r.depth_row, r.bucket): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_bloom_no_false_negatives_and_multiplicity(spark):
+    from airflow_postgres_csv_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(0, 500, 7)], ["k"])
+    probe = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(0,), (7,), (7,)], ["k"]
+    )
+    bf = bloom_build(members, "k", k_hashes=4, m_bits=4096)
+    # filter state is bounded: <= ceil(m/63) words
+    assert bf.count() <= 4096 // 63 + 1
+    kept = [r.k for r in bloom_might_contain(probe, bf, "k", k_hashes=4, m_bits=4096).collect()]
+    truth = set(range(0, 500, 7))
+    assert truth <= set(kept), "Bloom must never drop a true member"
+    # duplicate probe rows survive with their multiplicity
+    assert kept.count(0) == 2 and kept.count(7) == 3
+    # mergeability: bit_or of two half-filters == filter of the whole
+    h1 = bloom_build(members.filter(F.col("k") < 250), "k", k_hashes=4, m_bits=4096)
+    h2 = bloom_build(members.filter(F.col("k") >= 250), "k", k_hashes=4, m_bits=4096)
+    merged = {
+        (r.word_idx, r.word)
+        for r in h1.unionByName(h2)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    whole = {(r.word_idx, r.word) for r in bf.collect()}
+    assert merged == whole
