@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_propagation"]
+__all__ = [
+    "connected_components",
+    "connected_components_propagation",
+    "triangle_counts",
+]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -124,6 +128,67 @@ def connected_components(
             F.col("n").alias(id_col),
             F.coalesce("root", F.col("n")).alias("cluster_id"),
         )
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Per-node triangle participation counts → ``(node, n_triangles)``.
+
+    Triangle counting is the workhorse of graph-shaped data quality checks
+    (cohesion of co-occurrence graphs, clustering coefficients, community
+    density). Implementation is the **degree-oriented** distributed
+    algorithm: orient every edge from its lower ``(degree, id)`` endpoint
+    to the higher one, enumerate directed wedges ``s→t1, s→t2`` with
+    ``key(t1) < key(t2)``, and close each wedge against the oriented edge
+    ``t1→t2``. Each triangle is produced exactly once, and the wedge count
+    is bounded by Σ_s C(outdeg(s), 2) where every out-neighbor has degree
+    ≥ deg(s) — the O(m^1.5) bound (Suri & Vassilvitskii, WWW'11) that a
+    naive id-ordered join does NOT have: a hub node of degree d generates
+    O(d²) id-ordered wedges but only O(m) degree-ordered ones, which is the
+    difference between finishing and not finishing on a power-law graph at
+    100 TB. All steps are equi-joins/groupBys (no driver loop, no
+    collect); only nodes in ≥1 triangle appear in the output.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("a", "n")
+    # Orient by total order (degree, id): strictly fewer out-edges from hubs.
+    keyed = (
+        sym.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(
+            F.col("a").alias("s"),
+            F.col("b").alias("t"),
+            F.col("db").alias("dt"),
+        )
+    )
+    w1 = keyed.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("d1"))
+    w2 = keyed.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("d2"))
+    wedges = w1.join(w2, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = keyed.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"]).select("s", "t1", "t2")
+    return (
+        tri.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
 

@@ -341,3 +341,109 @@ def _count_min_sketch_freq(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-occurrence graph (parts bought
+# together in one order — the "bought-with" graph every recommender
+# pipeline builds). Spark side is the degree-oriented O(m^1.5) algorithm
+# in operators/graph.py:triangle_counts — orientation bounds hub-node
+# wedge explosion, the difference between O(d²) and O(m) work on a
+# power-law hub. The oracle enumerates each triangle a<b<c once via the
+# canonical three-way self-join — an independent formulation, same count.
+# ---------------------------------------------------------------------------
+
+
+def _graph_triangle_count(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.graph import triangle_counts
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        op.alias("x")
+        .join(op.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
+register(
+    "graph_triangle_count",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT x.p AS u, y.p AS v
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+    ),
+    tri AS (
+      SELECT ab.u AS x, ab.v AS y, bc.v AS z
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY node ORDER BY node
+    """,
+)(_graph_triangle_count)
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto front) of orders: maximize o_totalprice, minimize
+# o_orderdate ("the biggest early orders"). An order is on the front iff
+# no other order strictly dominates it. Spark side is the two-phase
+# distributed skyline (divide-and-conquer: local fronts per hash bucket
+# with a *partitioned* window sweep, then one refine pass over the union
+# of local fronts — a set that is tiny because each local front is already
+# Pareto-minimal). The oracle is the independent NOT EXISTS dominance
+# formulation.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_orders(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.skyline import skyline_max_min
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_x"),
+        F.unix_timestamp("o_orderdate").alias("_y"),
+    )
+    return (
+        skyline_max_min(o, "_x", "_y", tiebreak="o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "skyline_orders",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM orders q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders p
+      WHERE (p.o_totalprice >= q.o_totalprice AND p.o_orderdate <= q.o_orderdate)
+        AND (p.o_totalprice > q.o_totalprice OR p.o_orderdate < q.o_orderdate)
+    )
+    ORDER BY o_orderkey
+    """,
+)(_skyline_orders)

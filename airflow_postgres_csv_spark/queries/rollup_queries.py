@@ -295,3 +295,79 @@ register(
     ORDER BY bucket_s
     """,
 )(rollup_ohlc_hourly)
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of hourly revenue per event_type — the monitoring/
+# forecasting staple. Determinism strategy: the half-life is dyadic
+# (alpha = 1/2 per hour), so over the trailing 16-hour frame the weights
+# are exact powers of two and the weighted numerator is EXACT integer
+# arithmetic (hourly cent-sums × 2^i summed left-to-right inside one
+# array aggregate); the only float op is the final single IEEE division
+# num/den, bit-identical in both engines. Plan: one hash-agg to hours
+# (map-side partial), one partitioned window per event_type carrying a
+# 16-element array — no global sort, no driver state.
+# ---------------------------------------------------------------------------
+
+
+def _rollup_ewma_dyadic(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            # epoch-aligned floor (same as operators/rollup.py:time_bucket):
+            # session-timezone-independent, unlike date_trunc('hour')
+            (F.floor(F.unix_timestamp("ts") / _HOUR) * _HOUR).alias("bucket_s"),
+        )
+        .agg((F.sum(dec("value")) * 100).cast("long").alias("v100"))
+    )
+    frame = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(-15, W.currentRow)
+    )
+    arr = F.collect_list("v100").over(frame)
+    # Horner fold, newest-first: weight of element i (0 = oldest) is 2^i —
+    # exact long arithmetic, no float until the final division.
+    num = F.aggregate(
+        F.reverse(arr),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    den = (F.pow(F.lit(2.0), F.size(arr)).cast("long") - 1) * 100
+    return (
+        hourly.select(
+            "event_type",
+            "bucket_s",
+            (F.col("v100").cast("double") / 100).alias("hourly_rev"),
+            (num.cast("double") / den.cast("double")).alias("ewma_rev"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+register(
+    "rollup_ewma_dyadic",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v100
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, bucket_s, v100,
+             list(v100) OVER (PARTITION BY event_type ORDER BY bucket_s
+                              ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+      FROM hourly
+    )
+    SELECT event_type, bucket_s,
+           CAST(v100 AS DOUBLE) / 100 AS hourly_rev,
+           CAST(list_sum(list_transform(arr, (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+             / CAST(((CAST(1 AS BIGINT) << len(arr)) - 1) * 100 AS DOUBLE) AS ewma_rev
+    FROM framed
+    ORDER BY event_type, bucket_s
+    """,
+)(_rollup_ewma_dyadic)

@@ -220,3 +220,75 @@ register(
         .orderBy("doc_id")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Output-shard planning by token budget — the "write K balanced training
+# shards" step: rank documents by token count (descending, doc_id
+# tie-break) and deal them to K shards in boustrophedon ("snake") order
+# (1..K, K..1, ...), the classic greedy balancer for size-sorted items.
+# The global rank comes from operators/global_order.py — value-range
+# bucketing + partitioned local rank + broadcast offsets, never a
+# single-partition window — so the plan holds at corpus scale. The oracle
+# replays rank + snake arithmetic with a plain ROW_NUMBER().
+# ---------------------------------------------------------------------------
+
+_SNAKE_K = 8
+
+
+def _shard_plan_snake(spark, sf_dir):
+    from airflow_postgres_csv_spark.functions import texts as X
+    from airflow_postgres_csv_spark.operators.global_order import (
+        with_global_order_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.tokens("text")).alias("n_toks")
+    )
+    ranked = with_global_order_stats(
+        docs, "n_toks", descending=True, tiebreak="doc_id", rank_col="rn"
+    )
+    pos = (F.col("rn") - 1) % (2 * _SNAKE_K)
+    shard = F.when(pos < _SNAKE_K, pos).otherwise(2 * _SNAKE_K - 1 - pos)
+    return (
+        ranked.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
+        .orderBy("shard")
+    )
+
+
+register(
+    "shard_plan_snake",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_toks
+      FROM documents
+    ),
+    rn AS (
+      SELECT doc_id, n_toks,
+             ROW_NUMBER() OVER (ORDER BY n_toks DESC, doc_id) AS rn
+      FROM ranked
+    ),
+    assigned AS (
+      SELECT n_toks,
+             CASE WHEN (rn - 1) % {2 * _SNAKE_K} < {_SNAKE_K}
+                  THEN (rn - 1) % {2 * _SNAKE_K}
+                  ELSE {2 * _SNAKE_K} - 1 - ((rn - 1) % {2 * _SNAKE_K})
+             END AS shard
+      FROM rn
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           MIN(n_toks) AS min_toks,
+           MAX(n_toks) AS max_toks
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)(_shard_plan_snake)

@@ -238,3 +238,70 @@ def _pq_recall(spark, sf_dir):
     return recall.select(
         "n_queries", (F.col("recall") >= 0.5).cast("int").alias("recall_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension corpus statistics of the embedding matrix (n/mean/std/
+# min/max per coordinate) — the feature-normalization precursor every
+# vector pipeline runs before z-scoring, whitening, or PQ codebook
+# training. Cross-row float sums are order-dependent, so each element is
+# first rounded to DECIMAL(18,9) — a float64 value is a dyadic rational
+# and can never sit exactly on a decimal midpoint, so HALF_UP vs
+# HALF_EVEN can't diverge — making Σx and Σx² exact decimals; mean/std
+# then come from identically-parenthesized single IEEE ops in both
+# engines. Plan: one posexplode (×64) → one hash-agg keyed by dim
+# (map-side partials, 64 output rows) — no window, no driver state.
+# ---------------------------------------------------------------------------
+
+
+def _embedding_dim_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "x")
+    )
+    xd = F.col("x").cast("double").cast("decimal(18,9)")
+    agg = e.select("dim", xd.alias("xd")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        F.min("xd").cast("double").alias("min_v"),
+        F.max("xd").cast("double").alias("max_v"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("sxx").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    return (
+        agg.select(
+            "dim",
+            "n",
+            F.round(mean, 9).alias("mean_v"),
+            F.round(F.sqrt(var), 9).alias("std_v"),
+            "min_v",
+            "max_v",
+        )
+        .orderBy("dim")
+    )
+
+
+register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    agg AS (
+      SELECT dim, COUNT(*) AS n, SUM(xd) AS sx, SUM(xd * xd) AS sxx,
+             CAST(MIN(xd) AS DOUBLE) AS min_v, CAST(MAX(xd) AS DOUBLE) AS max_v
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, n,
+           ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_v,
+           ROUND(SQRT(GREATEST(CAST(sxx AS DOUBLE) / n
+                               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+                               0.0)), 9) AS std_v,
+           min_v, max_v
+    FROM agg ORDER BY dim
+    """,
+)(_embedding_dim_stats)

@@ -790,3 +790,95 @@ register(
         .orderBy("doc_id")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring — the step up from
+# text_unigram_logprob: P(w2 | w1) with add-one smoothing over the corpus
+# vocabulary, per-doc mean conditional log-probability. Repetitive or
+# formulaic text scores high, shuffled/garbled text low — a cheap fluency
+# signal unigram frequency can't see. Same determinism recipe as the
+# unigram query: each log-prob is one IEEE log on an exact integer ratio,
+# rounded to 9 dp and summed as exact decimals, one final division.
+# Plan: one explode → two hash-aggs (bigram + prefix counts, map-side
+# partial) → broadcast joins back (the model tables are vocab-sized,
+# tiny relative to a 100 TB corpus) → one per-doc agg.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_logprob(spark, sf_dir):
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text").alias("tk")
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    bg_counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vsize = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return (
+        pairs.join(F.broadcast(bg_counts), "bg")
+        .join(F.broadcast(w1_counts), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_w1") + F.col("v")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             tk[i] AS w1,
+             tk[i] || ' ' || tk[i + 1] AS bg
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    bgc AS (SELECT bg, COUNT(*) AS c_bg FROM pairs GROUP BY bg),
+    w1c AS (SELECT w1, COUNT(*) AS c_w1 FROM pairs GROUP BY w1),
+    vs AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(tk) AS tok FROM toks)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(ROUND(LN(CAST(c_bg + 1 AS DOUBLE) / CAST(c_w1 + v AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS logp
+      FROM pairs p JOIN bgc USING (bg) JOIN w1c USING (w1) CROSS JOIN vs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)(_bigram_logprob)

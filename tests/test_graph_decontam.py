@@ -91,3 +91,75 @@ def test_contaminated_docs_short_docs_never_match(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="too short")])
     bench = spark.createDataFrame([Row(doc_id=9, text="too short as well yes")])
     assert contaminated_docs(docs, bench, n=5).count() == 0
+
+
+# --- triangle counting -----------------------------------------------------
+
+
+def _tri(spark, edges):
+    e = spark.createDataFrame(edges, "u bigint, v bigint")
+    from airflow_postgres_csv_spark.operators.graph import triangle_counts
+
+    return {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+
+
+def test_triangles_basic(spark):
+    """K4 has 4 triangles; every node sits in C(3,2)=3 of them."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert _tri(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_none_and_duplicates(spark):
+    """A path has no triangles; duplicate/reversed edges don't inflate."""
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+    got = _tri(spark, [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_hub(spark):
+    """A star (hub + leaves) has no triangles; adding one leaf-leaf edge
+    makes exactly one — the degree-oriented wedge join must not
+    double-count through the hub."""
+    star = [(100, i) for i in range(1, 8)]
+    assert _tri(spark, star) == {}
+    assert _tri(spark, star + [(1, 2)]) == {100: 1, 1: 1, 2: 1}
+
+
+# --- skyline ---------------------------------------------------------------
+
+
+def _sky(spark, pts):
+    from airflow_postgres_csv_spark.operators.skyline import skyline_max_min
+
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    out = skyline_max_min(df, "x", "y", tiebreak="id")
+    return sorted(r.id for r in out.collect())
+
+
+def test_skyline_basic(spark):
+    """max x, min y: (5,1) and (9,4) survive; (3,2) is dominated by (5,1),
+    (9,9) by (9,4)."""
+    pts = [(1, 5, 1), (2, 3, 2), (3, 9, 4), (4, 9, 9), (5, 1, 7)]
+    assert _sky(spark, pts) == [1, 3]
+
+
+def test_skyline_ties_kept(spark):
+    """Exact duplicates on both dims dominate nobody strictly: both stay."""
+    pts = [(1, 5, 1), (2, 5, 1), (3, 4, 3)]
+    assert _sky(spark, pts) == [1, 2]
+
+
+def test_skyline_matches_quadratic(spark):
+    """Two-phase result == brute-force dominance filter on a random set."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(20), rng.randrange(20)) for i in range(80)]
+    brute = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            (px >= x and py <= y) and (px > x or py < y) for _, px, py in pts
+        )
+    )
+    assert _sky(spark, pts) == brute
