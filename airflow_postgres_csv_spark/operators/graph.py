@@ -160,6 +160,9 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # consumed by degree-count, wedge build (×2) and the closing join:
+        # materialize once so the upstream plan doesn't re-execute per branch
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("a", "n")
@@ -176,6 +179,7 @@ def triangle_counts(
             F.col("b").alias("t"),
             F.col("db").alias("dt"),
         )
+        .localCheckpoint(eager=False)  # consumed 3× (both wedge sides + closing)
     )
     w1 = keyed.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("d1"))
     w2 = keyed.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("d2"))

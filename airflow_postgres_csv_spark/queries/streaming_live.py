@@ -133,6 +133,31 @@ register(
 )
 
 
+# Sliding windows live: every event contributes to two overlapping
+# 10-minute/5-minute-slide windows; update mode on a single micro-batch
+# emits each window's final count once, so the batch-twin oracle
+# (events_sliding_window) applies verbatim.
+register(
+    "streaming_sliding_live",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) - o.off AS BIGINT) AS window_start_s,
+           COUNT(*) AS n
+    FROM events, (VALUES (0), (300)) o(off)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        _staged_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "n"),
+        output_mode="update",
+    ).orderBy("window_start_s")
+)
+
+
 register(
     "streaming_session_live",
     """

@@ -882,3 +882,58 @@ register(
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )(_bigram_logprob)
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer step — the pair-statistics pass of byte-pair-encoding
+# vocabulary induction: collapse the corpus to a word-frequency table
+# (tiny vs the corpus — the classic BPE trick), expand each distinct word
+# into its adjacent character pairs, and weight each pair by word
+# frequency. The top pairs ARE the next merge candidates. One explode ×
+# word-length over DISTINCT words only, one hash-agg on a pair keyspace
+# (≤ alphabet²), top-k via TakeOrderedAndProject — no global sort.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_pairs(spark, sf_dir):
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+register(
+    "text_bpe_merge_pairs",
+    f"""
+    WITH words AS (
+      SELECT tok AS w, COUNT(*) AS freq
+      FROM (SELECT unnest({SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok HAVING LENGTH(tok) >= 2
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM words, unnest(generate_series(1, LENGTH(w) - 1)) AS u(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)(_bpe_merge_pairs)

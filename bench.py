@@ -55,6 +55,12 @@ HEADLINE = [
     "dedup_segments_clean",
     "similarity_ann_pq_recall",
     "count_min_sketch_freq",
+    # round-4 additions: join-heavy graph analytics + global-order path
+    "graph_triangle_count",
+    "skyline_orders",
+    "rollup_ewma_dyadic",
+    "shard_plan_snake",
+    "text_bigram_logprob",
     "text_bm25_topk",
     "theta_sketch_overlap",
     "join_salted_replicated",
