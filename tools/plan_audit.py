@@ -77,6 +77,11 @@ BY_DESIGN: dict[str, str] = {
         "distributed global rank/cumsum (global_order.py): scalar stats broadcast "
         "+ 64-row bucket-offset theta-join"
     ),
+    "shard_plan_snake": (
+        "distributed global rank (global_order.py): scalar stats broadcast + "
+        "64-row bucket-offset theta-join"
+    ),
+    "text_bigram_logprob": "vocabulary-size scalar (HashAggregate keys=[]) broadcast",
 }
 
 BAD_PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -89,6 +94,11 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "orders_max_inflight": "interval sweep over distinct days — bounded by time span",
     "text_bm25_topk": "rank window runs over the top-20 survivors of TakeOrderedAndProject",
     "sql_string_surface": "rank over c_mktsegment groups — 5 rows",
+    "skyline_orders": (
+        "phase-2 refine sweep of the two-phase skyline (operators/skyline.py): "
+        "input is the union of per-bucket Pareto-minimal fronts, not the corpus "
+        "(phase 1 is a partitioned window over 32 hash buckets)"
+    ),
 }
 
 # First windowspecdefinition arg is an ordering column => no partition keys.
