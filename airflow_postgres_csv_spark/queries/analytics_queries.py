@@ -447,3 +447,95 @@ register(
     ORDER BY o_orderkey
     """,
 )(_skyline_orders)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema — the dbt-style test
+# battery (FK orphans, duplicate PKs, NULL keys) as one constant-size
+# relation. operators/integrity.py keeps every check a lazy aggregate-only
+# plan (orphans fold the anti-join into a conditional count — the bad rows
+# are never materialized), so the full audit is a handful of one-row jobs
+# at any corpus size. The oracle replays each check with independent SQL.
+# ---------------------------------------------------------------------------
+
+
+def _dataset_integrity_audit(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators import integrity as IG
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    checks = {
+        "orders_custkey_fk": IG.fk_orphans(orders, "o_custkey", cust, "c_custkey"),
+        "lineitem_orderkey_fk": IG.fk_orphans(li, "l_orderkey", orders, "o_orderkey"),
+        "lineitem_partkey_fk": IG.fk_orphans(li, "l_partkey", part, "p_partkey"),
+        "lineitem_suppkey_fk": IG.fk_orphans(li, "l_suppkey", supp, "s_suppkey"),
+        "customer_nationkey_fk": IG.fk_orphans(cust, "c_nationkey", nation, "n_nationkey"),
+        "orders_pk_unique": IG.dup_pk_count(orders, ["o_orderkey"]),
+        "lineitem_pk_unique": IG.dup_pk_count(li, ["l_orderkey", "l_linenumber"]),
+        "customer_pk_unique": IG.dup_pk_count(cust, ["c_custkey"]),
+        "orders_custkey_notnull": IG.null_key_count(orders, "o_custkey"),
+    }
+    return IG.audit_checks(checks).orderBy("check_name")
+
+
+register(
+    "dataset_integrity_audit",
+    """
+    WITH checks AS (
+      SELECT 'orders_custkey_fk' AS check_name,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_bad,
+             (SELECT COUNT(*) FROM orders) AS n_total
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem_partkey_fk',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE l.l_partkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem_suppkey_fk',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE l.l_suppkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'customer_nationkey_fk',
+             (SELECT COUNT(*) FROM customer c
+              WHERE c.c_nationkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+             (SELECT COUNT(*) FROM customer)
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'lineitem_pk_unique',
+             (SELECT COUNT(*) FROM lineitem)
+               - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'customer_pk_unique',
+             (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+             (SELECT COUNT(*) FROM customer)
+      UNION ALL
+      SELECT 'orders_custkey_notnull',
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+             (SELECT COUNT(*) FROM orders)
+    )
+    SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_bad = 0 AS INT) AS ok
+    FROM checks ORDER BY check_name
+    """,
+)(_dataset_integrity_audit)

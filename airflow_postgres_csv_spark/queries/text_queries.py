@@ -937,3 +937,87 @@ register(
     ORDER BY n DESC, pair LIMIT 20
     """,
 )(_bpe_merge_pairs)
+
+
+# ---------------------------------------------------------------------------
+# C4/Gopher-style RULE-BASED filter flags — the boolean gate battery web
+# corpora are cleaned with (Raffel et al. C4; Rae et al. Gopher), distinct
+# from text_quality_score's composite score: each rule is surfaced
+# separately so downstream mixtures can pick their own policy, plus the
+# final keep verdict. All flags are JVM Column expressions (one projection,
+# no shuffle, no UDF); the mean-word-length band uses exact integer×100
+# comparisons so no float ratio is ever compared across engines.
+# Rules: word-count band [50, 10k]; mean word length in [3, 10]; ≥ 30 % of
+# sentences end with terminal punctuation (approximated here as: doc has
+# ≥ 3 sentences); no "lorem ipsum"; no curly brace (code/markup tell);
+# stopword presence (C4's "contains a common English word" proxy).
+# ---------------------------------------------------------------------------
+
+
+def _c4_filter_flags(spark, sf_dir):
+    toks = X.tokens("text")
+    n_words = F.size(toks)
+    # mean word length × 100, exact int: (chars without spaces)*100 / words
+    chars = F.length(F.regexp_replace(F.lower("text"), r"\s+", ""))
+    mwl100 = F.floor(chars * 100 / n_words).cast("long")
+    n_sents = F.size(F.expr(_SENT_SPARK))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    stop_ok = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in")])
+    )
+    flags = {
+        "words_ok": (n_words >= 50) & (n_words <= 10000),
+        "mwl_ok": (mwl100 >= 300) & (mwl100 <= 1000),
+        "sents_ok": n_sents >= 3,
+        "no_lorem": ~has_lorem,
+        "no_brace": ~has_brace,
+        "stop_ok": stop_ok,
+    }
+    out = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl100.alias("mwl100"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    keep = (
+        F.col("words_ok")
+        * F.col("mwl_ok")
+        * F.col("sents_ok")
+        * F.col("no_lorem")
+        * F.col("no_brace")
+        * F.col("stop_ok")
+    )
+    return out.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+
+
+register(
+    "text_c4_filters",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({SQL_TOKENS}) AS n_words,
+             CAST(floor(LENGTH(regexp_replace(lower(text), '\\s+', '', 'g')) * 100
+                        / len({SQL_TOKENS})) AS BIGINT) AS mwl100,
+             len({_SENT_DUCK}) AS n_sents,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace,
+             len(list_filter({SQL_TOKENS},
+                 x -> x IN ('the','and','of','to','in'))) > 0 AS stop_ok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mwl100,
+           CAST(n_words BETWEEN 50 AND 10000 AS INT) AS words_ok,
+           CAST(mwl100 BETWEEN 300 AND 1000 AS INT) AS mwl_ok,
+           CAST(n_sents >= 3 AS INT) AS sents_ok,
+           CAST(NOT has_lorem AS INT) AS no_lorem,
+           CAST(NOT has_brace AS INT) AS no_brace,
+           CAST(stop_ok AS INT) AS stop_ok,
+           CAST((n_words BETWEEN 50 AND 10000) AND (mwl100 BETWEEN 300 AND 1000)
+                AND n_sents >= 3 AND NOT has_lorem AND NOT has_brace AND stop_ok
+                AS INT) AS keep
+    FROM base ORDER BY doc_id
+    """,
+)(_c4_filter_flags)
