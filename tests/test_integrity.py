@@ -1,0 +1,47 @@
+"""Unit tests: integrity audit positive paths (the fixture is clean, so the
+oracle-checked query only ever sees n_bad=0 — these plant real violations)."""
+
+from __future__ import annotations
+
+from airflow_postgres_csv_spark.operators.integrity import (
+    audit_checks,
+    dup_pk_count,
+    fk_orphans,
+    null_key_count,
+)
+
+
+def test_fk_orphans_counts_only_nonnull_misses(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "k bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    row = fk_orphans(child, "k", parent, "pk").collect()[0]
+    # 99 is an orphan; NULL is not (FK semantics); total counts all rows
+    assert (row.n_bad, row.n_total) == (1, 4)
+
+
+def test_dup_pk_and_null_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")], "k bigint, v string"
+    )
+    dup = dup_pk_count(df, ["k"]).collect()[0]
+    assert (dup.n_bad, dup.n_total) == (1, 4)  # second k=1 row is the dup
+    nul = null_key_count(df, "k").collect()[0]
+    assert (nul.n_bad, nul.n_total) == (1, 4)
+
+
+def test_audit_checks_union_and_ok_flag(spark):
+    child = spark.createDataFrame([(7,)], "k bigint")
+    parent = spark.createDataFrame([(1,)], "pk bigint")
+    out = {
+        r.check_name: r
+        for r in audit_checks(
+            {
+                "bad_fk": fk_orphans(child, "k", parent, "pk"),
+                "good_null": null_key_count(child, "k"),
+            }
+        ).collect()
+    }
+    assert out["bad_fk"].ok == 0 and out["bad_fk"].n_bad == 1
+    assert out["good_null"].ok == 1 and out["good_null"].n_bad == 0
