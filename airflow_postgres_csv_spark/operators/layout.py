@@ -1,0 +1,69 @@
+"""Z-order (Morton) data layout: multi-column clustering for scan pruning.
+
+Single-column sort layouts give zone-map pruning on one predicate column
+only; interleaving the bits of two key columns gives a space-filling curve
+where rows close in EITHER dimension land close on disk, so min/max file
+statistics prune scans on both predicates — the layout behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY``. No reference analog (the reference
+delegates layout to Postgres heap storage); this is the engine-side
+equivalent for parquet lakes at 100 TB.
+
+``zorder_value`` is a pure Column expression (a static 2·bits-term
+bitwise tree — whole-stage codegen, no UDF). The intended use is
+``df.repartitionByRange(N, zorder_value(...)).sortWithinPartitions(...)``
+before a parquet write; ``zorder_extents`` summarizes per-bucket min/max
+extents of both dimensions — the zone-map a reader would prune with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_value", "zorder_extents"]
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative longs:
+    bit i of ``x`` lands at position 2i, bit i of ``y`` at 2i+1."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bx = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+        by = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+        z = z.bitwiseOR(F.shiftleft(bx, 2 * i)).bitwiseOR(
+            F.shiftleft(by, 2 * i + 1)
+        )
+    return z
+
+
+def zorder_extents(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Per-z-bucket zone-map summary ``(bucket, n, min/max of both dims)``.
+
+    Buckets are the top ``bucket_bits`` bits of the z-value (2^bucket_bits
+    files in a real write). Tight per-bucket extents on BOTH columns are
+    the property that makes predicate-driven file skipping work.
+    """
+    z = zorder_value(F.col(x_col), F.col(y_col), bits)
+    bucket = F.shiftright(z, 2 * bits - bucket_bits)
+    return (
+        df.select(
+            bucket.alias("bucket"),
+            F.col(x_col).alias("_x"),
+            F.col(y_col).alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_x").alias("min_x"),
+            F.max("_x").alias("max_x"),
+            F.min("_y").alias("min_y"),
+            F.max("_y").alias("max_y"),
+        )
+    )

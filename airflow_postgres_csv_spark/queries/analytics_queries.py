@@ -539,3 +539,49 @@ register(
     FROM checks ORDER BY check_name
     """,
 )(_dataset_integrity_audit)
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per group — the robust dispersion statistic
+# outlier-tolerant quality monitoring uses where stddev is skew-fragile.
+# Two grouped exact percentiles with a broadcast median join between them
+# (group medians are a |groups|-row table). Both engines interpolate the
+# same way on the same 2-decimal doubles; outputs rounded to 6 dp like the
+# percentile_cont query.
+# ---------------------------------------------------------------------------
+
+
+def _stats_mad_by_group(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "stats_mad_by_group",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med), 6) AS median_value,
+           ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad,
+           COUNT(*) AS n
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)(_stats_mad_by_group)

@@ -242,3 +242,39 @@ def _bloom_prejoin_fn(spark, sf_dir):
             (F.col("n_bloom_pass") >= F.col("n_exact")).cast("int").alias("no_false_neg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout zone-map: Morton-interleave (l_partkey, l_suppkey) and
+# summarize per-bucket min/max extents of both dimensions — the file-level
+# statistics a reader prunes with after an OPTIMIZE-ZORDER-style rewrite
+# (operators/layout.py). The whole computation is a static bitwise
+# expression tree inside whole-stage codegen; the oracle replays the
+# interleave with unrolled integer arithmetic (shift/mask/multiply) — an
+# independent formulation of the same Morton code.
+# ---------------------------------------------------------------------------
+
+
+def _layout_zorder_extents(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.layout import zorder_extents
+
+    return zorder_extents(
+        t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey", bits=16, bucket_bits=6
+    ).orderBy("bucket")
+
+
+register(
+    "layout_zorder_extents",
+    """
+    WITH z AS (
+      SELECT CAST(((((l_partkey >> 0) & 1) * 1) + (((l_partkey >> 1) & 1) * 4) + (((l_partkey >> 2) & 1) * 16) + (((l_partkey >> 3) & 1) * 64) + (((l_partkey >> 4) & 1) * 256) + (((l_partkey >> 5) & 1) * 1024) + (((l_partkey >> 6) & 1) * 4096) + (((l_partkey >> 7) & 1) * 16384) + (((l_partkey >> 8) & 1) * 65536) + (((l_partkey >> 9) & 1) * 262144) + (((l_partkey >> 10) & 1) * 1048576) + (((l_partkey >> 11) & 1) * 4194304) + (((l_partkey >> 12) & 1) * 16777216) + (((l_partkey >> 13) & 1) * 67108864) + (((l_partkey >> 14) & 1) * 268435456) + (((l_partkey >> 15) & 1) * 1073741824)) + ((((l_suppkey >> 0) & 1) * 2) + (((l_suppkey >> 1) & 1) * 8) + (((l_suppkey >> 2) & 1) * 32) + (((l_suppkey >> 3) & 1) * 128) + (((l_suppkey >> 4) & 1) * 512) + (((l_suppkey >> 5) & 1) * 2048) + (((l_suppkey >> 6) & 1) * 8192) + (((l_suppkey >> 7) & 1) * 32768) + (((l_suppkey >> 8) & 1) * 131072) + (((l_suppkey >> 9) & 1) * 524288) + (((l_suppkey >> 10) & 1) * 2097152) + (((l_suppkey >> 11) & 1) * 8388608) + (((l_suppkey >> 12) & 1) * 33554432) + (((l_suppkey >> 13) & 1) * 134217728) + (((l_suppkey >> 14) & 1) * 536870912) + (((l_suppkey >> 15) & 1) * 2147483648)) AS BIGINT) AS zv,
+             l_partkey, l_suppkey
+      FROM lineitem
+    )
+    SELECT CAST(zv >> 26 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+           MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+    FROM z GROUP BY 1 ORDER BY 1
+""",
+)(_layout_zorder_extents)
