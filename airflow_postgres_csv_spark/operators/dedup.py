@@ -33,6 +33,7 @@ from airflow_postgres_csv_spark.functions import texts as X
 __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "jaccard_prefix_pairs",
     "minhash_signatures",
     "minhash_band_buckets",
     "minhash_near_dup_pairs",
@@ -145,6 +146,93 @@ def ngram_jaccard_pairs(
             F.first("n_a").alias("n_a"),
             F.first("n_b").alias("n_b"),
         )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard join via **prefix filtering** (AllPairs/PPJoin candidate
+    generation — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    Same results as :func:`ngram_jaccard_pairs` (uncapped), different scale
+    shape: instead of equi-joining on EVERY shingle, each document indexes
+    only its *prefix* — the first ``|A| - ceil(t·|A|) + 1`` shingles under a
+    global rarest-first total order ``(document frequency, shingle)``. Two
+    sets with Jaccard ≥ t must share a prefix shingle (PPJoin Lemma 1), so
+    candidate generation is complete, while frequent shingles — the
+    quadratic join buckets — fall OUT of most prefixes instead of needing a
+    hard df cap. Verification then computes the exact Jaccard per candidate
+    pair from the full per-doc shingle arrays (`array_intersect`, one
+    broadcast-free equi-join per side), so the filter only ever *removes*
+    work, never changes the answer.
+
+    Shuffle inventory: one shingle-keyed exchange (df counts + per-doc
+    rarity rank ride on windows over the same partitioning), one candidate
+    self-join on prefix shingles, two id-keyed joins to attach the packed
+    arrays. The per-doc array pack is materialized once (`localCheckpoint`)
+    because both the prefix path and the verification path consume it.
+    """
+    packed = (
+        df.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.array(F.array_distinct(X.token_ngrams(text_col, n))),
+                    lambda a: F.struct(F.size(a).alias("n"), a.alias("shs")),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            id_col,
+            F.col("_p.n").alias("n_shingles"),
+            F.transform("_p.shs", lambda s: F.xxhash64(s)).alias("shs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sh = packed.select(
+        id_col, "n_shingles", F.explode("shs").alias("shingle")
+    ).repartition(F.col("shingle"))
+    # Global rarity order rides the shingle partitioning; the per-doc rank
+    # is one id-keyed exchange.
+    sh = sh.withColumn(
+        "df_count", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    pref = sh.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_count", "shingle")
+        ),
+    ).where(F.col("pos") <= prefix_len)
+    cands = (
+        pref.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = packed.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), F.col("shs").alias("shs_a")
+    )
+    b = packed.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), F.col("shs").alias("shs_b")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

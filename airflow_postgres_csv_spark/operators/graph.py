@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "connected_components",
     "connected_components_propagation",
+    "pagerank_integer",
     "triangle_counts",
 ]
 
@@ -194,6 +195,74 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 6,
+    scale: int = 1 << 30,
+    damping_num: int = 7,
+    damping_den: int = 8,
+) -> DataFrame:
+    """Exact fixed-point PageRank → ``(node, rank_scaled)`` after ``iters`` rounds.
+
+    Centrality over co-occurrence/link graphs ranks "hub" documents and
+    entities for curation; the reference has no analog (extension surface).
+    All arithmetic is **integer**: ranks start at ``scale``, each round
+    computes ``r'(v) = scale·(1-d) + d · Σ_u (r(u) div outdeg(u))`` with
+    dyadic damping ``d = damping_num/damping_den`` evaluated as
+    ``(num·Σ) div den`` — integer division and order-independent integer
+    sums, so the result is bit-identical regardless of partitioning and
+    replayable by any engine (the oracle unrolls the same ``iters`` stages
+    in SQL). Dangling mass (nodes with no out-edges) is dropped, the
+    standard simplification when ranks are used ordinally.
+
+    100 TB design: one equi-join + one groupBy per round (the same shuffle
+    shape as one BFS step), the edge+outdeg table is materialized once and
+    reused every round, and ``localCheckpoint`` truncates lineage so the
+    plan stays O(1) across iterations. The driver loop is a fixed counter —
+    no convergence ``collect`` is needed because the iteration count is the
+    contract.
+    """
+    if scale % damping_den:
+        raise ValueError("scale must be divisible by damping_den for exactness")
+    base = scale * (damping_den - damping_num) // damping_den
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (u, v, outdeg) is consumed every round: materialize once.
+    de = e.join(deg, "u").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iters):
+        sums = (
+            de.join(r.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.col("r").alias("rank_scaled"))
 
 
 def connected_components_propagation(

@@ -27,6 +27,7 @@ __all__ = [
     "sample_stratified_quota",
     "split_train_test",
     "sample_weighted_bernoulli",
+    "sample_priority_topk",
 ]
 
 
@@ -124,3 +125,58 @@ def sample_weighted_bernoulli(
     thr = F.lit(1 << 32) * wl + F.round(frac * F.lit(float(1 << 32))).cast("long")
     out = df.withColumn("u32", u32)
     return out.filter(F.col("u32") * F.lit(rate_denom) < thr)
+
+
+def sample_priority_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = ":prio",
+) -> DataFrame:
+    """Deterministic priority sampling (Duffield, Lund & Thorup, JACM'07):
+    a weighted sample WITHOUT replacement of exactly ``k`` rows.
+
+    Each row gets priority ``q = w/u`` for a uniform ``u``; the k highest
+    priorities form the sample (and the (k+1)-st priority is the
+    Horvitz-Thompson threshold if unbiased subset-sum estimates are needed
+    downstream). Bernoulli sampling (``sample_weighted_bernoulli``) gives a
+    *random-sized* sample; priority sampling is the fixed-budget
+    counterpart — "exactly k docs, heavy ones preferred" — which is how
+    fixed-token-budget corpus subsets are drawn.
+
+    Determinism contract: ``u`` is the md5-derived 32-bit uniform of the
+    row key (shifted by +1 into (0, 2^32]), and the priority is computed as
+    ``(w * 2^32) div (u32 + 1)`` — pure 64-bit integer arithmetic, so
+    ranking is exact, replayable by any engine, and tie-broken by the key.
+    The weight column must be integral (the fixed-point contract); a
+    fractional weight column raises rather than silently flooring.
+
+    Scale shape: a map-side projection followed by ``ORDER BY … LIMIT k``,
+    which Spark plans as TakeOrderedAndProject — per-partition top-k heaps,
+    only k rows per partition ever reach the driver-side merge. No shuffle
+    of the input.
+    """
+    dtype = dict(df.dtypes).get(weight_col)
+    if dtype in ("float", "double") or (dtype or "").startswith("decimal"):
+        raise ValueError(
+            f"priority sampling requires an integral weight column; "
+            f"{weight_col!r} is {dtype} — pre-quantize it explicitly"
+        )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.withColumn("u32", u32)
+        .withColumn(
+            "priority",
+            F.expr(f"(CAST({weight_col} AS BIGINT) * 4294967296) div (u32 + 1)"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+        .drop("u32")
+    )

@@ -585,3 +585,68 @@ register(
     ORDER BY e.event_type
     """,
 )(_stats_mad_by_group)
+
+
+# ---------------------------------------------------------------------------
+# Exact integer PageRank over the part co-occurrence graph (parts ordered
+# together = an undirected edge, fed symmetrically). Six rounds of
+# r' = scale/8 + (7·Σ (r div outdeg)) div 8 — all integer arithmetic, so
+# both engines produce bit-identical BIGINT ranks regardless of summation
+# order (operators/graph.py:pagerank_integer). The oracle unrolls the same
+# six stages as chained CTEs; the stage SQL is generated, not hand-typed,
+# so Spark and oracle share one parameterization.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 6
+_PR_SCALE = 1 << 30
+
+
+def _graph_pagerank(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.graph import pagerank_integer
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e0 = (
+        op.alias("x")
+        .join(op.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return pagerank_integer(sym, iters=_PR_ITERS, scale=_PR_SCALE).orderBy("node")
+
+
+def _pagerank_oracle_sql(iters: int, scale: int) -> str:
+    base = scale // 8
+    stages = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"]
+    for i in range(1, iters + 1):
+        stages.append(
+            f"""r{i} AS (
+      SELECT n.node, CAST({base} + (7 * COALESCE(c.s, 0)) // 8 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.v AS node, SUM(r.r // e.outdeg) AS s
+        FROM de e JOIN r{i - 1} r ON r.node = e.u
+        GROUP BY e.v
+      ) c ON c.node = n.node
+    )"""
+        )
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT x.p AS u, y.p AS v
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM sym GROUP BY u),
+    de AS (SELECT s.u, s.v, d.outdeg FROM sym s JOIN deg d USING (u)),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    {",".join(stages)}
+    SELECT node, r AS rank_scaled FROM r{iters} ORDER BY node
+    """
+
+
+register("graph_pagerank", _pagerank_oracle_sql(_PR_ITERS, _PR_SCALE))(_graph_pagerank)

@@ -494,3 +494,25 @@ register(
         ).orderBy("doc_id")
     )
 )
+
+
+# Prefix-filtering exact Jaccard join (AllPairs/PPJoin candidate
+# generation, operators/dedup.py:jaccard_prefix_pairs). The oracle is the
+# PLAIN uncapped all-shared-shingles formulation — the differential check
+# certifies that prefix filtering changes candidate generation only, never
+# the answer.
+register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_SQL_SHINGLES}
+    SELECT id_a, id_b, jaccard FROM jacc
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)(
+    lambda spark, sf_dir: (
+        D.jaccard_prefix_pairs(
+            t(spark, sf_dir, "documents"), threshold=0.5
+        ).orderBy("id_a", "id_b")
+    )
+)

@@ -292,3 +292,32 @@ register(
     FROM assigned GROUP BY shard ORDER BY shard
     """,
 )(_shard_plan_snake)
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup): exactly-k weighted sample
+# without replacement, ranked by the pure-integer priority
+# (w * 2^32) div (u32 + 1) over the md5-derived uniform — deterministic
+# top-k, tie-broken by doc_id, planned as TakeOrderedAndProject (no input
+# shuffle). Complements the random-sized Bernoulli sampler above.
+# ---------------------------------------------------------------------------
+register(
+    "sample_priority_topk",
+    """
+    SELECT doc_id, n_chars,
+           (CAST(n_chars AS BIGINT) * 4294967296)
+             // (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':prio'), 1, 8))::BIGINT + 1)
+             AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)(
+    lambda spark, sf_dir: (
+        S.sample_priority_topk(
+            t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+            weight_col="n_chars",
+            k=100,
+        )
+    )
+)

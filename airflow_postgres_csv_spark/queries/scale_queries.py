@@ -245,36 +245,59 @@ def _bloom_prejoin_fn(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Z-order layout zone-map: Morton-interleave (l_partkey, l_suppkey) and
+# Z-order layout zone-map: Morton-interleave (l_suppkey, shipdate-day) and
 # summarize per-bucket min/max extents of both dimensions — the file-level
 # statistics a reader prunes with after an OPTIMIZE-ZORDER-style rewrite
-# (operators/layout.py). The whole computation is a static bitwise
-# expression tree inside whole-stage codegen; the oracle replays the
-# interleave with unrolled integer arithmetic (shift/mask/multiply) — an
-# independent formulation of the same Morton code.
+# (operators/layout.py). Dimensions are chosen to fill the 12-bit grid at
+# bench scale (suppkey ≤ 2^12 through sf0.4; day-index since 1992-01-01
+# spans ~2500 < 2^12), so the bucketing is non-degenerate at every test
+# SF. The whole computation is a static bitwise expression tree inside
+# whole-stage codegen; the oracle replays the interleave with generated
+# unrolled integer arithmetic — an independent formulation of the same
+# Morton code.
 # ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+_Z_BUCKET_BITS = 8
+_Z_EPOCH = "1992-01-01"
 
 
 def _layout_zorder_extents(spark, sf_dir):
     from airflow_postgres_csv_spark.operators.layout import zorder_extents
 
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("supp"),
+        F.datediff("l_shipdate", F.lit(_Z_EPOCH)).cast("long").alias("day"),
+    )
     return zorder_extents(
-        t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey", bits=16, bucket_bits=6
+        li, "supp", "day", bits=_Z_BITS, bucket_bits=_Z_BUCKET_BITS
     ).orderBy("bucket")
+
+
+def _morton_terms(col: str, bit_offset: int, bits: int) -> str:
+    return " + ".join(
+        f"((({col} >> {i}) & 1) * {1 << (2 * i + bit_offset)})" for i in range(bits)
+    )
 
 
 register(
     "layout_zorder_extents",
-    """
-    WITH z AS (
-      SELECT CAST(((((l_partkey >> 0) & 1) * 1) + (((l_partkey >> 1) & 1) * 4) + (((l_partkey >> 2) & 1) * 16) + (((l_partkey >> 3) & 1) * 64) + (((l_partkey >> 4) & 1) * 256) + (((l_partkey >> 5) & 1) * 1024) + (((l_partkey >> 6) & 1) * 4096) + (((l_partkey >> 7) & 1) * 16384) + (((l_partkey >> 8) & 1) * 65536) + (((l_partkey >> 9) & 1) * 262144) + (((l_partkey >> 10) & 1) * 1048576) + (((l_partkey >> 11) & 1) * 4194304) + (((l_partkey >> 12) & 1) * 16777216) + (((l_partkey >> 13) & 1) * 67108864) + (((l_partkey >> 14) & 1) * 268435456) + (((l_partkey >> 15) & 1) * 1073741824)) + ((((l_suppkey >> 0) & 1) * 2) + (((l_suppkey >> 1) & 1) * 8) + (((l_suppkey >> 2) & 1) * 32) + (((l_suppkey >> 3) & 1) * 128) + (((l_suppkey >> 4) & 1) * 512) + (((l_suppkey >> 5) & 1) * 2048) + (((l_suppkey >> 6) & 1) * 8192) + (((l_suppkey >> 7) & 1) * 32768) + (((l_suppkey >> 8) & 1) * 131072) + (((l_suppkey >> 9) & 1) * 524288) + (((l_suppkey >> 10) & 1) * 2097152) + (((l_suppkey >> 11) & 1) * 8388608) + (((l_suppkey >> 12) & 1) * 33554432) + (((l_suppkey >> 13) & 1) * 134217728) + (((l_suppkey >> 14) & 1) * 536870912) + (((l_suppkey >> 15) & 1) * 2147483648)) AS BIGINT) AS zv,
-             l_partkey, l_suppkey
+    f"""
+    WITH d AS (
+      SELECT CAST(l_suppkey AS BIGINT) AS supp,
+             datediff('day', DATE '{_Z_EPOCH}', l_shipdate) AS day
       FROM lineitem
+    ),
+    z AS (
+      SELECT supp, day,
+             CAST({_morton_terms("supp", 0, _Z_BITS)}
+                + {_morton_terms("day", 1, _Z_BITS)} AS BIGINT) AS zv
+      FROM d
     )
-    SELECT CAST(zv >> 26 AS BIGINT) AS bucket,
+    SELECT CAST(zv >> {2 * _Z_BITS - _Z_BUCKET_BITS} AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
-           MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+           MIN(supp) AS min_x, MAX(supp) AS max_x,
+           MIN(day) AS min_y, MAX(day) AS max_y
     FROM z GROUP BY 1 ORDER BY 1
-""",
+    """,
 )(_layout_zorder_extents)
