@@ -205,6 +205,7 @@ def pagerank_integer(
     scale: int = 1 << 30,
     damping_num: int = 7,
     damping_den: int = 8,
+    broadcast_max_nodes: int = 50_000_000,
 ) -> DataFrame:
     """Exact fixed-point PageRank → ``(node, rank_scaled)`` after ``iters`` rounds.
 
@@ -229,10 +230,14 @@ def pagerank_integer(
     if scale % damping_den:
         raise ValueError("scale must be divisible by damping_den for exactness")
     base = scale * (damping_den - damping_num) // damping_den
+    # Materialize the (possibly expensive) upstream edge derivation ONCE —
+    # deg, de and nodes all branch from it, and without the checkpoint each
+    # branch re-executes the caller's edge-building plan.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     # (u, v, outdeg) is consumed every round: materialize once.
@@ -243,10 +248,19 @@ def pagerank_integer(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The rank table is |nodes| rows of (long, long) — tiny relative to the
+    # edge table in every real graph. Broadcasting it turns each round's
+    # contribution join into a map-side broadcast-hash join (the big edge
+    # table never shuffles; the only exchange per round is the groupBy on
+    # the 8-byte destination key). Falls back to a shuffle join past the
+    # threshold, where ranks no longer fit executor memory.
+    n_nodes = nodes.count()
+    bcast = n_nodes <= broadcast_max_nodes
     r = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):
+        rk = r.withColumnRenamed("node", "u")
         sums = (
-            de.join(r.withColumnRenamed("node", "u"), "u")
+            de.join(F.broadcast(rk) if bcast else rk, "u")
             .select(F.col("v").alias("node"), F.expr("r div outdeg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

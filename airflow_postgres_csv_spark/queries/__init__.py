@@ -54,6 +54,7 @@ _MODULES = (
     "decontam_queries",
     "analytics_queries",
     "scale_queries",
+    "udf_queries",
 )
 
 

@@ -143,3 +143,85 @@ register(
     "sql_string_surface",
     _RAW_SQL.format(customer="customer", orders="orders"),
 )(sql_string_surface)
+
+
+# ---------------------------------------------------------------------------
+# arg-max/arg-min aggregates (PG: DISTINCT ON / lateral order-by-limit;
+# Spark: max_by/min_by; DuckDB: arg_max/arg_min). Ordering keys are packed
+# into one BIGINT (cents * 2^40 + event_id) so ties in `value` are broken
+# by the unique event_id identically in both engines — bare max_by on a
+# tied key is nondeterministic in ANY engine.
+# Scale: a plain hash-agg with partial aggregation; no window, no sort.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_postgres_csv_spark.queries._helpers import t as _t  # noqa: E402
+
+
+def _agg_max_by_min_by(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") * F.lit(1 << 40)
+         + F.col("event_id")).alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", "k").alias("max_value_event"),
+            F.min_by("event_id", "k").alias("min_value_event"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "agg_max_by_min_by",
+    """
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) * 1099511627776 + event_id AS k
+      FROM events
+    )
+    SELECT event_type,
+           arg_max(event_id, k) AS max_value_event,
+           arg_min(event_id, k) AS min_value_event,
+           COUNT(*) AS n
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+)(_agg_max_by_min_by)
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distribution aggregates, discrete flavor: percentile_disc picks
+# an EXISTING value (smallest with cume_dist >= p) — so unlike
+# percentile_cont there is no interpolation arithmetic and the 2-decimal
+# fixture doubles hash bit-identically across engines by construction.
+# ---------------------------------------------------------------------------
+
+
+def _percentile_disc_groups(spark, sf_dir):
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM {ev} GROUP BY event_type ORDER BY event_type
+        """,
+        ev=_t(spark, sf_dir, "events"),
+    )
+
+
+register(
+    "percentile_disc_groups",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.95) AS p95
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)(_percentile_disc_groups)

@@ -387,3 +387,45 @@ def _join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM — PG's null-safe
+# comparison, part of the delegated surface). The fixture has no NULL keys,
+# so both sides derive one: NULLIF(nationkey % 5, 0) — every 5th customer/
+# supplier gets a NULL key, and the null-safe join matches NULL to NULL
+# (the plain equi-join would drop those rows). Aggregated to pair counts
+# per key so the NULL-bucket size is visible in the output.
+# Scale note: <=> compiles to a regular hash-join key (null maps to one
+# bucket) — a hot NULL key at 100 TB is a skew key like any other; salt it
+# or pre-split the NULL partition if NULLs dominate.
+# ---------------------------------------------------------------------------
+
+
+def _join_null_safe(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"),
+        F.col("c_custkey"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("k"),
+        F.col("s_suppkey"),
+    )
+    return (
+        c.join(s, c["k"].eqNullSafe(s["k"]))
+        .groupBy(c["k"].alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+register(
+    "join_null_safe",
+    """
+    WITH c AS (SELECT NULLIF(c_nationkey % 5, 0) AS k, c_custkey FROM customer),
+    s AS (SELECT NULLIF(s_nationkey % 5, 0) AS k, s_suppkey FROM supplier)
+    SELECT c.k AS k, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k ORDER BY k NULLS FIRST
+    """,
+)(_join_null_safe)

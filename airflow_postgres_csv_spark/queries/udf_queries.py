@@ -1,0 +1,100 @@
+"""UDF/UDAF surface (SURVEY.md §2.3 last row): the Arrow-vectorized Python
+extension points, demonstrated with *exactly replayable* kernels.
+
+The reference's extension story is "write any SQL" (delegated to Postgres,
+operators.py:45); Spark's is the UDF matrix. The grouped-map
+(``applyInPandas``) and iterator (``mapInPandas``) shapes are exercised by
+the packing/chunking/multimodal operators; this module covers the two
+remaining shapes — **scalar pandas_udf** and **grouped-agg pandas_udf** —
+as oracle-checked queries.
+
+Determinism: both kernels compute in ``numpy int64`` only (no float
+accumulation), so results are bit-identical to the DuckDB integer-SQL
+replay regardless of Arrow batch boundaries or partitioning. Row-at-a-time
+``F.udf`` is deliberately absent from every query path — it is 10-100×
+slower than Arrow batches and the engine treats it as a test-only surface.
+
+The udfs are built lazily inside each query function because
+``pandas_udf`` resolves its return-type DDL against the active session —
+a module-import-time decorator would pin registration to session startup
+order.
+
+100 TB notes: scalar pandas_udfs stream Arrow batches executor-side (no
+driver involvement, no shuffle); the grouped-agg UDAF shuffles once on the
+group key like any hash aggregate, but WITHOUT partial aggregation — the
+whole group's column reaches one task. That loss of map-side combine is
+the real cost of leaving the JVM, which is why the docstring of each query
+names the built-in expression that would replace it in production.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+
+
+def _udf_pandas_scalar(spark, sf_dir):
+    # Scalar pandas_udf: a vectorized integer hash-fold over two columns.
+    # Production equivalent: the same expression with built-in bitwise ops —
+    # the UDF exists to certify the Arrow scalar path end-to-end.
+    @pandas_udf(LongType())
+    def fold_score(n_chars: pd.Series, doc_id: pd.Series) -> pd.Series:
+        x = n_chars.astype("int64") * 2654435761 % 2147483647
+        return (x + doc_id.astype("int64") * 97) % 999983
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", fold_score("n_chars", "doc_id").alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "udf_pandas_scalar",
+    """
+    SELECT doc_id, n_chars,
+           ((n_chars * 2654435761) % 2147483647 + doc_id * 97) % 999983 AS score
+    FROM documents ORDER BY doc_id
+    """,
+)(_udf_pandas_scalar)
+
+
+def _udaf_pandas_grouped(spark, sf_dir):
+    # Grouped-agg pandas_udf (UDAF): exact integer second moment per
+    # language. Production equivalent: SUM(n_chars*n_chars) — a JVM
+    # hash-agg WITH partial aggregation; the UDAF form ships each group's
+    # full column to one task.
+    # Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one agg(), so n_docs is a second pandas aggregate.
+    @pandas_udf(LongType())
+    def sum_sq(n_chars: pd.Series) -> int:
+        v = n_chars.astype("int64")
+        return int((v * v).sum())
+
+    @pandas_udf(LongType())
+    def n_rows(n_chars: pd.Series) -> int:
+        return int(len(n_chars))
+
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            sum_sq("n_chars").alias("sum_sq_chars"),
+            n_rows("n_chars").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "udaf_pandas_grouped",
+    """
+    SELECT lang, SUM(n_chars * n_chars) AS sum_sq_chars, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)(_udaf_pandas_grouped)

@@ -57,6 +57,10 @@ HEADLINE = [
     "count_min_sketch_freq",
     # round-4 additions: join-heavy graph analytics + global-order path
     "graph_triangle_count",
+    "graph_pagerank",
+    "dedup_jaccard_prefix",
+    "layout_zorder_extents",
+    "sample_priority_topk",
     "skyline_orders",
     "rollup_ewma_dyadic",
     "shard_plan_snake",
