@@ -322,3 +322,37 @@ register(
     )
     .orderBy("user_id")
 )
+
+
+register(
+    "streaming_join_outer_live",
+    # Stream-stream LEFT OUTER interval join. Matches emit as they form;
+    # NULL-padded unmatched purchases emit only when the click watermark
+    # passes their timestamp, so the run uses the sentinel staging: two
+    # far-future control batches advance the watermark past every real
+    # purchase, forcing all outer-state evictions. Sentinels pass through
+    # the watermark nodes but are filtered from both join branches
+    # (streaming/windows.py:stream_stream_attribution_outer), so the live
+    # result equals the batch LEFT JOIN the oracle runs.
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           p.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+    ORDER BY purchase_id, click_id
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        SW.stream_stream_attribution_outer(
+            _staged_stream(spark, sf_dir, sentinels=True), window_minutes=10
+        ),
+        output_mode="append",
+    ).orderBy("purchase_id", "click_id")
+)

@@ -194,3 +194,73 @@ def stream_stream_attribution(
         F.unix_micros("c_ts").alias("click_us"),
         "value",
     )
+
+
+def stream_stream_attribution_outer(
+    events: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "30 minutes",
+    control_type: str = "_sentinel",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase paired with
+    its preceding clicks, or emitted once NULL-padded if none arrive.
+
+    The outer side is the stateful part Spark only finalizes on watermark
+    progress: an unmatched purchase sits in the join state until the
+    watermark passes ``p_ts`` (no earlier click can still arrive), then
+    emits exactly once with NULL click columns.
+
+    **Control-row contract.** A watermark only advances on rows that
+    reach its operator, and Catalyst pushes deterministic filters BELOW
+    ``withWatermark`` — so a control/heartbeat row that the branch filter
+    drops never advances anything (measured: the watermark froze and 7
+    join-state rows were never evicted). Control rows therefore ride
+    *through* both branch filters (``event_type IN (branch, control)``)
+    and are removed ABOVE the join, where filters cannot be pushed into
+    the stateful operator. Control rows must use reserved user ids that
+    never occur in real traffic: an in-band control click sharing a real
+    user id could win the match that suppresses that purchase's
+    NULL-padded row.
+
+    State bound is the same as the inner variant — O(rate × (window +
+    watermark delay)) per side, not O(stream) — append-mode only, as
+    Spark requires for outer stream-stream joins.
+    """
+    marked = events.withWatermark("ts", watermark)
+    clicks = marked.filter(
+        F.col("event_type").isin("click", control_type)
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_type").alias("c_type"),
+    )
+    purchases = marked.filter(
+        F.col("event_type").isin("purchase", control_type)
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+        F.col("event_type").alias("p_type"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return (
+        purchases.join(clicks, cond, "left_outer")
+        .where(
+            (F.col("p_type") != control_type)
+            & (F.col("c_type").isNull() | (F.col("c_type") != control_type))
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+            "value",
+        )
+    )

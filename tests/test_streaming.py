@@ -283,3 +283,52 @@ def test_jdbc_upsert_sink_exactly_once(spark, events_stream_dir, tmp_path):
     run("ckpt2")  # full replay, fresh checkpoint -> merge no-ops
     back2 = jdbc.jdbc_read(spark, url=derby, table="ev_upsert", driver=DERBY)
     assert back2.count() == n_events
+
+
+def test_outer_join_null_rows_emit_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit as they form;
+    unmatched purchases emit NULL-padded only after the watermark passes
+    them — driven here by control rows that must ride THROUGH the branch
+    filters (Catalyst pushes filters below withWatermark, so a filtered
+    sentinel would never advance the watermark and outer state would
+    leak forever)."""
+    d = str(tmp_path / "outer_in")
+    os.makedirs(d)
+    base_us = 1_700_000_000_000_000
+
+    def write_chunk(idx, rows):
+        pdf = spark.createDataFrame(
+            [(i, (base_us + off_s * 1_000_000) * 1000, uid, et, 1.0, "{}")
+             for i, off_s, uid, et in rows],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"oj_{idx}"))
+        src = str(tmp_path / f"oj_{idx}")
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(d, f"{idx:03d}.parquet"))
+
+    # user 1: click then purchase inside the 10-min window (match);
+    # user 2: purchase with no click (NULL row after eviction);
+    # user 3: click 20 min before purchase — outside window (NULL row).
+    write_chunk(0, [(10, 0, 1, "click"), (11, 300, 1, "purchase"),
+                    (12, 300, 2, "purchase"),
+                    (13, 0, 3, "click"), (14, 1500, 3, "purchase")])
+    # control rows with reserved ids advance the watermark; the second
+    # batch triggers the eviction pass under the first one's watermark
+    write_chunk(1, [(-1, 100_000, -1, "_sentinel")])
+    write_chunk(2, [(-2, 110_000, -2, "_sentinel")])
+    ev = SW.stream_events(spark, d)
+    q = SW.run_to_memory_sink(
+        SW.stream_stream_attribution_outer(ev, window_minutes=10),
+        "t_outer_join",
+        output_mode="append",
+    )
+    try:
+        got = sorted(
+            (r.purchase_id, r.click_id)
+            for r in spark.table("t_outer_join").collect()
+        )
+        assert got == [(11, 10), (12, None), (14, None)]
+    finally:
+        q.stop()
