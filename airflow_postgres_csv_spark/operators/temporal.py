@@ -40,22 +40,34 @@ def asof_join(
     right_cols: list[str],
     strict: bool = False,
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row at-or-before it.
+    """For each left row, attach the nearest right row at-or-before it
+    (``direction="backward"``, the default) or at-or-after it
+    (``direction="forward"`` — pandas ``merge_asof(direction=...)``).
 
-    ``strict=True`` requires ``right.ts < left.ts`` (pandas
-    ``merge_asof(allow_exact_matches=False)``); default is ``<=``.
-    ``tolerance_us`` nulls the match when the gap exceeds that many
-    microseconds (pandas ``tolerance``). Right-side payload columns come
-    back as ``asof_<name>``, null when no match. Right rows must be
-    unique per (key, right_ts) for a deterministic result — pre-aggregate
-    with ``max_by`` otherwise.
+    ``strict=True`` excludes the equal-timestamp match (pandas
+    ``allow_exact_matches=False``). ``tolerance_us`` nulls the match when
+    the gap exceeds that many microseconds (pandas ``tolerance``).
+    Right-side payload columns come back as ``asof_<name>``, null when no
+    match. Right rows must be unique per (key, right_ts) for a
+    deterministic result — pre-aggregate with ``max_by`` otherwise.
+    Both directions cost the same single key-shuffle: the forward variant
+    just flips the carry window (``first`` over the following frame
+    instead of ``last`` over the preceding one).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    forward = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     # Order within a (key, ts) tie decides whether an equal-ts right row
-    # is visible to the left row: inclusive -> right first (0 < 1),
-    # strict -> right last (1 > 0).
-    left_ord, right_ord = (0, 1) if strict else (1, 0)
+    # is visible to the left row (i.e. lands inside the left row's carry
+    # frame): backward-inclusive -> right first, backward-strict -> right
+    # last; forward mirrors both.
+    if forward:
+        left_ord, right_ord = (1, 0) if strict else (0, 1)
+    else:
+        left_ord, right_ord = (0, 1) if strict else (1, 0)
 
     lhs = (
         left.withColumn("__ts", F.col(left_ts))
@@ -78,20 +90,26 @@ def asof_join(
     # union is the only data movement; the window below reuses its sort.
     u = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
-        F.col("__is_left")
-    )
+    if forward:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__ord")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__r", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__r", ignorenulls=True).over(w)
+    matched = u.withColumn("__m", carry).filter(F.col("__is_left"))
 
     gap_ok: Column = F.lit(True)
     if tolerance_us is not None:
-        gap_ok = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
-        ) <= F.lit(tolerance_us)
+        signed_gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        gap_ok = (-signed_gap if forward else signed_gap) <= F.lit(tolerance_us)
     keep = F.col("__m").isNotNull() & gap_ok
 
     out = matched.select(

@@ -191,3 +191,69 @@ register(
     ORDER BY c_custkey
     """,
 )(merge_upsert_customer)
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: each click attributed to the user's NEXT purchase
+# within 2 hours (click→conversion latency, the mirror of last-click
+# attribution). Same single-shuffle union+window plan, carry frame
+# flipped to first-over-following. The oracle is the independent
+# min-join formulation (earliest qualifying purchase, joined back for
+# payload) — (user_id, ts) is unique in the fixture so both are
+# deterministic.
+# ---------------------------------------------------------------------------
+
+_FWD_TOL_US = 2 * 3600 * 1_000_000
+
+
+def join_asof_forward(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        direction="forward",
+        tolerance_us=_FWD_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("next_purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+register(
+    "join_asof_forward",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts AS cts, MIN(p.ts) AS nts
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= {_FWD_TOL_US}
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.event_id, m.user_id,
+           p.event_id AS next_purchase_id,
+           p.value AS purchase_value,
+           epoch_us(m.nts) - epoch_us(m.cts) AS gap_us
+    FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.nts
+    ORDER BY m.event_id
+    """,
+)(join_asof_forward)
