@@ -650,3 +650,79 @@ def _pagerank_oracle_sql(iters: int, scale: int) -> str:
 
 
 register("graph_pagerank", _pagerank_oracle_sql(_PR_ITERS, _PR_SCALE))(_graph_pagerank)
+
+
+# ---------------------------------------------------------------------------
+# Linear regression aggregates (regr_slope / regr_intercept parity) with
+# EXACT moments: value (as integer cents) regressed on hours-since-anchor
+# per event_type. Float regr_* aggregates are summation-order-dependent
+# and can't be hash-compared across engines; instead all four moments
+# (n, Σx, Σy, Σxy, Σx²) are exact 128-bit integer sums, the
+# numerator/denominator are exact products, and slope/intercept are a
+# fixed IEEE expression tree over them — bit-identical in both engines.
+# Scale: one hash-agg with partial aggregation; no window, no shuffle
+# beyond the 5-key groupBy.
+# ---------------------------------------------------------------------------
+
+
+def _stats_linreg_exact(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+            / 3600
+        ).cast("decimal(38,0)").alias("x"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sum_x_hours"),
+        F.col("sy").cast("long").alias("sum_y_cents"),
+        slope.alias("slope_cents_per_hour"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+register(
+    "stats_linreg_exact",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600) AS HUGEINT) AS x,
+             CAST(round(value * 100) AS HUGEINT) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_x_hours,
+           CAST(sy AS BIGINT) AS sum_y_cents,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope_cents_per_hour,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS intercept_cents
+    FROM agg ORDER BY event_type
+    """,
+)(_stats_linreg_exact)
