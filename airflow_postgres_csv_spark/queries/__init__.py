@@ -55,6 +55,7 @@ _MODULES = (
     "analytics_queries",
     "scale_queries",
     "udf_queries",
+    "mining_queries",
 )
 
 

@@ -1,0 +1,324 @@
+"""Pattern-mining / classifier-scoring queries (SURVEY.md §2.3 depth).
+
+Three classic corpus-mining operators the reference's "write any SQL"
+surface can express but Spark must plan well at 100 TB, plus nothing
+else — each is an oracle-checked registered query:
+
+- ``basket_pair_rules`` — apriori-pruned association-rule mining over
+  order baskets (support / confidence / lift). The pair generation is a
+  basket self-join AFTER the item-level support prune, so the candidate
+  space is bounded by frequent items only — the standard apriori
+  anti-monotonicity cut that keeps the self-join from exploding on a
+  100 TB basket table.
+- ``text_winnowing_fingerprints`` — robust winnowing (Schleimer et al.,
+  SIGMOD'03): per-document char-k-gram rolling hashes, minimum per
+  sliding window with rightmost tie-break, distinct selected prints.
+  This is the local-fingerprinting primitive behind copy-detection /
+  substring-level dedup; all array math runs JVM-side per row (no
+  explode until the final output), so there is NO shuffle at all until
+  the (tiny) fingerprint set is emitted.
+- ``text_hashed_ngram_classifier`` — fastText-style linear classifier
+  scoring with the hashing trick: unigram+bigram features hashed into
+  2^12 buckets, a deterministic integer weight per bucket, mean-weight
+  document score. The fixture has no trained model, so weights are a
+  pure function of the bucket id — the *plumbing* (feature hashing,
+  explode→agg scoring, integer determinism) is exactly what a real
+  quality-classifier pass needs; swap the weight expression for a
+  broadcast-joined weight table to serve a trained model.
+
+Determinism: every hash is md5-derived (bit-identical across engines),
+every aggregate is integer or exact-decimal, and each double in the
+output is produced by ONE final IEEE division with an identical
+expression tree in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.queries import register
+from airflow_postgres_csv_spark.queries._helpers import t
+from airflow_postgres_csv_spark.queries.text_queries import SQL_NORM, SQL_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# Association rules over order baskets (lineitem parts per order).
+#
+# Scale shape: baskets are distinct (orderkey, partkey) pairs; the item
+# support prune (support >= MINSUP_ITEM) runs BEFORE the pair self-join —
+# apriori anti-monotonicity guarantees no frequent pair contains an
+# infrequent item, so the cut is lossless. The self-join is an equi-join
+# on l_orderkey (shuffle by order), pair counts a hash agg; per-order
+# basket sizes are small and bounded, so candidate fan-out per order is
+# O(basket²) with frequent items only.
+# ---------------------------------------------------------------------------
+
+_MINSUP_ITEM = 3
+_MINSUP_PAIR = 2
+
+
+def _basket_pair_rules(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # scalar-aggregate attach: 1-row broadcast, keeps the plan fully lazy
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item_supp = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= _MINSUP_ITEM)
+    )
+    # restrict baskets to frequent items before pairing (apriori prune)
+    fb = baskets.join(F.broadcast(item_supp), "l_partkey").select(
+        "l_orderkey", "l_partkey", "supp"
+    )
+    a = fb.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p1"),
+        F.col("supp").alias("supp1"),
+    )
+    b = fb.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p2"),
+        F.col("supp").alias("supp2"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(
+            F.count("*").alias("supp_pair"),
+            F.min("supp1").alias("supp1"),
+            F.min("supp2").alias("supp2"),
+        )
+        .filter(F.col("supp_pair") >= _MINSUP_PAIR)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "supp_pair",
+            "supp1",
+            "supp2",
+            # ONE IEEE division each, from exact integers — engine-identical
+            (F.col("supp_pair").cast("double") / F.col("supp1")).alias("conf_1_2"),
+            (
+                (F.col("supp_pair") * F.col("n_orders")).cast("double")
+                / (F.col("supp1") * F.col("supp2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("supp_pair"), "p1", "p2")
+        .limit(50)
+    )
+
+
+register(
+    "basket_pair_rules",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (
+        SELECT l_partkey, COUNT(*) AS supp FROM baskets
+        GROUP BY l_partkey HAVING COUNT(*) >= {_MINSUP_ITEM}
+    ),
+    fb AS (
+        SELECT b.l_orderkey, b.l_partkey, i.supp
+        FROM baskets b JOIN item i USING (l_partkey)
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               COUNT(*) AS supp_pair,
+               MIN(a.supp) AS supp1, MIN(b.supp) AS supp2
+        FROM fb a JOIN fb b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_MINSUP_PAIR}
+    )
+    SELECT p1, p2, supp_pair, supp1, supp2,
+           CAST(supp_pair AS DOUBLE) / supp1 AS conf_1_2,
+           CAST(supp_pair * n_orders AS DOUBLE) / (supp1 * supp2) AS lift
+    FROM pairs, n
+    ORDER BY supp_pair DESC, p1, p2
+    LIMIT 50
+    """,
+)(_basket_pair_rules)
+
+
+# ---------------------------------------------------------------------------
+# Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+#
+# k-gram hashes h_i over the (capped) normalized text; for each window of
+# W consecutive hashes keep the minimum, breaking ties toward the
+# RIGHTMOST position; the distinct selected (pos, hash) pairs are the
+# document's fingerprints. Tie-break is encoded arithmetically: the
+# window minimum is taken over key_i = h_i * 2^20 + (2^20-1 - i), so the
+# smallest key has the smallest hash and, among equal hashes, the
+# LARGEST position. h_i < 2^32 keeps every key under 2^52 — exact in
+# int64 in both engines.
+#
+# Scale shape: the whole selection is per-row array arithmetic inside
+# whole-stage codegen — zero shuffles before the final explode of the
+# selected prints (a ~n/W-fold reduction of the k-gram stream). This is
+# the fingerprint generator substring-dedup would feed into a bucket
+# join at 100 TB.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 8  # char k-gram width
+_WIN_W = 4  # winnowing window (guarantee: any match >= K+W-1 chars is caught)
+_WIN_CAP = 400  # cap normalized text, bounds output size deterministically
+
+
+def _text_winnowing_fingerprints(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    norm = F.expr(
+        f"substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 1, {_WIN_CAP})"
+    )
+    d = docs.select("doc_id", norm.alias("norm"))
+    # keys[i] = md5-hash(k-gram at i) * 2^20 + (2^20-1 - i).
+    # Spark's sequence(1, 0) infers step -1 and yields [1, 0], so every
+    # sequence over a possibly-short doc is guarded with CASE → array().
+    keys = F.expr(
+        f"""
+        CASE WHEN length(norm) < {_WIN_K} THEN cast(array() as array<bigint>)
+        ELSE transform(
+          sequence(1, length(norm) - {_WIN_K - 1}),
+          i -> cast(conv(substring(md5(substring(norm, i, {_WIN_K})), 1, 8), 16, 10)
+                    as bigint) * 1048576 + (1048575 - i)
+        ) END
+        """
+    )
+    d = d.select("doc_id", keys.alias("keys"))
+    sel = F.expr(
+        f"""
+        CASE WHEN size(keys) < {_WIN_W} THEN cast(array() as array<bigint>)
+        ELSE array_distinct(transform(
+          sequence(1, size(keys) - {_WIN_W - 1}),
+          j -> array_min(slice(keys, j, {_WIN_W}))
+        )) END
+        """
+    )
+    d = d.select("doc_id", F.explode(sel).alias("key"))
+    return d.select(
+        "doc_id",
+        (F.lit(1048575) - F.col("key") % 1048576).alias("pos"),
+        F.expr("key div 1048576").alias("fp"),
+    ).orderBy("doc_id", "pos")
+
+
+register(
+    "text_winnowing_fingerprints",
+    f"""
+    WITH d AS (
+        SELECT doc_id, substring({SQL_NORM}, 1, {_WIN_CAP}) AS norm
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(1, greatest(length(norm) - {_WIN_K - 1}, 0)),
+                 i -> ('0x' || substring(md5(substring(norm, i, {_WIN_K})), 1, 8))::BIGINT
+                        * 1048576 + (1048575 - i)
+               ) AS keys
+        FROM d
+    ),
+    sel AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(keys) - {_WIN_W - 1}, 0)),
+                 j -> list_min(list_slice(keys, j, j + {_WIN_W - 1}))
+               ))) AS key
+        FROM keyed
+    )
+    SELECT doc_id, 1048575 - (key % 1048576) AS pos, key // 1048576 AS fp
+    FROM sel ORDER BY doc_id, pos
+    """,
+)(_text_winnowing_fingerprints)
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram linear classifier (fastText-style scoring plumbing).
+#
+# Features = unigrams + adjacent-token bigrams; bucket = md5-hash mod
+# 2^12 (the hashing trick); weight(bucket) = (bucket * 2654435761)
+# mod 2^16 - 2^15 — a deterministic stand-in for a trained weight
+# vector, centered at zero. Document score = mean feature weight (one
+# IEEE division of exact integer sums); label = score > 0.
+#
+# Scale shape: explode features → hash agg by doc — one shuffle, all
+# JVM. A trained model swaps the weight expression for a broadcast join
+# against a 2^12-row weight table; nothing else changes.
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 4096
+
+
+def _text_hashed_ngram_classifier(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')").alias(
+            "toks"
+        ),
+    )
+    feats = F.expr(
+        """
+        concat(
+          toks,
+          CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)
+          ELSE transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          END
+        )
+        """
+    )
+    e = d.select("doc_id", F.explode(feats).alias("feat"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
+        % _CLS_BUCKETS
+    )
+    weight = (bucket * F.lit(2654435761)) % 65536 - 32768
+    return (
+        e.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("w_sum"), F.count("*").alias("n_feats"))
+        .select(
+            "doc_id",
+            "w_sum",
+            "n_feats",
+            (F.col("w_sum").cast("double") / F.col("n_feats")).alias("score"),
+            (F.col("w_sum") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_hashed_ngram_classifier",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               unnest(list_concat(
+                 toks,
+                 list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                i -> toks[i] || ' ' || toks[i + 1])
+               )) AS feat
+        FROM d
+    ),
+    w AS (
+        SELECT doc_id,
+               (('0x' || substring(md5(feat), 1, 8))::BIGINT % {_CLS_BUCKETS})
+                 * 2654435761 % 65536 - 32768 AS w
+        FROM e
+    )
+    SELECT doc_id, SUM(w) AS w_sum, COUNT(*) AS n_feats,
+           CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score,
+           SUM(w) > 0 AS keep
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)(_text_hashed_ngram_classifier)

@@ -98,3 +98,77 @@ register(
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )(_udaf_pandas_grouped)
+
+
+def _udf_cogroup_reconcile(spark, sf_dir):
+    # Cogrouped-map applyInPandas — the last Arrow UDF shape: both sides
+    # shuffle on the key (exactly like the sort-merge join that replaces
+    # it in production), then each key's two pandas frames reach one
+    # task. Kernel: per-order reconciliation of the order header against
+    # its lineitems, all arithmetic in int64 "cents" (ext*100 and
+    # (1-disc)*100 are exact 2-decimal scalings, so np.rint is lossless
+    # and the revenue unit is 1e-4 currency — bit-identical to the
+    # integer-SQL replay regardless of Arrow batch boundaries).
+    # Production equivalent: a join + groupBy with decimal sums.
+    import numpy as np
+
+    def reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        (orderkey,) = key
+        total_cents = (
+            int(np.rint(orders_pdf["o_totalprice"].iloc[0] * 100))
+            if len(orders_pdf)
+            else -1
+        )
+        ext_c = np.rint(lines_pdf["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc_c = np.rint((1.0 - lines_pdf["l_discount"].to_numpy()) * 100).astype(
+            "int64"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [orderkey],
+                "o_total_cents": [total_cents],
+                "n_lines": [len(lines_pdf)],
+                "rev_e4": [int((ext_c * disc_c).sum())],
+            }
+        )
+
+    # Deterministic 10% key slice: the cogroup's cost is per-group Python
+    # dispatch (one pandas frame pair per key), so the demo keeps the full
+    # shuffle/cogroup shape but bounds the group count. Both filters push
+    # down to the parquet scans.
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, o_total_cents long, n_lines long, rev_e4 long",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "udf_cogroup_reconcile",
+    """
+    SELECT o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_total_cents,
+           COUNT(l.l_orderkey) AS n_lines,
+           COALESCE(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        * CAST(CAST(1 - l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)),
+                    0) AS rev_e4
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 10 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_orderkey
+    """,
+)(_udf_cogroup_reconcile)

@@ -68,6 +68,9 @@ HEADLINE = [
     "text_bm25_topk",
     "theta_sketch_overlap",
     "join_salted_replicated",
+    "basket_pair_rules",
+    "text_winnowing_fingerprints",
+    "text_hashed_ngram_classifier",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh_recall",
     "text_token_stats",
