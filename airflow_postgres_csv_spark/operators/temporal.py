@@ -55,9 +55,22 @@ def asof_join(
     Both directions cost the same single key-shuffle: the forward variant
     just flips the carry window (``first`` over the following frame
     instead of ``last`` over the preceding one).
+
+    ``direction="nearest"`` (pandas parity) picks whichever of the
+    backward/forward candidates is closer in absolute time, ties toward
+    the backward match (pandas' rule). Cost: still ONE key-shuffle — the
+    two carries are windows over the same partitioning (Spark plans one
+    Exchange and two in-partition sorts, since strict-mode tie ordering
+    differs per direction).
     """
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, on, left_ts, right_ts, right_cols, strict, tolerance_us
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward, forward or nearest, got {direction!r}"
+        )
     forward = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     # Order within a (key, ts) tie decides whether an equal-ts right row
@@ -120,6 +133,93 @@ def asof_join(
         ],
     ).withColumnRenamed("asof___rts", f"asof_{right_ts}")
     return out
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction="nearest")``: closest right row in
+    absolute time, equidistant ties to the backward (at-or-before) match.
+
+    Same union+window formulation as the directional variants, with BOTH
+    carries computed in one pass. The per-direction tie orders (an
+    equal-timestamp right row must sit inside the inclusive frame and
+    outside the strict one, mirrored for forward) are two small ordinal
+    columns, so the plan is one Exchange on the key and two sorts.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # left/right ordinal per direction (see asof_join body for the rule)
+    b_left, b_right = (0, 1) if strict else (1, 0)
+    f_left, f_right = (1, 0) if strict else (0, 1)
+
+    lhs = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__ob", F.lit(b_left))
+        .withColumn("__of", F.lit(f_left))
+        .withColumn("__is_left", F.lit(True))
+    )
+    rhs = (
+        right.select(
+            *[F.col(k) for k in keys],
+            F.col(right_ts).alias("__ts"),
+            F.struct(
+                F.col(right_ts).alias("__rts"),
+                *[F.col(c) for c in right_cols],
+            ).alias("__r"),
+        )
+        .withColumn("__ob", F.lit(b_right))
+        .withColumn("__of", F.lit(f_right))
+        .withColumn("__is_left", F.lit(False))
+    )
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__ob")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__of")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        u.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+        .filter(F.col("__is_left"))
+    )
+    gb = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__mb.__rts"))
+    gf = F.unix_micros(F.col("__mf.__rts")) - F.unix_micros(F.col("__ts"))
+    chosen = (
+        F.when(F.col("__mb").isNull(), F.col("__mf"))
+        .when(F.col("__mf").isNull(), F.col("__mb"))
+        .when(gb <= gf, F.col("__mb"))  # tie -> backward (pandas rule)
+        .otherwise(F.col("__mf"))
+    )
+    matched = matched.withColumn("__m", chosen)
+
+    gap_ok: Column = F.lit(True)
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        )
+        gap_ok = gap <= F.lit(tolerance_us)
+    keep = F.col("__m").isNotNull() & gap_ok
+
+    return matched.select(
+        *left.columns,
+        *[
+            F.when(keep, F.col(f"__m.{c}")).alias(f"asof_{c}")
+            for c in ["__rts", *right_cols]
+        ],
+    ).withColumnRenamed("asof___rts", f"asof_{right_ts}")
 
 
 def bucketed_range_join(

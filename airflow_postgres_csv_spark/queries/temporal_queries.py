@@ -257,3 +257,77 @@ register(
     ORDER BY m.event_id
     """,
 )(join_asof_forward)
+
+
+# --- as-of NEAREST: closest purchase in absolute time (pandas
+# merge_asof(direction="nearest") parity; ties toward backward). Tolerance
+# composes identically to the directional variants because the
+# nearest-candidate-out-of-tolerance case implies the other direction is
+# farther and therefore also out.
+_NEAR_TOL_US = 2 * 3600 * 1_000_000
+
+
+def join_asof_nearest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        direction="nearest",
+        tolerance_us=_NEAR_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("near_purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+register(
+    "join_asof_nearest",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts AS cts,
+             MAX(CASE WHEN p.ts <= c.ts THEN p.ts END) AS bts,
+             MIN(CASE WHEN p.ts >= c.ts THEN p.ts END) AS fts
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id
+       AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= {_NEAR_TOL_US}
+      GROUP BY 1, 2, 3
+    ),
+    ch AS (
+      SELECT event_id, user_id, cts,
+             CASE
+               WHEN bts IS NULL THEN fts
+               WHEN fts IS NULL THEN bts
+               WHEN epoch_us(cts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(cts)
+                 THEN bts
+               ELSE fts
+             END AS nts
+      FROM m
+    )
+    SELECT ch.event_id, ch.user_id,
+           p.event_id AS near_purchase_id,
+           p.value AS purchase_value,
+           epoch_us(ch.nts) - epoch_us(ch.cts) AS gap_us
+    FROM ch LEFT JOIN p ON p.user_id = ch.user_id AND p.ts = ch.nts
+    ORDER BY ch.event_id
+    """,
+)(join_asof_nearest)

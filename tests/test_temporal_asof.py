@@ -28,7 +28,7 @@ RIGHT = [
 ]
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("strict", [False, True])
 @pytest.mark.parametrize("tolerance_us", [None, 1_000_000])
 def test_asof_matches_pandas(spark, direction, strict, tolerance_us):
@@ -76,4 +76,4 @@ def test_asof_rejects_unknown_direction(spark):
     df = spark.createDataFrame([(1, "a", 1)], "id long, key string, ts long")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="key", left_ts="ts", right_ts="ts",
-                  right_cols=["id"], direction="nearest")
+                  right_cols=["id"], direction="sideways")
