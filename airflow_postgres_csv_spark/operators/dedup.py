@@ -814,3 +814,66 @@ def segment_dedup_clean(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    cap: int | None = 400,
+) -> DataFrame:
+    """Robust-winnowing document fingerprints (Schleimer et al., SIGMOD'03)
+    → ``(id_col, pos, fp)``.
+
+    Char ``k``-gram md5 hashes over the normalized text; each window of
+    ``w`` consecutive hashes selects its minimum, ties to the RIGHTMOST
+    position; distinct selections are the fingerprints. Guarantee: two
+    documents sharing a normalized substring of at least ``k + w - 1``
+    chars share at least one ``fp`` value (every w-window records its
+    min k-gram hash, and the shared substring contains one full window).
+
+    The tie-break is arithmetic: the window min is taken over
+    ``key_i = h_i * 2^20 + (2^20-1 - i)`` — min hash first, then max
+    position — with every key < 2^52, exact in int64 (and replayable in
+    any engine). ``cap`` truncates the normalized text (None = no cap);
+    positions beyond 2^20 chars would alias, so cap must stay below that.
+
+    100 TB shape: pure per-row array arithmetic in whole-stage codegen —
+    no shuffle until the selected prints are exploded (an ~n/w-fold
+    reduction of the k-gram stream). Feed the output into a bucket
+    equi-join on ``fp`` for substring-level near-dup detection.
+    """
+    if cap is not None and cap >= 1 << 20:
+        raise ValueError("cap must stay below 2^20 so positions don't alias")
+    norm = X.normalize_text(F.col(text_col))
+    if cap is not None:
+        norm = F.substring(norm, 1, cap)
+    d = df.select(F.col(id_col), norm.alias("__norm"))
+    keys = F.expr(
+        f"""
+        CASE WHEN length(__norm) < {k} THEN cast(array() as array<bigint>)
+        ELSE transform(
+          sequence(1, length(__norm) - {k - 1}),
+          i -> cast(conv(substring(md5(substring(__norm, i, {k})), 1, 8), 16, 10)
+                    as bigint) * 1048576 + (1048575 - i)
+        ) END
+        """
+    )
+    d = d.select(id_col, keys.alias("__keys"))
+    sel = F.expr(
+        f"""
+        CASE WHEN size(__keys) < {w} THEN cast(array() as array<bigint>)
+        ELSE array_distinct(transform(
+          sequence(1, size(__keys) - {w - 1}),
+          j -> array_min(slice(__keys, j, {w}))
+        )) END
+        """
+    )
+    d = d.select(id_col, F.explode(sel).alias("__key"))
+    return d.select(
+        id_col,
+        (F.lit(1048575) - F.col("__key") % 1048576).alias("pos"),
+        F.expr("__key div 1048576").alias("fp"),
+    )

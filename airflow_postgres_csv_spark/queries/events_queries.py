@@ -736,3 +736,83 @@ register(
     ORDER BY day
     """,
 )(events_user_growth)
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase's value is split equally
+# across the user's clicks in the preceding 7 days (the classic
+# marketing-attribution primitive; first/last-touch are the as-of joins
+# in temporal_queries). Granularity is one row per purchase — the credit
+# division is a SINGLE IEEE division from exact inputs, so no double
+# summation exists anywhere and the result is engine-identical.
+#
+# 100 TB shape: equi-join on user_id with the window predicate as a
+# post-join filter — per-user event counts bound the fan-out; the count
+# is a hash agg keyed by purchase.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _events_attribution_linear(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    # LEFT join WITHOUT a window filter + conditional count: filtering the
+    # joined rows would drop purchases whose clicks are all out-of-window
+    # instead of reporting them with n_touches = 0.
+    gap = F.unix_micros("pts") - F.unix_micros("cts")
+    in_window = (gap > 0) & (gap <= _ATTR_WINDOW_US)
+    joined = purchases.join(clicks, "user_id", "left")
+    counted = joined.groupBy("purchase_id", "user_id", "pts", "value").agg(
+        F.sum(
+            F.when(F.col("cts").isNotNull() & in_window, 1).otherwise(0)
+        ).alias("n_touches")
+    )
+    return counted.select(
+        "purchase_id",
+        "user_id",
+        dec("value").cast("double").alias("value"),
+        "n_touches",
+        F.when(
+            F.col("n_touches") > 0,
+            dec("value").cast("double") / F.col("n_touches"),
+        ).alias("credit_per_click"),
+    ).orderBy("purchase_id")
+
+
+register(
+    "events_attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    g AS (
+      SELECT p.purchase_id, p.user_id, p.pts, p.value,
+             SUM(CASE WHEN c.cts IS NOT NULL
+                       AND epoch_us(p.pts) - epoch_us(c.cts) > 0
+                       AND epoch_us(p.pts) - epoch_us(c.cts) <= {_ATTR_WINDOW_US}
+                      THEN 1 ELSE 0 END) AS n_touches
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT purchase_id, user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           n_touches,
+           CASE WHEN n_touches > 0
+                THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) / n_touches
+           END AS credit_per_click
+    FROM g ORDER BY purchase_id
+    """,
+)(_events_attribution_linear)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from airflow_postgres_csv_spark.operators import dedup as D
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import t
 from airflow_postgres_csv_spark.queries.text_queries import SQL_NORM, SQL_TOKENS
@@ -173,38 +174,8 @@ _WIN_CAP = 400  # cap normalized text, bounds output size deterministically
 
 def _text_winnowing_fingerprints(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    norm = F.expr(
-        f"substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 1, {_WIN_CAP})"
-    )
-    d = docs.select("doc_id", norm.alias("norm"))
-    # keys[i] = md5-hash(k-gram at i) * 2^20 + (2^20-1 - i).
-    # Spark's sequence(1, 0) infers step -1 and yields [1, 0], so every
-    # sequence over a possibly-short doc is guarded with CASE → array().
-    keys = F.expr(
-        f"""
-        CASE WHEN length(norm) < {_WIN_K} THEN cast(array() as array<bigint>)
-        ELSE transform(
-          sequence(1, length(norm) - {_WIN_K - 1}),
-          i -> cast(conv(substring(md5(substring(norm, i, {_WIN_K})), 1, 8), 16, 10)
-                    as bigint) * 1048576 + (1048575 - i)
-        ) END
-        """
-    )
-    d = d.select("doc_id", keys.alias("keys"))
-    sel = F.expr(
-        f"""
-        CASE WHEN size(keys) < {_WIN_W} THEN cast(array() as array<bigint>)
-        ELSE array_distinct(transform(
-          sequence(1, size(keys) - {_WIN_W - 1}),
-          j -> array_min(slice(keys, j, {_WIN_W}))
-        )) END
-        """
-    )
-    d = d.select("doc_id", F.explode(sel).alias("key"))
-    return d.select(
-        "doc_id",
-        (F.lit(1048575) - F.col("key") % 1048576).alias("pos"),
-        F.expr("key div 1048576").alias("fp"),
+    return D.winnowing_fingerprints(
+        docs, "text", "doc_id", k=_WIN_K, w=_WIN_W, cap=_WIN_CAP
     ).orderBy("doc_id", "pos")
 
 
@@ -322,3 +293,66 @@ register(
     FROM w GROUP BY doc_id ORDER BY doc_id
     """,
 )(_text_hashed_ngram_classifier)
+
+
+# ---------------------------------------------------------------------------
+# OOV rate against a corpus-derived top-N vocabulary — the tokenizer
+# coverage check run before committing to a vocab. Vocab selection is
+# TakeOrderedAndProject (top-N by (freq DESC, token), a distributed
+# top-k — never a global sort), then a broadcast semi-join back onto the
+# exploded token stream. One explode shuffle + one broadcast join.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_N = 1000
+
+
+def _text_oov_rate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(_OOV_VOCAB_N)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM toks GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok LIMIT {_OOV_VOCAB_N}
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)(_text_oov_rate)

@@ -321,3 +321,47 @@ register(
         )
     )
 )
+
+
+# --- exact-proportion stratified split: the hash split
+# (split_train_test_counts) gives each doc an independent Bernoulli
+# assignment — composition-in-expectation; this variant RANKS each
+# stratum by the md5 uniform and cuts at exact 80/10/10 boundaries, the
+# fixed-budget counterpart (floor arithmetic in pure integers, so both
+# engines cut at identical ranks). Per-stratum window over the lang
+# partition — distributed, never a global sort.
+def _split_exact_stratified(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    d = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    split = (
+        F.when(F.col("rn") <= F.expr("(n * 8) div 10"), F.lit("train"))
+        .when(F.col("rn") <= F.expr("(n * 9) div 10"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "split_exact_stratified",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY {SQL_H}, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+                WHEN rn <= (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked ORDER BY doc_id
+    """,
+)(_split_exact_stratified)
