@@ -45,9 +45,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
       arithmetic (``ts DIV 1000`` — exact; double division would lose
       precision above 2^53 ns). Matches DuckDB's ns→us truncation.
     - parquet timestamp[us] (isAdjustedToUTC=false): arrives as
-      TIMESTAMP_NTZ; cast to TimestampType — a numeric no-op under the
-      engine's pinned UTC session timezone, and what DuckDB's naive
-      TIMESTAMP compares equal to.
+      TIMESTAMP_NTZ; converted to a TimestampType *instant* by pure
+      NTZ wall-clock arithmetic (``timestampdiff`` from the NTZ epoch),
+      which pins the naive wall clock to UTC under ANY session timezone.
+      A plain ``cast("timestamp")`` would re-interpret the wall clock in
+      the session timezone — correct only under pinned UTC, and the
+      driver's own session need not pin it (measured: epoch outputs
+      shifted −5 h under America/New_York). DuckDB reads the same bytes
+      as naive TIMESTAMP and ``epoch_us`` treats them as UTC, so this is
+      the encoding both engines agree on.
     """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
@@ -62,7 +68,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         if isinstance(ts_type, T.LongType):
             return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         if isinstance(ts_type, T.TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

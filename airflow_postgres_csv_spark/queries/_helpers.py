@@ -48,3 +48,35 @@ def sql_dsum(col: str, alias: str, scale: int = 2) -> str:
 
 
 SQL_TS = "strftime({col}, '%Y-%m-%d %H:%M:%S')"
+
+
+# --- timezone-independent timestamp surfaces -------------------------------
+#
+# The engine pins its own sessions to UTC, but the DRIVER runs queries in
+# its own SparkSession which need not pin anything — so any query output
+# derived from a TimestampType instant through a session-timezone-dependent
+# function (cast to date, date_trunc, hour/minute/..., date_format,
+# unix_timestamp(string), timestamp literals) must go through these helpers
+# instead. Each is pure epoch/NTZ arithmetic: identical output under ANY
+# session timezone, and identical to DuckDB's naive-as-UTC reading.
+
+
+def utc_ntz(col: str | Column) -> Column:
+    """TimestampType instant -> TIMESTAMP_NTZ carrying the UTC wall clock.
+
+    ``timestampadd`` from the NTZ epoch is pure arithmetic; calendar/time
+    field extractors (hour, quarter, dayofyear, ...) applied to an NTZ
+    input are wall-clock extractors with no timezone in play.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add("MICROSECOND", F.unix_micros(c),
+                           F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+
+
+def utc_date(col: str | Column) -> Column:
+    """TimestampType instant -> its UTC calendar date (DateType).
+
+    Goes through :func:`utc_ntz` (``to_date`` of an NTZ is a pure
+    wall-clock truncation) — no float division anywhere.
+    """
+    return F.to_date(utc_ntz(col))

@@ -668,9 +668,11 @@ register("graph_pagerank", _pagerank_oracle_sql(_PR_ITERS, _PR_SCALE))(_graph_pa
 def _stats_linreg_exact(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select(
         "event_type",
+        # integer epoch anchor (2024-01-01T00:00Z): unix_timestamp of a
+        # STRING literal parses in the session timezone and would shift x
+        # under a non-UTC driver session
         F.floor(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
-            / 3600
+            (F.unix_timestamp("ts") - F.lit(1704067200)) / 3600
         ).cast("decimal(38,0)").alias("x"),
         F.round(F.col("value") * 100).cast("decimal(38,0)").alias("y"),
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.operators.global_order import with_global_order_stats
 from airflow_postgres_csv_spark.queries import register
-from airflow_postgres_csv_spark.queries._helpers import dec, t
+from airflow_postgres_csv_spark.queries._helpers import dec, t, utc_date, utc_ntz
 
 # ---------------------------------------------------------------------------
 # Tumbling window: 10-minute buckets × event_type.
@@ -706,8 +706,10 @@ register(
 def events_user_growth(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     first_day = (
+        # utc_date: a bare cast(ts as date) buckets in the SESSION zone
+        # and shifts day boundaries under a non-UTC driver session
         e.groupBy("user_id")
-        .agg(F.min(F.col("ts").cast("date")).alias("d"))
+        .agg(F.min(utc_date("ts")).alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("new_users"))
     )

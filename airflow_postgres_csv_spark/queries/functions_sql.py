@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.queries import register
-from airflow_postgres_csv_spark.queries._helpers import dec, t
+from airflow_postgres_csv_spark.queries._helpers import dec, t, utc_date, utc_ntz
 
 # ---------------------------------------------------------------------------
 # String functions.
@@ -1126,22 +1126,25 @@ register(
     """,
 )(
     lambda spark, sf_dir: (
+        # field extraction goes through the UTC wall clock (utc_ntz) and
+        # minute indexes through pure epoch integer arithmetic, so every
+        # output is identical under ANY driver session timezone — a bare
+        # hour(ts)/cast(ts as date) extracts in the session zone and only
+        # matched the naive-as-UTC oracle when the session happened to be
+        # UTC (found by the Kathmandu/New_York sweep).
         t(spark, sf_dir, "events")
+        .withColumn("__nt", utc_ntz("ts"))
         .select(
             "event_id",
-            F.quarter("ts").cast("long").alias("qtr"),
-            F.weekofyear("ts").cast("long").alias("iso_week"),
-            F.dayofyear("ts").cast("long").alias("doy"),
-            F.hour("ts").cast("long").alias("hh"),
-            F.minute("ts").cast("long").alias("mi"),
-            F.second("ts").cast("long").alias("ss"),
-            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"),
-            (
-                (F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 60).cast("long")
-                - (
-                    F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")) / 60
-                ).cast("long")
-            ).alias("minutes_since"),
+            F.quarter("__nt").cast("long").alias("qtr"),
+            F.weekofyear("__nt").cast("long").alias("iso_week"),
+            F.dayofyear("__nt").cast("long").alias("doy"),
+            F.hour("__nt").cast("long").alias("hh"),
+            F.minute("__nt").cast("long").alias("mi"),
+            F.second("__nt").cast("long").alias("ss"),
+            F.date_format(F.to_date("__nt"), "yyyy-MM-dd").alias("d"),
+            # epoch minute index difference: 2024-01-01T00:00Z = 1704067200s
+            F.expr("unix_micros(ts) div 60000000 - 28401120").alias("minutes_since"),
         )
         .orderBy("event_id")
     )

@@ -125,13 +125,16 @@ register(
 
 def join_range_interval_overlap(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # window instants built by epoch arithmetic: a timestamp'...' literal
+    # parses in the SESSION timezone and would shift every window under a
+    # non-UTC driver session (2024-01-01T00:00Z = 1704067200)
     iv = spark.range(15).select(
         F.col("id").alias("w_id"),
         F.expr(
-            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id*2 AS INT),0,0,0)"
+            "timestamp_micros(1704067200000000 + id * 2 * 86400000000)"
         ).alias("w_start"),
         F.expr(
-            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id*2+7 AS INT),0,0,0)"
+            "timestamp_micros(1704067200000000 + (id * 2 + 7) * 86400000000)"
         ).alias("w_end"),
     )
     joined = bucketed_range_join(

@@ -58,7 +58,16 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     if isinstance(ts_type, T.LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     if isinstance(ts_type, T.TimestampNTZType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # NTZ wall clock pinned to UTC via pure NTZ arithmetic — a plain
+        # cast would shift the instant under a non-UTC session timezone
+        # (see catalog.load for the measured failure).
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+            ),
+        )
     return raw
 
 
