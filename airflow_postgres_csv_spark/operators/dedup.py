@@ -877,3 +877,63 @@ def winnowing_fingerprints(
         (F.lit(1048575) - F.col("__key") % 1048576).alias("pos"),
         F.expr("__key div 1048576").alias("fp"),
     )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    cap: int | None = 400,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Substring-level near-dup candidate pairs via shared winnowing
+    fingerprints → ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    The winnowing guarantee makes this the copy-detection join: any pair
+    sharing a normalized substring of >= k+w-1 chars shares a
+    fingerprint, so a bucket equi-join on ``fp`` finds every such pair
+    without comparing documents directly. ``min_shared`` filters
+    single-print coincidences (md5 prefix collisions or one short
+    common phrase).
+
+    ``max_doc_freq`` is the stop-fingerprint cap — fingerprints present
+    in more than that many documents (boilerplate phrases, headers) are
+    dropped BEFORE the self-join. Without it a corpus-wide template
+    phrase is one bucket of d docs producing d² candidate rows
+    (measured on the fixture: near-all-pairs output); with it bucket
+    fan-out is bounded by max_doc_freq², the same discipline
+    ``jaccard_prefix_pairs`` applies to shingles. The cost is recall on
+    exactly those substrings too common to signal duplication anyway.
+
+    Scale shape: distinct (id, fp) per doc, df-capped, equi-self-join on
+    fp, hash agg on the pair — MinHash-LSH's join pattern at substring
+    (not whole-document) granularity.
+    """
+    fps = (
+        winnowing_fingerprints(df, text_col, id_col, k=k, w=w, cap=cap)
+        .select(F.col(id_col).alias("__id"), "fp")
+        .distinct()
+        # consumed by the df cap and BOTH self-join sides: materialize once
+        # so the per-k-gram md5 pipeline doesn't re-execute per branch
+        .localCheckpoint(eager=False)
+    )
+    if max_doc_freq is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.select(F.col("__id").alias("id_a"), "fp")
+    b = fps.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

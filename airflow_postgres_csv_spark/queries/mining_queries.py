@@ -179,9 +179,8 @@ def _text_winnowing_fingerprints(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
-register(
-    "text_winnowing_fingerprints",
-    f"""
+# fps CTE shared by the fingerprint query and the pairs query below
+_WINNOW_FPS_CTE = f"""
     WITH d AS (
         SELECT doc_id, substring({SQL_NORM}, 1, {_WIN_CAP}) AS norm
         FROM documents
@@ -203,10 +202,54 @@ register(
                ))) AS key
         FROM keyed
     )
+"""
+
+register(
+    "text_winnowing_fingerprints",
+    _WINNOW_FPS_CTE
+    + """
     SELECT doc_id, 1048575 - (key % 1048576) AS pos, key // 1048576 AS fp
     FROM sel ORDER BY doc_id, pos
     """,
 )(_text_winnowing_fingerprints)
+
+
+# Substring near-dup candidate pairs over the shared fingerprints: the
+# winnowing guarantee means every pair sharing a >= K+W-1-char normalized
+# substring appears here — minus prints over the stop-fingerprint df cap
+# (the synthetic corpus is template-generated, so without the cap common
+# phrases make the bucket join near-all-pairs: measured 107k of 125k
+# possible pairs at sf0.01).
+_WIN_MIN_SHARED = 3
+_WIN_MAX_DF = 20
+
+
+def _dedup_winnowing_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return D.winnowing_pairs(
+        docs, "text", "doc_id",
+        k=_WIN_K, w=_WIN_W, cap=_WIN_CAP,
+        min_shared=_WIN_MIN_SHARED, max_doc_freq=_WIN_MAX_DF,
+    ).orderBy("id_a", "id_b")
+
+
+register(
+    "dedup_winnowing_pairs",
+    _WINNOW_FPS_CTE
+    + f"""
+    , fps0 AS (
+        SELECT DISTINCT doc_id, key // 1048576 AS fp FROM sel
+    ),
+    fps AS (
+        SELECT doc_id, fp FROM fps0
+        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_WIN_MAX_DF}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """,
+)(_dedup_winnowing_pairs)
 
 
 # ---------------------------------------------------------------------------

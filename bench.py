@@ -70,6 +70,7 @@ HEADLINE = [
     "join_salted_replicated",
     "basket_pair_rules",
     "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
     "text_hashed_ngram_classifier",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh_recall",

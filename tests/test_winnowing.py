@@ -61,3 +61,26 @@ def test_cap_guard_raises():
 
     with pytest.raises(ValueError, match="cap"):
         winnowing_fingerprints(None, cap=1 << 20)
+
+
+def test_pairs_find_planted_copy_and_df_cap_drops_boilerplate(spark):
+    from airflow_postgres_csv_spark.operators.dedup import winnowing_pairs
+
+    boiler = "standardfooterline"  # shared by every doc (hub fingerprints)
+    copy = "uniquecopiedpassagewithlength"  # shared by docs 1 and 2 only
+    rows = [
+        (1, "aaa" + copy + "bbb" + boiler),
+        (2, "ccc" + copy + "ddd" + boiler),
+        # distinct junction chars so 3/4 share only the boilerplate prints
+        (3, "eeeunrelatedcontentxyz" + boiler),
+        (4, "fffothertextgoesqrs" + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # no cap: boilerplate links every pair
+    uncapped = winnowing_pairs(df, k=K, w=W, cap=None, min_shared=1).collect()
+    assert len(uncapped) == 6
+    # df cap 2 drops prints shared by >2 docs; only the planted copy remains
+    capped = winnowing_pairs(
+        df, k=K, w=W, cap=None, min_shared=1, max_doc_freq=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1, 2)}
