@@ -325,3 +325,60 @@ def connected_components_propagation(
             return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """``rounds``-round k-core peeling → ``(node, deg)`` for nodes still
+    alive after the peel, with their degree inside the surviving subgraph.
+
+    The k-core (maximal subgraph where every node has degree >= k) is the
+    dense-cohesion filter of graph-shaped data quality work: in a near-dup
+    or co-occurrence graph, core membership separates structural hubs from
+    incidental pairings. Peeling is the textbook algorithm — repeatedly
+    delete nodes of degree < k — and each round here is one hash-agg
+    (degrees) + two semi-joins (drop edges touching deleted nodes), the
+    same shuffle shape as one BFS step. ``rounds`` bounds the peel for a
+    deterministic, engine-replayable contract; the true k-core is reached
+    as soon as a round deletes nothing (on real graphs the peel depth is
+    far below the node count — if exactness at any depth is needed,
+    convergence can be detected with a scalar count per round at the cost
+    of determinism of *work*, not of result).
+
+    Input edges are undirected (one row per edge, either orientation);
+    symmetrization, self-loop removal and dedup happen here. Lineage is
+    truncated per round (``localCheckpoint``) so the plan stays O(1).
+    """
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") >= k)
+            .select("u")
+        )
+        e = (
+            e.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("u").alias("node"), "deg")
+    )

@@ -58,6 +58,7 @@ HEADLINE = [
     # round-4 additions: join-heavy graph analytics + global-order path
     "graph_triangle_count",
     "graph_pagerank",
+    "graph_kcore",
     "dedup_jaccard_prefix",
     "layout_zorder_extents",
     "sample_priority_topk",

@@ -163,3 +163,19 @@ def test_skyline_matches_quadratic(spark):
         )
     )
     assert _sky(spark, pts) == brute
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from airflow_postgres_csv_spark.operators.graph import kcore_nodes
+
+    # 4-clique {1,2,3,4} with a pendant path 4-5-6: the 3-core is exactly
+    # the clique (every clique node has degree 3 inside it); the path
+    # peels away over two rounds (6 first, then 5).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.deg for r in kcore_nodes(df, k=3, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # k=1 with zero rounds is just the symmetric degree table
+    got0 = {r.node: r.deg for r in kcore_nodes(df, k=1, rounds=0).collect()}
+    assert got0[4] == 4 and got0[6] == 1
