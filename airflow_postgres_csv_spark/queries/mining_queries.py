@@ -399,3 +399,142 @@ register(
     GROUP BY t.doc_id ORDER BY t.doc_id
     """,
 )(_text_oov_rate)
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer loop — THREE merge rounds as ONE lazy plan.
+#
+# text_bpe_merge_pairs (text_queries.py) is the single pair-statistics
+# step; this is the actual training loop: per round, count adjacent
+# symbol pairs over the word-frequency table, pick the argmax pair
+# (ties: lexicographically smallest — both engines sort identically),
+# and apply the merge to every word. The selected pair is NEVER
+# collect()ed: each round's argmax is a 1-row DataFrame crossJoin-
+# broadcast into the next round's replace expression, so the whole
+# trainer is one declarative plan (the driver loop only *builds* it).
+#
+# Merge application contract: the padded symbol string ' w ' has
+# ' x y ' replaced by ' xy ' in P=4 passes of non-overlapping
+# left-to-right replace() — pass 1 consumes the separating space of an
+# adjacent occurrence ('x y x y'), the next pass picks it up; both
+# engines implement replace() with identical left-to-right semantics,
+# so the P-pass result is bit-identical (P bounds resolution of
+# pathological runs; document-scale words converge in 2).
+#
+# 100 TB shape: per round one explode→hash-agg (pair stats, map-side
+# combinable), one TakeOrdered(1) argmax, one broadcast of a single row
+# into a map-only projection. The words table shuffles once at round 0
+# (the word-frequency groupBy) and never again.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_PASSES = 4
+
+
+def _text_bpe_train_merges(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("concat_ws(' ', split(w, ''))").alias("sym"),
+            "freq",
+        )
+    )
+    merge_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pair_arr = F.expr(
+            """
+            CASE WHEN size(split(sym, ' ')) < 2 THEN cast(array() as array<string>)
+            ELSE transform(
+              sequence(1, size(split(sym, ' ')) - 1),
+              j -> concat(element_at(split(sym, ' '), j), ' ',
+                          element_at(split(sym, ' '), j + 1))
+            ) END
+            """
+        )
+        top = (
+            words.select(F.explode(pair_arr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(rnd).alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "n",
+            )
+        )
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        target = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        repl = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        merged_sym = padded
+        for _ in range(_BPE_PASSES):
+            merged_sym = F.replace(merged_sym, target, repl)
+        words = words.crossJoin(F.broadcast(top)).select(
+            F.trim(merged_sym).alias("sym"), "freq"
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
+
+
+def _bpe_oracle_sql(rounds: int, passes: int) -> str:
+    ctes = [
+        f"""words0 AS MATERIALIZED (
+      SELECT list_aggregate(string_split_regex(w, ''), 'string_agg', ' ') AS sym, freq
+      FROM (
+        SELECT tok AS w, COUNT(*) AS freq
+        FROM (SELECT unnest({{toks}}) AS tok FROM documents)
+        GROUP BY tok HAVING LENGTH(tok) >= 2
+      )
+    )"""
+    ]
+    selects = []
+    for i in range(1, rounds + 1):
+        prev = f"words{i - 1}"
+        ctes.append(
+            f"""pairs{i} AS (
+      SELECT s[j] || ' ' || s[j + 1] AS pair, freq
+      FROM (SELECT string_split({prev}.sym, ' ') AS s, freq FROM {prev}),
+           unnest(generate_series(1, greatest(len(s) - 1, 0))) AS u(j)
+    ),
+    top{i} AS MATERIALIZED (
+      SELECT pair, replace(pair, ' ', '') AS merged, SUM(freq) AS n
+      FROM pairs{i} GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 1
+    ),
+    words{i} AS MATERIALIZED (
+      SELECT trim({"".join(["replace(" for _ in range(passes)])}' ' || w.sym || ' '{"".join([", ' ' || t.pair || ' ', ' ' || t.merged || ' ')" for _ in range(passes)])}) AS sym,
+             w.freq
+      FROM {prev} w, top{i} t
+    )"""
+        )
+        selects.append(
+            f"SELECT {i} AS round, pair, merged, CAST(n AS BIGINT) AS n FROM top{i}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+register(
+    "text_bpe_train_merges",
+    _bpe_oracle_sql(_BPE_ROUNDS, _BPE_PASSES).format(toks=SQL_TOKENS.replace("{", "{{").replace("}", "}}")),
+)(_text_bpe_train_merges)

@@ -66,6 +66,7 @@ HEADLINE = [
     "rollup_ewma_dyadic",
     "shard_plan_snake",
     "text_bigram_logprob",
+    "text_bpe_train_merges",
     "text_bm25_topk",
     "theta_sketch_overlap",
     "join_salted_replicated",

@@ -60,6 +60,10 @@ BY_DESIGN: dict[str, str] = {
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
     "basket_pair_rules": "n_orders 1-row scalar broadcast into the lift expression",
+    "text_bpe_train_merges": (
+        "per-round argmax merge pair is a LIMIT-1 broadcast crossed into a "
+        "map-only replace projection (3 rounds)"
+    ),
     "bloom_prejoin_prune": "two 1-row count aggregates crossed into the summary row",
     "similarity_ann_pq_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
