@@ -184,6 +184,7 @@ def read_csv(
     quote_char: str = '"',
     null_string: str = "",
     columns: list[str] | None = None,
+    multiline: bool = False,
 ):
     """Read a CSV (optionally gzipped — inferred from ``.gz`` extension)
     with the reference's dialect options (operators.py:129-135).
@@ -192,6 +193,14 @@ def read_csv(
     (operators.py:133, 204-208): names are assigned by position. When the
     file also has a header row it is skipped, not trusted
     (operators.py:161, 180-181).
+
+    ``multiline=True`` parses quoted fields containing embedded newlines
+    (record separators inside quotes), matching Postgres COPY CSV
+    semantics. Scale tradeoff: multiline files are NOT splittable — Spark
+    must parse each file in a single task because record boundaries can't
+    be found mid-file — so at 100 TB keep it off (the default) unless the
+    data truly embeds newlines, and then shard into many small files
+    (same playbook as gzip).
 
     Known divergence from Postgres COPY (pinned in
     tests/test_etl_property.py): with a whitespace delimiter (tab) and an
@@ -208,6 +217,7 @@ def read_csv(
         .option("emptyValue", null_string)
         .option("timestampFormat", _TS_FMT)
         .option("timestampNTZFormat", _TS_FMT)
+        .option("multiLine", str(multiline).lower())
     )
     if schema is not None:
         reader = reader.schema(schema)
@@ -234,6 +244,7 @@ def csv_to_table(
     has_header: bool = True,
     columns: list[str] | None = None,
     truncate: bool = False,
+    multiline: bool = False,
 ) -> int:
     """Bulk-load a CSV file into a Spark-managed table; returns rowcount.
 
@@ -252,6 +263,7 @@ def csv_to_table(
         quote_char=quote_char,
         null_string=null_string,
         columns=columns,
+        multiline=multiline,
     )
     obs = Observation()
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))

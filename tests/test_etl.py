@@ -171,3 +171,27 @@ def test_observed_count_empty_result(spark, small_df, tmp_out):
     out_dir = os.path.join(tmp_out, "empty_out")
     _, n = etl.df_to_csv(small_df.filter("a > 100"), out_dir)
     assert n == 0
+
+
+def test_multiline_quoted_newline_roundtrip(spark, tmp_out):
+    # Postgres COPY CSV parses quoted fields containing record separators;
+    # multiline=True reproduces that (at the cost of file splittability —
+    # documented in read_csv). Default multiline=False mis-parses the
+    # second physical line as a new record.
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "line one\nline two"), (3, "tail")],
+        "id long, txt string",
+    )
+    path = os.path.join(tmp_out, "ml.csv")
+    etl.df_to_csv(df, path, single_file=True)
+    back = etl.read_csv(
+        spark,
+        path,
+        schema="id long, txt string",
+        multiline=True,
+    )
+    got = {r.id: r.txt for r in back.collect()}
+    assert got == {1: "plain", 2: "line one\nline two", 3: "tail"}
+
+    flat = etl.read_csv(spark, path, schema="id long, txt string")
+    assert flat.count() != 3  # the divergence multiline=True exists to fix
