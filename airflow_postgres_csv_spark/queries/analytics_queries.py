@@ -789,3 +789,83 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 
 
 register("graph_kcore", _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))(_graph_kcore)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per group — the outlier-clipping normalization quality
+# pipelines apply before averaging heavy-tailed metrics. Cutoffs are
+# exact grouped percentiles rounded to 6 dp BEFORE use (the established
+# percentile-parity contract), broadcast-joined back; the mean is
+# reassembled from an exact-decimal interior sum plus n_low·p05 +
+# n_high·p95 — no double is ever accumulated, and the final expression
+# is one fixed IEEE tree in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _stats_winsorized_mean(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+    )
+    j = orders.join(F.broadcast(cuts), "o_orderstatus")
+    interior = F.when(
+        (F.col("o_totalprice") >= F.col("p05"))
+        & (F.col("o_totalprice") <= F.col("p95")),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    agg = j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p05"), 1).otherwise(0)).alias(
+            "n_low"
+        ),
+        F.sum(F.when(F.col("o_totalprice") > F.col("p95"), 1).otherwise(0)).alias(
+            "n_high"
+        ),
+        F.sum(interior).alias("interior_dec"),
+    )
+    w_mean = (
+        F.col("interior_dec").cast("double")
+        + F.col("n_low") * F.col("p05")
+        + F.col("n_high") * F.col("p95")
+    ) / F.col("n")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        "p05",
+        "p95",
+        "n_low",
+        "n_high",
+        w_mean.alias("w_mean"),
+    ).orderBy("o_orderstatus")
+
+
+register(
+    "stats_winsorized_mean",
+    """
+    WITH cuts AS (
+      SELECT o_orderstatus,
+             ROUND(quantile_cont(o_totalprice, 0.05), 6) AS p05,
+             ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+      FROM orders GROUP BY o_orderstatus
+    ),
+    agg AS (
+      SELECT o.o_orderstatus,
+             COUNT(*) AS n,
+             MIN(c.p05) AS p05,
+             MIN(c.p95) AS p95,
+             SUM(CASE WHEN o.o_totalprice < c.p05 THEN 1 ELSE 0 END) AS n_low,
+             SUM(CASE WHEN o.o_totalprice > c.p95 THEN 1 ELSE 0 END) AS n_high,
+             SUM(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95
+                      THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS interior_dec
+      FROM orders o JOIN cuts c USING (o_orderstatus)
+      GROUP BY o.o_orderstatus
+    )
+    SELECT o_orderstatus, n, p05, p95, n_low, n_high,
+           (CAST(interior_dec AS DOUBLE) + n_low * p05 + n_high * p95) / n AS w_mean
+    FROM agg ORDER BY o_orderstatus
+    """,
+)(_stats_winsorized_mean)
