@@ -29,3 +29,58 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     """
     survivors = target.join(source.select(*keys), on=keys, how="left_anti")
     return source.unionByName(survivors)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Snapshot diff → ``(*keys, diff_status)`` for every key where the
+    two table versions differ: ``'added'`` (key only in ``new``),
+    ``'removed'`` (only in ``old``), ``'changed'`` (present in both with
+    any non-key column differing). Unchanged keys are not emitted.
+
+    The change test is a null-safe column-by-column comparison (NULL vs
+    NULL is unchanged, NULL vs value is a change) — no row-hash, so no
+    hash-collision false negatives and no serialization-format coupling.
+
+    Scale shape: one full outer equi-join on the key — the same single
+    shuffle as the merge/upsert it audits; the comparison is a map-side
+    projection. This is the reconciliation primitive for incremental-load
+    pipelines (did the load change exactly the rows it claimed to?).
+
+    Both inputs must be unique per key (pre-aggregate otherwise), and
+    must share the same schema.
+    """
+    from pyspark.sql import functions as F
+
+    if old.columns != new.columns:
+        raise ValueError(
+            f"schemas differ: {old.columns} vs {new.columns}"
+        )
+    value_cols = [c for c in old.columns if c not in keys]
+    o = old.alias("__o")
+    n = new.alias("__n")
+    cond = None
+    for k in keys:
+        c = F.col(f"__o.{k}") == F.col(f"__n.{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__o.{keys[0]}").isNotNull()
+    in_new = F.col(f"__n.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(*key_out, status.alias("diff_status"))
+        .where(F.col("diff_status").isNotNull())
+    )

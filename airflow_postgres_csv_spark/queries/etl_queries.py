@@ -249,3 +249,71 @@ register(
     FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id
     """,
 )(dataset_partitioned_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (operators/merge.py:table_diff): reconcile two versions of
+# customer — removals (key % 97), updates (key % 10, acctbal bump), and
+# inserts (key shifted past the keyspace for % 83) are synthesized
+# deterministically from the fixture, diffed with the null-safe
+# column-compare full-outer join, and the oracle rebuilds the same diff
+# relationally.
+# ---------------------------------------------------------------------------
+
+
+def _etl_table_diff(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.merge import table_diff
+
+    old = load(spark, sf_dir, "customer")
+    kept = old.filter(F.col("c_custkey") % 97 != 0)
+    updated = kept.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            (F.col("c_acctbal").cast("decimal(18,2)") + 1000).cast("double"),
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserts = old.filter(F.col("c_custkey") % 83 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    new = updated.unionByName(inserts)
+    return table_diff(old, new, keys=["c_custkey"]).orderBy(
+        "c_custkey", "diff_status"
+    )
+
+
+register(
+    "etl_table_diff",
+    """
+    WITH old AS (SELECT * FROM customer),
+    kept AS (SELECT * FROM old WHERE c_custkey % 97 <> 0),
+    updated AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000 AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM kept
+    ),
+    ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM old WHERE c_custkey % 83 = 0
+    ),
+    new AS (SELECT * FROM updated UNION ALL SELECT * FROM ins),
+    j AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+                        AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+                        AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                        AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                       THEN 'changed'
+             END AS diff_status
+      FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey, diff_status FROM j WHERE diff_status IS NOT NULL
+    ORDER BY c_custkey, diff_status
+    """,
+)(_etl_table_diff)

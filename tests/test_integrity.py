@@ -45,3 +45,26 @@ def test_audit_checks_union_and_ok_flag(spark):
     }
     assert out["bad_fk"].ok == 0 and out["bad_fk"].n_bad == 1
     assert out["good_null"].ok == 1 and out["good_null"].n_bad == 0
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    from airflow_postgres_csv_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged -> not emitted
+         (2, "b", None),      # NULL == NULL -> unchanged
+         (3, "c", None),      # 30 -> NULL is a change
+         (5, "e", 50)],       # added; 4 removed
+        "k long, s string, v long",
+    )
+    got = {(r.k, r.diff_status) for r in table_diff(old, new, keys=["k"]).collect()}
+    assert got == {(3, "changed"), (4, "removed"), (5, "added")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        table_diff(old, new.select("k", "v", "s"), keys=["k"])
