@@ -305,3 +305,103 @@ register(
     FROM agg ORDER BY dim
     """,
 )(_embedding_dim_stats)
+
+
+# ---------------------------------------------------------------------------
+# Whitening / z-score normalization — the standardization pass applied
+# before cosine/IVF indexing when dimensions have heterogeneous scales.
+# Parameters are embedding_dim_stats' exact-decimal moments ROUNDED to
+# 9 dp (deterministic 64-row parameter table), broadcast-crossed as
+# arrays into a per-row zip-transform; each whitened element is ONE
+# subtraction + ONE division of identical operands, and the per-vector
+# norm² folds left-to-right (Spark aggregate / DuckDB list_reduce — same
+# order, same IEEE tree). No shuffle after the 64-row stats agg.
+# ---------------------------------------------------------------------------
+
+
+def _embedding_whiten(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    xd = F.col("x").cast("double").cast("decimal(18,9)")
+    stats = (
+        ex.select("dim", xd.alias("xd"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("xd").alias("sx"),
+             F.sum(F.col("xd") * F.col("xd")).alias("sxx"))
+        .select(
+            "dim",
+            F.round(F.col("sx").cast("double") / F.col("n"), 9).alias("mean9"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("sxx").cast("double") / F.col("n")
+                        - (F.col("sx").cast("double") / F.col("n"))
+                        * (F.col("sx").cast("double") / F.col("n")),
+                        F.lit(0.0),
+                    )
+                ),
+                9,
+            ).alias("std9"),
+        )
+    )
+    params = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean9"))), lambda s: s.mean9
+        ).alias("means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "std9"))), lambda s: s.std9
+        ).alias("stds"),
+    )
+    z = F.expr(
+        """
+        transform(sequence(1, size(embedding)),
+          i -> (cast(cast(cast(element_at(embedding, i) as double) as decimal(18,9))
+                     as double) - element_at(means, i)) / element_at(stds, i))
+        """
+    )
+    out = emb.crossJoin(F.broadcast(params)).select(
+        "vec_id", "label", z.alias("zvec")
+    )
+    znorm2 = F.aggregate(
+        F.transform(F.col("zvec"), lambda v: v * v),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return out.select(
+        "vec_id", "label", "zvec", F.round(znorm2, 6).alias("znorm2")
+    ).orderBy("vec_id")
+
+
+register(
+    "embedding_whiten",
+    """
+    WITH ex AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    stats AS (
+      SELECT dim,
+             ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 9) AS mean9,
+             ROUND(SQRT(GREATEST(CAST(SUM(xd * xd) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(xd) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(xd) AS DOUBLE) / COUNT(*)), 0.0)), 9) AS std9
+      FROM ex GROUP BY dim
+    ),
+    params AS (
+      SELECT list(mean9 ORDER BY dim) AS means, list(std9 ORDER BY dim) AS stds
+      FROM stats
+    ),
+    z AS (
+      SELECT vec_id, label,
+             list_transform(generate_series(1, len(embedding)),
+               i -> (CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+                          AS DOUBLE) - means[i]) / stds[i]) AS zvec
+      FROM embeddings, params
+    )
+    SELECT vec_id, label, zvec,
+           ROUND(list_reduce(list_transform(zvec, v -> v * v),
+                             (a, b) -> a + b), 6) AS znorm2
+    FROM z ORDER BY vec_id
+    """,
+)(_embedding_whiten)

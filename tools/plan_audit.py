@@ -60,6 +60,10 @@ BY_DESIGN: dict[str, str] = {
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
     "basket_pair_rules": "n_orders 1-row scalar broadcast into the lift expression",
+    "embedding_whiten": (
+        "64-row dim-stats collapsed to a 1-row (means, stds) array pair, "
+        "broadcast-crossed into the per-row zip-transform"
+    ),
     "text_bpe_train_merges": (
         "per-round argmax merge pair is a LIMIT-1 broadcast crossed into a "
         "map-only replace projection (3 rounds)"
