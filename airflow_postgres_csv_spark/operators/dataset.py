@@ -46,3 +46,76 @@ def write_partitioned_dataset(
         .parquet(path)
     )
     return int(obs.get["rows_written"])
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet dataset's small files into ~``target_bytes`` files;
+    returns ``{"files_before", "files_after", "bytes", "rows"}``.
+
+    The maintenance pass every long-lived 100 TB dataset needs: streaming
+    ingestion and fine-grained partitioning accumulate kilobyte files whose
+    per-file open/footer/task overhead eventually dominates scans. The
+    rewrite plans ``ceil(total_bytes / target_bytes)`` output files from the
+    dataset's CURRENT on-disk size (cheap file-status listing, no data
+    scan), reads once, and writes back partition-aware:
+
+    - with ``partition_cols``: ``repartition(n, partition_cols)`` before a
+      partitioned overwrite, so each Hive partition's rows are written by
+      at most a handful of tasks instead of every task appending a sliver
+      to every partition (the small-file generator itself);
+    - without: a plain ``repartition(n)`` — parquet's row-group layout
+      keeps downstream scans parallel regardless of file count.
+
+    The write lands in a sibling temp directory and is swapped in with two
+    renames — readers never observe a half-compacted dataset (same staging
+    discipline as the JDBC atomic load). Overhead is one full read + write
+    of the dataset, which is why real systems schedule it off-peak; the
+    op itself is a single Spark job with no shuffle beyond the repartition.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact-{uuid.uuid4().hex[:8]}"
+    if partition_cols:
+        (
+            df.repartition(n_out, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    old = f"{path.rstrip('/')}__old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = sum(
+        1
+        for root, _dirs, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total_bytes,
+        "rows": rows,
+    }

@@ -4,9 +4,10 @@ extension points, demonstrated with *exactly replayable* kernels.
 The reference's extension story is "write any SQL" (delegated to Postgres,
 operators.py:45); Spark's is the UDF matrix. The grouped-map
 (``applyInPandas``) and iterator (``mapInPandas``) shapes are exercised by
-the packing/chunking/multimodal operators; this module covers the two
-remaining shapes — **scalar pandas_udf** and **grouped-agg pandas_udf** —
-as oracle-checked queries.
+the packing/chunking/multimodal operators; this module covers the rest —
+**scalar pandas_udf**, **grouped-agg pandas_udf**, **cogrouped-map
+applyInPandas**, and **mapInArrow** (raw RecordBatch iterator) — as
+oracle-checked queries, completing the Arrow extension-point matrix.
 
 Determinism: both kernels compute in ``numpy int64`` only (no float
 accumulation), so results are bit-identical to the DuckDB integer-SQL
@@ -172,3 +173,45 @@ register(
     ORDER BY o.o_orderkey
     """,
 )(_udf_cogroup_reconcile)
+
+
+def _udf_map_in_arrow(spark, sf_dir):
+    # mapInArrow — the rawest Arrow extension point: the kernel sees
+    # pyarrow RecordBatches directly (no pandas conversion), which is the
+    # shape zero-copy columnar libraries (tokenizers, codecs) plug into.
+    # Kernel: int64-only arithmetic on the batch arrays, so results are
+    # bit-identical to the SQL replay regardless of batch boundaries.
+    # Production equivalent: the same projection as JVM expressions.
+    import pyarrow as pa
+
+    def score_batches(it):
+        for batch in it:
+            n_chars = batch.column("n_chars").cast(pa.int64())
+            doc_id = batch.column("doc_id").cast(pa.int64())
+            import pyarrow.compute as pc
+
+            score = pc.add(
+                pc.multiply(n_chars, pa.scalar(1315423911, pa.int64())),
+                pc.multiply(doc_id, pa.scalar(2654435761, pa.int64())),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, pc.bit_wise_and(score, pa.scalar((1 << 40) - 1, pa.int64()))],
+                ["doc_id", "score40"],
+            )
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .mapInArrow(score_batches, "doc_id long, score40 long")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "udf_map_in_arrow",
+    """
+    SELECT doc_id,
+           (n_chars * 1315423911 + doc_id * 2654435761) & 1099511627775 AS score40
+    FROM documents ORDER BY doc_id
+    """,
+)(_udf_map_in_arrow)

@@ -5,6 +5,8 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from airflow_postgres_csv_spark.catalog import load
 from airflow_postgres_csv_spark.operators.dataset import write_partitioned_dataset
 from airflow_postgres_csv_spark.plans import introspect as I
@@ -33,3 +35,37 @@ def test_partitioned_write_layout_and_roundtrip(spark, tmp_path):
     one = back.filter(back.lang == sorted(langs)[0])
     plan = I.formatted_plan(one)
     assert "PartitionFilters" in plan
+
+
+def test_compact_dataset_shrinks_file_count_preserves_rows(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.dataset import compact_dataset
+
+    path = str(tmp_path / "frag")
+    # fragment: 40 files of a few rows each
+    spark.range(2000).withColumn("lang", (F.col("id") % 3).cast("string")) \
+        .repartition(40).write.parquet(path)
+    before = compact_dataset(spark, path, target_bytes=64 * 1024 * 1024)
+    assert before["files_before"] >= 40
+    assert before["files_after"] < before["files_before"]
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg(F.sum("id")).collect()[0][0] == 2000 * 1999 // 2
+
+
+def test_compact_dataset_partitioned_layout_kept(spark, tmp_path):
+    import os
+
+    from airflow_postgres_csv_spark.operators.dataset import compact_dataset
+
+    path = str(tmp_path / "part")
+    df = spark.range(300).withColumn("lang", (F.col("id") % 3).cast("string"))
+    df.repartition(20).write.partitionBy("lang").parquet(path)
+    res = compact_dataset(
+        spark, path, target_bytes=64 * 1024 * 1024, partition_cols=["lang"]
+    )
+    assert res["rows"] == 300
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("lang=")
+    ) == ["lang=0", "lang=1", "lang=2"]
+    back = spark.read.parquet(path)
+    assert back.where("lang = '1'").count() == 100
