@@ -299,3 +299,77 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in final
     assert "Exchange" not in final[final.index("SortMergeJoin"):]
     assert final.count("Bucketed: true") == 2
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
+    """At 100 TB the fact table is Hive-partitioned and dim-filtered joins
+    must scan only the partitions the dim side selects — Spark's dynamic
+    partition pruning injects the dim's build-side keys as a runtime
+    partition filter. Pin that the mechanism actually fires for the
+    partitioned-dataset layout our sink produces."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    (
+        spark.range(5000)
+        .withColumn("lang", F.concat(F.lit("l"), (F.col("id") % 8).cast("string")))
+        .withColumn("v", F.col("id") * 3)
+        .write.partitionBy("lang")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("l1", "keep"), ("l2", "keep"), ("l5", "drop")], "lang string, tag string"
+    ).where(F.col("tag") == "keep")
+
+    joined = fact.join(dim, "lang").groupBy("lang").agg(F.sum("v").alias("s"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned result is correct: only l1/l2 partitions contribute
+    got = {r.lang: r.s for r in joined.collect()}
+    assert set(got) == {"l1", "l2"}
+    assert got["l1"] == sum(i * 3 for i in range(5000) if i % 8 == 1)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """The no-salt path for moderate skew is AQE's skew-join split. Build a
+    join where one key holds most rows, force sort-merge (no broadcast),
+    lower the skew thresholds so the local dataset qualifies, and assert
+    the final adaptive plan marks the join skew-handled."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 98, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.col("id").alias("rv"),
+        )
+        # the join must be the terminal operator: a downstream groupBy
+        # re-imposes a hash distribution on the join output, and AQE then
+        # declines to split skewed partitions (it would break the required
+        # distribution) unless forceOptimizeSkewedJoin is on
+        j = left.join(right, "k")
+        # execute j's OWN QueryExecution (count() would wrap a new plan and
+        # leave this one unfinalized under AQE)
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
