@@ -298,3 +298,51 @@ register(
         .orderBy("c_custkey")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# nth_value + IGNORE NULLS navigation — the remaining window-function
+# vocabulary (first/last/nth with null skipping, the "latest non-null
+# observation per entity" shape). Values pass through unmodified (no
+# arithmetic), so doubles compare exactly.
+# ---------------------------------------------------------------------------
+
+
+def _window_nth_ignore_nulls(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    v = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("v", v)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+            F.first("v", ignorenulls=True).over(w).alias("first_f_total"),
+            F.last("v", ignorenulls=True).over(w).alias("last_f_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "window_nth_ignore_nulls",
+    """
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER w AS second_total,
+           first_value(v IGNORE NULLS) OVER w AS first_f_total,
+           last_value(v IGNORE NULLS) OVER w AS last_f_total
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS v
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)(_window_nth_ignore_nulls)
