@@ -356,3 +356,61 @@ register(
         output_mode="append",
     ).orderBy("purchase_id", "click_id")
 )
+
+
+# OHLC candles live: the same min_by/max_by candle aggregation as
+# rollup_ohlc_hourly, but as a streaming window aggregate (arg-min/max
+# merge as partial aggregates in the state store like any other
+# declarative agg). Update mode + single micro-batch => final candles,
+# so the batch oracle applies verbatim.
+register(
+    "streaming_ohlc_live",
+    """
+    WITH p AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bucket_s,
+           CAST(arg_min(v, k) AS DOUBLE) AS open,
+           CAST(MAX(v) AS DOUBLE) AS high,
+           CAST(MIN(v) AS DOUBLE) AS low,
+           CAST(arg_max(v, k) AS DOUBLE) AS close,
+           COUNT(*) AS n_trades
+    FROM p
+    GROUP BY bucket_s
+    ORDER BY bucket_s
+    """,
+)(
+    lambda spark, sf_dir: _run(
+        _staged_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "_k",
+            F.concat(
+                F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ),
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by(dec("value"), F.col("_k")).cast("double").alias("open"),
+            F.max(dec("value")).cast("double").alias("high"),
+            F.min(dec("value")).cast("double").alias("low"),
+            F.max_by(dec("value"), F.col("_k")).cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_s"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        ),
+        output_mode="update",
+    ).orderBy("bucket_s")
+)
