@@ -69,3 +69,26 @@ def test_compact_dataset_partitioned_layout_kept(spark, tmp_path):
     ) == ["lang=0", "lang=1", "lang=2"]
     back = spark.read.parquet(path)
     assert back.where("lang = '1'").count() == 100
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived datasets gain columns across writer generations; readers
+    must see the union schema with NULLs for pre-evolution files.
+    mergeSchema is opt-in (it costs a footer read per file at planning
+    time — at 100 TB pin the schema explicitly instead)."""
+    path = str(tmp_path / "evolve")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "'x' || id AS tag"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    assert merged.count() == 20
+    assert merged.where("tag IS NULL").count() == 10
+    assert merged.where("tag = 'x15'").count() == 1
+
+    # explicit-schema read (the 100 TB path): same union view, no
+    # per-file footer merge at planning time
+    pinned = spark.read.schema("id long, v long, tag string").parquet(path)
+    assert pinned.where("tag IS NULL").count() == 10
