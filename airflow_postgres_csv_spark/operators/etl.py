@@ -185,6 +185,7 @@ def read_csv(
     null_string: str = "",
     columns: list[str] | None = None,
     multiline: bool = False,
+    mode: str = "PERMISSIVE",
 ):
     """Read a CSV (optionally gzipped — inferred from ``.gz`` extension)
     with the reference's dialect options (operators.py:129-135).
@@ -193,6 +194,14 @@ def read_csv(
     (operators.py:133, 204-208): names are assigned by position. When the
     file also has a header row it is skipped, not trusted
     (operators.py:161, 180-181).
+
+    ``mode`` controls malformed-record handling (only meaningful with an
+    explicit ``schema``): ``"PERMISSIVE"`` (default — unparseable cells
+    become NULL), ``"DROPMALFORMED"`` (skip bad records), ``"FAILFAST"``
+    (raise on the first bad record — Postgres COPY's behavior, so pass
+    this for strict reference parity). At 100 TB prefer PERMISSIVE plus a
+    downstream NULL-audit over FAILFAST: one bad record a terabyte deep
+    should quarantine a row, not kill a ten-hour load.
 
     ``multiline=True`` parses quoted fields containing embedded newlines
     (record separators inside quotes), matching Postgres COPY CSV
@@ -218,6 +227,7 @@ def read_csv(
         .option("timestampFormat", _TS_FMT)
         .option("timestampNTZFormat", _TS_FMT)
         .option("multiLine", str(multiline).lower())
+        .option("mode", mode)
     )
     if schema is not None:
         reader = reader.schema(schema)

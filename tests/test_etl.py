@@ -195,3 +195,27 @@ def test_multiline_quoted_newline_roundtrip(spark, tmp_out):
 
     flat = etl.read_csv(spark, path, schema="id long, txt string")
     assert flat.count() != 3  # the divergence multiline=True exists to fix
+
+
+def test_malformed_record_modes(spark, tmp_out):
+    # COPY-parity strictness is FAILFAST; PERMISSIVE nulls the bad cell;
+    # DROPMALFORMED skips the record entirely.
+    bad_csv = os.path.join(tmp_out, "bad.csv")
+    with open(bad_csv, "w") as f:
+        f.write("id,v\n1,10\n2,notanumber\n3,30\n")
+    schema = "id long, v long"
+
+    perm = etl.read_csv(spark, bad_csv, schema=schema).collect()
+    assert {(r.id, r.v) for r in perm} == {(1, 10), (2, None), (3, 30)}
+
+    dropped = etl.read_csv(
+        spark, bad_csv, schema=schema, mode="DROPMALFORMED"
+    ).collect()
+    assert {(r.id, r.v) for r in dropped} == {(1, 10), (3, 30)}
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        etl.read_csv(spark, bad_csv, schema=schema, mode="FAILFAST").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
