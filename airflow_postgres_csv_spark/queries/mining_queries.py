@@ -1,8 +1,9 @@
-"""Pattern-mining / classifier-scoring queries (SURVEY.md §2.3 depth).
+"""Pattern-mining / classifier-scoring / blocking-join queries
+(SURVEY.md §2.3 depth).
 
-Three classic corpus-mining operators the reference's "write any SQL"
-surface can express but Spark must plan well at 100 TB, plus nothing
-else — each is an oracle-checked registered query:
+Corpus-mining operators the reference's "write any SQL" surface can
+express but Spark must plan well at 100 TB — each an oracle-checked
+registered query. Flagship three:
 
 - ``basket_pair_rules`` — apriori-pruned association-rule mining over
   order baskets (support / confidence / lift). The pair generation is a
@@ -567,3 +568,104 @@ register(
     "text_bpe_train_merges",
     _bpe_oracle_sql(_BPE_ROUNDS, _BPE_PASSES).format(toks=SQL_TOKENS.replace("{", "{{").replace("}", "}}")),
 )(_text_bpe_train_merges)
+
+
+# ---------------------------------------------------------------------------
+# Spatial nearest-neighbor via grid blocking — the 2-D analogue of the
+# LSH bucket join: points land in CELL×CELL grid cells, each probe joins
+# only its 3×3 neighbor cells (candidate generation), and the nearest
+# candidate wins by exact integer distance² with an id tie-break. The
+# contract is "nearest within one cell ring" (candidates beyond ~CELL are
+# out of scope by construction) — deterministic, and the oracle replays
+# the identical ring logic. Coordinates are synthesized from customer
+# keys so the whole computation is pure 64-bit integer arithmetic — no
+# trig, no floats, no cross-engine libm drift.
+#
+# Scale shape: probes explode ×9 (the ring), corpus maps 1:1 to cells;
+# one equi-join on the cell key + one min_by hash agg. At 100 TB choose
+# CELL so cell occupancy is O(1)–O(100): fan-out stays 9× probes.
+# ---------------------------------------------------------------------------
+
+_GEO_MOD = 10000
+_GEO_CELL = 500
+
+
+def _geo_grid_nearest(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 2654435761) % _GEO_MOD).alias("x"),
+        ((F.col("c_custkey") * 40503) % _GEO_MOD).alias("y"),
+    )
+    corpus = pts.select(
+        "id", "x", "y",
+        F.expr(f"concat(x div {_GEO_CELL}, ':', y div {_GEO_CELL})").alias("cell"),
+    )
+    probes = (
+        pts.filter(F.col("id") % 50 == 0)
+        .select(
+            F.col("id").alias("pid"), F.col("x").alias("px"), F.col("y").alias("py")
+        )
+        .select(
+            "pid", "px", "py",
+            F.explode(
+                F.expr(
+                    f"""
+                    flatten(transform(sequence(-1, 1), dx ->
+                      transform(sequence(-1, 1), dy ->
+                        concat(px div {_GEO_CELL} + dx, ':', py div {_GEO_CELL} + dy))))
+                    """
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = probes.join(corpus, "cell").where(F.col("id") != F.col("pid"))
+    d2 = (F.col("px") - F.col("x")) * (F.col("px") - F.col("x")) + (
+        F.col("py") - F.col("y")
+    ) * (F.col("py") - F.col("y"))
+    # nearest by (d2, id): packed key keeps the argmin a single max_by-style agg
+    key = d2 * F.lit(1 << 20) + F.col("id")
+    return (
+        cand.groupBy("pid", "px", "py")
+        .agg(F.min(key).alias("k"))
+        .select(
+            "pid", "px", "py",
+            F.expr("k div 1048576").alias("d2"),
+            (F.col("k") % (1 << 20)).alias("nearest_id"),
+        )
+        .orderBy("pid")
+    )
+
+
+register(
+    "geo_grid_nearest",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 2654435761) % {_GEO_MOD} AS x,
+             (c_custkey * 40503) % {_GEO_MOD} AS y
+      FROM customer
+    ),
+    corpus AS (
+      SELECT id, x, y, (x // {_GEO_CELL}) || ':' || (y // {_GEO_CELL}) AS cell
+      FROM pts
+    ),
+    probes AS (
+      SELECT p.id AS pid, p.x AS px, p.y AS py,
+             ((p.x // {_GEO_CELL}) + dx.d) || ':' || ((p.y // {_GEO_CELL}) + dy.d) AS cell
+      FROM pts p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+      WHERE p.id % 50 = 0
+    ),
+    cand AS (
+      SELECT pr.pid, pr.px, pr.py,
+             ((pr.px - c.x) * (pr.px - c.x) + (pr.py - c.y) * (pr.py - c.y))
+               * {1 << 20} + c.id AS k
+      FROM probes pr JOIN corpus c USING (cell)
+      WHERE c.id <> pr.pid
+    )
+    SELECT pid, px, py,
+           MIN(k) // {1 << 20} AS d2,
+           MIN(k) % {1 << 20} AS nearest_id
+    FROM cand GROUP BY pid, px, py ORDER BY pid
+    """,
+)(_geo_grid_nearest)
