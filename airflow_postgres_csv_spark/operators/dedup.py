@@ -937,3 +937,79 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def minhash_incremental_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion: match a new ``batch`` against the
+    standing ``corpus`` → ``(batch_id, corpus_id, jaccard)``.
+
+    The fuzzy counterpart of :func:`incremental_exact_matches`: in a
+    production pipeline the corpus side's band buckets
+    (:func:`minhash_band_buckets`) are PERSISTED once and only the batch
+    side is hashed per ingest — the bucket equi-join then touches only
+    corpus rows whose band key collides with the batch (partition-pruned
+    by key at 100 TB), never the whole corpus. Verification (exact
+    shingle-set jaccard) is restricted to both sides' candidate ids via
+    semi-joins, so its cost follows the LSH candidate count.
+
+    Id spaces of the two sides must be disjoint.
+    """
+    sig_c = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    sig_b = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    bb_c = minhash_band_buckets(sig_c, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
+    )
+    bb_b = minhash_band_buckets(sig_b, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("batch_id"), "band_idx", "band_key"
+    )
+    cand = (
+        bb_b.join(bb_c, ["band_idx", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by 2 semi-joins + final join
+    )
+
+    def _shingles(df: DataFrame, out_id: str, keep: DataFrame) -> DataFrame:
+        return (
+            df.join(keep, df[id_col] == keep[keep.columns[0]], "left_semi")
+            .withColumn("_toks", X.tokens(text_col))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(
+                    F.array_distinct(X.ngrams_of_tokens(F.col("_toks"), shingle_n))
+                ).alias("shingle"),
+            )
+        )
+
+    sa = _shingles(batch, "batch_id", cand.select("batch_id").distinct())
+    sb = _shingles(corpus, "corpus_id", cand.select("corpus_id").distinct())
+    inter = (
+        sa.join(sb, "shingle")
+        .join(cand, ["batch_id", "corpus_id"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    size_a = sa.groupBy("batch_id").agg(F.count(F.lit(1)).alias("na"))
+    size_b = sb.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("nb"))
+    j = (
+        inter.join(size_a, "batch_id")
+        .join(size_b, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)

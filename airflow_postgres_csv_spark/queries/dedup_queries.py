@@ -516,3 +516,65 @@ register(
         ).orderBy("id_a", "id_b")
     )
 )
+
+
+# Incremental MinHash ingestion: the new batch (doc_id % 10 = 0) matched
+# against the standing corpus (the rest) — band-bucket join between sides,
+# candidate-restricted exact-jaccard verification. Same signature/band
+# fragments as dedup_minhash_lsh, split by side.
+register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+{_SIG_COLS}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES
+{_BAND_ROWS}
+      ) b(band_idx, band_key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    inter AS (
+      SELECT c.batch_id, c.corpus_id, COUNT(*) AS ni
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.batch_id
+      JOIN shingles sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+    SELECT i.batch_id, i.corpus_id,
+           CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.batch_id
+    JOIN sizes zb ON zb.doc_id = i.corpus_id
+    WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) >= 0.5
+    ORDER BY i.batch_id, i.corpus_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        D.minhash_incremental_matches(
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0),
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
+            num_hashes=8,
+            bands=4,
+            threshold=0.5,
+        ).orderBy("batch_id", "corpus_id")
+    )
+)

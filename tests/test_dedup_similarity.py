@@ -368,3 +368,33 @@ def test_bloom_no_false_negatives_and_multiplicity(spark):
     }
     whole = {(r.word_idx, r.word) for r in bf.collect()}
     assert merged == whole
+
+
+def test_minhash_incremental_planted_near_dup(spark):
+    from airflow_postgres_csv_spark.operators.dedup import (
+        minhash_incremental_matches,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the deep green forest before night falls"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (3, "completely different words about database engines and plans"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " tonight"),  # near-dup of corpus doc 1
+            (20, "unrelated content with no overlap whatsoever here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = minhash_incremental_matches(
+        corpus, batch, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    assert [(r.batch_id, r.corpus_id) for r in got] == [(10, 1)]
+    assert got[0].jaccard > 0.8
