@@ -92,3 +92,27 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # per-file footer merge at planning time
     pinned = spark.read.schema("id long, v long, tag string").parquet(path)
     assert pinned.where("tag IS NULL").count() == 10
+
+
+def test_corrupt_parquet_file_handling(spark, tmp_path):
+    """A multi-terabyte dataset will eventually contain a truncated or
+    garbage file. Default: the scan fails loudly (correctness first);
+    spark.sql.files.ignoreCorruptFiles=true quarantines the bad file and
+    scans the rest — the knob an operator flips for a best-effort read."""
+    import pytest
+
+    path = str(tmp_path / "withbad")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    df = spark.read.schema("id long, v long").parquet(path)
+    with pytest.raises(Exception):
+        df.count()
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.schema("id long, v long").parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
