@@ -334,3 +334,93 @@ register(
     ORDER BY ch.event_id
     """,
 )(join_asof_nearest)
+
+
+# --- window-constrained funnel: first view -> first click within 1 hour
+# -> first purchase within 24 hours, per user. Composed from TWO forward
+# as-of joins (strict, tolerance-bounded) — the sequential-pattern shape
+# where each stage must occur within a deadline of the previous one,
+# which the plain min-ts funnel (events_funnel) cannot express. Output
+# is one row per user with per-stage epoch-micro timestamps (NULL once
+# the chain breaks), so the driver hash checks the exact chain.
+_WF_CLICK_US = 3600 * 1_000_000
+_WF_PURCH_US = 24 * 3600 * 1_000_000
+
+
+def events_windowed_funnel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    s2 = asof_join(
+        first_view,
+        clicks,
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="ts",
+        right_cols=[],
+        strict=True,
+        tolerance_us=_WF_CLICK_US,
+        direction="forward",
+    ).select("user_id", "view_ts", F.col("asof_ts").alias("click_ts"))
+    with_click = s2.filter(F.col("click_ts").isNotNull())
+    s3 = asof_join(
+        with_click,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=[],
+        strict=True,
+        tolerance_us=_WF_PURCH_US,
+        direction="forward",
+    ).select(
+        "user_id", "view_ts", "click_ts", F.col("asof_ts").alias("purchase_ts")
+    )
+    no_click = s2.filter(F.col("click_ts").isNull()).withColumn(
+        "purchase_ts", F.lit(None).cast("timestamp")
+    )
+    out = s3.unionByName(no_click)
+    return out.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    ).orderBy("user_id")
+
+
+register(
+    "events_windowed_funnel",
+    f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, v.view_ts, MIN(e.ts) AS click_ts
+      FROM v LEFT JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.view_ts
+       AND epoch_us(e.ts) - epoch_us(v.view_ts) <= {_WF_CLICK_US}
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT c.user_id, c.view_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+      FROM c LEFT JOIN events e
+        ON c.click_ts IS NOT NULL
+       AND e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.click_ts
+       AND epoch_us(e.ts) - epoch_us(c.click_ts) <= {_WF_PURCH_US}
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           epoch_us(view_ts) AS view_us,
+           epoch_us(click_ts) AS click_us,
+           epoch_us(purchase_ts) AS purchase_us
+    FROM p ORDER BY user_id
+    """,
+)(events_windowed_funnel)
