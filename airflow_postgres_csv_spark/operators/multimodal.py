@@ -475,3 +475,52 @@ def decode_audio_real(media: DataFrame, payload_col: str = "payload") -> DataFra
     return media.select("doc_id", payload_col).mapInPandas(
         _parse, REAL_AUDIO_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def audio_features_real(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Feature extraction over REAL PCM payloads — the "feature-extract"
+    step of the multimodal pipeline, past header decode: parse the WAV
+    data chunk into int16 samples (numpy ``frombuffer``, zero-copy per
+    Arrow batch) and emit exact integer signal features:
+
+    - ``zero_crossings`` — sign flips between consecutive samples (the
+      classic cheap pitch/voicedness proxy),
+    - ``energy`` — Σ s² in int64 (loudness),
+    - ``peak`` — max |s| (clipping detector).
+
+    All-integer outputs, so the oracle replays them bit-exactly from the
+    same synthesis formula without any audio decoding. Same Arrow-batched
+    map-only shape as the decoders: no shuffle, scales with executors.
+    """
+    import numpy as np
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                s = np.frombuffer(raw, dtype="<i2", offset=44).astype("int64")
+                pos = s >= 0
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(s))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(pos[:-1] != pos[1:]))
+                )
+                out["energy"].append(int((s * s).sum()))
+                out["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", payload_col).mapInPandas(
+        _feats, AUDIO_FEATURES_SCHEMA
+    )

@@ -178,3 +178,42 @@ register(
         ).orderBy("doc_id")
     )
 )
+
+
+# Audio FEATURE EXTRACTION over the real PCM tier: zero crossings, int64
+# energy, peak — exact integer features from the decoded samples. The
+# oracle recomputes the int16 sample stream from the synthesis formula
+# (trunc(amp·sin), the same glibc sin both engines call on this host)
+# and the identical integer features — certifying the decode+extract path
+# end-to-end without any audio library.
+register(
+    "multimodal_audio_features",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(100 + doc_id % 400 AS BIGINT) - 1),
+               i -> CAST(trunc(16383 * sin(2 * pi() * (220 + (doc_id % 16) * 55)
+                                           * i / 8000)) AS BIGINT)
+             ) AS pcm
+      FROM documents
+    )
+    SELECT doc_id,
+           len(pcm) AS n_samples,
+           CAST(len(list_filter(generate_series(1, len(pcm) - 1),
+                 i -> (pcm[i] >= 0) <> (pcm[i + 1] >= 0))) AS BIGINT)
+             AS zero_crossings,
+           CAST(list_reduce(list_transform(pcm, v -> v * v), (a, b) -> a + b)
+                AS BIGINT) AS energy,
+           CAST(list_max(list_transform(pcm, v -> abs(v))) AS BIGINT) AS peak
+    FROM s ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        MM.audio_features_real(
+            MM.attach_real_audio(t(spark, sf_dir, "documents")).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        ).orderBy("doc_id")
+    )
+)
