@@ -217,3 +217,29 @@ register(
         ).orderBy("doc_id")
     )
 )
+
+
+# Resize step on real codec bytes: PNG zlib pixel decode -> nearest-
+# neighbor resample to 4x3 -> real PNG re-encode -> re-decode and report
+# header dims + exact per-channel sums. Fixture images are solid colors,
+# so the oracle predicts the sums as 12 x channel without a codec; the
+# Spark side still runs the full decode/resample/encode plumbing.
+register(
+    "multimodal_image_resize",
+    """
+    SELECT doc_id,
+           4 AS out_w, 3 AS out_h,
+           CAST(12 * (doc_id % 256) AS BIGINT) AS sum_r,
+           CAST(12 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(12 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b
+    FROM documents ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        MM.image_resize_real(
+            MM.attach_real_images(t(spark, sf_dir, "documents")).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        ).orderBy("doc_id")
+    )
+)
