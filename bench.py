@@ -85,7 +85,11 @@ HEADLINE = [
     "rollup_gapfill_locf",
     "events_tumbling_window",
     "events_sessionization",
+    "events_windowed_funnel",
+    "dedup_incremental_minhash",
+    "geo_grid_nearest",
     "multimodal_decode_meta",
+    "multimodal_audio_features",
     "streaming_session_live",
 ]
 
