@@ -869,3 +869,60 @@ register(
     FROM agg ORDER BY o_orderstatus
     """,
 )(_stats_winsorized_mean)
+
+
+# ---------------------------------------------------------------------------
+# Distributed WEIGHTED median: smallest value whose cumulative weight
+# reaches half the total (lower weighted median, integer rule
+# 2·cumw >= W — no interpolation, so the answer is an actual data row
+# and every comparison is integer-exact). Runs on the global-order
+# machinery (value-range bucketing + partitioned local windows +
+# broadcast offsets) — the cumulative weight over a TOTAL order without
+# ever sorting in one partition. Weighted quantiles are how token-budget
+# cuts pick thresholds ("the length cutoff containing half the corpus
+# tokens") at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _stats_weighted_median(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+    )
+    g = with_global_order_stats(
+        li, "v", descending=False, tiebreak="key", cumsum={"cumw": F.col("w")}
+    )
+    wtot = li.agg(F.sum("w").alias("w_total"))
+    return (
+        g.crossJoin(F.broadcast(wtot))
+        .filter(2 * F.col("cumw") >= F.col("w_total"))
+        .orderBy("v", "key")
+        .limit(1)
+        .select(
+            "w_total",
+            F.col("v").alias("median_value"),
+            F.col("key").alias("at_key"),
+            F.col("cumw").alias("cum_weight_at"),
+        )
+    )
+
+
+register(
+    "stats_weighted_median",
+    """
+    WITH o AS (
+      SELECT l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 10 + l_linenumber AS key,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER () AS w_total
+      FROM lineitem
+    )
+    SELECT w_total, v AS median_value, key AS at_key, cumw AS cum_weight_at
+    FROM o WHERE 2 * cumw >= w_total
+    ORDER BY v, key LIMIT 1
+    """,
+)(_stats_weighted_median)

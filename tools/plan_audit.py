@@ -60,6 +60,10 @@ BY_DESIGN: dict[str, str] = {
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
     "basket_pair_rules": "n_orders 1-row scalar broadcast into the lift expression",
+    "stats_weighted_median": (
+        "distributed global-order cumsum (1-row stats + bucket-offset "
+        "broadcasts) + one w_total scalar broadcast into the half-weight filter"
+    ),
     "embedding_whiten": (
         "64-row dim-stats collapsed to a 1-row (means, stds) array pair, "
         "broadcast-crossed into the per-row zip-transform"
