@@ -578,3 +578,57 @@ register(
         ).orderBy("batch_id", "corpus_id")
     )
 )
+
+
+# LSH tuning/observability report: per-band bucket-size distribution and
+# the implied candidate-pair bound Sigma C(size,2) — the numbers an
+# operator reads before running the pair join at 100 TB (hot buckets
+# here mean a df cap or more bands are needed). Pure aggregation over
+# the band buckets; no pair join is executed.
+register(
+    "dedup_lsh_bucket_report",
+    f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+{_SIG_COLS}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES
+{_BAND_ROWS}
+      ) b(band_idx, band_key)
+    ),
+    buckets AS (
+      SELECT band_idx, band_key, COUNT(*) AS sz
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT band_idx,
+           COUNT(*) AS n_buckets,
+           MAX(sz) AS max_bucket,
+           SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS n_colliding,
+           SUM(sz * (sz - 1) // 2) AS candidate_pairs
+    FROM buckets GROUP BY band_idx ORDER BY band_idx
+    """,
+)(
+    lambda spark, sf_dir: (
+        D.minhash_band_buckets(
+            D.minhash_signatures(
+                t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3
+            ),
+            num_hashes=8,
+            bands=4,
+        )
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_colliding"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+)
