@@ -69,3 +69,16 @@ def test_history_parses_committed_artifacts():
     for f in files:
         union |= set(json.loads(f.read_text()))
     assert set(history) == union
+
+
+def test_bench_headline_names_are_registered():
+    """A typo'd HEADLINE entry silently drops a query from the per-round
+    bench (bench.py filters to registered names) — pin full membership."""
+    import bench
+
+    from airflow_postgres_csv_spark.queries import registry
+
+    reg = set(registry())
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert missing == [], f"HEADLINE names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE"
