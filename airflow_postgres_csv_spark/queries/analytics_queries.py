@@ -926,3 +926,79 @@ register(
     ORDER BY v, key LIMIT 1
     """,
 )(_stats_weighted_median)
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto-class) inventory classification: parts ranked by exact-
+# decimal revenue, classed A/B/C at 80%/95% cumulative share. The class
+# boundaries are EXACT DECIMAL comparisons (cum·5 ≤ total·4, cum·20 ≤
+# total·19) so no float threshold can flip between engines, and the
+# running totals come from the distributed global-order machinery.
+# ---------------------------------------------------------------------------
+
+
+def _parts_abc_classes(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("revenue")
+    )
+    g = with_global_order_stats(
+        rev,
+        "revenue",
+        descending=True,
+        tiebreak="l_partkey",
+        rank_col="rnk",
+        cumsum={"cum": F.col("revenue")},
+    )
+    total = rev.agg(F.sum("revenue").alias("tot"))
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        g.crossJoin(F.broadcast(total))
+        .withColumn("abc", cls)
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+            F.min("rnk").alias("first_rank"),
+            F.max("rnk").alias("last_rank"),
+        )
+        .orderBy("abc")
+    )
+
+
+register(
+    "parts_abc_classes",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rnk,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(revenue) OVER () AS tot
+      FROM rev
+    )
+    SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                WHEN cum * 20 <= tot * 19 THEN 'B'
+                ELSE 'C' END AS abc,
+           COUNT(*) AS n_parts,
+           CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+           MIN(rnk) AS first_rank,
+           MAX(rnk) AS last_rank
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)(_parts_abc_classes)

@@ -60,6 +60,10 @@ BY_DESIGN: dict[str, str] = {
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
     "basket_pair_rules": "n_orders 1-row scalar broadcast into the lift expression",
+    "parts_abc_classes": (
+        "global-order cumsum broadcasts + one revenue-total scalar crossed "
+        "into the exact-decimal class boundaries"
+    ),
     "stats_weighted_median": (
         "distributed global-order cumsum (1-row stats + bucket-offset "
         "broadcasts) + one w_total scalar broadcast into the half-weight filter"
