@@ -36,6 +36,7 @@ SAMPLE = [
     "rollup_ohlc_hourly",  # hourly buckets + epoch outputs
     "events_scd2_intervals",  # validity intervals in epoch micros
     "join_asof_nearest",  # gap arithmetic
+    "events_windowed_funnel",  # chained deadline as-of joins
     "rollup_gapfill_locf",  # generated time spine vs event buckets
 ]
 
