@@ -678,3 +678,83 @@ register(
     FROM cand GROUP BY pid, px, py ORDER BY pid
     """,
 )(_geo_grid_nearest)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty score — the redundancy/curriculum signal: for each doc
+# (in doc_id ingestion order), the fraction of its distinct shingles
+# whose FIRST occurrence in the corpus is this doc. A corpus saturating
+# on old n-grams trends toward 0; dedup pipelines read this curve to
+# decide when additional data stops adding information.
+#
+# Shape: one explode → min(doc_id) per shingle (hash agg) → join back on
+# shingle → per-doc ratio. No window over the corpus, no ordering shuffle
+# — "first occurrence" is just MIN over the ingestion key.
+# ---------------------------------------------------------------------------
+
+
+def _text_ngram_novelty(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.withColumn("_toks", F.expr(
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    )).select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                """
+                CASE WHEN size(_toks) < 3 THEN cast(array() as array<string>)
+                ELSE array_distinct(transform(
+                  sequence(1, size(_toks) - 2),
+                  i -> concat_ws(' ', slice(_toks, i, 3))
+                )) END
+                """
+            )
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+               AS shingle
+      FROM toks
+    ),
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM sh s JOIN first f USING (shingle)
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)(_text_ngram_novelty)
