@@ -818,3 +818,63 @@ register(
     FROM g ORDER BY purchase_id
     """,
 )(_events_attribution_linear)
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) of hourly event volume per type: variance-to-
+# mean ratio of per-hour counts — ~1 for Poisson-like traffic, >1 bursty.
+# Two-level aggregation (hourly integer counts → exact integer moments);
+# variance and Fano come from ONE fixed IEEE expression over exact
+# integers, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _events_burstiness(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("peak"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_hours")
+    var = F.col("sum_c2").cast("double") / F.col("n_hours") - mean * mean
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "total",
+        "peak",
+        F.round(mean, 9).alias("mean_per_hour"),
+        F.round(var / mean, 9).alias("fano"),
+    ).orderBy("event_type")
+
+
+register(
+    "events_burstiness",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_hours, SUM(c) AS total,
+             SUM(c * c) AS sum_c2, MAX(c) AS peak
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n_hours, total, peak,
+           ROUND(CAST(total AS DOUBLE) / n_hours, 9) AS mean_per_hour,
+           ROUND((CAST(sum_c2 AS DOUBLE) / n_hours
+                  - (CAST(total AS DOUBLE) / n_hours)
+                    * (CAST(total AS DOUBLE) / n_hours))
+                 / (CAST(total AS DOUBLE) / n_hours), 9) AS fano
+    FROM agg ORDER BY event_type
+    """,
+)(_events_burstiness)
