@@ -1002,3 +1002,102 @@ register(
     FROM ranked GROUP BY 1 ORDER BY 1
     """,
 )(_parts_abc_classes)
+
+
+# ---------------------------------------------------------------------------
+# Supply-concentration HHI per part: Herfindahl–Hirschman index of each
+# part's quantity share across suppliers, scaled to [0, 10000]. Exact
+# integer moments (Σq, Σ per-supplier q²) with ONE final IEEE division —
+# no per-supplier float share is ever summed.
+# ---------------------------------------------------------------------------
+
+
+def _parts_supply_hhi(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    agg = per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("q_total"),
+        F.sum(F.col("q") * F.col("q")).alias("q_sq"),
+    )
+    return (
+        agg.select(
+            "l_partkey",
+            "n_suppliers",
+            "q_total",
+            (
+                (F.col("q_sq") * 10000).cast("double")
+                / (F.col("q_total") * F.col("q_total"))
+            ).alias("hhi"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+register(
+    "parts_supply_hhi",
+    """
+    WITH per_supp AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_partkey,
+           COUNT(*) AS n_suppliers,
+           SUM(q) AS q_total,
+           CAST(SUM(q * q) * 10000 AS DOUBLE) / (SUM(q) * SUM(q)) AS hhi
+    FROM per_supp GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)(_parts_supply_hhi)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue — the inequality metric over the
+# whole customer base, computed DISTRIBUTED: the classic rank formula
+# G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) needs a global ascending rank,
+# which comes from the global-order machinery (never a single-partition
+# sort); Σ rank·x and Σx are exact decimal/integer sums and the final
+# value is ONE IEEE division of exact operands.
+# ---------------------------------------------------------------------------
+
+
+def _customers_gini_revenue(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    g = with_global_order_stats(
+        rev, "x", descending=False, tiebreak="o_custkey", rank_col="rnk"
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rnk") * F.col("x")).alias("srx"),
+    )
+    num = 2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return agg.select(
+        "n",
+        F.col("sx").cast("double").alias("total_revenue"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+register(
+    "customers_gini_revenue",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rnk FROM rev
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x) AS DOUBLE) AS total_revenue,
+           CAST(2 * SUM(rnk * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)(_customers_gini_revenue)
