@@ -60,6 +60,10 @@ BY_DESIGN: dict[str, str] = {
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
     "basket_pair_rules": "n_orders 1-row scalar broadcast into the lift expression",
+    "customers_gini_revenue": (
+        "global-order machinery's 1-row min/max stats broadcast + bucket-"
+        "offset theta-join (same shape as window_ntile_first_last)"
+    ),
     "parts_abc_classes": (
         "global-order cumsum broadcasts + one revenue-total scalar crossed "
         "into the exact-decimal class boundaries"
