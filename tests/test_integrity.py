@@ -68,3 +68,48 @@ def test_table_diff_statuses_and_null_safety(spark):
 
     with pytest.raises(ValueError, match="schemas differ"):
         table_diff(old, new.select("k", "v", "s"), keys=["k"])
+
+
+def _diff_reference(old_rows, new_rows):
+    """Brute-force reference: dict-compare by key with NULL==NULL."""
+    o = {r[0]: r[1:] for r in old_rows}
+    n = {r[0]: r[1:] for r in new_rows}
+    out = set()
+    for k in o.keys() | n.keys():
+        if k not in n:
+            out.add((k, "removed"))
+        elif k not in o:
+            out.add((k, "added"))
+        elif o[k] != n[k]:
+            out.add((k, "changed"))
+    return out
+
+
+def test_table_diff_matches_reference_property(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from airflow_postgres_csv_spark.operators.merge import table_diff
+
+    cell = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+    row = st.tuples(st.integers(min_value=0, max_value=12), cell, cell)
+
+    @given(
+        old=st.lists(row, max_size=12, unique_by=lambda r: r[0]),
+        new=st.lists(row, max_size=12, unique_by=lambda r: r[0]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(old, new):
+        schema = "k long, a long, b long"
+        odf = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+        ndf = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+        got = {
+            (r.k, r.diff_status)
+            for r in table_diff(odf, ndf, keys=["k"]).collect()
+        }
+        assert got == _diff_reference(old, new)
+
+    check()
