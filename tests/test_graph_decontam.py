@@ -179,3 +179,47 @@ def test_kcore_peels_tail_keeps_clique(spark):
     # k=1 with zero rounds is just the symmetric degree table
     got0 = {r.node: r.deg for r in kcore_nodes(df, k=1, rounds=0).collect()}
     assert got0[4] == 4 and got0[6] == 1
+
+
+def test_kcore_matches_bruteforce_property(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from airflow_postgres_csv_spark.operators.graph import kcore_nodes
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    )
+
+    def peel(edges, k):
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(nb) for n, nb in adj.items()}
+
+    @given(edges=st.lists(edge, max_size=20))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(edges):
+        df = (
+            spark.createDataFrame(edges, "u long, v long")
+            if edges
+            else spark.createDataFrame([], "u long, v long")
+        )
+        # 10 rounds always converges on <=10 nodes
+        got = {r.node: r.deg for r in kcore_nodes(df, k=2, rounds=10).collect()}
+        assert got == peel(edges, 2)
+
+    check()
