@@ -403,3 +403,87 @@ register(
     ORDER BY rnk
     """,
 )(supplier_pareto)
+
+
+# ---------------------------------------------------------------------------
+# Calendar seasonality matrix: order counts + exact-decimal revenue by
+# (month, ISO weekday). o_orderdate is a DATE — calendar extraction on
+# DATEs is timezone-free, so no UTC pinning is needed here.
+# ---------------------------------------------------------------------------
+
+register(
+    "orders_seasonality_matrix",
+    """
+    SELECT EXTRACT(month FROM o_orderdate) AS mo,
+           isodow(o_orderdate) AS dow,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.month("o_orderdate").cast("long").alias("mo"),
+            (F.weekday("o_orderdate") + 1).cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("mo", "dow")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Supplier delivery-lag stats: days from order date to each lineitem's
+# ship date, per supplier — integer day lags (DATE subtraction), exact
+# integer moments, exact integer median (percentile over BIGINT
+# interpolates at worst to .5 — engine-stable).
+# ---------------------------------------------------------------------------
+
+register(
+    "supplier_delivery_lag",
+    """
+    WITH lag AS (
+      SELECT l_suppkey,
+             date_diff('day', o_orderdate, CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n,
+           SUM(d) AS sum_days,
+           MIN(d) AS min_days,
+           MAX(d) AS max_days,
+           CAST(median(CAST(d AS BIGINT)) AS DOUBLE) AS med_days
+    FROM lag GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.datediff(F.to_date("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("sum_days"),
+            F.min("d").alias("min_days"),
+            F.max("d").alias("max_days"),
+            F.median(F.col("d").cast("bigint")).cast("double").alias("med_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+)
