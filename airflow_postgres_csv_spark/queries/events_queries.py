@@ -878,3 +878,84 @@ register(
     FROM agg ORDER BY event_type
     """,
 )(_events_burstiness)
+
+
+# ---------------------------------------------------------------------------
+# Session-length histogram + bounce rate: sessions from the same
+# 30-minute-gap sessionization, bucketed by event count (1 = bounce,
+# 2-4, 5-9, 10+). Bounce rate is ONE IEEE division of exact counts.
+# ---------------------------------------------------------------------------
+
+
+def _events_session_bounce(spark, sf_dir):
+    sess = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    band = (
+        F.when(F.col("n_events") == 1, F.lit("1"))
+        .when(F.col("n_events") <= 4, F.lit("2-4"))
+        .when(F.col("n_events") <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    hist = sess.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    totals = sess.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("bounces"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "band",
+            "n_sessions",
+            "total",
+            (F.col("bounces").cast("double") / F.col("total")).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+register(
+    "events_session_bounce",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces
+      FROM per_session
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 4 THEN '2-4'
+                WHEN n_events <= 9 THEN '5-9'
+                ELSE '10+' END AS band,
+           COUNT(*) AS n_sessions,
+           t.total,
+           CAST(t.bounces AS DOUBLE) / t.total AS bounce_rate
+    FROM per_session, totals t
+    GROUP BY 1, t.total, t.bounces
+    ORDER BY 1
+    """,
+)(_events_session_bounce)

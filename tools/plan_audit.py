@@ -60,6 +60,7 @@ BY_DESIGN: dict[str, str] = {
     "hll_sketch_mergeable": "sketch estimate vs exact-count scalar invariant comparison",
     "count_min_sketch_freq": "n_total 1-row scalar broadcast into the error-bound flag",
     "basket_pair_rules": "n_orders 1-row scalar broadcast into the lift expression",
+    "events_session_bounce": "1-row totals aggregate crossed into the bounce-rate column",
     "customers_gini_revenue": (
         "global-order machinery's 1-row min/max stats broadcast + bucket-"
         "offset theta-join (same shape as window_ntile_first_last)"
