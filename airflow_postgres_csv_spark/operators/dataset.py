@@ -72,10 +72,16 @@ def compact_dataset(
       keeps downstream scans parallel regardless of file count.
 
     The write lands in a sibling temp directory and is swapped in with two
-    renames — readers never observe a half-compacted dataset (same staging
-    discipline as the JDBC atomic load). Overhead is one full read + write
-    of the dataset, which is why real systems schedule it off-peak; the
-    op itself is a single Spark job with no shuffle beyond the repartition.
+    renames (same staging discipline as the JDBC atomic load). POSIX cannot
+    swap two directories atomically, so there is an unavoidable window
+    between the renames where ``path`` does not exist; a concurrent reader
+    in that window sees a missing dataset (never a half-compacted one), and
+    the swap is crash-safe — on any failure the original directory is
+    restored to ``path`` and the compacted copy is deleted before the
+    exception propagates, so the only copy of the data is never stranded
+    under a temp name. Overhead is one full read + write of the dataset,
+    which is why real systems schedule it off-peak; the op itself is a
+    single Spark job with no shuffle beyond the repartition.
     """
     import math
     import os
@@ -102,10 +108,21 @@ def compact_dataset(
         )
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    rows = spark.read.parquet(tmp).count()
+    try:
+        rows = spark.read.parquet(tmp).count()
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = f"{path.rstrip('/')}__old-{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        # restore the original so `path` never stays missing; the compacted
+        # copy is discarded (it was never observed).
+        os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     after = sum(
         1

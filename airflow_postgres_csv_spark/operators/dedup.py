@@ -838,7 +838,9 @@ def winnowing_fingerprints(
     ``key_i = h_i * 2^20 + (2^20-1 - i)`` — min hash first, then max
     position — with every key < 2^52, exact in int64 (and replayable in
     any engine). ``cap`` truncates the normalized text (None = no cap);
-    positions beyond 2^20 chars would alias, so cap must stay below that.
+    positions beyond 2^20 chars would alias, so cap must stay below that,
+    and with ``cap=None`` any normalized document reaching 2^20 chars
+    raises at execution time instead of silently corrupting fingerprints.
 
     100 TB shape: pure per-row array arithmetic in whole-stage codegen —
     no shuffle until the selected prints are exploded (an ~n/w-fold
@@ -853,7 +855,10 @@ def winnowing_fingerprints(
     d = df.select(F.col(id_col), norm.alias("__norm"))
     keys = F.expr(
         f"""
-        CASE WHEN length(__norm) < {k} THEN cast(array() as array<bigint>)
+        CASE WHEN length(__norm) >= {1 << 20} THEN
+          cast(raise_error(concat('winnowing_fingerprints: normalized document '
+            'longer than 2^20 chars aliases positions; pass a cap')) as array<bigint>)
+        WHEN length(__norm) < {k} THEN cast(array() as array<bigint>)
         ELSE transform(
           sequence(1, length(__norm) - {k - 1}),
           i -> cast(conv(substring(md5(substring(__norm, i, {k})), 1, 8), 16, 10)

@@ -60,15 +60,19 @@ def table_diff(
             f"schemas differ: {old.columns} vs {new.columns}"
         )
     value_cols = [c for c in old.columns if c not in keys]
-    o = old.alias("__o")
-    n = new.alias("__n")
+    # Null-safe key equality + explicit presence markers: with plain `==` a
+    # row whose key is NULL in both snapshots never matches and is emitted
+    # as both 'added' and 'removed' (ADVICE r4), and keys[0].isNotNull()
+    # would misread such a row as absent.
+    o = old.withColumn("__in_old", F.lit(True)).alias("__o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("__n")
     cond = None
     for k in keys:
-        c = F.col(f"__o.{k}") == F.col(f"__n.{k}")
+        c = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__o.{keys[0]}").isNotNull()
-    in_new = F.col(f"__n.{keys[0]}").isNotNull()
+    in_old = F.col("__o.__in_old").isNotNull()
+    in_new = F.col("__n.__in_new").isNotNull()
     changed = F.lit(False)
     for c in value_cols:
         changed = changed | ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))

@@ -138,7 +138,7 @@ register(
       FROM deltas
     )
     SELECT strftime(d, '%Y-%m') AS month,
-           MAX(in_flight) AS max_in_flight
+           CAST(MAX(in_flight) AS BIGINT) AS max_in_flight
     FROM daily
     GROUP BY 1
     ORDER BY 1
@@ -189,7 +189,7 @@ register(
     """
     SELECT source || '.example.com' AS host,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_q,
+           CAST(SUM(n_chars) AS BIGINT) AS total_q,
            COUNT(DISTINCT '/' || lang) AS n_langs
     FROM documents
     GROUP BY 1
@@ -856,8 +856,8 @@ register(
              COUNT(*) AS n,
              MIN(c.p05) AS p05,
              MIN(c.p95) AS p95,
-             SUM(CASE WHEN o.o_totalprice < c.p05 THEN 1 ELSE 0 END) AS n_low,
-             SUM(CASE WHEN o.o_totalprice > c.p95 THEN 1 ELSE 0 END) AS n_high,
+             CAST(SUM(CASE WHEN o.o_totalprice < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(SUM(CASE WHEN o.o_totalprice > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
              SUM(CASE WHEN o.o_totalprice >= c.p05 AND o.o_totalprice <= c.p95
                       THEN CAST(o.o_totalprice AS DECIMAL(18,2))
                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS interior_dec
@@ -921,7 +921,8 @@ register(
              SUM(CAST(l_quantity AS BIGINT)) OVER () AS w_total
       FROM lineitem
     )
-    SELECT w_total, v AS median_value, key AS at_key, cumw AS cum_weight_at
+    SELECT CAST(w_total AS BIGINT) AS w_total, v AS median_value, key AS at_key,
+           CAST(cumw AS BIGINT) AS cum_weight_at
     FROM o WHERE 2 * cumw >= w_total
     ORDER BY v, key LIMIT 1
     """,
@@ -1045,7 +1046,7 @@ register(
     )
     SELECT l_partkey,
            COUNT(*) AS n_suppliers,
-           SUM(q) AS q_total,
+           CAST(SUM(q) AS BIGINT) AS q_total,
            CAST(SUM(q * q) * 10000 AS DOUBLE) / (SUM(q) * SUM(q)) AS hhi
     FROM per_supp GROUP BY l_partkey ORDER BY l_partkey
     """,

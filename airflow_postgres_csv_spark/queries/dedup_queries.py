@@ -607,8 +607,8 @@ register(
     SELECT band_idx,
            COUNT(*) AS n_buckets,
            MAX(sz) AS max_bucket,
-           SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS n_colliding,
-           SUM(sz * (sz - 1) // 2) AS candidate_pairs
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
     FROM buckets GROUP BY band_idx ORDER BY band_idx
     """,
 )(

@@ -443,8 +443,8 @@ register(
       FROM e
     ),
     versioned AS (
-      SELECT *, SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      SELECT *, CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
       FROM flagged
     ),
     runs AS (
@@ -731,9 +731,9 @@ register(
       SELECT d, COUNT(*) AS new_users FROM first_day GROUP BY d
     )
     SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
-           SUM(new_users) OVER (ORDER BY d
+           CAST(SUM(new_users) OVER (ORDER BY d
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_users
+             AS BIGINT) AS cum_users
     FROM per_day
     ORDER BY day
     """,
@@ -802,10 +802,10 @@ register(
     ),
     g AS (
       SELECT p.purchase_id, p.user_id, p.pts, p.value,
-             SUM(CASE WHEN c.cts IS NOT NULL
+             CAST(SUM(CASE WHEN c.cts IS NOT NULL
                        AND epoch_us(p.pts) - epoch_us(c.cts) > 0
                        AND epoch_us(p.pts) - epoch_us(c.cts) <= {_ATTR_WINDOW_US}
-                      THEN 1 ELSE 0 END) AS n_touches
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_touches
       FROM p LEFT JOIN c ON c.user_id = p.user_id
       GROUP BY 1, 2, 3, 4
     )
@@ -865,7 +865,7 @@ register(
       FROM events GROUP BY 1, 2
     ),
     agg AS (
-      SELECT event_type, COUNT(*) AS n_hours, SUM(c) AS total,
+      SELECT event_type, COUNT(*) AS n_hours, CAST(SUM(c) AS BIGINT) AS total,
              SUM(c * c) AS sum_c2, MAX(c) AS peak
       FROM hourly GROUP BY event_type
     )
@@ -924,7 +924,7 @@ register(
     "events_session_bounce",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes' OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -932,8 +932,11 @@ register(
       FROM events
     ),
     sessions AS (
+      -- same (ts, event_id) total order as the LAG window above: with
+      -- duplicate (user_id, ts) rows an ORDER BY ts alone could assign a
+      -- row to the neighboring session nondeterministically (ADVICE r4)
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM flagged

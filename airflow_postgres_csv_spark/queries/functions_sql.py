@@ -1075,7 +1075,7 @@ register(
            bit_xor(l_orderkey) AS k_xor,
            CAST(bool_and(l_quantity > 1) AS INT) AS all_gt1,
            CAST(bool_or(l_quantity > 49) AS INT) AS any_gt49,
-           count_if(l_discount > 0.05) AS n_disc,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
            CAST(median(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS med_qty
     FROM lineitem
     GROUP BY l_returnflag

@@ -369,7 +369,7 @@ register(
                  * 2654435761 % 65536 - 32768 AS w
         FROM e
     )
-    SELECT doc_id, SUM(w) AS w_sum, COUNT(*) AS n_feats,
+    SELECT doc_id, CAST(SUM(w) AS BIGINT) AS w_sum, COUNT(*) AS n_feats,
            CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score,
            SUM(w) > 0 AS keep
     FROM w GROUP BY doc_id ORDER BY doc_id
@@ -431,7 +431,7 @@ register(
         ORDER BY COUNT(*) DESC, tok LIMIT {_OOV_VOCAB_N}
     )
     SELECT t.doc_id, COUNT(*) AS n_tokens,
-           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS oov_rate
     FROM toks t LEFT JOIN vocab v USING (tok)
@@ -632,15 +632,20 @@ def _geo_grid_nearest(spark, sf_dir):
     d2 = (F.col("px") - F.col("x")) * (F.col("px") - F.col("x")) + (
         F.col("py") - F.col("y")
     ) * (F.col("py") - F.col("y"))
-    # nearest by (d2, id): packed key keeps the argmin a single max_by-style agg
-    key = d2 * F.lit(1 << 20) + F.col("id")
+    # nearest by (d2, id): packed key keeps the argmin a single max_by-style
+    # agg. Shift is 2^40 so ids never alias into d2: candidates come from
+    # neighboring 500-wide cells, so d2 < 2*(2*500)^2 = 2e6 and
+    # d2 * 2^40 < 2.2e18 < int64 max, while id has 2^40 (~1.1e12) of room
+    # (the old 2^20 shift silently corrupted nearest_id once c_custkey
+    # reached ~1M, i.e. around sf7 — ADVICE r4).
+    key = d2 * F.lit(1 << 40) + F.col("id")
     return (
         cand.groupBy("pid", "px", "py")
         .agg(F.min(key).alias("k"))
         .select(
             "pid", "px", "py",
-            F.expr("k div 1048576").alias("d2"),
-            (F.col("k") % (1 << 20)).alias("nearest_id"),
+            F.expr(f"k div {1 << 40}").alias("d2"),
+            (F.col("k") % (1 << 40)).alias("nearest_id"),
         )
         .orderBy("pid")
     )
@@ -668,13 +673,13 @@ register(
     cand AS (
       SELECT pr.pid, pr.px, pr.py,
              ((pr.px - c.x) * (pr.px - c.x) + (pr.py - c.y) * (pr.py - c.y))
-               * {1 << 20} + c.id AS k
+               * {1 << 40} + c.id AS k
       FROM probes pr JOIN corpus c USING (cell)
       WHERE c.id <> pr.pid
     )
     SELECT pid, px, py,
-           MIN(k) // {1 << 20} AS d2,
-           MIN(k) % {1 << 20} AS nearest_id
+           MIN(k) // {1 << 40} AS d2,
+           MIN(k) % {1 << 40} AS nearest_id
     FROM cand GROUP BY pid, px, py ORDER BY pid
     """,
 )(_geo_grid_nearest)
@@ -751,7 +756,7 @@ register(
     )
     SELECT s.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS novelty
     FROM sh s JOIN first f USING (shingle)

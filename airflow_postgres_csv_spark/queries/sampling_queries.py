@@ -132,7 +132,7 @@ register(
     """
     WITH lt AS (
         SELECT lang,
-               SUM(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS lang_tokens
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS lang_tokens
         FROM documents GROUP BY lang
     ),
     tot AS (

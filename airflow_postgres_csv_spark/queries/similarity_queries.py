@@ -367,9 +367,18 @@ def _embedding_whiten(spark, sf_dir):
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    return out.select(
-        "vec_id", "label", "zvec", F.round(znorm2, 6).alias("znorm2")
-    ).orderBy("vec_id")
+    # Scalar output contract: the driver's pandas canonicalizer cannot sort
+    # LIST cells (round-4 ERR), so the whitened vector is exploded to one
+    # (vec_id, dim, zval) row per element — zval doubles are bit-identical
+    # across engines (decimal-exact stats, identical IEEE expression tree).
+    return (
+        out.select(
+            "vec_id", "label", F.round(znorm2, 6).alias("znorm2"),
+            F.posexplode("zvec").alias("dim", "zval"),
+        )
+        .select("vec_id", "label", "dim", "zval", "znorm2")
+        .orderBy("vec_id", "dim")
+    )
 
 
 register(
@@ -399,9 +408,10 @@ register(
                           AS DOUBLE) - means[i]) / stds[i]) AS zvec
       FROM embeddings, params
     )
-    SELECT vec_id, label, zvec,
+    SELECT vec_id, label, CAST(i - 1 AS INT) AS dim, zvec[i] AS zval,
            ROUND(list_reduce(list_transform(zvec, v -> v * v),
                              (a, b) -> a + b), 6) AS znorm2
-    FROM z ORDER BY vec_id
+    FROM z, unnest(generate_series(1, len(zvec))) AS u(i)
+    ORDER BY vec_id, dim
     """,
 )(_embedding_whiten)

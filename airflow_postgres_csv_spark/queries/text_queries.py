@@ -474,11 +474,18 @@ register(
              COUNT(DISTINCT doc_id) AS df
       FROM tk GROUP BY token
     )
-    SELECT token, postings, df FROM v
+    SELECT token, df,
+           md5(array_to_string(postings, ',')) AS postings_md5,
+           postings[1] AS first_doc,
+           postings[len(postings)] AS last_doc
+    FROM v
     WHERE df >= 100
     ORDER BY token
     """,
 )(
+    # Scalar output contract (the driver's pandas canonicalizer cannot sort
+    # LIST cells): the sorted posting list is emitted as an md5 digest of its
+    # comma-joined decimal ids plus first/last scalars, not as a raw array.
     lambda spark, sf_dir: (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(X.tokens("text")).alias("token"))
@@ -488,6 +495,15 @@ register(
             F.countDistinct("doc_id").alias("df"),
         )
         .filter(F.col("df") >= 100)
+        .select(
+            "token",
+            "df",
+            F.md5(
+                F.array_join(F.transform("postings", lambda x: x.cast("string")), ",")
+            ).alias("postings_md5"),
+            F.element_at("postings", 1).alias("first_doc"),
+            F.element_at("postings", -1).alias("last_doc"),
+        )
         .orderBy("token")
     )
 )

@@ -457,7 +457,7 @@ register(
     )
     SELECT l_suppkey,
            COUNT(*) AS n,
-           SUM(d) AS sum_days,
+           CAST(SUM(d) AS BIGINT) AS sum_days,
            MIN(d) AS min_days,
            MAX(d) AS max_days,
            CAST(median(CAST(d AS BIGINT)) AS DOUBLE) AS med_days

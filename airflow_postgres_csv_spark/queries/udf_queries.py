@@ -95,7 +95,7 @@ def _udaf_pandas_grouped(spark, sf_dir):
 register(
     "udaf_pandas_grouped",
     """
-    SELECT lang, SUM(n_chars * n_chars) AS sum_sq_chars, COUNT(*) AS n_docs
+    SELECT lang, CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq_chars, COUNT(*) AS n_docs
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )(_udaf_pandas_grouped)
@@ -164,9 +164,9 @@ register(
     SELECT o.o_orderkey,
            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_total_cents,
            COUNT(l.l_orderkey) AS n_lines,
-           COALESCE(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(COALESCE(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                         * CAST(CAST(1 - l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)),
-                    0) AS rev_e4
+                    0) AS BIGINT) AS rev_e4
     FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey % 10 = 0
     GROUP BY o.o_orderkey, o.o_totalprice

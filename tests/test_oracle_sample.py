@@ -1,11 +1,12 @@
 """In-suite differential-oracle spot check.
 
 The full gate is ``python -m tools.verify_local`` over all registered
-queries (~6 min); this test runs the same Spark-vs-DuckDB comparison for a
-small cross-family sample at the smoke scale factor, so oracle drift (a
-query edited without its SQL twin, a helper change that shifts values)
-fails in the ordinary pytest run instead of waiting for a manual full
-verification pass.
+queries; this test runs the same driver-faithful pandas comparison
+(``toPandas`` vs DuckDB ``.df()``, canonical sort, hash_pandas_object) for
+a small cross-family sample at the smoke scale factor, so oracle drift (a
+query edited without its SQL twin, a helper change that shifts values, a
+dtype skew the old value-level comparison hid) fails in the ordinary
+pytest run instead of waiting for a manual full verification pass.
 """
 
 from __future__ import annotations
@@ -37,13 +38,34 @@ def test_oracle_sample_matches(spark):
     failures = {}
     for name in SAMPLE:
         rq = reg[name]
-        sdf = rq.fn(spark, SF)
-        spark_cols = sdf.columns
-        spark_rows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(rq.oracle)
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
-        problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+        spark_pdf = rq.fn(spark, SF).toPandas()
+        duck_pdf = con.execute(rq.oracle).df()
+        problems = compare(spark_pdf, duck_pdf)
         if problems:
             failures[name] = problems
     assert failures == {}, failures
+
+
+def test_no_driver_breaking_oracle_types():
+    """No oracle may emit HUGEINT/UHUGEINT (pandas reads them as float64
+    while Spark sends int64 → driver hash mismatch, round-4 verdict) or
+    LIST/STRUCT/MAP output columns (the driver's pandas sort_values raises
+    ``unhashable type`` → automatic ERR row). Typing only — no data scan."""
+    import duckdb
+
+    from airflow_postgres_csv_spark.catalog import TABLES
+    from tools.oracle_types import bad_columns
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    offenders = {}
+    for name, rq in registry().items():
+        if rq.oracle is None:
+            continue
+        bad = bad_columns(con, rq.oracle)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders

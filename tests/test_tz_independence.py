@@ -51,13 +51,9 @@ def test_timestamp_queries_are_tz_independent(spark, tz):
         spark.conf.set("spark.sql.session.timeZone", tz)
         for name in SAMPLE:
             rq = reg[name]
-            sdf = rq.fn(spark, SF)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(rq.oracle)
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
-            problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+            spark_pdf = rq.fn(spark, SF).toPandas()
+            duck_pdf = con.execute(rq.oracle).df()
+            problems = compare(spark_pdf, duck_pdf)
             if problems:
                 failures[name] = problems
     finally:
