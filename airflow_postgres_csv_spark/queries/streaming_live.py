@@ -26,6 +26,14 @@ from airflow_postgres_csv_spark.queries._helpers import dec
 from airflow_postgres_csv_spark.streaming import windows as SW
 
 
+# staged source dirs awaiting cleanup; drained by _run after q.stop()
+_STAGED_DIRS: list[str] = []
+
+# last completed stream's final StreamingQueryProgress (plan-pin tests read
+# the stateful operator's state-store partition count from here)
+_LAST_PROGRESS: list = [None]
+
+
 def _staged_stream(
     spark: SparkSession, sf_dir: str, sentinels: bool = False
 ) -> DataFrame:
@@ -38,8 +46,14 @@ def _staged_stream(
     watermark past every real session at the end of batch 2, sentinel 2
     triggers batch 3 which evicts-and-emits them all. The sentinel
     sessions themselves never finalize, so they are absent from output.
+
+    Every staged dir is recorded in ``_STAGED_DIRS`` and deleted by the
+    next ``_run`` once its stream has stopped (the memory sink owns the
+    results by then) — without this, each bench/verify invocation leaked
+    a full copy of events.parquet per streaming query run.
     """
     tmp = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    _STAGED_DIRS.append(tmp)
     dst = os.path.join(tmp, "000.parquet")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
     os.utime(dst, (1_000_000, 1_000_000))
@@ -97,8 +111,11 @@ def _run(
     try:
         q = SW.run_to_memory_sink(stream_df, name, output_mode=output_mode)
         q.stop()
+        _LAST_PROGRESS[0] = q.lastProgress
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        while _STAGED_DIRS:
+            shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
     return spark.table(name)
 
 
@@ -162,7 +179,7 @@ register(
     "streaming_session_live",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes' OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -170,8 +187,11 @@ register(
       FROM events
     ),
     sessions AS (
+      -- same (ts, event_id) total order as the LAG window: with duplicate
+      -- (user_id, ts) rows an ORDER BY ts alone could assign a row to the
+      -- neighboring session nondeterministically (ADVICE r4 class)
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
