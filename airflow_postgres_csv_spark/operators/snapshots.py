@@ -1,0 +1,204 @@
+"""Versioned snapshot datasets: manifest-pinned parquet with time travel.
+
+The missing primitive between "a directory of parquet" and a full lakehouse
+table format: training-data pipelines need *reproducible dataset versions*
+("the run was trained on v12") and *append-without-rewrite* ingestion. This
+module provides both with nothing but parquet + JSON manifests, the same
+core mechanism as Iceberg/Delta (a commit is one atomic metadata swap that
+pins an explicit file list):
+
+- ``snapshot_commit(df, root)`` writes the new rows as parquet under an
+  immutable per-commit directory (existing files are NEVER rewritten), then
+  publishes ``manifests/v{N}.json`` listing every data file of the new
+  version. The manifest is written to a temp name and ``os.rename``d into
+  place — a single-file atomic commit point: readers either see v(N-1) or
+  vN, never a torn state, and a crash mid-write leaves only an orphaned
+  data directory that ``snapshot_expire`` collects.
+- ``snapshot_read(spark, root, version=...)`` reads the EXACT file list the
+  manifest pins. Concurrent commits cannot perturb a running read, and at
+  cloud scale the manifest replaces the recursive object-store listing
+  (the classic S3 LIST bottleneck: O(files) requests before the first byte
+  of data) with one small JSON read.
+- ``snapshot_diff`` compares two versions at file granularity — O(manifest)
+  set arithmetic, no data scan.
+- ``snapshot_expire`` drops old manifests and deletes data files no
+  retained version references (the GC that makes compaction/append cheap
+  to run forever).
+
+100 TB notes: a commit's cost is the write of its OWN rows plus one JSON
+rename — independent of table size, so hourly appends to a petabyte table
+stay O(batch). Schema is pinned in the manifest (JSON of the Spark schema)
+and commits reject drift unless ``allow_schema_change=True`` — silent
+column-type divergence between appends is the classic poisoned-table
+failure. Local filesystem ``os.rename`` stands in for the object-store
+atomic swap (S3 conditional PUT / HDFS rename); no reference analog
+(extension surface, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Committed versions, ascending. [] for a fresh/absent root."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def snapshot_commit(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    allow_schema_change: bool = False,
+) -> dict:
+    """Commit ``df`` as a new version; returns the new manifest dict.
+
+    ``mode='append'`` pins previous files + the new ones; ``'overwrite'``
+    pins only the new ones (old files stay on disk for time travel until
+    ``snapshot_expire`` collects them). The commit point is the atomic
+    rename of the manifest JSON — a crash before it leaves the dataset at
+    the previous version with only an orphaned data dir to GC.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    versions = snapshot_versions(root)
+    prev = _load_manifest(root, versions[-1]) if versions else None
+    schema_json = df.schema.json()
+    if prev is not None and mode == "append" and not allow_schema_change:
+        if prev["schema"] != schema_json:
+            raise ValueError(
+                "schema drift on append: pass allow_schema_change=True to "
+                "accept (old vs new schema differ)"
+            )
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(root, _DATA_DIR, commit_id)
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(
+        os.path.join(_DATA_DIR, commit_id, name)
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet") and not name.startswith(("_", "."))
+    )
+    files = list(prev["files"]) + new_files if (prev and mode == "append") else new_files
+    version = (versions[-1] + 1) if versions else 1
+    manifest = {
+        "version": version,
+        "parent": versions[-1] if versions else None,
+        "mode": mode,
+        "commit_id": commit_id,
+        "files": files,
+        "n_files": len(files),
+        "schema": schema_json,
+    }
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(root, version))  # atomic commit point
+    return manifest
+
+
+def snapshot_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (default: latest) via its exact file list."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    manifest = _load_manifest(root, version)
+    paths = [os.path.join(root, rel) for rel in manifest["files"]]
+    if not paths:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
+    return spark.read.parquet(*paths)
+
+
+def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:
+    """File-level diff between two versions — manifest set arithmetic,
+    no data scan. Returns relative paths added and removed."""
+    old = set(_load_manifest(root, v_old)["files"])
+    new = set(_load_manifest(root, v_new)["files"])
+    return {
+        "added": sorted(new - old),
+        "removed": sorted(old - new),
+        "unchanged": len(old & new),
+    }
+
+
+def snapshot_expire(root: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` manifests and delete data
+    files (and then-empty commit dirs) no retained version references.
+
+    Orphaned commit dirs from crashed commits (data written, manifest
+    rename never happened) are collected too: they are unreferenced by
+    construction. Time travel to an expired version stops working — that
+    is the contract (pin retention to the reproducibility window).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(root)
+    keep = versions[-keep_last:]
+    drop = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(root, v)["files"])
+    removed_files = 0
+    data_root = os.path.join(root, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for commit_id in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_id)
+            if not os.path.isdir(cdir):
+                continue
+            for name in sorted(os.listdir(cdir)):
+                rel = os.path.join(_DATA_DIR, commit_id, name)
+                full = os.path.join(cdir, name)
+                keep_file = rel in referenced or (
+                    # parquet sidecars (_SUCCESS, .crc) live and die with
+                    # their commit dir
+                    not name.endswith(".parquet")
+                    and any(r.startswith(os.path.join(_DATA_DIR, commit_id)) for r in referenced)
+                )
+                if not keep_file:
+                    os.remove(full)
+                    if name.endswith(".parquet"):
+                        removed_files += 1
+            if not os.listdir(cdir):
+                shutil.rmtree(cdir)
+    for v in drop:
+        os.remove(_manifest_path(root, v))
+    return {
+        "expired_versions": drop,
+        "kept_versions": keep,
+        "removed_data_files": removed_files,
+    }

@@ -56,6 +56,7 @@ _MODULES = (
     "scale_queries",
     "udf_queries",
     "mining_queries",
+    "snapshot_queries",
 )
 
 

@@ -1,0 +1,111 @@
+"""Versioned snapshot datasets (operators/snapshots.py): commit atomicity,
+pinned reads under concurrent commits, schema-drift rejection, file-level
+diff, and expire GC including orphaned (crashed-commit) data dirs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_commit,
+    snapshot_diff,
+    snapshot_expire,
+    snapshot_read,
+    snapshot_versions,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_commit_append_and_read_latest(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    m1 = snapshot_commit(_df(spark, 0, 10), root)
+    m2 = snapshot_commit(_df(spark, 10, 25), root)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert m2["parent"] == 1
+    assert snapshot_versions(root) == [1, 2]
+    assert snapshot_read(spark, root).count() == 25
+    assert snapshot_read(spark, root, version=1).count() == 10
+    # append reuses v1's files verbatim — no rewrite
+    assert set(m1["files"]) <= set(m2["files"])
+
+
+def test_overwrite_pins_only_new_files_and_time_travel_survives(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    m2 = snapshot_commit(_df(spark, 100, 103), root, mode="overwrite")
+    assert snapshot_read(spark, root).count() == 3
+    assert sorted(r.id for r in snapshot_read(spark, root, version=2).collect()) == [100, 101, 102]
+    # the overwritten version is still readable (files not deleted until expire)
+    assert snapshot_read(spark, root, version=1).count() == 10
+    d = snapshot_diff(root, 1, 2)
+    assert d["unchanged"] == 0 and d["added"] == sorted(m2["files"]) and d["removed"]
+
+
+def test_pinned_read_immune_to_concurrent_commit(spark, tmp_path):
+    """A reader that resolved version 1 sees exactly v1's rows even if a
+    commit lands before the action runs — the manifest pins files, the
+    reader never lists the directory."""
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    pinned = snapshot_read(spark, root, version=1)
+    snapshot_commit(_df(spark, 10, 50), root)  # concurrent append
+    assert pinned.count() == 10
+
+
+def test_schema_drift_rejected_on_append(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 5), root)
+    drifted = spark.range(5).select(F.col("id").cast("int"), F.lit("x").alias("v"))
+    with pytest.raises(ValueError, match="schema drift"):
+        snapshot_commit(drifted, root)
+    m = snapshot_commit(drifted, root, allow_schema_change=True)
+    assert m["version"] == 2
+
+
+def test_expire_gc_removes_unreferenced_and_orphaned(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_commit(_df(spark, 100, 103), root, mode="overwrite")
+    # simulate a crashed commit: data dir written, manifest never renamed
+    orphan = os.path.join(root, "data", "deadbeefcafe")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-orphan.parquet"), "w") as f:
+        f.write("junk")
+    res = snapshot_expire(root, keep_last=1)
+    assert res["expired_versions"] == [1] and res["kept_versions"] == [2]
+    assert res["removed_data_files"] >= 2  # v1's parquet + the orphan
+    assert not os.path.exists(orphan)
+    # latest still intact, v1 gone
+    assert snapshot_read(spark, root).count() == 3
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, root, version=1)
+
+
+def test_crash_before_manifest_rename_leaves_previous_version(spark, tmp_path):
+    """The commit point is the manifest rename: a temp manifest plus data
+    dir with no final manifest must leave readers at the prior version."""
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    # fabricate the pre-rename state of a second commit
+    os.makedirs(os.path.join(root, "data", "aaaa00000000"))
+    tmp_manifest = os.path.join(root, "manifests", "v000002.json.tmp-aaaa00000000")
+    with open(tmp_manifest, "w") as f:
+        json.dump({"version": 2}, f)
+    assert snapshot_versions(root) == [1]
+    assert snapshot_read(spark, root).count() == 10
+
+
+def test_empty_commit_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    m = snapshot_commit(_df(spark, 0, 0), root)
+    assert m["version"] == 1
+    out = snapshot_read(spark, root)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
