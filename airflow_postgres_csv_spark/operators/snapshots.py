@@ -156,6 +156,65 @@ def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:
     }
 
 
+def snapshot_changes(
+    spark: SparkSession, root: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Row-level change feed for an append-only version range: the rows of
+    every file present in ``v_new`` but not ``v_old``.
+
+    This is the incremental-consumption primitive: a downstream job that
+    processed v_old catches up to v_new by scanning ONLY the delta files —
+    O(appended data), never O(table). Raises if the range removed files
+    (an overwrite/compaction landed in between): the file delta is then not
+    a row delta, and the caller must fall back to a full diff
+    (``operators/merge.table_diff``) or anchor past the rewrite.
+    """
+    old_m = _load_manifest(root, v_old)
+    new_m = _load_manifest(root, v_new)
+    old_files, new_files = set(old_m["files"]), set(new_m["files"])
+    removed = old_files - new_files
+    if removed:
+        raise ValueError(
+            f"versions {v_old}->{v_new} rewrote {len(removed)} file(s); the "
+            "file delta is not a row delta — use a full table_diff instead"
+        )
+    added = sorted(new_files - old_files)
+    if not added:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(new_m["schema"])))
+    return spark.read.parquet(*[os.path.join(root, rel) for rel in added])
+
+
+def snapshot_compact(
+    spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Rewrite the latest version's files into ``ceil(bytes/target)`` files
+    as a NEW overwrite commit — same rows, fewer files.
+
+    Unlike directory-swap compaction (``dataset.compact_dataset``), the
+    snapshot version makes maintenance safe by construction: readers pinned
+    to any version keep their exact file list (no missing-path window at
+    all), time travel across the compaction still works, and the small
+    files are reclaimed later by ``snapshot_expire`` once no retained
+    version references them.
+    """
+    import math
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    total = sum(
+        os.path.getsize(os.path.join(root, rel)) for rel in manifest["files"]
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = snapshot_read(spark, root).repartition(n_out)
+    new_m = snapshot_commit(df, root, mode="overwrite")
+    new_m["files_before"] = manifest["n_files"]
+    return new_m
+
+
 def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data
     files (and then-empty commit dirs) no retained version references.

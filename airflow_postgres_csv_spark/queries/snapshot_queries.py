@@ -102,3 +102,94 @@ register(
     ORDER BY version
     """,
 )(snapshot_version_history)
+
+
+def snapshot_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the v1 rollup merged with the
+    rollup of ONLY the v1→v2 delta files equals the full-table aggregate.
+
+    This is the 100 TB refresh pattern: the nightly append triggers a scan
+    of O(batch) rows (snapshot_changes reads just the added files), and the
+    persisted aggregate is updated by a mergeable-aggregate join — the full
+    table is never rescanned. Counts and integer cents are exact under
+    merge; the oracle computes the same rollup over the whole table."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_changes
+
+    events = load(spark, sf_dir, "events")
+    cents = F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) != 0), root)
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == 0), root)
+        base = rollup(snapshot_read(spark, root, version=1))
+        delta = rollup(snapshot_changes(spark, root, 1, 2))
+        merged = (
+            base.withColumnRenamed("n", "n_b").withColumnRenamed("cents", "c_b")
+            .join(
+                delta.withColumnRenamed("n", "n_d").withColumnRenamed("cents", "c_d"),
+                "event_type",
+                "full_outer",
+            )
+            .select(
+                "event_type",
+                (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n"),
+                (F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0))).alias(
+                    "total_cents"
+                ),
+            )
+            .cache()
+        )
+        merged.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return merged.orderBy("event_type")
+
+
+register(
+    "snapshot_incremental_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(snapshot_incremental_rollup)
+
+
+def snapshot_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as an overwrite commit: two append commits rewritten into
+    one compact version — content identical (doc digests), old versions
+    still pinned. File-count assertions live in tests/test_snapshots.py;
+    the oracle certifies content preservation."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 0), root)
+        snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 1), root)
+        snapshot_compact(spark, root)
+        out = (
+            snapshot_read(spark, root)
+            .select("doc_id", "lang", F.md5("text").alias("text_md5"))
+            .cache()
+        )
+        out.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
+register(
+    "snapshot_compact_read",
+    "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+)(snapshot_compact_read)

@@ -102,6 +102,47 @@ def test_crash_before_manifest_rename_leaves_previous_version(spark, tmp_path):
     assert snapshot_read(spark, root).count() == 10
 
 
+def test_changes_feed_is_exactly_the_appended_rows(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_changes
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_commit(_df(spark, 10, 25), root)
+    got = sorted(r.id for r in snapshot_changes(spark, root, 1, 2).collect())
+    assert got == list(range(10, 25))
+    # same-version delta is empty but schema-correct
+    empty = snapshot_changes(spark, root, 2, 2)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+
+
+def test_changes_feed_rejects_rewritten_range(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_changes
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_commit(_df(spark, 0, 3), root, mode="overwrite")
+    with pytest.raises(ValueError, match="not a row delta"):
+        snapshot_changes(spark, root, 1, 2)
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
+
+    root = str(tmp_path / "snap")
+    # many small commits -> many small files
+    for lo in range(0, 50, 10):
+        snapshot_commit(_df(spark, lo, lo + 10).repartition(4), root)
+    before = snapshot_read(spark, root)
+    n_before = before.count()
+    m = snapshot_compact(spark, root, target_bytes=1 << 30)  # everything in 1 file
+    assert m["n_files"] == 1 and m["files_before"] >= 20
+    after = snapshot_read(spark, root)
+    assert after.count() == n_before
+    assert sorted(r.id for r in after.collect()) == list(range(50))
+    # pre-compaction versions still readable (pinned file lists intact)
+    assert snapshot_read(spark, root, version=1).count() == 10
+
+
 def test_empty_commit_roundtrip(spark, tmp_path):
     root = str(tmp_path / "snap")
     m = snapshot_commit(_df(spark, 0, 0), root)
