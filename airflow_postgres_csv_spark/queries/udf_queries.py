@@ -215,3 +215,50 @@ register(
     FROM documents ORDER BY doc_id
     """,
 )(_udf_map_in_arrow)
+
+
+def _udtf_chunk_spans(spark, sf_dir):
+    # Python UDTF (Spark 4 user-defined TABLE function): one input row →
+    # N output rows, consumed through a SQL LATERAL join. The kernel emits
+    # fixed-stride character spans per document — pure integer arithmetic,
+    # so the DuckDB generate_series oracle replays it exactly. Production
+    # equivalent (JVM-side, no Python): explode(sequence(0, ...)) with the
+    # same least() arithmetic — the UDTF exists to certify the table-
+    # function extension point end-to-end (registration, lateral
+    # correlation, multi-row emission, schema contract).
+    from pyspark.sql.functions import udtf
+
+    size, step = 100, 80  # 20-char overlap between consecutive spans
+
+    @udtf(returnType="doc_id bigint, span_id int, span_start bigint, span_end bigint")
+    class ChunkSpans:
+        def eval(self, doc_id: int, n_chars: int):
+            k = 0
+            while k * step < (n_chars or 0):
+                yield doc_id, k, k * step, min(k * step + size, n_chars)
+                k += 1
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    view = "docs_udtf_src"
+    t(spark, sf_dir, "documents").select("doc_id", "n_chars").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT s.doc_id, s.span_id, s.span_start, s.span_end
+        FROM {view} d, LATERAL chunk_spans(d.doc_id, d.n_chars) s
+        ORDER BY s.doc_id, s.span_id
+        """
+    )
+
+
+register(
+    "udtf_chunk_spans",
+    """
+    SELECT doc_id,
+           CAST(k AS INT) AS span_id,
+           k * 80 AS span_start,
+           LEAST(k * 80 + 100, n_chars) AS span_end
+    FROM documents,
+         unnest(generate_series(0, CAST(CEIL(n_chars / 80.0) AS BIGINT) - 1)) t(k)
+    ORDER BY doc_id, span_id
+    """,
+)(_udtf_chunk_spans)

@@ -332,3 +332,37 @@ def test_outer_join_null_rows_emit_on_watermark(spark, tmp_path):
         assert got == [(11, 10), (12, None), (14, None)]
     finally:
         q.stop()
+
+
+def test_rocksdb_state_store_matches_default(spark, events_stream_dir):
+    """At 100 TB state (sessions over billions of keys) the in-memory
+    HDFS-backed state store is the OOM; RocksDB spills state to local disk.
+    Certify the engine's stateful operators run unchanged — and produce
+    identical results — under the RocksDB provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    try:
+        spark.conf.set(key, rocks)
+        ev = SW.stream_events(spark, events_stream_dir)
+        q = SW.run_to_memory_sink(
+            SW.tumbling_counts(ev, watermark="10 minutes"), "t_rocks"
+        )
+        try:
+            got = {
+                (r.window_start_s, r.event_type): r.n
+                for r in spark.sql("SELECT * FROM t_rocks").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = {
+        (r.window_start_s, r.event_type): r.n for r in _batch_tumbling(spark).collect()
+    }
+    assert got, "stream produced no finalized windows under RocksDB"
+    for k, v in got.items():
+        assert expected[k] == v, k
