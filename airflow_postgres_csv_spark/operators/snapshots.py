@@ -72,6 +72,38 @@ def _load_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] for one parquet file, merged across its row
+    groups, from footer metadata only. Columns whose statistics are absent
+    or non-JSON-serializable (nested, binary) are omitted — pruning then
+    simply never skips on them (safe default)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — not a prunable top-level column
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            if isinstance(mn, (int, float, str, bool)) and isinstance(
+                mx, (int, float, str, bool)
+            ):
+                if name in out:
+                    out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+                else:
+                    out[name] = [mn, mx]
+    return out
+
+
 def snapshot_commit(
     df: DataFrame,
     root: str,
@@ -106,6 +138,13 @@ def snapshot_commit(
         if name.endswith(".parquet") and not name.startswith(("_", "."))
     )
     files = list(prev["files"]) + new_files if (prev and mode == "append") else new_files
+    # Zone maps: per-file column min/max lifted from the parquet FOOTERS the
+    # write just produced — metadata-only, no data scan. Carried forward for
+    # inherited files, so manifest-level pruning covers the whole version.
+    stats = dict(prev.get("stats", {})) if (prev and mode == "append") else {}
+    for rel in new_files:
+        stats[rel] = _footer_stats(os.path.join(root, rel))
+    stats = {rel: stats[rel] for rel in files if rel in stats}
     version = (versions[-1] + 1) if versions else 1
     manifest = {
         "version": version,
@@ -115,6 +154,7 @@ def snapshot_commit(
         "files": files,
         "n_files": len(files),
         "schema": schema_json,
+        "stats": stats,
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
@@ -154,6 +194,75 @@ def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:
         "removed": sorted(old - new),
         "unchanged": len(old & new),
     }
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan ``lo <= col <= hi`` with MANIFEST-level file skipping:
+    files whose zone map ``[min, max]`` is disjoint from ``[lo, hi]`` are
+    never handed to Spark at all.
+
+    This is the layer above parquet's own row-group pruning: at 100 TB the
+    driver-side cost of *planning* a scan (listing + footer reads for
+    thousands of files) dominates short queries; the manifest answers the
+    file-skip question from one JSON. Skipping is safe-by-construction —
+    a file is dropped only when its recorded range cannot intersect — and
+    the residual in-file filter is still applied (and pushed down) on the
+    survivors. Files with no recorded stats for ``col`` are always scanned.
+    """
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    if version is None:
+        version = versions[-1]
+    manifest = _load_manifest(root, version)
+    stats = manifest.get("stats", {})
+    keep = []
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is not None and (rng[0] > hi or rng[1] < lo):
+            continue  # provably disjoint — skip without touching the file
+        keep.append(rel)
+    from pyspark.sql import functions as F
+
+    if not keep:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema"]))
+        )
+        return empty.where(F.col(col).between(lo, hi))
+    return (
+        spark.read.parquet(*[os.path.join(root, rel) for rel in keep])
+        .where(F.col(col).between(lo, hi))
+    )
+
+
+def snapshot_scan_files(root: str, col: str, lo, hi, version: int | None = None) -> dict:
+    """Planning-only twin of ``snapshot_scan``: how many files the zone
+    maps keep vs skip for ``[lo, hi]`` — the observable tests pin."""
+    versions = snapshot_versions(root)
+    if version is None:
+        version = versions[-1]
+    manifest = _load_manifest(root, version)
+    stats = manifest.get("stats", {})
+    kept = skipped = unknown = 0
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is None:
+            unknown += 1
+            kept += 1
+        elif rng[0] > hi or rng[1] < lo:
+            skipped += 1
+        else:
+            kept += 1
+    return {"kept": kept, "skipped": skipped, "no_stats": unknown}
 
 
 def snapshot_changes(

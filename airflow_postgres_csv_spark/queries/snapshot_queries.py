@@ -193,3 +193,45 @@ register(
     "snapshot_compact_read",
     "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
 )(snapshot_compact_read)
+
+
+def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone-map pruning: orders committed as four disjoint
+    o_orderkey ranges, then a range scan over the second quartile — the
+    manifest's per-file min/max answers which files can match before Spark
+    sees a path (tests/test_snapshots.py pins that half the files are
+    skipped); the oracle certifies the surviving rows. Bounds are derived
+    from MAX(o_orderkey) on both sides, so the query is SF-independent."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_scan
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    q = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        for i in range(4):
+            snapshot_commit(
+                orders.where(
+                    (F.col("o_orderkey") >= q[i]) & (F.col("o_orderkey") < q[i + 1])
+                ).coalesce(1),
+                root,
+            )
+        out = snapshot_scan(spark, root, "o_orderkey", q[1], q[2] - 1).cache()
+        out.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("o_orderkey")
+
+
+register(
+    "snapshot_pruned_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= (SELECT MAX(o_orderkey) // 4 FROM orders)
+      AND o_orderkey <  (SELECT MAX(o_orderkey) // 2 FROM orders)
+    ORDER BY o_orderkey
+    """,
+)(snapshot_pruned_scan)

@@ -150,3 +150,37 @@ def test_empty_commit_roundtrip(spark, tmp_path):
     out = snapshot_read(spark, root)
     assert out.count() == 0
     assert set(out.columns) == {"id", "v"}
+
+
+def test_zone_map_pruning_skips_disjoint_files(spark, tmp_path):
+    """Four single-file commits with disjoint id ranges: a mid-range scan
+    must skip the two provably-disjoint files at the manifest level and
+    still return exactly the right rows."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(_df(spark, lo, lo + 100).coalesce(1), root)
+    plan = snapshot_scan_files(root, "id", 120, 180)
+    assert plan == {"kept": 1, "skipped": 3, "no_stats": 0}, plan
+    got = sorted(r.id for r in snapshot_scan(spark, root, "id", 120, 180).collect())
+    assert got == list(range(120, 181))
+    # no stats for an unknown column -> everything kept (safe default)
+    plan2 = snapshot_scan_files(root, "nope", 0, 1)
+    assert plan2["skipped"] == 0 and plan2["kept"] == 4
+
+
+def test_zone_map_disjoint_range_returns_empty(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 50).coalesce(1), root)
+    assert snapshot_scan_files(root, "id", 1000, 2000)["skipped"] == 1
+    out = snapshot_scan(spark, root, "id", 1000, 2000)
+    assert out.count() == 0 and set(out.columns) == {"id", "v"}
