@@ -129,6 +129,21 @@ def snapshot_commit(
                 "schema drift on append: pass allow_schema_change=True to "
                 "accept (old vs new schema differ)"
             )
+    commit_id, new_files = _write_data(df, root)
+    files = list(prev["files"]) + new_files if (prev and mode == "append") else new_files
+    # Zone maps: per-file column min/max lifted from the parquet FOOTERS the
+    # write just produced — metadata-only, no data scan. Carried forward for
+    # inherited files, so manifest-level pruning covers the whole version.
+    carried = prev.get("stats", {}) if (prev and mode == "append") else {}
+    return _publish(
+        root, versions, mode, commit_id, files, new_files, carried, schema_json
+    )
+
+
+def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:
+    """Write ``df`` under an immutable per-commit dir; return its relative
+    parquet paths. No manifest is touched — a crash here leaves only an
+    orphan for ``snapshot_expire``."""
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(root, _DATA_DIR, commit_id)
     df.write.mode("error").parquet(data_dir)
@@ -137,11 +152,21 @@ def snapshot_commit(
         for name in os.listdir(data_dir)
         if name.endswith(".parquet") and not name.startswith(("_", "."))
     )
-    files = list(prev["files"]) + new_files if (prev and mode == "append") else new_files
-    # Zone maps: per-file column min/max lifted from the parquet FOOTERS the
-    # write just produced — metadata-only, no data scan. Carried forward for
-    # inherited files, so manifest-level pruning covers the whole version.
-    stats = dict(prev.get("stats", {})) if (prev and mode == "append") else {}
+    return commit_id, new_files
+
+
+def _publish(
+    root: str,
+    versions: list[int],
+    mode: str,
+    commit_id: str,
+    files: list[str],
+    new_files: list[str],
+    carried_stats: dict,
+    schema_json: str,
+) -> dict:
+    """Assemble and atomically publish the next manifest."""
+    stats = dict(carried_stats)
     for rel in new_files:
         stats[rel] = _footer_stats(os.path.join(root, rel))
     stats = {rel: stats[rel] for rel in files if rel in stats}
@@ -322,6 +347,65 @@ def snapshot_compact(
     new_m = snapshot_commit(df, root, mode="overwrite")
     new_m["files_before"] = manifest["n_files"]
     return new_m
+
+
+def snapshot_merge(
+    spark: SparkSession, root: str, updates: DataFrame, key: str
+) -> dict:
+    """Copy-on-write MERGE (upsert by ``key``) as a new version: rows whose
+    key appears in ``updates`` are replaced, new keys are inserted.
+
+    File-granular rewrite driven by the zone maps: only files whose
+    recorded ``key`` range intersects the update key range are read and
+    rewritten (matched rows dropped via anti-join, then the updates
+    appended); every other file is inherited into the new manifest
+    verbatim. At 100 TB this is the difference between rewriting the
+    touched partitions and rewriting the table — the same copy-on-write
+    contract as Iceberg/Delta MERGE. Files with no recorded key stats are
+    conservatively treated as candidates (correctness over skipping).
+
+    ``updates`` must be unique per key and schema-identical to the table.
+    The driver reads only the updates' key bounds (one tiny aggregate).
+    """
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    if manifest["schema"] != updates.schema.json():
+        raise ValueError("snapshot_merge: updates schema differs from table schema")
+    from pyspark.sql import functions as F
+
+    lo, hi = updates.agg(F.min(key), F.max(key)).first()
+    if lo is None:  # empty updates — metadata-only no-op commit
+        return _publish(
+            root, versions, "merge", uuid.uuid4().hex[:12],
+            list(manifest["files"]), [], manifest.get("stats", {}),
+            manifest["schema"],
+        )
+    stats = manifest.get("stats", {})
+    candidates, untouched = [], []
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(key)
+        if rng is not None and (rng[0] > hi or rng[1] < lo):
+            untouched.append(rel)
+        else:
+            candidates.append(rel)
+    if candidates:
+        current = spark.read.parquet(
+            *[os.path.join(root, rel) for rel in candidates]
+        )
+        rewritten = current.join(
+            updates.select(key), key, "left_anti"
+        ).unionByName(updates)
+    else:
+        rewritten = updates
+    commit_id, new_files = _write_data(rewritten, root)
+    files = untouched + new_files
+    carried = {rel: stats[rel] for rel in untouched if rel in stats}
+    return _publish(
+        root, versions, "merge", commit_id, files, new_files, carried,
+        manifest["schema"],
+    )
 
 
 def snapshot_expire(root: str, keep_last: int = 1) -> dict:

@@ -235,3 +235,43 @@ register(
     ORDER BY o_orderkey
     """,
 )(snapshot_pruned_scan)
+
+
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE certified against SQL: every 5th nation gets a
+    starred name (update) plus one brand-new key (insert); the merged
+    latest version must equal the CASE+UNION formulation over the source.
+    Zone maps restrict the rewrite to key-intersecting files — the
+    file-granularity assertions live in tests/test_snapshots.py."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
+
+    nation = load(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        _staged_versions(spark, sf_dir, root)
+        updates = nation.where(F.pmod("n_nationkey", F.lit(5)) == 0).withColumn(
+            "n_name", F.concat("n_name", F.lit("*"))
+        )
+        inserted = spark.createDataFrame([(999, "ATLANTIS", 0)], nation.schema)
+        snapshot_merge(
+            spark, root, updates.unionByName(inserted), key="n_nationkey"
+        )
+        out = snapshot_read(spark, root).cache()
+        out.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("n_nationkey")
+
+
+register(
+    "snapshot_merge_upsert",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN n_name || '*' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 999, 'ATLANTIS', 0
+    ORDER BY n_nationkey
+    """,
+)(snapshot_merge_upsert)

@@ -184,3 +184,59 @@ def test_zone_map_disjoint_range_returns_empty(spark, tmp_path):
     assert snapshot_scan_files(root, "id", 1000, 2000)["skipped"] == 1
     out = snapshot_scan(spark, root, "id", 1000, 2000)
     assert out.count() == 0 and set(out.columns) == {"id", "v"}
+
+
+def test_merge_rewrites_only_intersecting_files(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(_df(spark, lo, lo + 100).coalesce(1), root)
+    before = snapshot_read(spark, root)
+    assert before.count() == 400
+    old_files = set(snapshot_commit.__globals__["_load_manifest"](root, 4)["files"])
+    updates = _df(spark, 150, 160).select("id", (F.col("id") * 7).alias("v"))
+    m = snapshot_merge(spark, root, updates, key="id")
+    # only the [100,200) file was rewritten; the other three inherited verbatim
+    inherited = set(m["files"]) & old_files
+    assert len(inherited) == 3
+    after = snapshot_read(spark, root)
+    assert after.count() == 400
+    got = {r.id: r.v for r in after.collect()}
+    for i in range(400):
+        assert got[i] == (i * 7 if 150 <= i < 160 else i * 2)
+    # pre-merge version still time-travelable
+    assert {r.id: r.v for r in snapshot_read(spark, root, version=4).collect()}[155] == 310
+
+
+def test_merge_insert_only_touches_no_files(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100):
+        snapshot_commit(_df(spark, lo, lo + 100).coalesce(1), root)
+    old_files = set(snapshot_commit.__globals__["_load_manifest"](root, 2)["files"])
+    inserts = _df(spark, 1000, 1005)
+    m = snapshot_merge(spark, root, inserts, key="id")
+    assert old_files <= set(m["files"])  # nothing rewritten
+    assert snapshot_read(spark, root).count() == 205
+
+
+def test_merge_empty_updates_is_metadata_noop(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
+
+    root = str(tmp_path / "snap")
+    m1 = snapshot_commit(_df(spark, 0, 10), root)
+    m = snapshot_merge(spark, root, _df(spark, 0, 0), key="id")
+    assert m["version"] == 2 and m["files"] == m1["files"]
+    assert snapshot_read(spark, root).count() == 10
+
+
+def test_merge_schema_mismatch_raises(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    bad = spark.range(3).select(F.col("id"))
+    with pytest.raises(ValueError, match="schema"):
+        snapshot_merge(spark, root, bad, key="id")
