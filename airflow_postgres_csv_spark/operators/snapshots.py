@@ -408,6 +408,47 @@ def snapshot_merge(
     )
 
 
+def snapshot_delete(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> dict:
+    """Copy-on-write range DELETE (``lo <= col <= hi``) as a new version.
+
+    Same file-granular contract as ``snapshot_merge``: zone maps pick the
+    candidate files, each is rewritten without the matching rows, all
+    others are inherited verbatim — O(touched range), not O(table). A
+    candidate whose rows are all deleted simply contributes no output file.
+    """
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    stats = manifest.get("stats", {})
+    candidates, untouched = [], []
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is not None and (rng[0] > hi or rng[1] < lo):
+            untouched.append(rel)
+        else:
+            candidates.append(rel)
+    if not candidates:  # nothing can match — metadata-only version bump
+        return _publish(
+            root, versions, "delete", uuid.uuid4().hex[:12],
+            untouched, [], stats, manifest["schema"],
+        )
+    from pyspark.sql import functions as F
+
+    kept_rows = spark.read.parquet(
+        *[os.path.join(root, rel) for rel in candidates]
+    ).where(~F.col(col).between(lo, hi))
+    commit_id, new_files = _write_data(kept_rows, root)
+    files = untouched + new_files
+    carried = {rel: stats[rel] for rel in untouched if rel in stats}
+    return _publish(
+        root, versions, "delete", commit_id, files, new_files, carried,
+        manifest["schema"],
+    )
+
+
 def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data
     files (and then-empty commit dirs) no retained version references.

@@ -240,3 +240,20 @@ def test_merge_schema_mismatch_raises(spark, tmp_path):
     bad = spark.range(3).select(F.col("id"))
     with pytest.raises(ValueError, match="schema"):
         snapshot_merge(spark, root, bad, key="id")
+
+
+def test_delete_range_rewrites_only_intersecting_files(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(_df(spark, lo, lo + 100).coalesce(1), root)
+    old_files = set(snapshot_commit.__globals__["_load_manifest"](root, 4)["files"])
+    m = snapshot_delete(spark, root, "id", 150, 249)  # spans files 2 and 3
+    assert len(set(m["files"]) & old_files) == 2  # files 1 and 4 inherited
+    after = sorted(r.id for r in snapshot_read(spark, root).collect())
+    assert after == [i for i in range(400) if not (150 <= i <= 249)]
+    # disjoint delete = metadata-only bump
+    m2 = snapshot_delete(spark, root, "id", 5000, 6000)
+    assert set(m2["files"]) == set(m["files"])
+    assert snapshot_read(spark, root).count() == 300
