@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["start_parquet_sink", "jdbc_upsert_batch", "start_jdbc_upsert_sink"]
+__all__ = [
+    "start_parquet_sink",
+    "jdbc_upsert_batch",
+    "start_jdbc_upsert_sink",
+    "snapshot_batch_commit",
+    "start_snapshot_sink",
+]
 
 
 def start_parquet_sink(
@@ -114,5 +120,55 @@ def start_jdbc_upsert_sink(
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+        .start()
+    )
+
+
+def snapshot_batch_commit(batch_df: DataFrame, batch_id: int, root: str) -> bool:
+    """foreachBatch body: commit one micro-batch as a snapshot version,
+    exactly once.
+
+    Structured Streaming may REPLAY a micro-batch after a crash between the
+    sink action and the checkpoint commit; idempotence must come from the
+    sink. The manifest records ``last_batch_id``, and a batch whose id is
+    not strictly greater is dropped — so replayed batches become no-ops and
+    the snapshot history holds each batch exactly once. (Same keyed-dedup
+    discipline as the JDBC MERGE sink, expressed in dataset versions.)
+    Returns True when a version was committed, False on replay-skip.
+    """
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    versions = S.snapshot_versions(root)
+    if versions:
+        last = S._load_manifest(root, versions[-1]).get("last_batch_id", -1)
+        if batch_id <= last:
+            return False
+    manifest = S.snapshot_commit(batch_df, root)
+    # stamp the batch id via manifest rewrite-in-place of the version we
+    # just created (single-writer contract: foreachBatch bodies for one
+    # query never run concurrently)
+    import json as _json
+    import os as _os
+
+    path = S._manifest_path(root, manifest["version"])
+    manifest["last_batch_id"] = batch_id
+    tmp = path + ".tmp-batchid"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    _os.rename(tmp, path)
+    return True
+
+
+def start_snapshot_sink(
+    stream_df: DataFrame, root: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Stream into a versioned snapshot dataset: each micro-batch is one
+    append commit (the bronze-layer ingestion pattern). Restart-safe via
+    ``snapshot_batch_commit``'s batch-id gate; downstream consumers use
+    ``snapshot_changes`` to process exactly the newly ingested files."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: snapshot_batch_commit(df, bid, root))
+        .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -257,3 +257,60 @@ def test_delete_range_rewrites_only_intersecting_files(spark, tmp_path):
     m2 = snapshot_delete(spark, root, "id", 5000, 6000)
     assert set(m2["files"]) == set(m["files"])
     assert snapshot_read(spark, root).count() == 300
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """Stream → snapshot versions: one commit per micro-batch, replayed
+    batches skipped, restart from checkpoint ingests only new files."""
+    import os as _os
+
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        snapshot_batch_commit,
+        start_snapshot_sink,
+    )
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+
+    def add_file(idx, lo, hi):
+        _df(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{idx}")
+        )
+        for f in _os.listdir(str(tmp_path / f"stage_{idx}")):
+            if f.endswith(".parquet"):
+                _os.rename(
+                    str(tmp_path / f"stage_{idx}" / f), _os.path.join(src, f"{idx:03d}.parquet")
+                )
+
+    add_file(0, 0, 10)
+    add_file(1, 10, 30)
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_snapshot_sink(stream, root, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert len(snapshot_versions(root)) == 2
+    assert snapshot_read(spark, root).count() == 30
+    # replaying an already-committed batch id is a no-op
+    assert snapshot_batch_commit(_df(spark, 0, 10), 0, root) is False
+    assert len(snapshot_versions(root)) == 2
+    # restart with the same checkpoint: nothing new -> no new versions;
+    # a new file -> exactly one more version
+    q2 = start_snapshot_sink(
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        ckpt,
+    )
+    q2.processAllAvailable()
+    add_file(2, 30, 35)
+    q2.processAllAvailable()
+    q2.stop()
+    assert len(snapshot_versions(root)) == 3
+    assert snapshot_read(spark, root).count() == 35
