@@ -275,3 +275,64 @@ register(
     ORDER BY n_nationkey
     """,
 )(snapshot_merge_upsert)
+
+
+def pipeline_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation over snapshot versions: quality-filter +
+    exact-dedup applied to v1, then to ONLY the v1→v2 delta (anti-joined
+    against v1's already-seen hashes) — the union must equal the batch
+    curation of the whole corpus.
+
+    The equality holds because the split is doc_id-ordered (every v1 id
+    precedes every v2 id), so first-occurrence-wins dedup commutes with
+    incremental processing. This is the production shape: each ingest
+    commit triggers O(batch) curation work against a persisted hash set,
+    never a corpus rescan."""
+    from pyspark.sql import Window as W
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_changes
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    q_chars = 50
+
+    def curate(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("h").orderBy("doc_id")
+        return (
+            df.where(F.col("n_chars") >= q_chars)
+            .withColumn("h", F.md5("text"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "lang", "h")
+        )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        snapshot_commit(docs.where(F.col("doc_id") <= mid), root)
+        snapshot_commit(docs.where(F.col("doc_id") > mid), root)
+        seen = curate(snapshot_read(spark, root, version=1))
+        fresh = curate(snapshot_changes(spark, root, 1, 2)).join(
+            seen.select("h"), "h", "left_anti"
+        )
+        out = (
+            seen.unionByName(fresh)
+            .select("doc_id", "lang")
+            .cache()
+        )
+        out.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
+register(
+    "pipeline_snapshot_curation",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE n_chars >= 50
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)(pipeline_snapshot_curation)
