@@ -91,6 +91,12 @@ HEADLINE = [
     "multimodal_decode_meta",
     "multimodal_audio_features",
     "streaming_session_live",
+    # round-5 additions: the versioned-snapshot subsystem's three
+    # representative shapes (incremental rollup, zone-map pruned scan,
+    # incremental curation)
+    "snapshot_incremental_rollup",
+    "snapshot_pruned_scan",
+    "pipeline_snapshot_curation",
 ]
 
 
