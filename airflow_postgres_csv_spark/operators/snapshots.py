@@ -221,26 +221,41 @@ def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:
     }
 
 
+def _as_ranges(col_or_ranges, lo, hi) -> dict:
+    """Accept either (col, lo, hi) scalars or a {col: (lo, hi)} dict."""
+    if isinstance(col_or_ranges, dict):
+        return col_or_ranges
+    return {col_or_ranges: (lo, hi)}
+
+
 def snapshot_scan(
     spark: SparkSession,
     root: str,
-    col: str,
-    lo,
-    hi,
+    col=None,
+    lo=None,
+    hi=None,
     version: int | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
-    """Range scan ``lo <= col <= hi`` with MANIFEST-level file skipping:
-    files whose zone map ``[min, max]`` is disjoint from ``[lo, hi]`` are
-    never handed to Spark at all.
+    """Range scan with MANIFEST-level file skipping: files whose zone map
+    ``[min, max]`` is disjoint from the requested range on ANY predicate
+    column are never handed to Spark at all. Single-column form
+    ``snapshot_scan(spark, root, col, lo, hi)`` or conjunctive multi-column
+    form ``snapshot_scan(spark, root, ranges={"x": (x0, x1), "y": (y0, y1)})``
+    — the multi-column case is where Z-order-clustered commits pay off:
+    interleaved layout gives every file a tight extent on BOTH columns, so
+    a small 2-D query window skips all but a handful of files (a
+    1-D-sorted layout prunes only its sort column).
 
     This is the layer above parquet's own row-group pruning: at 100 TB the
     driver-side cost of *planning* a scan (listing + footer reads for
     thousands of files) dominates short queries; the manifest answers the
     file-skip question from one JSON. Skipping is safe-by-construction —
-    a file is dropped only when its recorded range cannot intersect — and
+    a file is dropped only when a recorded range cannot intersect — and
     the residual in-file filter is still applied (and pushed down) on the
-    survivors. Files with no recorded stats for ``col`` are always scanned.
+    survivors. Files with no recorded stats for a column are scanned.
     """
+    want = _as_ranges(ranges if ranges is not None else col, lo, hi)
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
@@ -250,28 +265,40 @@ def snapshot_scan(
     stats = manifest.get("stats", {})
     keep = []
     for rel in manifest["files"]:
-        rng = stats.get(rel, {}).get(col)
-        if rng is not None and (rng[0] > hi or rng[1] < lo):
-            continue  # provably disjoint — skip without touching the file
-        keep.append(rel)
+        fstats = stats.get(rel, {})
+        disjoint = False
+        for c, (clo, chi) in want.items():
+            rng = fstats.get(c)
+            if rng is not None and (rng[0] > chi or rng[1] < clo):
+                disjoint = True  # provably cannot match — skip the file
+                break
+        if not disjoint:
+            keep.append(rel)
     from pyspark.sql import functions as F
 
+    pred = None
+    for c, (clo, chi) in want.items():
+        p = F.col(c).between(clo, chi)
+        pred = p if pred is None else (pred & p)
     if not keep:
         from pyspark.sql.types import StructType
 
         empty = spark.createDataFrame(
             [], StructType.fromJson(json.loads(manifest["schema"]))
         )
-        return empty.where(F.col(col).between(lo, hi))
-    return (
-        spark.read.parquet(*[os.path.join(root, rel) for rel in keep])
-        .where(F.col(col).between(lo, hi))
-    )
+        return empty.where(pred)
+    return spark.read.parquet(
+        *[os.path.join(root, rel) for rel in keep]
+    ).where(pred)
 
 
-def snapshot_scan_files(root: str, col: str, lo, hi, version: int | None = None) -> dict:
+def snapshot_scan_files(
+    root, col=None, lo=None, hi=None, version: int | None = None, ranges: dict | None = None
+) -> dict:
     """Planning-only twin of ``snapshot_scan``: how many files the zone
-    maps keep vs skip for ``[lo, hi]`` — the observable tests pin."""
+    maps keep vs skip — the observable tests pin. ``no_stats`` counts kept
+    files that lacked stats on at least one predicate column."""
+    want = _as_ranges(ranges if ranges is not None else col, lo, hi)
     versions = snapshot_versions(root)
     if version is None:
         version = versions[-1]
@@ -279,14 +306,22 @@ def snapshot_scan_files(root: str, col: str, lo, hi, version: int | None = None)
     stats = manifest.get("stats", {})
     kept = skipped = unknown = 0
     for rel in manifest["files"]:
-        rng = stats.get(rel, {}).get(col)
-        if rng is None:
-            unknown += 1
-            kept += 1
-        elif rng[0] > hi or rng[1] < lo:
+        fstats = stats.get(rel, {})
+        disjoint = False
+        missing = False
+        for c, (clo, chi) in want.items():
+            rng = fstats.get(c)
+            if rng is None:
+                missing = True
+            elif rng[0] > chi or rng[1] < clo:
+                disjoint = True
+                break
+        if disjoint:
             skipped += 1
         else:
             kept += 1
+            if missing:
+                unknown += 1
     return {"kept": kept, "skipped": skipped, "no_stats": unknown}
 
 

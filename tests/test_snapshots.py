@@ -314,3 +314,44 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     q2.stop()
     assert len(snapshot_versions(root)) == 3
     assert snapshot_read(spark, root).count() == 35
+
+
+def test_zorder_clustered_commit_prunes_both_dimensions(spark, tmp_path):
+    """Z-order-clustered commits give every file a tight extent on BOTH
+    columns, so a small 2-D window skips most files; a 1-D-sorted layout
+    prunes only its sort column. The cross-component payoff of
+    layout.zorder_value + manifest zone maps."""
+    from airflow_postgres_csv_spark.operators.layout import zorder_value
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    pts = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    n_files = 16
+    zroot = str(tmp_path / "zsnap")
+    snapshot_commit(
+        pts.repartitionByRange(n_files, zorder_value(F.col("x"), F.col("y"), bits=6))
+        .sortWithinPartitions(zorder_value(F.col("x"), F.col("y"), bits=6)),
+        zroot,
+    )
+    lroot = str(tmp_path / "lsnap")
+    snapshot_commit(
+        pts.repartitionByRange(n_files, "x").sortWithinPartitions("x"), lroot
+    )
+    window = {"x": (0, 15), "y": (0, 15)}  # 1/16 of the 64x64 grid
+    zplan = snapshot_scan_files(zroot, ranges=window)
+    lplan = snapshot_scan_files(lroot, ranges=window)
+    # Z-order: the window touches few interleaved buckets; linear: every
+    # x-slab spans all y, so only the x bound prunes.
+    assert zplan["skipped"] > lplan["skipped"], (zplan, lplan)
+    assert zplan["skipped"] >= n_files // 2, zplan
+    got = snapshot_scan(spark, zroot, ranges=window)
+    rows = {(r.x, r.y) for r in got.collect()}
+    assert rows == {(x, y) for x in range(16) for y in range(16)}
