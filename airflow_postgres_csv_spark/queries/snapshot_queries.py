@@ -336,3 +336,47 @@ register(
     ORDER BY doc_id
     """,
 )(pipeline_snapshot_curation)
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders (exact mode at audit scale; the
+    approx_count_distinct variant is the petabyte path — see
+    operators/profiling.py). Only integer/string columns are profiled so
+    min/max string formatting is engine-portable."""
+    from airflow_postgres_csv_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column")
+
+
+register(
+    "profile_orders_columns",
+    """
+    SELECT col AS "column", n, n_nulls, n_distinct, min_s, max_s FROM (
+      SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+             COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+    )
+    ORDER BY "column"
+    """,
+)(profile_orders_columns)

@@ -113,3 +113,23 @@ def test_table_diff_matches_reference_property(spark):
         assert got == _diff_reference(old, new)
 
     check()
+
+
+def test_profile_columns_nulls_extremes_and_approx(spark):
+    from airflow_postgres_csv_spark.operators.profiling import profile_columns
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    prof = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"].n == 100 and prof["k"].n_nulls == 10
+    assert prof["k"].n_distinct == 90
+    # native-type extremes, not lexicographic: min 1 (0 is null), max 99
+    assert prof["k"].min_s == "1" and prof["k"].max_s == "99"
+    # string column: lexicographic is correct for strings
+    assert prof["s"].min_s == "s0" and prof["s"].max_s == "s99"
+    # approx path returns the same shape with ndv within HLL tolerance
+    approx = {r.column: r for r in profile_columns(df, ["k"], exact=False).collect()}
+    assert abs(approx["k"].n_distinct - 90) <= 9
