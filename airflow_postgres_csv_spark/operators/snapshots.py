@@ -48,6 +48,27 @@ _MANIFEST_DIR = "manifests"
 _DATA_DIR = "data"
 
 
+def _schema_json(df: DataFrame) -> str:
+    """Schema pinned in the manifest, nullability-normalized: parquet
+    storage is nullable regardless of the writing DataFrame's flags, so
+    two frames differing only in nullability are the same table schema."""
+    from pyspark.sql.types import StructField, StructType
+
+    norm = StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
+    return norm.json()
+
+
+class SnapshotExpectationError(ValueError):
+    """A write-audit-publish expectation failed; the commit was aborted and
+    the staged files removed. ``violations`` maps rule name → row count."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"snapshot commit rejected by expectations: {violations}")
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:06d}.json")
 
@@ -109,6 +130,7 @@ def snapshot_commit(
     root: str,
     mode: str = "append",
     allow_schema_change: bool = False,
+    expect: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
@@ -117,12 +139,20 @@ def snapshot_commit(
     ``snapshot_expire`` collects them). The commit point is the atomic
     rename of the manifest JSON — a crash before it leaves the dataset at
     the previous version with only an orphaned data dir to GC.
+
+    ``expect`` is the write-audit-publish gate: ``(name, sql_bool_expr)``
+    row-level expectations evaluated over the STAGED files after the write
+    but before the manifest publishes. Any violation aborts the commit
+    (the staging dir is removed, ``SnapshotExpectationError`` carries the
+    per-rule violation counts) and readers never observe the bad batch —
+    the batch-level contract enforcement every ingest pipeline needs, with
+    the audit reading the exact bytes that would have become the version.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     versions = snapshot_versions(root)
     prev = _load_manifest(root, versions[-1]) if versions else None
-    schema_json = df.schema.json()
+    schema_json = _schema_json(df)
     if prev is not None and mode == "append" and not allow_schema_change:
         if prev["schema"] != schema_json:
             raise ValueError(
@@ -130,6 +160,28 @@ def snapshot_commit(
                 "accept (old vs new schema differ)"
             )
     commit_id, new_files = _write_data(df, root)
+    if expect and new_files:
+        from pyspark.sql import functions as F
+
+        staged = df.sparkSession.read.parquet(
+            *[os.path.join(root, rel) for rel in new_files]
+        )
+        # NULL rule results count as violations (a rule that cannot decide
+        # a row has not been satisfied by it)
+        counts = staged.agg(
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
+                ).alias(name)
+                for name, cond in expect
+            ]
+        ).first()
+        violations = {
+            name: int(counts[name]) for name, _ in expect if counts[name]
+        }
+        if violations:
+            shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
+            raise SnapshotExpectationError(violations)
     files = list(prev["files"]) + new_files if (prev and mode == "append") else new_files
     # Zone maps: per-file column min/max lifted from the parquet FOOTERS the
     # write just produced — metadata-only, no data scan. Carried forward for
@@ -406,7 +458,7 @@ def snapshot_merge(
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
     manifest = _load_manifest(root, versions[-1])
-    if manifest["schema"] != updates.schema.json():
+    if manifest["schema"] != _schema_json(updates):
         raise ValueError("snapshot_merge: updates schema differs from table schema")
     from pyspark.sql import functions as F
 

@@ -355,3 +355,28 @@ def test_zorder_clustered_commit_prunes_both_dimensions(spark, tmp_path):
     got = snapshot_scan(spark, zroot, ranges=window)
     rows = {(r.x, r.y) for r in got.collect()}
     assert rows == {(x, y) for x in range(16) for y in range(16)}
+
+
+def test_write_audit_publish_rejects_bad_batch(spark, tmp_path):
+    """Expectations audit the staged files BEFORE the manifest publishes:
+    a violating batch aborts (staging removed, counts reported) and the
+    dataset stays at its previous version; a clean batch commits."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotExpectationError,
+    )
+
+    root = str(tmp_path / "snap")
+    rules = [("v_positive", "v >= 0"), ("id_not_null", "id IS NOT NULL")]
+    snapshot_commit(_df(spark, 0, 10), root, expect=rules)
+    bad = spark.range(5).select(
+        F.when(F.col("id") == 3, None).otherwise(F.col("id")).alias("id"),
+        (F.col("id") - 2).alias("v"),  # two negative v values
+    )
+    with pytest.raises(SnapshotExpectationError) as ei:
+        snapshot_commit(bad, root, expect=rules)
+    assert ei.value.violations == {"v_positive": 2, "id_not_null": 1}
+    # dataset unchanged, no stray staging dirs beyond v1's commit
+    assert snapshot_versions(root) == [1]
+    assert snapshot_read(spark, root).count() == 10
+    data_root = os.path.join(root, "data")
+    assert len(os.listdir(data_root)) == 1
