@@ -244,7 +244,16 @@ def _publish(
 def snapshot_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Read a pinned version (default: latest) via its exact file list."""
+    """Read a pinned version (default: latest) via its exact file list.
+
+    The VERSION's schema (from the manifest) is applied explicitly, not
+    inferred from whichever file the reader samples — so after an
+    ``allow_schema_change`` append, files written before a column existed
+    read as NULL in that column, files from before a column was dropped
+    have it pruned, and time travel always returns each version under its
+    own schema. (Type changes to an existing column still require a
+    rewrite — the parquet reader cannot reinterpret old pages.)
+    """
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
@@ -253,12 +262,13 @@ def snapshot_read(
     if version not in versions:
         raise FileNotFoundError(f"version {version} not in {versions}")
     manifest = _load_manifest(root, version)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
     paths = [os.path.join(root, rel) for rel in manifest["files"]]
     if not paths:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
-    return spark.read.parquet(*paths)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:

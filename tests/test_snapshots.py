@@ -380,3 +380,19 @@ def test_write_audit_publish_rejects_bad_batch(spark, tmp_path):
     assert snapshot_read(spark, root).count() == 10
     data_root = os.path.join(root, "data")
     assert len(os.listdir(data_root)) == 1
+
+
+def test_schema_evolution_reads_each_version_under_its_schema(spark, tmp_path):
+    """Adding a column via allow_schema_change: pre-evolution files read
+    as NULL in the new column under the latest schema, and time travel to
+    the old version returns the old column set."""
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 5), root)
+    evolved = _df(spark, 5, 8).withColumn("w", F.col("id") * 10)
+    snapshot_commit(evolved, root, allow_schema_change=True)
+    latest = snapshot_read(spark, root)
+    assert set(latest.columns) == {"id", "v", "w"}
+    got = {r.id: r.w for r in latest.collect()}
+    assert got[0] is None and got[6] == 60
+    old = snapshot_read(spark, root, version=1)
+    assert set(old.columns) == {"id", "v"}
