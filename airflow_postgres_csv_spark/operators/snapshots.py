@@ -125,12 +125,75 @@ def _footer_stats(path: str) -> dict:
     return out
 
 
+def _build_blooms(
+    spark: SparkSession, root: str, rel_files: list[str], cols: list[str], m: int, k: int
+) -> dict:
+    """Per-file Bloom bitsets for ``cols`` over ``rel_files`` — ONE Spark
+    job for all files and columns (grouped by input_file_name), collecting
+    ≤ files × cols × m/63 tiny (word_idx, word) rows to the driver. Same
+    md5 Kirsch-Mitzenmacher probe scheme as operators/sketches.bloom_build,
+    so membership is replayable from any engine."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators.sketches import _bloom_bits
+
+    paths = [os.path.join(root, rel) for rel in rel_files]
+    by_base = {os.path.basename(rel): rel for rel in rel_files}
+    df = spark.read.parquet(*paths)
+    parts = []
+    for c in cols:
+        bit = F.explode(F.array(*_bloom_bits(F.col(c).cast("string"), k, m)))
+        parts.append(
+            df.select(
+                F.input_file_name().alias("_f"), F.lit(c).alias("_c"), bit.alias("_bit")
+            )
+        )
+    allbits = parts[0]
+    for p in parts[1:]:
+        allbits = allbits.unionByName(p)
+    rel = (
+        allbits.select(
+            "_f",
+            "_c",
+            (F.col("_bit") / 63).cast("int").alias("_widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 63 AS INT))").alias("_m"),
+        )
+        .groupBy("_f", "_c", "_widx")
+        .agg(F.bit_or("_m").alias("_w"))
+        .collect()
+    )
+    out: dict = {}
+    for r in rel:
+        relpath = by_base.get(os.path.basename(r._f))
+        if relpath is None:
+            continue
+        out.setdefault(relpath, {}).setdefault(r._c, {})[str(r._widx)] = r._w
+    return out
+
+
+def _bloom_might_contain(words: dict, value, m: int, k: int) -> bool:
+    """Driver-side probe of one per-file bitset (words: word_idx→int64)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    h1, h2 = int(h[0:8], 16), int(h[8:16], 16)
+    for i in range(k):
+        bit = (h1 + i * h2) % m
+        w = words.get(str(bit // 63), 0)
+        if not (w & (1 << (bit % 63))):
+            return False
+    return True
+
+
 def snapshot_commit(
     df: DataFrame,
     root: str,
     mode: str = "append",
     allow_schema_change: bool = False,
     expect: list[tuple[str, str]] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 4096,
+    bloom_hashes: int = 4,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
@@ -187,8 +250,18 @@ def snapshot_commit(
     # write just produced — metadata-only, no data scan. Carried forward for
     # inherited files, so manifest-level pruning covers the whole version.
     carried = prev.get("stats", {}) if (prev and mode == "append") else {}
+    # Bloom index: enabled by bloom_cols on any commit, then sticky (the
+    # config is inherited from the previous manifest so later plain appends
+    # keep indexing without re-passing parameters).
+    bloom_cfg = (
+        {"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes}
+        if bloom_cols
+        else (prev.get("bloom") if prev else None)
+    )
+    carried_blooms = prev.get("blooms", {}) if (prev and mode == "append") else {}
     return _publish(
-        root, versions, mode, commit_id, files, new_files, carried, schema_json
+        root, versions, mode, commit_id, files, new_files, carried, schema_json,
+        bloom_cfg=bloom_cfg, carried_blooms=carried_blooms, spark=df.sparkSession,
     )
 
 
@@ -216,6 +289,9 @@ def _publish(
     new_files: list[str],
     carried_stats: dict,
     schema_json: str,
+    bloom_cfg: dict | None = None,
+    carried_blooms: dict | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Assemble and atomically publish the next manifest."""
     stats = dict(carried_stats)
@@ -233,6 +309,17 @@ def _publish(
         "schema": schema_json,
         "stats": stats,
     }
+    if bloom_cfg:
+        blooms = dict(carried_blooms or {})
+        if new_files and spark is not None:
+            blooms.update(
+                _build_blooms(
+                    spark, root, new_files, bloom_cfg["cols"],
+                    bloom_cfg["m"], bloom_cfg["k"],
+                )
+            )
+        manifest["bloom"] = bloom_cfg
+        manifest["blooms"] = {rel: blooms[rel] for rel in files if rel in blooms}
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
     with open(tmp, "w") as f:
@@ -387,6 +474,67 @@ def snapshot_scan_files(
     return {"kept": kept, "skipped": skipped, "no_stats": unknown}
 
 
+def snapshot_lookup_files(root: str, col: str, value, version: int | None = None) -> dict:
+    """Planning-only: per-file keep/skip decision for a point lookup,
+    combining the zone map (range disjointness) with the per-file Bloom
+    bitset (membership). A file survives only if BOTH say it might hold
+    the value; files without stats/bloom for ``col`` are kept."""
+    versions = snapshot_versions(root)
+    if version is None:
+        version = versions[-1]
+    manifest = _load_manifest(root, version)
+    stats = manifest.get("stats", {})
+    blooms = manifest.get("blooms", {})
+    cfg = manifest.get("bloom") or {}
+    use_bloom = col in cfg.get("cols", [])
+    kept, skipped = [], 0
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(col)
+        if rng is not None and not (rng[0] <= value <= rng[1]):
+            skipped += 1
+            continue
+        if use_bloom:
+            words = blooms.get(rel, {}).get(col)
+            if words is not None and not _bloom_might_contain(
+                words, value, cfg["m"], cfg["k"]
+            ):
+                skipped += 1
+                continue
+        kept.append(rel)
+    return {"kept": kept, "skipped": skipped}
+
+
+def snapshot_lookup(
+    spark: SparkSession, root: str, col: str, value, version: int | None = None
+) -> DataFrame:
+    """Point lookup ``col = value`` with manifest-level file skipping.
+
+    Zone maps only help when the key correlates with file layout; a
+    hash-distributed key spans every file's [min, max], so range pruning
+    keeps everything. The per-file Bloom bitsets (built at commit time,
+    ~0.5 KB per file per column at the default 4096 bits) answer the
+    membership question instead: at 100 TB a primary-key lookup touches
+    the handful of files that might contain the key — with false
+    positives only costing extra scans, never wrong results. The residual
+    equality filter still applies on the survivors.
+    """
+    plan = snapshot_lookup_files(root, col, value, version)
+    from pyspark.sql import functions as F
+
+    if not plan["kept"]:
+        versions = snapshot_versions(root)
+        manifest = _load_manifest(root, version or versions[-1])
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema"]))
+        )
+        return empty.where(F.col(col) == F.lit(value))
+    return spark.read.parquet(
+        *[os.path.join(root, rel) for rel in plan["kept"]]
+    ).where(F.col(col) == F.lit(value))
+
+
 def snapshot_changes(
     spark: SparkSession, root: str, v_old: int, v_new: int
 ) -> DataFrame:
@@ -478,6 +626,9 @@ def snapshot_merge(
             root, versions, "merge", uuid.uuid4().hex[:12],
             list(manifest["files"]), [], manifest.get("stats", {}),
             manifest["schema"],
+            bloom_cfg=manifest.get("bloom"),
+            carried_blooms=manifest.get("blooms", {}),
+            spark=spark,
         )
     stats = manifest.get("stats", {})
     candidates, untouched = [], []
@@ -499,9 +650,13 @@ def snapshot_merge(
     commit_id, new_files = _write_data(rewritten, root)
     files = untouched + new_files
     carried = {rel: stats[rel] for rel in untouched if rel in stats}
+    blooms = manifest.get("blooms", {})
     return _publish(
         root, versions, "merge", commit_id, files, new_files, carried,
         manifest["schema"],
+        bloom_cfg=manifest.get("bloom"),
+        carried_blooms={rel: blooms[rel] for rel in untouched if rel in blooms},
+        spark=spark,
     )
 
 
@@ -531,6 +686,9 @@ def snapshot_delete(
         return _publish(
             root, versions, "delete", uuid.uuid4().hex[:12],
             untouched, [], stats, manifest["schema"],
+            bloom_cfg=manifest.get("bloom"),
+            carried_blooms=manifest.get("blooms", {}),
+            spark=spark,
         )
     from pyspark.sql import functions as F
 
@@ -540,9 +698,13 @@ def snapshot_delete(
     commit_id, new_files = _write_data(kept_rows, root)
     files = untouched + new_files
     carried = {rel: stats[rel] for rel in untouched if rel in stats}
+    blooms = manifest.get("blooms", {})
     return _publish(
         root, versions, "delete", commit_id, files, new_files, carried,
         manifest["schema"],
+        bloom_cfg=manifest.get("bloom"),
+        carried_blooms={rel: blooms[rel] for rel in untouched if rel in blooms},
+        spark=spark,
     )
 
 

@@ -380,3 +380,46 @@ register(
     ORDER BY "column"
     """,
 )(profile_orders_columns)
+
+
+_LOOKUP_KEYS = (1, 7, 42, 100, 101)
+
+
+def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookups: customers committed in four
+    hash-residue files (every file's key range overlaps, so zone maps
+    alone prune nothing), then five key lookups that the per-file Bloom
+    bitsets route to the right file(s). Union of lookups equals the SQL
+    IN-list. File-skip assertions live in tests/test_snapshots.py."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_lookup
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        for res in range(4):
+            snapshot_commit(
+                cust.where(F.pmod("c_custkey", F.lit(4)) == res).coalesce(1),
+                root,
+                bloom_cols=["c_custkey"],
+            )
+        out = None
+        for key in _LOOKUP_KEYS:
+            hit = snapshot_lookup(spark, root, "c_custkey", key)
+            out = hit if out is None else out.unionByName(hit)
+        out = out.cache()
+        out.count()  # materialize before the temp dir disappears
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("c_custkey")
+
+
+register(
+    "snapshot_bloom_lookup",
+    f"""
+    SELECT c_custkey, c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey IN {_LOOKUP_KEYS}
+    ORDER BY c_custkey
+    """,
+)(snapshot_bloom_lookup)

@@ -396,3 +396,56 @@ def test_schema_evolution_reads_each_version_under_its_schema(spark, tmp_path):
     assert got[0] is None and got[6] == 60
     old = snapshot_read(spark, root, version=1)
     assert set(old.columns) == {"id", "v"}
+
+
+def test_bloom_point_lookup_skips_files_zone_maps_cannot(spark, tmp_path):
+    """Hash-distributed keys overlap every file's [min,max] range, so zone
+    maps alone keep all files; the per-file Bloom bitsets skip the files
+    that provably lack the key. No false negatives: every present key is
+    found with exactly its rows."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_lookup,
+        snapshot_lookup_files,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    # 4 files, each holding ids with a distinct residue mod 4 — every
+    # file's id range spans nearly [residue, 400), so ranges all overlap
+    for res in range(4):
+        part = (
+            spark.range(400)
+            .where(F.col("id") % 4 == res)
+            .select("id", (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+        snapshot_commit(part, root, bloom_cols=["id"])
+    # range pruning can't skip anything for a point in the middle
+    assert snapshot_scan_files(root, "id", 201, 201)["skipped"] == 0
+    plan = snapshot_lookup_files(root, "id", 201)
+    assert plan["skipped"] >= 2, plan  # bloom kills (almost) all wrong files
+    rows = snapshot_lookup(spark, root, "id", 201).collect()
+    assert [(r.id, r.v) for r in rows] == [(201, 402)]
+    # absent key: usually every file skipped; never a wrong row
+    assert snapshot_lookup(spark, root, "id", 100000).count() == 0
+
+
+def test_bloom_index_carried_and_rebuilt_through_merge(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_lookup,
+        snapshot_merge,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 100).coalesce(1), root, bloom_cols=["id"])
+    # plain append inherits the bloom config without re-passing it
+    snapshot_commit(_df(spark, 100, 200).coalesce(1), root)
+    m = _load_manifest(root, 2)
+    assert m["bloom"]["cols"] == ["id"] and len(m["blooms"]) == 2
+    updates = _df(spark, 150, 155).select("id", (F.col("id") * 9).alias("v"))
+    m3 = snapshot_merge(spark, root, updates, key="id")
+    # every pinned file has a bloom entry after the rewrite
+    assert set(m3["blooms"]) == set(m3["files"])
+    got = {r.id: r.v for r in snapshot_lookup(spark, root, "id", 152).collect()}
+    assert got == {152: 1368}
