@@ -60,6 +60,13 @@ def _schema_json(df: DataFrame) -> str:
     return norm.json()
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer published this version first (optimistic concurrency:
+    the manifest link failed because the target exists). The losing commit's
+    data directory is left as an orphan for ``snapshot_expire``; re-run the
+    commit to retry against the new latest version."""
+
+
 class SnapshotExpectationError(ValueError):
     """A write-audit-publish expectation failed; the commit was aborted and
     the staged files removed. ``violations`` maps rule name → row count."""
@@ -324,7 +331,18 @@ def _publish(
     tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, _manifest_path(root, version))  # atomic commit point
+    # Atomic commit point with first-writer-wins optimistic concurrency:
+    # link() fails if the target exists (rename would silently clobber a
+    # concurrent writer's manifest — a lost commit). The loser's data dir
+    # stays as an orphan for snapshot_expire; the caller retries.
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflictError(
+            f"version {version} was published by a concurrent writer"
+        ) from None
+    os.unlink(tmp)
     return manifest
 
 

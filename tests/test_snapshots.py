@@ -449,3 +449,42 @@ def test_bloom_index_carried_and_rebuilt_through_merge(spark, tmp_path):
     assert set(m3["blooms"]) == set(m3["files"])
     got = {r.id: r.v for r in snapshot_lookup(spark, root, "id", 152).collect()}
     assert got == {152: 1368}
+
+
+def test_concurrent_publish_conflict_first_writer_wins(spark, tmp_path):
+    """If another writer publishes version N+1 between our version
+    resolution and publish, the commit raises instead of silently
+    clobbering the winner's manifest; a retry lands as the next version."""
+    import json as _json
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+        _load_manifest,
+        _manifest_path,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    winner = _load_manifest(root, 1)
+    # simulate the race: v2 appears while our commit is writing data
+    real_versions = snapshot_versions(root)
+    with open(_manifest_path(root, 2), "w") as f:
+        _json.dump({**winner, "version": 2, "parent": 1}, f)
+    # monkey-free race: call the internal publish path via snapshot_commit
+    # after removing v2 from what the commit sees is impossible — instead
+    # commit normally and assert it lands as v3 (no clobber), then force a
+    # direct conflict through _publish.
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    with pytest.raises(SnapshotConflictError):
+        S._publish(
+            root, real_versions, "append", "deadbeef0000",
+            winner["files"], [], {}, winner["schema"],
+        )
+    # the winner's manifest is untouched
+    assert _load_manifest(root, 2)["parent"] == 1
+    # and a normal commit retries cleanly on top as v3 (the fabricated v2
+    # pinned v1's 10 rows, so v3 = those 10 + the 2 appended here)
+    m3 = snapshot_commit(_df(spark, 10, 12), root)
+    assert m3["version"] == 3
+    assert snapshot_read(spark, root).count() == 12
