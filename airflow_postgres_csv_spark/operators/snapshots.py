@@ -10,10 +10,12 @@ pins an explicit file list):
 - ``snapshot_commit(df, root)`` writes the new rows as parquet under an
   immutable per-commit directory (existing files are NEVER rewritten), then
   publishes ``manifests/v{N}.json`` listing every data file of the new
-  version. The manifest is written to a temp name and ``os.rename``d into
-  place — a single-file atomic commit point: readers either see v(N-1) or
-  vN, never a torn state, and a crash mid-write leaves only an orphaned
-  data directory that ``snapshot_expire`` collects.
+  version. The manifest is written to a temp name and ``os.link``ed into
+  place — a single-file atomic commit point that FAILS if a concurrent
+  writer got there first (first-writer-wins optimistic concurrency, the
+  local stand-in for an object store's conditional PUT): readers either
+  see v(N-1) or vN, never a torn state, and a crash mid-write leaves only
+  an orphaned data directory that ``snapshot_expire`` collects.
 - ``snapshot_read(spark, root, version=...)`` reads the EXACT file list the
   manifest pins. Concurrent commits cannot perturb a running read, and at
   cloud scale the manifest replaces the recursive object-store listing
