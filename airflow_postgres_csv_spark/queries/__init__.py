@@ -105,16 +105,9 @@ _ANCHORS: tuple[str, ...] = (
     "streaming_session_live",  # §2.3 structured streaming
     "events_sessionization",  # §2.3 events/temporal
     "multimodal_decode_meta",  # §2.3 multimodal columns
-    # --- round-5 re-grade pins (drop after one green round): the six r4
-    # driver reds, all fixed in r5 (HUGEINT oracle casts / LIST
-    # scalarization). Pinning gets the fixes driver-confirmed instead of
-    # only locally green (r4 verdict task #8).
-    "agg_bit_bool",
-    "data_mixture_weights",
-    "dedup_lsh_bucket_report",
-    "embedding_whiten",
-    "events_attribution_linear",
-    "events_burstiness",
+    # (the six round-5 re-grade pins were dropped after their green r5
+    # CORRECTNESS rows, per the one-green-round contract — the freed slots
+    # go to the never-driver-graded rotation backlog.)
 )
 
 
