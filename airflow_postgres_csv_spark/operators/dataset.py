@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned_dataset"]
+__all__ = ["write_partitioned_dataset", "compact_dataset", "recover_compact_swap"]
 
 
 def write_partitioned_dataset(
@@ -53,6 +53,7 @@ def compact_dataset(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     partition_cols: list[str] | None = None,
+    snapshot: bool = False,
 ) -> dict:
     """Rewrite a parquet dataset's small files into ~``target_bytes`` files;
     returns ``{"files_before", "files_after", "bytes", "rows"}``.
@@ -71,22 +72,60 @@ def compact_dataset(
     - without: a plain ``repartition(n)`` — parquet's row-group layout
       keeps downstream scans parallel regardless of file count.
 
-    The write lands in a sibling temp directory and is swapped in with two
-    renames (same staging discipline as the JDBC atomic load). POSIX cannot
-    swap two directories atomically, so there is an unavoidable window
-    between the renames where ``path`` does not exist; a concurrent reader
-    in that window sees a missing dataset (never a half-compacted one), and
-    the swap is crash-safe — on any failure the original directory is
-    restored to ``path`` and the compacted copy is deleted before the
-    exception propagates, so the only copy of the data is never stranded
-    under a temp name. Overhead is one full read + write of the dataset,
-    which is why real systems schedule it off-peak; the op itself is a
-    single Spark job with no shuffle beyond the repartition.
+    **Preferred mode** — ``snapshot=True``: ``path`` is a versioned
+    snapshot root (``operators/snapshots.py``) and the compaction is a
+    manifest commit via ``snapshot_compact``: the commit point is one
+    atomic manifest link, readers never see a missing or half-compacted
+    dataset at ANY instant (including a hard kill at any point), and old
+    versions stay time-travelable until ``snapshot_expire``.
+
+    The plain-directory mode swaps the compacted copy in with two renames.
+    POSIX cannot swap two directories atomically, so there is an
+    unavoidable window between the renames where ``path`` does not exist
+    (a concurrent reader sees a missing dataset, never a half-compacted
+    one). Crash behavior, exactly: a recovery marker
+    (``{path}__swap.json`` naming the old/new staging dirs) is written
+    before the first rename and removed after the swap completes; an
+    in-process failure restores the original to ``path`` before the
+    exception propagates; a HARD KILL between the renames leaves ``path``
+    missing but both copies intact under their staging names — run
+    :func:`recover_compact_swap` (roll-forward to the verified compacted
+    copy, else roll-back) to restore it. Data is never deleted until the
+    swap has fully completed, so no crash point strands the only copy.
+    Overhead is one full read + write of the dataset, which is why real
+    systems schedule it off-peak; the op itself is a single Spark job
+    with no shuffle beyond the repartition.
     """
+    import json
     import math
     import os
     import shutil
     import uuid
+
+    if snapshot:
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            _load_manifest,
+            snapshot_compact,
+            snapshot_versions,
+        )
+
+        versions = snapshot_versions(path)
+        if not versions:
+            raise FileNotFoundError(
+                f"compact_dataset(snapshot=True): {path} is not a snapshot "
+                "root (no manifests); use snapshot_commit to manage it first"
+            )
+        before = _load_manifest(path, versions[-1])["n_files"]
+        m = snapshot_compact(spark, path, target_bytes=target_bytes)
+        return {
+            "files_before": before,
+            "files_after": m["n_files"],
+            "bytes": sum(
+                os.path.getsize(os.path.join(path, rel)) for rel in m["files"]
+            ),
+            "rows": None,  # no extra verification scan: the commit is atomic
+            "version": m["version"],
+        }
 
     files = []
     for root, _dirs, names in os.walk(path):
@@ -114,6 +153,11 @@ def compact_dataset(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     old = f"{path.rstrip('/')}__old-{uuid.uuid4().hex[:8]}"
+    # the compacted copy is fully written + verified: record the swap so a
+    # hard kill between the renames is recoverable (roll-forward)
+    marker = f"{path.rstrip('/')}__swap.json"
+    with open(marker, "w") as f:
+        json.dump({"path": path, "old": old, "tmp": tmp}, f)
     os.rename(path, old)
     try:
         os.rename(tmp, path)
@@ -122,8 +166,10 @@ def compact_dataset(
         # copy is discarded (it was never observed).
         os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(marker)
         raise
     shutil.rmtree(old)
+    os.remove(marker)
     after = sum(
         1
         for root, _dirs, names in os.walk(path)
@@ -136,3 +182,37 @@ def compact_dataset(
         "bytes": total_bytes,
         "rows": rows,
     }
+
+
+def recover_compact_swap(path: str) -> str:
+    """Recover a :func:`compact_dataset` directory swap interrupted by a
+    hard kill. Reads the ``{path}__swap.json`` marker; if ``path`` is
+    missing, rolls FORWARD to the compacted copy when it exists (it was
+    fully written and row-verified before the marker was created), else
+    rolls BACK to the original; then removes leftover staging dirs and the
+    marker. Returns ``'forward'``, ``'back'``, or ``'clean'`` (no marker /
+    nothing to do). Never deletes a staging dir while ``path`` is absent.
+    """
+    import json
+    import os
+    import shutil
+
+    marker = f"{path.rstrip('/')}__swap.json"
+    if not os.path.exists(marker):
+        return "clean"
+    with open(marker) as f:
+        info = json.load(f)
+    action = "clean"
+    if not os.path.exists(path):
+        if os.path.exists(info["tmp"]):
+            os.rename(info["tmp"], path)
+            action = "forward"
+        elif os.path.exists(info["old"]):
+            os.rename(info["old"], path)
+            action = "back"
+    if os.path.exists(path):
+        for d in (info["old"], info["tmp"]):
+            if d != path and os.path.exists(d):
+                shutil.rmtree(d)
+        os.remove(marker)
+    return action

@@ -23,18 +23,33 @@ pins an explicit file list):
   of data) with one small JSON read.
 - ``snapshot_diff`` compares two versions at file granularity — O(manifest)
   set arithmetic, no data scan.
-- ``snapshot_expire`` drops old manifests and deletes data files no
-  retained version references (the GC that makes compaction/append cheap
-  to run forever).
+- ``snapshot_expire`` drops old manifests and deletes data files, delete
+  (tombstone) files, and stats sidecars no retained version references.
+
+Metadata layout (the 100 TB shape, Iceberg manifest-list style):
+
+- The ROOT manifest stays O(commits + file paths): version lineage, the
+  pinned file list, the table schema, per-commit schema + column [min,max]
+  ranges, sidecar pointers, bloom config, and merge-on-read tombstones.
+  It holds NO per-file statistics.
+- Per-FILE zone maps and Bloom bitsets live in one immutable SIDECAR file
+  per commit (``manifests/sc-{commit}.json``), referenced by pointer and
+  loaded lazily: a scan first prunes whole commits against the root
+  manifest's commit-level ranges, then reads sidecars only for surviving
+  commits. At ~1 M files the root manifest stays kilobytes and planning
+  I/O is proportional to the data actually scanned, not the table.
 
 100 TB notes: a commit's cost is the write of its OWN rows plus one JSON
 rename — independent of table size, so hourly appends to a petabyte table
 stay O(batch). Schema is pinned in the manifest (JSON of the Spark schema)
-and commits reject drift unless ``allow_schema_change=True`` — silent
-column-type divergence between appends is the classic poisoned-table
-failure. Local filesystem ``os.rename`` stands in for the object-store
-atomic swap (S3 conditional PUT / HDFS rename); no reference analog
-(extension surface, SURVEY.md §2.3).
+and commits reject drift unless ``allow_schema_change=True``; every
+manifest-driven read applies the version's pinned schema (never sampled
+file order), aligning older files written under earlier schemas via
+NULL/default fill for added columns, pruning for dropped columns, and
+safe widening casts (int→long, float→double). Local filesystem
+``os.link`` stands in for the object-store atomic swap (S3 conditional
+PUT / HDFS rename); no reference analog (extension surface, SURVEY.md
+§2.3).
 """
 
 from __future__ import annotations
@@ -48,6 +63,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "manifests"
 _DATA_DIR = "data"
+
+# Keys the engine assembles itself; ``extra`` metadata may not clobber them.
+_RESERVED_KEYS = frozenset(
+    {
+        "version", "parent", "mode", "commit_id", "files", "n_files",
+        "schema", "commit_schemas", "sidecars", "commit_ranges",
+        "tombstones", "bloom", "defaults", "partition_spec",
+    }
+)
 
 
 def _schema_json(df: DataFrame) -> str:
@@ -102,6 +126,38 @@ def _load_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _commit_of(rel: str) -> str:
+    """The commit id a pinned file belongs to (its directory component)."""
+    return rel.split(os.sep)[1]
+
+
+def _load_sidecar(root: str, manifest: dict, commit_id: str) -> dict:
+    """Load one commit's stats sidecar ({"stats": ..., "blooms": ...}).
+    A missing/unreadable sidecar degrades to no-stats (files are kept —
+    pruning is an optimization, never a correctness dependency)."""
+    rel = manifest.get("sidecars", {}).get(commit_id)
+    if not rel:
+        return {}
+    try:
+        with open(os.path.join(root, rel)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _range_disjoint(rng, lo, hi) -> bool:
+    """True only when the recorded [min, max] provably cannot intersect
+    [lo, hi]. An incomparable pair (e.g. string stats probed with a
+    number) is treated as "might match" — the file is kept, the documented
+    safe default — instead of surfacing a TypeError from the planner."""
+    if rng is None:
+        return False
+    try:
+        return bool(rng[0] > hi or rng[1] < lo)
+    except TypeError:
+        return False
+
+
 def _footer_stats(path: str) -> dict:
     """Per-column [min, max] for one parquet file, merged across its row
     groups, from footer metadata only. Columns whose statistics are absent
@@ -151,12 +207,16 @@ def _build_blooms(
     df = spark.read.parquet(*paths)
     parts = []
     for c in cols:
+        if c not in df.columns:
+            continue
         bit = F.explode(F.array(*_bloom_bits(F.col(c).cast("string"), k, m)))
         parts.append(
             df.select(
                 F.input_file_name().alias("_f"), F.lit(c).alias("_c"), bit.alias("_bit")
             )
         )
+    if not parts:
+        return {}
     allbits = parts[0]
     for p in parts[1:]:
         allbits = allbits.unionByName(p)
@@ -180,11 +240,46 @@ def _build_blooms(
     return out
 
 
+def _validate_bloom_cols(schema, cols: list[str]) -> None:
+    """Bloom columns are restricted to integer/string key types: the
+    bitsets are built from Spark's ``CAST(col AS STRING)`` and probed
+    driver-side, and only int/string render identically in both (Python
+    ``str(1e20)`` vs Spark ``'1.0E20'``, ``True`` vs ``'true'`` would
+    silently produce false NEGATIVES — missing rows, not extra scans)."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StringType,
+    )
+
+    ok = (ByteType, ShortType, IntegerType, LongType, StringType)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"bloom_cols: no such column {c!r}")
+        if not isinstance(by_name[c], ok):
+            raise ValueError(
+                f"bloom_cols: column {c!r} has type {by_name[c].simpleString()}; "
+                "only integer/string key columns are indexable (float/bool/"
+                "complex values do not format identically between the Spark "
+                "builder and the driver-side probe)"
+            )
+
+
+def _bloom_probe_key(value) -> str:
+    """Normalize a lookup value exactly like the build side's
+    ``CAST(col AS STRING)`` for the supported key types."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise ValueError(
+            f"bloom lookup values must be int or string (got {type(value).__name__}); "
+            "the bitsets are only built for integer/string key columns"
+        )
+    return value if isinstance(value, str) else str(value)
+
+
 def _bloom_might_contain(words: dict, value, m: int, k: int) -> bool:
     """Driver-side probe of one per-file bitset (words: word_idx→int64)."""
     import hashlib
 
-    h = hashlib.md5(str(value).encode()).hexdigest()
+    h = hashlib.md5(_bloom_probe_key(value).encode()).hexdigest()
     h1, h2 = int(h[0:8], 16), int(h[8:16], 16)
     for i in range(k):
         bit = (h1 + i * h2) % m
@@ -192,6 +287,36 @@ def _bloom_might_contain(words: dict, value, m: int, k: int) -> bool:
         if not (w & (1 << (bit % 63))):
             return False
     return True
+
+
+def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
+    """Carry per-commit metadata (written schemas, sidecar pointers,
+    commit-level ranges) for the commits still referenced by ``files``,
+    tombstones narrowed to those commits (dropped when none remain), and
+    the sticky table-level keys (column defaults, partition spec, the
+    streaming sink's high-water batch id)."""
+    if prev is None:
+        return {"commit_schemas": {}, "sidecars": {}, "commit_ranges": {}, "tombstones": []}
+    cids = {_commit_of(rel) for rel in files}
+    out: dict = {
+        "commit_schemas": {
+            c: s for c, s in prev.get("commit_schemas", {}).items() if c in cids
+        },
+        "sidecars": {c: p for c, p in prev.get("sidecars", {}).items() if c in cids},
+        "commit_ranges": {
+            c: r for c, r in prev.get("commit_ranges", {}).items() if c in cids
+        },
+    }
+    tombstones = []
+    for t in prev.get("tombstones", []):
+        applies = sorted(set(t["commits"]) & cids)
+        if applies:
+            tombstones.append({**t, "commits": applies})
+    out["tombstones"] = tombstones
+    for key in ("last_batch_id", "defaults", "partition_spec"):
+        if key in prev:
+            out[key] = prev[key]
+    return out
 
 
 def snapshot_commit(
@@ -203,13 +328,16 @@ def snapshot_commit(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
+    partition_by: list[str] | None = None,
+    column_defaults: dict | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
     ``mode='append'`` pins previous files + the new ones; ``'overwrite'``
     pins only the new ones (old files stay on disk for time travel until
     ``snapshot_expire`` collects them). The commit point is the atomic
-    rename of the manifest JSON — a crash before it leaves the dataset at
+    link of the manifest JSON — a crash before it leaves the dataset at
     the previous version with only an orphaned data dir to GC.
 
     ``expect`` is the write-audit-publish gate: ``(name, sql_bool_expr)``
@@ -219,9 +347,27 @@ def snapshot_commit(
     per-rule violation counts) and readers never observe the bad batch —
     the batch-level contract enforcement every ingest pipeline needs, with
     the audit reading the exact bytes that would have become the version.
+
+    ``partition_by`` range-clusters the batch on those columns before the
+    write and records them as the manifest's partition spec: every file
+    (and the commit as a whole) gets a tight extent on the clustering
+    columns, so the root manifest's commit-level ranges prune whole
+    commits for predicates on them before any sidecar is read.
+
+    ``column_defaults`` maps column name → value used when reading files
+    written BEFORE the column existed (Iceberg's initial-default); columns
+    without a default read as NULL in pre-evolution files. Sticky across
+    commits, extendable on any later commit.
+
+    ``extra`` merges caller metadata (e.g. the streaming sink's
+    ``last_batch_id``) into the manifest dict BEFORE the atomic publish —
+    one commit point, so the metadata can never be lost to a crash between
+    a commit and a follow-up stamp. Reserved keys are rejected.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if extra and (bad := set(extra) & _RESERVED_KEYS):
+        raise ValueError(f"extra metadata may not override reserved keys: {sorted(bad)}")
     versions = snapshot_versions(root)
     prev = _load_manifest(root, versions[-1]) if versions else None
     schema_json = _schema_json(df)
@@ -231,6 +377,25 @@ def snapshot_commit(
                 "schema drift on append: pass allow_schema_change=True to "
                 "accept (old vs new schema differ)"
             )
+    # Bloom index: enabled by bloom_cols on any commit, then sticky (the
+    # config is inherited from the previous manifest so later plain appends
+    # keep indexing without re-passing parameters). Re-specifying with a
+    # DIFFERENT geometry is rejected: carried bitsets built with the old
+    # (m, k) probed under new values would return false negatives.
+    if bloom_cols:
+        _validate_bloom_cols(df.schema, list(bloom_cols))
+        prev_cfg = prev.get("bloom") if prev else None
+        if prev_cfg and (prev_cfg["m"] != bloom_bits or prev_cfg["k"] != bloom_hashes):
+            raise ValueError(
+                f"bloom geometry change (m={prev_cfg['m']},k={prev_cfg['k']} -> "
+                f"m={bloom_bits},k={bloom_hashes}) would poison carried bitsets; "
+                "rewrite the table (snapshot_compact) to re-index"
+            )
+        bloom_cfg = {"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes}
+    else:
+        bloom_cfg = prev.get("bloom") if prev else None
+    if partition_by:
+        df = df.repartitionByRange(*partition_by).sortWithinPartitions(*partition_by)
     commit_id, new_files = _write_data(df, root)
     if expect and new_files:
         from pyspark.sql import functions as F
@@ -254,24 +419,27 @@ def snapshot_commit(
         if violations:
             shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
             raise SnapshotExpectationError(violations)
-    files = list(prev["files"]) + new_files if (prev and mode == "append") else new_files
-    # Zone maps: per-file column min/max lifted from the parquet FOOTERS the
-    # write just produced — metadata-only, no data scan. Carried forward for
-    # inherited files, so manifest-level pruning covers the whole version.
-    carried = prev.get("stats", {}) if (prev and mode == "append") else {}
-    # Bloom index: enabled by bloom_cols on any commit, then sticky (the
-    # config is inherited from the previous manifest so later plain appends
-    # keep indexing without re-passing parameters).
-    bloom_cfg = (
-        {"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes}
-        if bloom_cols
-        else (prev.get("bloom") if prev else None)
+    files = (
+        list(prev["files"]) + new_files if (prev and mode == "append") else new_files
     )
-    carried_blooms = prev.get("blooms", {}) if (prev and mode == "append") else {}
-    return _publish(
-        root, versions, mode, commit_id, files, new_files, carried, schema_json,
-        bloom_cfg=bloom_cfg, carried_blooms=carried_blooms, spark=df.sparkSession,
+    body = _inherit_maps(prev, files)
+    if bloom_cfg:
+        body["bloom"] = bloom_cfg
+    if column_defaults:
+        body["defaults"] = {**body.get("defaults", {}), **column_defaults}
+    if partition_by:
+        body["partition_spec"] = list(partition_by)
+    if extra:
+        body.update(extra)
+    body.update(
+        mode=mode, commit_id=commit_id, files=files, n_files=len(files),
+        schema=schema_json,
     )
+    sidecar = _new_sidecar(df.sparkSession, root, new_files, bloom_cfg)
+    if new_files:
+        body["commit_schemas"][commit_id] = schema_json
+        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    return _publish(root, versions, body, commit_id, sidecar if new_files else None)
 
 
 def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:
@@ -289,54 +457,68 @@ def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:
     return commit_id, new_files
 
 
+def _new_sidecar(
+    spark: SparkSession, root: str, new_files: list[str], bloom_cfg: dict | None
+) -> dict:
+    """Per-file zone maps (from the parquet footers the write just
+    produced — metadata-only, no data scan) and Bloom bitsets for the NEW
+    files of one commit. Lives in the commit's immutable sidecar file;
+    the root manifest carries only a pointer."""
+    stats = {rel: _footer_stats(os.path.join(root, rel)) for rel in new_files}
+    sidecar = {"stats": stats}
+    if bloom_cfg and new_files:
+        sidecar["blooms"] = _build_blooms(
+            spark, root, new_files, bloom_cfg["cols"], bloom_cfg["m"], bloom_cfg["k"]
+        )
+    return sidecar
+
+
+def _merge_ranges(stats: dict) -> dict:
+    """Commit-level column ranges: the union of the commit's per-file zone
+    maps. Stored in the ROOT manifest (O(commits × cols)), so scans prune
+    whole commits before reading any per-file sidecar."""
+    out: dict = {}
+    for fstats in stats.values():
+        for col, rng in fstats.items():
+            if col in out:
+                try:
+                    out[col] = [min(out[col][0], rng[0]), max(out[col][1], rng[1])]
+                except TypeError:
+                    out.pop(col, None)  # mixed types across files — unusable
+            else:
+                out[col] = list(rng)
+    return out
+
+
 def _publish(
     root: str,
     versions: list[int],
-    mode: str,
+    body: dict,
     commit_id: str,
-    files: list[str],
-    new_files: list[str],
-    carried_stats: dict,
-    schema_json: str,
-    bloom_cfg: dict | None = None,
-    carried_blooms: dict | None = None,
-    spark: SparkSession | None = None,
+    sidecar: dict | None,
 ) -> dict:
-    """Assemble and atomically publish the next manifest."""
-    stats = dict(carried_stats)
-    for rel in new_files:
-        stats[rel] = _footer_stats(os.path.join(root, rel))
-    stats = {rel: stats[rel] for rel in files if rel in stats}
+    """Atomically publish the next manifest (writing the commit's stats
+    sidecar first, so the pointer never dangles)."""
     version = (versions[-1] + 1) if versions else 1
-    manifest = {
-        "version": version,
-        "parent": versions[-1] if versions else None,
-        "mode": mode,
-        "commit_id": commit_id,
-        "files": files,
-        "n_files": len(files),
-        "schema": schema_json,
-        "stats": stats,
-    }
-    if bloom_cfg:
-        blooms = dict(carried_blooms or {})
-        if new_files and spark is not None:
-            blooms.update(
-                _build_blooms(
-                    spark, root, new_files, bloom_cfg["cols"],
-                    bloom_cfg["m"], bloom_cfg["k"],
-                )
-            )
-        manifest["bloom"] = bloom_cfg
-        manifest["blooms"] = {rel: blooms[rel] for rel in files if rel in blooms}
+    manifest = {"version": version, "parent": versions[-1] if versions else None}
+    manifest.update(body)
+    manifest.setdefault("commit_schemas", {})
+    manifest.setdefault("sidecars", {})
+    manifest.setdefault("commit_ranges", {})
+    manifest.setdefault("tombstones", [])
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    if sidecar is not None:
+        sc_rel = os.path.join(_MANIFEST_DIR, f"sc-{commit_id}.json")
+        with open(os.path.join(root, sc_rel), "w") as f:
+            json.dump(sidecar, f)
+        manifest["sidecars"][commit_id] = sc_rel
     tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     # Atomic commit point with first-writer-wins optimistic concurrency:
     # link() fails if the target exists (rename would silently clobber a
     # concurrent writer's manifest — a lost commit). The loser's data dir
-    # stays as an orphan for snapshot_expire; the caller retries.
+    # and sidecar stay as orphans for snapshot_expire; the caller retries.
     try:
         os.link(tmp, _manifest_path(root, version))
     except FileExistsError:
@@ -348,18 +530,81 @@ def _publish(
     return manifest
 
 
+def _read_pinned(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    rels: list[str],
+    apply_tombstones: bool = True,
+) -> DataFrame:
+    """Read pinned files under the MANIFEST's schema (never whichever
+    schema Spark samples from mixed-schema file sets).
+
+    Files are grouped by the schema their commit was written with; each
+    group is read under its written schema and aligned to the version
+    schema — added columns fill with the column's default (or NULL),
+    dropped columns are pruned, widened columns cast (int→long,
+    float→double: the parquet pages are read as written, the cast happens
+    in the scan projection). Merge-on-read tombstones applicable to a
+    file's commit are applied as broadcast anti-joins on the recorded key
+    column before alignment. Grouping is by (schema, tombstone-set), so
+    the plan stays one union of pruned scans — no shuffle is introduced.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    version_schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not rels:
+        return spark.createDataFrame([], version_schema)
+    commit_schemas = manifest.get("commit_schemas", {})
+    tombs = manifest.get("tombstones", []) if apply_tombstones else []
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        cid = _commit_of(rel)
+        sj = commit_schemas.get(cid, manifest["schema"])
+        tids = tuple(i for i, t in enumerate(tombs) if cid in t["commits"])
+        groups.setdefault((sj, tids), []).append(rel)
+    parts = []
+    for (sj, tids), group in sorted(groups.items()):
+        written = StructType.fromJson(json.loads(sj))
+        df = spark.read.schema(written).parquet(
+            *[os.path.join(root, rel) for rel in group]
+        )
+        for i in tids:
+            t = tombs[i]
+            keys = spark.read.parquet(*[os.path.join(root, f) for f in t["files"]])
+            df = df.join(F.broadcast(keys), on=t["key_col"], how="left_anti")
+        if sj != manifest["schema"]:
+            defaults = manifest.get("defaults", {})
+            have = {f.name: f.dataType for f in written.fields}
+            cols = []
+            for f in version_schema.fields:
+                if f.name in have:
+                    c = F.col(f.name)
+                    if have[f.name] != f.dataType:
+                        c = c.cast(f.dataType)
+                    cols.append(c.alias(f.name))
+                else:
+                    cols.append(
+                        F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name)
+                    )
+            df = df.select(*cols)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snapshot_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a pinned version (default: latest) via its exact file list.
 
-    The VERSION's schema (from the manifest) is applied explicitly, not
-    inferred from whichever file the reader samples — so after an
-    ``allow_schema_change`` append, files written before a column existed
-    read as NULL in that column, files from before a column was dropped
-    have it pruned, and time travel always returns each version under its
-    own schema. (Type changes to an existing column still require a
-    rewrite — the parquet reader cannot reinterpret old pages.)
+    The VERSION's schema (from the manifest) is applied explicitly — see
+    ``_read_pinned`` for the schema-evolution alignment rules — and any
+    merge-on-read tombstones are applied, so the result is always the
+    version's logical row set.
     """
     versions = snapshot_versions(root)
     if not versions:
@@ -369,13 +614,7 @@ def snapshot_read(
     if version not in versions:
         raise FileNotFoundError(f"version {version} not in {versions}")
     manifest = _load_manifest(root, version)
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
-    paths = [os.path.join(root, rel) for rel in manifest["files"]]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return _read_pinned(spark, root, manifest, manifest["files"])
 
 
 def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:
@@ -397,6 +636,58 @@ def _as_ranges(col_or_ranges, lo, hi) -> dict:
     return {col_or_ranges: (lo, hi)}
 
 
+def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
+    """Hierarchical file skipping for a conjunctive range predicate:
+
+    1. whole-COMMIT pruning against the root manifest's commit-level
+       column ranges — no extra I/O at all;
+    2. per-FILE zone maps from the sidecars of surviving commits only.
+
+    Returns kept file list plus the planning counters the tests pin
+    (files kept/skipped, commits pruned wholesale, sidecars actually
+    loaded, kept files lacking stats on a predicate column)."""
+    commit_ranges = manifest.get("commit_ranges", {})
+    by_commit: dict[str, list[str]] = {}
+    for rel in manifest["files"]:
+        by_commit.setdefault(_commit_of(rel), []).append(rel)
+    kept: list[str] = []
+    skipped = commits_skipped = sidecars_loaded = no_stats = 0
+    for cid, rels in by_commit.items():
+        cr = commit_ranges.get(cid)
+        if cr is not None and any(
+            _range_disjoint(cr.get(c), clo, chi) for c, (clo, chi) in want.items()
+        ):
+            commits_skipped += 1
+            skipped += len(rels)
+            continue
+        stats = _load_sidecar(root, manifest, cid).get("stats", {})
+        sidecars_loaded += 1
+        for rel in rels:
+            fstats = stats.get(rel, {})
+            disjoint = missing = False
+            for c, (clo, chi) in want.items():
+                rng = fstats.get(c)
+                if rng is None:
+                    missing = True
+                elif _range_disjoint(rng, clo, chi):
+                    disjoint = True
+                    break
+            if disjoint:
+                skipped += 1
+            else:
+                kept.append(rel)
+                if missing:
+                    no_stats += 1
+    return {
+        "kept_files": kept,
+        "kept": len(kept),
+        "skipped": skipped,
+        "no_stats": no_stats,
+        "commits_skipped": commits_skipped,
+        "sidecars_loaded": sidecars_loaded,
+    }
+
+
 def snapshot_scan(
     spark: SparkSession,
     root: str,
@@ -416,13 +707,19 @@ def snapshot_scan(
     a small 2-D query window skips all but a handful of files (a
     1-D-sorted layout prunes only its sort column).
 
-    This is the layer above parquet's own row-group pruning: at 100 TB the
+    Pruning is hierarchical (``_plan_scan``): whole commits are skipped
+    against the root manifest's commit-level ranges — for
+    partition-clustered commits (``partition_by``) this IS partition
+    pruning, answered before any per-file metadata is read — then the
+    surviving commits' sidecars supply per-file zone maps. At 100 TB the
     driver-side cost of *planning* a scan (listing + footer reads for
     thousands of files) dominates short queries; the manifest answers the
-    file-skip question from one JSON. Skipping is safe-by-construction —
-    a file is dropped only when a recorded range cannot intersect — and
-    the residual in-file filter is still applied (and pushed down) on the
-    survivors. Files with no recorded stats for a column are scanned.
+    file-skip question from one root JSON plus the relevant sidecars.
+    Skipping is safe-by-construction — a file is dropped only when a
+    recorded range provably cannot intersect (incomparable probe types
+    keep the file) — and the residual in-file filter is still applied
+    (and pushed down) on the survivors. Files with no recorded stats for
+    a column are scanned.
     """
     want = _as_ranges(ranges if ranges is not None else col, lo, hi)
     versions = snapshot_versions(root)
@@ -431,96 +728,73 @@ def snapshot_scan(
     if version is None:
         version = versions[-1]
     manifest = _load_manifest(root, version)
-    stats = manifest.get("stats", {})
-    keep = []
-    for rel in manifest["files"]:
-        fstats = stats.get(rel, {})
-        disjoint = False
-        for c, (clo, chi) in want.items():
-            rng = fstats.get(c)
-            if rng is not None and (rng[0] > chi or rng[1] < clo):
-                disjoint = True  # provably cannot match — skip the file
-                break
-        if not disjoint:
-            keep.append(rel)
+    keep = _plan_scan(root, manifest, want)["kept_files"]
     from pyspark.sql import functions as F
 
     pred = None
     for c, (clo, chi) in want.items():
         p = F.col(c).between(clo, chi)
         pred = p if pred is None else (pred & p)
-    if not keep:
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(json.loads(manifest["schema"]))
-        )
-        return empty.where(pred)
-    return spark.read.parquet(
-        *[os.path.join(root, rel) for rel in keep]
-    ).where(pred)
+    return _read_pinned(spark, root, manifest, keep).where(pred)
 
 
 def snapshot_scan_files(
     root, col=None, lo=None, hi=None, version: int | None = None, ranges: dict | None = None
 ) -> dict:
     """Planning-only twin of ``snapshot_scan``: how many files the zone
-    maps keep vs skip — the observable tests pin. ``no_stats`` counts kept
-    files that lacked stats on at least one predicate column."""
+    maps keep vs skip, how many whole commits were pruned from the root
+    manifest alone, and how many sidecars were read — the observables the
+    tests pin. ``no_stats`` counts kept files that lacked stats on at
+    least one predicate column."""
     want = _as_ranges(ranges if ranges is not None else col, lo, hi)
     versions = snapshot_versions(root)
     if version is None:
         version = versions[-1]
     manifest = _load_manifest(root, version)
-    stats = manifest.get("stats", {})
-    kept = skipped = unknown = 0
-    for rel in manifest["files"]:
-        fstats = stats.get(rel, {})
-        disjoint = False
-        missing = False
-        for c, (clo, chi) in want.items():
-            rng = fstats.get(c)
-            if rng is None:
-                missing = True
-            elif rng[0] > chi or rng[1] < clo:
-                disjoint = True
-                break
-        if disjoint:
-            skipped += 1
-        else:
-            kept += 1
-            if missing:
-                unknown += 1
-    return {"kept": kept, "skipped": skipped, "no_stats": unknown}
+    plan = _plan_scan(root, manifest, want)
+    plan.pop("kept_files")
+    return plan
 
 
 def snapshot_lookup_files(root: str, col: str, value, version: int | None = None) -> dict:
     """Planning-only: per-file keep/skip decision for a point lookup,
-    combining the zone map (range disjointness) with the per-file Bloom
-    bitset (membership). A file survives only if BOTH say it might hold
-    the value; files without stats/bloom for ``col`` are kept."""
+    combining commit-level ranges, per-file zone maps (range
+    disjointness), and the per-file Bloom bitsets (membership). A file
+    survives only if ALL say it might hold the value; files without
+    stats/bloom for ``col`` are kept."""
     versions = snapshot_versions(root)
     if version is None:
         version = versions[-1]
     manifest = _load_manifest(root, version)
-    stats = manifest.get("stats", {})
-    blooms = manifest.get("blooms", {})
     cfg = manifest.get("bloom") or {}
     use_bloom = col in cfg.get("cols", [])
-    kept, skipped = [], 0
+    if use_bloom:
+        _bloom_probe_key(value)  # loud error for unsupported key types
+    commit_ranges = manifest.get("commit_ranges", {})
+    by_commit: dict[str, list[str]] = {}
     for rel in manifest["files"]:
-        rng = stats.get(rel, {}).get(col)
-        if rng is not None and not (rng[0] <= value <= rng[1]):
-            skipped += 1
+        by_commit.setdefault(_commit_of(rel), []).append(rel)
+    kept, skipped = [], 0
+    for cid, rels in by_commit.items():
+        cr = (commit_ranges.get(cid) or {}).get(col)
+        if _range_disjoint(cr, value, value):
+            skipped += len(rels)
             continue
-        if use_bloom:
-            words = blooms.get(rel, {}).get(col)
-            if words is not None and not _bloom_might_contain(
-                words, value, cfg["m"], cfg["k"]
-            ):
+        sidecar = _load_sidecar(root, manifest, cid)
+        stats = sidecar.get("stats", {})
+        blooms = sidecar.get("blooms", {})
+        for rel in rels:
+            if _range_disjoint(stats.get(rel, {}).get(col), value, value):
                 skipped += 1
                 continue
-        kept.append(rel)
+            if use_bloom:
+                words = blooms.get(rel, {}).get(col)
+                if words is not None and not _bloom_might_contain(
+                    words, value, cfg["m"], cfg["k"]
+                ):
+                    skipped += 1
+                    continue
+            kept.append(rel)
     return {"kept": kept, "skipped": skipped}
 
 
@@ -536,23 +810,17 @@ def snapshot_lookup(
     membership question instead: at 100 TB a primary-key lookup touches
     the handful of files that might contain the key — with false
     positives only costing extra scans, never wrong results. The residual
-    equality filter still applies on the survivors.
+    equality filter still applies on the survivors, under the version's
+    pinned schema and tombstones.
     """
     plan = snapshot_lookup_files(root, col, value, version)
     from pyspark.sql import functions as F
 
-    if not plan["kept"]:
-        versions = snapshot_versions(root)
-        manifest = _load_manifest(root, version or versions[-1])
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(json.loads(manifest["schema"]))
-        )
-        return empty.where(F.col(col) == F.lit(value))
-    return spark.read.parquet(
-        *[os.path.join(root, rel) for rel in plan["kept"]]
-    ).where(F.col(col) == F.lit(value))
+    versions = snapshot_versions(root)
+    manifest = _load_manifest(root, version or versions[-1])
+    return _read_pinned(spark, root, manifest, plan["kept"]).where(
+        F.col(col) == F.lit(value)
+    )
 
 
 def snapshot_changes(
@@ -564,8 +832,9 @@ def snapshot_changes(
     This is the incremental-consumption primitive: a downstream job that
     processed v_old catches up to v_new by scanning ONLY the delta files —
     O(appended data), never O(table). Raises if the range removed files
-    (an overwrite/compaction landed in between): the file delta is then not
-    a row delta, and the caller must fall back to a full diff
+    (an overwrite/compaction landed in between) or changed the
+    merge-on-read tombstone set (a delete landed): the file delta is then
+    not a row delta, and the caller must fall back to a full diff
     (``operators/merge.table_diff``) or anchor past the rewrite.
     """
     old_m = _load_manifest(root, v_old)
@@ -577,19 +846,22 @@ def snapshot_changes(
             f"versions {v_old}->{v_new} rewrote {len(removed)} file(s); the "
             "file delta is not a row delta — use a full table_diff instead"
         )
+    if old_m.get("tombstones", []) != new_m.get("tombstones", []):
+        raise ValueError(
+            f"versions {v_old}->{v_new} changed the delete-tombstone set; "
+            "the file delta is not a row delta — use a full table_diff instead"
+        )
     added = sorted(new_files - old_files)
-    if not added:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(new_m["schema"])))
-    return spark.read.parquet(*[os.path.join(root, rel) for rel in added])
+    return _read_pinned(spark, root, new_m, added)
 
 
 def snapshot_compact(
     spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:
     """Rewrite the latest version's files into ``ceil(bytes/target)`` files
-    as a NEW overwrite commit — same rows, fewer files.
+    as a NEW overwrite commit — same logical rows, fewer files, and any
+    merge-on-read tombstones folded in (the rewrite reads through
+    ``snapshot_read``, which applies them; the new manifest carries none).
 
     Unlike directory-swap compaction (``dataset.compact_dataset``), the
     snapshot version makes maintenance safe by construction: readers pinned
@@ -614,6 +886,25 @@ def snapshot_compact(
     return new_m
 
 
+def _key_stats_for_merge(root: str, manifest: dict, col: str) -> dict:
+    """Per-file [min,max] of ``col`` for COW candidate selection, loading
+    sidecars only for commits whose commit-level range intersects — the
+    same hierarchical discipline as the scan planner."""
+    out: dict = {}
+    commit_ranges = manifest.get("commit_ranges", {})
+    loaded: dict[str, dict] = {}
+    for rel in manifest["files"]:
+        cid = _commit_of(rel)
+        if cid not in loaded:
+            loaded[cid] = _load_sidecar(root, manifest, cid).get("stats", {})
+        rng = loaded[cid].get(rel, {}).get(col)
+        if rng is None:
+            # fall back to the commit-level range (conservative: wider)
+            rng = (commit_ranges.get(cid) or {}).get(col)
+        out[rel] = rng
+    return out
+
+
 def snapshot_merge(
     spark: SparkSession, root: str, updates: DataFrame, key: str
 ) -> dict:
@@ -628,6 +919,8 @@ def snapshot_merge(
     touched partitions and rewriting the table — the same copy-on-write
     contract as Iceberg/Delta MERGE. Files with no recorded key stats are
     conservatively treated as candidates (correctness over skipping).
+    Candidate files are read under the version's pinned schema with
+    tombstones applied, so the rewrite folds their deletes in.
 
     ``updates`` must be unique per key and schema-identical to the table.
     The driver reads only the updates' key bounds (one tiny aggregate).
@@ -641,43 +934,40 @@ def snapshot_merge(
     from pyspark.sql import functions as F
 
     lo, hi = updates.agg(F.min(key), F.max(key)).first()
+    commit_id = uuid.uuid4().hex[:12]
     if lo is None:  # empty updates — metadata-only no-op commit
-        return _publish(
-            root, versions, "merge", uuid.uuid4().hex[:12],
-            list(manifest["files"]), [], manifest.get("stats", {}),
-            manifest["schema"],
-            bloom_cfg=manifest.get("bloom"),
-            carried_blooms=manifest.get("blooms", {}),
-            spark=spark,
+        body = _inherit_maps(manifest, manifest["files"])
+        if manifest.get("bloom"):
+            body["bloom"] = manifest["bloom"]
+        body.update(
+            mode="merge", commit_id=commit_id, files=list(manifest["files"]),
+            n_files=manifest["n_files"], schema=manifest["schema"],
         )
-    stats = manifest.get("stats", {})
+        return _publish(root, versions, body, commit_id, None)
+    key_ranges = _key_stats_for_merge(root, manifest, key)
     candidates, untouched = [], []
     for rel in manifest["files"]:
-        rng = stats.get(rel, {}).get(key)
-        if rng is not None and (rng[0] > hi or rng[1] < lo):
+        if _range_disjoint(key_ranges.get(rel), lo, hi):
             untouched.append(rel)
         else:
             candidates.append(rel)
-    if candidates:
-        current = spark.read.parquet(
-            *[os.path.join(root, rel) for rel in candidates]
-        )
-        rewritten = current.join(
-            updates.select(key), key, "left_anti"
-        ).unionByName(updates)
-    else:
-        rewritten = updates
+    current = _read_pinned(spark, root, manifest, candidates)
+    rewritten = current.join(updates.select(key), key, "left_anti").unionByName(updates)
     commit_id, new_files = _write_data(rewritten, root)
     files = untouched + new_files
-    carried = {rel: stats[rel] for rel in untouched if rel in stats}
-    blooms = manifest.get("blooms", {})
-    return _publish(
-        root, versions, "merge", commit_id, files, new_files, carried,
-        manifest["schema"],
-        bloom_cfg=manifest.get("bloom"),
-        carried_blooms={rel: blooms[rel] for rel in untouched if rel in blooms},
-        spark=spark,
+    body = _inherit_maps(manifest, files)
+    bloom_cfg = manifest.get("bloom")
+    if bloom_cfg:
+        body["bloom"] = bloom_cfg
+    body.update(
+        mode="merge", commit_id=commit_id, files=files, n_files=len(files),
+        schema=manifest["schema"],
     )
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    if new_files:
+        body["commit_schemas"][commit_id] = manifest["schema"]
+        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    return _publish(root, versions, body, commit_id, sidecar if new_files else None)
 
 
 def snapshot_delete(
@@ -688,54 +978,138 @@ def snapshot_delete(
     Same file-granular contract as ``snapshot_merge``: zone maps pick the
     candidate files, each is rewritten without the matching rows, all
     others are inherited verbatim — O(touched range), not O(table). A
-    candidate whose rows are all deleted simply contributes no output file.
+    candidate whose rows are all deleted simply contributes no output
+    file. For trickle deletes (GDPR-style single keys) prefer
+    ``snapshot_delete_mor``, which writes NO data files at all.
     """
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
     manifest = _load_manifest(root, versions[-1])
-    stats = manifest.get("stats", {})
+    key_ranges = _key_stats_for_merge(root, manifest, col)
     candidates, untouched = [], []
     for rel in manifest["files"]:
-        rng = stats.get(rel, {}).get(col)
-        if rng is not None and (rng[0] > hi or rng[1] < lo):
+        if _range_disjoint(key_ranges.get(rel), lo, hi):
             untouched.append(rel)
         else:
             candidates.append(rel)
+    commit_id = uuid.uuid4().hex[:12]
     if not candidates:  # nothing can match — metadata-only version bump
-        return _publish(
-            root, versions, "delete", uuid.uuid4().hex[:12],
-            untouched, [], stats, manifest["schema"],
-            bloom_cfg=manifest.get("bloom"),
-            carried_blooms=manifest.get("blooms", {}),
-            spark=spark,
+        body = _inherit_maps(manifest, untouched)
+        if manifest.get("bloom"):
+            body["bloom"] = manifest["bloom"]
+        body.update(
+            mode="delete", commit_id=commit_id, files=untouched,
+            n_files=len(untouched), schema=manifest["schema"],
         )
+        return _publish(root, versions, body, commit_id, None)
     from pyspark.sql import functions as F
 
-    kept_rows = spark.read.parquet(
-        *[os.path.join(root, rel) for rel in candidates]
-    ).where(~F.col(col).between(lo, hi))
+    kept_rows = _read_pinned(spark, root, manifest, candidates).where(
+        ~F.col(col).between(lo, hi)
+    )
     commit_id, new_files = _write_data(kept_rows, root)
     files = untouched + new_files
-    carried = {rel: stats[rel] for rel in untouched if rel in stats}
-    blooms = manifest.get("blooms", {})
-    return _publish(
-        root, versions, "delete", commit_id, files, new_files, carried,
-        manifest["schema"],
-        bloom_cfg=manifest.get("bloom"),
-        carried_blooms={rel: blooms[rel] for rel in untouched if rel in blooms},
-        spark=spark,
+    body = _inherit_maps(manifest, files)
+    bloom_cfg = manifest.get("bloom")
+    if bloom_cfg:
+        body["bloom"] = bloom_cfg
+    body.update(
+        mode="delete", commit_id=commit_id, files=files, n_files=len(files),
+        schema=manifest["schema"],
     )
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    if new_files:
+        body["commit_schemas"][commit_id] = manifest["schema"]
+        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    return _publish(root, versions, body, commit_id, sidecar if new_files else None)
+
+
+def snapshot_delete_mor(
+    spark: SparkSession, root: str, condition: str, key_col: str
+) -> dict:
+    """Merge-on-read DELETE: a metadata-plus-tombstone commit that rewrites
+    NOTHING.
+
+    The copy-on-write path (``snapshot_delete``) rewrites every
+    key-intersecting file — at 100 TB a GDPR-style 1-row delete would
+    rewrite a whole file set. This path instead:
+
+    1. evaluates ``condition`` (any SQL boolean expression) over the
+       current version and writes the matching rows' ``key_col`` values to
+       a tiny DELETE FILE (the equality-delete / delete-vector shape from
+       the Iceberg/Delta playbook) under the commit's own directory;
+    2. publishes a new manifest with the SAME data file list plus a
+       tombstone entry recording the delete file, the key column, and the
+       commit ids it applies to (everything present at delete time —
+       rows appended LATER are exempt, so re-inserting a deleted key
+       behaves like any MVCC table).
+
+    Every read path applies tombstones as broadcast anti-joins on the key
+    column; ``snapshot_compact`` folds them into a clean rewrite, after
+    which the delete files become unreferenced and ``snapshot_expire``
+    collects them. ``key_col`` must uniquely identify rows (a primary
+    key): the anti-join removes ALL rows sharing a deleted key within the
+    applicable commits. Cost: one scan to find the keys, O(deleted keys)
+    bytes written, zero data files rewritten.
+    """
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if key_col not in [f.name for f in schema.fields]:
+        raise ValueError(f"snapshot_delete_mor: no such column {key_col!r}")
+    keys = (
+        _read_pinned(spark, root, manifest, manifest["files"])
+        .where(F.expr(condition))
+        .select(key_col)
+        .distinct()
+    )
+    n_keys = keys.count()
+    commit_id = uuid.uuid4().hex[:12]
+    body = _inherit_maps(manifest, manifest["files"])
+    if manifest.get("bloom"):
+        body["bloom"] = manifest["bloom"]
+    body.update(
+        mode="delete-mor", commit_id=commit_id, files=list(manifest["files"]),
+        n_files=manifest["n_files"], schema=manifest["schema"],
+    )
+    if n_keys:
+        delete_dir = os.path.join(root, _DATA_DIR, commit_id)
+        keys.coalesce(1).write.mode("error").parquet(delete_dir)
+        delete_files = sorted(
+            os.path.join(_DATA_DIR, commit_id, name)
+            for name in os.listdir(delete_dir)
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
+        )
+        body["tombstones"] = list(body.get("tombstones", [])) + [
+            {
+                "key_col": key_col,
+                "predicate": condition,
+                "files": delete_files,
+                "commits": sorted({_commit_of(r) for r in manifest["files"]}),
+                "n_keys": n_keys,
+            }
+        ]
+    return _publish(root, versions, body, commit_id, None)
 
 
 def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data
-    files (and then-empty commit dirs) no retained version references.
+    files, delete (tombstone) files, stats sidecars, and then-empty commit
+    dirs no retained version references.
 
-    Orphaned commit dirs from crashed commits (data written, manifest
-    rename never happened) are collected too: they are unreferenced by
-    construction. Time travel to an expired version stops working — that
-    is the contract (pin retention to the reproducibility window).
+    Orphaned commit dirs and sidecars from crashed/lost commits (data
+    written, manifest link never happened) are collected too: they are
+    unreferenced by construction. Time travel to an expired version stops
+    working — that is the contract (pin retention to the reproducibility
+    window). Must not run concurrently with an in-flight commit (the
+    usual GC-vs-writer caveat): a commit's staged files look orphaned
+    until its manifest links.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -743,8 +1117,13 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     keep = versions[-keep_last:]
     drop = [v for v in versions if v not in keep]
     referenced: set[str] = set()
+    referenced_sidecars: set[str] = set()
     for v in keep:
-        referenced.update(_load_manifest(root, v)["files"])
+        m = _load_manifest(root, v)
+        referenced.update(m["files"])
+        for t in m.get("tombstones", []):
+            referenced.update(t["files"])
+        referenced_sidecars.update(m.get("sidecars", {}).values())
     removed_files = 0
     data_root = os.path.join(root, _DATA_DIR)
     if os.path.isdir(data_root):
@@ -767,6 +1146,13 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
                         removed_files += 1
             if not os.listdir(cdir):
                 shutil.rmtree(cdir)
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("sc-") and name.endswith(".json"):
+                rel = os.path.join(_MANIFEST_DIR, name)
+                if rel not in referenced_sidecars:
+                    os.remove(os.path.join(mdir, rel.split(os.sep)[-1]))
     for v in drop:
         os.remove(_manifest_path(root, v))
     return {

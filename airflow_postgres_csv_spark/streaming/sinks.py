@@ -130,32 +130,31 @@ def snapshot_batch_commit(batch_df: DataFrame, batch_id: int, root: str) -> bool
 
     Structured Streaming may REPLAY a micro-batch after a crash between the
     sink action and the checkpoint commit; idempotence must come from the
-    sink. The manifest records ``last_batch_id``, and a batch whose id is
-    not strictly greater is dropped — so replayed batches become no-ops and
-    the snapshot history holds each batch exactly once. (Same keyed-dedup
+    sink. The batch id is threaded into the manifest dict BEFORE the
+    commit's single atomic publish (``snapshot_commit(extra=...)``), so
+    there is exactly one commit point: a crash either published the batch
+    (with its id recorded) or left the dataset untouched — never a
+    committed batch without its stamp. A batch whose id is not above the
+    recorded high-water mark is dropped, so replays become no-ops and the
+    snapshot history holds each batch exactly once. (Same keyed-dedup
     discipline as the JDBC MERGE sink, expressed in dataset versions.)
-    Returns True when a version was committed, False on replay-skip.
+
+    The high-water mark is the MAX ``last_batch_id`` across all retained
+    manifests, not the latest manifest's: interleaved maintenance commits
+    (``snapshot_compact``, a batch ETL append) carry the stamp forward via
+    manifest inheritance, and even if one is created by an old engine that
+    does not, the scan keeps the gate closed instead of silently reopening
+    the duplicate window. Returns True when a version was committed,
+    False on replay-skip.
     """
     from airflow_postgres_csv_spark.operators import snapshots as S
 
-    versions = S.snapshot_versions(root)
-    if versions:
-        last = S._load_manifest(root, versions[-1]).get("last_batch_id", -1)
-        if batch_id <= last:
-            return False
-    manifest = S.snapshot_commit(batch_df, root)
-    # stamp the batch id via manifest rewrite-in-place of the version we
-    # just created (single-writer contract: foreachBatch bodies for one
-    # query never run concurrently)
-    import json as _json
-    import os as _os
-
-    path = S._manifest_path(root, manifest["version"])
-    manifest["last_batch_id"] = batch_id
-    tmp = path + ".tmp-batchid"
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f)
-    _os.rename(tmp, path)
+    last = -1
+    for v in S.snapshot_versions(root):
+        last = max(last, S._load_manifest(root, v).get("last_batch_id", -1))
+    if batch_id <= last:
+        return False
+    S.snapshot_commit(batch_df, root, extra={"last_batch_id": batch_id})
     return True
 
 

@@ -116,3 +116,75 @@ def test_corrupt_parquet_file_handling(spark, tmp_path):
         assert spark.read.schema("id long, v long").parquet(path).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_compact_dataset_snapshot_mode_delegates_to_manifest_commit(spark, tmp_path):
+    """snapshot=True routes compaction through the snapshot subsystem's
+    atomic manifest commit: no directory swap, no missing-path window,
+    time travel across the compaction intact."""
+    from airflow_postgres_csv_spark.operators.dataset import compact_dataset
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    for lo in range(0, 40, 10):
+        snapshot_commit(
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v").repartition(3),
+            root,
+        )
+    res = compact_dataset(spark, root, target_bytes=1 << 30, snapshot=True)
+    assert res["files_after"] == 1 and res["files_before"] >= 12
+    assert res["version"] == 5
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == list(range(40))
+    assert snapshot_read(spark, root, version=1).count() == 10
+    # a plain directory is refused loudly instead of silently mistreated
+    plain = str(tmp_path / "plain")
+    spark.range(5).write.parquet(plain)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not a snapshot root"):
+        compact_dataset(spark, plain, snapshot=True)
+
+
+def test_compact_swap_recovery_rolls_forward_after_hard_kill(spark, tmp_path):
+    """Simulate a SIGKILL between compact_dataset's two renames: path is
+    missing, both staging dirs exist, the marker names them. Recovery must
+    roll FORWARD to the verified compacted copy and clean up."""
+    import json
+    import os
+
+    from airflow_postgres_csv_spark.operators.dataset import recover_compact_swap
+
+    path = str(tmp_path / "ds")
+    spark.range(100).selectExpr("id", "id * 3 AS v").write.parquet(path)
+    # fabricate the mid-swap state: old holds the original, tmp the new copy
+    old = path + "__old-dead"
+    tmp = path + "__compact-beef"
+    os.rename(path, old)
+    spark.read.parquet(old).coalesce(1).write.parquet(tmp)
+    with open(path + "__swap.json", "w") as f:
+        json.dump({"path": path, "old": old, "tmp": tmp}, f)
+    assert recover_compact_swap(path) == "forward"
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    assert not os.path.exists(path + "__swap.json")
+    assert spark.read.parquet(path).count() == 100
+    # idempotent on a clean tree
+    assert recover_compact_swap(path) == "clean"
+
+
+def test_compact_swap_recovery_rolls_back_when_no_new_copy(spark, tmp_path):
+    import json
+    import os
+
+    from airflow_postgres_csv_spark.operators.dataset import recover_compact_swap
+
+    path = str(tmp_path / "ds")
+    spark.range(50).write.parquet(path)
+    old = path + "__old-dead"
+    os.rename(path, old)
+    with open(path + "__swap.json", "w") as f:
+        json.dump({"path": path, "old": old, "tmp": path + "__compact-gone"}, f)
+    assert recover_compact_swap(path) == "back"
+    assert spark.read.parquet(path).count() == 50

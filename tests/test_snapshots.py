@@ -165,12 +165,19 @@ def test_zone_map_pruning_skips_disjoint_files(spark, tmp_path):
     for lo in (0, 100, 200, 300):
         snapshot_commit(_df(spark, lo, lo + 100).coalesce(1), root)
     plan = snapshot_scan_files(root, "id", 120, 180)
-    assert plan == {"kept": 1, "skipped": 3, "no_stats": 0}, plan
+    assert (plan["kept"], plan["skipped"], plan["no_stats"]) == (1, 3, 0), plan
+    # hierarchical pruning: the three disjoint commits are skipped from the
+    # root manifest's commit-level ranges alone — only ONE sidecar is read
+    assert plan["commits_skipped"] == 3 and plan["sidecars_loaded"] == 1, plan
     got = sorted(r.id for r in snapshot_scan(spark, root, "id", 120, 180).collect())
     assert got == list(range(120, 181))
     # no stats for an unknown column -> everything kept (safe default)
     plan2 = snapshot_scan_files(root, "nope", 0, 1)
     assert plan2["skipped"] == 0 and plan2["kept"] == 4
+    # incomparable probe type (string range vs numeric stats) -> files kept,
+    # never a TypeError from the planner
+    plan3 = snapshot_scan_files(root, "id", "a", "b")
+    assert plan3["skipped"] == 0 and plan3["kept"] == 4
 
 
 def test_zone_map_disjoint_range_returns_empty(spark, tmp_path):
@@ -430,6 +437,16 @@ def test_bloom_point_lookup_skips_files_zone_maps_cannot(spark, tmp_path):
     assert snapshot_lookup(spark, root, "id", 100000).count() == 0
 
 
+def _gathered_blooms(root, manifest):
+    """Union of per-file bloom bitsets across the manifest's sidecars."""
+    from airflow_postgres_csv_spark.operators.snapshots import _load_sidecar
+
+    out = {}
+    for cid in {f.split(os.sep)[1] for f in manifest["files"]}:
+        out.update(_load_sidecar(root, manifest, cid).get("blooms", {}))
+    return {rel: b for rel, b in out.items() if rel in set(manifest["files"])}
+
+
 def test_bloom_index_carried_and_rebuilt_through_merge(spark, tmp_path):
     from airflow_postgres_csv_spark.operators.snapshots import (
         _load_manifest,
@@ -442,13 +459,34 @@ def test_bloom_index_carried_and_rebuilt_through_merge(spark, tmp_path):
     # plain append inherits the bloom config without re-passing it
     snapshot_commit(_df(spark, 100, 200).coalesce(1), root)
     m = _load_manifest(root, 2)
-    assert m["bloom"]["cols"] == ["id"] and len(m["blooms"]) == 2
+    assert m["bloom"]["cols"] == ["id"] and len(_gathered_blooms(root, m)) == 2
     updates = _df(spark, 150, 155).select("id", (F.col("id") * 9).alias("v"))
     m3 = snapshot_merge(spark, root, updates, key="id")
-    # every pinned file has a bloom entry after the rewrite
-    assert set(m3["blooms"]) == set(m3["files"])
+    # every pinned file has a bloom entry (in its sidecar) after the rewrite
+    assert set(_gathered_blooms(root, m3)) == set(m3["files"])
     got = {r.id: r.v for r in snapshot_lookup(spark, root, "id", 152).collect()}
     assert got == {152: 1368}
+
+
+def test_bloom_key_type_validation_and_respec_guard(spark, tmp_path):
+    """Bloom columns are restricted to int/string keys (float/bool render
+    differently between Spark's cast-to-string and Python's str → silent
+    false negatives), and re-specifying a different bloom geometry on a
+    later commit is rejected (carried bitsets would be probed wrong)."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_lookup
+
+    root = str(tmp_path / "snap")
+    floats = spark.range(10).select(
+        F.col("id"), (F.col("id") / 4).alias("f"), F.lit("s").alias("s")
+    )
+    with pytest.raises(ValueError, match="integer/string"):
+        snapshot_commit(floats, root, bloom_cols=["f"])
+    snapshot_commit(floats, root, bloom_cols=["id", "s"])
+    with pytest.raises(ValueError, match="geometry"):
+        snapshot_commit(floats, root, bloom_cols=["id"], bloom_bits=8192)
+    # probing with a non-int/string value is a loud error, not a miss
+    with pytest.raises(ValueError, match="int or string"):
+        snapshot_lookup(spark, root, "id", 1.5).count()
 
 
 def test_concurrent_publish_conflict_first_writer_wins(spark, tmp_path):
@@ -478,8 +516,17 @@ def test_concurrent_publish_conflict_first_writer_wins(spark, tmp_path):
 
     with pytest.raises(SnapshotConflictError):
         S._publish(
-            root, real_versions, "append", "deadbeef0000",
-            winner["files"], [], {}, winner["schema"],
+            root,
+            real_versions,
+            {
+                "mode": "append",
+                "commit_id": "deadbeef0000",
+                "files": winner["files"],
+                "n_files": len(winner["files"]),
+                "schema": winner["schema"],
+            },
+            "deadbeef0000",
+            None,
         )
     # the winner's manifest is untouched
     assert _load_manifest(root, 2)["parent"] == 1
@@ -488,3 +535,203 @@ def test_concurrent_publish_conflict_first_writer_wins(spark, tmp_path):
     m3 = snapshot_commit(_df(spark, 10, 12), root)
     assert m3["version"] == 3
     assert snapshot_read(spark, root).count() == 12
+
+
+def test_root_manifest_stays_small_stats_live_in_sidecars(spark, tmp_path):
+    """The root manifest holds NO per-file statistics: its byte size is
+    (nearly) independent of the bloom configuration — the bitsets and zone
+    maps live in per-commit sidecar files — so at ~1M files planning reads
+    O(relevant sidecars), not a gigabyte root JSON."""
+    from airflow_postgres_csv_spark.operators.snapshots import _manifest_path
+
+    roots = {}
+    for label, kwargs in (
+        ("plain", {}),
+        ("bloom_small", {"bloom_cols": ["id"], "bloom_bits": 512}),
+        ("bloom_big", {"bloom_cols": ["id"], "bloom_bits": 65536}),
+    ):
+        root = str(tmp_path / label)
+        snapshot_commit(_df(spark, 0, 400).repartition(8), root, **kwargs)
+        for lo in (400, 800):
+            snapshot_commit(_df(spark, lo, lo + 400).repartition(8), root)
+        m = json.load(open(_manifest_path(root, 3)))
+        assert "stats" not in m and "blooms" not in m
+        roots[label] = os.path.getsize(_manifest_path(root, 3))
+    # 24 files, 3 commits: bloom config adds only its tiny cfg stanza
+    assert abs(roots["bloom_big"] - roots["plain"]) < 200, roots
+    assert abs(roots["bloom_big"] - roots["bloom_small"]) < 50, roots
+    # and the lookups still work end-to-end through the sidecars
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_lookup
+
+    got = snapshot_lookup(spark, str(tmp_path / "bloom_big"), "id", 777).collect()
+    assert [(r.id, r.v) for r in got] == [(777, 1554)]
+
+
+def test_delete_mor_writes_no_data_files(spark, tmp_path):
+    """A 1-row merge-on-read delete is a metadata+tombstone commit: the
+    pinned data file list is unchanged and no data file is rewritten —
+    only a tiny delete-key file lands under the delete's own commit dir."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_delete_mor,
+    )
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100):
+        snapshot_commit(_df(spark, lo, lo + 100).coalesce(1), root)
+    m2 = _load_manifest(root, 2)
+    m3 = snapshot_delete_mor(spark, root, "id = 42", key_col="id")
+    assert m3["files"] == m2["files"]  # zero data files rewritten
+    assert len(m3["tombstones"]) == 1
+    t = m3["tombstones"][0]
+    assert t["key_col"] == "id" and t["n_keys"] == 1
+    assert all(f.startswith(os.path.join("data", m3["commit_id"])) for f in t["files"])
+    got = sorted(r.id for r in snapshot_read(spark, root).collect())
+    assert got == [i for i in range(200) if i != 42]
+    # time travel BEFORE the delete still sees the row
+    assert 42 in {r.id for r in snapshot_read(spark, root, version=2).collect()}
+
+
+def test_delete_mor_point_range_reinsert_and_compact_folds(spark, tmp_path):
+    """Range + point MOR deletes stack; a key re-inserted AFTER the delete
+    is exempt (tombstones bind to the commits present at delete time);
+    compaction folds tombstones into a clean rewrite and expire collects
+    the delete files."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_expire,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 100).coalesce(1), root)
+    snapshot_delete_mor(spark, root, "id >= 90", key_col="id")  # range
+    snapshot_delete_mor(spark, root, "id = 7", key_col="id")  # point
+    expect = [i for i in range(100) if i != 7 and i < 90]
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == expect
+    # re-insert two deleted keys: the new commit postdates both tombstones
+    snapshot_commit(_df(spark, 7, 8).unionByName(_df(spark, 95, 96)), root)
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == sorted(
+        expect + [7, 95]
+    )
+    # lookup path honors tombstones too: 90 deleted, 95 re-inserted
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_lookup
+
+    assert snapshot_lookup(spark, root, "id", 90).count() == 0
+    assert snapshot_lookup(spark, root, "id", 95).count() == 1
+    m = snapshot_compact(spark, root)
+    assert m["tombstones"] == []
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == sorted(
+        expect + [7, 95]
+    )
+    res = snapshot_expire(root, keep_last=1)
+    assert res["removed_data_files"] >= 3  # old data + the two delete files
+    # nothing dangles: the compacted version still reads clean
+    assert snapshot_read(spark, root).count() == len(expect) + 2
+
+
+def test_delete_mor_no_match_is_metadata_noop(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    root = str(tmp_path / "snap")
+    m1 = snapshot_commit(_df(spark, 0, 10), root)
+    m2 = snapshot_delete_mor(spark, root, "id > 1000", key_col="id")
+    assert m2["files"] == m1["files"] and m2["tombstones"] == []
+    assert snapshot_read(spark, root).count() == 10
+
+
+def test_changes_feed_rejects_tombstone_delta(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_delete_mor,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_delete_mor(spark, root, "id = 3", key_col="id")
+    with pytest.raises(ValueError, match="tombstone"):
+        snapshot_changes(spark, root, 1, 2)
+    # append after the delete: v2->v3 is a pure append again
+    snapshot_commit(_df(spark, 10, 15), root)
+    got = sorted(r.id for r in snapshot_changes(spark, root, 2, 3).collect())
+    assert got == list(range(10, 15))
+
+
+def test_streaming_gate_survives_interleaved_maintenance(spark, tmp_path):
+    """An interleaved compaction between micro-batches must not reset the
+    exactly-once gate: the batch id is carried through manifest
+    inheritance AND recovered by the max-scan, so a replayed batch is
+    still skipped after maintenance commits."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
+    from airflow_postgres_csv_spark.streaming.sinks import snapshot_batch_commit
+
+    root = str(tmp_path / "snap")
+    assert snapshot_batch_commit(_df(spark, 0, 10), 0, root) is True
+    assert snapshot_batch_commit(_df(spark, 10, 20), 1, root) is True
+    snapshot_compact(spark, root)  # routine maintenance between batches
+    # replay of batch 1 (crash-recovery scenario) must be a no-op
+    assert snapshot_batch_commit(_df(spark, 10, 20), 1, root) is False
+    assert snapshot_read(spark, root).count() == 20
+    # and the next real batch commits normally
+    assert snapshot_batch_commit(_df(spark, 20, 25), 2, root) is True
+    assert snapshot_read(spark, root).count() == 25
+
+
+def test_schema_evolution_grid_add_default_widen_drop(spark, tmp_path):
+    """The full evolution grid across time-travel reads: add a column
+    with a default, widen int->long, drop a column — every version reads
+    under ITS manifest schema, and files written before an evolution are
+    aligned (default-fill / cast / prune) rather than sampled."""
+    from pyspark.sql.types import LongType
+
+    root = str(tmp_path / "snap")
+    v1 = spark.range(3).select(
+        F.col("id").cast("int").alias("k"), F.lit("a").alias("name")
+    )
+    snapshot_commit(v1, root)
+    # add `score` with default 100, widen k int->long
+    v2 = spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit("b").alias("name"), (F.col("id") * 10).alias("score")
+    )
+    snapshot_commit(v2, root, allow_schema_change=True, column_defaults={"score": 100})
+    latest = snapshot_read(spark, root)
+    assert [f.dataType for f in latest.schema.fields if f.name == "k"] == [LongType()]
+    got = {r.k: (r.name, r.score) for r in latest.collect()}
+    assert got[0] == ("a", 100) and got[4] == ("b", 40)  # default fills old files
+    # drop `name`
+    v3 = spark.range(6, 8).select(F.col("id").alias("k"), (F.col("id") * 10).alias("score"))
+    snapshot_commit(v3, root, allow_schema_change=True)
+    latest = snapshot_read(spark, root)
+    assert set(latest.columns) == {"k", "score"}
+    assert {r.k: r.score for r in latest.collect()} == {
+        0: 100, 1: 100, 2: 100, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70
+    }
+    # time travel: each version under its own schema
+    assert set(snapshot_read(spark, root, version=1).columns) == {"k", "name"}
+    assert set(snapshot_read(spark, root, version=2).columns) == {"k", "name", "score"}
+
+
+def test_scan_and_lookup_apply_pinned_schema_after_evolution(spark, tmp_path):
+    """Every manifest-driven read path (scan, lookup, changes) applies the
+    version's pinned schema — after an allow_schema_change append, columns
+    added later are present (NULL/default-filled) regardless of which file
+    Spark would have sampled first."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_lookup,
+        snapshot_scan,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 50).coalesce(1), root)
+    evolved = _df(spark, 50, 100).withColumn("w", F.col("id") * 10)
+    snapshot_commit(evolved.coalesce(1), root, allow_schema_change=True)
+    out = snapshot_scan(spark, root, "id", 40, 60)
+    assert set(out.columns) == {"id", "v", "w"}
+    got = {r.id: r.w for r in out.collect()}
+    assert got[40] is None and got[55] == 550
+    assert {r.w for r in snapshot_lookup(spark, root, "id", 10).collect()} == {None}
+    delta = snapshot_changes(spark, root, 1, 2)
+    assert set(delta.columns) == {"id", "v", "w"}
+    assert delta.count() == 50
