@@ -6,11 +6,18 @@ exercises the manifest machinery, and returns a result whose oracle is
 ordinary SQL over the source table — the round trip through commit →
 manifest → pinned read must be lossless, and time travel must return
 exactly the rows of the pinned version regardless of later commits.
+
+Staging-dir lifetime: the returned DataFrames read the staged dataset
+LAZILY, and Spark may re-run any stage later (a second action, an
+evicted cache partition), so the temp roots are NOT deleted when the
+query function returns — they are registered for interpreter-exit
+cleanup instead. Deleting eagerly under a ``.cache()`` was the round-5
+flake: an evicted partition recomputes from a removed directory.
 """
 
 from __future__ import annotations
 
-import os
+import atexit
 import shutil
 import tempfile
 
@@ -27,6 +34,23 @@ from airflow_postgres_csv_spark.queries import register
 
 _SPLIT_KEY = 13  # nation: v1 = keys < 13 (13 rows), v2 appends the rest
 
+_TEMP_ROOTS: list[str] = []
+
+
+def _temp_root() -> str:
+    """A staging dir that outlives the query result: removed at interpreter
+    exit, never while a returned (lazy) DataFrame could still recompute."""
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    _TEMP_ROOTS.append(root)
+    return root
+
+
+@atexit.register
+def _cleanup_temp_roots() -> None:
+    for root in _TEMP_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+    _TEMP_ROOTS.clear()
+
 
 def _staged_versions(spark: SparkSession, sf_dir: str, root: str) -> None:
     nation = load(spark, sf_dir, "nation")
@@ -37,14 +61,9 @@ def _staged_versions(spark: SparkSession, sf_dir: str, root: str) -> None:
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only history; reading version 1 after version 2 committed
     returns exactly v1's rows — the pinned file list, not directory state."""
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        _staged_versions(spark, sf_dir, root)
-        out = snapshot_read(spark, root, version=1).cache()
-        out.count()  # materialize before the temp dir disappears
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("n_nationkey")
+    root = _temp_root()
+    _staged_versions(spark, sf_dir, root)
+    return snapshot_read(spark, root, version=1).orderBy("n_nationkey")
 
 
 register(
@@ -55,14 +74,9 @@ register(
 
 def snapshot_read_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest = v1 files + v2 files: the append union equals the source."""
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        _staged_versions(spark, sf_dir, root)
-        out = snapshot_read(spark, root).cache()
-        out.count()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("n_nationkey")
+    root = _temp_root()
+    _staged_versions(spark, sf_dir, root)
+    return snapshot_read(spark, root).orderBy("n_nationkey")
 
 
 register(
@@ -77,17 +91,14 @@ def snapshot_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation. File counts are layout-dependent, so the deterministic
     observable is the row count of each pinned read."""
     nation = load(spark, sf_dir, "nation")
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    root = _temp_root()
     rows = []
-    try:
-        _staged_versions(spark, sf_dir, root)
-        snapshot_commit(
-            nation.where(F.col("n_nationkey") < _SPLIT_KEY), root, mode="overwrite"
-        )
-        for v in snapshot_versions(root):
-            rows.append((v, snapshot_read(spark, root, version=v).count()))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    _staged_versions(spark, sf_dir, root)
+    snapshot_commit(
+        nation.where(F.col("n_nationkey") < _SPLIT_KEY), root, mode="overwrite"
+    )
+    for v in snapshot_versions(root):
+        rows.append((v, snapshot_read(spark, root, version=v).count()))
     return spark.createDataFrame(rows, "version int, n_rows bigint").orderBy("version")
 
 
@@ -123,31 +134,26 @@ def snapshot_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
         )
 
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) != 0), root)
-        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == 0), root)
-        base = rollup(snapshot_read(spark, root, version=1))
-        delta = rollup(snapshot_changes(spark, root, 1, 2))
-        merged = (
-            base.withColumnRenamed("n", "n_b").withColumnRenamed("cents", "c_b")
-            .join(
-                delta.withColumnRenamed("n", "n_d").withColumnRenamed("cents", "c_d"),
-                "event_type",
-                "full_outer",
-            )
-            .select(
-                "event_type",
-                (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n"),
-                (F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0))).alias(
-                    "total_cents"
-                ),
-            )
-            .cache()
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) != 0), root)
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == 0), root)
+    base = rollup(snapshot_read(spark, root, version=1))
+    delta = rollup(snapshot_changes(spark, root, 1, 2))
+    merged = (
+        base.withColumnRenamed("n", "n_b").withColumnRenamed("cents", "c_b")
+        .join(
+            delta.withColumnRenamed("n", "n_d").withColumnRenamed("cents", "c_d"),
+            "event_type",
+            "full_outer",
         )
-        merged.count()  # materialize before the temp dir disappears
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        .select(
+            "event_type",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n"),
+            (F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0))).alias(
+                "total_cents"
+            ),
+        )
+    )
     return merged.orderBy("event_type")
 
 
@@ -173,20 +179,15 @@ def snapshot_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
 
     docs = load(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 0), root)
-        snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 1), root)
-        snapshot_compact(spark, root)
-        out = (
-            snapshot_read(spark, root)
-            .select("doc_id", "lang", F.md5("text").alias("text_md5"))
-            .cache()
-        )
-        out.count()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("doc_id")
+    root = _temp_root()
+    snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 0), root)
+    snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 1), root)
+    snapshot_compact(spark, root)
+    return (
+        snapshot_read(spark, root)
+        .select("doc_id", "lang", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
 
 
 register(
@@ -209,20 +210,15 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     q = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        for i in range(4):
-            snapshot_commit(
-                orders.where(
-                    (F.col("o_orderkey") >= q[i]) & (F.col("o_orderkey") < q[i + 1])
-                ).coalesce(1),
-                root,
-            )
-        out = snapshot_scan(spark, root, "o_orderkey", q[1], q[2] - 1).cache()
-        out.count()  # materialize before the temp dir disappears
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("o_orderkey")
+    root = _temp_root()
+    for i in range(4):
+        snapshot_commit(
+            orders.where(
+                (F.col("o_orderkey") >= q[i]) & (F.col("o_orderkey") < q[i + 1])
+            ).coalesce(1),
+            root,
+        )
+    return snapshot_scan(spark, root, "o_orderkey", q[1], q[2] - 1).orderBy("o_orderkey")
 
 
 register(
@@ -246,21 +242,16 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
 
     nation = load(spark, sf_dir, "nation")
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        _staged_versions(spark, sf_dir, root)
-        updates = nation.where(F.pmod("n_nationkey", F.lit(5)) == 0).withColumn(
-            "n_name", F.concat("n_name", F.lit("*"))
-        )
-        inserted = spark.createDataFrame([(999, "ATLANTIS", 0)], nation.schema)
-        snapshot_merge(
-            spark, root, updates.unionByName(inserted), key="n_nationkey"
-        )
-        out = snapshot_read(spark, root).cache()
-        out.count()  # materialize before the temp dir disappears
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("n_nationkey")
+    root = _temp_root()
+    _staged_versions(spark, sf_dir, root)
+    updates = nation.where(F.pmod("n_nationkey", F.lit(5)) == 0).withColumn(
+        "n_name", F.concat("n_name", F.lit("*"))
+    )
+    inserted = spark.createDataFrame([(999, "ATLANTIS", 0)], nation.schema)
+    snapshot_merge(
+        spark, root, updates.unionByName(inserted), key="n_nationkey"
+    )
+    return snapshot_read(spark, root).orderBy("n_nationkey")
 
 
 register(
@@ -275,6 +266,142 @@ register(
     ORDER BY n_nationkey
     """,
 )(snapshot_merge_upsert)
+
+
+def snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes: a range delete (every 'error' event) and a
+    point delete (the minimum event id) land as metadata+tombstone commits
+    that rewrite NOTHING — the delete-key files are applied as broadcast
+    anti-joins at read time. The oracle is the plain ``WHERE NOT``
+    formulation; the no-data-files-written assertion lives in
+    tests/test_snapshots.py. At 100 TB this is the GDPR trickle-delete
+    path: O(deleted keys) bytes per delete instead of a file rewrite."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mn = events.agg(F.min("event_id")).first()[0]
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 0), root)
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 1), root)
+    snapshot_delete_mor(spark, root, "event_type = 'error'", key_col="event_id")
+    snapshot_delete_mor(spark, root, f"event_id = {mn}", key_col="event_id")
+    return snapshot_read(spark, root).orderBy("event_id")
+
+
+register(
+    "snapshot_delete_mor",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT (event_type = 'error')
+      AND NOT (event_id = (SELECT MIN(event_id) FROM events))
+    ORDER BY event_id
+    """,
+)(snapshot_delete_mor)
+
+
+def snapshot_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level pruning from the ROOT manifest alone: events land
+    as one commit per event_type (the partition-batch ingest shape), so
+    each commit's range on the partition column is a single value and an
+    equality scan prunes four of five commits WITHOUT reading any per-file
+    sidecar — the 100 TB read path's first filter, answered from one JSON.
+    The commits/sidecars-touched assertions live in tests/test_snapshots.py;
+    the oracle certifies the surviving rows."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_scan
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    root = _temp_root()
+    for t in sorted(types):
+        snapshot_commit(
+            events.where(F.col("event_type") == t),
+            root,
+            partition_by=["event_type"],
+        )
+    return snapshot_scan(
+        spark, root, ranges={"event_type": ("purchase", "purchase")}
+    ).orderBy("event_id")
+
+
+register(
+    "snapshot_partition_pruned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)(snapshot_partition_pruned)
+
+
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-evolution grid across time travel, oracle-checked: v1
+    writes (key, name); v2 widens key int→bigint and ADDS ``score`` with
+    initial default -1; v3 DROPS ``name``. Reading every version under its
+    own pinned manifest schema: pre-evolution files default-fill the added
+    column and cast the widened one; post-drop reads prune the dropped
+    column — never whichever schema Spark samples first. The oracle
+    replays the per-version projections with CASE over the source."""
+    nation = load(spark, sf_dir, "nation")
+    root = _temp_root()
+    v1 = nation.where(F.col("n_nationkey") < 13).select(
+        F.col("n_nationkey").cast("int").alias("key"), F.col("n_name").alias("name")
+    )
+    snapshot_commit(v1, root)
+    v2 = nation.where((F.col("n_nationkey") >= 13) & (F.col("n_nationkey") < 20)).select(
+        F.col("n_nationkey").cast("bigint").alias("key"),
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey").cast("bigint") * 10).alias("score"),
+    )
+    snapshot_commit(v2, root, allow_schema_change=True, column_defaults={"score": -1})
+    v3 = nation.where(F.col("n_nationkey") >= 20).select(
+        F.col("n_nationkey").cast("bigint").alias("key"),
+        (F.col("n_nationkey").cast("bigint") * 10).alias("score"),
+    )
+    snapshot_commit(v3, root, allow_schema_change=True)
+    reads = []
+    for v in (1, 2, 3):
+        df = snapshot_read(spark, root, version=v)
+        cols = [F.lit(v).alias("version"), F.col("key").cast("bigint").alias("key")]
+        cols.append(
+            F.col("name").alias("name") if "name" in df.columns
+            else F.lit(None).cast("string").alias("name")
+        )
+        cols.append(
+            F.col("score").cast("bigint").alias("score") if "score" in df.columns
+            else F.lit(None).cast("bigint").alias("score")
+        )
+        reads.append(df.select(*cols))
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("version", "key")
+
+
+register(
+    "snapshot_schema_evolution",
+    """
+    SELECT 1 AS version, CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
+           CAST(NULL AS BIGINT) AS score
+    FROM nation WHERE n_nationkey < 13
+    UNION ALL
+    SELECT 2, CAST(n_nationkey AS BIGINT), n_name,
+           CASE WHEN n_nationkey < 13 THEN -1
+                ELSE CAST(n_nationkey AS BIGINT) * 10 END
+    FROM nation WHERE n_nationkey < 20
+    UNION ALL
+    SELECT 3, CAST(n_nationkey AS BIGINT), CAST(NULL AS VARCHAR),
+           CASE WHEN n_nationkey < 13 THEN -1
+                ELSE CAST(n_nationkey AS BIGINT) * 10 END
+    FROM nation
+    ORDER BY version, key
+    """,
+)(snapshot_schema_evolution)
 
 
 def pipeline_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,23 +433,14 @@ def pipeline_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "h")
         )
 
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        snapshot_commit(docs.where(F.col("doc_id") <= mid), root)
-        snapshot_commit(docs.where(F.col("doc_id") > mid), root)
-        seen = curate(snapshot_read(spark, root, version=1))
-        fresh = curate(snapshot_changes(spark, root, 1, 2)).join(
-            seen.select("h"), "h", "left_anti"
-        )
-        out = (
-            seen.unionByName(fresh)
-            .select("doc_id", "lang")
-            .cache()
-        )
-        out.count()  # materialize before the temp dir disappears
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("doc_id")
+    root = _temp_root()
+    snapshot_commit(docs.where(F.col("doc_id") <= mid), root)
+    snapshot_commit(docs.where(F.col("doc_id") > mid), root)
+    seen = curate(snapshot_read(spark, root, version=1))
+    fresh = curate(snapshot_changes(spark, root, 1, 2)).join(
+        seen.select("h"), "h", "left_anti"
+    )
+    return seen.unionByName(fresh).select("doc_id", "lang").orderBy("doc_id")
 
 
 register(
@@ -396,22 +514,17 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
-    try:
-        for res in range(4):
-            snapshot_commit(
-                cust.where(F.pmod("c_custkey", F.lit(4)) == res).coalesce(1),
-                root,
-                bloom_cols=["c_custkey"],
-            )
-        out = None
-        for key in _LOOKUP_KEYS:
-            hit = snapshot_lookup(spark, root, "c_custkey", key)
-            out = hit if out is None else out.unionByName(hit)
-        out = out.cache()
-        out.count()  # materialize before the temp dir disappears
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    root = _temp_root()
+    for res in range(4):
+        snapshot_commit(
+            cust.where(F.pmod("c_custkey", F.lit(4)) == res).coalesce(1),
+            root,
+            bloom_cols=["c_custkey"],
+        )
+    out = None
+    for key in _LOOKUP_KEYS:
+        hit = snapshot_lookup(spark, root, "c_custkey", key)
+        out = hit if out is None else out.unionByName(hit)
     return out.orderBy("c_custkey")
 
 

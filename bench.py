@@ -97,6 +97,11 @@ HEADLINE = [
     "snapshot_incremental_rollup",
     "snapshot_pruned_scan",
     "pipeline_snapshot_curation",
+    # round-6 additions: the snapshot WRITE path (COW merge rewrite,
+    # merge-on-read delete commits) — the most expensive maintenance
+    # operators, previously untimed
+    "snapshot_merge_upsert",
+    "snapshot_delete_mor",
 ]
 
 

@@ -735,3 +735,44 @@ def test_scan_and_lookup_apply_pinned_schema_after_evolution(spark, tmp_path):
     delta = snapshot_changes(spark, root, 1, 2)
     assert set(delta.columns) == {"id", "v", "w"}
     assert delta.count() == 50
+
+
+def test_partition_batch_commits_prune_from_root_manifest_alone(spark, tmp_path):
+    """One commit per partition value (the ingest-batch shape): an
+    equality scan answers partition pruning from the root manifest's
+    commit-level ranges — 4 of 5 commits skipped with exactly ONE sidecar
+    read — and still returns exactly the right rows."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    cats = ["a", "b", "c", "d", "e"]
+    for i, cat in enumerate(cats):
+        part = spark.range(i * 20, i * 20 + 20).select(
+            F.col("id"), F.lit(cat).alias("cat")
+        )
+        snapshot_commit(part, root, partition_by=["cat"])
+    plan = snapshot_scan_files(root, ranges={"cat": ("c", "c")})
+    assert plan["commits_skipped"] == 4 and plan["sidecars_loaded"] == 1, plan
+    got = sorted(
+        r.id for r in snapshot_scan(spark, root, ranges={"cat": ("c", "c")}).collect()
+    )
+    assert got == list(range(40, 60))
+
+
+def test_snapshot_query_survives_total_cache_eviction(spark, sf_dir):
+    """The round-5 flake class: a registered snapshot query whose staged
+    temp dataset was deleted while its (cached) result could still
+    recompute. The staging dirs now outlive the result, so even a total
+    cache wipe between actions recomputes cleanly."""
+    from airflow_postgres_csv_spark.queries.snapshot_queries import (
+        snapshot_time_travel,
+    )
+
+    out = snapshot_time_travel(spark, sf_dir)
+    first = out.count()
+    spark.catalog.clearCache()  # hostile eviction of EVERY cached partition
+    rows = out.collect()
+    assert len(rows) == first and rows[0].n_nationkey == 0
