@@ -597,9 +597,10 @@ def _read_pinned(
 
 
 def snapshot_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession, root: str, version: int | str | None = None
 ) -> DataFrame:
     """Read a pinned version (default: latest) via its exact file list.
+    ``version`` may be a number or a tag name (``snapshot_tag``).
 
     The VERSION's schema (from the manifest) is applied explicitly — see
     ``_read_pinned`` for the schema-evolution alignment rules — and any
@@ -609,6 +610,7 @@ def snapshot_read(
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
+    version = resolve_version(root, version)
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -1098,6 +1100,91 @@ def snapshot_delete_mor(
     return _publish(root, versions, body, commit_id, None)
 
 
+def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
+    """Undo as a FORWARD commit: publish a new version whose logical state
+    (file list, schema, tombstones, per-commit metadata) is exactly
+    ``to_version``'s. History is never rewritten — the bad versions stay
+    time-travelable until ``snapshot_expire`` — and readers switch over at
+    the same atomic manifest link as any commit. This is the production
+    mistake-recovery path: O(manifest) metadata, zero data movement.
+    """
+    versions = snapshot_versions(root)
+    if to_version not in versions:
+        raise FileNotFoundError(f"version {to_version} not in {versions}")
+    target = _load_manifest(root, to_version)
+    commit_id = uuid.uuid4().hex[:12]
+    body = {
+        k: target[k]
+        for k in (
+            "files", "n_files", "schema", "commit_schemas", "sidecars",
+            "commit_ranges", "tombstones",
+        )
+        if k in target
+    }
+    for k in ("bloom", "defaults", "partition_spec", "last_batch_id"):
+        if k in target:
+            body[k] = target[k]
+    # the batch-id high-water mark must never move backwards (the gate
+    # max-scans retained manifests, but keep the latest authoritative)
+    latest = _load_manifest(root, versions[-1])
+    if latest.get("last_batch_id", -1) > body.get("last_batch_id", -1):
+        body["last_batch_id"] = latest["last_batch_id"]
+    body.update(mode="rollback", commit_id=commit_id, rolled_back_to=to_version)
+    return _publish(root, versions, body, commit_id, None)
+
+
+def _tags_dir(root: str) -> str:
+    return os.path.join(root, _MANIFEST_DIR, "tags")
+
+
+def snapshot_tag(root: str, name: str, version: int | None = None) -> dict:
+    """Name a version (``'train-v3'`` → version N): the reproducibility
+    ref a training run records instead of a raw number. Tags are tiny
+    JSON files swapped in atomically (re-tagging replaces); a tagged
+    version is protected from ``snapshot_expire``."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    versions = snapshot_versions(root)
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    os.makedirs(_tags_dir(root), exist_ok=True)
+    path = os.path.join(_tags_dir(root), f"{name}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": version}, f)
+    os.replace(tmp, path)  # atomic: readers see old tag or new, never torn
+    return {"name": name, "version": version}
+
+
+def snapshot_tags(root: str) -> dict[str, int]:
+    """All tags, name → version."""
+    tdir = _tags_dir(root)
+    if not os.path.isdir(tdir):
+        return {}
+    out = {}
+    for fname in os.listdir(tdir):
+        if fname.endswith(".json") and ".tmp-" not in fname:
+            try:
+                with open(os.path.join(tdir, fname)) as f:
+                    t = json.load(f)
+                out[t["name"]] = t["version"]
+            except (OSError, ValueError, KeyError):
+                continue
+    return out
+
+
+def resolve_version(root: str, version: int | str | None) -> int | None:
+    """Resolve a tag name to its version number (ints pass through)."""
+    if isinstance(version, str):
+        tags = snapshot_tags(root)
+        if version not in tags:
+            raise FileNotFoundError(f"no tag {version!r} (tags: {sorted(tags)})")
+        return tags[version]
+    return version
+
+
 def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data
     files, delete (tombstone) files, stats sidecars, and then-empty commit
@@ -1105,16 +1192,19 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
 
     Orphaned commit dirs and sidecars from crashed/lost commits (data
     written, manifest link never happened) are collected too: they are
-    unreferenced by construction. Time travel to an expired version stops
-    working — that is the contract (pin retention to the reproducibility
-    window). Must not run concurrently with an in-flight commit (the
-    usual GC-vs-writer caveat): a commit's staged files look orphaned
-    until its manifest links.
+    unreferenced by construction. TAGGED versions (``snapshot_tag``) are
+    always retained regardless of ``keep_last`` — a named training
+    snapshot cannot be GC'd out from under its run. Time travel to an
+    expired version stops working — that is the contract (pin retention
+    to the reproducibility window). Must not run concurrently with an
+    in-flight commit (the usual GC-vs-writer caveat): a commit's staged
+    files look orphaned until its manifest links.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(root)
-    keep = versions[-keep_last:]
+    tagged = set(snapshot_tags(root).values())
+    keep = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
     drop = [v for v in versions if v not in keep]
     referenced: set[str] = set()
     referenced_sidecars: set[str] = set()

@@ -776,3 +776,50 @@ def test_snapshot_query_survives_total_cache_eviction(spark, sf_dir):
     spark.catalog.clearCache()  # hostile eviction of EVERY cached partition
     rows = out.collect()
     assert len(rows) == first and rows[0].n_nationkey == 0
+
+
+def test_rollback_is_forward_commit_preserving_history(spark, tmp_path):
+    """Rollback publishes a NEW version with the target's logical state:
+    zero data movement, bad versions still time-travelable, and the
+    streaming gate's batch-id high-water mark never moves backwards."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_rollback,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import snapshot_batch_commit
+
+    root = str(tmp_path / "snap")
+    snapshot_batch_commit(_df(spark, 0, 10), 0, root)  # v1, batch 0
+    snapshot_commit(_df(spark, 10, 999).where("id < 20"), root)  # v2: bad batch
+    m = snapshot_rollback(spark, root, to_version=1)
+    assert m["version"] == 3 and m["mode"] == "rollback" and m["rolled_back_to"] == 1
+    assert m["files"] == _load_manifest(root, 1)["files"]
+    assert snapshot_read(spark, root).count() == 10
+    assert snapshot_read(spark, root, version=2).count() == 20  # history intact
+    # the replayed batch 0 is STILL skipped after rollback (gate not reset)
+    assert snapshot_batch_commit(_df(spark, 0, 10), 0, root) is False
+
+
+def test_tags_resolve_in_reads_and_protect_from_expire(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_expire,
+        snapshot_tag,
+        snapshot_tags,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_tag(root, "train-v1")  # defaults to latest
+    snapshot_commit(_df(spark, 10, 30), root)
+    snapshot_commit(_df(spark, 100, 103), root, mode="overwrite")
+    assert snapshot_tags(root) == {"train-v1": 1}
+    assert snapshot_read(spark, root, version="train-v1").count() == 10
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        snapshot_read(spark, root, version="nope")
+    # expire keeps the tagged version alive alongside the latest
+    res = snapshot_expire(root, keep_last=1)
+    assert res["kept_versions"] == [1, 3] and res["expired_versions"] == [2]
+    assert snapshot_read(spark, root, version="train-v1").count() == 10
+    # re-tagging replaces atomically
+    snapshot_tag(root, "train-v1", version=3)
+    assert snapshot_read(spark, root, version="train-v1").count() == 3
