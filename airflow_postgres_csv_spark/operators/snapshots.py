@@ -308,10 +308,16 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
         },
     }
     tombstones = []
+    fileset = set(files)
     for t in prev.get("tombstones", []):
-        applies = sorted(set(t["commits"]) & cids)
-        if applies:
-            tombstones.append({**t, "commits": applies})
+        if t.get("kind") == "positional":
+            applies = sorted(set(t["applies"]) & fileset)
+            if applies:
+                tombstones.append({**t, "applies": applies})
+        else:
+            applies = sorted(set(t["commits"]) & cids)
+            if applies:
+                tombstones.append({**t, "commits": applies})
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec"):
         if key in prev:
@@ -530,12 +536,29 @@ def _publish(
     return manifest
 
 
+def _tombstone_applies(t: dict, cid: str, rel: str) -> bool:
+    """Whether one tombstone covers one pinned file: equality tombstones
+    are scoped by COMMIT (rows appended after the delete are exempt),
+    positional tombstones by the exact FILES whose row positions they
+    address (a rewrite of the file invalidates — and removes — them)."""
+    if t.get("kind") == "positional":
+        return rel in t["applies"]
+    return cid in t["commits"]
+
+
+# rel-path extractor matching the data layout root/data/{commit}/{file}:
+# anchored at the path end so a 'data' component earlier in the ROOT path
+# can never match (it would be followed by more than two segments).
+_REL_FROM_URI = r"data/[^/]+/[^/]+$"
+
+
 def _read_pinned(
     spark: SparkSession,
     root: str,
     manifest: dict,
     rels: list[str],
     apply_tombstones: bool = True,
+    with_position: bool = False,
 ) -> DataFrame:
     """Read pinned files under the MANIFEST's schema (never whichever
     schema Spark samples from mixed-schema file sets).
@@ -546,23 +569,38 @@ def _read_pinned(
     dropped columns are pruned, widened columns cast (int→long,
     float→double: the parquet pages are read as written, the cast happens
     in the scan projection). Merge-on-read tombstones applicable to a
-    file's commit are applied as broadcast anti-joins on the recorded key
-    column before alignment. Grouping is by (schema, tombstone-set), so
-    the plan stays one union of pruned scans — no shuffle is introduced.
+    file are applied as broadcast anti-joins before alignment — equality
+    tombstones on their recorded key column, positional tombstones on
+    (file, row_index) via the parquet reader's ``_metadata`` columns.
+    Grouping is by (schema, tombstone-set), so the plan stays one union
+    of pruned scans — no shuffle is introduced.
+
+    ``with_position=True`` appends ``__file`` (manifest-relative path)
+    and ``__pos`` (row index within the file) columns — the address a
+    positional delete records.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     version_schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not rels:
-        return spark.createDataFrame([], version_schema)
+        out = spark.createDataFrame([], version_schema)
+        if with_position:
+            out = out.select(
+                "*",
+                F.lit(None).cast("string").alias("__file"),
+                F.lit(None).cast("long").alias("__pos"),
+            )
+        return out
     commit_schemas = manifest.get("commit_schemas", {})
     tombs = manifest.get("tombstones", []) if apply_tombstones else []
     groups: dict[tuple, list[str]] = {}
     for rel in rels:
         cid = _commit_of(rel)
         sj = commit_schemas.get(cid, manifest["schema"])
-        tids = tuple(i for i, t in enumerate(tombs) if cid in t["commits"])
+        tids = tuple(
+            i for i, t in enumerate(tombs) if _tombstone_applies(t, cid, rel)
+        )
         groups.setdefault((sj, tids), []).append(rel)
     parts = []
     for (sj, tids), group in sorted(groups.items()):
@@ -570,10 +608,26 @@ def _read_pinned(
         df = spark.read.schema(written).parquet(
             *[os.path.join(root, rel) for rel in group]
         )
+        need_pos = with_position or any(
+            tombs[i].get("kind") == "positional" for i in tids
+        )
+        if need_pos:
+            df = df.select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), _REL_FROM_URI, 0
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         for i in tids:
             t = tombs[i]
             keys = spark.read.parquet(*[os.path.join(root, f) for f in t["files"]])
-            df = df.join(F.broadcast(keys), on=t["key_col"], how="left_anti")
+            if t.get("kind") == "positional":
+                cond = (df["__file"] == keys["file"]) & (df["__pos"] == keys["pos"])
+                df = df.join(F.broadcast(keys), on=cond, how="left_anti")
+            else:
+                df = df.join(F.broadcast(keys), on=t["key_col"], how="left_anti")
+        extra_cols = ["__file", "__pos"] if with_position else []
         if sj != manifest["schema"]:
             defaults = manifest.get("defaults", {})
             have = {f.name: f.dataType for f in written.fields}
@@ -588,7 +642,9 @@ def _read_pinned(
                     cols.append(
                         F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name)
                     )
-            df = df.select(*cols)
+            df = df.select(*cols, *[F.col(c) for c in extra_cols])
+        elif need_pos and not with_position:
+            df = df.drop("__file", "__pos")
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -1094,6 +1150,69 @@ def snapshot_delete_mor(
                 "predicate": condition,
                 "files": delete_files,
                 "commits": sorted({_commit_of(r) for r in manifest["files"]}),
+                "n_keys": n_keys,
+            }
+        ]
+    return _publish(root, versions, body, commit_id, None)
+
+
+def snapshot_delete_positional(
+    spark: SparkSession, root: str, condition: str
+) -> dict:
+    """Merge-on-read DELETE by ROW POSITION: the delete-vector shape.
+
+    Where ``snapshot_delete_mor`` records deleted KEY VALUES (requires a
+    unique key column; removes every row sharing a key),
+    this records (file, row_index) addresses via the parquet reader's
+    ``_metadata`` columns — no key column needed, exact rows only, so it
+    works on tables with duplicate keys and conditions over any columns.
+    The commit rewrites NOTHING: one scan finds the matching positions,
+    O(deleted rows) address pairs land in a delete file, and reads apply
+    them as a broadcast anti-join on (file, row_index). Positional
+    tombstones bind to the exact files they address: a rewrite
+    (merge/COW-delete/compact) reads through the tombstones and then
+    drops them with the files they covered, and rows in files appended
+    later are exempt by construction. This is Iceberg's positional
+    delete / Delta's deletion-vector design point expressed over plain
+    parquet + JSON.
+    """
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    from pyspark.sql import functions as F
+
+    src = _read_pinned(
+        spark, root, manifest, manifest["files"], with_position=True
+    )
+    keys = src.where(F.expr(condition)).select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+    rows = keys.groupBy("file").count().collect()
+    commit_id = uuid.uuid4().hex[:12]
+    body = _inherit_maps(manifest, manifest["files"])
+    if manifest.get("bloom"):
+        body["bloom"] = manifest["bloom"]
+    body.update(
+        mode="delete-positional", commit_id=commit_id,
+        files=list(manifest["files"]), n_files=manifest["n_files"],
+        schema=manifest["schema"],
+    )
+    n_keys = sum(int(r["count"]) for r in rows)
+    if n_keys:
+        delete_dir = os.path.join(root, _DATA_DIR, commit_id)
+        keys.coalesce(1).write.mode("error").parquet(delete_dir)
+        delete_files = sorted(
+            os.path.join(_DATA_DIR, commit_id, name)
+            for name in os.listdir(delete_dir)
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
+        )
+        body["tombstones"] = list(body.get("tombstones", [])) + [
+            {
+                "kind": "positional",
+                "predicate": condition,
+                "files": delete_files,
+                "applies": sorted(str(r["file"]) for r in rows),
                 "n_keys": n_keys,
             }
         ]

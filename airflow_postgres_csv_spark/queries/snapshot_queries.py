@@ -536,3 +536,37 @@ register(
     ORDER BY c_custkey
     """,
 )(snapshot_bloom_lookup)
+
+
+def snapshot_delete_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional delete vectors, oracle-checked: a predicate over
+    NON-KEY columns deletes exact (file, row_index) addresses — no unique
+    key required, nothing rewritten — and a second stacked vector
+    composes. The oracle is the plain conjunction of WHERE NOTs. The
+    no-data-files / exact-rows / duplicate-key assertions live in
+    tests/test_snapshots.py."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_positional as delete_positional,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 0), root)
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 1), root)
+    delete_positional(spark, root, "event_type = 'view' AND value < 50.0")
+    delete_positional(spark, root, "user_id % 10 = 3")
+    return snapshot_read(spark, root).orderBy("event_id")
+
+
+register(
+    "snapshot_delete_positional",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT (event_type = 'view' AND value < 50.0)
+      AND NOT (user_id % 10 = 3)
+    ORDER BY event_id
+    """,
+)(snapshot_delete_positional)

@@ -823,3 +823,67 @@ def test_tags_resolve_in_reads_and_protect_from_expire(spark, tmp_path):
     # re-tagging replaces atomically
     snapshot_tag(root, "train-v1", version=3)
     assert snapshot_read(spark, root, version="train-v1").count() == 3
+
+
+def test_delete_positional_exact_rows_no_key_needed(spark, tmp_path):
+    """Positional delete vectors: address rows by (file, row_index), so
+    duplicate-key tables delete EXACTLY the matching rows — no unique key
+    required — and the commit writes no data files. Compaction folds the
+    vectors like any tombstone."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_delete_positional,
+    )
+
+    root = str(tmp_path / "snap")
+    # duplicate ids with distinct payloads: (id, v) pairs (0..49, v=id*2)
+    # plus a second copy of ids 0..9 with v = -1
+    dup = spark.range(10).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+    snapshot_commit(_df(spark, 0, 50).coalesce(1), root)
+    snapshot_commit(dup.coalesce(1), root)
+    m2 = _load_manifest(root, 2)
+    # delete only the duplicate copies (v = -1) of ids < 5: an equality
+    # delete on id would wrongly remove the originals too
+    m3 = snapshot_delete_positional(spark, root, "v = -1 AND id < 5")
+    assert m3["files"] == m2["files"]  # no data file rewritten
+    t = m3["tombstones"][0]
+    assert t["kind"] == "positional" and t["n_keys"] == 5
+    got = sorted((r.id, r.v) for r in snapshot_read(spark, root).collect())
+    expect = sorted(
+        [(i, i * 2) for i in range(50)] + [(i, -1) for i in range(5, 10)]
+    )
+    assert got == expect
+    # stacking an equality MOR delete on top composes
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    snapshot_delete_mor(spark, root, "id = 40", key_col="id")
+    got = sorted((r.id, r.v) for r in snapshot_read(spark, root).collect())
+    assert got == [p for p in expect if p[0] != 40]
+    # compaction folds both tombstone kinds
+    m = snapshot_compact(spark, root)
+    assert m["tombstones"] == []
+    got2 = sorted((r.id, r.v) for r in snapshot_read(spark, root).collect())
+    assert got2 == [p for p in expect if p[0] != 40]
+
+
+def test_delete_positional_scoped_to_addressed_files(spark, tmp_path):
+    """A positional tombstone binds to the exact files it addresses:
+    appends after the delete are exempt even when their rows match the
+    original predicate, and a no-match delete is a metadata-only bump."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_positional,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 20).coalesce(1), root)
+    snapshot_delete_positional(spark, root, "id >= 15")
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == list(range(15))
+    # re-append rows matching the old predicate: exempt
+    snapshot_commit(_df(spark, 15, 18).coalesce(1), root)
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == list(
+        range(18)
+    )
+    m = snapshot_delete_positional(spark, root, "id > 9000")
+    assert m["tombstones"][0]["n_keys"] == 5 or len(m["tombstones"]) == 1  # old one carried, no new
+    assert snapshot_read(spark, root).count() == 18
