@@ -570,3 +570,119 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_delete_positional)
+
+
+def streaming_snapshot_feed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot dataset consumed AS A LIVE STREAM: three commits staged
+    from the events fixture, then an actual ``readStream.format(
+    "snapshot_feed")`` (the Spark 4 Python Data Source streaming reader in
+    ``streaming/snapshot_source.py``) driven to a memory sink. Offsets are
+    snapshot versions, partitions are the appended files, rows carry a
+    ``_commit_version`` provenance column — and because the commits split
+    the fixture by ``event_id % 3``, the oracle can reconstruct each row's
+    commit version arithmetically. Determinism: all three versions exist
+    at stream start, so ``latestOffset`` covers them in one micro-batch
+    and append mode emits every row exactly once (the exactly-once
+    restart/delete/rewrite semantics are unit-tested in
+    tests/test_snapshot_source.py, where multi-batch timing belongs)."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.streaming.snapshot_source import (
+        register_snapshot_feed,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = _temp_root()
+    for r in range(3):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == r), root)
+    register_snapshot_feed(spark)
+    name = f"snapfeed_{_uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_id")
+
+
+register(
+    "streaming_snapshot_feed_live",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(event_id % 3 + 1 AS BIGINT) AS _commit_version
+    FROM events
+    ORDER BY event_id
+    """,
+)(streaming_snapshot_feed_live)
+
+
+def pipeline_snapshot_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental lakehouse loop, live and exactly-once on BOTH
+    sides: bronze snapshot commits → ``snapshot_feed`` streaming source →
+    row-level curation → exactly-once snapshot STREAM SINK (batch-id gate
+    inside the atomic publish) → silver snapshot read. Run twice: the
+    first pump processes bronze versions 1-2, then a third bronze commit
+    lands and a checkpointed restart pumps ONLY the delta into silver —
+    so the silver table equals the plain filtered SELECT over all events
+    exactly when offsets, the version-range file diff, the batch-id gate,
+    and the restart path all compose correctly. O(appended data) per
+    pump, never O(table)."""
+    from airflow_postgres_csv_spark.streaming.sinks import start_snapshot_sink
+    from airflow_postgres_csv_spark.streaming.snapshot_source import (
+        register_snapshot_feed,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    bronze, silver, ckpt = _temp_root(), _temp_root(), _temp_root()
+    register_snapshot_feed(spark)
+
+    def pump() -> None:
+        curated = (
+            spark.readStream.format("snapshot_feed")
+            .option("root", bronze)
+            .load()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.col("value").cast("decimal(18,2)").cast("double").alias("amount"),
+                "_commit_version",
+            )
+        )
+        q = start_snapshot_sink(curated, silver, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == 0), bronze)
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == 1), bronze)
+    pump()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == 2), bronze)
+    pump()  # checkpointed restart: only bronze version 3 flows
+    return snapshot_read(spark, silver).orderBy("event_id")
+
+
+register(
+    "pipeline_snapshot_medallion",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+           CAST(event_id % 3 + 1 AS BIGINT) AS _commit_version
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)(pipeline_snapshot_medallion)

@@ -102,6 +102,10 @@ HEADLINE = [
     # operators, previously untimed
     "snapshot_merge_upsert",
     "snapshot_delete_mor",
+    # late round 6: the snapshot STREAMING READ path (Python Data Source
+    # feed + the full medallion loop with the exactly-once sink)
+    "streaming_snapshot_feed_live",
+    "pipeline_snapshot_medallion",
 ]
 
 

@@ -1,0 +1,108 @@
+"""snapshot_feed streaming source (streaming/snapshot_source.py): version
+offsets, exactly-once restart, non-append failure modes, schema evolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_commit,
+    snapshot_compact,
+    snapshot_delete_mor,
+)
+from airflow_postgres_csv_spark.streaming.snapshot_source import (
+    register_snapshot_feed,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def _pump(spark, root, ckpt, out, **options):
+    reader = spark.readStream.format("snapshot_feed").option("root", root)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
+
+
+def test_incremental_exactly_once_across_restarts(spark, tmp_path):
+    """Each commit's rows are delivered once with their commit version; a
+    checkpointed restart reads only versions committed since, and a replay
+    with no new commits appends nothing."""
+    root, ckpt, out = (str(tmp_path / d) for d in ("snap", "ckpt", "out"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_commit(_df(spark, 10, 15), root)
+    r = _pump(spark, root, ckpt, out)
+    assert r.count() == 15
+    versions = dict(
+        (row["_commit_version"], row["n"])
+        for row in r.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    )
+    assert versions == {1: 10, 2: 5}
+    # new commit -> restart picks up exactly the delta
+    snapshot_commit(_df(spark, 15, 18), root)
+    r = _pump(spark, root, ckpt, out)
+    assert r.count() == 18
+    assert r.select("id").distinct().count() == 18
+    # replay with nothing new -> no duplicates
+    r = _pump(spark, root, ckpt, out)
+    assert r.count() == 18
+    assert sorted(x["id"] for x in r.collect()) == list(range(18))
+
+
+def test_non_append_commits_fail_loudly(spark, tmp_path):
+    """A MOR delete (tombstone change) fails the stream unless
+    ignoreDeletes=true; a compaction (file rewrite) always fails —
+    the file delta is not a row delta."""
+    import pytest
+
+    root, ckpt, out = (str(tmp_path / d) for d in ("snap", "ckpt", "out"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    _pump(spark, root, ckpt, out)
+    snapshot_delete_mor(spark, root, "id = 3", key_col="id")
+    with pytest.raises(Exception, match="delete"):
+        _pump(spark, root, ckpt, out)
+    r = _pump(spark, root, ckpt, out, ignoreDeletes="true")
+    assert r.count() == 10  # delete commit skipped, no new data files
+    snapshot_commit(_df(spark, 10, 12).coalesce(1), root)
+    assert _pump(spark, root, ckpt, out, ignoreDeletes="true").count() == 12
+    snapshot_compact(spark, root)
+    with pytest.raises(Exception, match="rewrote"):
+        _pump(spark, root, ckpt, out, ignoreDeletes="true")
+
+
+def test_schema_evolution_and_starting_version(spark, tmp_path):
+    """Files written under an older commit schema are default-filled to the
+    stream's (latest-manifest) schema in Arrow; startingVersion anchors
+    past history."""
+    root, ckpt, out = (str(tmp_path / d) for d in ("snap", "ckpt", "out"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 5).coalesce(1), root)
+    snapshot_commit(
+        _df(spark, 5, 8).withColumn("w", F.lit(7).cast("long")).coalesce(1),
+        root,
+        allow_schema_change=True,
+        column_defaults={"w": 0},
+    )
+    r = _pump(spark, root, ckpt, out)
+    got = sorted((x["id"], x["w"]) for x in r.collect())
+    assert got == [(i, 0) for i in range(5)] + [(i, 7) for i in range(5, 8)]
+    # startingVersion=1 skips the first commit entirely
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    r = _pump(spark, root, ckpt2, out2, startingVersion="1")
+    assert sorted(x["id"] for x in r.collect()) == [5, 6, 7]
