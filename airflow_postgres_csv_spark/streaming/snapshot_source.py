@@ -26,6 +26,16 @@ through Spark 4's public Python Data Source API
   Arrow; no per-row Python. A ``_commit_version`` column records
   provenance, Delta-CDF style.
 
+Deliberately absent: per-trigger rate limiting (a ``maxFilesPerTrigger``
+analog). Python ``DataSourceStreamReader`` exposes neither the ReadLimit
+admission-control hook nor the checkpointed offset before the first
+``latestOffset`` call — and the engine was observed (pyspark 4.1.2) to
+accept a ``latestOffset`` answer BELOW the committed offset, record it,
+and re-read the gap as duplicates. Any cap that can land below a
+checkpoint the reader cannot see risks exactly that, so catch-up batches
+are uncapped until the API grows admission control; bound backfills by
+anchoring ``startingVersion`` instead.
+
 Non-append commits break the "file delta is a row delta" contract and
 fail the stream loudly (re-anchor downstream past the rewrite), with one
 escape hatch: ``ignoreDeletes=true`` skips merge-on-read delete commits
