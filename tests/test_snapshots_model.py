@@ -1,0 +1,127 @@
+"""Model-based property test for the snapshot subsystem: random operation
+sequences (append / MOR-delete / positional-delete / COW-delete / merge /
+compact / rollback) against a plain-Python multiset model.
+
+Two invariants, checked by hypothesis over generated histories:
+
+1. After every operation, ``snapshot_read(latest)`` equals the model —
+   whatever interleaving of tombstone kinds, rewrites, and rollbacks
+   produced it.
+2. After the whole sequence, EVERY historical version still reads as the
+   model state it had when committed (time travel is never corrupted by
+   later commits, rewrites, or tombstone inheritance).
+
+Rows are (id, stamp) pairs where ``stamp`` is the appending op's index,
+so duplicate ids from different appends are distinguishable and
+positional deletes can target one copy of a duplicated key — the case
+equality tombstones cannot express.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_commit,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_delete_mor,
+    snapshot_delete_positional,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_rollback,
+    snapshot_versions,
+)
+
+IDS = 12  # small key domain so deletes/merges collide with appends
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, IDS - 3), st.integers(1, 4)),
+    st.tuples(st.just("delete_mor"), st.integers(0, IDS - 1)),
+    st.tuples(
+        st.just("delete_pos"), st.integers(0, IDS - 1), st.integers(0, 7)
+    ),
+    st.tuples(
+        st.just("cow_delete"), st.integers(0, IDS - 1), st.integers(0, 3)
+    ),
+    st.tuples(st.just("merge"), st.integers(0, IDS - 3), st.integers(1, 3)),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("rollback"), st.integers(0, 30)),
+)
+
+
+def _snapshot_rows(spark, root, version=None):
+    df = snapshot_read(spark, root, version=version)
+    return sorted((r["id"], r["stamp"]) for r in df.collect())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=3, max_size=7))
+def test_random_histories_match_model(spark, tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("snapmodel") / "snap")
+    # model: multiset of (id, stamp); history[v] = model after version v
+    model: list[tuple[int, int]] = []
+    history: dict[int, list[tuple[int, int]]] = {}
+    # version 1 seeds the table so every op kind is applicable
+    model = [(i, 0) for i in range(IDS)]
+    snapshot_commit(
+        spark.createDataFrame(model, "id long, stamp long").coalesce(1), root
+    )
+    history[1] = sorted(model)
+    for opi, op in enumerate(ops, start=1):
+        kind = op[0]
+        if kind == "append":
+            _, lo, n = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            snapshot_commit(
+                spark.createDataFrame(rows, "id long, stamp long").coalesce(1),
+                root,
+            )
+            model = model + rows
+        elif kind == "delete_mor":
+            _, k = op
+            snapshot_delete_mor(spark, root, f"id = {k}", key_col="id")
+            model = [r for r in model if r[0] != k]
+        elif kind == "delete_pos":
+            _, k, s = op
+            snapshot_delete_positional(
+                spark, root, f"id = {k} AND stamp = {s}"
+            )
+            model = [r for r in model if not (r[0] == k and r[1] == s)]
+        elif kind == "cow_delete":
+            _, lo, w = op
+            snapshot_delete(spark, root, "id", lo, lo + w)
+            model = [r for r in model if not (lo <= r[0] <= lo + w)]
+        elif kind == "merge":
+            _, lo, n = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            snapshot_merge(
+                spark,
+                root,
+                spark.createDataFrame(rows, "id long, stamp long").coalesce(1),
+                key="id",
+            )
+            keys = {i for i, _ in rows}
+            model = [r for r in model if r[0] not in keys] + rows
+        elif kind == "compact":
+            snapshot_compact(spark, root)
+        elif kind == "rollback":
+            _, j = op
+            versions = snapshot_versions(root)
+            target = versions[j % len(versions)]
+            snapshot_rollback(spark, root, target)
+            model = list(history[target])
+        v = snapshot_versions(root)[-1]
+        history[v] = sorted(model)
+        assert _snapshot_rows(spark, root) == history[v], (
+            f"latest mismatch after op {opi} {op}"
+        )
+    # time travel: every version still reads as the state it pinned
+    for v, expect in history.items():
+        assert _snapshot_rows(spark, root, version=v) == expect, (
+            f"time travel to v{v} diverged"
+        )
