@@ -1039,3 +1039,184 @@ register(
     FROM base ORDER BY doc_id
     """,
 )(_c4_filter_flags)
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy + charset composition — the low-entropy /
+# encoding-garbage filter every web-corpus pipeline runs (boilerplate, key
+# mash, base64 blobs, wrong-charset mojibake all sit at entropy extremes).
+# Determinism: the only transcendental, ln(count), is rounded to 9 dp and
+# multiplied into an EXACT decimal (count is an exact integer), so the
+# per-doc sum Σ c·ln(c) is an order-independent decimal aggregation — the
+# same discipline as text_unigram_logprob. The final
+# (ln(n) - s/n) / ln 2 is one fixed-shape IEEE expression over identical
+# operands in both engines. Charset ratios are exact integer counts (one
+# final division); ASCII-ness via octet_length (UTF-8 multi-byte ⇔
+# non-ASCII), whitespace/digit via plain char comparisons — no regex, so
+# no RE2-vs-Java class semantics in play. Runs entirely JVM-side:
+# split → explode → two hash aggregations.
+# ---------------------------------------------------------------------------
+
+register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               SUM(CAST(c AS DECIMAL(18,0))
+                   * CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)))
+                   AS s,
+               CAST(SUM(CASE WHEN strlen(ch) > 1 THEN c ELSE 0 END) AS BIGINT) AS n_nonascii,
+               CAST(SUM(CASE WHEN ch = ' ' THEN c ELSE 0 END) AS BIGINT) AS n_space,
+               CAST(SUM(CASE WHEN ch BETWEEN '0' AND '9' THEN c ELSE 0 END) AS BIGINT) AS n_digit
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+           (round(ln(CAST(n_chars AS DOUBLE)), 9) - CAST(s AS DOUBLE) / n_chars)
+               / 0.693147181 AS entropy_bits,
+           CAST(n_nonascii AS DOUBLE) / n_chars AS nonascii_ratio,
+           CAST(n_space AS DOUBLE) / n_chars AS space_ratio,
+           CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum(
+                F.col("c").cast("decimal(18,0)")
+                * F.round(F.log(F.col("c").cast("double")), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("s"),
+            F.sum(
+                F.when(F.octet_length("ch") > 1, F.col("c")).otherwise(0)
+            ).alias("n_nonascii"),
+            F.sum(F.when(F.col("ch") == " ", F.col("c")).otherwise(0)).alias(
+                "n_space"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("ch") >= "0") & (F.col("ch") <= "9"), F.col("c")
+                ).otherwise(0)
+            ).alias("n_digit"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            (
+                (
+                    F.round(F.log(F.col("n_chars").cast("double")), 9)
+                    - F.col("s").cast("double") / F.col("n_chars")
+                )
+                / F.lit(0.693147181)
+            ).alias("entropy_bits"),
+            (F.col("n_nonascii").cast("double") / F.col("n_chars")).alias(
+                "nonascii_ratio"
+            ),
+            (F.col("n_space").cast("double") / F.col("n_chars")).alias(
+                "space_ratio"
+            ),
+            (F.col("n_digit").cast("double") / F.col("n_chars")).alias(
+                "digit_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution KL divergence — the data-mixture drift
+# diagnostic: KL(P_source ‖ P_corpus) over unigram distributions tells you
+# which ingestion source's language deviates from the blend (a crawler gone
+# wrong, a template farm, a language mislabel) BEFORE it trains into the
+# model. KL_s = (1/N_s) · Σ_t c_st · (ln(c_st/N_s) − ln(n_t/N)); each ln is
+# rounded to 9 dp and the Σ is an exact integer × decimal aggregation
+# (order-independent), one final IEEE division — the text_unigram_logprob
+# discipline. Scale shape: two hash aggregations plus a broadcast join of
+# the corpus vocabulary onto the per-source counts; nothing quadratic,
+# no Python.
+# ---------------------------------------------------------------------------
+
+def _source_kl_divergence(spark, sf_dir):
+    # (source, token) counts feed three consumers (corpus vocab, per-source
+    # totals, the joined term sum): localCheckpoint so the explode+agg runs
+    # once instead of per-branch (no ReusedExchange across DataFrame
+    # branches — playbook plan trap).
+    st = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = st.groupBy("tok").agg(F.sum("c").alias("n"))
+    totals = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_total = st.agg(F.sum("c")).first()[0]  # scalar read, metadata-sized
+    term = F.col("c").cast("decimal(18,0)") * (
+        F.round(F.log(F.col("c").cast("double") / F.col("ns")), 9).cast(
+            "decimal(18,9)"
+        )
+        - F.round(F.log(F.col("n").cast("double") / F.lit(n_total)), 9).cast(
+            "decimal(18,9)"
+        )
+    )
+    return (
+        st.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(totals), "source")
+        .groupBy("source", "ns")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(term).alias("s"),
+        )
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "n_distinct_tokens",
+            (F.col("s").cast("double") / F.col("ns")).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "text_source_kl_divergence",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents
+    ), st AS (
+        SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), corpus AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY tok
+    ), totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source
+    ), big AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM st)
+    SELECT st.source,
+           ns AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(CAST(c AS DECIMAL(18,0)) * (
+                    CAST(round(ln(CAST(c AS DOUBLE) / ns), 9) AS DECIMAL(18,9))
+                  - CAST(round(ln(CAST(n AS DOUBLE) / n_total), 9) AS DECIMAL(18,9))
+                )) AS DOUBLE) / ns AS kl_nats
+    FROM st
+    JOIN corpus USING (tok)
+    JOIN totals USING (source)
+    CROSS JOIN big
+    GROUP BY st.source, ns, n_total
+    ORDER BY st.source
+    """,
+)(_source_kl_divergence)
