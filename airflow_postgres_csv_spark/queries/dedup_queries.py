@@ -9,6 +9,7 @@ per-token nibble bits → signed sums → bank blocking → Hamming for SimHash.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.functions import texts as X
@@ -632,3 +633,114 @@ register(
         .orderBy("band_idx")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication SPANS (the ExactSubstr shape from Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL'22):
+# every k-char gram that occurs at ≥2 positions corpus-wide marks its
+# positions duplicated; per doc, overlapping/contiguous duplicated
+# intervals [p, p+k-1] merge into MAXIMAL spans (gaps-and-islands over the
+# sorted positions), yielding the cut-list a span-level cleaner would
+# apply — the repeated boilerplate/licence-block signal that document- and
+# window-level dedup miss. Scale shape: position explode → one hash agg on
+# the gram digest → shuffle join back → per-doc window; the gram table is
+# O(total chars) with a 16-byte digest, never a pairwise comparison. At
+# 100 TB the digest agg is the only corpus-wide shuffle and partitions by
+# hash evenly (grams are near-unique), exactly like the winnowing path.
+# ---------------------------------------------------------------------------
+
+_XS_K = 40  # span gram width in chars
+
+
+def _exact_substring_spans(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        docs.where(F.length("text") >= _XS_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (_XS_K - 1))
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id", "p", F.md5(F.expr(f"substring(text, p, {_XS_K})")).alias("g")
+        )
+        .localCheckpoint(eager=False)  # two consumers: counts + the join back
+    )
+    dup_grams = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") >= 2
+    )
+    dup_pos = grams.join(dup_grams.select("g"), "g").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        dup_pos.withColumn(
+            "brk",
+            F.when(
+                F.lag("p").over(w).isNull()
+                | ((F.col("p") - F.lag("p").over(w)) > _XS_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("brk").over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("p").alias("s"), (F.max("p") + (_XS_K - 1)).alias("e"))
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("s")).alias("n_spans"),
+            F.coalesce(F.sum(F.col("e") - F.col("s") + 1), F.lit(0)).alias(
+                "dup_chars"
+            ),
+            F.first(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_chars",
+            (F.col("dup_chars").cast("double") / F.col("n_chars")).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_exact_substring_spans",
+    f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - {_XS_K - 1})) AS p, text
+        FROM documents WHERE length(text) >= {_XS_K}
+    ), grams AS (
+        SELECT doc_id, p, md5(substr(text, p, {_XS_K})) AS g FROM pos
+    ), dup_grams AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), dup AS (
+        SELECT doc_id, p FROM grams JOIN dup_grams USING (g)
+    ), flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > {_XS_K}
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ), islands AS (
+        SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) + {_XS_K - 1} AS e
+        FROM islands GROUP BY doc_id, isl
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(sp.s) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(sp.e - sp.s + 1), 0) AS BIGINT) AS dup_chars,
+           CAST(COALESCE(SUM(sp.e - sp.s + 1), 0) AS DOUBLE) / length(d.text)
+               AS dup_fraction
+    FROM documents d LEFT JOIN spans sp USING (doc_id)
+    GROUP BY d.doc_id, d.text
+    ORDER BY d.doc_id
+    """,
+)(_exact_substring_spans)
