@@ -962,3 +962,181 @@ register(
     ORDER BY 1
     """,
 )(_events_session_bounce)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point — where did each event type's hourly volume shift?
+# S_h = Σ_{i≤h}(c_i − mean) peaks at the regime change (Page 1954); the
+# batch twin of a drift monitor. Exactness: the cumulative term is an
+# integer running sum and mean = total/H enters once per row as
+# (rank·total)/H — cum − rank·total/H is ONE float expression over exact
+# int64 operands, so no float accumulation exists to diverge between
+# engines. argmax by |S| with an hour tie-break via max_by on a packed
+# ordering value; one window over (type, hour) counts — O(hours) state,
+# never O(events).
+# ---------------------------------------------------------------------------
+
+def _events_cusum_changepoint(spark, sf_dir):
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nh"),
+    )
+    cusum = stats.select(
+        "event_type",
+        "h",
+        (
+            F.col("cum").cast("double")
+            - (F.col("rnk") * F.col("total")).cast("double") / F.col("nh")
+        ).alias("s"),
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.max_by(
+                "h",
+                F.abs(F.col("s")) * F.lit(4294967296.0)
+                - (F.col("h") % 4294967296).cast("double"),
+            ).alias("change_hour"),
+            F.max(F.abs(F.col("s"))).alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_cusum_changepoint",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, h, c,
+               CAST(SUM(c) OVER w AS BIGINT) AS cum,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cusum AS (
+        SELECT event_type, h,
+               CAST(cum AS DOUBLE) - CAST(rnk * total AS DOUBLE) / nh AS s
+        FROM stats
+    )
+    SELECT event_type,
+           CAST(arg_max(h, ABS(s) * 4294967296 - (h % 4294967296)) AS BIGINT)
+               AS change_hour,
+           MAX(ABS(s)) AS peak_cusum
+    FROM cusum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(_events_cusum_changepoint)
+
+
+# Hourly-volume autocorrelation (ACF at lags 1-3) per event type — the
+# periodicity/trend diagnostic next to events_burstiness (Fano) and
+# events_cusum_changepoint (level shifts). Pearson r over (c_h, c_{h+k})
+# pairs from exact int64 moments (n, Σx, Σy, Σxy, Σx², Σy²) — counts are
+# integers, so every aggregation is exact; the only floats are one
+# fixed-shape num/(√d1·√d2) per output row. One window pass produces all
+# three leads; no self-join, O(hours) state.
+# ---------------------------------------------------------------------------
+
+def _events_autocorrelation(spark, sf_dir):
+    led = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "c",
+            *[
+                F.lead("c", k)
+                .over(W.partitionBy("event_type").orderBy("h"))
+                .alias(f"c{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+    )
+    pairs = led.selectExpr(
+        "event_type", "stack(3, 1, c, c1, 2, c, c2, 3, c, c3) AS (lag, x, y)"
+    ).where(F.col("y").isNotNull())
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            "n",
+            (num / (F.sqrt(d1) * F.sqrt(d2))).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+register(
+    "events_autocorrelation",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), led AS (
+        SELECT event_type, c,
+               lead(c, 1) OVER w AS c1,
+               lead(c, 2) OVER w AS c2,
+               lead(c, 3) OVER w AS c3
+        FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), pairs AS (
+        SELECT event_type, 1 AS lag, c AS x, c1 AS y FROM led WHERE c1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, c, c2 FROM led WHERE c2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, c, c3 FROM led WHERE c3 IS NOT NULL
+    ), moments AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x*y) AS BIGINT) AS sxy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS acf
+    FROM moments
+    ORDER BY event_type, lag
+    """,
+)(_events_autocorrelation)

@@ -1220,3 +1220,68 @@ register(
     ORDER BY st.source
     """,
 )(_source_kl_divergence)
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease — the classic readability filter (too-low scores flag
+# legalese/spam walls, too-high flag listicle fragments). Heuristic
+# syllables = vowel-group runs per word (min 1), sentences = terminal
+# punctuation runs (min 1): both are exact integer counts via the same
+# RE2/Java-compatible character-class regexes, so the only floats are the
+# final fixed-shape Flesch expression over identical integer operands.
+# ---------------------------------------------------------------------------
+
+register(
+    "text_readability",
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ), syl AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(GREATEST(1, len(regexp_extract_all(tok, '[aeiouy]+')))) AS BIGINT)
+                   AS n_syllables
+        FROM words GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           n_words,
+           n_syllables,
+           CAST(GREATEST(1, len(regexp_extract_all(d.text, '[.!?]+'))) AS BIGINT)
+               AS n_sentences,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / GREATEST(1, len(regexp_extract_all(d.text, '[.!?]+'))))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+    FROM documents d JOIN syl USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.greatest(F.lit(1), F.regexp_count("tok", F.lit("[aeiouy]+")))
+            ).alias("n_syllables"),
+            F.greatest(
+                F.lit(1), F.regexp_count(F.first("text"), F.lit("[.!?]+"))
+            ).alias("n_sentences"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syllables",
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+)
