@@ -128,10 +128,10 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
 
 
 def test_concurrent_committers_threads_no_lost_commits(spark, tmp_path):
-    """Real-thread race: 6 writers × 3 commits each against one root,
+    """Real-thread race: 6 writers × 2 commits each against one root,
     retrying on SnapshotConflictError. First-writer-wins must serialize
     them into a linear history with no lost commits and no duplicate
-    rows — 18 appends, every row delivered exactly once."""
+    rows — 12 appends, every row delivered exactly once."""
     import threading
 
     from airflow_postgres_csv_spark.operators.snapshots import (
@@ -139,7 +139,7 @@ def test_concurrent_committers_threads_no_lost_commits(spark, tmp_path):
     )
 
     root = str(tmp_path / "snap")
-    n_writers, n_commits = 6, 3
+    n_writers, n_commits = 6, 2
     errors: list[Exception] = []
 
     def writer(w: int) -> None:
