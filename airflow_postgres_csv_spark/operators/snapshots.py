@@ -914,12 +914,25 @@ def snapshot_changes(
 
 
 def snapshot_compact(
-    spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    zorder_by: tuple[str, str] | None = None,
 ) -> dict:
     """Rewrite the latest version's files into ``ceil(bytes/target)`` files
     as a NEW overwrite commit — same logical rows, fewer files, and any
     merge-on-read tombstones folded in (the rewrite reads through
     ``snapshot_read``, which applies them; the new manifest carries none).
+
+    ``zorder_by=(x, y)`` additionally CLUSTERS the rewrite on the Morton
+    interleave of the two (numeric) columns — Delta/Iceberg's ``OPTIMIZE
+    ZORDER BY``. Each column is affinely scaled into 16 bits from its
+    own min/max (one tiny aggregate; the scaling only shapes the layout,
+    never the rows), the z-value range-partitions AND sorts the output,
+    so every rewritten file covers a tight rectangle in (x, y) — and the
+    per-file zone maps the commit records then prune scans with
+    predicates on EITHER or BOTH columns (``layout.zorder_value``; payoff
+    asserted in tests/test_snapshots.py::test_compact_zorder_prunes_2d).
 
     Unlike directory-swap compaction (``dataset.compact_dataset``), the
     snapshot version makes maintenance safe by construction: readers pinned
@@ -938,7 +951,33 @@ def snapshot_compact(
         os.path.getsize(os.path.join(root, rel)) for rel in manifest["files"]
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    df = snapshot_read(spark, root).repartition(n_out)
+    df = snapshot_read(spark, root)
+    if zorder_by is not None:
+        from pyspark.sql import functions as F
+
+        from airflow_postgres_csv_spark.operators.layout import zorder_value
+
+        xc, yc = zorder_by
+        bounds = df.agg(
+            F.min(xc), F.max(xc), F.min(yc), F.max(yc)
+        ).first()
+        x_lo, x_hi, y_lo, y_hi = (
+            (0, 1, 0, 1) if bounds[0] is None else bounds
+        )
+        scale = (1 << 16) - 1
+
+        def _norm(col, lo, hi):
+            span = max(int(hi) - int(lo), 1)
+            return (
+                (F.col(col).cast("long") - F.lit(int(lo))) * scale / F.lit(span)
+            ).cast("long")
+
+        z = zorder_value(_norm(xc, x_lo, x_hi), _norm(yc, y_lo, y_hi))
+        df = df.repartitionByRange(n_out, z.alias("__z")).sortWithinPartitions(
+            z.alias("__z")
+        )
+    else:
+        df = df.repartition(n_out)
     new_m = snapshot_commit(df, root, mode="overwrite")
     new_m["files_before"] = manifest["n_files"]
     return new_m

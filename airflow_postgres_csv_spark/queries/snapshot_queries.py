@@ -686,3 +686,50 @@ register(
     ORDER BY event_id
     """,
 )(pipeline_snapshot_medallion)
+
+
+def snapshot_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-ZORDER on the query path: events land unclustered across
+    five commits, ``snapshot_compact(zorder_by=(user_id, event_id))``
+    re-clusters them on the Morton curve, and a 2-D box scan then prunes
+    by the rewritten files' zone maps before Spark sees a path (the
+    file-count payoff is pinned in
+    tests/test_snapshots.py::test_compact_zorder_prunes_2d; here the
+    oracle certifies the clustered rewrite changed NOTHING about the
+    rows). Residual filter on top of the file-grain scan, as in
+    snapshot_pruned_scan."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(5):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(5)) == r), root)
+    snapshot_compact(
+        spark, root, target_bytes=64 * 1024, zorder_by=("user_id", "event_id")
+    )
+    box = {"user_id": (100, 400), "event_id": (1000, 6000)}
+    return (
+        snapshot_scan(spark, root, ranges=box)
+        .where(
+            F.col("user_id").between(100, 400)
+            & F.col("event_id").between(1000, 6000)
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "snapshot_zorder_pruned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND event_id BETWEEN 1000 AND 6000
+    ORDER BY event_id
+    """,
+)(snapshot_zorder_pruned)

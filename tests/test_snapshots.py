@@ -887,3 +887,48 @@ def test_delete_positional_scoped_to_addressed_files(spark, tmp_path):
     m = snapshot_delete_positional(spark, root, "id > 9000")
     assert m["tombstones"][0]["n_keys"] == 5 or len(m["tombstones"]) == 1  # old one carried, no new
     assert snapshot_read(spark, root).count() == 18
+
+
+def test_compact_zorder_prunes_2d(spark, tmp_path):
+    """OPTIMIZE-ZORDER compaction: after snapshot_compact(zorder_by=(a,b))
+    the per-file zone maps prune a 2-D box predicate to a small fraction
+    of files, where the unclustered layout kept (almost) all of them —
+    and the rows are unchanged."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    n = 20011
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % n).alias("a"),
+        ((F.col("id") * 104729) % n).alias("b"),
+    )
+    snapshot_commit(df.repartition(8), root)
+    box = {"a": (100, 600), "b": (100, 600)}
+    before = snapshot_scan_files(root, ranges=box)
+    assert before["kept"] == before["kept"] + before["skipped"] == 8  # no pruning
+    m = snapshot_compact(spark, root, target_bytes=24 * 1024, zorder_by=("a", "b"))
+    assert m["n_files"] >= 8
+    after = snapshot_scan_files(root, ranges=box)
+    total_after = after["kept"] + after["skipped"]
+    assert total_after == m["n_files"]
+    assert after["kept"] <= total_after // 2, after
+    # correctness unchanged: same rows, and the pruned scan agrees with
+    # the unpruned filter
+    got = sorted(
+        r["id"]
+        for r in snapshot_scan(spark, root, ranges=box)
+        .where(
+            F.col("a").between(100, 600) & F.col("b").between(100, 600)
+        )
+        .collect()
+    )
+    expect = sorted(
+        i for i in range(n)
+        if 100 <= (i * 7919) % n <= 600 and 100 <= (i * 104729) % n <= 600
+    )
+    assert got == expect
