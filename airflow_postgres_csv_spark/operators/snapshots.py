@@ -319,7 +319,8 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
             if applies:
                 tombstones.append({**t, "commits": applies})
     out["tombstones"] = tombstones
-    for key in ("last_batch_id", "defaults", "partition_spec"):
+    for key in ("last_batch_id", "defaults", "partition_spec",
+                "cdc_applied_version"):
         if key in prev:
             out[key] = prev[key]
     return out
@@ -1166,6 +1167,18 @@ def snapshot_delete_mor(
         .select(key_col)
         .distinct()
     )
+    return _publish_key_tombstone(root, keys, key_col, condition)
+
+
+def _publish_key_tombstone(
+    root: str, keys: "DataFrame", key_col: str, predicate: str
+) -> dict:
+    """Publish an equality-delete commit from an already-computed DataFrame
+    of distinct key values: the shared tail of ``snapshot_delete_mor`` and
+    the CDC replay in ``snapshot_apply_changes``. Metadata-plus-delete-file
+    only; no data file is touched."""
+    versions = snapshot_versions(root)
+    manifest = _load_manifest(root, versions[-1])
     n_keys = keys.count()
     commit_id = uuid.uuid4().hex[:12]
     body = _inherit_maps(manifest, manifest["files"])
@@ -1186,7 +1199,7 @@ def snapshot_delete_mor(
         body["tombstones"] = list(body.get("tombstones", [])) + [
             {
                 "key_col": key_col,
-                "predicate": condition,
+                "predicate": predicate,
                 "files": delete_files,
                 "commits": sorted({_commit_of(r) for r in manifest["files"]}),
                 "n_keys": n_keys,
@@ -1279,7 +1292,8 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
         )
         if k in target
     }
-    for k in ("bloom", "defaults", "partition_spec", "last_batch_id"):
+    for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
+              "cdc_applied_version"):
         if k in target:
             body[k] = target[k]
     # the batch-id high-water mark must never move backwards (the gate
@@ -1407,4 +1421,136 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
         "expired_versions": drop,
         "kept_versions": keep,
         "removed_data_files": removed_files,
+    }
+
+
+def snapshot_apply_changes(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    key_col: str,
+    from_version: int | None = None,
+) -> dict:
+    """CDC replay: apply a source snapshot table's commit history (appends
+    AND merge-on-read deletes) to a keyed downstream table — the batch
+    ``APPLY CHANGES INTO`` primitive that completes the change-feed story
+    past the streaming source's append-only/``ignoreDeletes`` contract.
+
+    For each source version after the high-water mark, in version order:
+
+    - appended data files → ``snapshot_merge`` upsert into ``dst_root``
+      (first batch seeds the table via ``snapshot_commit``);
+    - new equality tombstones (``snapshot_delete_mor``) → the delete-key
+      file is re-read and republished as a dst tombstone commit (O(keys)
+      bytes moved, nothing scanned);
+    - new positional tombstones (``snapshot_delete_positional``) → the
+      addressed (file, row_index) rows are resolved to their ``key_col``
+      values against the source version and deleted by key in dst.
+
+    Requirements and failure modes: ``key_col`` must uniquely identify
+    rows in the source (standard CDC contract — positional deletes on
+    duplicate keys cannot be expressed as key deletes downstream), and a
+    source version that REWROTE files (compact / COW merge / COW delete /
+    overwrite) raises — the file delta is not a row delta; re-anchor with
+    ``from_version`` past the rewrite or reconcile via
+    ``operators.merge.table_diff``.
+
+    Exactly-once across reruns: the high-water mark
+    (``cdc_applied_version``) is stamped into the dst manifest by a final
+    metadata-only commit and inherited by later commits, so a finished
+    range is never replayed; a crash MID-replay restarts the whole range,
+    which converges because every step is idempotent (re-upserting the
+    same rows and re-deleting the same keys are no-ops). Cost is
+    O(changed data) per version — never O(table) on either side.
+    """
+    from pyspark.sql import functions as F
+
+    src_versions = snapshot_versions(src_root)
+    if not src_versions:
+        raise FileNotFoundError(f"no snapshot versions at {src_root}")
+    latest = src_versions[-1]
+    if from_version is not None:
+        applied = from_version
+    else:
+        applied = 0
+        for v in snapshot_versions(dst_root):
+            applied = max(
+                applied,
+                _load_manifest(dst_root, v).get("cdc_applied_version", 0),
+            )
+    appends = deletes = 0
+    prev = _load_manifest(src_root, applied) if applied >= 1 else None
+    for v in range(applied + 1, latest + 1):
+        cur = _load_manifest(src_root, v)
+        prev_files = set(prev["files"]) if prev else set()
+        removed = prev_files - set(cur["files"])
+        if removed:
+            raise ValueError(
+                f"snapshot_apply_changes: source version {v} rewrote "
+                f"{len(removed)} file(s); re-anchor from_version past the "
+                "rewrite or reconcile via table_diff"
+            )
+        added = sorted(set(cur["files"]) - prev_files)
+        if added:
+            rows = _read_pinned(spark, src_root, cur, added)
+            if snapshot_versions(dst_root):
+                snapshot_merge(spark, dst_root, rows, key=key_col)
+            else:
+                snapshot_commit(rows, dst_root)
+            appends += 1
+        prev_tombs = (prev or {}).get("tombstones", [])
+        for t in cur.get("tombstones", []):
+            if t in prev_tombs:
+                continue
+            if not snapshot_versions(dst_root):
+                continue  # nothing downstream to delete from yet
+            if t.get("kind") == "positional":
+                addr = spark.read.parquet(
+                    *[os.path.join(src_root, f) for f in t["files"]]
+                )
+                src_rows = _read_pinned(
+                    spark, src_root, cur, t["applies"],
+                    apply_tombstones=False, with_position=True,
+                )
+                keys = (
+                    src_rows.join(
+                        F.broadcast(addr),
+                        on=(src_rows["__file"] == addr["file"])
+                        & (src_rows["__pos"] == addr["pos"]),
+                        how="left_semi",
+                    )
+                    .select(key_col)
+                    .distinct()
+                )
+            else:
+                if t["key_col"] != key_col:
+                    raise ValueError(
+                        "snapshot_apply_changes: source tombstone keyed by "
+                        f"{t['key_col']!r}, dst keyed by {key_col!r}"
+                    )
+                keys = spark.read.parquet(
+                    *[os.path.join(src_root, f) for f in t["files"]]
+                ).select(key_col).distinct()
+            _publish_key_tombstone(
+                dst_root, keys, key_col, t.get("predicate", "<cdc replay>")
+            )
+            deletes += 1
+        prev = cur
+    dvs = snapshot_versions(dst_root)
+    if dvs and latest > applied:
+        dm = _load_manifest(dst_root, dvs[-1])
+        commit_id = uuid.uuid4().hex[:12]
+        body = _inherit_maps(dm, dm["files"])
+        if dm.get("bloom"):
+            body["bloom"] = dm["bloom"]
+        body.update(
+            mode="cdc-stamp", commit_id=commit_id,
+            files=list(dm["files"]), n_files=dm["n_files"],
+            schema=dm["schema"], cdc_applied_version=latest,
+        )
+        _publish(dst_root, dvs, body, commit_id, None)
+    return {
+        "applied_through": latest,
+        "append_batches": appends,
+        "delete_batches": deletes,
     }

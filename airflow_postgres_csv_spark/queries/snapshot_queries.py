@@ -733,3 +733,42 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_zorder_pruned)
+
+
+def snapshot_apply_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay end-to-end: a source table built from three append
+    commits plus one equality MOR delete and one positional MOR delete is
+    replayed commit-by-commit into an empty downstream table with
+    ``snapshot_apply_changes`` (appends → merge upserts, delete files →
+    re-published tombstones, positions → key resolution). The downstream
+    read must equal the plain filtered SELECT — which certifies ordering,
+    tombstone translation, and the merge path all at once. Idempotence
+    and incremental reruns are unit-tested in tests/test_snapshots.py."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_delete_mor,
+        snapshot_delete_positional,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src, dst = _temp_root(), _temp_root()
+    for r in range(3):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == r), src)
+    snapshot_delete_mor(spark, src, "user_id % 7 = 2", key_col="event_id")
+    snapshot_delete_positional(spark, src, "event_type = 'click' AND value > 900.0")
+    snapshot_apply_changes(spark, src, dst, key_col="event_id")
+    return snapshot_read(spark, dst).orderBy("event_id")
+
+
+register(
+    "snapshot_apply_changes_cdc",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT (user_id % 7 = 2)
+      AND NOT (event_type = 'click' AND value > 900.0)
+    ORDER BY event_id
+    """,
+)(snapshot_apply_changes_cdc)

@@ -932,3 +932,41 @@ def test_compact_zorder_prunes_2d(spark, tmp_path):
         if 100 <= (i * 7919) % n <= 600 and 100 <= (i * 104729) % n <= 600
     )
     assert got == expect
+
+
+def test_apply_changes_replays_appends_and_deletes(spark, tmp_path):
+    """CDC replay: appends, an equality delete, and a positional delete on
+    the source replay into an equivalent downstream table; reruns are
+    no-ops (high-water stamp) and later source commits apply
+    incrementally."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_delete_mor,
+        snapshot_delete_positional,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), src)
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), src)
+    snapshot_delete_mor(spark, src, "id = 5", key_col="id")
+    snapshot_delete_positional(spark, src, "id = 12")
+    snapshot_commit(_df(spark, 20, 25).coalesce(1), src)
+
+    def rows(root):
+        return sorted((r["id"], r["v"]) for r in snapshot_read(spark, root).collect())
+
+    out = snapshot_apply_changes(spark, src, dst, key_col="id")
+    assert out["applied_through"] == 5
+    assert out["append_batches"] == 3 and out["delete_batches"] == 2
+    assert rows(dst) == rows(src)
+    # rerun: nothing new, nothing replayed
+    out2 = snapshot_apply_changes(spark, src, dst, key_col="id")
+    assert out2 == {
+        "applied_through": 5, "append_batches": 0, "delete_batches": 0,
+    }
+    # incremental: a later append + delete apply as a delta
+    snapshot_commit(_df(spark, 25, 30).coalesce(1), src)
+    snapshot_delete_mor(spark, src, "id = 27", key_col="id")
+    out3 = snapshot_apply_changes(spark, src, dst, key_col="id")
+    assert out3["append_batches"] == 1 and out3["delete_batches"] == 1
+    assert rows(dst) == rows(src)
