@@ -36,11 +36,18 @@ checkpoint the reader cannot see risks exactly that, so catch-up batches
 are uncapped until the API grows admission control; bound backfills by
 anchoring ``startingVersion`` instead.
 
-Non-append commits break the "file delta is a row delta" contract and
-fail the stream loudly (re-anchor downstream past the rewrite), with one
-escape hatch: ``ignoreDeletes=true`` skips merge-on-read delete commits
-(tombstone-only; they add no data files), for consumers that tolerate
-deletes landing only in the compacted base.
+Three delete postures (file REWRITES always fail the stream — re-anchor
+past them):
+
+- default: a merge-on-read delete commit fails the stream loudly;
+- ``ignoreDeletes=true``: delete commits are skipped (append-only
+  consumers that tolerate deletes landing only in the compacted base);
+- ``changeFeed=true``: the full CDF shape — every row carries a
+  ``_change_type`` of ``insert`` or ``delete``, where a delete commit
+  emits the exact PRE-IMAGE rows it removes (per targeted file, with
+  older tombstones excluded from the pre-image so a twice-deleted row is
+  emitted once), which is what a keyed downstream needs for exact
+  replay — Delta Change Data Feed re-expressed over the tombstone files.
 
 Usage::
 
@@ -77,11 +84,17 @@ from airflow_postgres_csv_spark.operators.snapshots import (
 )
 
 VERSION_COL = "_commit_version"
+CHANGE_COL = "_change_type"
 
 
 class SnapshotFilePartition(InputPartition):
-    """One appended data file of one commit: everything ``read`` needs,
-    as plain picklable values (paths + schema JSON strings)."""
+    """One data file's contribution to one micro-batch, as plain picklable
+    values (paths + schema JSON strings). ``change_type`` is ``insert``
+    (an appended file: emit its rows) or ``delete`` (a file targeted by a
+    NEW tombstone: emit the pre-image rows the tombstone removes —
+    ``delete_spec_json`` carries the new tombstone's delete files plus
+    the OLDER tombstones already applicable to this file, so rows deleted
+    earlier are not re-emitted)."""
 
     def __init__(
         self,
@@ -90,12 +103,18 @@ class SnapshotFilePartition(InputPartition):
         stream_schema_json: str,
         defaults_json: str,
         version: int,
+        change_type: str = "insert",
+        delete_spec_json: str = "",
+        rel: str = "",
     ):
         self.path = path
         self.written_schema_json = written_schema_json
         self.stream_schema_json = stream_schema_json
         self.defaults_json = defaults_json
         self.version = version
+        self.change_type = change_type
+        self.delete_spec_json = delete_spec_json
+        self.rel = rel
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -108,6 +127,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._start_version = int(options.get("startingversion", 0))
         self._ignore_deletes = str(
             options.get("ignoredeletes", "false")
+        ).lower() in ("true", "1")
+        self._change_feed = str(
+            options.get("changefeed", "false")
         ).lower() in ("true", "1")
         # The stream's schema is fixed at query start: data columns of the
         # newest manifest + the provenance column. Files written under
@@ -147,11 +169,17 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     "rewrite (startingVersion) or reprocess via table_diff"
                 )
             prev_tombs = prev.get("tombstones", []) if prev else []
-            if cur.get("tombstones", []) != prev_tombs and not self._ignore_deletes:
+            cur_tombs = cur.get("tombstones", [])
+            if (
+                cur_tombs != prev_tombs
+                and not self._ignore_deletes
+                and not self._change_feed
+            ):
                 raise ValueError(
                     f"snapshot_feed: version {v} changed the merge-on-read "
                     "delete set; appended-row feed cannot express deletes - "
-                    "set ignoreDeletes=true to skip delete commits, or "
+                    "set changeFeed=true to stream delete pre-images, "
+                    "ignoreDeletes=true to skip delete commits, or "
                     "reprocess via table_diff"
                 )
             added = sorted(set(cur["files"]) - prev_files)
@@ -167,9 +195,81 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         stream_schema_json=self._schema_json,
                         defaults_json=end_defaults,
                         version=v,
+                        rel=rel,
+                    )
+                )
+            if self._change_feed:
+                parts.extend(
+                    self._delete_partitions(
+                        cur, prev_tombs, cur_tombs, v, end_defaults
                     )
                 )
             prev = cur
+        return parts
+
+    def _delete_partitions(
+        self,
+        cur: dict,
+        prev_tombs: list,
+        cur_tombs: list,
+        version: int,
+        end_defaults: str,
+    ) -> list[InputPartition]:
+        """One delete partition per (new tombstone, targeted data file):
+        ``read`` emits the pre-image rows that tombstone removes from that
+        file. Older tombstones already covering the file ride along so
+        previously-deleted rows are excluded from the pre-image — the
+        visibility rule a keyed consumer needs for exact replay."""
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            _commit_of,
+            _tombstone_applies,
+        )
+
+        parts: list[InputPartition] = []
+        commit_schemas = cur.get("commit_schemas", {})
+
+        def _spec(t: dict) -> dict:
+            return {
+                "kind": t.get("kind", "equality"),
+                "key_col": t.get("key_col"),
+                "delete_files": [
+                    os.path.join(self._root, f) for f in t["files"]
+                ],
+            }
+
+        for t in cur_tombs:
+            if t in prev_tombs:
+                continue
+            if t.get("kind") == "positional":
+                targets = [r for r in t["applies"] if r in cur["files"]]
+            else:
+                cids = set(t["commits"])
+                targets = [
+                    r for r in cur["files"] if _commit_of(r) in cids
+                ]
+            for rel in targets:
+                cid = _commit_of(rel)
+                prior = [
+                    _spec(u)
+                    for u in prev_tombs
+                    if _tombstone_applies(u, cid, rel)
+                ]
+                parts.append(
+                    SnapshotFilePartition(
+                        path=os.path.join(self._root, rel),
+                        written_schema_json=commit_schemas.get(
+                            cid, cur["schema"]
+                        ),
+                        stream_schema_json=self._schema_json,
+                        defaults_json=end_defaults,
+                        version=version,
+                        change_type="delete",
+                        delete_spec_json=json.dumps(
+                            {"new": _spec(t), "prior": prior}
+                        ),
+                        rel=rel,
+                    )
+                )
         return parts
 
     def read(self, partition: SnapshotFilePartition):
@@ -181,6 +281,8 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
+        import pyarrow.compute as pc
+
         stream_schema = StructType.fromJson(
             json.loads(partition.stream_schema_json)
         )
@@ -191,7 +293,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             ).fields
         }
         defaults = json.loads(partition.defaults_json)
-        data_fields = [f for f in target if f.name != VERSION_COL]
+        data_fields = [
+            f for f in target if f.name not in (VERSION_COL, CHANGE_COL)
+        ]
         tbl = pq.read_table(
             partition.path, columns=[f.name for f in data_fields if f.name in written]
         )
@@ -205,10 +309,58 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 # exactly as snapshots._read_pinned does JVM-side
                 fill = defaults.get(f.name)
                 arrays.append(pa.array([fill] * n, type=f.type))
+        aligned = pa.table(
+            arrays, schema=pa.schema([target.field(f.name) for f in data_fields])
+        )
+
+        def _tomb_mask(spec: dict) -> "pa.ChunkedArray":
+            # rows of THIS file the tombstone deletes
+            if spec["kind"] == "positional":
+                pos_tbl = pa.concat_tables(
+                    [pq.read_table(f) for f in spec["delete_files"]]
+                )
+                mine = pos_tbl.filter(
+                    pc.equal(pos_tbl["file"], partition.rel)
+                )["pos"]
+                idx = pa.array(range(n), type=pa.int64())
+                return pc.is_in(idx, value_set=mine.combine_chunks())
+            key = spec["key_col"]
+            keys = pa.concat_tables(
+                [pq.read_table(f, columns=[key]) for f in spec["delete_files"]]
+            )[key]
+            col = aligned[key]
+            return pc.is_in(
+                col, value_set=keys.combine_chunks().cast(col.type)
+            )
+
+        if partition.change_type == "delete":
+            spec = json.loads(partition.delete_spec_json)
+            mask = _tomb_mask(spec["new"])
+            for prior in spec["prior"]:
+                # rows an OLDER tombstone already removed are not part of
+                # this delete's pre-image
+                mask = pc.and_(
+                    mask, pc.invert(_tomb_mask(prior))
+                )
+            aligned = aligned.filter(mask)
+            n = aligned.num_rows
+        cols = list(aligned.columns)
+        names = [f.name for f in data_fields]
         if any(f.name == VERSION_COL for f in target):
-            ver_type = target.field(VERSION_COL).type
-            arrays.append(pa.array([partition.version] * n, type=ver_type))
-        out = pa.table(arrays, schema=target)
+            cols.append(
+                pa.array([partition.version] * n,
+                         type=target.field(VERSION_COL).type)
+            )
+            names.append(VERSION_COL)
+        if any(f.name == CHANGE_COL for f in target):
+            cols.append(
+                pa.array([partition.change_type] * n,
+                         type=target.field(CHANGE_COL).type)
+            )
+            names.append(CHANGE_COL)
+        out = pa.table(cols, schema=pa.schema(
+            [target.field(name) for name in names]
+        ))
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -225,7 +377,12 @@ class SnapshotFeedDataSource(DataSource):
         return "snapshot_feed"
 
     def schema(self):
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
         root = self.options.get("root")
         if not root:
@@ -235,9 +392,10 @@ class SnapshotFeedDataSource(DataSource):
             raise FileNotFoundError(f"no snapshot versions at {root}")
         manifest = _load_manifest(root, versions[-1])
         base = StructType.fromJson(json.loads(manifest["schema"]))
-        return StructType(
-            list(base.fields) + [StructField(VERSION_COL, LongType(), False)]
-        )
+        fields = list(base.fields) + [StructField(VERSION_COL, LongType(), False)]
+        if str(self.options.get("changefeed", "false")).lower() in ("true", "1"):
+            fields.append(StructField(CHANGE_COL, StringType(), False))
+        return StructType(fields)
 
     def streamReader(self, schema) -> SnapshotFeedStreamReader:
         return SnapshotFeedStreamReader(schema, dict(self.options))

@@ -106,3 +106,56 @@ def test_schema_evolution_and_starting_version(spark, tmp_path):
     ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
     r = _pump(spark, root, ckpt2, out2, startingVersion="1")
     assert sorted(x["id"] for x in r.collect()) == [5, 6, 7]
+
+
+def test_change_feed_emits_delete_preimages(spark, tmp_path):
+    """changeFeed=true: inserts carry _change_type='insert'; an equality
+    MOR delete emits its pre-image rows as 'delete'; a later positional
+    delete excludes rows an older tombstone already removed."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_positional,
+    )
+
+    root = str(tmp_path / "snap")
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), root)
+    snapshot_delete_mor(spark, root, "id % 5 = 0", key_col="id")  # 0,5,10,15
+    snapshot_delete_positional(spark, root, "id = 7 OR id = 10")  # 10 gone already
+    name = f"cdf_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    ins = sorted(r["id"] for r in rows if r["_change_type"] == "insert")
+    d3 = sorted(
+        r["id"] for r in rows
+        if r["_change_type"] == "delete" and r["_commit_version"] == 3
+    )
+    d4 = sorted(
+        r["id"] for r in rows
+        if r["_change_type"] == "delete" and r["_commit_version"] == 4
+    )
+    assert ins == list(range(20))
+    assert d3 == [0, 5, 10, 15]
+    assert d4 == [7]  # 10 excluded: pre-image respects the older tombstone
+    # delete rows carry the full pre-image payload, not just the key
+    v_of = {
+        (r["id"], r["_commit_version"]): r["v"]
+        for r in rows
+        if r["_change_type"] == "delete"
+    }
+    assert v_of[(7, 4)] == 14 and v_of[(15, 3)] == 30
