@@ -626,6 +626,81 @@ register(
 )(streaming_snapshot_feed_live)
 
 
+def streaming_snapshot_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot dataset consumed as a CHANGE DATA FEED: two append
+    commits split by ``event_id % 2``, a merge-on-read equality delete
+    (``event_type = 'view'``, commit 3), a positional delete
+    (``user_id % 7 = 0``, commit 4), then a live
+    ``readStream.format("snapshot_feed").option("changeFeed", "true")``
+    stream to a memory sink. Inserts stream with ``_change_type='insert'``
+    at their append version; each delete commit streams the exact
+    PRE-IMAGE rows it removes as ``_change_type='delete'`` at the delete's
+    version — and because the positional delete's predicate was evaluated
+    over the live (post-MOR) table, its pre-image excludes rows the
+    equality tombstone already removed, so the oracle is two plain WHERE
+    clauses. This is Delta Change Data Feed semantics re-expressed over
+    tombstone files; exact multi-batch/restart timing is unit-tested in
+    tests/test_snapshot_source.py."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_delete_positional,
+    )
+    from airflow_postgres_csv_spark.streaming.snapshot_source import (
+        register_snapshot_feed,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), root)
+    snapshot_delete_mor(spark, root, "event_type = 'view'", key_col="event_id")
+    snapshot_delete_positional(spark, root, "user_id % 7 = 0")
+    register_snapshot_feed(spark)
+    name = f"snapcdf_{_uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_id", "_commit_version")
+
+
+register(
+    "streaming_snapshot_cdf_live",
+    """
+    SELECT * FROM (
+        SELECT event_id, user_id, event_type,
+               CAST(event_id % 2 + 1 AS BIGINT) AS _commit_version,
+               'insert' AS _change_type
+        FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type,
+               CAST(3 AS BIGINT) AS _commit_version,
+               'delete' AS _change_type
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT event_id, user_id, event_type,
+               CAST(4 AS BIGINT) AS _commit_version,
+               'delete' AS _change_type
+        FROM events WHERE user_id % 7 = 0 AND event_type <> 'view'
+    ) ORDER BY event_id, _commit_version
+    """,
+)(streaming_snapshot_cdf_live)
+
+
 def pipeline_snapshot_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full incremental lakehouse loop, live and exactly-once on BOTH
     sides: bronze snapshot commits → ``snapshot_feed`` streaming source →
