@@ -338,6 +338,7 @@ def snapshot_commit(
     partition_by: list[str] | None = None,
     column_defaults: dict | None = None,
     extra: dict | None = None,
+    retries: int = 0,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
@@ -370,6 +371,18 @@ def snapshot_commit(
     ``last_batch_id``) into the manifest dict BEFORE the atomic publish —
     one commit point, so the metadata can never be lost to a crash between
     a commit and a follow-up stamp. Reserved keys are rejected.
+
+    ``retries`` is optimistic-concurrency rebase for APPENDS: when a
+    concurrent writer wins the version (``SnapshotConflictError``), an
+    append commit commutes with any committed history, so the loser's
+    already-written data files, audited expectations, and built sidecar
+    are all still valid — only the manifest body is reassembled against
+    the new head (schema drift and Bloom geometry re-validated) and
+    re-published, up to ``retries`` times. Nothing is rescanned or
+    rewritten: a rebase costs two JSON reads and one link. ``overwrite``
+    conflicts always raise — rebasing an overwrite past a commit it never
+    saw would silently discard that commit's rows; the caller must re-read
+    and decide.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -426,27 +439,72 @@ def snapshot_commit(
         if violations:
             shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
             raise SnapshotExpectationError(violations)
-    files = (
-        list(prev["files"]) + new_files if (prev and mode == "append") else new_files
-    )
-    body = _inherit_maps(prev, files)
-    if bloom_cfg:
-        body["bloom"] = bloom_cfg
-    if column_defaults:
-        body["defaults"] = {**body.get("defaults", {}), **column_defaults}
-    if partition_by:
-        body["partition_spec"] = list(partition_by)
-    if extra:
-        body.update(extra)
-    body.update(
-        mode=mode, commit_id=commit_id, files=files, n_files=len(files),
-        schema=schema_json,
-    )
     sidecar = _new_sidecar(df.sparkSession, root, new_files, bloom_cfg)
-    if new_files:
-        body["commit_schemas"][commit_id] = schema_json
-        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
-    return _publish(root, versions, body, commit_id, sidecar if new_files else None)
+    while True:
+        files = (
+            list(prev["files"]) + new_files
+            if (prev and mode == "append")
+            else new_files
+        )
+        body = _inherit_maps(prev, files)
+        if bloom_cfg:
+            body["bloom"] = bloom_cfg
+        if column_defaults:
+            body["defaults"] = {**body.get("defaults", {}), **column_defaults}
+        if partition_by:
+            body["partition_spec"] = list(partition_by)
+        if extra:
+            body.update(extra)
+        body.update(
+            mode=mode, commit_id=commit_id, files=files, n_files=len(files),
+            schema=schema_json,
+        )
+        if new_files:
+            body["commit_schemas"][commit_id] = schema_json
+            body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+        try:
+            return _publish(
+                root, versions, body, commit_id, sidecar if new_files else None
+            )
+        except SnapshotConflictError:
+            if retries <= 0 or mode != "append":
+                raise
+            retries -= 1
+            # Rebase: data files / audit / per-file stats are commit-scoped
+            # and still valid; re-resolve the head and re-validate the two
+            # head-dependent contracts (schema drift, Bloom geometry).
+            versions = snapshot_versions(root)
+            prev = _load_manifest(root, versions[-1]) if versions else None
+            if (
+                prev is not None
+                and not allow_schema_change
+                and prev["schema"] != schema_json
+            ):
+                raise ValueError(
+                    "schema drift on append rebase: a concurrent winner "
+                    "changed the table schema; pass allow_schema_change=True"
+                )
+            prev_cfg = prev.get("bloom") if prev else None
+            if bloom_cols:
+                if prev_cfg and (
+                    prev_cfg["m"] != bloom_bits or prev_cfg["k"] != bloom_hashes
+                ):
+                    raise ValueError(
+                        "bloom geometry change under a concurrent winner "
+                        f"(m={prev_cfg['m']},k={prev_cfg['k']} vs requested "
+                        f"m={bloom_bits},k={bloom_hashes}) would poison "
+                        "carried bitsets; rewrite (snapshot_compact) to re-index"
+                    )
+            elif prev_cfg != bloom_cfg:
+                # the winner enabled/changed indexing we inherited from the
+                # OLD head — re-inherit and rebuild our files' bitsets
+                bloom_cfg = prev_cfg
+                sidecar.pop("blooms", None)
+                if bloom_cfg and new_files:
+                    sidecar["blooms"] = _build_blooms(
+                        df.sparkSession, root, new_files,
+                        bloom_cfg["cols"], bloom_cfg["m"], bloom_cfg["k"],
+                    )
 
 
 def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:

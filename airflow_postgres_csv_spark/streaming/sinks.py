@@ -124,7 +124,9 @@ def start_jdbc_upsert_sink(
     )
 
 
-def snapshot_batch_commit(batch_df: DataFrame, batch_id: int, root: str) -> bool:
+def snapshot_batch_commit(
+    batch_df: DataFrame, batch_id: int, root: str, retries: int = 2
+) -> bool:
     """foreachBatch body: commit one micro-batch as a snapshot version,
     exactly once.
 
@@ -154,7 +156,13 @@ def snapshot_batch_commit(batch_df: DataFrame, batch_id: int, root: str) -> bool
         last = max(last, S._load_manifest(root, v).get("last_batch_id", -1))
     if batch_id <= last:
         return False
-    S.snapshot_commit(batch_df, root, extra={"last_batch_id": batch_id})
+    # retries: a concurrent MAINTENANCE commit (compact, batch ETL append)
+    # winning the version race must not fail the micro-batch — appends
+    # rebase in O(manifest) with the batch-id stamp still inside the one
+    # atomic publish (operators/snapshots.py optimistic concurrency).
+    S.snapshot_commit(
+        batch_df, root, extra={"last_batch_id": batch_id}, retries=retries
+    )
     return True
 
 

@@ -970,3 +970,91 @@ def test_apply_changes_replays_appends_and_deletes(spark, tmp_path):
     out3 = snapshot_apply_changes(spark, src, dst, key_col="id")
     assert out3["append_batches"] == 1 and out3["delete_batches"] == 1
     assert rows(dst) == rows(src)
+
+
+def test_commit_retries_rebase_append_without_rewriting_data(spark, tmp_path):
+    """Six concurrent appenders with retries= land all six commits with
+    exactly six data dirs: a rebase re-publishes the manifest against the
+    new head, it never rewrites data files (the old external-retry loop
+    re-committed — one orphan dir per lost race)."""
+    import threading
+
+    root = str(tmp_path / "snap")
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(i, w) for i in range(w * 10, w * 10 + 10)],
+                "id long, stamp long",
+            ).coalesce(1)
+            snapshot_commit(df, root, retries=100)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert snapshot_versions(root) == [1, 2, 3, 4, 5, 6]
+    rows = sorted(r["id"] for r in snapshot_read(spark, root).collect())
+    assert rows == list(range(60))
+    data_dirs = [
+        d for d in os.listdir(os.path.join(root, "data"))
+        if not d.startswith(("_", "."))
+    ]
+    assert len(data_dirs) == 6, f"rebase must not rewrite data: {data_dirs}"
+
+
+def test_commit_retry_rebase_semantics(spark, tmp_path, monkeypatch):
+    """Deterministic conflict injection: a winner commit lands between the
+    loser's version resolution and publish. Appends with retries rebase
+    (inheriting Bloom config the winner enabled, bitsets rebuilt for the
+    loser's files); overwrite and retries=0 raise."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_lookup,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+
+    real = S._publish
+
+    def inject_winner():
+        fired = {}
+
+        def racy(root_, versions, body, commit_id, sidecar):
+            if not fired:
+                fired["x"] = True
+                # the winner enables a Bloom index the loser never asked for
+                snapshot_commit(
+                    _df(spark, 100, 110), root, bloom_cols=["id"]
+                )
+            return real(root_, versions, body, commit_id, sidecar)
+
+        monkeypatch.setattr(S, "_publish", racy)
+
+    inject_winner()
+    m = snapshot_commit(_df(spark, 10, 20), root, retries=1)
+    monkeypatch.setattr(S, "_publish", real)
+    assert m["version"] == 3
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == sorted(
+        list(range(20)) + list(range(100, 110))
+    )
+    # Bloom config re-inherited from the winner; the rebased commit's own
+    # files are probe-able (bitsets rebuilt), so a point lookup still works
+    assert m["bloom"] == {"cols": ["id"], "m": 4096, "k": 4}
+    assert sorted(r.id for r in snapshot_lookup(spark, root, "id", 15).collect()) == [15]
+
+    inject_winner()
+    with pytest.raises(SnapshotConflictError):
+        snapshot_commit(_df(spark, 0, 3), root, mode="overwrite", retries=5)
+    monkeypatch.setattr(S, "_publish", real)
+
+    inject_winner()
+    with pytest.raises(SnapshotConflictError):
+        snapshot_commit(_df(spark, 20, 30), root)  # default retries=0
