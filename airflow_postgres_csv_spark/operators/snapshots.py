@@ -1062,7 +1062,8 @@ def _key_stats_for_merge(root: str, manifest: dict, col: str) -> dict:
 
 
 def snapshot_merge(
-    spark: SparkSession, root: str, updates: DataFrame, key: str
+    spark: SparkSession, root: str, updates: DataFrame, key: str,
+    extra: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert by ``key``) as a new version: rows whose
     key appears in ``updates`` are replaced, new keys are inserted.
@@ -1080,7 +1081,11 @@ def snapshot_merge(
 
     ``updates`` must be unique per key and schema-identical to the table.
     The driver reads only the updates' key bounds (one tiny aggregate).
+    ``extra`` rides inside the atomic publish exactly as in
+    ``snapshot_commit`` (e.g. a streaming sink's ``last_batch_id``).
     """
+    if extra and (bad := set(extra) & _RESERVED_KEYS):
+        raise ValueError(f"extra metadata may not override reserved keys: {sorted(bad)}")
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
@@ -1095,6 +1100,8 @@ def snapshot_merge(
         body = _inherit_maps(manifest, manifest["files"])
         if manifest.get("bloom"):
             body["bloom"] = manifest["bloom"]
+        if extra:
+            body.update(extra)
         body.update(
             mode="merge", commit_id=commit_id, files=list(manifest["files"]),
             n_files=manifest["n_files"], schema=manifest["schema"],
@@ -1115,6 +1122,8 @@ def snapshot_merge(
     bloom_cfg = manifest.get("bloom")
     if bloom_cfg:
         body["bloom"] = bloom_cfg
+    if extra:
+        body.update(extra)
     body.update(
         mode="merge", commit_id=commit_id, files=files, n_files=len(files),
         schema=manifest["schema"],
@@ -1229,7 +1238,8 @@ def snapshot_delete_mor(
 
 
 def _publish_key_tombstone(
-    root: str, keys: "DataFrame", key_col: str, predicate: str
+    root: str, keys: "DataFrame", key_col: str, predicate: str,
+    extra: dict | None = None,
 ) -> dict:
     """Publish an equality-delete commit from an already-computed DataFrame
     of distinct key values: the shared tail of ``snapshot_delete_mor`` and
@@ -1242,6 +1252,8 @@ def _publish_key_tombstone(
     body = _inherit_maps(manifest, manifest["files"])
     if manifest.get("bloom"):
         body["bloom"] = manifest["bloom"]
+    if extra:
+        body.update(extra)
     body.update(
         mode="delete-mor", commit_id=commit_id, files=list(manifest["files"]),
         n_files=manifest["n_files"], schema=manifest["schema"],

@@ -847,3 +847,61 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_apply_changes_cdc)
+
+
+def pipeline_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPLY CHANGES INTO, end to end: the source table's history
+    (two appends, an equality MOR delete, a positional delete) is consumed
+    as a LIVE change-data-feed stream (``changeFeed=true``) and applied by
+    ``streaming/sinks.apply_changes_batch`` into a keyed downstream
+    snapshot table — net-per-key upserts as a COW merge, net deletes as an
+    O(keys) tombstone commit, batch id stamped inside the final atomic
+    publish for exactly-once replays. The mirror must equal the source's
+    LIVE state, which the oracle states as two WHERE clauses."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_delete_positional,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_apply_changes_sink,
+    )
+    from airflow_postgres_csv_spark.streaming.snapshot_source import (
+        register_snapshot_feed,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = _temp_root()
+    dst = _temp_root()
+    ckpt = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), src)
+    snapshot_delete_mor(spark, src, "event_type = 'view'", key_col="event_id")
+    snapshot_delete_positional(spark, src, "user_id % 7 = 0")
+    register_snapshot_feed(spark)
+    stream = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", src)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q = start_apply_changes_sink(stream, dst, "event_id", ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return snapshot_read(spark, dst).orderBy("event_id")
+
+
+register(
+    "pipeline_snapshot_cdc_stream",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type <> 'view' AND user_id % 7 <> 0
+    ORDER BY event_id
+    """,
+)(pipeline_snapshot_cdc_stream)

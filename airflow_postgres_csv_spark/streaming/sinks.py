@@ -179,3 +179,106 @@ def start_snapshot_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def apply_changes_batch(
+    batch_df: DataFrame, batch_id: int, dst_root: str, key_col: str
+) -> bool:
+    """foreachBatch body for a CHANGE DATA FEED stream (the snapshot
+    source's ``changeFeed=true``): apply one micro-batch of
+    ``_change_type`` insert/delete rows to a keyed downstream snapshot
+    table, exactly once — streaming APPLY CHANGES INTO.
+
+    Net effect per key: a micro-batch may carry several changes for one
+    key (insert v1, delete v3, re-insert v5); only the change with the
+    highest ``_commit_version`` matters. One window pass keeps it: keys
+    whose latest change is an insert become a COW merge upsert, keys whose
+    latest change is a delete become an O(keys) equality tombstone commit.
+
+    Exactly-once across replays: the batch id is stamped (``extra=``,
+    inside the atomic publish) only on the batch's FINAL commit; both
+    operations are idempotent (upsert replaces by key, tombstone deletes
+    by key), so a crash between the merge and the tombstone replays the
+    whole batch and converges — the same discipline as
+    ``snapshot_batch_commit``, extended to a two-commit batch. Returns
+    True when the batch applied, False on replay-skip.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.streaming.snapshot_source import (
+        CHANGE_COL,
+        VERSION_COL,
+    )
+
+    stamp = {"last_batch_id": batch_id}
+    try:
+        versions = S.snapshot_versions(dst_root)
+    except FileNotFoundError:
+        versions = []
+    last = -1
+    for v in versions:
+        last = max(last, S._load_manifest(dst_root, v).get("last_batch_id", -1))
+    if batch_id <= last:
+        return False
+    data_cols = [
+        c for c in batch_df.columns if c not in (VERSION_COL, CHANGE_COL)
+    ]
+    latest = (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(F.col(VERSION_COL).desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.where(F.col(CHANGE_COL) == "insert").select(*data_cols)
+    deletes = latest.where(F.col(CHANGE_COL) == "delete").select(key_col).distinct()
+    # emptiness probes only — the key/row sets themselves stay distributed
+    has_up = bool(upserts.take(1))
+    has_del = bool(deletes.take(1))
+    if not has_up and not has_del:
+        return False
+    if not versions and not has_up:
+        # deletes against a mirror that has no rows yet: nothing to do,
+        # and a replay re-derives the same no-op
+        return False
+    spark = batch_df.sparkSession
+    if has_up:
+        if not versions:
+            S.snapshot_commit(
+                upserts, dst_root,
+                extra=None if has_del else stamp,
+            )
+        else:
+            S.snapshot_merge(
+                spark, dst_root, upserts, key_col,
+                extra=None if has_del else stamp,
+            )
+    if has_del:
+        S._publish_key_tombstone(
+            dst_root, deletes, key_col,
+            predicate=f"cdf-apply batch {batch_id}", extra=stamp,
+        )
+    return True
+
+
+def start_apply_changes_sink(
+    stream_df: DataFrame, dst_root: str, key_col: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Stream a snapshot change feed into a keyed downstream snapshot
+    table: the streaming APPLY CHANGES INTO pipeline. ``stream_df`` must
+    be a ``changeFeed=true`` snapshot_feed stream (rows carry
+    ``_change_type`` / ``_commit_version``); the downstream table mirrors
+    the source's LIVE state exactly once across restarts."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: apply_changes_batch(df, bid, dst_root, key_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -159,3 +159,68 @@ def test_change_feed_emits_delete_preimages(spark, tmp_path):
         if r["_change_type"] == "delete"
     }
     assert v_of[(7, 4)] == 14 and v_of[(15, 3)] == 30
+
+
+def test_apply_changes_sink_mirrors_source_across_restarts(spark, tmp_path):
+    """Streaming APPLY CHANGES INTO: a CDF stream applied into a keyed
+    downstream snapshot mirrors the source's live state — across a
+    checkpointed restart that delivers a delete-only increment — and
+    direct replays / mid-batch crash replays converge."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        apply_changes_batch,
+        start_apply_changes_sink,
+    )
+
+    root, dst, ckpt = (str(tmp_path / d) for d in ("src", "dst", "ckpt"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), root)
+
+    def mirror():
+        stream = (
+            spark.readStream.format("snapshot_feed")
+            .option("root", root)
+            .option("changeFeed", "true")
+            .load()
+        )
+        q = start_apply_changes_sink(stream, dst, "id", ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    mirror()
+    assert sorted(r.id for r in snapshot_read(spark, dst).collect()) == list(range(20))
+    # restart: source gains a MOR delete; the mirror applies just the delta
+    snapshot_delete_mor(spark, root, "id % 5 = 0", key_col="id")
+    mirror()
+    live = sorted(r.id for r in snapshot_read(spark, dst).collect())
+    assert live == [i for i in range(20) if i % 5 != 0]
+    # replay of an already-applied batch id is a no-op
+    batch = snapshot_read(spark, root).select(
+        "id", "v",
+        F.lit(99).cast("long").alias("_commit_version"),
+        F.lit("insert").alias("_change_type"),
+    )
+    applied_versions = S.snapshot_versions(dst)
+    last = max(
+        S._load_manifest(dst, v).get("last_batch_id", -1)
+        for v in applied_versions
+    )
+    assert apply_changes_batch(batch, last, dst, "id") is False
+    assert S.snapshot_versions(dst) == applied_versions
+    # mid-batch crash window: the merge half of a batch landed without the
+    # stamp (tombstone half lost); replaying the WHOLE batch converges
+    crash_batch = spark.createDataFrame(
+        [(100, 0, 200, "insert"), (1, 2, 201, "delete")],
+        "id long, v long, _commit_version long, _change_type string",
+    )
+    S.snapshot_merge(
+        spark, dst, crash_batch.where("id = 100").select("id", "v"), "id"
+    )  # crashed before the delete + stamp
+    assert apply_changes_batch(crash_batch, last + 1, dst, "id") is True
+    live = sorted(r.id for r in snapshot_read(spark, dst).collect())
+    assert live == [i for i in range(20) if i % 5 != 0 and i != 1] + [100]
+    assert apply_changes_batch(crash_batch, last + 1, dst, "id") is False
