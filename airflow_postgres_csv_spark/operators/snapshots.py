@@ -69,7 +69,7 @@ _RESERVED_KEYS = frozenset(
     {
         "version", "parent", "mode", "commit_id", "files", "n_files",
         "schema", "commit_schemas", "sidecars", "commit_ranges",
-        "tombstones", "bloom", "defaults", "partition_spec",
+        "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
     }
 )
 
@@ -1117,8 +1117,24 @@ def snapshot_merge(
     current = _read_pinned(spark, root, manifest, candidates)
     rewritten = current.join(updates.select(key), key, "left_anti").unionByName(updates)
     commit_id, new_files = _write_data(rewritten, root)
+    # Record the merged KEYS (O(keys) bytes, own flat dir so expire's
+    # commit-dir walk stays single-level): the change feed replays this
+    # COW rewrite as delete pre-image + insert post-image restricted to
+    # these keys, instead of failing on the file delta.
+    mk_dirname = f"{commit_id}-mk"
+    mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
+    updates.select(key).distinct().coalesce(1).write.mode("error").parquet(mk_dir)
+    mk_files = sorted(
+        os.path.join(_DATA_DIR, mk_dirname, name)
+        for name in os.listdir(mk_dir)
+        if name.endswith(".parquet") and not name.startswith(("_", "."))
+    )
     files = untouched + new_files
     body = _inherit_maps(manifest, files)
+    body["merge_info"] = {
+        "key_col": key, "key_files": mk_files,
+        "replaced_files": sorted(candidates),
+    }
     bloom_cfg = manifest.get("bloom")
     if bloom_cfg:
         body["bloom"] = bloom_cfg
@@ -1455,6 +1471,8 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
         referenced.update(m["files"])
         for t in m.get("tombstones", []):
             referenced.update(t["files"])
+        if m.get("merge_info"):
+            referenced.update(m["merge_info"]["key_files"])
         referenced_sidecars.update(m.get("sidecars", {}).values())
     removed_files = 0
     data_root = os.path.join(root, _DATA_DIR)

@@ -905,3 +905,65 @@ register(
     ORDER BY event_id
     """,
 )(pipeline_snapshot_cdc_stream)
+
+
+def pipeline_snapshot_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPLY CHANGES INTO across a COW MERGE in the source
+    history: appends, a merge-on-read delete, then a MERGE upsert that
+    rewrites event_type for every live ``user_id % 10 = 4`` row. The
+    change feed replays the merge as delete pre-image + insert post-image
+    pairs restricted to the merged keys; the mirror nets each pair to the
+    post-image and must equal the source's live state — which the oracle
+    states as one CASE expression."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_merge,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_apply_changes_sink,
+    )
+    from airflow_postgres_csv_spark.streaming.snapshot_source import (
+        register_snapshot_feed,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = _temp_root()
+    dst = _temp_root()
+    ckpt = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), src)
+    snapshot_delete_mor(spark, src, "event_type = 'view'", key_col="event_id")
+    updates = snapshot_read(spark, src).where("user_id % 10 = 4").select(
+        "event_id", "user_id", F.lit("merged").alias("event_type")
+    )
+    snapshot_merge(spark, src, updates, "event_id")
+    register_snapshot_feed(spark)
+    stream = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", src)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q = start_apply_changes_sink(stream, dst, "event_id", ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return snapshot_read(spark, dst).orderBy("event_id")
+
+
+register(
+    "pipeline_snapshot_cdc_merge_stream",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN user_id % 10 = 4 THEN 'merged' ELSE event_type END
+             AS event_type
+    FROM events
+    WHERE event_type <> 'view'
+    ORDER BY event_id
+    """,
+)(pipeline_snapshot_cdc_merge_stream)

@@ -225,11 +225,16 @@ def apply_changes_batch(
     data_cols = [
         c for c in batch_df.columns if c not in (VERSION_COL, CHANGE_COL)
     ]
+    # Latest change per key wins. A MERGE commit emits delete (pre-image)
+    # AND insert (post-image) for one key at ONE version — the insert is
+    # the net effect, so it breaks the tie ('insert' > 'delete' desc).
     latest = (
         batch_df.withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy(key_col).orderBy(F.col(VERSION_COL).desc())
+                Window.partitionBy(key_col).orderBy(
+                    F.col(VERSION_COL).desc(), F.col(CHANGE_COL).desc()
+                )
             ),
         )
         .where(F.col("__rn") == 1)

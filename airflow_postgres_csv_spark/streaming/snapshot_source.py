@@ -36,10 +36,10 @@ checkpoint the reader cannot see risks exactly that, so catch-up batches
 are uncapped until the API grows admission control; bound backfills by
 anchoring ``startingVersion`` instead.
 
-Three delete postures (file REWRITES always fail the stream — re-anchor
-past them):
+Three delete postures:
 
-- default: a merge-on-read delete commit fails the stream loudly;
+- default: a merge-on-read delete commit fails the stream loudly, and so
+  does any file rewrite (overwrite/compact/COW) — re-anchor past it;
 - ``ignoreDeletes=true``: delete commits are skipped (append-only
   consumers that tolerate deletes landing only in the compacted base);
 - ``changeFeed=true``: the full CDF shape — every row carries a
@@ -48,6 +48,11 @@ past them):
   older tombstones excluded from the pre-image so a twice-deleted row is
   emitted once), which is what a keyed downstream needs for exact
   replay — Delta Change Data Feed re-expressed over the tombstone files.
+  COW MERGE commits also stream in this mode: the merge records its key
+  files, and the rewrite replays as delete pre-images + insert
+  post-images restricted to the merged keys (Delta's
+  update_pre/postimage pair), never the carried-over rows. Non-merge
+  rewrites (overwrite/compact/COW delete) still fail the stream.
 
 Usage::
 
@@ -105,6 +110,7 @@ class SnapshotFilePartition(InputPartition):
         version: int,
         change_type: str = "insert",
         delete_spec_json: str = "",
+        include_spec_json: str = "",
         rel: str = "",
     ):
         self.path = path
@@ -114,6 +120,9 @@ class SnapshotFilePartition(InputPartition):
         self.version = version
         self.change_type = change_type
         self.delete_spec_json = delete_spec_json
+        # insert partitions of a MERGE rewrite emit only rows the merge
+        # touched (key in the recorded merge-key files), not carried rows
+        self.include_spec_json = include_spec_json
         self.rel = rel
 
 
@@ -161,6 +170,22 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             cur = _load_manifest(self._root, v)
             prev_files = set(prev["files"]) if prev else set()
             removed = prev_files - set(cur["files"])
+            if (
+                removed
+                and self._change_feed
+                and cur.get("mode") == "merge"
+                and cur.get("merge_info")
+                and prev is not None
+            ):
+                # COW MERGE replayed as exact row changes: delete
+                # pre-images from the replaced files + insert post-images
+                # from the rewritten files, both restricted to the
+                # recorded merge keys (carried-over rows are not changes).
+                parts.extend(
+                    self._merge_partitions(prev, cur, v, end_defaults)
+                )
+                prev = cur
+                continue
             if removed:
                 raise ValueError(
                     f"snapshot_feed: version {v} rewrote {len(removed)} "
@@ -227,18 +252,16 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
         parts: list[InputPartition] = []
         commit_schemas = cur.get("commit_schemas", {})
+        _spec = self._tomb_spec
 
-        def _spec(t: dict) -> dict:
-            return {
-                "kind": t.get("kind", "equality"),
-                "key_col": t.get("key_col"),
-                "delete_files": [
-                    os.path.join(self._root, f) for f in t["files"]
-                ],
-            }
-
+        prev_delete_files = {tuple(u["files"]) for u in prev_tombs}
         for t in cur_tombs:
             if t in prev_tombs:
+                continue
+            if tuple(t["files"]) in prev_delete_files:
+                # same delete files = the same logical tombstone, merely
+                # NARROWED by _inherit_maps when a rewrite dropped files —
+                # its rows were emitted when it was new, nothing to replay
                 continue
             if t.get("kind") == "positional":
                 targets = [r for r in t["applies"] if r in cur["files"]]
@@ -270,6 +293,86 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         rel=rel,
                     )
                 )
+        return parts
+
+    def _tomb_spec(self, t: dict) -> dict:
+        return {
+            "kind": t.get("kind", "equality"),
+            "key_col": t.get("key_col"),
+            "delete_files": [
+                os.path.join(self._root, f) for f in t["files"]
+            ],
+        }
+
+    def _merge_partitions(
+        self, prev: dict, cur: dict, version: int, end_defaults: str
+    ) -> list[InputPartition]:
+        """A COW MERGE commit as row changes. The merge recorded its key
+        files (``merge_info``); the rewrite's file delta replays as:
+
+        - one ``delete`` partition per REPLACED file — pre-image rows
+          whose key is in the merge keys (rows the upsert overwrote; keys
+          the merge INSERTED match nothing in old files, so a pure insert
+          emits no delete half), minus rows older tombstones had already
+          removed;
+        - one restricted ``insert`` partition per ADDED file — post-image
+          rows whose key is in the merge keys; carried-over rows are not
+          changes and are masked out.
+
+        A keyed consumer nets delete+insert of one key at one version to
+        the post-image (``apply_changes_batch`` breaks the tie in favor
+        of the insert) — Delta CDF's update_pre/postimage pair expressed
+        with the two change types the feed already has."""
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            _commit_of,
+            _tombstone_applies,
+        )
+
+        mi = cur["merge_info"]
+        spec = {
+            "kind": "equality",
+            "key_col": mi["key_col"],
+            "delete_files": [
+                os.path.join(self._root, f) for f in mi["key_files"]
+            ],
+        }
+        prev_tombs = prev.get("tombstones", [])
+        prev_schemas = prev.get("commit_schemas", {})
+        cur_schemas = cur.get("commit_schemas", {})
+        parts: list[InputPartition] = []
+        for rel in sorted(set(prev["files"]) - set(cur["files"])):
+            cid = _commit_of(rel)
+            prior = [
+                self._tomb_spec(u)
+                for u in prev_tombs
+                if _tombstone_applies(u, cid, rel)
+            ]
+            parts.append(
+                SnapshotFilePartition(
+                    path=os.path.join(self._root, rel),
+                    written_schema_json=prev_schemas.get(cid, prev["schema"]),
+                    stream_schema_json=self._schema_json,
+                    defaults_json=end_defaults,
+                    version=version,
+                    change_type="delete",
+                    delete_spec_json=json.dumps({"new": spec, "prior": prior}),
+                    rel=rel,
+                )
+            )
+        for rel in sorted(set(cur["files"]) - set(prev["files"])):
+            cid = _commit_of(rel)
+            parts.append(
+                SnapshotFilePartition(
+                    path=os.path.join(self._root, rel),
+                    written_schema_json=cur_schemas.get(cid, cur["schema"]),
+                    stream_schema_json=self._schema_json,
+                    defaults_json=end_defaults,
+                    version=version,
+                    change_type="insert",
+                    include_spec_json=json.dumps(spec),
+                    rel=rel,
+                )
+            )
         return parts
 
     def read(self, partition: SnapshotFilePartition):
@@ -343,6 +446,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     mask, pc.invert(_tomb_mask(prior))
                 )
             aligned = aligned.filter(mask)
+            n = aligned.num_rows
+        elif partition.include_spec_json:
+            # a MERGE rewrite's insert half: only rows the merge touched
+            # are changes — carried-over rows are masked out
+            aligned = aligned.filter(
+                _tomb_mask(json.loads(partition.include_spec_json))
+            )
             n = aligned.num_rows
         cols = list(aligned.columns)
         names = [f.name for f in data_fields]

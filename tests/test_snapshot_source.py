@@ -224,3 +224,103 @@ def test_apply_changes_sink_mirrors_source_across_restarts(spark, tmp_path):
     live = sorted(r.id for r in snapshot_read(spark, dst).collect())
     assert live == [i for i in range(20) if i % 5 != 0 and i != 1] + [100]
     assert apply_changes_batch(crash_batch, last + 1, dst, "id") is False
+
+
+def test_change_feed_streams_merge_as_update_pair(spark, tmp_path):
+    """changeFeed=true on a COW MERGE: replaced files emit delete
+    pre-images and rewritten files emit insert post-images, both
+    restricted to the merged keys — carried-over rows are not re-emitted,
+    a previously tombstoned key re-upserted has no delete half, and the
+    pre-image carries the OLD row payload."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_merge
+
+    root = str(tmp_path / "snap")
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)          # v1
+    snapshot_delete_mor(spark, root, "id = 5", key_col="id")      # v2
+    updates = spark.createDataFrame(
+        [(3, 333), (5, 555), (100, 1000)], "id long, v long"
+    )
+    snapshot_merge(spark, root, updates, "id")                    # v3
+    import uuid as _uuid
+
+    name = f"cdfmerge_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    by = lambda v, c: sorted(
+        r["id"] for r in rows
+        if r["_commit_version"] == v and r["_change_type"] == c
+    )
+    assert by(1, "insert") == list(range(10))
+    assert by(2, "delete") == [5]
+    # merge: delete pre-image only for key 3 (5 was already tombstoned,
+    # 100 never existed); insert post-image for all three merged keys
+    assert by(3, "delete") == [3]
+    assert by(3, "insert") == [3, 5, 100]
+    # pre-image carries the OLD payload, post-image the new
+    vals = {
+        (r["id"], r["_commit_version"], r["_change_type"]): r["v"] for r in rows
+    }
+    assert vals[(3, 3, "delete")] == 6 and vals[(3, 3, "insert")] == 333
+    assert vals[(5, 3, "insert")] == 555 and vals[(100, 3, "insert")] == 1000
+    # carried rows (0,1,2,4,6..9) appear exactly once (their v1 insert)
+    from collections import Counter
+
+    per_id = Counter(r["id"] for r in rows)
+    for i in (0, 1, 2, 4, 6, 7, 8, 9):
+        assert per_id[i] == 1
+
+
+def test_apply_changes_sink_applies_merge_commits(spark, tmp_path):
+    """The streaming mirror follows a source COW MERGE: updated keys get
+    the post-image, inserted keys appear, carried rows are untouched."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_apply_changes_sink,
+    )
+
+    root, dst, ckpt = (str(tmp_path / d) for d in ("src", "dst", "ckpt"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+
+    def mirror():
+        stream = (
+            spark.readStream.format("snapshot_feed")
+            .option("root", root)
+            .option("changeFeed", "true")
+            .load()
+        )
+        q = start_apply_changes_sink(stream, dst, "id", ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    mirror()
+    updates = spark.createDataFrame([(3, 333), (100, 1000)], "id long, v long")
+    snapshot_merge(spark, root, updates, "id")
+    mirror()
+    src_live = sorted(
+        (r["id"], r["v"]) for r in snapshot_read(spark, root).collect()
+    )
+    dst_live = sorted(
+        (r["id"], r["v"]) for r in snapshot_read(spark, dst).collect()
+    )
+    assert dst_live == src_live
+    assert (3, 333) in dst_live and (100, 1000) in dst_live
