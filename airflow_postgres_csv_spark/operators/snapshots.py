@@ -1037,7 +1037,15 @@ def snapshot_compact(
         )
     else:
         df = df.repartition(n_out)
-    new_m = snapshot_commit(df, root, mode="overwrite")
+    # Stamp WHAT this overwrite is (inside the atomic publish): a
+    # row-preserving rewrite of exactly the version we read. Streams use
+    # it to skip the commit (zero row changes) — and the parent check
+    # they apply (parent == compaction_of) detects the maintenance race
+    # where another commit interleaved, in which case the stamp is stale
+    # and the overwrite is treated as destructive.
+    new_m = snapshot_commit(
+        df, root, mode="overwrite", extra={"compaction_of": versions[-1]}
+    )
     new_m["files_before"] = manifest["n_files"]
     return new_m
 

@@ -171,6 +171,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             prev_files = set(prev["files"]) if prev else set()
             removed = prev_files - set(cur["files"])
             if (
+                cur.get("mode") == "overwrite"
+                and cur.get("compaction_of") == v - 1
+                and cur.get("parent") == v - 1
+            ):
+                # pure COMPACTION: the same logical rows in fewer files
+                # (tombstones folded in) — zero row changes in any feed
+                # mode. The parent check rejects a stale stamp from the
+                # maintenance race (a commit interleaved between the
+                # compaction's read and publish), which falls through to
+                # the rewrite failure below.
+                prev = cur
+                continue
+            if (
                 removed
                 and self._change_feed
                 and cur.get("mode") == "merge"

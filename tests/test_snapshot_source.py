@@ -66,8 +66,10 @@ def test_incremental_exactly_once_across_restarts(spark, tmp_path):
 
 def test_non_append_commits_fail_loudly(spark, tmp_path):
     """A MOR delete (tombstone change) fails the stream unless
-    ignoreDeletes=true; a compaction (file rewrite) always fails —
-    the file delta is not a row delta."""
+    ignoreDeletes=true; a COMPACTION is verified row-preserving via its
+    stamped lineage and skipped in every mode; a destructive overwrite
+    (or a compaction whose stamp is stale) still fails — the file delta
+    is not a row delta."""
     import pytest
 
     root, ckpt, out = (str(tmp_path / d) for d in ("snap", "ckpt", "out"))
@@ -81,7 +83,13 @@ def test_non_append_commits_fail_loudly(spark, tmp_path):
     assert r.count() == 10  # delete commit skipped, no new data files
     snapshot_commit(_df(spark, 10, 12).coalesce(1), root)
     assert _pump(spark, root, ckpt, out, ignoreDeletes="true").count() == 12
+    # routine maintenance doesn't break the stream: compaction skipped,
+    # the append after it delivered
     snapshot_compact(spark, root)
+    snapshot_commit(_df(spark, 12, 14).coalesce(1), root)
+    assert _pump(spark, root, ckpt, out, ignoreDeletes="true").count() == 14
+    # a real overwrite still fails loudly
+    snapshot_commit(_df(spark, 0, 3).coalesce(1), root, mode="overwrite")
     with pytest.raises(Exception, match="rewrote"):
         _pump(spark, root, ckpt, out, ignoreDeletes="true")
 
@@ -324,3 +332,41 @@ def test_apply_changes_sink_applies_merge_commits(spark, tmp_path):
     )
     assert dst_live == src_live
     assert (3, 333) in dst_live and (100, 1000) in dst_live
+
+
+def test_change_feed_skips_compaction_with_folded_tombstones(spark, tmp_path):
+    """A compaction folds tombstones into rewritten files and drops them
+    from the manifest; the change feed verifies the stamped lineage and
+    emits NOTHING for it — no re-inserts of compacted rows, no replay of
+    the folded (narrowed-away) tombstones."""
+    import uuid as _uuid
+
+    root = str(tmp_path / "snap")
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)          # v1
+    snapshot_delete_mor(spark, root, "id % 2 = 0", key_col="id")  # v2
+    snapshot_compact(spark, root)                                 # v3
+    snapshot_commit(_df(spark, 10, 12).coalesce(1), root)         # v4
+    name = f"cdfcompact_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert sorted(set(r["_commit_version"] for r in rows)) == [1, 2, 4]
+    assert sorted(
+        r["id"] for r in rows if r["_change_type"] == "delete"
+    ) == [0, 2, 4, 6, 8]
+    assert sorted(
+        r["id"] for r in rows if r["_change_type"] == "insert"
+    ) == list(range(12))
