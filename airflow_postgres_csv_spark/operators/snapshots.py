@@ -70,6 +70,7 @@ _RESERVED_KEYS = frozenset(
         "version", "parent", "mode", "commit_id", "files", "n_files",
         "schema", "commit_schemas", "sidecars", "commit_ranges",
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
+        "delete_info",
     }
 )
 
@@ -1200,6 +1201,13 @@ def snapshot_delete(
     commit_id, new_files = _write_data(kept_rows, root)
     files = untouched + new_files
     body = _inherit_maps(manifest, files)
+    # Record WHAT was deleted so the change feed can replay this rewrite
+    # as range-masked delete pre-images from the replaced files (the
+    # rewritten files hold only carried rows — nothing to emit there).
+    # JSON-typed bounds only; exotic bound types simply omit the stamp
+    # and the feed falls back to failing on the rewrite.
+    if all(isinstance(b, (int, float, str, bool)) for b in (lo, hi)):
+        body["delete_info"] = {"col": col, "lo": lo, "hi": hi}
     bloom_cfg = manifest.get("bloom")
     if bloom_cfg:
         body["bloom"] = bloom_cfg

@@ -51,8 +51,13 @@ Three delete postures:
   COW MERGE commits also stream in this mode: the merge records its key
   files, and the rewrite replays as delete pre-images + insert
   post-images restricted to the merged keys (Delta's
-  update_pre/postimage pair), never the carried-over rows. Non-merge
-  rewrites (overwrite/compact/COW delete) still fail the stream.
+  update_pre/postimage pair), never the carried-over rows. COW range
+  DELETES likewise replay as range-masked delete pre-images from the
+  replaced files (the rewritten files hold only carried rows). With
+  compactions verified row-preserving and skipped in every mode (stamped
+  ``compaction_of`` + parent check), the only commits that fail a
+  change-feed stream are genuine overwrites and rollbacks — the ones
+  with no row-delta story at all.
 
 Usage::
 
@@ -181,6 +186,27 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 # maintenance race (a commit interleaved between the
                 # compaction's read and publish), which falls through to
                 # the rewrite failure below.
+                prev = cur
+                continue
+            if (
+                removed
+                and self._change_feed
+                and cur.get("mode") == "delete"
+                and cur.get("delete_info")
+                and prev is not None
+            ):
+                # COW range DELETE replayed as row changes: the rewritten
+                # files hold only carried rows (nothing to emit); the
+                # replaced files emit range-masked delete pre-images.
+                di = cur["delete_info"]
+                parts.extend(
+                    self._replaced_file_deletes(
+                        prev, cur,
+                        {"kind": "range", "col": di["col"],
+                         "lo": di["lo"], "hi": di["hi"]},
+                        v, end_defaults,
+                    )
+                )
                 prev = cur
                 continue
             if (
@@ -317,41 +343,20 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             ],
         }
 
-    def _merge_partitions(
-        self, prev: dict, cur: dict, version: int, end_defaults: str
+    def _replaced_file_deletes(
+        self, prev: dict, cur: dict, spec: dict, version: int,
+        end_defaults: str,
     ) -> list[InputPartition]:
-        """A COW MERGE commit as row changes. The merge recorded its key
-        files (``merge_info``); the rewrite's file delta replays as:
-
-        - one ``delete`` partition per REPLACED file — pre-image rows
-          whose key is in the merge keys (rows the upsert overwrote; keys
-          the merge INSERTED match nothing in old files, so a pure insert
-          emits no delete half), minus rows older tombstones had already
-          removed;
-        - one restricted ``insert`` partition per ADDED file — post-image
-          rows whose key is in the merge keys; carried-over rows are not
-          changes and are masked out.
-
-        A keyed consumer nets delete+insert of one key at one version to
-        the post-image (``apply_changes_batch`` breaks the tie in favor
-        of the insert) — Delta CDF's update_pre/postimage pair expressed
-        with the two change types the feed already has."""
+        """One ``delete`` partition per file a rewrite REPLACED: pre-image
+        rows matching ``spec`` (the merge's key set or the COW delete's
+        range), minus rows older tombstones had already removed."""
         from airflow_postgres_csv_spark.operators.snapshots import (
             _commit_of,
             _tombstone_applies,
         )
 
-        mi = cur["merge_info"]
-        spec = {
-            "kind": "equality",
-            "key_col": mi["key_col"],
-            "delete_files": [
-                os.path.join(self._root, f) for f in mi["key_files"]
-            ],
-        }
         prev_tombs = prev.get("tombstones", [])
         prev_schemas = prev.get("commit_schemas", {})
-        cur_schemas = cur.get("commit_schemas", {})
         parts: list[InputPartition] = []
         for rel in sorted(set(prev["files"]) - set(cur["files"])):
             cid = _commit_of(rel)
@@ -372,6 +377,41 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     rel=rel,
                 )
             )
+        return parts
+
+    def _merge_partitions(
+        self, prev: dict, cur: dict, version: int, end_defaults: str
+    ) -> list[InputPartition]:
+        """A COW MERGE commit as row changes. The merge recorded its key
+        files (``merge_info``); the rewrite's file delta replays as:
+
+        - one ``delete`` partition per REPLACED file — pre-image rows
+          whose key is in the merge keys (rows the upsert overwrote; keys
+          the merge INSERTED match nothing in old files, so a pure insert
+          emits no delete half), minus rows older tombstones had already
+          removed;
+        - one restricted ``insert`` partition per ADDED file — post-image
+          rows whose key is in the merge keys; carried-over rows are not
+          changes and are masked out.
+
+        A keyed consumer nets delete+insert of one key at one version to
+        the post-image (``apply_changes_batch`` breaks the tie in favor
+        of the insert) — Delta CDF's update_pre/postimage pair expressed
+        with the two change types the feed already has."""
+        from airflow_postgres_csv_spark.operators.snapshots import _commit_of
+
+        mi = cur["merge_info"]
+        spec = {
+            "kind": "equality",
+            "key_col": mi["key_col"],
+            "delete_files": [
+                os.path.join(self._root, f) for f in mi["key_files"]
+            ],
+        }
+        cur_schemas = cur.get("commit_schemas", {})
+        parts = self._replaced_file_deletes(
+            prev, cur, spec, version, end_defaults
+        )
         for rel in sorted(set(cur["files"]) - set(prev["files"])):
             cid = _commit_of(rel)
             parts.append(
@@ -431,6 +471,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
         def _tomb_mask(spec: dict) -> "pa.ChunkedArray":
             # rows of THIS file the tombstone deletes
+            if spec["kind"] == "range":
+                col = aligned[spec["col"]]
+                return pc.and_(
+                    pc.greater_equal(col, spec["lo"]),
+                    pc.less_equal(col, spec["hi"]),
+                )
             if spec["kind"] == "positional":
                 pos_tbl = pa.concat_tables(
                     [pq.read_table(f) for f in spec["delete_files"]]

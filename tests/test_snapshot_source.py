@@ -370,3 +370,50 @@ def test_change_feed_skips_compaction_with_folded_tombstones(spark, tmp_path):
     assert sorted(
         r["id"] for r in rows if r["_change_type"] == "insert"
     ) == list(range(12))
+
+
+def test_change_feed_streams_cow_range_delete(spark, tmp_path):
+    """changeFeed=true on a COW range delete: replaced files emit their
+    in-range rows as delete pre-images (minus rows an older tombstone
+    already removed); the rewritten carried-row files emit nothing."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete
+
+    root = str(tmp_path / "snap")
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)          # v1
+    snapshot_delete_mor(spark, root, "id = 4", key_col="id")      # v2
+    snapshot_delete(spark, root, "id", 3, 6)                      # v3: 3,5,6 (4 gone)
+    name = f"cdfrange_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    d = {
+        v: sorted(
+            r["id"] for r in rows
+            if r["_change_type"] == "delete" and r["_commit_version"] == v
+        )
+        for v in (2, 3)
+    }
+    assert sorted(r["id"] for r in rows if r["_change_type"] == "insert") == list(range(10))
+    assert d[2] == [4]
+    assert d[3] == [3, 5, 6]  # 4 excluded: already tombstoned
+    # and the carried rows (0,1,2,7,8,9) were not re-emitted at v3
+    from collections import Counter
+
+    per = Counter((r["id"], r["_commit_version"]) for r in rows)
+    for i in (0, 1, 2, 7, 8, 9):
+        assert per[(i, 3)] == 0
