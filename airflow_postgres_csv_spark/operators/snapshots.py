@@ -1551,12 +1551,19 @@ def snapshot_apply_changes(
       addressed (file, row_index) rows are resolved to their ``key_col``
       values against the source version and deleted by key in dst.
 
+    Rewrites replay too, by their stamped lineage: a verified COMPACTION
+    (``compaction_of`` + parent check) is skipped — same logical rows; a
+    COW MERGE upserts its post-image rows (rewritten files restricted to
+    the recorded merge keys, O(rewritten data)); a COW range DELETE
+    resolves its pre-image rows to keys against the previous version
+    (replaced files only) and deletes by key.
+
     Requirements and failure modes: ``key_col`` must uniquely identify
     rows in the source (standard CDC contract — positional deletes on
     duplicate keys cannot be expressed as key deletes downstream), and a
-    source version that REWROTE files (compact / COW merge / COW delete /
-    overwrite) raises — the file delta is not a row delta; re-anchor with
-    ``from_version`` past the rewrite or reconcile via
+    source version that rewrote files WITHOUT a row-delta story (a plain
+    overwrite, a rollback, a stale compaction stamp) raises; re-anchor
+    with ``from_version`` past it or reconcile via
     ``operators.merge.table_diff``.
 
     Exactly-once across reruns: the high-water mark
@@ -1588,6 +1595,62 @@ def snapshot_apply_changes(
         cur = _load_manifest(src_root, v)
         prev_files = set(prev["files"]) if prev else set()
         removed = prev_files - set(cur["files"])
+        if (
+            cur.get("mode") == "overwrite"
+            and cur.get("compaction_of") == v - 1
+            and cur.get("parent") == v - 1
+        ):
+            # verified compaction: same logical rows, nothing to replay
+            prev = cur
+            continue
+        mi = cur.get("merge_info")
+        if removed and cur.get("mode") == "merge" and mi and prev is not None:
+            # COW MERGE: upsert the POST-IMAGE rows downstream — read only
+            # the rewritten files, restricted to the recorded merge keys
+            # (carried-over rows are not changes). O(rewritten candidates),
+            # the merge's own cost. Skipping the tombstone loop below is
+            # deliberate: the merge only NARROWS inherited tombstones, and
+            # re-publishing one downstream after this upsert would delete
+            # a key the merge just re-inserted.
+            if mi["key_col"] != key_col:
+                raise ValueError(
+                    "snapshot_apply_changes: source merge keyed by "
+                    f"{mi['key_col']!r}, dst keyed by {key_col!r}"
+                )
+            keys = spark.read.parquet(
+                *[os.path.join(src_root, f) for f in mi["key_files"]]
+            ).select(key_col).distinct()
+            added = sorted(set(cur["files"]) - prev_files)
+            rows = _read_pinned(spark, src_root, cur, added).join(
+                F.broadcast(keys), key_col, "left_semi"
+            )
+            if snapshot_versions(dst_root):
+                snapshot_merge(spark, dst_root, rows, key=key_col)
+            else:
+                snapshot_commit(rows, dst_root)
+            appends += 1
+            prev = cur
+            continue
+        di = cur.get("delete_info")
+        if removed and cur.get("mode") == "delete" and di and prev is not None:
+            # COW range DELETE: resolve the deleted rows to key values by
+            # reading only the REPLACED files under the PREVIOUS manifest
+            # (its tombstones applied, so already-deleted rows are not
+            # re-deleted downstream), then delete by key.
+            pre = _read_pinned(spark, src_root, prev, sorted(removed))
+            keys = (
+                pre.where(F.col(di["col"]).between(di["lo"], di["hi"]))
+                .select(key_col)
+                .distinct()
+            )
+            if snapshot_versions(dst_root):
+                _publish_key_tombstone(
+                    dst_root, keys, key_col,
+                    f"cdc cow-delete {di['col']} in [{di['lo']}, {di['hi']}]",
+                )
+                deletes += 1
+            prev = cur
+            continue
         if removed:
             raise ValueError(
                 f"snapshot_apply_changes: source version {v} rewrote "

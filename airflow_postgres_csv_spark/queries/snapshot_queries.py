@@ -967,3 +967,51 @@ register(
     ORDER BY event_id
     """,
 )(pipeline_snapshot_cdc_merge_stream)
+
+
+def snapshot_apply_changes_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC replay across EVERY rewrite kind in the source history:
+    appends, a merge-on-read delete, a COW MERGE (event_type rewritten
+    for ``user_id % 10 = 4``), a compaction (verified row-preserving and
+    skipped), and a COW range delete — `snapshot_apply_changes` replays
+    each from its stamped lineage (merge keys / delete range /
+    compaction_of) in O(changed data), and the downstream table must
+    equal the source's live state, which the oracle states directly."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_merge,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = _temp_root()
+    dst = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), src)
+    snapshot_delete_mor(spark, src, "event_type = 'view'", key_col="event_id")
+    updates = snapshot_read(spark, src).where("user_id % 10 = 4").select(
+        "event_id", "user_id", F.lit("merged").alias("event_type")
+    )
+    snapshot_merge(spark, src, updates, "event_id")
+    snapshot_compact(spark, src)
+    snapshot_delete(spark, src, "event_id", 1000, 1999)
+    snapshot_apply_changes(spark, src, dst, key_col="event_id")
+    return snapshot_read(spark, dst).orderBy("event_id")
+
+
+register(
+    "snapshot_apply_changes_rewrites",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN user_id % 10 = 4 THEN 'merged' ELSE event_type END
+             AS event_type
+    FROM events
+    WHERE event_type <> 'view'
+      AND event_id NOT BETWEEN 1000 AND 1999
+    ORDER BY event_id
+    """,
+)(snapshot_apply_changes_rewrites)

@@ -1058,3 +1058,40 @@ def test_commit_retry_rebase_semantics(spark, tmp_path, monkeypatch):
     inject_winner()
     with pytest.raises(SnapshotConflictError):
         snapshot_commit(_df(spark, 20, 30), root)  # default retries=0
+
+
+def test_apply_changes_replays_merge_compact_and_cow_delete(spark, tmp_path):
+    """Batch CDC replay across every rewrite kind: appends, a MOR delete,
+    a COW MERGE (update + insert), a compaction (skipped), a COW range
+    delete — the downstream table equals the source's live state, and a
+    rerun is a no-op."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_merge,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), src)            # v1
+    snapshot_delete_mor(spark, src, "id = 4", key_col="id")        # v2
+    updates = spark.createDataFrame([(3, 333), (50, 500)], "id long, v long")
+    snapshot_merge(spark, src, updates, "id")                      # v3
+    snapshot_compact(spark, src)                                   # v4
+    snapshot_delete(spark, src, "id", 6, 8)                        # v5
+    snapshot_commit(_df(spark, 60, 62).coalesce(1), src)           # v6
+    r = snapshot_apply_changes(spark, src, dst, key_col="id")
+    assert r["applied_through"] == 6
+
+    def live(root):
+        return sorted((x["id"], x["v"]) for x in snapshot_read(spark, root).collect())
+
+    assert live(dst) == live(src)
+    assert (3, 333) in live(dst) and (50, 500) in live(dst)
+    assert not any(i in (4, 6, 7, 8) for i, _ in live(dst))
+    # rerun: high-water mark makes it a no-op
+    before = snapshot_versions(dst)
+    r2 = snapshot_apply_changes(spark, src, dst, key_col="id")
+    assert r2["append_batches"] == 0 and r2["delete_batches"] == 0
+    assert snapshot_versions(dst) == before
