@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,7 +71,7 @@ _RESERVED_KEYS = frozenset(
         "version", "parent", "mode", "commit_id", "files", "n_files",
         "schema", "commit_schemas", "sidecars", "commit_ranges",
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
-        "delete_info",
+        "delete_info", "committed_at",
     }
 )
 
@@ -567,6 +568,15 @@ def _publish(
     sidecar first, so the pointer never dangles)."""
     version = (versions[-1] + 1) if versions else 1
     manifest = {"version": version, "parent": versions[-1] if versions else None}
+    # commit wall time in nanoseconds, forced STRICTLY increasing along
+    # the version chain so AS-OF-timestamp resolution is total even for
+    # commits landing within one clock tick (or under clock skew)
+    parent_ts = (
+        _load_manifest(root, versions[-1]).get("committed_at", 0)
+        if versions
+        else 0
+    )
+    manifest["committed_at"] = max(time.time_ns(), parent_ts + 1)
     manifest.update(body)
     manifest.setdefault("commit_schemas", {})
     manifest.setdefault("sidecars", {})
@@ -713,10 +723,14 @@ def _read_pinned(
 
 
 def snapshot_read(
-    spark: SparkSession, root: str, version: int | str | None = None
+    spark: SparkSession, root: str, version: int | str | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Read a pinned version (default: latest) via its exact file list.
-    ``version`` may be a number or a tag name (``snapshot_tag``).
+    ``version`` may be a number or a tag name (``snapshot_tag``);
+    ``as_of`` is AS-OF-TIMESTAMP time travel — the newest version whose
+    ``committed_at`` (nanosecond epoch, strictly increasing along the
+    chain) is <= the given instant.
 
     The VERSION's schema (from the manifest) is applied explicitly — see
     ``_read_pinned`` for the schema-evolution alignment rules — and any
@@ -726,6 +740,10 @@ def snapshot_read(
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of, not both")
+        version = snapshot_version_as_of(root, as_of)
     version = resolve_version(root, version)
     if version is None:
         version = versions[-1]
@@ -733,6 +751,42 @@ def snapshot_read(
         raise FileNotFoundError(f"version {version} not in {versions}")
     manifest = _load_manifest(root, version)
     return _read_pinned(spark, root, manifest, manifest["files"])
+
+
+def snapshot_version_as_of(root: str, ts_ns: int) -> int:
+    """The newest version committed at or before ``ts_ns`` (nanosecond
+    epoch). Raises if the instant precedes the first retained commit —
+    either it predates the table or expire GC'd the history."""
+    best = None
+    for v in snapshot_versions(root):
+        if _load_manifest(root, v).get("committed_at", 0) <= ts_ns:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version at or before t={ts_ns}; history may be expired"
+        )
+    return best
+
+
+def snapshot_history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained version — version, parent,
+    mode, commit id, file/tombstone counts, committed_at (ns) — straight
+    from the manifests, no data scan."""
+    out = []
+    for v in snapshot_versions(root):
+        m = _load_manifest(root, v)
+        out.append(
+            {
+                "version": v,
+                "parent": m.get("parent"),
+                "mode": m.get("mode"),
+                "commit_id": m.get("commit_id"),
+                "n_files": m.get("n_files", len(m.get("files", []))),
+                "n_tombstones": len(m.get("tombstones", [])),
+                "committed_at": m.get("committed_at", 0),
+            }
+        )
+    return out
 
 
 def snapshot_diff(root: str, v_old: int, v_new: int) -> dict:

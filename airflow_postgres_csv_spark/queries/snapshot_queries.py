@@ -1015,3 +1015,74 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_apply_changes_rewrites)
+
+
+def snapshot_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel: every publish stamps a strictly
+    increasing ``committed_at`` (nanosecond epoch), so reading at v1's
+    exact instant returns exactly v1's rows no matter how close together
+    the commits landed — Delta's ``TIMESTAMP AS OF`` over the manifest
+    chain. The query reads at the recorded instants of both versions and
+    unions the row counts with a version marker."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_history
+
+    root = _temp_root()
+    _staged_versions(spark, sf_dir, root)
+    ts = {h["version"]: h["committed_at"] for h in snapshot_history(root)}
+    at_v1 = snapshot_read(spark, root, as_of=ts[1])
+    at_v2 = snapshot_read(spark, root, as_of=ts[2])
+    return (
+        at_v1.select(F.lit(1).alias("at_version"), "n_nationkey")
+        .unionAll(at_v2.select(F.lit(2).alias("at_version"), "n_nationkey"))
+        .orderBy("at_version", "n_nationkey")
+    )
+
+
+register(
+    "snapshot_time_travel_as_of",
+    f"""
+    SELECT 1 AS at_version, n_nationkey FROM nation WHERE n_nationkey < {_SPLIT_KEY}
+    UNION ALL
+    SELECT 2, n_nationkey FROM nation
+    ORDER BY at_version, n_nationkey
+    """,
+)(snapshot_time_travel_as_of)
+
+
+def snapshot_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a relation: the staged table's commit chain
+    (two appends, a merge-on-read delete, a compaction) reported from the
+    manifests alone — version, parent, mode, tombstone count. File counts
+    and timestamps are layout/clock-dependent and excluded; the
+    deterministic lineage columns are the oracle."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_history,
+    )
+
+    root = _temp_root()
+    _staged_versions(spark, sf_dir, root)
+    snapshot_delete_mor(spark, root, "n_nationkey = 3", key_col="n_nationkey")
+    snapshot_compact(spark, root)
+    rows = [
+        (h["version"], h["parent"], h["mode"], h["n_tombstones"])
+        for h in snapshot_history(root)
+    ]
+    return spark.createDataFrame(
+        rows, "version int, parent int, mode string, n_tombstones int"
+    ).orderBy("version")
+
+
+register(
+    "snapshot_describe_history",
+    """
+    SELECT * FROM (VALUES
+        (1, NULL, 'append', 0),
+        (2, 1, 'append', 0),
+        (3, 2, 'delete-mor', 1),
+        (4, 3, 'overwrite', 0)
+    ) AS t(version, parent, mode, n_tombstones)
+    ORDER BY version
+    """,
+)(snapshot_describe_history)

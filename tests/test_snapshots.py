@@ -1095,3 +1095,36 @@ def test_apply_changes_replays_merge_compact_and_cow_delete(spark, tmp_path):
     r2 = snapshot_apply_changes(spark, src, dst, key_col="id")
     assert r2["append_batches"] == 0 and r2["delete_batches"] == 0
     assert snapshot_versions(dst) == before
+
+
+def test_as_of_timestamp_and_history(spark, tmp_path):
+    """committed_at is stamped strictly increasing; AS-OF-timestamp
+    resolves the newest version at or before the instant; DESCRIBE
+    HISTORY reports the manifest chain."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_history,
+        snapshot_version_as_of,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_commit(_df(spark, 10, 15), root)
+    snapshot_delete_mor(spark, root, "id = 3", key_col="id")
+    h = snapshot_history(root)
+    assert [x["version"] for x in h] == [1, 2, 3]
+    assert [x["mode"] for x in h] == ["append", "append", "delete-mor"]
+    assert [x["n_tombstones"] for x in h] == [0, 0, 1]
+    ts = [x["committed_at"] for x in h]
+    assert ts[0] < ts[1] < ts[2]
+    assert snapshot_version_as_of(root, ts[0]) == 1
+    assert snapshot_version_as_of(root, ts[1]) == 2
+    assert snapshot_version_as_of(root, ts[2] + 10**12) == 3
+    assert snapshot_read(spark, root, as_of=ts[1]).count() == 15
+    assert snapshot_read(spark, root, as_of=ts[0]).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snapshot_version_as_of(root, ts[0] - 1)
+    with _pytest.raises(ValueError):
+        snapshot_read(spark, root, version=1, as_of=ts[0])
