@@ -139,6 +139,23 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         if not self._root:
             raise ValueError("snapshot_feed requires option 'root'")
         self._start_version = int(options.get("startingversion", 0))
+        if "startingtimestamp" in options:
+            if "startingversion" in options:
+                raise ValueError(
+                    "pass startingVersion or startingTimestamp, not both"
+                )
+            from airflow_postgres_csv_spark.operators.snapshots import (
+                snapshot_version_as_of,
+            )
+
+            # anchor JUST BEFORE the as-of version so its commit is the
+            # first one delivered (offsets are "processed through")
+            self._start_version = (
+                snapshot_version_as_of(
+                    self._root, int(options["startingtimestamp"])
+                )
+                - 1
+            )
         self._ignore_deletes = str(
             options.get("ignoredeletes", "false")
         ).lower() in ("true", "1")

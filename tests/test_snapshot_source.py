@@ -417,3 +417,26 @@ def test_change_feed_streams_cow_range_delete(spark, tmp_path):
     per = Counter((r["id"], r["_commit_version"]) for r in rows)
     for i in (0, 1, 2, 7, 8, 9):
         assert per[(i, 3)] == 0
+
+
+def test_starting_timestamp_anchor(spark, tmp_path):
+    """startingTimestamp anchors the stream at the newest version
+    committed at or before the instant — that version's rows are the
+    first delivered; both anchors together are rejected."""
+    import pytest
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_history
+
+    root, ckpt, out = (str(tmp_path / d) for d in ("snap", "ckpt", "out"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 5).coalesce(1), root)
+    snapshot_commit(_df(spark, 5, 8).coalesce(1), root)
+    snapshot_commit(_df(spark, 8, 12).coalesce(1), root)
+    ts2 = {h["version"]: h["committed_at"] for h in snapshot_history(root)}[2]
+    r = _pump(spark, root, ckpt, out, startingTimestamp=str(ts2))
+    assert sorted(x["id"] for x in r.collect()) == list(range(5, 12))
+    with pytest.raises(Exception, match="not both"):
+        _pump(
+            spark, root, str(tmp_path / "c2"), str(tmp_path / "o2"),
+            startingTimestamp=str(ts2), startingVersion="1",
+        )
