@@ -1086,3 +1086,116 @@ register(
     ORDER BY version
     """,
 )(snapshot_describe_history)
+
+
+def snapshot_table_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change data feed (`snapshot_table_changes`, Delta's
+    table_changes TVF): the full change history of a staged table — two
+    appends, a MOR delete, a COW merge (pre/post-image pair), a verified
+    compaction (emits nothing), a COW range delete — reconstructed from
+    manifest lineage in O(changed data). Equivalence with the STREAMING
+    change feed is asserted row-for-row in tests/test_snapshot_source.py;
+    here the oracle reconstructs every change arithmetically."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_merge,
+        snapshot_table_changes,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), src)
+    snapshot_delete_mor(spark, src, "event_type = 'view'", key_col="event_id")
+    updates = snapshot_read(spark, src).where("user_id % 10 = 4").select(
+        "event_id", "user_id", F.lit("merged").alias("event_type")
+    )
+    snapshot_merge(spark, src, updates, "event_id")
+    snapshot_compact(spark, src)
+    snapshot_delete(spark, src, "event_id", 1000, 1999)
+    return snapshot_table_changes(spark, src).orderBy(
+        "event_id", "_commit_version", "_change_type"
+    )
+
+
+register(
+    "snapshot_table_changes_batch",
+    """
+    SELECT * FROM (
+        SELECT event_id, user_id, event_type,
+               CAST(event_id % 2 + 1 AS BIGINT) AS _commit_version,
+               'insert' AS _change_type
+        FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type, CAST(3 AS BIGINT), 'delete'
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT event_id, user_id, event_type, CAST(4 AS BIGINT), 'delete'
+        FROM events WHERE event_type <> 'view' AND user_id % 10 = 4
+        UNION ALL
+        SELECT event_id, user_id, 'merged', CAST(4 AS BIGINT), 'insert'
+        FROM events WHERE event_type <> 'view' AND user_id % 10 = 4
+        UNION ALL
+        SELECT event_id, user_id,
+               CASE WHEN user_id % 10 = 4 THEN 'merged' ELSE event_type END,
+               CAST(6 AS BIGINT), 'delete'
+        FROM events
+        WHERE event_type <> 'view' AND event_id BETWEEN 1000 AND 1999
+    ) ORDER BY event_id, _commit_version, _change_type
+    """,
+)(snapshot_table_changes_batch)
+
+
+def snapshot_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS: a persisted
+    per-event-type (count, cents) aggregate refreshed incrementally
+    across appends, a MOR delete, and a COW range delete — each refresh
+    reads only the changes (signed ±1 through the batch change feed) and
+    lands as ONE stamped commit, yet the maintained table must equal a
+    plain GROUP BY over the source's live rows, which is the oracle."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_incremental_agg,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    src = _temp_root()
+    dst = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), src)
+    snapshot_incremental_agg(spark, src, dst, "event_type", "cents")
+    snapshot_delete_mor(spark, src, "event_id % 7 = 0", key_col="event_id")
+    snapshot_delete(spark, src, "event_id", 2000, 2999)
+    snapshot_incremental_agg(spark, src, dst, "event_type", "cents")
+    return (
+        snapshot_read(spark, dst)
+        .where("n > 0")
+        .select("event_type", "n", "total")
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_ivm_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS total
+    FROM events
+    WHERE event_id % 7 <> 0 AND event_id NOT BETWEEN 2000 AND 2999
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(snapshot_ivm_rollup)

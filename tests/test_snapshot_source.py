@@ -440,3 +440,58 @@ def test_starting_timestamp_anchor(spark, tmp_path):
             spark, root, str(tmp_path / "c2"), str(tmp_path / "o2"),
             startingTimestamp=str(ts2), startingVersion="1",
         )
+
+
+def test_table_changes_equals_streaming_change_feed(spark, tmp_path):
+    """The batch CDF (snapshot_table_changes) and the streaming CDF
+    (changeFeed=true) must produce the SAME multiset of change rows over
+    a history exercising every commit kind: appends, equality +
+    positional MOR deletes, a COW merge, a compaction, a COW range
+    delete."""
+    import uuid as _uuid
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_delete_positional,
+        snapshot_merge,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)           # v1
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), root)          # v2
+    snapshot_delete_mor(spark, root, "id % 5 = 0", key_col="id")   # v3
+    snapshot_delete_positional(spark, root, "id = 7")              # v4
+    updates = spark.createDataFrame([(3, 333), (50, 500)], "id long, v long")
+    snapshot_merge(spark, root, updates, "id")                     # v5
+    snapshot_compact(spark, root)                                  # v6
+    snapshot_delete(spark, root, "id", 11, 13)                     # v7
+
+    batch = sorted(
+        tuple(r) for r in snapshot_table_changes(spark, root).collect()
+    )
+    name = f"cdfeq_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = sorted(tuple(r) for r in spark.table(name).collect())
+    assert batch == stream
+    assert len(batch) > 25  # non-trivial history actually streamed
+    # and an anchored slice equals the stream from that version
+    sliced = sorted(
+        tuple(r)
+        for r in snapshot_table_changes(spark, root, from_version=4).collect()
+    )
+    assert sliced == [t for t in batch if t[2] > 4]

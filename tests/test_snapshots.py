@@ -1128,3 +1128,61 @@ def test_as_of_timestamp_and_history(spark, tmp_path):
         snapshot_version_as_of(root, ts[0] - 1)
     with _pytest.raises(ValueError):
         snapshot_read(spark, root, version=1, as_of=ts[0])
+
+
+def test_incremental_agg_with_retractions(spark, tmp_path):
+    """IVM: the maintained (n, total) per group equals a fresh GROUP BY
+    over the source's live state after every refresh — across appends, a
+    MOR delete, a COW merge, and a COW range delete — and a refresh with
+    nothing new is a no-op."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_incremental_agg,
+        snapshot_merge,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+
+    def grp(spark_df):
+        return sorted(
+            tuple(r)
+            for r in spark_df.groupBy((F.col("id") % 3).alias("g"))
+            .agg(F.count("*").cast("long").alias("n"), F.sum("v").alias("total"))
+            .collect()
+        )
+
+    def maintained():
+        return sorted(
+            tuple(r)
+            for r in snapshot_read(spark, dst)
+            .where("n > 0")
+            .withColumnRenamed("g", "g")
+            .collect()
+        )
+
+    # seed: two appends
+    snapshot_commit(
+        _df(spark, 0, 10).withColumn("g", (F.col("id") % 3)).coalesce(1), src
+    )
+    snapshot_commit(
+        _df(spark, 10, 20).withColumn("g", (F.col("id") % 3)).coalesce(1), src
+    )
+    snapshot_incremental_agg(spark, src, dst, "g", "v")
+    assert maintained() == grp(snapshot_read(spark, src))
+    # deletes + merge, incremental refresh only reads the changes
+    snapshot_delete_mor(spark, src, "id % 5 = 0", key_col="id")
+    updates = spark.createDataFrame(
+        [(3, 999, 0), (50, 500, 2)], "id long, v long, g long"
+    )
+    snapshot_merge(spark, src, updates, "id")
+    snapshot_delete(spark, src, "id", 11, 13)
+    r = snapshot_incremental_agg(spark, src, dst, "g", "v")
+    assert r["refreshed"] is True
+    assert maintained() == grp(snapshot_read(spark, src))
+    # idempotent: nothing new -> no refresh, no new dst version
+    before = snapshot_versions(dst)
+    r2 = snapshot_incremental_agg(spark, src, dst, "g", "v")
+    assert r2["refreshed"] is False and snapshot_versions(dst) == before
