@@ -1639,9 +1639,11 @@ def snapshot_table_changes(
             continue
         mi = cur.get("merge_info")
         if removed and cur.get("mode") == "merge" and mi and prev is not None:
+            # key files are written distinct, and a left-semi probe dedups
+            # anyway — no .distinct() here, it would shuffle the tiny side
             keys = spark.read.parquet(
                 *[os.path.join(root, f) for f in mi["key_files"]]
-            ).select(mi["key_col"]).distinct()
+            ).select(mi["key_col"])
             pre = _read_pinned(spark, root, prev, sorted(removed)).join(
                 F.broadcast(keys), mi["key_col"], "left_semi"
             )
@@ -1693,7 +1695,7 @@ def snapshot_table_changes(
             else:
                 keys = spark.read.parquet(
                     *[os.path.join(root, f) for f in t["files"]]
-                ).select(t["key_col"]).distinct()
+                ).select(t["key_col"])
                 cids = set(t["commits"])
                 targets = [
                     r for r in cur["files"] if _commit_of(r) in cids

@@ -64,3 +64,54 @@ def test_schema_aligned_read_keeps_scan_pruned_and_shuffle_free(spark, tmp_path)
     assert I.num_shuffles(out) == 0
     schemas = I.read_schema(out)
     assert schemas and all(c == "id" for c in schemas), schemas
+
+
+def test_table_changes_merge_version_is_broadcast_and_shuffle_free(spark, tmp_path):
+    """The batch change feed over a COW merge version: pre/post-image key
+    restriction must be a BROADCAST semi-join per side (the key files are
+    O(merged keys)), with zero shuffle exchanges — a sort-merge here
+    would shuffle the rewritten files per refresh at 100 TB."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_merge,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 5000).coalesce(2), root)
+    updates = spark.createDataFrame(
+        [(i, i * 7) for i in range(0, 5000, 100)], "id long, v long"
+    )
+    snapshot_merge(spark, root, updates, "id")
+    out = snapshot_table_changes(spark, root, from_version=1)
+    plan = I.physical_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert I.num_shuffles(out) == 0, plan
+    # pre-image (old values) + post-image (new values) for the 50 keys
+    assert out.count() == 100
+
+
+def test_incremental_agg_refresh_shuffles_only_for_the_aggregate(spark, tmp_path):
+    """An IVM refresh's plan: the signed delta is one hash aggregate over
+    the change feed (exactly one shuffle for the groupBy — map-side
+    partials first), never a join-driven shuffle of the changes."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_table_changes,
+    )
+    from pyspark.sql import functions as F2
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(
+        _df(spark, 0, 5000).withColumn("g", F.col("id") % 7).coalesce(2), root
+    )
+    ch = snapshot_table_changes(spark, root)
+    sign = F2.when(F2.col("_change_type") == "insert", F2.lit(1)).otherwise(
+        F2.lit(-1)
+    )
+    delta = ch.groupBy("g").agg(
+        F2.sum(sign).alias("dn"), F2.sum(sign * F2.col("v")).alias("dv")
+    )
+    plan = I.physical_plan(delta)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert I.num_shuffles(delta) == 1, plan
+    assert delta.count() == 7
