@@ -178,3 +178,98 @@ def test_concurrent_committers_threads_no_lost_commits(spark, tmp_path):
         for i in range((w * n_commits + c) * 100, (w * n_commits + c) * 100 + 10)
     )
     assert rows == expect
+
+
+_cdf_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, IDS - 3), st.integers(1, 4)),
+    st.tuples(st.just("delete_mor"), st.integers(0, IDS - 1)),
+    st.tuples(
+        st.just("delete_pos"), st.integers(0, IDS - 1), st.integers(0, 7)
+    ),
+    st.tuples(
+        st.just("cow_delete"), st.integers(0, IDS - 1), st.integers(0, 3)
+    ),
+    st.tuples(st.just("merge"), st.integers(0, IDS - 3), st.integers(1, 3)),
+    st.tuples(st.just("compact")),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_cdf_op, min_size=3, max_size=6))
+def test_change_feed_reconstructs_every_version(spark, tmp_path_factory, ops):
+    """CDF soundness as a model property: over random histories of every
+    feed-expressible commit kind, net-applying the batch change feed
+    (insert +1 / delete -1 on exact rows) through version v reconstructs
+    exactly the live row multiset snapshot_read pins at v — so a keyed
+    consumer replaying the feed can never diverge from the table."""
+    from collections import Counter
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path_factory.mktemp("snapcdf") / "snap")
+    model = [(i, 0) for i in range(IDS)]
+    snapshot_commit(
+        spark.createDataFrame(model, "id long, stamp long").coalesce(1), root
+    )
+    history = {1: sorted(model)}
+    for opi, op in enumerate(ops, start=1):
+        kind = op[0]
+        if kind == "append":
+            _, lo, n = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            snapshot_commit(
+                spark.createDataFrame(rows, "id long, stamp long").coalesce(1),
+                root,
+            )
+            model = model + rows
+        elif kind == "delete_mor":
+            _, k = op
+            snapshot_delete_mor(spark, root, f"id = {k}", key_col="id")
+            model = [r for r in model if r[0] != k]
+        elif kind == "delete_pos":
+            _, k, s = op
+            snapshot_delete_positional(spark, root, f"id = {k} AND stamp = {s}")
+            model = [r for r in model if not (r[0] == k and r[1] == s)]
+        elif kind == "cow_delete":
+            _, lo, w = op
+            snapshot_delete(spark, root, "id", lo, lo + w)
+            model = [r for r in model if not (lo <= r[0] <= lo + w)]
+        elif kind == "merge":
+            _, lo, n = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            snapshot_merge(
+                spark,
+                root,
+                spark.createDataFrame(rows, "id long, stamp long").coalesce(1),
+                key="id",
+            )
+            keys = {i for i, _ in rows}
+            model = [r for r in model if r[0] not in keys] + rows
+        elif kind == "compact":
+            snapshot_compact(spark, root)
+        history[snapshot_versions(root)[-1]] = sorted(model)
+    latest = snapshot_versions(root)[-1]
+    changes = snapshot_table_changes(spark, root, 0, latest).collect()
+    by_version: dict[int, list] = {}
+    for r in changes:
+        by_version.setdefault(r["_commit_version"], []).append(r)
+    net: Counter = Counter()
+    reconstructed_at = {}
+    for v in range(1, latest + 1):
+        for r in by_version.get(v, []):
+            row = (r["id"], r["stamp"])
+            net[row] += 1 if r["_change_type"] == "insert" else -1
+        reconstructed_at[v] = sorted(
+            row for row, c in net.items() for _ in range(c)
+        )
+        assert all(c >= 0 for c in net.values()), (v, net)
+    for v, expect in history.items():
+        assert reconstructed_at[v] == expect, (
+            f"CDF replay diverged at v{v}: {reconstructed_at[v]} != {expect}"
+        )
