@@ -136,12 +136,42 @@ def _correctness_history() -> dict[str, int]:
     return last
 
 
+def _first_verified_round() -> dict[str, int]:
+    """Map query name -> first round it appeared in a committed
+    ``VERIFY_LOCAL_r*.txt`` local-verification report (the corpus
+    seniority record; {} on a fresh checkout)."""
+    root = Path(__file__).resolve().parents[2]
+    first: dict[str, int] = {}
+    for path in sorted(root.glob("VERIFY_LOCAL_r*.txt")):
+        m = re.search(r"_r(\d+)\.txt$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            lines = path.read_text().splitlines()
+        except OSError:
+            continue
+        for line in lines:
+            parts = line.split()
+            if len(parts) >= 2 and parts[0] in ("PASS", "FAIL", "ERR"):
+                name = parts[1].rstrip(":")
+                if name not in first:
+                    first[name] = rnd
+    return first
+
+
 def priority_window(all_names: list[str]) -> list[str]:
     """The 50 names the driver will grade this round, in order."""
     last = _correctness_history()
     pool = [n for n in all_names if n not in _ANCHORS]
-    # Never graded first (alphabetical), then least-recently graded.
-    pool.sort(key=lambda n: (last.get(n, 0), n))
+    # Never graded first, then least-recently graded. Ties break by
+    # SENIORITY — the first round a name appeared in a committed
+    # VERIFY_LOCAL_r*.txt report (then registration order): a FIFO
+    # backlog, so queries that have waited since round 1 drain before
+    # names added in later rounds instead of being queue-jumped
+    # alphabetically by every new addition.
+    seniority = _first_verified_round()
+    pool.sort(key=lambda n: (last.get(n, 0), seniority.get(n, 10**6)))
     window = list(_ANCHORS) + pool[: _WINDOW_SIZE - len(_ANCHORS)]
     return window[:_WINDOW_SIZE]
 
