@@ -106,6 +106,10 @@ HEADLINE = [
     # feed + the full medallion loop with the exactly-once sink)
     "streaming_snapshot_feed_live",
     "pipeline_snapshot_medallion",
+    # end of round 6: the CDC stack — incremental view maintenance with
+    # retractions driven by the batch change feed (table_changes + one
+    # stamped merge commit per refresh)
+    "snapshot_ivm_rollup",
 ]
 
 
