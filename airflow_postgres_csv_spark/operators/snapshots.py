@@ -1582,6 +1582,58 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     }
 
 
+def snapshot_update(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    key_col: str,
+) -> dict:
+    """SQL UPDATE (``UPDATE t SET col = expr, ... WHERE condition``) as a
+    keyed COW merge: one scan finds the matching rows, the SET
+    expressions (any SQL over the row's columns) produce their new
+    images, and ``snapshot_merge`` rewrites only the key-intersecting
+    files. Completes the DML triad next to ``snapshot_delete*`` and
+    ``snapshot_merge`` — and because it IS a merge commit, the change
+    feed streams it as delete pre-image + insert post-image pairs and
+    CDC replay applies it downstream with no extra machinery.
+    """
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    from pyspark.sql.types import StructType
+
+    cols = [
+        f.name
+        for f in StructType.fromJson(json.loads(manifest["schema"])).fields
+    ]
+    bad = set(set_exprs) - set(cols)
+    if bad:
+        raise ValueError(f"snapshot_update: no such column(s) {sorted(bad)}")
+    if key_col in set_exprs:
+        raise ValueError("snapshot_update: may not update the key column")
+    updates = (
+        _read_pinned(spark, root, manifest, manifest["files"])
+        .where(F.expr(condition))
+        .select(
+            *[
+                F.expr(set_exprs[c]).cast(
+                    dict(zip(cols, StructType.fromJson(
+                        json.loads(manifest["schema"])
+                    ).fields))[c].dataType
+                ).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+    )
+    return snapshot_merge(spark, root, updates, key=key_col)
+
+
 def snapshot_table_changes(
     spark: SparkSession,
     root: str,

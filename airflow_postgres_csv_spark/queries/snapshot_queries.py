@@ -1199,3 +1199,45 @@ register(
     ORDER BY event_type
     """,
 )(snapshot_ivm_rollup)
+
+
+def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE over the snapshot table (`snapshot_update`): matching
+    rows rewritten in place via the keyed COW merge — 'view' events get
+    their value zeroed and type renamed — and the read-back equals the
+    oracle's CASE expressions over the source."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_update
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    root = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), root)
+    snapshot_update(
+        spark,
+        root,
+        "event_type = 'view'",
+        {"event_type": "'viewed'", "cents": "0"},
+        key_col="event_id",
+    )
+    return snapshot_read(spark, root).orderBy("event_id")
+
+
+register(
+    "snapshot_update_where",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'view' THEN 'viewed' ELSE event_type END
+             AS event_type,
+           CASE WHEN event_type = 'view' THEN 0
+                ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           END AS cents
+    FROM events
+    ORDER BY event_id
+    """,
+)(snapshot_update_where)

@@ -1186,3 +1186,36 @@ def test_incremental_agg_with_retractions(spark, tmp_path):
     before = snapshot_versions(dst)
     r2 = snapshot_incremental_agg(spark, src, dst, "g", "v")
     assert r2["refreshed"] is False and snapshot_versions(dst) == before
+
+
+def test_snapshot_update_where(spark, tmp_path):
+    """UPDATE ... SET ... WHERE as a keyed COW merge: matching rows get
+    their new images, everything else is untouched, and the commit is a
+    merge (change feed / CDC replay inherit it for free)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_table_changes,
+        snapshot_update,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    m = snapshot_update(
+        spark, root, "id % 3 = 0", {"v": "v * 100 + id"}, key_col="id"
+    )
+    assert m["mode"] == "merge" and m.get("merge_info")
+    rows = {r["id"]: r["v"] for r in snapshot_read(spark, root).collect()}
+    for i in range(10):
+        assert rows[i] == (i * 2 * 100 + i if i % 3 == 0 else i * 2)
+    ch = snapshot_table_changes(spark, root, from_version=1)
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    ) == sorted(
+        [(i, "delete") for i in (0, 3, 6, 9)]
+        + [(i, "insert") for i in (0, 3, 6, 9)]
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="key column"):
+        snapshot_update(spark, root, "true", {"id": "id + 1"}, key_col="id")
+    with _p.raises(ValueError, match="no such column"):
+        snapshot_update(spark, root, "true", {"zz": "1"}, key_col="id")
