@@ -1582,6 +1582,71 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
     }
 
 
+def snapshot_clone(
+    src_root: str,
+    dst_root: str,
+    version: int | str | None = None,
+) -> dict:
+    """Zero-copy CLONE of a snapshot table (Delta's shallow clone, made
+    safely independent): every data/delete/sidecar file of the pinned
+    source version is HARDLINKED into the clone root (same inode, zero
+    bytes moved — data files are immutable so sharing is safe), and the
+    clone starts its own history at version 1 with the source's schema,
+    tombstones, Bloom config, and per-commit metadata carried over.
+
+    The clone is fully independent afterwards: commits, deletes,
+    compaction, and ``snapshot_expire`` on either side never affect the
+    other (expire unlinks names; shared inodes survive until BOTH sides
+    drop them). This is the cheap-experimentation primitive: fork a
+    100 TB table in O(files) metadata operations, try a migration, throw
+    the clone away. Requires both roots on one filesystem (hardlink
+    semantics); raises OSError otherwise.
+    """
+    versions = snapshot_versions(src_root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {src_root}")
+    v = resolve_version(src_root, version)
+    if v is None:
+        v = versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    m = _load_manifest(src_root, v)
+    if snapshot_versions(dst_root):
+        raise FileExistsError(f"clone target {dst_root} already has versions")
+    to_link = list(m["files"])
+    for t in m.get("tombstones", []):
+        to_link.extend(t["files"])
+    if m.get("merge_info"):
+        to_link.extend(m["merge_info"]["key_files"])
+    for rel in to_link:
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.exists(dst):
+            os.link(os.path.join(src_root, rel), dst)
+    sidecars = {}
+    for cid, sc_rel in m.get("sidecars", {}).items():
+        dst = os.path.join(dst_root, sc_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.exists(dst):
+            os.link(os.path.join(src_root, sc_rel), dst)
+        sidecars[cid] = sc_rel
+    commit_id = uuid.uuid4().hex[:12]
+    body = {
+        k: m[k]
+        for k in (
+            "files", "n_files", "schema", "commit_schemas", "commit_ranges",
+            "tombstones",
+        )
+        if k in m
+    }
+    body["sidecars"] = sidecars
+    for k in ("bloom", "defaults", "partition_spec"):
+        if k in m:
+            body[k] = m[k]
+    body.update(mode="clone", commit_id=commit_id, cloned_from=v)
+    return _publish(dst_root, [], body, commit_id, None)
+
+
 def snapshot_update(
     spark: SparkSession,
     root: str,

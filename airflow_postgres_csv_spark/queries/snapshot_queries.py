@@ -1241,3 +1241,43 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_update_where)
+
+
+def snapshot_clone_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone isolation: fork the table by hardlinking its
+    pinned files (O(files) metadata, zero bytes), MOR-delete inside the
+    CLONE, and read both sides — the source must stay intact while the
+    clone diverges, which the oracle states as the full set plus the
+    filtered set."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_clone,
+        snapshot_delete_mor,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    src = _temp_root()
+    dst = _temp_root() + "/clone"
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), src)
+    snapshot_clone(src, dst)
+    snapshot_delete_mor(spark, dst, "event_type = 'view'", key_col="event_id")
+    a = snapshot_read(spark, src).select(
+        F.lit("source").alias("side"), "event_id", "event_type"
+    )
+    b = snapshot_read(spark, dst).select(
+        F.lit("clone").alias("side"), "event_id", "event_type"
+    )
+    return a.unionAll(b).orderBy("side", "event_id")
+
+
+register(
+    "snapshot_clone_isolated",
+    """
+    SELECT * FROM (
+        SELECT 'source' AS side, event_id, event_type FROM events
+        UNION ALL
+        SELECT 'clone', event_id, event_type FROM events
+        WHERE event_type <> 'view'
+    ) ORDER BY side, event_id
+    """,
+)(snapshot_clone_isolated)

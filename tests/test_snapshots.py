@@ -1219,3 +1219,38 @@ def test_snapshot_update_where(spark, tmp_path):
         snapshot_update(spark, root, "true", {"id": "id + 1"}, key_col="id")
     with _p.raises(ValueError, match="no such column"):
         snapshot_update(spark, root, "true", {"zz": "1"}, key_col="id")
+
+
+def test_clone_zero_copy_and_independent(spark, tmp_path):
+    """snapshot_clone hardlinks the pinned files (shared inodes, zero
+    bytes copied) and the clone's history is fully independent: deletes
+    and expire on one side never affect the other."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_clone,
+        snapshot_delete_mor,
+        snapshot_expire,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), src)
+    snapshot_delete_mor(spark, src, "id = 9", key_col="id")
+    m = snapshot_clone(src, dst)
+    assert m["version"] == 1 and m["mode"] == "clone" and m["cloned_from"] == 2
+    # zero-copy: every cloned data file shares its inode with the source
+    for rel in m["files"]:
+        assert os.stat(os.path.join(dst, rel)).st_nlink >= 2
+    # tombstones carried: the clone reads the source's live state
+    assert snapshot_read(spark, dst).count() == 9
+    # independence: delete in the clone, source unchanged...
+    snapshot_delete_mor(spark, dst, "id < 5", key_col="id")
+    assert snapshot_read(spark, dst).count() == 4
+    assert snapshot_read(spark, src).count() == 9
+    # ...and source-side expire+append never breaks the clone
+    snapshot_commit(_df(spark, 10, 12).coalesce(1), src, mode="overwrite")
+    snapshot_expire(src, keep_last=1)
+    assert snapshot_read(spark, dst).count() == 4
+    # a second clone into a used root is refused
+    import pytest as _p
+
+    with _p.raises(FileExistsError):
+        snapshot_clone(src, dst)
