@@ -322,7 +322,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
                 tombstones.append({**t, "commits": applies})
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
-                "cdc_applied_version"):
+                "cdc_applied_version", "ivm_applied_version"):
         if key in prev:
             out[key] = prev[key]
     return out
@@ -341,6 +341,7 @@ def snapshot_commit(
     column_defaults: dict | None = None,
     extra: dict | None = None,
     retries: int = 0,
+    expected_head: int | None = None,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
@@ -374,6 +375,12 @@ def snapshot_commit(
     one commit point, so the metadata can never be lost to a crash between
     a commit and a follow-up stamp. Reserved keys are rejected.
 
+    ``expected_head`` pins the commit to the version the caller derived
+    it from: if the head moved (a concurrent commit landed between the
+    caller's read and this publish), ``SnapshotConflictError`` is raised
+    instead of silently basing an overwrite on stale rows — the
+    compaction/maintenance race guard.
+
     ``retries`` is optimistic-concurrency rebase for APPENDS: when a
     concurrent writer wins the version (``SnapshotConflictError``), an
     append commit commutes with any committed history, so the loser's
@@ -391,6 +398,15 @@ def snapshot_commit(
     if extra and (bad := set(extra) & _RESERVED_KEYS):
         raise ValueError(f"extra metadata may not override reserved keys: {sorted(bad)}")
     versions = snapshot_versions(root)
+    if expected_head is not None and (versions[-1] if versions else 0) != expected_head:
+        # the caller derived this commit from a head that is no longer
+        # current (maintenance race) — refuse rather than silently
+        # basing an overwrite on stale rows; together with the atomic
+        # link this closes the interleaving window entirely
+        raise SnapshotConflictError(
+            f"head moved: expected {expected_head}, "
+            f"found {versions[-1] if versions else 0}"
+        )
     prev = _load_manifest(root, versions[-1]) if versions else None
     schema_json = _schema_json(df)
     if prev is not None and mode == "append" and not allow_schema_change:
@@ -753,6 +769,27 @@ def snapshot_read(
     return _read_pinned(spark, root, manifest, manifest["files"])
 
 
+def _max_stamp(root: str, key: str, default: int = -1) -> int:
+    """Newest-first scan for a sticky high-water stamp (``last_batch_id``,
+    ``cdc_applied_version``, ``ivm_applied_version``): stop at the first
+    manifest carrying the key — inheritance (``_inherit_maps``) plus the
+    rollback max-guard make the stamp monotone along the chain, so the
+    newest carrier IS the max. Manifests lacking the key (old-engine
+    commits) are skipped, keeping the gate closed instead of reopening
+    it. O(1) manifest reads in the common case vs O(versions) for a full
+    scan — a long-lived stream would otherwise re-read thousands of
+    manifest JSONs per micro-batch."""
+    try:
+        versions = snapshot_versions(root)
+    except FileNotFoundError:
+        return default
+    for v in reversed(versions):
+        m = _load_manifest(root, v)
+        if key in m:
+            return m[key]
+    return default
+
+
 def snapshot_version_as_of(root: str, ts_ns: int) -> int:
     """The newest version committed at or before ``ts_ns`` (nanosecond
     epoch). Raises if the instant precedes the first retained commit —
@@ -1099,7 +1136,8 @@ def snapshot_compact(
     # where another commit interleaved, in which case the stamp is stale
     # and the overwrite is treated as destructive.
     new_m = snapshot_commit(
-        df, root, mode="overwrite", extra={"compaction_of": versions[-1]}
+        df, root, mode="overwrite", extra={"compaction_of": versions[-1]},
+        expected_head=versions[-1],
     )
     new_m["files_before"] = manifest["n_files"]
     return new_m
@@ -1320,18 +1358,34 @@ def snapshot_delete_mor(
         .select(key_col)
         .distinct()
     )
-    return _publish_key_tombstone(root, keys, key_col, condition)
+    return _publish_key_tombstone(
+        root, keys, key_col, condition, as_of_version=versions[-1]
+    )
 
 
 def _publish_key_tombstone(
     root: str, keys: "DataFrame", key_col: str, predicate: str,
     extra: dict | None = None,
+    as_of_version: int | None = None,
 ) -> dict:
     """Publish an equality-delete commit from an already-computed DataFrame
     of distinct key values: the shared tail of ``snapshot_delete_mor`` and
     the CDC replay in ``snapshot_apply_changes``. Metadata-plus-delete-file
-    only; no data file is touched."""
+    only; no data file is touched.
+
+    ``as_of_version`` pins the tombstone's SCOPE to the version the keys
+    were computed against: if a concurrent commit moved the head since,
+    publishing would otherwise sweep the newer commits into the
+    tombstone's commit list and delete rows appended AFTER the delete's
+    snapshot (breaking the later-appends-are-exempt contract), so the
+    head drift raises ``SnapshotConflictError`` instead — recompute the
+    keys against the new head and retry."""
     versions = snapshot_versions(root)
+    if as_of_version is not None and versions and versions[-1] != as_of_version:
+        raise SnapshotConflictError(
+            f"head moved past version {as_of_version} "
+            f"(now {versions[-1]}); recompute delete keys and retry"
+        )
     manifest = _load_manifest(root, versions[-1])
     n_keys = keys.count()
     commit_id = uuid.uuid4().hex[:12]
@@ -1449,7 +1503,7 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
         if k in target
     }
     for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
-              "cdc_applied_version"):
+              "cdc_applied_version", "ivm_applied_version"):
         if k in target:
             body[k] = target[k]
     # the batch-id high-water mark must never move backwards (the gate
@@ -1786,10 +1840,17 @@ def snapshot_table_changes(
                 f"{len(removed)} file(s) with no row-delta lineage; "
                 "re-anchor from_version past it"
             )
+        prev_tombs = (prev or {}).get("tombstones", [])
+        cur_tomb_ids = {tuple(t["files"]) for t in cur.get("tombstones", [])}
+        if any(tuple(t["files"]) not in cur_tomb_ids for t in prev_tombs):
+            raise ValueError(
+                f"snapshot_table_changes: version {v} removed tombstones "
+                "without rewriting files (rollback/un-delete has no "
+                "row-delta story); re-anchor from_version past it"
+            )
         added = sorted(set(cur["files"]) - prev_files)
         if added:
             emit(_read_pinned(spark, root, cur, added), v, "insert")
-        prev_tombs = (prev or {}).get("tombstones", [])
         prev_delete_files = {tuple(u["files"]) for u in prev_tombs}
         for t in cur.get("tombstones", []):
             if t in prev_tombs or tuple(t["files"]) in prev_delete_files:
@@ -1884,17 +1945,8 @@ def snapshot_incremental_agg(
     if not src_versions:
         raise FileNotFoundError(f"no snapshot versions at {src_root}")
     src_latest = src_versions[-1]
-    try:
-        dvs = snapshot_versions(dst_root)
-    except FileNotFoundError:
-        dvs = []
-    applied = max(
-        (
-            _load_manifest(dst_root, v).get("ivm_applied_version", 0)
-            for v in dvs
-        ),
-        default=0,
-    )
+    dvs = snapshot_versions(dst_root)
+    applied = _max_stamp(dst_root, "ivm_applied_version", 0)
     if src_latest <= applied:
         return {"applied_through": applied, "refreshed": False}
     ch = snapshot_table_changes(spark, src_root, applied, src_latest)
@@ -1986,12 +2038,7 @@ def snapshot_apply_changes(
     if from_version is not None:
         applied = from_version
     else:
-        applied = 0
-        for v in snapshot_versions(dst_root):
-            applied = max(
-                applied,
-                _load_manifest(dst_root, v).get("cdc_applied_version", 0),
-            )
+        applied = _max_stamp(dst_root, "cdc_applied_version", 0)
     appends = deletes = 0
     prev = _load_manifest(src_root, applied) if applied >= 1 else None
     for v in range(applied + 1, latest + 1):
@@ -2059,6 +2106,16 @@ def snapshot_apply_changes(
                 f"snapshot_apply_changes: source version {v} rewrote "
                 f"{len(removed)} file(s); re-anchor from_version past the "
                 "rewrite or reconcile via table_diff"
+            )
+        _cur_tomb_ids = {tuple(t["files"]) for t in cur.get("tombstones", [])}
+        if any(
+            tuple(t["files"]) not in _cur_tomb_ids
+            for t in (prev or {}).get("tombstones", [])
+        ):
+            raise ValueError(
+                f"snapshot_apply_changes: source version {v} removed "
+                "tombstones without rewriting files (rollback/un-delete); "
+                "re-anchor from_version past it or reconcile via table_diff"
             )
         added = sorted(set(cur["files"]) - prev_files)
         if added:

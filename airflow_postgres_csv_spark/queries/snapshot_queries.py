@@ -858,8 +858,6 @@ def pipeline_snapshot_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(keys) tombstone commit, batch id stamped inside the final atomic
     publish for exactly-once replays. The mirror must equal the source's
     LIVE state, which the oracle states as two WHERE clauses."""
-    import uuid as _uuid
-
     from airflow_postgres_csv_spark.operators.snapshots import (
         snapshot_delete_mor,
         snapshot_delete_positional,
@@ -915,8 +913,6 @@ def pipeline_snapshot_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> Data
     pairs restricted to the merged keys; the mirror nets each pair to the
     post-image and must equal the source's live state — which the oracle
     states as one CASE expression."""
-    import uuid as _uuid
-
     from airflow_postgres_csv_spark.operators.snapshots import (
         snapshot_delete_mor,
         snapshot_merge,

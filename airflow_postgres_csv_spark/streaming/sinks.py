@@ -151,10 +151,7 @@ def snapshot_batch_commit(
     """
     from airflow_postgres_csv_spark.operators import snapshots as S
 
-    last = -1
-    for v in S.snapshot_versions(root):
-        last = max(last, S._load_manifest(root, v).get("last_batch_id", -1))
-    if batch_id <= last:
+    if batch_id <= S._max_stamp(root, "last_batch_id", -1):
         return False
     # retries: a concurrent MAINTENANCE commit (compact, batch ETL append)
     # winning the version race must not fail the micro-batch — appends
@@ -213,14 +210,8 @@ def apply_changes_batch(
     )
 
     stamp = {"last_batch_id": batch_id}
-    try:
-        versions = S.snapshot_versions(dst_root)
-    except FileNotFoundError:
-        versions = []
-    last = -1
-    for v in versions:
-        last = max(last, S._load_manifest(dst_root, v).get("last_batch_id", -1))
-    if batch_id <= last:
+    versions = S.snapshot_versions(dst_root)
+    if batch_id <= S._max_stamp(dst_root, "last_batch_id", -1):
         return False
     data_cols = [
         c for c in batch_df.columns if c not in (VERSION_COL, CHANGE_COL)

@@ -149,13 +149,18 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             )
 
             # anchor JUST BEFORE the as-of version so its commit is the
-            # first one delivered (offsets are "processed through")
-            self._start_version = (
-                snapshot_version_as_of(
-                    self._root, int(options["startingtimestamp"])
+            # first one delivered (offsets are "processed through"); an
+            # instant older than the first retained commit means "all of
+            # it" — anchor at the table's start, the Delta convention
+            try:
+                self._start_version = (
+                    snapshot_version_as_of(
+                        self._root, int(options["startingtimestamp"])
+                    )
+                    - 1
                 )
-                - 1
-            )
+            except FileNotFoundError:
+                self._start_version = 0
         self._ignore_deletes = str(
             options.get("ignoredeletes", "false")
         ).lower() in ("true", "1")
@@ -251,6 +256,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 )
             prev_tombs = prev.get("tombstones", []) if prev else []
             cur_tombs = cur.get("tombstones", [])
+            cur_tomb_ids = {tuple(t["files"]) for t in cur_tombs}
+            if any(
+                tuple(t["files"]) not in cur_tomb_ids for t in prev_tombs
+            ):
+                # a tombstone VANISHED while its target files survived —
+                # an un-delete (rollback past a MOR delete). Resurrected
+                # rows have no row-delta story in any mode: re-anchor.
+                raise ValueError(
+                    f"snapshot_feed: version {v} removed merge-on-read "
+                    "tombstones without rewriting files (rollback/"
+                    "un-delete); restart the stream anchored past it "
+                    "(startingVersion)"
+                )
             if (
                 cur_tombs != prev_tombs
                 and not self._ignore_deletes

@@ -440,6 +440,12 @@ def test_starting_timestamp_anchor(spark, tmp_path):
             spark, root, str(tmp_path / "c2"), str(tmp_path / "o2"),
             startingTimestamp=str(ts2), startingVersion="1",
         )
+    # an instant before the first retained commit anchors at the start
+    r = _pump(
+        spark, root, str(tmp_path / "c3"), str(tmp_path / "o3"),
+        startingTimestamp="1",
+    )
+    assert r.count() == 12
 
 
 def test_table_changes_equals_streaming_change_feed(spark, tmp_path):
@@ -495,3 +501,28 @@ def test_table_changes_equals_streaming_change_feed(spark, tmp_path):
         for r in snapshot_table_changes(spark, root, from_version=4).collect()
     )
     assert sliced == [t for t in batch if t[2] > 4]
+
+
+def test_undelete_rollback_fails_stream(spark, tmp_path):
+    """A tombstone-only rollback (un-delete) fails the stream in every
+    mode — resurrected rows have no row-delta story."""
+    import pytest
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_rollback
+
+    root, ckpt, out = (str(tmp_path / d) for d in ("snap", "ckpt", "out"))
+    register_snapshot_feed(spark)
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    _pump(spark, root, ckpt, out)
+    snapshot_delete_mor(spark, root, "id = 3", key_col="id")
+    snapshot_rollback(spark, root, 1)
+    for i, opts in enumerate(
+        ({}, {"ignoreDeletes": "true"}, {"changeFeed": "true"})
+    ):
+        with pytest.raises(Exception, match="un-delete"):
+            _pump(
+                spark, root,
+                str(tmp_path / f"c{i}"), str(tmp_path / f"o{i}"),
+                startingVersion="2",  # only the rollback is in range
+                **opts,
+            )

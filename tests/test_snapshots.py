@@ -1254,3 +1254,106 @@ def test_clone_zero_copy_and_independent(spark, tmp_path):
 
     with _p.raises(FileExistsError):
         snapshot_clone(src, dst)
+
+
+def test_ivm_stamp_survives_compact_and_expire(spark, tmp_path):
+    """The IVM high-water mark is inherited by maintenance commits and
+    found by the newest-first stamp scan, so compact+expire on the
+    maintained table can never reopen the double-count window."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_incremental_agg,
+    )
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(
+        _df(spark, 0, 12).withColumn("g", F.col("id") % 3).coalesce(1), src
+    )
+    snapshot_incremental_agg(spark, src, dst, "g", "v")
+    snapshot_compact(spark, dst)          # maintenance commit on the VIEW
+    snapshot_expire(dst, keep_last=1)     # drops the stamped manifest
+    assert S._max_stamp(dst, "ivm_applied_version", 0) == 1
+    r = snapshot_incremental_agg(spark, src, dst, "g", "v")
+    assert r["refreshed"] is False  # would double-count if the stamp died
+    rows = sorted(tuple(x) for x in snapshot_read(spark, dst).collect())
+    assert rows == [(0, 4, 36), (1, 4, 44), (2, 4, 52)]
+
+
+def test_undelete_rollback_fails_change_walkers(spark, tmp_path):
+    """A rollback that resurrects MOR-deleted rows (tombstones removed,
+    files unchanged) must fail the batch change feed and CDC replay
+    loudly — silence would leave keyed mirrors permanently diverged."""
+    import pytest
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_delete_mor,
+        snapshot_rollback,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_delete_mor(spark, root, "id = 3", key_col="id")
+    snapshot_rollback(spark, root, 1)  # un-delete: files same, tombstones gone
+    with pytest.raises(ValueError, match="un-delete"):
+        snapshot_table_changes(spark, root).collect()
+    with pytest.raises(ValueError, match="un-delete"):
+        snapshot_apply_changes(
+            spark, root, str(tmp_path / "dst"), key_col="id"
+        )
+
+
+def test_compact_race_raises_instead_of_dropping_commit(spark, tmp_path):
+    """A commit interleaving between compaction's read and publish must
+    raise SnapshotConflictError — never silently vanish under the
+    compacted overwrite."""
+    import pytest
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    real_read = S.snapshot_read
+    fired = {}
+
+    def racy_read(spark_, root_, **kw):
+        if not fired:
+            fired["x"] = True
+            snapshot_commit(_df(spark, 10, 15).coalesce(1), root)  # interloper
+        return real_read(spark_, root_, **kw)
+
+    S.snapshot_read = racy_read
+    try:
+        with pytest.raises(SnapshotConflictError):
+            snapshot_compact(spark, root)
+    finally:
+        S.snapshot_read = real_read
+    # the interleaved commit survived
+    assert snapshot_read(spark, root).count() == 15
+
+
+def test_mor_delete_scope_pinned_against_concurrent_append(spark, tmp_path):
+    """_publish_key_tombstone refuses to publish against a moved head:
+    otherwise a concurrently appended re-insert of the deleted key would
+    be swept into the tombstone's commit scope and deleted."""
+    import pytest
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    keys = spark.createDataFrame([(3,)], "id long")
+    snapshot_commit(_df(spark, 10, 12).coalesce(1), root)  # head moves to 2
+    with pytest.raises(SnapshotConflictError, match="head moved"):
+        S._publish_key_tombstone(root, keys, "id", "id = 3", as_of_version=1)
