@@ -43,6 +43,7 @@ __all__ = [
     "incremental_exact_matches",
     "ngram_containment_pairs",
     "segment_dedup_clean",
+    "semantic_dedup",
 ]
 
 
@@ -1018,3 +1019,92 @@ def minhash_incremental_matches(
         )
     )
     return j.filter(F.col("jaccard") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    threshold: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): partition the corpus into cells, compare embeddings only
+    within a cell, and keep one representative per semantic neighborhood.
+
+    Returns ``(id, cell, kept)`` — ``kept = 0`` iff some LOWER-id vector
+    in the same cell has cosine >= ``threshold`` with this one, so the
+    first-seen member of each neighborhood survives and every later
+    near-duplicate is flagged. (A strictly sequential greedy pass would
+    un-drop a vector whose only similar predecessor was itself dropped;
+    this chain-free rule is the standard scalable approximation and errs
+    toward dropping slightly more — acceptable for training-data dedup,
+    where the cost of a duplicate exceeds the cost of a lost borderline
+    document.)
+
+    The paper assigns cells with k-means; here cells are deterministic
+    sign-LSH buckets (``random_hyperplanes(dim, n_planes, seed)``) so the
+    whole operator is reproducible run-to-run and engine-portable — the
+    cell id and every cosine are sequential double folds, identical in
+    any engine that folds left-to-right. Cost structure is the paper's:
+    Sigma per-cell |cell|^2 instead of n^2; cells average n/2^n_planes
+    vectors, so ``n_planes`` tunes the recall/cost trade exactly like
+    the paper's k. At 100 TB the cell id is a JVM-codegen projection
+    (n_planes broadcast literal folds), the self-join is a shuffle on the
+    cell key, and no driver-side state exists beyond the tiny plane list.
+
+    No reference analog (reference is an Airflow ETL shim,
+    /root/reference/src/airflow_postgres_csv/operators.py) — extension
+    surface for LLM training-data curation.
+    """
+    from airflow_postgres_csv_spark.operators.similarity import random_hyperplanes
+
+    if dim is None:
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            return df.select(
+                F.col(id_col).alias("id"),
+                F.lit(0).alias("cell"),
+                F.lit(1).alias("kept"),
+            ).limit(0)
+        dim = len(probe[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def _dot_plane(plane: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda p, q: p.cast("double") * q.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cell = None
+    for i, plane in enumerate(planes):
+        bit = (_dot_plane(plane) > 0).cast("int") * (1 << i)
+        cell = bit if cell is None else cell + bit
+    cells = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), cell.alias("cell")
+    )
+    a = cells.select(F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = cells.select(F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr("va", "vb") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        cells.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.when(F.col("_drop").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kept"),
+        )
+    )

@@ -744,3 +744,73 @@ register(
     ORDER BY d.doc_id
     """,
 )(_exact_substring_spans)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic sign-LSH
+# cells stand in for the paper's k-means clusters, pairwise cosine only
+# within a cell, first-id-wins survivor rule. Fully oracle-checked — the
+# hyperplanes are seed-deterministic literals and every dot product is a
+# sequential double fold, so both engines agree bitwise on cells, cosines,
+# and therefore on the exact kept/dropped partition.
+# ---------------------------------------------------------------------------
+
+_SEM_PLANES_N = 6
+_SEM_TAU = 0.3
+
+
+def _sem_planes():
+    from airflow_postgres_csv_spark.operators.similarity import random_hyperplanes
+
+    return random_hyperplanes(64, _SEM_PLANES_N, seed=42)
+
+
+def _sem_oracle() -> str:
+    planes = _sem_planes()
+
+    def dot(vec_expr, plane):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec_expr}, {lit}),"
+            " s -> s[1] * s[2]), (x,y) -> x + y)"
+        )
+
+    cell = " + ".join(
+        f"(CASE WHEN {dot('v', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x,y) -> x + y)"
+        " / SQRT(list_reduce(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), (x,y) -> x + y)"
+        "      * list_reduce(list_transform(list_zip(b.v, b.v), s -> s[1] * s[2]), (x,y) -> x + y))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, v, {cell} AS cell FROM e
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_SEM_TAU}
+    )
+    SELECT c.vec_id AS id, c.cell AS cell,
+           CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id
+    ORDER BY id
+    """
+
+
+register("dedup_semantic_semdedup", _sem_oracle())(
+    lambda spark, sf_dir: (
+        D.semantic_dedup(
+            t(spark, sf_dir, "embeddings"),
+            n_planes=_SEM_PLANES_N,
+            threshold=_SEM_TAU,
+            dim=64,
+        ).orderBy("id")
+    )
+)

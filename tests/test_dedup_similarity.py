@@ -398,3 +398,28 @@ def test_minhash_incremental_planted_near_dup(spark):
     ).collect()
     assert [(r.batch_id, r.corpus_id) for r in got] == [(10, 1)]
     assert got[0].jaccard > 0.8
+
+
+def test_semantic_dedup_first_id_wins(spark):
+    """Identical vectors share a cell; the lowest id survives, later
+    copies are flagged; a far-away vector is untouched."""
+    from airflow_postgres_csv_spark.operators.dedup import semantic_dedup
+
+    v1 = [1.0] + [0.0] * 63
+    v2 = [0.99] + [0.01] * 63        # near-dup of v1 (cosine ~ 1)
+    v3 = [-1.0] + [0.0] * 63         # opposite: cosine -1, different cell
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<float>"
+    )
+    got = {r.id: (r.kept, r.cell) for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert got[1][0] == 1 and got[2][0] == 0  # first id wins, dup dropped
+    assert got[3][0] == 1
+    assert got[1][1] == got[2][1]             # near-dups share the cell
+    assert got[1][1] != got[3][1]             # antipode lands elsewhere
+
+
+def test_semantic_dedup_empty_input(spark):
+    from airflow_postgres_csv_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(df).count() == 0
