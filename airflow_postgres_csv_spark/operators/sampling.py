@@ -28,6 +28,7 @@ __all__ = [
     "split_train_test",
     "sample_weighted_bernoulli",
     "sample_priority_topk",
+    "dsir_importance_weights",
 ]
 
 
@@ -179,4 +180,74 @@ def sample_priority_topk(
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
         .drop("u32")
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv 2302.03169):
+    score every document by how much more likely its hashed-unigram bag is
+    under the TARGET distribution (rows where ``target_pred`` holds) than
+    under the RAW corpus distribution — the data-selection signal used to
+    upsample in-domain text from a web-scale crawl.
+
+    Features are md5-hashed token buckets (the hashing trick, ``n_buckets``
+    fixed); both distributions get add-one smoothing. Per-token log ratio
+    = LN((c_t+1)(T_r+B) / ((c_r+1)(T_t+B))) — one IEEE log of one IEEE
+    division of exact int64 products, rounded to 9 dp and summed as exact
+    decimals, so the per-doc mean is summation-order independent and
+    engine-portable (the corpus determinism recipe).
+
+    Returns (id, carry_cols..., n_tokens, avg_logratio). Plan: one explode
+    → one ``n_buckets``-row hash-agg (map-side partial; the model table is
+    tiny at any corpus size) → broadcast join back + 1-row totals cross
+    join → one per-doc agg. No driver-side state, no Python in the path;
+    at 100 TB the bucket-stats table is the only thing that moves between
+    stages and it is O(n_buckets), not O(corpus).
+
+    No reference analog (reference is an Airflow ETL shim) — extension
+    surface for LLM training-data curation.
+    """
+    from airflow_postgres_csv_spark.functions import texts as X
+
+    carry = carry_cols or []
+    toks = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        target_pred.cast("long").alias("_is_t"),
+        F.explode(X.tokens(text_col)).alias("_tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    b = toks.select(id_col, *carry, "_is_t", bucket.alias("_bk"))
+    stats = b.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_c_r"), F.sum("_is_t").alias("_c_t")
+    )
+    totals = stats.agg(
+        F.sum("_c_r").alias("_t_r"), F.sum("_c_t").alias("_t_t")
+    )
+    lr = F.round(
+        F.log(
+            ((F.col("_c_t") + 1) * (F.col("_t_r") + n_buckets)).cast("double")
+            / ((F.col("_c_r") + 1) * (F.col("_t_t") + n_buckets)).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        b.join(F.broadcast(stats), "_bk")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, *carry, lr.alias("_lr"))
+        .groupBy(id_col, *carry)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("_lr").cast("double") / F.count(F.lit(1))).alias("avg_logratio"),
+        )
     )

@@ -365,3 +365,58 @@ register(
     FROM ranked ORDER BY doc_id
     """,
 )(_split_exact_stratified)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-weighted selection (Xie et al. 2023): per-doc mean
+# hashed-unigram log likelihood ratio of the English slice vs the whole
+# corpus; top 50 = the docs a DSIR pass would upsample first. Integer
+# counts, one IEEE log per bucket, 9-dp decimal sums — fully oracle-exact.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+register(
+    "sample_dsir_importance",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split({_DSIR_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS bk
+        FROM toks
+    ),
+    stats AS (
+        SELECT bk, COUNT(*) AS c_r,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM b GROUP BY bk
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_r) AS BIGINT) AS t_r, CAST(SUM(c_t) AS BIGINT) AS t_t
+        FROM stats
+    ),
+    scored AS (
+        SELECT b.doc_id, b.lang,
+               CAST(ROUND(LN(CAST((s.c_t + 1) * (t.t_r + {_DSIR_B}) AS DOUBLE)
+                           / CAST((s.c_r + 1) * (t.t_t + {_DSIR_B}) AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS lr
+        FROM b JOIN stats s ON b.bk = s.bk CROSS JOIN tot t
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_tokens,
+           CAST(SUM(lr) AS DOUBLE) / COUNT(*) AS avg_logratio
+    FROM scored GROUP BY doc_id, lang
+    ORDER BY avg_logratio DESC, doc_id LIMIT 50
+    """,
+)(
+    lambda spark, sf_dir: (
+        S.dsir_importance_weights(
+            t(spark, sf_dir, "documents"),
+            target_pred=F.col("lang") == "en",
+            n_buckets=_DSIR_B,
+            carry_cols=["lang"],
+        ).orderBy(F.col("avg_logratio").desc(), "doc_id").limit(50)
+    )
+)

@@ -138,3 +138,29 @@ def test_heavy_hitters_rejects_bad_ratio(spark):
     df = spark.range(10).withColumnRenamed("id", "user_id")
     with pytest.raises(ValueError, match="min_freq_ratio"):
         heavy_hitters(df, "user_id", 0.0)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """A doc made of target-corpus vocabulary outscores one made of
+    out-of-domain vocabulary; weights are deterministic across runs."""
+    from airflow_postgres_csv_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),   # target
+        (2, "alpha beta beta gamma alpha", "en"),   # target
+        (3, "zulu yankee xray zulu yankee", "de"),  # raw-only vocab
+        (4, "alpha beta gamma beta alpha", "de"),   # target-like words, raw label
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_importance_weights(df, F.col("lang") == "en")
+    got = {r.doc_id: r.avg_logratio for r in out.collect()}
+    assert got[4] > got[3]          # target-like vocabulary wins
+    assert got[1] > got[3]
+    again = {
+        r.doc_id: r.avg_logratio
+        for r in dsir_importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert got == again
