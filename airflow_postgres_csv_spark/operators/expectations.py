@@ -1,0 +1,161 @@
+"""Data-quality expectations on snapshot writes (DLT-style constraints).
+
+``snapshot_write_with_expectations`` gates a batch behind declared
+expectations before it reaches a versioned snapshot table
+(operators/snapshots.py) — the write-side quality contract of a curation
+pipeline, complementing write-audit-publish (which gates on *aggregate*
+audits after staging; expectations gate *per row* before commit):
+
+- ``warn``       — violating rows are still written; the violation count
+                   is reported (drift monitoring).
+- ``drop``       — violating rows are silently removed from the batch.
+- ``quarantine`` — violating rows are committed to a SEPARATE snapshot
+                   table together with the list of failed expectation
+                   names, preserving them for triage/replay instead of
+                   destroying them.
+
+Precedence when a row violates several rules: ``drop`` beats
+``quarantine`` (a dropped row is never quarantined); ``warn`` never
+affects routing. All rules are evaluated in ONE projection — each is a
+boolean SQL expression compiled by Catalyst, so the gate adds no shuffle
+and no Python to the write path. Violation counts for the main write ride
+on ``df.observe`` (collected during the write job itself, no extra scan);
+the quarantine write is its own commit. At 100 TB the input is read once
+per destination table with the routing filter pushed into the scan —
+callers that can afford it persist the flagged frame first.
+
+No reference analog (the reference is an Airflow ETL shim,
+/root/reference/src/airflow_postgres_csv/operators.py) — extension
+surface; semantics follow Delta Live Tables EXPECT / EXPECT OR DROP /
+quarantine-table patterns from public docs.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+__all__ = ["Expectation", "snapshot_write_with_expectations"]
+
+_ACTIONS = ("warn", "drop", "quarantine")
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    predicate: str  # SQL boolean expression; a row VIOLATES when not true
+    action: str = "warn"
+
+    def __post_init__(self):
+        if self.action not in _ACTIONS:
+            raise ValueError(
+                f"expectation {self.name!r}: action must be one of {_ACTIONS}, "
+                f"got {self.action!r}"
+            )
+
+
+def snapshot_write_with_expectations(
+    df: DataFrame,
+    root: str,
+    expectations: list[Expectation],
+    quarantine_root: str | None = None,
+    mode: str = "append",
+    **commit_kwargs,
+) -> dict:
+    """Route ``df`` through ``expectations`` into the snapshot table at
+    ``root`` (+ optional quarantine table), returning metrics::
+
+        {"n_input": ..., "n_written": ..., "n_dropped": ..., "n_quarantined": ...,
+         "violations": {rule_name: count}, "manifest": ..., "quarantine_manifest": ...}
+
+    A NULL predicate result counts as a violation (SQL three-valued logic
+    would otherwise let NULLs slip through a quality gate). Quarantined
+    rows carry a ``_failed_expectations`` column — the comma-joined sorted
+    names of the quarantine rules they violated. Raises if a
+    ``quarantine`` rule is declared without ``quarantine_root``.
+    """
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    quar_rules = [e for e in expectations if e.action == "quarantine"]
+    if quar_rules and quarantine_root is None:
+        raise ValueError(
+            "quarantine expectations declared but no quarantine_root given: "
+            + ", ".join(e.name for e in quar_rules)
+        )
+
+    tag = uuid.uuid4().hex[:8]
+    viol = {e.name: f"_viol_{tag}_{i}" for i, e in enumerate(expectations)}
+    flagged = df
+    for e in expectations:
+        # NOT coalesce(pred, false): NULL predicate == violation
+        flagged = flagged.withColumn(
+            viol[e.name],
+            ~F.coalesce(F.expr(e.predicate), F.lit(False)),
+        )
+    dropped_flag = F.lit(False)
+    for e in expectations:
+        if e.action == "drop":
+            dropped_flag = dropped_flag | F.col(viol[e.name])
+    quar_flag = F.lit(False)
+    for e in quar_rules:
+        quar_flag = quar_flag | F.col(viol[e.name])
+
+    obs = Observation(f"expectations_{tag}")
+    aggs = [
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(dropped_flag.cast("long")).alias("n_dropped"),
+        F.sum((~dropped_flag & quar_flag).cast("long")).alias("n_quarantined"),
+    ] + [
+        F.sum(F.col(viol[e.name]).cast("long")).alias(viol[e.name])
+        for e in expectations
+    ]
+    flagged = flagged.observe(obs, *aggs)
+
+    data_cols = [c for c in df.columns]
+    valid = flagged.filter(~dropped_flag & ~quar_flag).select(*data_cols)
+    manifest = snapshot_commit(valid, root, mode=mode, **commit_kwargs)
+    got = obs.get  # populated by the valid-write job's scan of `flagged`
+    n_input = int(got["n_input"])
+    n_dropped = int(got["n_dropped"] or 0)
+    n_quarantined = int(got["n_quarantined"] or 0)
+    violations = {e.name: int(got[viol[e.name]] or 0) for e in expectations}
+
+    quarantine_manifest = None
+    if quar_rules:
+        failed_names = F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(F.col(viol[e.name]), F.lit(e.name))
+                            for e in quar_rules
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ),
+            ",",
+        )
+        quarantined = (
+            flagged.filter(~dropped_flag & quar_flag)
+            .select(*data_cols, failed_names.alias("_failed_expectations"))
+        )
+        quarantine_manifest = snapshot_commit(
+            quarantined, quarantine_root, mode=mode
+        )
+
+    return {
+        "n_input": n_input,
+        "n_written": n_input - n_dropped - n_quarantined,
+        "n_quarantined": n_quarantined,
+        "n_dropped": n_dropped,
+        "violations": violations,
+        "manifest": manifest,
+        "quarantine_manifest": quarantine_manifest,
+    }

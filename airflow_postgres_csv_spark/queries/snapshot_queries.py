@@ -1277,3 +1277,71 @@ register(
     ) ORDER BY side, event_id
     """,
 )(snapshot_clone_isolated)
+
+
+def pipeline_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style expectations gate on the snapshot write path: orders are
+    routed through warn / drop / quarantine rules in one Catalyst
+    projection (violation counts ride df.observe on the write job — no
+    extra scan), valid rows commit to the main table, offenders commit to
+    the quarantine table with their failed-rule names. The metrics row
+    AND the read-back counts of both snapshot tables must equal the
+    oracle's plain-SQL case sums — gate math and commit round trip in one
+    check."""
+    from airflow_postgres_csv_spark.operators.expectations import (
+        Expectation,
+        snapshot_write_with_expectations,
+    )
+
+    root, quar = _temp_root(), _temp_root()
+    orders = load(spark, sf_dir, "orders")
+    m = snapshot_write_with_expectations(
+        orders,
+        root,
+        [
+            Expectation("price_within_band", "o_totalprice < 300000", "warn"),
+            Expectation("not_low_priority", "o_orderpriority <> '5-LOW'", "quarantine"),
+            Expectation("status_final", "o_orderstatus IN ('O','F')", "drop"),
+        ],
+        quarantine_root=quar,
+    )
+    readback_written = snapshot_read(spark, root).count()
+    readback_quar = snapshot_read(spark, quar).count()
+    row = (
+        m["n_input"], m["n_written"], m["n_quarantined"], m["n_dropped"],
+        m["violations"]["price_within_band"],
+        m["violations"]["not_low_priority"],
+        m["violations"]["status_final"],
+        readback_written, readback_quar,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_input long, n_written long, n_quarantined long, n_dropped long,"
+        " viol_price long, viol_priority long, viol_status long,"
+        " readback_written long, readback_quarantined long",
+    )
+
+
+register(
+    "pipeline_expectations_quarantine",
+    """
+    SELECT COUNT(*) AS n_input,
+      CAST(SUM(CASE WHEN o_orderstatus IN ('O','F') AND o_orderpriority <> '5-LOW'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_written,
+      CAST(SUM(CASE WHEN o_orderstatus IN ('O','F') AND NOT (o_orderpriority <> '5-LOW')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F'))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      CAST(SUM(CASE WHEN NOT (o_totalprice < 300000) THEN 1 ELSE 0 END) AS BIGINT)
+        AS viol_price,
+      CAST(SUM(CASE WHEN NOT (o_orderpriority <> '5-LOW') THEN 1 ELSE 0 END) AS BIGINT)
+        AS viol_priority,
+      CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F')) THEN 1 ELSE 0 END) AS BIGINT)
+        AS viol_status,
+      CAST(SUM(CASE WHEN o_orderstatus IN ('O','F') AND o_orderpriority <> '5-LOW'
+               THEN 1 ELSE 0 END) AS BIGINT) AS readback_written,
+      CAST(SUM(CASE WHEN o_orderstatus IN ('O','F') AND NOT (o_orderpriority <> '5-LOW')
+               THEN 1 ELSE 0 END) AS BIGINT) AS readback_quarantined
+    FROM orders
+    """,
+)(pipeline_expectations_quarantine)

@@ -1,0 +1,83 @@
+"""snapshot_write_with_expectations: DLT-style row-level quality gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.expectations import (
+    Expectation,
+    snapshot_write_with_expectations,
+)
+from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+
+def _batch(spark):
+    rows = [
+        (1, 10, "ok"),
+        (2, -5, "ok"),       # violates positive (warn)
+        (3, 20, "bad"),      # violates status (quarantine)
+        (4, 30, None),       # NULL status -> violation (quarantine)
+        (5, 999, "ok"),      # violates cap (drop)
+        (6, 999, "bad"),     # drop beats quarantine
+    ]
+    return spark.createDataFrame(rows, "id long, amount long, status string")
+
+
+_RULES = [
+    Expectation("positive_amount", "amount > 0", "warn"),
+    Expectation("known_status", "status = 'ok'", "quarantine"),
+    Expectation("amount_cap", "amount < 100", "drop"),
+]
+
+
+def test_expectations_route_and_count(spark, tmp_path):
+    root, quar = str(tmp_path / "t"), str(tmp_path / "q")
+    m = snapshot_write_with_expectations(_batch(spark), root, _RULES, quar)
+    assert m["n_input"] == 6
+    assert m["n_written"] == 2       # ids 1, 2
+    assert m["n_quarantined"] == 2   # ids 3, 4
+    assert m["n_dropped"] == 2       # ids 5, 6 (6 despite bad status)
+    assert m["violations"] == {
+        "positive_amount": 1,
+        "known_status": 3,   # 3, 4, 6 — counts are pre-routing
+        "amount_cap": 2,
+    }
+    written = sorted(r.id for r in snapshot_read(spark, root).collect())
+    assert written == [1, 2]
+    q = {r.id: r._failed_expectations for r in snapshot_read(spark, quar).collect()}
+    assert q == {3: "known_status", 4: "known_status"}
+
+
+def test_expectations_warn_only_writes_everything(spark, tmp_path):
+    root = str(tmp_path / "t")
+    m = snapshot_write_with_expectations(
+        _batch(spark), root, [Expectation("pos", "amount > 0", "warn")]
+    )
+    assert m["n_written"] == 6 and m["n_dropped"] == 0
+    assert m["violations"] == {"pos": 1}
+    assert snapshot_read(spark, root).count() == 6
+    assert m["quarantine_manifest"] is None
+
+
+def test_expectations_append_accumulates(spark, tmp_path):
+    root, quar = str(tmp_path / "t"), str(tmp_path / "q")
+    snapshot_write_with_expectations(_batch(spark), root, _RULES, quar)
+    snapshot_write_with_expectations(
+        _batch(spark).withColumn("id", F.col("id") + 10), root, _RULES, quar
+    )
+    assert snapshot_read(spark, root).count() == 4
+    assert snapshot_read(spark, quar).count() == 4
+
+
+def test_expectations_validation_errors(spark, tmp_path):
+    with pytest.raises(ValueError, match="quarantine_root"):
+        snapshot_write_with_expectations(
+            _batch(spark), str(tmp_path / "t"),
+            [Expectation("s", "status = 'ok'", "quarantine")],
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_write_with_expectations(
+            _batch(spark), str(tmp_path / "t"),
+            [Expectation("a", "amount > 0"), Expectation("a", "amount < 9")],
+        )
+    with pytest.raises(ValueError, match="action"):
+        Expectation("a", "amount > 0", "explode")
