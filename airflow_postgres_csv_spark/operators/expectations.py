@@ -63,20 +63,37 @@ def snapshot_write_with_expectations(
     expectations: list[Expectation],
     quarantine_root: str | None = None,
     mode: str = "append",
+    batch_id: int | None = None,
+    retries: int = 0,
     **commit_kwargs,
 ) -> dict:
     """Route ``df`` through ``expectations`` into the snapshot table at
     ``root`` (+ optional quarantine table), returning metrics::
 
         {"n_input": ..., "n_written": ..., "n_dropped": ..., "n_quarantined": ...,
-         "violations": {rule_name: count}, "manifest": ..., "quarantine_manifest": ...}
+         "violations": {rule_name: count}, "manifest": ..., "quarantine_manifest": ...,
+         "committed_main": ..., "committed_quarantine": ...}
 
     A NULL predicate result counts as a violation (SQL three-valued logic
     would otherwise let NULLs slip through a quality gate). Quarantined
     rows carry a ``_failed_expectations`` column — the comma-joined sorted
     names of the quarantine rules they violated. Raises if a
     ``quarantine`` rule is declared without ``quarantine_root``.
+
+    ``batch_id`` (streaming foreachBatch): exactly-once across replays.
+    The two destinations are gated INDEPENDENTLY, each by its own
+    ``last_batch_id`` high-water mark, with the stamp inside the commit's
+    single atomic publish — a crash between the main and quarantine
+    commits replays the batch, the already-stamped main table skips, the
+    quarantine table commits, and each table ends up holding the batch
+    exactly once (appends are not idempotent, so per-table gating is what
+    makes the two-commit batch replay-safe; same discipline as
+    ``sinks.apply_changes_batch``). A replay where both tables are
+    already stamped returns immediately with both ``committed_*`` False.
+    ``retries`` = optimistic append rebase vs concurrent maintenance
+    commits, passed through to ``snapshot_commit``.
     """
+    from airflow_postgres_csv_spark.operators import snapshots as S
     from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
 
     names = [e.name for e in expectations]
@@ -88,6 +105,27 @@ def snapshot_write_with_expectations(
             "quarantine expectations declared but no quarantine_root given: "
             + ", ".join(e.name for e in quar_rules)
         )
+
+    main_pending = True
+    quar_pending = bool(quar_rules)
+    if batch_id is not None:
+        main_pending = batch_id > S._max_stamp(root, "last_batch_id", -1)
+        if quar_rules:
+            quar_pending = batch_id > S._max_stamp(
+                quarantine_root, "last_batch_id", -1
+            )
+        if not main_pending and not quar_pending:
+            return {
+                "n_input": None, "n_written": None, "n_quarantined": None,
+                "n_dropped": None, "violations": None, "manifest": None,
+                "quarantine_manifest": None,
+                "committed_main": False, "committed_quarantine": False,
+            }
+        commit_kwargs = dict(commit_kwargs)
+        commit_kwargs["extra"] = {
+            **commit_kwargs.get("extra", {}),
+            "last_batch_id": batch_id,
+        }
 
     tag = uuid.uuid4().hex[:8]
     viol = {e.name: f"_viol_{tag}_{i}" for i, e in enumerate(expectations)}
@@ -118,16 +156,14 @@ def snapshot_write_with_expectations(
     flagged = flagged.observe(obs, *aggs)
 
     data_cols = [c for c in df.columns]
-    valid = flagged.filter(~dropped_flag & ~quar_flag).select(*data_cols)
-    manifest = snapshot_commit(valid, root, mode=mode, **commit_kwargs)
-    got = obs.get  # populated by the valid-write job's scan of `flagged`
-    n_input = int(got["n_input"])
-    n_dropped = int(got["n_dropped"] or 0)
-    n_quarantined = int(got["n_quarantined"] or 0)
-    violations = {e.name: int(got[viol[e.name]] or 0) for e in expectations}
-
+    manifest = None
+    if main_pending:
+        valid = flagged.filter(~dropped_flag & ~quar_flag).select(*data_cols)
+        manifest = snapshot_commit(
+            valid, root, mode=mode, retries=retries, **commit_kwargs
+        )
     quarantine_manifest = None
-    if quar_rules:
+    if quar_pending:
         failed_names = F.array_join(
             F.array_sort(
                 F.filter(
@@ -147,8 +183,14 @@ def snapshot_write_with_expectations(
             .select(*data_cols, failed_names.alias("_failed_expectations"))
         )
         quarantine_manifest = snapshot_commit(
-            quarantined, quarantine_root, mode=mode
+            quarantined, quarantine_root, mode=mode, retries=retries,
+            extra=commit_kwargs.get("extra"),
         )
+    got = obs.get  # populated by whichever destination's write job ran
+    n_input = int(got["n_input"])
+    n_dropped = int(got["n_dropped"] or 0)
+    n_quarantined = int(got["n_quarantined"] or 0)
+    violations = {e.name: int(got[viol[e.name]] or 0) for e in expectations}
 
     return {
         "n_input": n_input,
@@ -158,4 +200,6 @@ def snapshot_write_with_expectations(
         "violations": violations,
         "manifest": manifest,
         "quarantine_manifest": quarantine_manifest,
+        "committed_main": main_pending,
+        "committed_quarantine": quar_pending,
     }

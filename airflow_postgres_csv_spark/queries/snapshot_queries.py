@@ -1345,3 +1345,64 @@ register(
     FROM orders
     """,
 )(pipeline_expectations_quarantine)
+
+
+def streaming_expectations_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE expectations gate: the events fixture streamed through
+    ``start_expectations_sink`` — warn counts, a drop rule, and a
+    quarantine rule route each micro-batch into a main + quarantine
+    snapshot table pair, each commit batch-id-stamped inside its atomic
+    publish. The fixture stages as ONE file → ONE micro-batch, so the
+    routing equals the batch CASE expression the oracle states. Output =
+    union of both destinations with their route label."""
+    import os
+    import shutil
+
+    from airflow_postgres_csv_spark.operators.expectations import Expectation
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_expectations_sink,
+    )
+
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "000.parquet"))
+    schema = spark.read.parquet(src).schema
+    root, quar = _temp_root(), _temp_root()
+    q = start_expectations_sink(
+        spark.readStream.schema(schema).parquet(src)
+        .select("event_id", "user_id", "event_type", "value"),
+        root,
+        os.path.join(_temp_root(), "ckpt"),
+        [
+            Expectation("value_in_band", "value < 90", "warn"),
+            Expectation("user_not_heldout", "user_id % 10 <> 3", "drop"),
+            Expectation("not_canary_shard", "event_id % 7 <> 0", "quarantine"),
+        ],
+        quarantine_root=quar,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    main = snapshot_read(spark, root).select(
+        "event_id", F.lit("written").alias("route"), F.lit("").alias("failed")
+    )
+    qr = snapshot_read(spark, quar).select(
+        "event_id", F.lit("quarantined").alias("route"),
+        F.col("_failed_expectations").alias("failed"),
+    )
+    return main.unionAll(qr).orderBy("event_id")
+
+
+register(
+    "streaming_expectations_live",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 7 <> 0 THEN 'written' ELSE 'quarantined' END AS route,
+           CASE WHEN event_id % 7 <> 0 THEN '' ELSE 'not_canary_shard' END AS failed
+    FROM events
+    WHERE user_id % 10 <> 3
+    ORDER BY event_id
+    """,
+)(streaming_expectations_live)

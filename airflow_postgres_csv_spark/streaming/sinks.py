@@ -19,6 +19,7 @@ __all__ = [
     "start_jdbc_upsert_sink",
     "snapshot_batch_commit",
     "start_snapshot_sink",
+    "start_expectations_sink",
 ]
 
 
@@ -274,6 +275,39 @@ def start_apply_changes_sink(
         stream_df.writeStream.outputMode("append")
         .foreachBatch(
             lambda df, bid: apply_changes_batch(df, bid, dst_root, key_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def start_expectations_sink(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    expectations: list,
+    quarantine_root: str | None = None,
+) -> StreamingQuery:
+    """Stream through DLT-style expectations into a snapshot table (+
+    quarantine table): each micro-batch is routed by
+    ``snapshot_write_with_expectations(batch_id=...)`` — warn rules count,
+    drop rules remove, quarantine rules divert offenders with their
+    failed-rule names. Exactly-once per DESTINATION across crash replays:
+    the two tables are gated independently by their own batch-id
+    high-water marks, each stamped inside its commit's single atomic
+    publish, so a crash between the two commits replays the batch into
+    only the table that missed it (see the operator's docstring)."""
+    from airflow_postgres_csv_spark.operators.expectations import (
+        snapshot_write_with_expectations,
+    )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: snapshot_write_with_expectations(
+                df, root, expectations, quarantine_root,
+                batch_id=bid, retries=2,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

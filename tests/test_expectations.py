@@ -81,3 +81,61 @@ def test_expectations_validation_errors(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="action"):
         Expectation("a", "amount > 0", "explode")
+
+
+def test_expectations_batch_gate_per_table(spark, tmp_path):
+    """Per-destination exactly-once: a replayed batch skips the table that
+    already holds it and commits only to the one that missed it."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    root, quar = str(tmp_path / "t"), str(tmp_path / "q")
+    m = snapshot_write_with_expectations(
+        _batch(spark), root, _RULES, quar, batch_id=0
+    )
+    assert m["committed_main"] and m["committed_quarantine"]
+
+    # full replay: both stamped -> no-op, no new versions, no scan
+    m2 = snapshot_write_with_expectations(
+        _batch(spark), root, _RULES, quar, batch_id=0
+    )
+    assert not m2["committed_main"] and not m2["committed_quarantine"]
+    assert snapshot_versions(root) == [1] and snapshot_versions(quar) == [1]
+
+    # partial crash: main already holds batch 1, quarantine does not
+    snapshot_commit(
+        _batch(spark).limit(0), root, extra={"last_batch_id": 1}
+    )
+    m3 = snapshot_write_with_expectations(
+        _batch(spark), root, _RULES, quar, batch_id=1
+    )
+    assert not m3["committed_main"] and m3["committed_quarantine"]
+    assert snapshot_versions(root) == [1, 2]      # only the manual stamp
+    assert snapshot_versions(quar) == [1, 2]
+    assert snapshot_read(spark, root).count() == 2       # no duplicate rows
+    assert snapshot_read(spark, quar).count() == 4
+
+
+def test_expectations_streaming_sink_exactly_once(spark, tmp_path):
+    """The streaming sink routes a micro-batch and a checkpoint-restarted
+    run replays nothing."""
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_expectations_sink,
+    )
+
+    src = str(tmp_path / "src")
+    _batch(spark).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    root, quar, ckpt = (str(tmp_path / d) for d in ("t", "q", "ckpt"))
+
+    for _ in range(2):  # second run = restart from checkpoint, must no-op
+        q = start_expectations_sink(
+            spark.readStream.schema(schema).parquet(src),
+            root, ckpt, _RULES, quar,
+        )
+        q.processAllAvailable()
+        q.stop()
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == [1, 2]
+    assert snapshot_read(spark, quar).count() == 2
