@@ -110,6 +110,11 @@ HEADLINE = [
     # retractions driven by the batch change feed (table_changes + one
     # stamped merge commit per refresh)
     "snapshot_ivm_rollup",
+    # session-6b additions: the new LLM-curation operators — semantic
+    # dedup (cell self-join) and the expectations write gate (observe +
+    # two snapshot commits)
+    "dedup_semantic_semdedup",
+    "pipeline_expectations_quarantine",
 ]
 
 
