@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bfs_hops",
     "connected_components",
     "connected_components_propagation",
+    "kcore_nodes",
     "pagerank_integer",
     "triangle_counts",
 ]
@@ -382,3 +384,74 @@ def kcore_nodes(
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("u").alias("node"), "deg")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    source_col: str = "node",
+    max_hops: int = 8,
+    broadcast_max_frontier: int = 50_000_000,
+) -> DataFrame:
+    """Multi-source BFS → ``(node, hop)`` for every node within
+    ``max_hops`` undirected hops of any source (hop = exact shortest-path
+    length; sources themselves at hop 0; unreached nodes absent).
+
+    Hop distance from a seed set is the remaining single-source-shortest-
+    path primitive the graph kit lacked (components = reachability,
+    pagerank = centrality, k-core = cohesion, triangles = clustering):
+    "how far is every item from the curated seed set" drives expanding-
+    frontier curation and recommendation distance. The reference has no
+    analog (extension surface, SURVEY.md §2.3).
+
+    Semantics are iteration-order independent (a node's BFS level is a
+    property of the graph), so the result is oracle-checkable against a
+    hop-bounded recursive-CTE closure with ``MIN(hop)`` per node.
+
+    100 TB design: each round is ONE equi-join (frontier onto the
+    symmetrized edge table, broadcast while the frontier is small — the
+    common case — so the big edge table never reshuffles) + one distinct
+    + one anti-join against the visited set; ``localCheckpoint``
+    truncates lineage so the plan stays O(1) across rounds. The driver
+    loop collects a single scalar per round (frontier size) to early-exit
+    a converged search — same contract as connected_components'
+    convergence collect. ``max_hops`` bounds work on any input, the
+    standard guard for accidental giant-diameter graphs.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("node", F.lit(0).cast("int").alias("hop"))
+    for hop in range(1, max_hops + 1):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        fr = frontier.select(F.col("node").alias("u"))
+        if n_frontier <= broadcast_max_frontier:
+            fr = F.broadcast(fr)
+        # expand one level: neighbours of the frontier not yet visited
+        frontier = (
+            e.join(fr, "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(hop).cast("int").alias("hop"))
+        ).localCheckpoint(eager=True)
+    return visited

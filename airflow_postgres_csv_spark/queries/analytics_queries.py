@@ -1102,3 +1102,50 @@ register(
     FROM ranked
     """,
 )(_customers_gini_revenue)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance over the bipartite order↔part purchase graph (orders at
+# even node ids, parts at odd): every node within 4 undirected hops of the
+# lowest-keyed order, with its exact BFS level — "collaborative-filtering
+# distance" from a seed. Spark side is operators/graph.py:bfs_hops (one
+# broadcast frontier equi-join + anti-join per level, O(1) plan via
+# localCheckpoint); the oracle is an independent hop-bounded recursive-CTE
+# closure with MIN(hop) per node. Levels alternate: orders at even hops,
+# parts at odd — a structure the differential check verifies for free.
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def _graph_bfs_hops(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    ).distinct()
+    sources = li.agg((F.min("l_orderkey") * 2).alias("node"))
+    return bfs_hops(edges, sources, max_hops=_BFS_HOPS).orderBy("node")
+
+
+register(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT l_orderkey * 2 AS u, l_partkey * 2 + 1 AS v
+      FROM lineitem
+    ),
+    e AS (SELECT u, v FROM eb UNION ALL SELECT v AS u, u AS v FROM eb),
+    walk(node, hop) AS (
+      SELECT (SELECT MIN(l_orderkey) * 2 FROM lineitem), 0
+      UNION
+      SELECT e.v, w.hop + 1
+      FROM walk w JOIN e ON e.u = w.node
+      WHERE w.hop < {_BFS_HOPS}
+    )
+    SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)(_graph_bfs_hops)

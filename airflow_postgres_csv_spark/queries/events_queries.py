@@ -1140,3 +1140,104 @@ register(
     ORDER BY event_type, lag
     """,
 )(_events_autocorrelation)
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash assignment of every user into
+# control (arm 0) / treatment (arm 1), per-user purchase-count metric, and
+# the Welch two-sample t statistic on the arm means — the full "did the
+# experiment move the metric" scorecard in ONE aggregation pass. Scale
+# shape: one groupBy(user_id) (per-user metric) + one 1-row conditional
+# agg; the hash assignment is a pure projection (no salt table, no join),
+# which is exactly how real experiment platforms bucket at any scale.
+# Determinism: assignments are md5-derived, per-user counts are integers,
+# and every double (means, variances, t) is derived from exact BIGINT sums
+# with the identical expression tree in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _events_ab_ttest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    ).select(arm.alias("arm"), "conv")
+
+    def _arm(x, col):
+        return F.sum(F.when(F.col("arm") == x, col).otherwise(F.lit(0)))
+
+    agg = per_user.agg(
+        _arm(0, F.lit(1)).cast("long").alias("n_c"),
+        _arm(1, F.lit(1)).cast("long").alias("n_t"),
+        _arm(0, F.col("conv")).cast("long").alias("s_c"),
+        _arm(1, F.col("conv")).cast("long").alias("s_t"),
+        _arm(0, F.col("conv") * F.col("conv")).cast("long").alias("ss_c"),
+        _arm(1, F.col("conv") * F.col("conv")).cast("long").alias("ss_t"),
+    )
+    n_c, n_t = F.col("n_c").cast("double"), F.col("n_t").cast("double")
+    s_c, s_t = F.col("s_c").cast("double"), F.col("s_t").cast("double")
+    ss_c, ss_t = F.col("ss_c").cast("double"), F.col("ss_t").cast("double")
+    mean_c, mean_t = s_c / n_c, s_t / n_t
+    var_c = (ss_c - s_c * s_c / n_c) / (n_c - F.lit(1.0))
+    var_t = (ss_t - s_t * s_t / n_t) / (n_t - F.lit(1.0))
+    return agg.select(
+        "n_c",
+        "n_t",
+        "s_c",
+        "s_t",
+        mean_c.alias("mean_conv_c"),
+        mean_t.alias("mean_conv_t"),
+        var_c.alias("var_conv_c"),
+        var_t.alias("var_conv_t"),
+        (
+            (mean_t - mean_c) / F.sqrt(var_t / n_t + var_c / n_c)
+        ).alias("t_welch"),
+    )
+
+
+register(
+    "events_ab_ttest",
+    """
+    WITH per_user AS (
+      SELECT ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS s_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS s_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN conv * conv ELSE 0 END) AS BIGINT) AS ss_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN conv * conv ELSE 0 END) AS BIGINT) AS ss_t
+      FROM per_user
+    )
+    SELECT n_c, n_t, s_c, s_t,
+           CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_conv_c,
+           CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_conv_t,
+           (CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             / (CAST(n_c AS DOUBLE) - 1.0) AS var_conv_c,
+           (CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+             / (CAST(n_t AS DOUBLE) - 1.0) AS var_conv_t,
+           (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             / sqrt(
+                 ((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                    / (CAST(n_t AS DOUBLE) - 1.0)) / CAST(n_t AS DOUBLE)
+                 + ((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                    / (CAST(n_c AS DOUBLE) - 1.0)) / CAST(n_c AS DOUBLE)
+               ) AS t_welch
+    FROM agg
+    """,
+)(_events_ab_ttest)

@@ -371,3 +371,84 @@ register(
     ORDER BY event_type, bucket_s
     """,
 )(_rollup_ewma_dyadic)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: predict each hour's event count with
+# the count from the same hour one day earlier (the period-24 naive
+# baseline every forecasting system is benchmarked against), scored over
+# every hour where both actual and forecast exist. One groupBy builds the
+# hourly series; the forecast "model" is a self equi-join on the shifted
+# hour key (reusing the (event_type, h) partitioning — no second scan of
+# the fact table); MAE / bias come from exact integer error sums with one
+# final division. Hour ids are pure epoch arithmetic (tz-independent).
+# ---------------------------------------------------------------------------
+
+_SN_ANCHOR = 1704067200  # 2024-01-01T00:00:00Z
+_SN_PERIOD = 24
+
+
+def _rollup_seasonal_naive(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            "event_type",
+            F.floor((F.unix_timestamp("ts") - F.lit(_SN_ANCHOR)) / 3600)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # actual + shifted-forecast branches
+    )
+    fc = cnt.select(
+        "event_type",
+        (F.col("h") + F.lit(_SN_PERIOD)).alias("h"),
+        F.col("c").alias("f"),
+    )
+    scored = cnt.join(fc, ["event_type", "h"])
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.abs(F.col("c") - F.col("f"))).cast("long").alias("abs_err"),
+            F.sum(F.col("c") - F.col("f")).cast("long").alias("bias"),
+            F.sum("c").cast("long").alias("actual_total"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "abs_err",
+            "bias",
+            "actual_total",
+            (F.col("abs_err").cast("double") / F.col("n_hours").cast("double")).alias(
+                "mae"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "rollup_seasonal_naive",
+    f"""
+    WITH cnt AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(ts) - {_SN_ANCHOR}) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a.event_type, a.c, f.c AS f
+      FROM cnt a JOIN cnt f
+        ON f.event_type = a.event_type AND f.h = a.h - {_SN_PERIOD}
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(ABS(c - f)) AS BIGINT) AS abs_err,
+           CAST(SUM(c - f) AS BIGINT) AS bias,
+           CAST(SUM(c) AS BIGINT) AS actual_total,
+           CAST(SUM(ABS(c - f)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)(_rollup_seasonal_naive)
