@@ -763,3 +763,73 @@ register(
     GROUP BY s.doc_id ORDER BY s.doc_id
     """,
 )(_text_ngram_novelty)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution over the customer master (operators/resolution.py):
+# two blocking passes (16-char name prefix; nation + 2-char name suffix)
+# bound the candidate join — block sizes are O(1) in corpus size, so
+# candidate volume scales linearly where all-pairs is O(n²) — then a
+# levenshtein<=1 verify, large-star/small-star closure into entity
+# clusters, and min-id survivor election. The oracle independently
+# replays both blocks, the verify, and the closure as a recursive-CTE
+# transitive closure — certifying blocking + iterative clustering
+# end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_entity_resolution(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.resolution import resolve_entities
+
+    cust = t(spark, sf_dir, "customer")
+    return resolve_entities(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_keys=[
+            F.substring("c_name", 1, 16),
+            F.concat(
+                F.col("c_nationkey").cast("string"),
+                F.lit(":"),
+                F.expr("right(c_name, 2)"),
+            ),
+        ],
+        max_dist=1,
+    ).orderBy("c_custkey")
+
+
+register(
+    "pipeline_entity_resolution",
+    """
+    WITH RECURSIVE keyed AS (
+      SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk FROM customer
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b
+      FROM keyed a JOIN keyed b
+        ON substring(a.nm, 1, 16) = substring(b.nm, 1, 16) AND a.id < b.id
+      UNION
+      SELECT a.id, b.id, a.nm, b.nm
+      FROM keyed a JOIN keyed b
+        ON a.nk = b.nk AND right(a.nm, 2) = right(b.nm, 2) AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      WHERE levenshtein(nm_a, nm_b) <= 1
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    walk(node, root) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT s.v, w.root FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    assign AS (
+      SELECT node AS c_custkey, MIN(root) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT c_custkey, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           c_custkey = cluster_id AS is_survivor
+    FROM assign
+    ORDER BY c_custkey
+    """,
+)(_pipeline_entity_resolution)
