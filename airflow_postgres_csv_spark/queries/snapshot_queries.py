@@ -1406,3 +1406,58 @@ register(
     ORDER BY event_id
     """,
 )(streaming_expectations_live)
+
+
+# ---------------------------------------------------------------------------
+# Batch Python Data Source over the snapshot table
+# (sources/snapshot_batch.py): the WHERE clause's conjuncts reach the
+# source via pushFilters and prune files through the same hierarchical
+# manifest planning as snapshot_scan — but driven by Spark's own planner,
+# with no operator-specific plumbing in the query. The staged table has
+# three range-clustered commits and a merge-on-read key delete; the
+# source must apply the pinned schema AND the tombstone masks in its
+# Arrow read path, and the residual filter re-applies on the survivors.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        register_snapshot_table,
+    )
+
+    root = _temp_root()
+    ev = load(spark, sf_dir, "events")
+    for r in (0, 1, 2):
+        snapshot_commit(
+            ev.where(F.col("event_id") % 3 == r), root, partition_by=["event_id"]
+        )
+    snapshot_delete_mor(
+        spark, root, condition="event_id % 10 = 7", key_col="event_id"
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_snapshot_table(spark)
+    ds = spark.read.format("snapshot_table").load(root)
+    return (
+        ds.where(F.col("event_id").between(2000, 7000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_source_pruned",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id BETWEEN 2000 AND 7000 AND event_id % 10 <> 7
+    GROUP BY event_type ORDER BY event_type
+    """,
+)(snapshot_source_pruned)

@@ -1,0 +1,287 @@
+"""Batch Python Data Source over snapshot tables, with filter-pushdown
+file skipping: ``spark.read.format("snapshot_table").load(root)``.
+
+The operator API (``snapshot_read`` / ``snapshot_scan`` /
+``snapshot_lookup``) asks the CALLER to say which predicate should prune
+files. This source moves that decision where it belongs on a 100 TB
+cluster — inside the scan: Spark's planner hands the WHERE clause's
+conjuncts to ``pushFilters`` (Python Data Source API, Spark 4.1), the
+source intersects them into per-column ranges, and ``partitions()``
+plans the file set through the SAME hierarchical pruning the operators
+use (commit-level ranges from the root manifest → per-file zone maps
+from the sidecars of surviving commits → per-file Bloom probes for
+equality predicates on indexed columns). A plain
+``spark.sql("SELECT ... WHERE ts BETWEEN ...")`` over the source prunes
+files with no operator-specific plumbing at all.
+
+Correctness contract: pruning is file-granular, so EVERY pushed filter
+is also returned to Spark for post-scan evaluation (the API's
+partial-pushdown form) — a false-positive file costs a scan, never a
+wrong row. Executors read surviving files with pyarrow, align each
+file to the version's pinned schema (default-fill for columns added by
+later schema evolution, cast for widened columns), and apply the
+manifest's merge-on-read tombstones as Arrow masks (equality keys and
+positional (file, row) deletes) — the same semantics as
+``snapshots._read_pinned``, checked against it by tests and by the
+``snapshot_source_pruned`` registry oracle.
+
+Scale notes: planning stays driver-side and O(root manifest + surviving
+sidecars), exactly like the operator path; per-partition work ships as
+plain picklable strings (paths + schema JSONs), and each task touches
+only its one data file plus the (small) delete files that apply to it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from airflow_postgres_csv_spark.operators import snapshots as S
+
+__all__ = ["SnapshotTableDataSource", "register_snapshot_table"]
+
+_INF = float("inf")
+
+
+class SnapshotBatchPartition(InputPartition):
+    """One surviving data file, self-contained and picklable."""
+
+    def __init__(
+        self,
+        path: str,
+        rel: str,
+        written_schema_json: str,
+        table_schema_json: str,
+        defaults_json: str,
+        tomb_specs_json: str,
+    ):
+        self.path = path
+        self.rel = rel
+        self.written_schema_json = written_schema_json
+        self.table_schema_json = table_schema_json
+        self.defaults_json = defaults_json
+        self.tomb_specs_json = tomb_specs_json
+
+
+def _tighten(rng: tuple, lo, hi) -> tuple:
+    """Intersect [lo, hi] into the accumulated range, keeping the old
+    bound when the pair is incomparable (conservative, never wrong)."""
+    clo, chi = rng
+    try:
+        if clo == -_INF or lo > clo:
+            clo = lo
+    except TypeError:
+        pass
+    try:
+        if chi == _INF or hi < chi:
+            chi = hi
+    except TypeError:
+        pass
+    return (clo, chi)
+
+
+class SnapshotBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._root = options.get("path") or options.get("root")
+        if not self._root:
+            raise ValueError("snapshot_table requires a path (load(root))")
+        v = options.get("version")
+        if isinstance(v, str) and v.lstrip("-").isdigit():
+            v = int(v)  # DataFrameReader options always arrive as strings
+        version = S.resolve_version(self._root, v)
+        versions = S.snapshot_versions(self._root)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions at {self._root}")
+        self._manifest = S._load_manifest(
+            self._root, version if version is not None else versions[-1]
+        )
+        # predicate state accumulated by pushFilters
+        self._ranges: dict[str, tuple] = {}
+        self._eq: list[tuple[str, object]] = []
+
+    # -- planning ----------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        cols = {f.name for f in self._schema().fields}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            usable = col in cols
+            if usable and isinstance(f, EqualTo):
+                self._ranges[col] = _tighten(
+                    self._ranges.get(col, (-_INF, _INF)), f.value, f.value
+                )
+                self._eq.append((col, f.value))
+            elif usable and isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._ranges[col] = _tighten(
+                    self._ranges.get(col, (-_INF, _INF)), f.value, _INF
+                )
+            elif usable and isinstance(f, (LessThan, LessThanOrEqual)):
+                self._ranges[col] = _tighten(
+                    self._ranges.get(col, (-_INF, _INF)), -_INF, f.value
+                )
+            elif usable and isinstance(f, In) and f.value:
+                try:
+                    lo, hi = min(f.value), max(f.value)
+                except TypeError:
+                    lo = hi = None
+                if lo is not None:
+                    self._ranges[col] = _tighten(
+                        self._ranges.get(col, (-_INF, _INF)), lo, hi
+                    )
+            # file-granular pruning only: Spark must still evaluate every
+            # filter on the survivors' rows
+            yield f
+
+    def _schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._manifest["schema"]))
+
+    def planned_files(self) -> list[str]:
+        """The surviving file list (exposed for tests / introspection)."""
+        m = self._manifest
+        if self._ranges:
+            kept = S._plan_scan(self._root, m, self._ranges)["kept_files"]
+        else:
+            kept = list(m["files"])
+        cfg = m.get("bloom") or {}
+        probes = [
+            (c, v) for c, v in self._eq if c in cfg.get("cols", [])
+        ]
+        if not probes:
+            return kept
+        out = []
+        for rel in kept:
+            sidecar = S._load_sidecar(self._root, m, S._commit_of(rel))
+            blooms = sidecar.get("blooms", {}).get(rel, {})
+            drop = False
+            for c, v in probes:
+                words = blooms.get(c)
+                try:
+                    if words is not None and not S._bloom_might_contain(
+                        words, v, cfg["m"], cfg["k"]
+                    ):
+                        drop = True
+                        break
+                except (TypeError, ValueError):
+                    pass  # unprobeable key type: keep the file
+            if not drop:
+                out.append(rel)
+        return out
+
+    def partitions(self) -> list[SnapshotBatchPartition]:
+        m = self._manifest
+        commit_schemas = m.get("commit_schemas", {})
+        tombs = m.get("tombstones", [])
+        parts = []
+        for rel in self.planned_files():
+            cid = S._commit_of(rel)
+            specs = []
+            for t in tombs:
+                if not S._tombstone_applies(t, cid, rel):
+                    continue
+                specs.append(
+                    {
+                        "kind": t.get("kind", "equality"),
+                        "key_col": t.get("key_col"),
+                        "delete_files": [
+                            os.path.join(self._root, f) for f in t["files"]
+                        ],
+                    }
+                )
+            parts.append(
+                SnapshotBatchPartition(
+                    path=os.path.join(self._root, rel),
+                    rel=rel,
+                    written_schema_json=commit_schemas.get(cid, m["schema"]),
+                    table_schema_json=m["schema"],
+                    defaults_json=json.dumps(m.get("defaults", {})),
+                    tomb_specs_json=json.dumps(specs),
+                )
+            )
+        return parts
+
+    # -- execution ---------------------------------------------------------
+    def read(self, partition: SnapshotBatchPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        table_schema = StructType.fromJson(
+            json.loads(partition.table_schema_json)
+        )
+        target = to_arrow_schema(table_schema)
+        written = {
+            f.name
+            for f in StructType.fromJson(
+                json.loads(partition.written_schema_json)
+            ).fields
+        }
+        defaults = json.loads(partition.defaults_json)
+        tbl = pq.read_table(
+            partition.path, columns=[f.name for f in target if f.name in written]
+        )
+        n = tbl.num_rows
+        arrays = []
+        for f in target:
+            if f.name in written:
+                arrays.append(tbl.column(f.name).cast(f.type))
+            else:
+                arrays.append(pa.array([defaults.get(f.name)] * n, type=f.type))
+        aligned = pa.table(arrays, schema=target)
+        for spec in json.loads(partition.tomb_specs_json):
+            if spec["kind"] == "positional":
+                pos_tbl = pa.concat_tables(
+                    [pq.read_table(f) for f in spec["delete_files"]]
+                )
+                mine = pos_tbl.filter(
+                    pc.equal(pos_tbl["file"], partition.rel)
+                )["pos"]
+                idx = pa.array(range(aligned.num_rows), type=pa.int64())
+                mask = pc.is_in(idx, value_set=mine.combine_chunks())
+            else:
+                key = spec["key_col"]
+                keys = pa.concat_tables(
+                    [pq.read_table(f, columns=[key]) for f in spec["delete_files"]]
+                )[key]
+                col = aligned[key]
+                mask = pc.is_in(
+                    col, value_set=keys.combine_chunks().cast(col.type)
+                )
+            aligned = aligned.filter(pc.invert(mask))
+        yield from aligned.to_batches()
+
+
+class SnapshotTableDataSource(DataSource):
+    """``spark.read.format("snapshot_table").load(root)`` — optionally
+    ``.option("version", <int or tag>)`` for time travel."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_table"
+
+    def schema(self):
+        reader = SnapshotBatchReader(None, dict(self.options))
+        return reader._schema()
+
+    def reader(self, schema: StructType) -> SnapshotBatchReader:
+        return SnapshotBatchReader(schema, dict(self.options))
+
+
+def register_snapshot_table(spark) -> None:
+    spark.dataSource.register(SnapshotTableDataSource)

@@ -1,0 +1,185 @@
+"""Batch snapshot_table data source (sources/snapshot_batch.py):
+pushdown-driven file pruning, tombstone masks, schema evolution, time
+travel — each checked against the operator read path it must agree with."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    LessThan,
+    StringStartsWith,
+)
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    _load_manifest,
+    snapshot_commit,
+    snapshot_delete_mor,
+    snapshot_delete_positional,
+    snapshot_read,
+    snapshot_tag,
+    snapshot_versions,
+)
+from airflow_postgres_csv_spark.sources.snapshot_batch import (
+    SnapshotBatchReader,
+    register_snapshot_table,
+)
+
+
+@pytest.fixture(autouse=True)
+def _pushdown(spark):
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_snapshot_table(spark)
+    yield
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def _rows(df):
+    return sorted((r.id, r.v) for r in df.collect())
+
+
+def test_reads_match_operator_path(spark, tmp_path):
+    """Plain load() equals snapshot_read across appends + a MOR delete."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 50), root)
+    snapshot_commit(_df(spark, 50, 100), root)
+    snapshot_delete_mor(spark, root, condition="id % 9 = 4", key_col="id")
+    got = spark.read.format("snapshot_table").load(root)
+    want = snapshot_read(spark, root)
+    assert _rows(got) == _rows(want)
+    assert got.count() == 100 - len([i for i in range(100) if i % 9 == 4])
+
+
+def test_positional_deletes_masked(spark, tmp_path):
+    """(file, row) delete vectors are applied in the Arrow read path."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 30).coalesce(1), root)
+    snapshot_delete_positional(spark, root, condition="id IN (3, 17)")
+    got = spark.read.format("snapshot_table").load(root)
+    assert _rows(got) == _rows(snapshot_read(spark, root))
+    assert got.count() == 28
+
+
+def test_schema_evolution_default_fill(spark, tmp_path):
+    """Files written before a column existed read with the column default
+    under the version's pinned schema — same as snapshots._read_pinned."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 5), root)
+    snapshot_commit(
+        _df(spark, 5, 8).withColumn("tag", F.lit("new")),
+        root,
+        allow_schema_change=True,
+        column_defaults={"tag": "legacy"},
+    )
+    got = {r.id: r.tag for r in
+           spark.read.format("snapshot_table").load(root).collect()}
+    assert got[0] == "legacy" and got[7] == "new"
+
+
+def test_time_travel_by_version_and_tag(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10), root)
+    snapshot_tag(root, "train-v1")
+    snapshot_commit(_df(spark, 10, 20), root)
+    assert (
+        spark.read.format("snapshot_table").option("version", 1).load(root).count()
+        == 10
+    )
+    assert (
+        spark.read.format("snapshot_table")
+        .option("version", "train-v1")
+        .load(root)
+        .count()
+        == 10
+    )
+    assert spark.read.format("snapshot_table").load(root).count() == 20
+
+
+def test_pushed_range_prunes_files_and_result_is_exact(spark, tmp_path):
+    """A range predicate prunes range-clustered files at planning time;
+    the SQL result still equals the full filter (partial pushdown: every
+    filter re-applies on survivors)."""
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2),
+            root,
+            partition_by=["id"],
+        )
+    r = SnapshotBatchReader(None, {"path": root})
+    n_all = len(r.planned_files())
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("id",), 350)]))
+    assert len(leftover) == 1  # file-granular pruning: Spark re-evaluates
+    assert 0 < len(r.planned_files()) < n_all
+    got = (
+        spark.read.format("snapshot_table")
+        .load(root)
+        .where(F.col("id") >= 350)
+    )
+    assert got.count() == 50 and got.agg(F.min("id")).first()[0] == 350
+
+
+def test_pushed_equality_uses_bloom(spark, tmp_path):
+    """EqualTo on a bloom-indexed column consults per-file bitsets, not
+    just zone maps: with one key per commit range, at most a couple of
+    files survive a point probe."""
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).coalesce(1), root, bloom_cols=["id"]
+        )
+    r = SnapshotBatchReader(None, {"path": root})
+    assert len(r.planned_files()) == 4
+    list(r.pushFilters([EqualTo(("id",), 250)]))
+    assert len(r.planned_files()) <= 2
+    got = spark.read.format("snapshot_table").load(root).where(F.col("id") == 250)
+    assert [tuple(x) for x in got.collect()] == [(250, 500)]
+
+
+def test_unsupported_filters_are_safe(spark, tmp_path):
+    """A filter shape the source can't plan with (string prefix) leaves
+    the file set alone; a supported IN over strings prunes via the string
+    zone maps but never loses rows."""
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _df(spark, 0, 20).withColumn("s", F.concat(F.lit("k"), F.col("id"))),
+        root,
+    )
+    r = SnapshotBatchReader(None, {"path": root})
+    n_all = len(r.planned_files())
+    leftover = list(r.pushFilters([StringStartsWith(("s",), "k1")]))
+    assert len(leftover) == 1
+    assert len(r.planned_files()) == n_all  # prefix match: no range to plan
+    got = (
+        spark.read.format("snapshot_table")
+        .load(root)
+        .where(F.col("s").startswith("k1"))
+    )
+    assert got.count() == 11  # k1, k10..k19
+    got_in = (
+        spark.read.format("snapshot_table")
+        .load(root)
+        .where(F.col("s").isin("k1", "k2"))
+    )
+    assert sorted(r.s for r in got_in.collect()) == ["k1", "k2"]
+
+
+def test_conjunctive_ranges_intersect(spark, tmp_path):
+    """lo <= id < hi accumulates into ONE per-column range for planning."""
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).coalesce(1), root, partition_by=["id"]
+        )
+    r = SnapshotBatchReader(None, {"path": root})
+    list(r.pushFilters([GreaterThanOrEqual(("id",), 120), LessThan(("id",), 180)]))
+    assert r._ranges["id"] == (120, 180)
+    assert len(r.planned_files()) == 1
