@@ -525,6 +525,74 @@ def snapshot_commit(
                     )
 
 
+def snapshot_commit_staged(
+    root: str,
+    commit_id: str,
+    new_files: list[str],
+    schema_json: str,
+    mode: str = "append",
+    retries: int = 0,
+) -> dict:
+    """Publish parquet files ALREADY staged under ``data/<commit_id>/`` as
+    the next version — the manifest half of :func:`snapshot_commit` for
+    writers that produced the bytes themselves (the ``snapshot_table``
+    batch data source's executor-side Arrow writer, or any external
+    staging process). Same commit point (one atomic link), same sidecar
+    zone maps (from the staged footers — metadata-only), same append
+    rebase-on-conflict. Differences, both safe-by-construction:
+
+    - schema drift on append is REJECTED outright (no
+      ``allow_schema_change`` escape — evolution goes through
+      ``snapshot_commit``, which records defaults);
+    - the table's Bloom CONFIG is inherited but bitsets are NOT built for
+      the staged files: a file without a bitset is always kept by point
+      probes (never skipped wrongly), and the next ``snapshot_compact``
+      re-indexes it.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    versions = snapshot_versions(root)
+    prev = _load_manifest(root, versions[-1]) if versions else None
+    if prev is not None and mode == "append" and prev["schema"] != schema_json:
+        raise ValueError(
+            "schema drift on staged append: the staged schema differs from "
+            "the table's; use snapshot_commit(allow_schema_change=True) "
+            "for schema evolution"
+        )
+    sidecar = {
+        "stats": {rel: _footer_stats(os.path.join(root, rel)) for rel in new_files}
+    }
+    while True:
+        files = (
+            list(prev["files"]) + new_files
+            if (prev and mode == "append")
+            else list(new_files)
+        )
+        body = _inherit_maps(prev, files)
+        body.update(
+            mode=mode, commit_id=commit_id, files=files, n_files=len(files),
+            schema=schema_json,
+        )
+        if new_files:
+            body["commit_schemas"][commit_id] = schema_json
+            body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+        try:
+            return _publish(
+                root, versions, body, commit_id, sidecar if new_files else None
+            )
+        except SnapshotConflictError:
+            if retries <= 0 or mode != "append":
+                raise
+            retries -= 1
+            versions = snapshot_versions(root)
+            prev = _load_manifest(root, versions[-1]) if versions else None
+            if prev is not None and prev["schema"] != schema_json:
+                raise ValueError(
+                    "schema drift on staged-append rebase: a concurrent "
+                    "winner changed the table schema"
+                )
+
+
 def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:
     """Write ``df`` under an immutable per-commit dir; return its relative
     parquet paths. No manifest is touched — a crash here leaves only an

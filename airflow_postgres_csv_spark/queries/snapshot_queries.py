@@ -1461,3 +1461,55 @@ register(
     GROUP BY event_type ORDER BY event_type
     """,
 )(snapshot_source_pruned)
+
+
+# ---------------------------------------------------------------------------
+# Write path of the batch data source: two executor-staged Arrow appends
+# (df.write.format("snapshot_table")) followed by a read through the same
+# source. The write side must stage per-task parquet + publish through the
+# one atomic manifest link; the read side must see exactly the union —
+# certified by the plain-SQL oracle over the source table.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_source_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        register_snapshot_table,
+    )
+
+    root = _temp_root()
+    register_snapshot_table(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for r in (0, 1):
+        (
+            ev.where(F.col("event_id") % 2 == r)
+            .write.format("snapshot_table")
+            .mode("append")
+            .save(root)
+        )
+    return (
+        spark.read.format("snapshot_table")
+        .load(root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("long").alias("sum_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_source_write_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)(snapshot_source_write_roundtrip)

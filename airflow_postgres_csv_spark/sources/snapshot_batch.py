@@ -39,6 +39,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -48,6 +49,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -267,9 +269,77 @@ class SnapshotBatchReader(DataSourceReader):
         yield from aligned.to_batches()
 
 
+class SnapshotWriteMessage(WriterCommitMessage):
+    def __init__(self, rels: list[str]):
+        self.rels = rels
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    """Executor-side Arrow writer + driver-side manifest commit.
+
+    Each task streams its Arrow batches straight into one parquet file
+    under the commit's immutable staging dir (``data/<commit_id>/``) —
+    no driver round trip, no extra shuffle. The driver then publishes
+    the staged file list through ``snapshot_commit_staged``: the SAME
+    single atomic-link commit point as the operator API, so a crashed or
+    aborted write leaves only an orphan dir for ``snapshot_expire`` and
+    readers never observe a partial write. ``mode("append")`` requires
+    the staged schema to match the table's; ``mode("overwrite")``
+    replaces the pinned file list (history stays time-travelable)."""
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        import uuid
+
+        from pyspark.sql.types import StructField
+
+        self._root = root
+        # same nullability normalization (and exact json rendering) as the
+        # manifest's pinned schema — the drift check compares strings
+        self._schema_json = StructType(
+            [StructField(f.name, f.dataType, True) for f in schema.fields]
+        ).json()
+        self._overwrite = overwrite
+        self._commit_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return SnapshotWriteMessage([])  # empty task: no file
+        staging = os.path.join(self._root, "data", self._commit_id)
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.Table.from_batches(batches), os.path.join(staging, name))
+        return SnapshotWriteMessage([os.path.join("data", self._commit_id, name)])
+
+    def commit(self, messages):
+        rels = sorted(rel for m in messages if m for rel in m.rels)
+        S.snapshot_commit_staged(
+            self._root,
+            self._commit_id,
+            rels,
+            self._schema_json,
+            mode="overwrite" if self._overwrite else "append",
+            retries=3,
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._root, "data", self._commit_id), ignore_errors=True
+        )
+
+
 class SnapshotTableDataSource(DataSource):
     """``spark.read.format("snapshot_table").load(root)`` — optionally
-    ``.option("version", <int or tag>)`` for time travel."""
+    ``.option("version", <int or tag>)`` for time travel — and
+    ``df.write.format("snapshot_table").mode("append"|"overwrite")
+    .save(root)`` for atomic manifest-committed writes."""
 
     @classmethod
     def name(cls) -> str:
@@ -282,6 +352,16 @@ class SnapshotTableDataSource(DataSource):
     def reader(self, schema: StructType) -> SnapshotBatchReader:
         return SnapshotBatchReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        root = self.options.get("path") or self.options.get("root")
+        if not root:
+            raise ValueError("snapshot_table write requires a path (save(root))")
+        return SnapshotBatchWriter(root, schema, overwrite)
+
 
 def register_snapshot_table(spark) -> None:
+    # the engine refuses to plan a reader that implements pushFilters
+    # while the (runtime-settable) pushdown flag is off — enabling it at
+    # registration keeps the source usable from any session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotTableDataSource)

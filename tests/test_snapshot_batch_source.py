@@ -183,3 +183,59 @@ def test_conjunctive_ranges_intersect(spark, tmp_path):
     list(r.pushFilters([GreaterThanOrEqual(("id",), 120), LessThan(("id",), 180)]))
     assert r._ranges["id"] == (120, 180)
     assert len(r.planned_files()) == 1
+
+
+# -- writer ----------------------------------------------------------------
+
+
+def test_ds_write_append_roundtrip(spark, tmp_path):
+    """Executor-staged Arrow write + manifest commit: rows round-trip,
+    versions accrue, and the staged footers feed commit-level zone maps."""
+    root = str(tmp_path / "t")
+    _df(spark, 0, 60).repartition(3).write.format("snapshot_table").mode(
+        "append"
+    ).save(root)
+    _df(spark, 60, 80).write.format("snapshot_table").mode("append").save(root)
+    assert snapshot_versions(root) == [1, 2]
+    got = spark.read.format("snapshot_table").load(root)
+    assert _rows(got) == [(i, i * 2) for i in range(80)]
+    m = _load_manifest(root, 2)
+    assert m["commit_ranges"][m["commit_id"]]["id"] == [60, 79]
+
+
+def test_ds_write_overwrite_keeps_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _df(spark, 0, 50).write.format("snapshot_table").mode("append").save(root)
+    _df(spark, 0, 5).write.format("snapshot_table").mode("overwrite").save(root)
+    assert spark.read.format("snapshot_table").load(root).count() == 5
+    assert (
+        spark.read.format("snapshot_table").option("version", 1).load(root).count()
+        == 50
+    )
+
+
+def test_ds_write_schema_drift_rejected_and_aborted(spark, tmp_path):
+    """An append with a different schema aborts before any manifest is
+    linked; the staging dir is removed (no orphan for expire to chase)."""
+    import os
+
+    root = str(tmp_path / "t")
+    _df(spark, 0, 10).write.format("snapshot_table").mode("append").save(root)
+    with pytest.raises(Exception, match="[Ss]chema drift|PYTHON_DATA_SOURCE"):
+        spark.range(3).write.format("snapshot_table").mode("append").save(root)
+    assert snapshot_versions(root) == [1]
+    commits = set(os.listdir(os.path.join(root, "data")))
+    assert commits == {_load_manifest(root, 1)["commit_id"]}
+
+
+def test_ds_write_without_blooms_is_probe_safe(spark, tmp_path):
+    """A DS-written file has no Bloom bitsets; point probes must KEEP it
+    (absent bitset = might match), so keys in it are still found."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 50).coalesce(1), root, bloom_cols=["id"])
+    _df(spark, 50, 60).write.format("snapshot_table").mode("append").save(root)
+    r = SnapshotBatchReader(None, {"path": root})
+    list(r.pushFilters([EqualTo(("id",), 55)]))
+    assert any("data/" in f for f in r.planned_files())
+    got = spark.read.format("snapshot_table").load(root).where(F.col("id") == 55)
+    assert [tuple(x) for x in got.collect()] == [(55, 110)]
