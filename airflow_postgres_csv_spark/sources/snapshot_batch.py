@@ -166,9 +166,12 @@ class SnapshotBatchReader(DataSourceReader):
         if not probes:
             return kept
         out = []
+        sidecars: dict[str, dict] = {}  # one JSON read per commit, not per file
         for rel in kept:
-            sidecar = S._load_sidecar(self._root, m, S._commit_of(rel))
-            blooms = sidecar.get("blooms", {}).get(rel, {})
+            cid = S._commit_of(rel)
+            if cid not in sidecars:
+                sidecars[cid] = S._load_sidecar(self._root, m, cid)
+            blooms = sidecars[cid].get("blooms", {}).get(rel, {})
             drop = False
             for c, v in probes:
                 words = blooms.get(c)

@@ -239,3 +239,55 @@ def test_ds_write_without_blooms_is_probe_safe(spark, tmp_path):
     assert any("data/" in f for f in r.planned_files())
     got = spark.read.format("snapshot_table").load(root).where(F.col("id") == 55)
     assert [tuple(x) for x in got.collect()] == [(55, 110)]
+
+
+def test_staged_commit_threaded_race_rebases(spark, tmp_path):
+    """snapshot_commit_staged under concurrent writers: every staged
+    commit lands (append rebase reuses the staged files — nothing is
+    rewritten), no rows are lost, and the version chain is contiguous."""
+    import os
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_commit_staged,
+    )
+
+    root = str(tmp_path / "t")
+    schema_json = StructType(
+        [StructField("id", LongType(), True), StructField("v", LongType(), True)]
+    ).json()
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            cid = f"stage{w:02d}00000000"
+            d = os.path.join(root, "data", cid)
+            os.makedirs(d)
+            ids = list(range(w * 10, w * 10 + 10))
+            pq.write_table(
+                pa.table({"id": ids, "v": [i * 2 for i in ids]}),
+                os.path.join(d, "part-0.parquet"),
+            )
+            snapshot_commit_staged(
+                root,
+                cid,
+                [os.path.join("data", cid, "part-0.parquet")],
+                schema_json,
+                retries=10,
+            )
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert snapshot_versions(root) == [1, 2, 3, 4, 5, 6]
+    got = spark.read.format("snapshot_table").load(root)
+    assert _rows(got) == [(i, i * 2) for i in range(60)]
