@@ -221,6 +221,10 @@ class SnapshotBatchReader(DataSourceReader):
 
     # -- execution ---------------------------------------------------------
     def read(self, partition: SnapshotBatchPartition):
+        if partition is None:
+            # partitions() pruned every file: the engine still schedules one
+            # task with a None partition — an empty scan, not an error
+            return
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq

@@ -291,3 +291,12 @@ def test_staged_commit_threaded_race_rebases(spark, tmp_path):
     assert snapshot_versions(root) == [1, 2, 3, 4, 5, 6]
     got = spark.read.format("snapshot_table").load(root)
     assert _rows(got) == [(i, i * 2) for i in range(60)]
+
+
+def test_fully_pruned_scan_returns_empty(spark, tmp_path):
+    """When planning prunes EVERY file the engine still schedules one task
+    with a None partition — the scan must yield zero rows, not crash."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 100).coalesce(1), root, partition_by=["id"])
+    got = spark.read.format("snapshot_table").load(root).where(F.col("id") > 10_000)
+    assert got.count() == 0
