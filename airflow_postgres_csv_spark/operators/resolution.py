@@ -74,8 +74,13 @@ def blocked_candidate_pairs(
         cands = cands.unionByName(p)
     return (
         cands.distinct()
-        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
-        .where(F.col("dist") <= max_dist)
+        # threshold form: the DP abandons a pair as soon as the distance
+        # provably exceeds max_dist (returns -1), turning the verify from
+        # O(len²) to O(len·max_dist) per candidate
+        .withColumn(
+            "dist", F.levenshtein("nm_a", "nm_b", threshold=max_dist)
+        )
+        .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 
