@@ -51,6 +51,10 @@ BY_DESIGN: dict[str, str] = {
     "q11_important_parts": "HAVING threshold = scalar fraction of total broadcast",
     "q22_idle_customers": "avg acctbal threshold scalar broadcast",
     "data_mixture_weights": "corpus token-total scalar broadcast",
+    "sample_dsir_importance": (
+        "DSIR totals: 1-row (t_raw, t_target) scalar aggregate crossed "
+        "into the O(n_buckets) model table before the broadcast join back"
+    ),
     "events_funnel": "stage user-count scalars crossed into one conversion row",
     "events_heavy_hitters": "row-count scalar broadcast into the HAVING threshold",
     "hist_equi_depth": (
