@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 from airflow_postgres_csv_spark.operators import sampling as S
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import t
+from airflow_postgres_csv_spark.queries.text_queries import SQL_TOKENS
 
 SQL_H = "md5(CAST(doc_id AS VARCHAR))"
 
@@ -420,3 +421,96 @@ register(
         ).orderBy(F.col("avg_logratio").desc(), "doc_id").limit(50)
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+# document with the corpus unigram LM (same exact-decimal recipe as
+# text_unigram_logprob), cut the corpus into head/middle/tail terciles by
+# GLOBAL fluency rank, and report each bucket's size and score range —
+# the keep/demote/drop decision table of web-corpus curation. The global
+# NTILE uses the distributed global-order machinery (value-range
+# bucketing + broadcast offsets, operators/global_order.py) — never a
+# single-partition window sort; the oracle is ANSI NTILE over the same
+# total order.
+# ---------------------------------------------------------------------------
+
+
+def _sample_perplexity_buckets(spark, sf_dir):
+    from airflow_postgres_csv_spark.functions import texts as X
+    from airflow_postgres_csv_spark.operators.global_order import (
+        with_global_order_stats,
+    )
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total_n"))
+    perdoc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n").cast("double") / F.col("total_n")), 9)
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    tiled = with_global_order_stats(
+        perdoc,
+        "avg_logprob",
+        descending=True,  # tile 1 = most fluent = lowest perplexity (head)
+        tiebreak="doc_id",
+        ntile=3,
+        ntile_col="ppl_bucket",
+    )
+    return (
+        tiled.groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("avg_logprob").alias("min_avg_logprob"),
+            F.max("avg_logprob").alias("max_avg_logprob"),
+        )
+        .orderBy("ppl_bucket")
+    )
+
+
+register(
+    "sample_perplexity_buckets",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    total AS (SELECT sum(n) AS total_n FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(LN(CAST(v.n AS DOUBLE) / total.total_n), 9) AS DECIMAL(18,9)) AS logp
+        FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+    ),
+    perdoc AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    ),
+    tiled AS (
+        SELECT doc_id, n_tokens, avg_logprob,
+               NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS ppl_bucket
+        FROM perdoc
+    )
+    SELECT ppl_bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(avg_logprob) AS min_avg_logprob,
+           MAX(avg_logprob) AS max_avg_logprob
+    FROM tiled GROUP BY ppl_bucket ORDER BY ppl_bucket
+    """,
+)(_sample_perplexity_buckets)
