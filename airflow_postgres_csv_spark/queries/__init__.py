@@ -57,6 +57,7 @@ _MODULES = (
     "udf_queries",
     "mining_queries",
     "snapshot_queries",
+    "cluster_queries",
 )
 
 
