@@ -1149,3 +1149,117 @@ register(
     FROM walk GROUP BY node ORDER BY node
     """,
 )(_graph_bfs_hops)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test: each documents.source vs the
+# pooled rest of the corpus, over the n_chars length distribution. The
+# classic corpus-drift / domain-shift readout a training-data pipeline
+# runs per ingest batch.
+#
+# Exactness: ECDFs are never materialized as floats. D's numerator is the
+# integer cross-multiplied form max_x |cum_s(x)*n_rest - cum_rest(x)*n_s|
+# (all BIGINT, exact), and ks_d is ONE double division of identical
+# integers -- bit-identical across engines with no rounding step.
+#
+# Scale shape: the corpus collapses to the (source x distinct-length)
+# grid before any window runs -- counts via one hash-agg (map-side
+# combine), then cumulative sums over the COMPRESSED VALUE DOMAIN
+# (|distinct lengths| rows per source, partitioned by source), never over
+# raw rows. At 100 TB the window input is ~10^3-10^6 tiny rows while the
+# scan stays a two-column projection (source, n_chars -> pushed scan).
+# ---------------------------------------------------------------------------
+
+
+def _stats_ks_by_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("source", F.col("n_chars").alias("x"))
+    c = docs.groupBy("source", "x").agg(F.count(F.lit(1)).alias("k"))
+    grid = c.select("x").distinct()
+    srcs = c.groupBy("source").agg(F.sum("k").alias("n_s"))
+    n_total = c.agg(F.sum("k").alias("n"))
+    filled = (
+        srcs.select("source")
+        .crossJoin(grid)
+        .join(c, ["source", "x"], "left")
+        .select("source", "x", F.coalesce("k", F.lit(0)).alias("k"))
+    )
+    w_s = W.partitionBy("source").orderBy("x")
+    cums = filled.select(
+        "source", "x", F.sum("k").over(w_s).alias("cum_s")
+    )
+    per_x = (
+        c.groupBy("x").agg(F.sum("k").alias("kx"))
+        .join(grid, "x")
+    )
+    w_all = W.orderBy("x")  # |distinct x| rows only -- domain-compressed
+    cum_all = per_x.select("x", F.sum("kx").over(w_all).alias("cum_all"))
+    j = (
+        cums.join(cum_all, "x")
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            "n_s",
+            F.abs(
+                F.col("cum_s") * (F.col("n") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+            ).alias("diff"),
+            (F.col("n") - F.col("n_s")).alias("n_rest"),
+        )
+    )
+    return (
+        j.groupBy("source", "n_s", "n_rest")
+        .agg(F.max("diff").alias("d_num"))
+        .select(
+            "source",
+            "n_s",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_s") * F.col("n_rest")).cast("double")
+            ).alias("ks_d"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "stats_ks_by_source",
+    """
+    WITH c AS (
+      SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT x FROM c),
+    srcs AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n_s FROM c GROUP BY 1),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM c),
+    filled AS (
+      SELECT s.source, g.x, COALESCE(c.k, 0) AS k
+      FROM (SELECT source FROM srcs) s
+      CROSS JOIN grid g
+      LEFT JOIN c ON c.source = s.source AND c.x = g.x
+    ),
+    cums AS (
+      SELECT source, x,
+             CAST(SUM(k) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum_s
+      FROM filled
+    ),
+    cum_all AS (
+      SELECT x, CAST(SUM(kx) OVER (ORDER BY x) AS BIGINT) AS cum_all
+      FROM (SELECT x, CAST(SUM(k) AS BIGINT) AS kx FROM c GROUP BY x)
+    ),
+    d AS (
+      SELECT cums.source, srcs.n_s, tot.n - srcs.n_s AS n_rest,
+             ABS(cums.cum_s * (tot.n - srcs.n_s)
+                 - (cum_all.cum_all - cums.cum_s) * srcs.n_s) AS diff
+      FROM cums
+      JOIN cum_all USING (x)
+      JOIN srcs USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, n_s, CAST(MAX(diff) AS BIGINT) AS d_num,
+           CAST(MAX(diff) AS DOUBLE) / CAST(n_s * n_rest AS DOUBLE) AS ks_d
+    FROM d GROUP BY source, n_s, n_rest
+    ORDER BY source
+    """,
+)(_stats_ks_by_source)
