@@ -514,3 +514,88 @@ register(
     FROM tiled GROUP BY ppl_bucket ORDER BY ppl_bucket
     """,
 )(_sample_perplexity_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture (the mT5/XLM-R alpha-sampling formula):
+# q_s = p_s^alpha / sum_t p_t^alpha with alpha = 0.3 -- the standard
+# up-weighting of low-resource strata. Shape: one token-count hash-agg
+# over the corpus, then per-language arithmetic on a tiny grid (two 1-row
+# broadcast cross-joins). Determinism: p_s is ONE division of exact
+# bigints; p^alpha (libm pow differs in ulps across engines) snaps to the
+# 9-dp decimal grid BEFORE the cross-language normalizing sum, so the sum
+# is exact decimal arithmetic and every later step is a single IEEE op on
+# identical operands.
+# ---------------------------------------------------------------------------
+
+register(
+    "sample_temperature_mixture",
+    """
+    WITH lt AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM lt),
+    a AS (
+        SELECT lang, lang_tokens,
+               CAST(ROUND(POWER(CAST(lang_tokens AS DOUBLE) / total_tokens, 0.3), 9)
+                    AS DECIMAL(18,9)) AS a9,
+               CAST(lang_tokens AS DOUBLE) / total_tokens AS p
+        FROM lt CROSS JOIN tot
+    ),
+    s AS (SELECT SUM(a9) AS sa FROM a)
+    SELECT lang, lang_tokens,
+           ROUND(p, 9) AS corpus_share,
+           ROUND(CAST(a9 AS DOUBLE) / CAST(sa AS DOUBLE), 9) AS temp_share,
+           ROUND((CAST(a9 AS DOUBLE) / CAST(sa AS DOUBLE)) / p, 9) AS boost
+    FROM a CROSS JOIN s
+    ORDER BY lang
+    """,
+)(
+    lambda spark, sf_dir: (
+        lambda a: a.crossJoin(
+            F.broadcast(a.agg(F.sum("a9").alias("sa")))
+        ).select(
+            "lang",
+            "lang_tokens",
+            F.round("p", 9).alias("corpus_share"),
+            F.round(F.col("a9").cast("double") / F.col("sa").cast("double"), 9).alias(
+                "temp_share"
+            ),
+            F.round(
+                (F.col("a9").cast("double") / F.col("sa").cast("double")) / F.col("p"),
+                9,
+            ).alias("boost"),
+        ).orderBy("lang")
+    )(
+        (
+            lambda lt: lt.crossJoin(
+                F.broadcast(lt.agg(F.sum("lang_tokens").alias("total_tokens")))
+            ).select(
+                "lang",
+                "lang_tokens",
+                F.round(
+                    F.pow(
+                        F.col("lang_tokens").cast("double") / F.col("total_tokens"),
+                        0.3,
+                    ),
+                    9,
+                )
+                .cast("decimal(18,9)")
+                .alias("a9"),
+                (F.col("lang_tokens").cast("double") / F.col("total_tokens")).alias("p"),
+            )
+        )(
+            t(spark, sf_dir, "documents")
+            .select(
+                "lang",
+                F.size(
+                    F.split(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " ")
+                ).alias("n_tok"),
+            )
+            .groupBy("lang")
+            .agg(F.sum("n_tok").alias("lang_tokens"))
+        )
+    )
+)

@@ -108,6 +108,25 @@ BY_DESIGN: dict[str, str] = {
         "64-row bucket-offset theta-join"
     ),
     "text_bigram_logprob": "vocabulary-size scalar (HashAggregate keys=[]) broadcast",
+    "cluster_kmeans_lloyd": (
+        "k-means assignment: the k x d centroid matrix is a 1-row broadcast "
+        "crossed into the per-row arg-min array expression (the MLlib idiom); "
+        "nothing joined scales with the corpus"
+    ),
+    "stats_ks_by_source": (
+        "ECDF grid = |sources| x |distinct lengths| cross of two POST-AGG "
+        "value-domain tables (never raw rows), + 1-row corpus-total scalar "
+        "broadcast into the cross-multiplied D numerator"
+    ),
+    "sample_temperature_mixture": (
+        "two 1-row scalar broadcasts (token total, sum of p^alpha) crossed "
+        "into the per-language mixture arithmetic"
+    ),
+    "sample_perplexity_buckets": (
+        "unigram-LM token-total scalar broadcast + the global-order "
+        "machinery's 1-row stats / bucket-offset broadcasts (same shape as "
+        "window_ntile_first_last)"
+    ),
 }
 
 BAD_PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -124,6 +143,11 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
         "phase-2 refine sweep of the two-phase skyline (operators/skyline.py): "
         "input is the union of per-bucket Pareto-minimal fronts, not the corpus "
         "(phase 1 is a partitioned window over 32 hash buckets)"
+    ),
+    "stats_ks_by_source": (
+        "pooled-ECDF cumsum over the COMPRESSED VALUE DOMAIN (distinct "
+        "n_chars values after a hash-agg) — bounded by the length domain, "
+        "not corpus size"
     ),
 }
 
