@@ -115,6 +115,11 @@ HEADLINE = [
     # two snapshot commits)
     "dedup_semantic_semdedup",
     "pipeline_expectations_quarantine",
+    # session-6c additions: iterative distributed clustering (broadcast
+    # centroids, two Lloyd rounds + final assignment) and the per-source
+    # KS drift statistic (value-domain-compressed ECDF windows)
+    "cluster_kmeans_lloyd",
+    "stats_ks_by_source",
 ]
 
 
