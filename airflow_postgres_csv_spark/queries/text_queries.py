@@ -1285,3 +1285,116 @@ register(
         .orderBy("doc_id")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring -- the smoothing that actual
+# n-gram LM curation stacks use (CCNet's KenLM models are modified-KN):
+# P(w2|w1) = max(c(w1,w2)-D, 0)/c(w1.) + D*N1+(w1.)/c(w1.) * Pcont(w2),
+# Pcont(w2) = N1+(.w2)/|bigram types|, with absolute discount D = 0.75
+# (exactly 3/4 -- a dyadic rational, so the subtraction is exact IEEE).
+# All model quantities are integer counts; every scored probability is a
+# fixed parenthesization of exact-integer doubles, so LN's argument is
+# bit-identical across engines and the 9-dp rounded log sums exactly.
+#
+# Plan: one bigram explode -> ONE (w1,w2) model hash-agg, localCheckpointed
+# (lazy) because four consumers derive from it (c_bg join, per-w1 stats,
+# per-w2 continuation stats, the 1-row type-count scalar) and Spark has no
+# ReusedExchange across DataFrame branches; the three model tables are
+# vocab-bounded and broadcast back -- at 100 TB the corpus is touched once.
+# ---------------------------------------------------------------------------
+
+
+def _kneser_ney_bigram(spark, sf_dir):
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text").alias("tk")
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgm = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .localCheckpoint(eager=False)
+    )
+    w1m = bgm.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_w1"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    w2m = bgm.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    types = bgm.agg(F.count(F.lit(1)).alias("n_types"))
+    scored = (
+        pairs.join(F.broadcast(bgm), ["w1", "w2"])
+        .join(F.broadcast(w1m), "w1")
+        .join(F.broadcast(w2m), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.greatest(F.col("c_bg").cast("double") - 0.75, F.lit(0.0))
+                    / F.col("c_w1").cast("double")
+                    + (0.75 * F.col("n1p_w1").cast("double") / F.col("c_w1").cast("double"))
+                    * (F.col("n1p_w2").cast("double") / F.col("n_types").cast("double"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_kneser_ney_bigram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    bgm AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM pairs GROUP BY w1, w2
+    ),
+    w1m AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_w1
+      FROM bgm GROUP BY w1
+    ),
+    w2m AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w2 FROM bgm GROUP BY w2),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bgm),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(ROUND(LN(
+               GREATEST(CAST(c_bg AS DOUBLE) - 0.75, 0.0) / CAST(c_w1 AS DOUBLE)
+               + (0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c_w1 AS DOUBLE))
+                 * (CAST(n1p_w2 AS DOUBLE) / CAST(n_types AS DOUBLE))
+             ), 9) AS DECIMAL(18,9)) AS logp
+      FROM pairs p
+      JOIN bgm USING (w1, w2)
+      JOIN w1m USING (w1)
+      JOIN w2m USING (w2)
+      CROSS JOIN types
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_kn_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)(_kneser_ney_bigram)

@@ -108,6 +108,7 @@ BY_DESIGN: dict[str, str] = {
         "64-row bucket-offset theta-join"
     ),
     "text_bigram_logprob": "vocabulary-size scalar (HashAggregate keys=[]) broadcast",
+    "text_kneser_ney_bigram": "bigram-type-count scalar (1-row aggregate) broadcast",
     "cluster_kmeans_lloyd": (
         "k-means assignment: the k x d centroid matrix is a 1-row broadcast "
         "crossed into the per-row arg-min array expression (the MLlib idiom); "
