@@ -1398,3 +1398,159 @@ register(
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )(_kneser_ney_bigram)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion -- the modern RAG-stack
+# default: fuse a lexical BM25 ranking (same model as text_bm25_topk)
+# with a semantic cosine ranking against a query vector (the embedding
+# paired with doc 0), RRF(d) = sum over legs of 1/(60 + rank_leg(d)).
+#
+# Scale shape: each leg TRUNCATES to its top-50 via sort+limit
+# (TakeOrderedAndProject -- per-partition partial top-k, no global
+# shuffle) BEFORE any rank window runs, so the unpartitioned windows see
+# at most 50 survivor rows regardless of corpus size -- fusing truncated
+# per-retriever lists is exactly how production hybrid search works. The
+# fusion itself is a 50-vs-50 full outer join.
+#
+# Determinism: ranks are integers under bit-identical orderings (BM25
+# per-term contributions are 9-dp decimals; cosines are identical
+# sequential folds of decimal-grid doubles), and each RRF term is ONE
+# division 1.0/(60+rank) of exact integers followed by ONE add.
+# ---------------------------------------------------------------------------
+
+
+def _search_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    # lexical leg: text_bm25_topk's exact model, rebuilt at depth 50
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tok = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    lex = (
+        tf.join(F.broadcast(df_tok), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("c", F.round(contrib, 9).cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (a, b) -> a * b), cast(0.0 as double), (s, x) -> s + x)"
+    nrm = (
+        "sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y),"
+        " cast(0.0 as double), (s, x) -> s + x))"
+    )
+    cos = F.expr(f"{dot} / ({nrm.format(a='v')} * {nrm.format(a='qv')})")
+    sem = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(50)
+    )
+    w_sem = Window.orderBy(F.desc("cosine"), "doc_id")
+    sem_r = sem.select("doc_id", F.row_number().over(w_sem).alias("r_sem"))
+
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w_f))
+        .orderBy("rk")
+    )
+
+
+register(
+    "search_hybrid_rrf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {str(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(ROUND(
+                 ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                 * (tf * ({_BM25_K1} + 1.0))
+                 / (tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM scored QUALIFY r_lex <= 50
+    ), ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), qv AS (SELECT v AS qv FROM ev WHERE vec_id = 0), cosines AS (
+        SELECT vec_id AS doc_id,
+               list_reduce(list_transform(list_zip(v, qv), s -> s[1] * s[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(list_zip(qv, qv), s -> s[1] * s[2]), (a, b) -> a + b))) AS cosine
+        FROM ev CROSS JOIN qv
+    ), sem AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_sem
+        FROM cosines QUALIFY r_sem <= 50
+    ), fused AS (
+        SELECT doc_id,
+               CAST(r_lex AS INT) AS r_lex, CAST(r_sem AS INT) AS r_sem,
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex FULL OUTER JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, r_lex, r_sem, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
+    FROM fused QUALIFY rk <= 20
+    ORDER BY rk
+    """,
+)(_search_hybrid_rrf)

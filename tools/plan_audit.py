@@ -109,6 +109,11 @@ BY_DESIGN: dict[str, str] = {
     ),
     "text_bigram_logprob": "vocabulary-size scalar (HashAggregate keys=[]) broadcast",
     "text_kneser_ney_bigram": "bigram-type-count scalar (1-row aggregate) broadcast",
+    "search_hybrid_rrf": (
+        "1-row query-vector broadcast into the cosine leg + the BM25 "
+        "1-row corpus-stats broadcast (both legs truncate to top-50 "
+        "before fusion)"
+    ),
     "cluster_kmeans_lloyd": (
         "k-means assignment: the k x d centroid matrix is a 1-row broadcast "
         "crossed into the per-row arg-min array expression (the MLlib idiom); "
@@ -149,6 +154,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
         "pooled-ECDF cumsum over the COMPRESSED VALUE DOMAIN (distinct "
         "n_chars values after a hash-agg) — bounded by the length domain, "
         "not corpus size"
+    ),
+    "search_hybrid_rrf": (
+        "rank/fusion windows run over the ≤50 survivors of each leg's "
+        "TakeOrderedAndProject truncation, never the corpus"
     ),
 }
 
