@@ -58,3 +58,21 @@ def test_ks_scan_prunes_to_two_columns(spark):
     assert doc_scan, schemas
     for s in doc_scan:
         assert "text" not in s, s  # the wide column never leaves the files
+
+
+def test_hybrid_rrf_legs_truncate_before_rank_windows(spark):
+    """Both retrieval legs must plan their depth-50 cut as
+    TakeOrderedAndProject (per-partition partial top-k) so the
+    unpartitioned rank windows only ever see <=50 survivor rows; the
+    query-vector and BM25-stats sides must broadcast."""
+    df = queries()["search_hybrid_rrf"](spark, SF_DIR)
+    plan = I.physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    # fused scores strictly ordered by (rrf desc, doc_id) with correct rank
+    for i, r in enumerate(rows, start=1):
+        assert r["rk"] == i
+        assert r["r_lex"] is not None or r["r_sem"] is not None
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
