@@ -415,3 +415,136 @@ register(
     ORDER BY vec_id, dim
     """,
 )(_embedding_whiten)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation: nDCG@10 / precision@10 of the cosine
+# retrieval over the embeddings corpus, with binary relevance = "same
+# label as the query" (the standard proxy-relevance eval when no human
+# judgments exist). Five query vectors (vec_id 0-4) broadcast against
+# the corpus (bounded by |queries|, the recall-eval precedent); ranked
+# and ideal orderings are two windows PARTITIONED by query; every DCG
+# term rel/log2(rank+1) snaps to a 9-dp decimal before the per-query sum
+# (log2 can differ in ulps between JVM and libm), so DCG/IDCG are exact
+# decimals and nDCG is one double division.
+# ---------------------------------------------------------------------------
+
+
+def _search_eval_ndcg(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    dot = "aggregate(zip_with(v, qv, (a, b) -> a * b), cast(0.0 as double), (s, x) -> s + x)"
+    nrm = (
+        "sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y),"
+        " cast(0.0 as double), (s, x) -> s + x))"
+    )
+    cos = F.expr(f"{dot} / ({nrm.format(a='v')} * {nrm.format(a='qv')})")
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            cos.alias("cosine"),
+        )
+    )
+    w_rk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.desc("cosine"), "vec_id"
+    )
+    terms = cand.select(
+        "query_id",
+        "rel",
+        F.row_number().over(w_rk).alias("rk"),
+        F.row_number().over(w_ideal).alias("irk"),
+    ).select(
+        "query_id",
+        "rel",
+        F.when(
+            F.col("rk") <= 10,
+            F.round(F.col("rel") / F.log2(F.col("rk") + 1), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,9)")
+        .alias("dterm"),
+        F.when(
+            F.col("irk") <= 10,
+            F.round(F.col("rel") / F.log2(F.col("irk") + 1), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,9)")
+        .alias("iterm"),
+        F.when((F.col("rk") <= 10) & (F.col("rel") == 1), 1)
+        .otherwise(0)
+        .alias("hit10"),
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel"),
+            F.sum("hit10").cast("bigint").alias("hits_at_10"),
+            F.sum("dterm").cast("double").alias("dcg10"),
+            F.sum("iterm").cast("double").alias("idcg10"),
+            (F.sum("dterm").cast("double") / F.sum("iterm").cast("double")).alias(
+                "ndcg10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+register(
+    "search_eval_ndcg",
+    f"""
+    WITH ev AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM ev WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT q.query_id, ev.vec_id,
+             CAST(ev.label = q.qlabel AS INT) AS rel,
+             {_COS.format(a='ev.v', b='q.qv')} AS cosine
+      FROM ev CROSS JOIN q WHERE ev.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, cosine DESC, vec_id) AS irk
+      FROM cand
+    ),
+    terms AS (
+      SELECT query_id, rel,
+             CAST(CASE WHEN rk <= 10
+                       THEN ROUND(CAST(rel AS DOUBLE) / log2(CAST(rk + 1 AS DOUBLE)), 9)
+                       ELSE 0.0 END AS DECIMAL(18,9)) AS dterm,
+             CAST(CASE WHEN irk <= 10
+                       THEN ROUND(CAST(rel AS DOUBLE) / log2(CAST(irk + 1 AS DOUBLE)), 9)
+                       ELSE 0.0 END AS DECIMAL(18,9)) AS iterm,
+             CASE WHEN rk <= 10 AND rel = 1 THEN 1 ELSE 0 END AS hit10
+      FROM ranked
+    )
+    SELECT query_id,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           CAST(SUM(hit10) AS BIGINT) AS hits_at_10,
+           CAST(SUM(dterm) AS DOUBLE) AS dcg10,
+           CAST(SUM(iterm) AS DOUBLE) AS idcg10,
+           CAST(SUM(dterm) AS DOUBLE) / CAST(SUM(iterm) AS DOUBLE) AS ndcg10
+    FROM terms GROUP BY query_id ORDER BY query_id
+    """,
+)(_search_eval_ndcg)

@@ -114,6 +114,10 @@ BY_DESIGN: dict[str, str] = {
         "1-row corpus-stats broadcast (both legs truncate to top-50 "
         "before fusion)"
     ),
+    "search_eval_ndcg": (
+        "retrieval eval: corpus x broadcast 5-query set, bounded by "
+        "|queries| (the recall-eval precedent)"
+    ),
     "cluster_kmeans_lloyd": (
         "k-means assignment: the k x d centroid matrix is a 1-row broadcast "
         "crossed into the per-row arg-min array expression (the MLlib idiom); "
