@@ -1,0 +1,231 @@
+"""Multi-table ATOMIC transactions over snapshot tables — a catalog
+pointer in the Iceberg-REST-catalog shape.
+
+A *catalog* is a directory of immutable JSON versions, each pinning
+``table name -> (table root, snapshot version)`` for every registered
+table. The commit point is ONE atomic ``os.link`` of the next catalog
+version (the same first-writer-wins primitive as the per-table
+manifests), so a transaction touching N tables flips all N pins — or
+none — in a single filesystem operation.
+
+Protocol of ``catalog_txn`` (write-audit-publish generalized across
+tables):
+
+1. every table write runs as an ordinary ``snapshot_commit`` — data and
+   per-table manifests become durable first (each table's own invariants,
+   expectations, Bloom/zone indexing all apply unchanged);
+2. one catalog version is published pinning the new per-table versions.
+
+A crash between 1 and 2 leaves the catalog at its previous version:
+``catalog_read`` still serves the old, mutually-consistent pins, and the
+already-committed table versions are ordinary time-travel versions
+(orphaned from the catalog's point of view — the exact status of a
+write-audit-publish staging commit). Readers that go straight to a
+table root (``snapshot_read``) see per-table latest, which may be newer
+than the catalog pin — cross-table consistency is a property of reading
+THROUGH the catalog, as in every pointer-based catalog design.
+
+Concurrency: a losing ``os.link`` raises; with ``retries`` the loser
+REBASES — it re-reads the new head and re-applies its pins on top,
+unless the winner moved one of the SAME tables (a genuine cross-txn
+conflict, surfaced as ``CatalogConflictError``). Unchanged tables
+carry forward by pointer copy — O(tables) metadata, no data touched.
+
+At 100 TB the catalog version is O(tables): the per-table metadata
+(file lists, stats sidecars) stays in the table manifests; the catalog
+holds only name → (root, version) pins plus lineage stamps.
+
+Reference scope: extension surface (north star §C) — the reference
+engine delegates transactions to Postgres (one-table COPY per operator,
+/root/reference/src/airflow_postgres_csv/operators.py:101-212); this is
+the lakehouse-side equivalent for multi-table pipelines (e.g. a
+curation step that must publish `documents` and its `doc_stats` rollup
+in lockstep).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    SnapshotConflictError,
+    snapshot_commit,
+    snapshot_read,
+)
+
+_CATALOG_DIR = "_catalog"
+
+
+class CatalogConflictError(RuntimeError):
+    """A concurrent transaction moved one of the same tables."""
+
+
+def _catalog_path(catalog_root: str, version: int) -> str:
+    return os.path.join(catalog_root, _CATALOG_DIR, f"c{version:06d}.json")
+
+
+def catalog_versions(catalog_root: str) -> list[int]:
+    """Committed catalog versions, ascending; [] for a fresh root."""
+    cdir = os.path.join(catalog_root, _CATALOG_DIR)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for name in os.listdir(cdir):
+        if name.startswith("c") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_catalog(catalog_root: str, version: int) -> dict:
+    with open(_catalog_path(catalog_root, version)) as f:
+        return json.load(f)
+
+
+def catalog_state(catalog_root: str, catalog_version: int | None = None) -> dict:
+    """The pinned ``{table: {"root": ..., "version": ...}}`` map at a
+    catalog version (latest when None). {} for an empty catalog."""
+    versions = catalog_versions(catalog_root)
+    if not versions:
+        return {}
+    v = versions[-1] if catalog_version is None else catalog_version
+    if v not in versions:
+        raise ValueError(f"catalog version {v} does not exist (have {versions})")
+    return _load_catalog(catalog_root, v)["tables"]
+
+
+def _publish_catalog(
+    catalog_root: str, versions: list[int], tables: dict, txn_id: str, note: str
+) -> dict:
+    version = (versions[-1] + 1) if versions else 1
+    parent_ts = (
+        _load_catalog(catalog_root, versions[-1]).get("committed_at", 0)
+        if versions
+        else 0
+    )
+    manifest = {
+        "version": version,
+        "parent": versions[-1] if versions else None,
+        "committed_at": max(time.time_ns(), parent_ts + 1),
+        "txn_id": txn_id,
+        "note": note,
+        "tables": tables,
+    }
+    os.makedirs(os.path.join(catalog_root, _CATALOG_DIR), exist_ok=True)
+    tmp = _catalog_path(catalog_root, version) + f".tmp-{txn_id}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _catalog_path(catalog_root, version))
+    except FileExistsError:
+        os.unlink(tmp)
+        raise SnapshotConflictError(
+            f"catalog version {version} was published by a concurrent transaction"
+        ) from None
+    os.unlink(tmp)
+    return manifest
+
+
+def catalog_pin_tables(
+    catalog_root: str,
+    pins: dict[str, tuple[str, int]],
+    retries: int = 0,
+    note: str = "",
+) -> dict:
+    """Atomically move the catalog to a version where each ``pins`` entry
+    ``name -> (table_root, snapshot_version)`` is current; every other
+    table carries forward unchanged. Returns the new catalog manifest.
+
+    With ``retries`` a losing publish rebases onto the new head — unless
+    the winner moved one of the SAME tables (``CatalogConflictError``:
+    two transactions disagree about a table and one must re-run against
+    the new state; blind retry would silently drop the winner's update).
+    """
+    txn_id = uuid.uuid4().hex[:12]
+    attempts = 0
+    while True:
+        versions = catalog_versions(catalog_root)
+        base = catalog_state(catalog_root)
+        if attempts > 0:
+            for name in pins:
+                before = base_at_start.get(name)
+                now = base.get(name)
+                if before != now:
+                    raise CatalogConflictError(
+                        f"table {name!r} was moved by a concurrent transaction "
+                        f"({before} -> {now}); re-run against the new state"
+                    )
+        else:
+            base_at_start = dict(base)
+        tables = dict(base)
+        for name, (root, version) in pins.items():
+            tables[name] = {"root": os.path.abspath(root), "version": int(version)}
+        try:
+            return _publish_catalog(catalog_root, versions, tables, txn_id, note)
+        except SnapshotConflictError:
+            attempts += 1
+            if attempts > retries:
+                raise
+
+
+def catalog_txn(
+    catalog_root: str,
+    writes: list[dict],
+    retries: int = 0,
+    note: str = "",
+    expect_pinned: bool = False,
+) -> dict:
+    """Run a multi-table transaction: each ``writes`` entry is
+    ``{"name": ..., "root": ..., "df": DataFrame, ...snapshot_commit
+    kwargs...}``. All table commits run first (durable, each with its own
+    expectations/indexing), then ONE catalog version pins them together.
+    Returns the new catalog manifest.
+
+    Atomicity contract: catalog readers observe either every table at its
+    new version or every table at its old one. A crash after some table
+    commits leaves those versions unpinned (catalog unchanged) — valid
+    time-travel versions a re-run simply supersedes.
+
+    ``expect_pinned=True`` conditions every table commit on the head
+    being exactly the CATALOG-pinned version (0 for a new table): a
+    crash-orphaned append, or any out-of-band writer, surfaces as
+    ``SnapshotConflictError`` instead of silently stacking under the
+    re-run (an orphaned APPEND's files would otherwise ride into the
+    retried commit's lineage — double-applied rows). Recovery: adopt the
+    out-of-band version with ``catalog_pin_tables`` (or roll the table
+    back and pin the rollback), then retry the transaction.
+    """
+    pinned = catalog_state(catalog_root) if expect_pinned else {}
+    pins: dict[str, tuple[str, int]] = {}
+    for w in writes:
+        w = dict(w)
+        name, root, df = w.pop("name"), w.pop("root"), w.pop("df")
+        if expect_pinned and "expected_head" not in w:
+            w["expected_head"] = pinned.get(name, {}).get("version", 0)
+        manifest = snapshot_commit(df, root, **w)
+        pins[name] = (root, manifest["version"])
+    return catalog_pin_tables(catalog_root, pins, retries=retries, note=note)
+
+
+def catalog_read(
+    spark: SparkSession,
+    catalog_root: str,
+    name: str,
+    catalog_version: int | None = None,
+) -> DataFrame:
+    """Read a table THROUGH the catalog: the snapshot version pinned by
+    the given catalog version (latest when None) — the cross-table
+    consistent view. Catalog time travel falls out: an old catalog
+    version replays every table exactly as that transaction left it."""
+    tables = catalog_state(catalog_root, catalog_version)
+    if name not in tables:
+        raise KeyError(f"table {name!r} not in catalog (have {sorted(tables)})")
+    pin = tables[name]
+    return snapshot_read(spark, pin["root"], version=pin["version"])

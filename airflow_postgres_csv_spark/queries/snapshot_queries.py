@@ -1513,3 +1513,87 @@ register(
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )(snapshot_source_write_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table ATOMIC transaction (operators/catalog_txn.py): two snapshot
+# tables (a customer slice and its orders) move in lockstep through one
+# catalog-pointer flip per transaction. The query reads BOTH tables
+# through catalog versions 1 and 2 and aggregates the cross-table join:
+# at every catalog version the orders slice matches the customer slice
+# exactly (n_orders rows all join), which is precisely the cross-table
+# consistency a per-table reader cannot guarantee. Oracle reconstructs
+# each transaction's world arithmetically from the split keys.
+# ---------------------------------------------------------------------------
+
+_TXN_K1, _TXN_K2 = 500, 1000
+
+
+def snapshot_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_txn,
+    )
+    from airflow_postgres_csv_spark.queries._helpers import dec
+
+    cat, root_c, root_o = _temp_root(), _temp_root(), _temp_root()
+    cust = load(spark, sf_dir, "customer")
+    ords = load(spark, sf_dir, "orders")
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(F.col("c_custkey") < _TXN_K1)},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(F.col("o_custkey") < _TXN_K1)},
+        ],
+    )
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(
+                 (F.col("c_custkey") >= _TXN_K1) & (F.col("c_custkey") < _TXN_K2))},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(
+                 (F.col("o_custkey") >= _TXN_K1) & (F.col("o_custkey") < _TXN_K2))},
+        ],
+        expect_pinned=True,
+    )
+    outs = []
+    for v in (1, 2):
+        cc = catalog_read(spark, cat, "cust", catalog_version=v)
+        oo = catalog_read(spark, cat, "ords", catalog_version=v)
+        n_cust = cc.agg(F.count(F.lit(1)).alias("n_cust"))
+        joined = oo.join(cc, oo["o_custkey"] == cc["c_custkey"]).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        outs.append(
+            n_cust.crossJoin(F.broadcast(joined)).select(
+                F.lit(v).alias("catalog_version"),
+                "n_cust",
+                "n_orders",
+                "total_price",
+            )
+        )
+    return outs[0].unionAll(outs[1]).orderBy("catalog_version")
+
+
+register(
+    "snapshot_catalog_txn",
+    f"""
+    SELECT 1 AS catalog_version,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey < {_TXN_K1}) AS n_cust,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_custkey < {_TXN_K1}
+    UNION ALL
+    SELECT 2 AS catalog_version,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey < {_TXN_K2}) AS n_cust,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_custkey < {_TXN_K2}
+    ORDER BY catalog_version
+    """,
+)(snapshot_catalog_txn)

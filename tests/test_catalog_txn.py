@@ -1,0 +1,182 @@
+"""Multi-table atomic transactions (operators/catalog_txn.py): the
+both-or-nothing contract, crash window, rebase concurrency, and catalog
+time travel."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.catalog_txn import (
+    CatalogConflictError,
+    catalog_pin_tables,
+    catalog_read,
+    catalog_state,
+    catalog_txn,
+    catalog_versions,
+)
+from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_commit,
+    snapshot_versions,
+)
+
+
+def _dfs(spark, lo, hi):
+    a = spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v"))
+    b = spark.range(lo, hi).select("id", (F.col("id") * 3).alias("w"))
+    return a, b
+
+
+def test_txn_flips_both_tables_atomically(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 100)
+    m1 = catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a1}, {"name": "b", "root": rb, "df": b1}],
+    )
+    assert m1["version"] == 1
+    a2, b2 = _dfs(spark, 100, 250)
+    m2 = catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a2}, {"name": "b", "root": rb, "df": b2}],
+    )
+    assert m2["version"] == 2
+    # latest catalog: both tables at their txn-2 state
+    assert catalog_read(spark, cat, "a").count() == 250
+    assert catalog_read(spark, cat, "b").count() == 250
+    # catalog time travel: txn-1's mutually consistent view
+    assert catalog_read(spark, cat, "a", catalog_version=1).count() == 100
+    assert catalog_read(spark, cat, "b", catalog_version=1).count() == 100
+
+
+def test_crash_between_table_commit_and_catalog_flip_is_invisible(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 50)
+    catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a1}, {"name": "b", "root": rb, "df": b1}],
+    )
+    # simulated crash: table a's snapshot commit lands, catalog never flips
+    a2, _ = _dfs(spark, 50, 80)
+    snapshot_commit(a2, ra)
+    assert snapshot_versions(ra)[-1] == 2  # durable, time-travel-valid
+    # catalog readers still see the consistent txn-1 world for BOTH tables
+    assert catalog_read(spark, cat, "a").count() == 50
+    assert catalog_read(spark, cat, "b").count() == 50
+    assert len(catalog_versions(cat)) == 1
+    # a guarded re-run REFUSES to stack on the orphaned append (its files
+    # would ride into the retried commit's lineage — double-applied rows)
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_rollback,
+    )
+
+    a3, b3 = _dfs(spark, 50, 80)
+    with pytest.raises(SnapshotConflictError):
+        catalog_txn(
+            cat,
+            [
+                {"name": "a", "root": ra, "df": a3},
+                {"name": "b", "root": rb, "df": b3},
+            ],
+            expect_pinned=True,
+        )
+    assert len(catalog_versions(cat)) == 1  # still nothing published
+    # recovery: roll table a back to its pinned state (forward commit),
+    # adopt the rollback version in the catalog, then retry the txn
+    rb_manifest = snapshot_rollback(spark, ra, 1)
+    catalog_pin_tables(cat, {"a": (ra, rb_manifest["version"])})
+    a4, b4 = _dfs(spark, 50, 80)
+    catalog_txn(
+        cat,
+        [
+            {"name": "a", "root": ra, "df": a4},
+            {"name": "b", "root": rb, "df": b4},
+        ],
+        expect_pinned=True,
+    )
+    assert catalog_read(spark, cat, "a").count() == 80
+    assert catalog_read(spark, cat, "b").count() == 80
+
+
+def test_pin_rebase_carries_forward_disjoint_tables(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 10)
+    snapshot_commit(a1, ra)
+    snapshot_commit(b1, rb)
+    _, b2 = _dfs(spark, 10, 20)
+    snapshot_commit(b2, rb)  # b has versions 1 and 2
+    a2, _ = _dfs(spark, 10, 20)
+    snapshot_commit(a2, ra)  # a has versions 1 and 2
+    catalog_pin_tables(cat, {"a": (ra, 1), "b": (rb, 1)})
+
+    import airflow_postgres_csv_spark.operators.catalog_txn as C
+
+    real_publish = C._publish_catalog
+    raced = {"done": False}
+
+    def racing_publish(root, versions, tables, txn_id, note):
+        # a concurrent txn wins the next version moving ONLY table b
+        if not raced["done"]:
+            raced["done"] = True
+            winner = dict(catalog_state(cat))
+            winner["b"] = {"root": os.path.abspath(rb), "version": 2}
+            real_publish(root, versions, winner, "race", "")
+        return real_publish(root, versions, tables, txn_id, note)
+
+    C._publish_catalog = racing_publish
+    try:
+        m = catalog_pin_tables(cat, {"a": (ra, 2)}, retries=2)
+    finally:
+        C._publish_catalog = real_publish
+    # rebase succeeded: our pin applied on top, the winner's b carried
+    assert m["tables"]["a"]["version"] == 2
+    assert m["tables"]["b"]["version"] == 2
+    assert catalog_state(cat)["a"]["version"] == 2
+
+
+def test_pin_conflict_on_same_table_raises(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    ra, _ = str(tmp_path / "a"), None
+    a1, _ = _dfs(spark, 0, 10)
+    snapshot_commit(a1, ra)
+    a2, _ = _dfs(spark, 10, 20)
+    snapshot_commit(a2, ra)
+    catalog_pin_tables(cat, {"a": (ra, 1)})
+
+    import airflow_postgres_csv_spark.operators.catalog_txn as C
+
+    real_publish = C._publish_catalog
+    raced = {"done": False}
+
+    def racing_publish(root, versions, tables, txn_id, note):
+        if not raced["done"]:
+            raced["done"] = True
+            real_publish(root, versions, dict(tables, a={"root": os.path.abspath(ra), "version": 2}), "race", "")
+        return real_publish(root, versions, tables, txn_id, note)
+
+    C._publish_catalog = racing_publish
+    try:
+        with pytest.raises(CatalogConflictError):
+            catalog_pin_tables(cat, {"a": (ra, 2)}, retries=2)
+    finally:
+        C._publish_catalog = real_publish
+
+
+def test_catalog_version_is_o_tables_metadata(spark, tmp_path):
+    """The catalog version holds pins only — its byte size must not grow
+    with row counts or file counts of the tables it pins."""
+    cat1, cat2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    small, _ = _dfs(spark, 0, 10)
+    big = spark.range(0, 20_000).select("id", (F.col("id") * 2).alias("v")).repartition(16)
+    catalog_txn(cat1, [{"name": "t", "root": ra, "df": small}])
+    catalog_txn(cat2, [{"name": "t", "root": rb, "df": big}])
+    s1 = os.path.getsize(os.path.join(cat1, "_catalog", "c000001.json"))
+    s2 = os.path.getsize(os.path.join(cat2, "_catalog", "c000001.json"))
+    assert abs(s1 - s2) < 64  # txn ids/paths differ slightly; pins do not

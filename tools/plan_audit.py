@@ -118,6 +118,10 @@ BY_DESIGN: dict[str, str] = {
         "retrieval eval: corpus x broadcast 5-query set, bounded by "
         "|queries| (the recall-eval precedent)"
     ),
+    "snapshot_catalog_txn": (
+        "two 1-row per-version aggregates crossed into one summary row "
+        "per catalog version"
+    ),
     "cluster_kmeans_lloyd": (
         "k-means assignment: the k x d centroid matrix is a 1-row broadcast "
         "crossed into the per-row arg-min array expression (the MLlib idiom); "
