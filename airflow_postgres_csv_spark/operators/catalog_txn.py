@@ -102,7 +102,12 @@ def catalog_state(catalog_root: str, catalog_version: int | None = None) -> dict
 
 
 def _publish_catalog(
-    catalog_root: str, versions: list[int], tables: dict, txn_id: str, note: str
+    catalog_root: str,
+    versions: list[int],
+    tables: dict,
+    txn_id: str,
+    note: str,
+    extra: dict | None = None,
 ) -> dict:
     version = (versions[-1] + 1) if versions else 1
     parent_ts = (
@@ -118,6 +123,12 @@ def _publish_catalog(
         "note": note,
         "tables": tables,
     }
+    if extra:
+        reserved = set(manifest)
+        bad = set(extra) & reserved
+        if bad:
+            raise ValueError(f"extra may not override reserved keys: {sorted(bad)}")
+        manifest.update(extra)
     os.makedirs(os.path.join(catalog_root, _CATALOG_DIR), exist_ok=True)
     tmp = _catalog_path(catalog_root, version) + f".tmp-{txn_id}"
     with open(tmp, "w") as f:
@@ -133,11 +144,25 @@ def _publish_catalog(
     return manifest
 
 
+def catalog_max_stamp(catalog_root: str, key: str, default: int = -1) -> int:
+    """Newest-first scan for a sticky high-water stamp carried on catalog
+    versions (e.g. a streaming sink's ``last_batch_id``): the newest
+    carrier wins; versions lacking the key (other transactions) are
+    skipped so an interleaved txn can never reopen a closed gate."""
+    versions = catalog_versions(catalog_root)
+    for v in reversed(versions):
+        m = _load_catalog(catalog_root, v)
+        if key in m:
+            return m[key]
+    return default
+
+
 def catalog_pin_tables(
     catalog_root: str,
     pins: dict[str, tuple[str, int]],
     retries: int = 0,
     note: str = "",
+    extra: dict | None = None,
 ) -> dict:
     """Atomically move the catalog to a version where each ``pins`` entry
     ``name -> (table_root, snapshot_version)`` is current; every other
@@ -168,7 +193,9 @@ def catalog_pin_tables(
         for name, (root, version) in pins.items():
             tables[name] = {"root": os.path.abspath(root), "version": int(version)}
         try:
-            return _publish_catalog(catalog_root, versions, tables, txn_id, note)
+            return _publish_catalog(
+                catalog_root, versions, tables, txn_id, note, extra=extra
+            )
         except SnapshotConflictError:
             attempts += 1
             if attempts > retries:

@@ -1597,3 +1597,79 @@ register(
     ORDER BY catalog_version
     """,
 )(snapshot_catalog_txn)
+
+
+# ---------------------------------------------------------------------------
+# LIVE atomic two-table expectations: same routing battery as
+# streaming_expectations_live but through start_catalog_expectations_sink
+# (operators/catalog_txn.py) -- the clean and quarantine tables are read
+# back THROUGH the catalog, whose single batch-stamped flip published
+# them together; the catalog version count equals the micro-batch count.
+# ---------------------------------------------------------------------------
+
+
+def streaming_catalog_expectations_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_versions,
+    )
+    from airflow_postgres_csv_spark.operators.expectations import Expectation
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_catalog_expectations_sink,
+    )
+
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "000.parquet"))
+    schema = spark.read.parquet(src).schema
+    cat, clean, quar = _temp_root(), _temp_root(), _temp_root()
+    q = start_catalog_expectations_sink(
+        spark.readStream.schema(schema).parquet(src)
+        .select("event_id", "user_id", "event_type", "value"),
+        cat,
+        ("clean", clean),
+        os.path.join(_temp_root(), "ckpt"),
+        [
+            Expectation("value_in_band", "value < 90", "warn"),
+            Expectation("user_not_heldout", "user_id % 10 <> 3", "drop"),
+            Expectation("not_canary_shard", "event_id % 7 <> 0", "quarantine"),
+        ],
+        quarantine=("quar", quar),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_flips = len(catalog_versions(cat))  # one micro-batch -> one flip
+    main = catalog_read(spark, cat, "clean").select(
+        "event_id", F.lit("written").alias("route"), F.lit("").alias("failed")
+    )
+    qr = catalog_read(spark, cat, "quar").select(
+        "event_id", F.lit("quarantined").alias("route"),
+        F.col("_failed_expectations").alias("failed"),
+    )
+    return (
+        main.unionAll(qr)
+        .withColumn("catalog_flips", F.lit(n_flips))
+        .orderBy("event_id")
+    )
+
+
+register(
+    "streaming_catalog_expectations_live",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 7 <> 0 THEN 'written' ELSE 'quarantined' END AS route,
+           CASE WHEN event_id % 7 <> 0 THEN '' ELSE 'not_canary_shard' END AS failed,
+           1 AS catalog_flips
+    FROM events
+    WHERE user_id % 10 <> 3
+    ORDER BY event_id
+    """,
+)(streaming_catalog_expectations_live)

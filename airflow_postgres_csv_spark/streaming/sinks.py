@@ -312,3 +312,34 @@ def start_expectations_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_catalog_expectations_sink(
+    stream_df: DataFrame,
+    catalog_root: str,
+    main: tuple,
+    checkpoint_dir: str,
+    expectations: list,
+    quarantine: tuple | None = None,
+) -> StreamingQuery:
+    """The ATOMIC variant of ``start_expectations_sink``: each micro-batch's
+    clean and quarantined halves publish to catalog readers in ONE catalog
+    flip (``catalog_write_with_expectations``), gated exactly-once by a
+    single catalog-level batch stamp — no reader ever sees half a batch,
+    and a crash between the table commits and the flip replays into
+    adoption, not duplication."""
+    from airflow_postgres_csv_spark.operators.expectations import (
+        catalog_write_with_expectations,
+    )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: catalog_write_with_expectations(
+                df, catalog_root, main, expectations, quarantine,
+                batch_id=bid, retries=2,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
