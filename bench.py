@@ -120,6 +120,10 @@ HEADLINE = [
     # KS drift statistic (value-domain-compressed ECDF windows)
     "cluster_kmeans_lloyd",
     "stats_ks_by_source",
+    # session-6d additions: hybrid retrieval fusion and the multi-table
+    # atomic transaction write path (two txns + catalog-read joins)
+    "search_hybrid_rrf",
+    "snapshot_catalog_txn",
 ]
 
 
