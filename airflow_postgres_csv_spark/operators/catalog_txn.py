@@ -256,3 +256,14 @@ def catalog_read(
         raise KeyError(f"table {name!r} not in catalog (have {sorted(tables)})")
     pin = tables[name]
     return snapshot_read(spark, pin["root"], version=pin["version"])
+
+
+def catalog_history(catalog_root: str) -> list[dict]:
+    """DESCRIBE HISTORY for the catalog: one dict per catalog version
+    (ascending) with the lineage and the per-version table pins —
+    ``version, parent, committed_at, txn_id, note, tables``. Strictly
+    increasing ``committed_at`` stamps make AS-OF resolution total, the
+    same contract as the per-table manifests."""
+    return [
+        _load_catalog(catalog_root, v) for v in catalog_versions(catalog_root)
+    ]

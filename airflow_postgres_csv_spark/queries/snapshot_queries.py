@@ -1673,3 +1673,77 @@ register(
     ORDER BY event_id
     """,
 )(streaming_catalog_expectations_live)
+
+
+# ---------------------------------------------------------------------------
+# Catalog DESCRIBE HISTORY: the transaction chain of a two-table catalog
+# as a relation -- per catalog version: lineage, table count, and each
+# table's pinned snapshot version (exploded to scalar rows for the
+# driver's canonicalizer). Timestamps are clock-dependent and excluded;
+# the monotonicity of committed_at is asserted structurally instead.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_history,
+        catalog_txn,
+    )
+
+    cat, root_c, root_o = _temp_root(), _temp_root(), _temp_root()
+    cust = load(spark, sf_dir, "customer")
+    ords = load(spark, sf_dir, "orders")
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(F.col("c_custkey") < 300)},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(F.col("o_custkey") < 300)},
+        ],
+        note="bootstrap",
+    )
+    catalog_txn(
+        cat,
+        [
+            {"name": "ords", "root": root_o,
+             "df": ords.where(
+                 (F.col("o_custkey") >= 300) & (F.col("o_custkey") < 600))},
+        ],
+        expect_pinned=True,
+        note="orders-only",
+    )
+    hist = catalog_history(cat)
+    ts = [h["committed_at"] for h in hist]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    rows = [
+        (
+            h["version"],
+            h["parent"],
+            h["note"],
+            len(h["tables"]),
+            name,
+            h["tables"][name]["version"],
+        )
+        for h in hist
+        for name in sorted(h["tables"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "catalog_version int, parent int, note string, n_tables int,"
+        " table_name string, pinned_version int",
+    ).orderBy("catalog_version", "table_name")
+
+
+register(
+    "snapshot_catalog_history",
+    """
+    SELECT * FROM (VALUES
+        (1, NULL, 'bootstrap',   2, 'cust', 1),
+        (1, NULL, 'bootstrap',   2, 'ords', 1),
+        (2, 1,    'orders-only', 2, 'cust', 1),
+        (2, 1,    'orders-only', 2, 'ords', 2)
+    ) AS t(catalog_version, parent, note, n_tables, table_name, pinned_version)
+    ORDER BY catalog_version, table_name
+    """,
+)(snapshot_catalog_history)
