@@ -120,14 +120,14 @@ def test_pin_rebase_carries_forward_disjoint_tables(spark, tmp_path):
     real_publish = C._publish_catalog
     raced = {"done": False}
 
-    def racing_publish(root, versions, tables, txn_id, note):
+    def racing_publish(root, versions, tables, txn_id, note, extra=None):
         # a concurrent txn wins the next version moving ONLY table b
         if not raced["done"]:
             raced["done"] = True
             winner = dict(catalog_state(cat))
             winner["b"] = {"root": os.path.abspath(rb), "version": 2}
             real_publish(root, versions, winner, "race", "")
-        return real_publish(root, versions, tables, txn_id, note)
+        return real_publish(root, versions, tables, txn_id, note, extra=extra)
 
     C._publish_catalog = racing_publish
     try:
@@ -154,11 +154,11 @@ def test_pin_conflict_on_same_table_raises(spark, tmp_path):
     real_publish = C._publish_catalog
     raced = {"done": False}
 
-    def racing_publish(root, versions, tables, txn_id, note):
+    def racing_publish(root, versions, tables, txn_id, note, extra=None):
         if not raced["done"]:
             raced["done"] = True
             real_publish(root, versions, dict(tables, a={"root": os.path.abspath(ra), "version": 2}), "race", "")
-        return real_publish(root, versions, tables, txn_id, note)
+        return real_publish(root, versions, tables, txn_id, note, extra=extra)
 
     C._publish_catalog = racing_publish
     try:
