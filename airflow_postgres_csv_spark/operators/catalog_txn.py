@@ -246,11 +246,18 @@ def catalog_read(
     catalog_root: str,
     name: str,
     catalog_version: int | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Read a table THROUGH the catalog: the snapshot version pinned by
     the given catalog version (latest when None) — the cross-table
     consistent view. Catalog time travel falls out: an old catalog
-    version replays every table exactly as that transaction left it."""
+    version replays every table exactly as that transaction left it.
+    ``as_of`` (ns timestamp) resolves the catalog version by commit time
+    instead (mutually exclusive with ``catalog_version``)."""
+    if as_of is not None:
+        if catalog_version is not None:
+            raise ValueError("pass catalog_version OR as_of, not both")
+        catalog_version = catalog_version_as_of(catalog_root, as_of)
     tables = catalog_state(catalog_root, catalog_version)
     if name not in tables:
         raise KeyError(f"table {name!r} not in catalog (have {sorted(tables)})")
@@ -267,3 +274,18 @@ def catalog_history(catalog_root: str) -> list[dict]:
     return [
         _load_catalog(catalog_root, v) for v in catalog_versions(catalog_root)
     ]
+
+
+def catalog_version_as_of(catalog_root: str, ts_ns: int) -> int:
+    """AS-OF-timestamp resolution: the newest catalog version whose
+    ``committed_at`` is <= ``ts_ns``. Total because the stamps are forced
+    strictly increasing (same contract as the per-table manifests)."""
+    best = None
+    for v in catalog_versions(catalog_root):
+        if _load_catalog(catalog_root, v)["committed_at"] <= ts_ns:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no catalog version committed at or before {ts_ns}"
+        )
+    return best

@@ -180,3 +180,35 @@ def test_catalog_version_is_o_tables_metadata(spark, tmp_path):
     s1 = os.path.getsize(os.path.join(cat1, "_catalog", "c000001.json"))
     s2 = os.path.getsize(os.path.join(cat2, "_catalog", "c000001.json"))
     assert abs(s1 - s2) < 64  # txn ids/paths differ slightly; pins do not
+
+
+def test_catalog_as_of_timestamp_read(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_history,
+        catalog_version_as_of,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 30)
+    catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a1}, {"name": "b", "root": rb, "df": b1}],
+    )
+    a2, b2 = _dfs(spark, 30, 90)
+    catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a2}, {"name": "b", "root": rb, "df": b2}],
+    )
+    hist = catalog_history(cat)
+    t1, t2 = hist[0]["committed_at"], hist[1]["committed_at"]
+    assert t1 < t2  # strictly increasing stamps
+    assert catalog_version_as_of(cat, t1) == 1
+    assert catalog_version_as_of(cat, t2 - 1) == 1
+    assert catalog_version_as_of(cat, t2) == 2
+    assert catalog_read(spark, cat, "a", as_of=t1).count() == 30
+    assert catalog_read(spark, cat, "b", as_of=t2).count() == 90
+    with pytest.raises(ValueError):
+        catalog_version_as_of(cat, t1 - 1)
+    with pytest.raises(ValueError):
+        catalog_read(spark, cat, "a", catalog_version=1, as_of=t1)
