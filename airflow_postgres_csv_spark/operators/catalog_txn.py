@@ -289,3 +289,20 @@ def catalog_version_as_of(catalog_root: str, ts_ns: int) -> int:
             f"no catalog version committed at or before {ts_ns}"
         )
     return best
+
+
+def catalog_expire(catalog_root: str, keep_last: int = 10) -> dict:
+    """Retention for catalog versions: delete all but the newest
+    ``keep_last`` catalog JSONs (the catalog equivalent of
+    ``snapshot_expire``'s manifest retention). Table data/manifests are
+    NOT touched — per-table GC stays ``snapshot_expire``'s job, and a
+    table version that an expired catalog version pinned remains
+    readable directly until its own table retention collects it.
+    Returns ``{"removed": [versions...], "kept": [versions...]}``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the head is never expired)")
+    versions = catalog_versions(catalog_root)
+    cut = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in cut:
+        os.unlink(_catalog_path(catalog_root, v))
+    return {"removed": cut, "kept": versions[len(cut):]}

@@ -212,3 +212,22 @@ def test_catalog_as_of_timestamp_read(spark, tmp_path):
         catalog_version_as_of(cat, t1 - 1)
     with pytest.raises(ValueError):
         catalog_read(spark, cat, "a", catalog_version=1, as_of=t1)
+
+
+def test_catalog_expire_keeps_newest_versions(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.catalog_txn import catalog_expire
+
+    cat = str(tmp_path / "cat")
+    ra = str(tmp_path / "a")
+    for lo in (0, 10, 20, 30):
+        a, _ = _dfs(spark, lo, lo + 10)
+        catalog_txn(cat, [{"name": "a", "root": ra, "df": a}])
+    out = catalog_expire(cat, keep_last=2)
+    assert out["removed"] == [1, 2] and out["kept"] == [3, 4]
+    assert catalog_versions(cat) == [3, 4]
+    # head reads unaffected; expired catalog versions are gone
+    assert catalog_read(spark, cat, "a").count() == 40
+    with pytest.raises(ValueError):
+        catalog_read(spark, cat, "a", catalog_version=1)
+    with pytest.raises(ValueError):
+        catalog_expire(cat, keep_last=0)
