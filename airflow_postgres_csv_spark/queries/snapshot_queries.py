@@ -1747,3 +1747,68 @@ register(
     ORDER BY catalog_version, table_name
     """,
 )(snapshot_catalog_history)
+
+
+# ---------------------------------------------------------------------------
+# Catalog AS-OF-timestamp time travel: two transactions move a two-table
+# catalog; reading BOTH tables as-of the first transaction's commit
+# stamp returns exactly that transaction's mutually-consistent world
+# (the stamp is taken from catalog_history, so the query is clock-
+# independent). Output = per-table row counts at the as-of world plus
+# the resolved catalog version.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_history,
+        catalog_read,
+        catalog_txn,
+        catalog_version_as_of,
+    )
+
+    cat, root_c, root_o = _temp_root(), _temp_root(), _temp_root()
+    cust = load(spark, sf_dir, "customer")
+    ords = load(spark, sf_dir, "orders")
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(F.col("c_custkey") < 400)},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(F.col("o_custkey") < 400)},
+        ],
+    )
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(
+                 (F.col("c_custkey") >= 400) & (F.col("c_custkey") < 900))},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(
+                 (F.col("o_custkey") >= 400) & (F.col("o_custkey") < 900))},
+        ],
+        expect_pinned=True,
+    )
+    t1 = catalog_history(cat)[0]["committed_at"]
+    v = catalog_version_as_of(cat, t1)
+    n_c = catalog_read(spark, cat, "cust", as_of=t1).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    n_o = catalog_read(spark, cat, "ords", as_of=t1).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return n_c.crossJoin(F.broadcast(n_o)).select(
+        F.lit(v).alias("resolved_version"), "n_cust", "n_orders"
+    )
+
+
+register(
+    "snapshot_catalog_as_of",
+    """
+    SELECT 1 AS resolved_version,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey < 400) AS n_cust,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey < 400) AS n_orders
+    """,
+)(snapshot_catalog_as_of)

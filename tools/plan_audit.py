@@ -122,6 +122,9 @@ BY_DESIGN: dict[str, str] = {
         "two 1-row per-version aggregates crossed into one summary row "
         "per catalog version"
     ),
+    "snapshot_catalog_as_of": (
+        "two 1-row count aggregates crossed into the as-of summary row"
+    ),
     "cluster_kmeans_lloyd": (
         "k-means assignment: the k x d centroid matrix is a 1-row broadcast "
         "crossed into the per-row arg-min array expression (the MLlib idiom); "
