@@ -60,6 +60,13 @@ from airflow_postgres_csv_spark.operators.snapshots import (
 
 _CATALOG_DIR = "_catalog"
 
+# Sticky high-water stamps (e.g. a streaming sink's exactly-once batch
+# gate) are inherited onto every later catalog version the way
+# snapshots._inherit_maps carries table-level keys: without inheritance,
+# >= keep_last interleaved pin-only transactions would let catalog_expire
+# delete the newest carrier and silently reopen the gate.
+_STICKY_STAMP_KEYS = ("last_batch_id",)
+
 
 class CatalogConflictError(RuntimeError):
     """A concurrent transaction moved one of the same tables."""
@@ -110,21 +117,27 @@ def _publish_catalog(
     extra: dict | None = None,
 ) -> dict:
     version = (versions[-1] + 1) if versions else 1
-    parent_ts = (
-        _load_catalog(catalog_root, versions[-1]).get("committed_at", 0)
-        if versions
-        else 0
-    )
+    parent = _load_catalog(catalog_root, versions[-1]) if versions else {}
     manifest = {
         "version": version,
         "parent": versions[-1] if versions else None,
-        "committed_at": max(time.time_ns(), parent_ts + 1),
+        "committed_at": max(time.time_ns(), parent.get("committed_at", 0) + 1),
         "txn_id": txn_id,
         "note": note,
         "tables": tables,
     }
+    for key in _STICKY_STAMP_KEYS:
+        # inherit from the parent; `extra` below may override with a newer
+        # value (the stamp is a high-water mark, so max keeps it monotone
+        # even if a replayed writer passes a stale one)
+        if key in parent:
+            manifest[key] = parent[key]
     if extra:
-        reserved = set(manifest)
+        for key in _STICKY_STAMP_KEYS:
+            if key in extra and key in manifest:
+                extra = {**extra, key: max(extra[key], manifest[key])}
+    if extra:
+        reserved = set(manifest) - set(_STICKY_STAMP_KEYS)
         bad = set(extra) & reserved
         if bad:
             raise ValueError(f"extra may not override reserved keys: {sorted(bad)}")
@@ -177,7 +190,13 @@ def catalog_pin_tables(
     attempts = 0
     while True:
         versions = catalog_versions(catalog_root)
-        base = catalog_state(catalog_root)
+        # base MUST be the state at versions[-1] (the version the publish
+        # below targets +1), not a separate latest-listing: a concurrent
+        # publish landing between the two listings would make attempt 0's
+        # snapshot already contain the winner's pins, so the retry's
+        # same-table conflict check would compare winner-state to
+        # winner-state and silently overwrite the winner's pin.
+        base = catalog_state(catalog_root, versions[-1]) if versions else {}
         if attempts > 0:
             for name in pins:
                 before = base_at_start.get(name)

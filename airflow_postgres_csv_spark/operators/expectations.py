@@ -292,8 +292,16 @@ def catalog_write_with_expectations(
         dests.append((quarantine[0], quarantine[1], quarantined))
 
     state = C.catalog_state(catalog_root)
+    # txn_batch_id is deliberately NOT in snapshots._inherit_maps' sticky
+    # key list, so it identifies the exact commit this batch published:
+    # an out-of-band append stacked on top of a stamped commit inherits
+    # last_batch_id but NOT txn_batch_id, and the adoption probe below
+    # correctly raises SnapshotConflictError for it instead of silently
+    # adopting and pinning the stranger's head.
     table_extra = (
-        {"last_batch_id": batch_id} if batch_id is not None else None
+        {"last_batch_id": batch_id, "txn_batch_id": batch_id}
+        if batch_id is not None
+        else None
     )
     pins: dict[str, tuple[str, int]] = {}
     manifests: dict[str, dict | None] = {}
@@ -304,8 +312,9 @@ def catalog_write_with_expectations(
         head = versions[-1] if versions else 0
         if head != pin:
             head_m = S._load_manifest(root, head)
-            if batch_id is not None and head_m.get("last_batch_id") == batch_id:
-                # the crash-orphaned half of THIS batch: adopt, don't recommit
+            if batch_id is not None and head_m.get("txn_batch_id") == batch_id:
+                # the crash-orphaned half of THIS batch (txn_batch_id is
+                # per-commit, never inherited): adopt, don't recommit
                 pins[name] = (root, head)
                 manifests[name] = head_m
                 committed[name] = False

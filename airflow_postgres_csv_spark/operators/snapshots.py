@@ -391,7 +391,10 @@ def snapshot_commit(
     rewritten: a rebase costs two JSON reads and one link. ``overwrite``
     conflicts always raise — rebasing an overwrite past a commit it never
     saw would silently discard that commit's rows; the caller must re-read
-    and decide.
+    and decide. ``expected_head`` and ``retries`` are effectively mutually
+    exclusive: a conflict under ``expected_head`` always raises (rebasing
+    onto the moved head would silently void the head pin the caller
+    requested).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -485,7 +488,11 @@ def snapshot_commit(
                 root, versions, body, commit_id, sidecar if new_files else None
             )
         except SnapshotConflictError:
-            if retries <= 0 or mode != "append":
+            if retries <= 0 or mode != "append" or expected_head is not None:
+                # expected_head pins the commit to the exact version the
+                # caller derived it from (catalog_txn's expect_pinned,
+                # compaction): rebasing onto a moved head would silently
+                # void that pin, so the combination always raises
                 raise
             retries -= 1
             # Rebase: data files / audit / per-file stats are commit-scoped

@@ -161,3 +161,53 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
     assert catalog_read(spark, cat, "clean").count() == 180
     assert catalog_read(spark, cat, "quar").count() == 20
     assert len(catalog_versions(cat)) >= 1
+
+
+def test_out_of_band_append_on_stamped_orphan_is_not_adopted(spark, tmp_path):
+    """ADVICE r6: last_batch_id is inherited by _inherit_maps, so an
+    out-of-band append stacked on a crash-orphaned stamped commit also
+    carries the stamp. Adoption must key on the NON-inherited
+    txn_batch_id and surface the stranger's head as a conflict."""
+    cat, clean, quar = _paths(tmp_path)
+    catalog_write_with_expectations(
+        _batch(spark, 0, 50), cat, ("clean", clean), RULES,
+        quarantine=("quar", quar), batch_id=0,
+    )
+    # batch 1 crashes after the clean-table commit, before the flip
+    real_pin = C.catalog_pin_tables
+    calls = {"n": 0}
+
+    def crashing_pin(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before the catalog flip")
+        return real_pin(*a, **kw)
+
+    C.catalog_pin_tables = crashing_pin
+    try:
+        with pytest.raises(RuntimeError):
+            catalog_write_with_expectations(
+                _batch(spark, 50, 120), cat, ("clean", clean), RULES,
+                quarantine=("quar", quar), batch_id=1,
+            )
+        # an out-of-band writer appends ON TOP of the stamped orphan: the
+        # new head INHERITS last_batch_id=1 but not txn_batch_id
+        snapshot_commit(
+            spark.range(5).select("id", F.col("id").alias("v")), clean
+        )
+        from airflow_postgres_csv_spark.operators import snapshots as S
+
+        head = S._load_manifest(clean, S.snapshot_versions(clean)[-1])
+        assert head.get("last_batch_id") == 1  # inherited — the trap
+        assert "txn_batch_id" not in head
+        # the replay must NOT adopt the stranger's head
+        with pytest.raises(SnapshotConflictError):
+            catalog_write_with_expectations(
+                _batch(spark, 50, 120), cat, ("clean", clean), RULES,
+                quarantine=("quar", quar), batch_id=1,
+            )
+    finally:
+        C.catalog_pin_tables = real_pin
+    # catalog still serves batch-0's consistent world
+    assert len(catalog_versions(cat)) == 1
+    assert catalog_read(spark, cat, "clean").count() == 45

@@ -231,3 +231,73 @@ def test_catalog_expire_keeps_newest_versions(spark, tmp_path):
         catalog_read(spark, cat, "a", catalog_version=1)
     with pytest.raises(ValueError):
         catalog_expire(cat, keep_last=0)
+
+
+def test_sticky_stamp_survives_interleaved_txns_and_expire(spark, tmp_path):
+    """ADVICE r6 (medium): catalog versions inherit sticky stamp keys, so
+    catalog_expire can never delete the newest carrier of last_batch_id
+    and reopen an exactly-once gate."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_expire,
+        catalog_max_stamp,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra = str(tmp_path / "a")
+    a, _ = _dfs(spark, 0, 10)
+    snapshot_commit(a, ra)
+    # v1 carries the stamp
+    catalog_pin_tables(cat, {"a": (ra, 1)}, extra={"last_batch_id": 5})
+    # >= keep_last interleaved pin-only transactions (no stamp passed)
+    for _ in range(3):
+        catalog_pin_tables(cat, {"a": (ra, 1)})
+    assert len(catalog_versions(cat)) == 4
+    out = catalog_expire(cat, keep_last=2)
+    assert out["removed"] == [1, 2]
+    # the gate survives: the retained head inherited the stamp
+    assert catalog_max_stamp(cat, "last_batch_id", -1) == 5
+    # high-water is monotone even if a replayed writer passes a stale id
+    catalog_pin_tables(cat, {"a": (ra, 1)}, extra={"last_batch_id": 3})
+    assert catalog_max_stamp(cat, "last_batch_id", -1) == 5
+    catalog_pin_tables(cat, {"a": (ra, 1)}, extra={"last_batch_id": 9})
+    assert catalog_max_stamp(cat, "last_batch_id", -1) == 9
+
+
+def test_pin_base_is_consistent_with_publish_target(spark, tmp_path):
+    """ADVICE r6: a winner landing between the versions listing and the
+    base-state read must surface as CatalogConflictError on the retry,
+    not be silently overwritten (base must be the state AT versions[-1],
+    not a second latest-listing)."""
+    import airflow_postgres_csv_spark.operators.catalog_txn as C
+
+    cat = str(tmp_path / "cat")
+    ra = str(tmp_path / "a")
+    a1, _ = _dfs(spark, 0, 10)
+    snapshot_commit(a1, ra)
+    a2, _ = _dfs(spark, 10, 20)
+    snapshot_commit(a2, ra)  # table a has snapshot versions 1, 2
+    catalog_pin_tables(cat, {"a": (ra, 1)})  # catalog v1 pins a@1
+
+    real_versions = C.catalog_versions
+    real_publish = C._publish_catalog
+    raced = {"done": False}
+
+    def racing_versions(root):
+        out = real_versions(root)
+        if not raced["done"]:
+            raced["done"] = True
+            # the winner publishes (moving table a) AFTER the loser's
+            # listing but BEFORE the loser reads its base state
+            winner = dict(catalog_state(cat))
+            winner["a"] = {"root": os.path.abspath(ra), "version": 2}
+            real_publish(root, out, winner, "race", "")
+        return out
+
+    C.catalog_versions = racing_versions
+    try:
+        with pytest.raises(CatalogConflictError):
+            catalog_pin_tables(cat, {"a": (ra, 2)}, retries=2)
+    finally:
+        C.catalog_versions = real_versions
+    # the winner's pin is intact
+    assert catalog_state(cat)["a"]["version"] == 2

@@ -1059,6 +1059,18 @@ def test_commit_retry_rebase_semantics(spark, tmp_path, monkeypatch):
     with pytest.raises(SnapshotConflictError):
         snapshot_commit(_df(spark, 20, 30), root)  # default retries=0
 
+    # ADVICE r6: expected_head + retries — a conflict must RAISE, never
+    # rebase onto the moved head (rebasing would silently void the head
+    # pin the caller requested; catalog_txn's expect_pinned and
+    # compaction rely on it)
+    head = snapshot_versions(root)[-1]
+    inject_winner()
+    with pytest.raises(SnapshotConflictError):
+        snapshot_commit(
+            _df(spark, 30, 40), root, expected_head=head, retries=5
+        )
+    monkeypatch.setattr(S, "_publish", real)
+
 
 def test_apply_changes_replays_merge_compact_and_cow_delete(spark, tmp_path):
     """Batch CDC replay across every rewrite kind: appends, a MOR delete,
