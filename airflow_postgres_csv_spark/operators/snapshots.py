@@ -71,7 +71,7 @@ _RESERVED_KEYS = frozenset(
         "version", "parent", "mode", "commit_id", "files", "n_files",
         "schema", "commit_schemas", "sidecars", "commit_ranges",
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
-        "delete_info", "committed_at",
+        "delete_info", "committed_at", "commit_files",
     }
 )
 
@@ -125,12 +125,126 @@ def snapshot_versions(root: str) -> list[int]:
 
 def _load_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+        return _LazyManifest(json.load(f), root)
 
 
 def _commit_of(rel: str) -> str:
     """The commit id a pinned file belongs to (its directory component)."""
     return rel.split(os.sep)[1]
+
+
+class _LazyManifest(dict):
+    """A loaded root manifest whose pinned file list materializes on first
+    access. On disk the root is O(commits): ``commit_files`` maps each
+    commit id to either an int (ALL n files of the commit — names live in
+    the commit's immutable sidecar) or an explicit subset list (a COW
+    rewrite retained only some of the commit's files). ``m["files"]``
+    fetches the per-commit lists lazily and caches them, so the ~50
+    existing consumers keep working unchanged — while pruning-aware read
+    paths (``_plan_scan``/``snapshot_lookup_files``) iterate the markers
+    directly and never open a pruned commit's sidecar. At 100 TB
+    (~10⁶ files) the root stays kilobytes instead of ~100 MB, and a
+    pruned read parses metadata proportional to the data it scans."""
+
+    def __init__(self, data: dict, root: str):
+        super().__init__(data)
+        self._root = root
+
+    def __missing__(self, key):
+        if key == "files" and "commit_files" in self:
+            files = _materialize_files(self._root, self)
+            dict.__setitem__(self, "files", files)
+            return files
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        if key == "files" and dict.__contains__(self, "commit_files"):
+            return True
+        return dict.__contains__(self, key)
+
+    def get(self, key, default=None):
+        if key == "files" and dict.__contains__(self, "commit_files"):
+            return self["files"]
+        return dict.get(self, key, default)
+
+
+def _commit_files_from_sidecar(root: str, manifest: dict, cid: str, n: int) -> list[str]:
+    """The FULL original file list of one commit, from its immutable
+    sidecar. Strict (unlike ``_load_sidecar``): enumeration is
+    correctness, not an optimization, so a missing/short sidecar raises
+    instead of silently losing files."""
+    rel = manifest.get("sidecars", {}).get(cid)
+    if not rel:
+        raise FileNotFoundError(
+            f"commit {cid}: no sidecar pointer — cannot enumerate its files"
+        )
+    with open(os.path.join(root, rel)) as f:
+        sc = json.load(f)
+    files = sc.get("files") or list(sc.get("stats", {}))
+    if len(files) != n:
+        raise RuntimeError(
+            f"commit {cid}: sidecar lists {len(files)} files, manifest "
+            f"pins {n} — metadata corruption"
+        )
+    return files
+
+
+def _materialize_files(root: str, manifest: dict) -> list[str]:
+    """Expand ``commit_files`` markers into the flat pinned file list,
+    preserving commit-block order (identical to how writers construct
+    ``files``, so round-trips are list-equal)."""
+    out: list[str] = []
+    for cid, marker in manifest["commit_files"].items():
+        if isinstance(marker, list):
+            out.extend(marker)
+        else:
+            out.extend(_commit_files_from_sidecar(root, manifest, cid, marker))
+    return out
+
+
+def _commit_markers(root: str, manifest: dict):
+    """Yield ``(cid, n_files, subset_or_None)`` per pinned commit WITHOUT
+    loading any sidecar — the planner's iteration primitive. ``subset``
+    is the explicit file list when the manifest retains only part of the
+    commit (or on legacy manifests), else None (enumerate from the
+    sidecar only if the commit survives pruning)."""
+    cf = dict.get(manifest, "commit_files")
+    if cf is not None:
+        for cid, marker in cf.items():
+            if isinstance(marker, list):
+                yield cid, len(marker), marker
+            else:
+                yield cid, marker, None
+        return
+    by_commit: dict[str, list[str]] = {}
+    for rel in manifest["files"]:
+        by_commit.setdefault(_commit_of(rel), []).append(rel)
+    for cid, rels in by_commit.items():
+        yield cid, len(rels), rels
+
+
+def _pack_commit_files(files: list[str], hints: dict) -> dict:
+    """Serialize a pinned file list as O(commits) markers: an int when the
+    group provably IS the commit's full original set (the count comes
+    from ``hints`` — parent/source manifests' markers — or the commit is
+    brand new, so the writer's list is complete by construction), else
+    the explicit subset list. Only COW-partial commits pay O(their
+    files); ingest workloads stay O(commits)."""
+    groups: dict[str, list[str]] = {}
+    for rel in files:
+        groups.setdefault(_commit_of(rel), []).append(rel)
+    packed: dict = {}
+    for cid, rels in groups.items():
+        hint = hints.get(cid)
+        if hint is None:
+            # unknown to every source manifest: this is the commit the
+            # writer just produced — its list is the full set
+            packed[cid] = len(rels)
+        elif isinstance(hint, int) and len(rels) == hint:
+            packed[cid] = hint
+        else:
+            packed[cid] = rels
+    return packed
 
 
 def _load_sidecar(root: str, manifest: dict, commit_id: str) -> dict:
@@ -654,28 +768,54 @@ def _publish(
     body: dict,
     commit_id: str,
     sidecar: dict | None,
+    pack_hints: dict | None = None,
 ) -> dict:
     """Atomically publish the next manifest (writing the commit's stats
-    sidecar first, so the pointer never dangles)."""
+    sidecar first, so the pointer never dangles).
+
+    The on-disk root is O(commits): ``body``'s flat ``files`` list is
+    packed into ``commit_files`` markers (full-commit groups become an
+    int count; names stay in the commit sidecars). ``pack_hints`` supplies
+    extra ``commit_files`` maps to vouch for full-commit groups whose
+    commits the current head no longer pins (rollback/clone publish file
+    lists sourced from OTHER manifests); the parent's own markers are
+    always consulted. A commit no hint can vouch for — but which has an
+    inherited sidecar pointer, i.e. is NOT the commit being published —
+    degrades to an explicit subset list: correct, merely less compact."""
     version = (versions[-1] + 1) if versions else 1
     manifest = {"version": version, "parent": versions[-1] if versions else None}
     # commit wall time in nanoseconds, forced STRICTLY increasing along
     # the version chain so AS-OF-timestamp resolution is total even for
     # commits landing within one clock tick (or under clock skew)
-    parent_ts = (
-        _load_manifest(root, versions[-1]).get("committed_at", 0)
-        if versions
-        else 0
+    prev_m = _load_manifest(root, versions[-1]) if versions else {}
+    manifest["committed_at"] = max(
+        time.time_ns(), prev_m.get("committed_at", 0) + 1
     )
-    manifest["committed_at"] = max(time.time_ns(), parent_ts + 1)
     manifest.update(body)
     manifest.setdefault("commit_schemas", {})
     manifest.setdefault("sidecars", {})
     manifest.setdefault("commit_ranges", {})
     manifest.setdefault("tombstones", [])
+    files = manifest.pop("files")
+    hints = dict(dict.get(prev_m, "commit_files") or {})
+    if pack_hints:
+        hints.update(pack_hints)
+    # safety net: an inherited commit (it has a carried sidecar pointer,
+    # so it pre-dates this publish) that no hint vouches for must be
+    # stored as an explicit list — we cannot prove the group is complete
+    inherited = set(manifest["sidecars"])
+    packed = _pack_commit_files(files, hints)
+    for cid in list(packed):
+        if isinstance(packed[cid], int) and cid in inherited and cid not in hints:
+            packed[cid] = [r for r in files if _commit_of(r) == cid]
+    manifest["commit_files"] = packed
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     if sidecar is not None:
         sc_rel = os.path.join(_MANIFEST_DIR, f"sc-{commit_id}.json")
+        sidecar = dict(sidecar)
+        sidecar.setdefault(
+            "files", [r for r in files if _commit_of(r) == commit_id]
+        )
         with open(os.path.join(root, sc_rel), "w") as f:
             json.dump(sidecar, f)
         manifest["sidecars"][commit_id] = sc_rel
@@ -694,7 +834,9 @@ def _publish(
             f"version {version} was published by a concurrent writer"
         ) from None
     os.unlink(tmp)
-    return manifest
+    out = _LazyManifest(manifest, root)
+    dict.__setitem__(out, "files", files)
+    return out
 
 
 def _tombstone_applies(t: dict, cid: str, rel: str) -> bool:
@@ -929,23 +1071,33 @@ def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
 
     Returns kept file list plus the planning counters the tests pin
     (files kept/skipped, commits pruned wholesale, sidecars actually
-    loaded, kept files lacking stats on a predicate column)."""
+    loaded, kept files lacking stats on a predicate column).
+
+    A commit pruned at step 1 never has its sidecar OPENED — and since
+    the O(commits) root stores only a count for a full commit, its file
+    names are never even enumerated (tests/test_snapshots.py pins this
+    with an open() counter)."""
     commit_ranges = manifest.get("commit_ranges", {})
-    by_commit: dict[str, list[str]] = {}
-    for rel in manifest["files"]:
-        by_commit.setdefault(_commit_of(rel), []).append(rel)
     kept: list[str] = []
     skipped = commits_skipped = sidecars_loaded = no_stats = 0
-    for cid, rels in by_commit.items():
+    for cid, n, subset in _commit_markers(root, manifest):
         cr = commit_ranges.get(cid)
         if cr is not None and any(
             _range_disjoint(cr.get(c), clo, chi) for c, (clo, chi) in want.items()
         ):
             commits_skipped += 1
-            skipped += len(rels)
+            skipped += n
             continue
-        stats = _load_sidecar(root, manifest, cid).get("stats", {})
+        sc = _load_sidecar(root, manifest, cid)
+        stats = sc.get("stats", {})
         sidecars_loaded += 1
+        if subset is not None:
+            rels = subset
+        else:
+            rels = sc.get("files") or list(stats)
+            if len(rels) != n:  # unreadable/short sidecar: enumeration
+                # is correctness — fall back to the strict loader's error
+                rels = _commit_files_from_sidecar(root, manifest, cid, n)
         for rel in rels:
             fstats = stats.get(rel, {})
             disjoint = missing = False
@@ -1055,18 +1207,23 @@ def snapshot_lookup_files(root: str, col: str, value, version: int | None = None
     if use_bloom:
         _bloom_probe_key(value)  # loud error for unsupported key types
     commit_ranges = manifest.get("commit_ranges", {})
-    by_commit: dict[str, list[str]] = {}
-    for rel in manifest["files"]:
-        by_commit.setdefault(_commit_of(rel), []).append(rel)
     kept, skipped = [], 0
-    for cid, rels in by_commit.items():
+    for cid, n, subset in _commit_markers(root, manifest):
         cr = (commit_ranges.get(cid) or {}).get(col)
         if _range_disjoint(cr, value, value):
-            skipped += len(rels)
+            # whole commit pruned from the root alone: its sidecar is
+            # never opened, its file names never enumerated
+            skipped += n
             continue
         sidecar = _load_sidecar(root, manifest, cid)
         stats = sidecar.get("stats", {})
         blooms = sidecar.get("blooms", {})
+        if subset is not None:
+            rels = subset
+        else:
+            rels = sidecar.get("files") or list(stats)
+            if len(rels) != n:
+                rels = _commit_files_from_sidecar(root, manifest, cid, n)
         for rel in rels:
             if _range_disjoint(stats.get(rel, {}).get(col), value, value):
                 skipped += 1
@@ -1587,7 +1744,10 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     if latest.get("last_batch_id", -1) > body.get("last_batch_id", -1):
         body["last_batch_id"] = latest["last_batch_id"]
     body.update(mode="rollback", commit_id=commit_id, rolled_back_to=to_version)
-    return _publish(root, versions, body, commit_id, None)
+    return _publish(
+        root, versions, body, commit_id, None,
+        pack_hints=dict.get(target, "commit_files"),
+    )
 
 
 def _tags_dir(root: str) -> str:
@@ -1773,7 +1933,10 @@ def snapshot_clone(
         if k in m:
             body[k] = m[k]
     body.update(mode="clone", commit_id=commit_id, cloned_from=v)
-    return _publish(dst_root, [], body, commit_id, None)
+    return _publish(
+        dst_root, [], body, commit_id, None,
+        pack_hints=dict.get(m, "commit_files"),
+    )
 
 
 def snapshot_update(

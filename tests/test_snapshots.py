@@ -1369,3 +1369,72 @@ def test_mor_delete_scope_pinned_against_concurrent_append(spark, tmp_path):
     snapshot_commit(_df(spark, 10, 12).coalesce(1), root)  # head moves to 2
     with pytest.raises(SnapshotConflictError, match="head moved"):
         S._publish_key_tombstone(root, keys, "id", "id = 3", as_of_version=1)
+
+
+def test_root_manifest_is_o_commits_not_o_files(spark, tmp_path):
+    """The on-disk root manifest's byte size must be independent of how
+    many data FILES each commit wrote: per-commit file lists live in the
+    immutable sidecars, the root carries only int markers (VERDICT r6
+    item 2 — at 100 TB / ~10^6 files the old O(paths) root was ~100 MB of
+    driver-side JSON parsed by EVERY read)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _manifest_path,
+    )
+
+    ra, rb = str(tmp_path / "few"), str(tmp_path / "many")
+    for root, nfiles in ((ra, 1), (rb, 64)):
+        for lo in (0, 1000):
+            snapshot_commit(
+                spark.range(lo, lo + 2000).select(
+                    "id", (F.col("id") * 2).alias("v")
+                ).repartition(nfiles),
+                root,
+            )
+    sa = os.path.getsize(_manifest_path(ra, 2))
+    sb = os.path.getsize(_manifest_path(rb, 2))
+    assert abs(sa - sb) < 64, (sa, sb)  # 64x the files, same root size
+    # and the manifests still materialize the full pinned lists
+    from airflow_postgres_csv_spark.operators.snapshots import _load_manifest
+
+    m = _load_manifest(rb, 2)
+    assert m["n_files"] == 128 and len(m["files"]) == 128
+    assert snapshot_read(spark, rb).count() == 4000
+
+
+def test_fully_pruned_commit_never_opens_its_sidecar(spark, tmp_path, monkeypatch):
+    """Commit-level pruning must answer from the root manifest ALONE: a
+    commit whose commit-level range is disjoint from the predicate gets
+    neither its sidecar opened nor its file names enumerated."""
+    import builtins
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    # three commits range-clustered on id: [0,100), [100,200), [200,300)
+    for lo in (0, 100, 200):
+        snapshot_commit(
+            spark.range(lo, lo + 100).select(
+                "id", (F.col("id") * 2).alias("v")
+            ).repartition(4),
+            root,
+            partition_by=["id"],
+        )
+    plan = snapshot_scan_files(root, "id", 250, 260)
+    assert plan["commits_skipped"] == 2 and plan["sidecars_loaded"] == 1
+
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def spying_open(path, *a, **kw):
+        if isinstance(path, (str, os.PathLike)) and "sc-" in str(path):
+            opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", spying_open)
+    df = snapshot_scan(spark, root, "id", 250, 260)
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert len(set(opened)) == 1, opened  # ONLY the surviving commit's
+    assert df.count() == 11
