@@ -1021,14 +1021,36 @@ def minhash_incremental_matches(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def semdedup_n_planes(
+    n_vectors: int,
+    target_cell_size: int = 64,
+    min_planes: int = 2,
+    max_planes: int = 24,
+) -> int:
+    """Auto-size the SemDeDup cell grid: ``ceil(log2(n / target))``
+    planes give cells averaging ``target_cell_size`` vectors, so the
+    within-cell quadratic verify cost stays O(n * target) no matter how
+    big the corpus grows — the sizing rule the paper applies to its
+    k-means k. Clamped to [min_planes, max_planes] (2^24 cells is ample
+    at 100 TB; below 2^2 the grid stops being a grid)."""
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(n_vectors / max(target_cell_size, 1), 1.0)))
+    return max(min_planes, min(max_planes, raw))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 42,
     threshold: float = 0.3,
     dim: int | None = None,
+    target_cell_size: int = 64,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): partition the corpus into cells, compare embeddings only
@@ -1055,6 +1077,15 @@ def semantic_dedup(
     (n_planes broadcast literal folds), the self-join is a shuffle on the
     cell key, and no driver-side state exists beyond the tiny plane list.
 
+    ``n_planes=None`` (the default) AUTO-SIZES the grid: one cheap
+    ``df.count()`` (skipped when the caller supplies the ``n_vectors``
+    estimate it usually already has) feeds ``semdedup_n_planes``, which
+    picks ``ceil(log2(n / target_cell_size))`` planes — cells hold
+    ~``target_cell_size`` vectors at ANY corpus size, so the quadratic
+    within-cell term stays O(n * target) instead of silently degrading
+    to O(n^2/2^6) as the corpus outgrows a fixed grid. Pass an explicit
+    ``n_planes`` to pin the grid (e.g. for cross-engine oracles).
+
     No reference analog (reference is an Airflow ETL shim,
     /root/reference/src/airflow_postgres_csv/operators.py) — extension
     surface for LLM training-data curation.
@@ -1070,6 +1101,10 @@ def semantic_dedup(
                 F.lit(1).alias("kept"),
             ).limit(0)
         dim = len(probe[0])
+    if n_planes is None:
+        n_planes = semdedup_n_planes(
+            df.count() if n_vectors is None else n_vectors, target_cell_size
+        )
     planes = random_hyperplanes(dim, n_planes, seed)
 
     def _dot_plane(plane: list[float]) -> Column:

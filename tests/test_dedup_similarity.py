@@ -423,3 +423,56 @@ def test_semantic_dedup_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semantic_dedup(df).count() == 0
+
+
+def test_semantic_dedup_autosizes_cells_to_corpus(spark):
+    """VERDICT r6: with n_planes=None the grid derives from the corpus
+    count, so mean cell size stays ~target at ANY corpus size instead of
+    degrading quadratically past a fixed 2^6 grid."""
+    import numpy as np
+
+    from airflow_postgres_csv_spark.operators.dedup import (
+        semantic_dedup,
+        semdedup_n_planes,
+    )
+
+    # the sizing rule itself: doubling the corpus adds one plane
+    assert semdedup_n_planes(0) == 2
+    assert semdedup_n_planes(64, target_cell_size=64) == 2  # clamp floor
+    assert semdedup_n_planes(1 << 12, target_cell_size=64) == 6
+    assert semdedup_n_planes(1 << 13, target_cell_size=64) == 7
+    assert semdedup_n_planes(10**12, target_cell_size=64) == 24  # clamp cap
+    assert semdedup_n_planes(4096, target_cell_size=1) == 12
+
+    rng = np.random.RandomState(7)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, rng.randn(16).tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    stats = {}
+    for n in (256, 1024):
+        out = semantic_dedup(
+            corpus(n), threshold=0.999, dim=16, target_cell_size=32
+        )
+        sizes = [r["c"] for r in out.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("c")).collect()]
+        stats[n] = sum(sizes) / len(sizes)
+    # 4x the corpus, same target: mean cell size stays in the same band
+    # (n/2^planes is halved-or-equal at each doubling; random imbalance
+    # allows slack but NOT the 4x growth a fixed grid would show)
+    assert stats[1024] < stats[256] * 2.5, stats
+    assert stats[256] < 3 * 32 and stats[1024] < 3 * 32, stats
+    # n_vectors estimate short-circuits the count and pins the grid:
+    # same estimate -> identical cells regardless of actual row count
+    a = semantic_dedup(
+        corpus(100), threshold=0.999, dim=16, n_vectors=4096,
+        target_cell_size=64,
+    )
+    b = semantic_dedup(
+        corpus(100), threshold=0.999, dim=16, n_planes=6,
+    )
+    assert a.select(F.max("cell")).first()[0] <= 63
+    assert b.select(F.max("cell")).first()[0] <= 63
