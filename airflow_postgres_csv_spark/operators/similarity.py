@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -36,9 +36,13 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_centroids",
     "ivf_topk",
+    "ivf_build_index",
+    "ivf_search_index",
     "pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "pq_build_index",
+    "pq_search_index",
 ]
 
 
@@ -481,6 +485,232 @@ def pq_encode(
     persistable 32×-smaller table candidate generation scans."""
     encode = _pq_encode_udf(codebooks)
     return corpus.select(id_col, encode(vec_col).alias("pq_codes"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN indexes (build once / serve many): at 100 TB retraining a
+# quantizer and re-assigning every vector PER QUERY is the dominant cost —
+# the serving shape is an index TABLE built once and scanned by every
+# search. The coded corpus (cell assignments / PQ codes) is committed as a
+# versioned snapshot table (operators/snapshots.py) and the tiny model
+# (centroids / codebooks — k·d floats) rides the commit's manifest
+# metadata, so index generations are atomic, time-travelable, and a search
+# runs ZERO training jobs: one manifest read recovers the model, the coded
+# table is scanned with the snapshot reader (cell-clustered commits give
+# commit-level pruning on the cell column for free).
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Build and PERSIST an IVF index: train the coarse quantizer once,
+    assign every corpus vector its nearest cell (one distributed pass),
+    and commit ``(id, vec, cell)`` as a snapshot table range-clustered on
+    ``cell`` — every later search reads the assignment instead of
+    recomputing it. The centroid matrix (n_cells × dim floats,
+    metadata-sized at any corpus scale) rides the manifest's ``ann_index``
+    key inside the same atomic publish, so a reader can never see a coded
+    corpus without the exact model that coded it. Rebuilds are new
+    versions: searches pinned to an old version stay consistent, and the
+    superseded generation expires with ``snapshot_expire``."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+    centroids = ivf_centroids(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        sample=sample, iters=iters, seed=seed,
+    )
+    ranking = _cell_ranking_udf(centroids)
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.element_at(ranking(vec_col), 1).alias("cell"),
+    )
+    return snapshot_commit(
+        coded, index_root, mode="overwrite", partition_by=["cell"],
+        extra={
+            "ann_index": {
+                "kind": "ivf", "n_cells": n_cells, "seed": seed,
+                "centroids": centroids,
+            }
+        },
+    )
+
+
+def ivf_search_index(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    version: int | None = None,
+) -> DataFrame:
+    """Search a persisted IVF index: the centroids come from the pinned
+    manifest (one JSON read — NO training job, no corpus-side UDF), the
+    query side ranks its ``n_probe`` cells (a tiny Arrow batch), and the
+    probed-cell equi-join + exact rerank run against the stored
+    assignment. Same output contract as :func:`ivf_topk`."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    v = version if version is not None else snapshot_versions(index_root)[-1]
+    meta = _load_manifest(index_root, v).get("ann_index") or {}
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{index_root} v{v} is not an IVF index (ann_index={meta.get('kind')!r})"
+        )
+    ranking = _cell_ranking_udf(meta["centroids"])
+    coded = snapshot_read(spark, index_root, version=v)
+    q_probes = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.slice(ranking(vec_col), 1, n_probe)).alias("cell"),
+    )
+    from airflow_postgres_csv_spark.operators.dedup import cosine_expr
+
+    scored = (
+        coded.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_expr("embedding", "_qvec").alias("cosine"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    index_root: str,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Build and PERSIST a PQ index: train the per-subspace codebooks
+    once, encode every vector to its m codes (one distributed pass), and
+    commit ``(id, vec, pq_codes)`` as a snapshot table with the codebooks
+    (m·n_codes·dsub floats) in the manifest's ``ann_index`` key.
+    Candidate generation scans only the codes column (column pruning —
+    the 32×-smaller read that is PQ's point); the true vectors stay in
+    the same table for the exact rerank join."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+    codebooks = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        sample=sample, iters=iters, seed=seed,
+    )
+    encode = _pq_encode_udf(codebooks)
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        encode(vec_col).alias("pq_codes"),
+    )
+    return snapshot_commit(
+        coded, index_root, mode="overwrite",
+        extra={
+            "ann_index": {
+                "kind": "pq", "m": m, "n_codes": n_codes, "seed": seed,
+                "codebooks": codebooks,
+            }
+        },
+    )
+
+
+def pq_search_index(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    version: int | None = None,
+) -> DataFrame:
+    """Search a persisted PQ index: codebooks from the pinned manifest
+    (no training job), ADC scoring against decoded STORED codes (the
+    corpus-side encoder never runs), exact rerank on the candidates'
+    true vectors. Same output contract as :func:`pq_topk`."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    v = version if version is not None else snapshot_versions(index_root)[-1]
+    meta = _load_manifest(index_root, v).get("ann_index") or {}
+    if meta.get("kind") != "pq":
+        raise ValueError(
+            f"{index_root} v{v} is not a PQ index (ann_index={meta.get('kind')!r})"
+        )
+    decode = _pq_decode_udf(meta["codebooks"])
+    coded = snapshot_read(spark, index_root, version=v)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    approx = (
+        coded.select("vec_id", decode(F.col("pq_codes")).alias("_recon"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_expr("_recon", "_qvec").alias("_approx"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select(query_id_col, "neighbor_id")
+    )
+    exact = (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nvec")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_expr("_nvec", "_qvec").alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
 
 
 def pq_topk(

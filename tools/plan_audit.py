@@ -90,6 +90,11 @@ BY_DESIGN: dict[str, str] = {
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
     "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_ivf_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "similarity_ann_persisted": (
+        "recall eval over PERSISTED indexes: PQ ADC is corpus x broadcast "
+        "query set bounded by |queries|; the 1-row recall/roundtrip flags "
+        "cross into one summary row"
+    ),
     "similarity_radius_search": "radius probe: corpus x broadcast query set, bounded by |queries|",
     "window_ntile_first_last": (
         "distributed global-ntile: 1-row min/max scalar broadcast + running-sum "
