@@ -221,6 +221,114 @@ def catalog_pin_tables(
                 raise
 
 
+def catalog_ddl(
+    catalog_root: str,
+    ops: list[dict],
+    retries: int = 0,
+    note: str = "",
+) -> dict:
+    """Table DDL as ONE atomic catalog version — the namespace surface of
+    an Iceberg-REST-shape catalog. Each op is a dict:
+
+    - ``{"op": "create", "name": ..., "root": ..., "version": N|None}`` —
+      bind a new name to a snapshot table (latest version when None);
+      the name must not exist.
+    - ``{"op": "rename", "name": ..., "to": ...}`` — move the pin to a
+      new name (``to`` must be free, ``name`` bound). The table root and
+      data are untouched: rename is an O(1) metadata move, and because
+      name resolution is PER CATALOG VERSION, as-of / time-travel reads
+      keep resolving the OLD name at old versions — a replayed pipeline
+      sees exactly the names of its era.
+    - ``{"op": "drop", "name": ...}`` — unbind the name from the HEAD.
+      Retention-protected: the table's manifests/data are never touched
+      (per-table GC stays ``snapshot_expire``'s job), and every older
+      catalog version still resolves the name until ``catalog_expire``
+      retires it — DROP is an unbind, not a delete.
+
+    Names are dot-qualified (``namespace.table``); ``catalog_tables``
+    lists per namespace. All ops in one call flip together (e.g. the
+    classic staging swap: rename live→old + staged→live atomically).
+    Conflict semantics match ``catalog_pin_tables``: with ``retries`` a
+    losing publish rebases unless a concurrent transaction touched one of
+    the SAME names (``CatalogConflictError``)."""
+    txn_id = uuid.uuid4().hex[:12]
+    touched: set[str] = set()
+    for op in ops:
+        touched.add(op["name"])
+        if op["op"] == "rename":
+            touched.add(op["to"])
+    attempts = 0
+    while True:
+        versions = catalog_versions(catalog_root)
+        base = catalog_state(catalog_root, versions[-1]) if versions else {}
+        if attempts > 0:
+            for name in touched:
+                if base_at_start.get(name) != base.get(name):
+                    raise CatalogConflictError(
+                        f"table {name!r} was moved by a concurrent "
+                        "transaction; re-run against the new state"
+                    )
+        else:
+            base_at_start = dict(base)
+        tables = dict(base)
+        for op in ops:
+            kind, name = op["op"], op["name"]
+            if kind == "create":
+                if name in tables:
+                    raise ValueError(f"table {name!r} already exists")
+                from airflow_postgres_csv_spark.operators.snapshots import (
+                    snapshot_versions,
+                )
+
+                root = os.path.abspath(op["root"])
+                version = op.get("version")
+                if version is None:
+                    tvs = snapshot_versions(root)
+                    if not tvs:
+                        raise FileNotFoundError(
+                            f"create {name!r}: no snapshot versions at {root}"
+                        )
+                    version = tvs[-1]
+                tables[name] = {"root": root, "version": int(version)}
+            elif kind == "rename":
+                to = op["to"]
+                if name not in tables:
+                    raise KeyError(f"rename: no table {name!r} in catalog")
+                if to in tables:
+                    raise ValueError(f"rename target {to!r} already exists")
+                tables[to] = tables.pop(name)
+            elif kind == "drop":
+                if name not in tables:
+                    raise KeyError(f"drop: no table {name!r} in catalog")
+                del tables[name]
+            else:
+                raise ValueError(f"unknown DDL op {kind!r}")
+        try:
+            return _publish_catalog(
+                catalog_root, versions, tables, txn_id,
+                note or f"ddl: {', '.join(o['op'] for o in ops)}",
+            )
+        except SnapshotConflictError:
+            attempts += 1
+            if attempts > retries:
+                raise
+
+
+def catalog_tables(
+    catalog_root: str,
+    namespace: str | None = None,
+    catalog_version: int | None = None,
+) -> dict:
+    """List the bindings of a catalog version (latest when None),
+    optionally restricted to one dot-namespace (``'bronze'`` matches
+    ``bronze.x`` but not ``bronzeplus.x`` or bare ``bronze``)."""
+    tables = catalog_state(catalog_root, catalog_version)
+    if namespace is None:
+        return tables
+    prefix = namespace + "."
+    return {n: p for n, p in tables.items() if n.startswith(prefix)}
+
+
 def catalog_txn(
     catalog_root: str,
     writes: list[dict],

@@ -1812,3 +1812,87 @@ register(
            (SELECT COUNT(*) FROM orders WHERE o_custkey < 400) AS n_orders
     """,
 )(snapshot_catalog_as_of)
+
+
+# ---------------------------------------------------------------------------
+# Catalog DDL (VERDICT r6 item 5): create / rename / drop a table binding
+# as atomic catalog versions, with name resolution PER VERSION — a rename
+# replayed across time travel resolves the old name at old versions and
+# the new name after, and a drop is a retention-protected unbind (old
+# catalog versions keep serving the table). The probe reads BOTH names at
+# every catalog version: -1 marks "not bound at that version".
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_pin_tables,
+        catalog_read,
+        catalog_tables,
+    )
+
+    cat, root = _temp_root(), _temp_root()
+    nation = load(spark, sf_dir, "nation")
+    snapshot_commit(nation.where(F.col("n_nationkey") < _SPLIT_KEY), root)
+    # catalog v1: CREATE bronze.nation bound to table v1
+    catalog_ddl(
+        cat, [{"op": "create", "name": "bronze.nation", "root": root}]
+    )
+    # catalog v2: the table grows, the pin moves
+    m2 = snapshot_commit(nation.where(F.col("n_nationkey") >= _SPLIT_KEY), root)
+    catalog_pin_tables(cat, {"bronze.nation": (root, m2["version"])})
+    # catalog v3: RENAME bronze.nation -> silver.nation (pin move, no data)
+    catalog_ddl(
+        cat, [{"op": "rename", "name": "bronze.nation", "to": "silver.nation"}]
+    )
+    # catalog v4: DROP silver.nation (unbind only — v1..v3 still resolve)
+    catalog_ddl(cat, [{"op": "drop", "name": "silver.nation"}])
+
+    parts = []
+    for v in (1, 2, 3, 4):
+        bound = catalog_tables(cat, catalog_version=v)
+        cols = []
+        for alias, name in (
+            ("n_bronze", "bronze.nation"), ("n_silver", "silver.nation")
+        ):
+            if name in bound:
+                cols.append(
+                    catalog_read(spark, cat, name, catalog_version=v).agg(
+                        F.count(F.lit(1)).cast("long").alias(alias)
+                    )
+                )
+            else:
+                cols.append(
+                    spark.range(1).select(F.lit(-1).cast("long").alias(alias))
+                )
+        n_bronze_ns = len(catalog_tables(cat, "bronze", catalog_version=v))
+        parts.append(
+            cols[0].crossJoin(F.broadcast(cols[1])).select(
+                F.lit(v).alias("catalog_version"),
+                "n_bronze",
+                "n_silver",
+                F.lit(n_bronze_ns).alias("n_in_bronze_ns"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("catalog_version")
+
+
+register(
+    "snapshot_catalog_ddl",
+    f"""
+    SELECT 1 AS catalog_version,
+           (SELECT COUNT(*) FROM nation WHERE n_nationkey < {_SPLIT_KEY}) AS n_bronze,
+           CAST(-1 AS BIGINT) AS n_silver, 1 AS n_in_bronze_ns
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM nation), CAST(-1 AS BIGINT), 1
+    UNION ALL
+    SELECT 3, CAST(-1 AS BIGINT), (SELECT COUNT(*) FROM nation), 0
+    UNION ALL
+    SELECT 4, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0
+    ORDER BY catalog_version
+    """,
+)(snapshot_catalog_ddl)

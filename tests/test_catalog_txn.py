@@ -301,3 +301,133 @@ def test_pin_base_is_consistent_with_publish_target(spark, tmp_path):
         C.catalog_versions = real_versions
     # the winner's pin is intact
     assert catalog_state(cat)["a"]["version"] == 2
+
+
+def test_catalog_ddl_create_rename_drop_lifecycle(spark, tmp_path):
+    """DDL ops are atomic catalog versions; resolution is per-version, so
+    a rename replays correctly across time travel and a drop is a
+    retention-protected unbind (old versions keep serving)."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_tables,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra = str(tmp_path / "a")
+    a1, _ = _dfs(spark, 0, 10)
+    snapshot_commit(a1, ra)
+    catalog_ddl(cat, [{"op": "create", "name": "bronze.t", "root": ra}])
+    assert catalog_read(spark, cat, "bronze.t").count() == 10
+    # create of an existing name refuses
+    with pytest.raises(ValueError):
+        catalog_ddl(cat, [{"op": "create", "name": "bronze.t", "root": ra}])
+    # create with no table versions refuses
+    with pytest.raises(FileNotFoundError):
+        catalog_ddl(
+            cat, [{"op": "create", "name": "bronze.u", "root": str(tmp_path / "x")}]
+        )
+    # rename moves the pin; old name at old versions still resolves
+    catalog_ddl(cat, [{"op": "rename", "name": "bronze.t", "to": "silver.t"}])
+    assert catalog_read(spark, cat, "silver.t").count() == 10
+    with pytest.raises(KeyError):
+        catalog_read(spark, cat, "bronze.t")
+    assert catalog_read(spark, cat, "bronze.t", catalog_version=1).count() == 10
+    # namespace listing is per-version
+    assert set(catalog_tables(cat, "bronze")) == set()
+    assert set(catalog_tables(cat, "silver")) == {"silver.t"}
+    assert set(catalog_tables(cat, "bronze", catalog_version=1)) == {"bronze.t"}
+    assert set(catalog_tables(cat, "silver_t")) == set()  # prefix, not substring
+    # rename of a missing name / onto an occupied name refuses
+    with pytest.raises(KeyError):
+        catalog_ddl(cat, [{"op": "rename", "name": "bronze.t", "to": "x"}])
+    catalog_ddl(cat, [{"op": "create", "name": "bronze.t2", "root": ra}])
+    with pytest.raises(ValueError):
+        catalog_ddl(cat, [{"op": "rename", "name": "bronze.t2", "to": "silver.t"}])
+    # atomic multi-op: the classic staging swap in ONE flip
+    n0 = len(catalog_versions(cat))
+    catalog_ddl(
+        cat,
+        [
+            {"op": "rename", "name": "silver.t", "to": "silver.t_old"},
+            {"op": "rename", "name": "bronze.t2", "to": "silver.t"},
+        ],
+    )
+    assert len(catalog_versions(cat)) == n0 + 1
+    assert catalog_read(spark, cat, "silver.t_old").count() == 10
+    # drop unbinds the head only; history still resolves; data untouched
+    v_before = catalog_versions(cat)[-1]
+    catalog_ddl(cat, [{"op": "drop", "name": "silver.t_old"}])
+    with pytest.raises(KeyError):
+        catalog_read(spark, cat, "silver.t_old")
+    assert catalog_read(
+        spark, cat, "silver.t_old", catalog_version=v_before
+    ).count() == 10
+    assert snapshot_versions(ra) == [1]  # DROP never touches the table
+    with pytest.raises(KeyError):
+        catalog_ddl(cat, [{"op": "drop", "name": "silver.t_old"}])
+    with pytest.raises(ValueError):
+        catalog_ddl(cat, [{"op": "fuse", "name": "silver.t"}])
+
+
+def test_catalog_ddl_conflict_grid(spark, tmp_path):
+    """Concurrency: a DDL losing the version race rebases when the winner
+    touched DISJOINT names, raises CatalogConflictError when the winner
+    touched one of the SAME names (including the rename TARGET)."""
+    import airflow_postgres_csv_spark.operators.catalog_txn as C
+    from airflow_postgres_csv_spark.operators.catalog_txn import catalog_ddl
+
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 10)
+    snapshot_commit(a1, ra)
+    snapshot_commit(b1, rb)
+    catalog_ddl(cat, [{"op": "create", "name": "t.a", "root": ra}])
+    catalog_ddl(cat, [{"op": "create", "name": "t.b", "root": rb}])
+
+    real_publish = C._publish_catalog
+
+    def race_once(winner_tables):
+        raced = {"done": False}
+
+        def racing(root, versions, tables, txn_id, note, extra=None):
+            if not raced["done"]:
+                raced["done"] = True
+                real_publish(root, versions, winner_tables(), "race", "")
+            return real_publish(root, versions, tables, txn_id, note, extra=extra)
+
+        C._publish_catalog = racing
+
+    # disjoint: winner re-pins t.b; loser renames t.a -> rebase succeeds
+    race_once(lambda: dict(catalog_state(cat), **{
+        "t.b": {"root": os.path.abspath(rb), "version": 1}}))
+    try:
+        m = catalog_ddl(
+            cat, [{"op": "rename", "name": "t.a", "to": "t.a2"}], retries=2
+        )
+    finally:
+        C._publish_catalog = real_publish
+    assert "t.a2" in m["tables"] and "t.a" not in m["tables"]
+
+    # same name: winner creates the loser's rename TARGET -> conflict
+    race_once(lambda: dict(catalog_state(cat), **{
+        "t.a3": {"root": os.path.abspath(ra), "version": 1}}))
+    try:
+        with pytest.raises(CatalogConflictError):
+            catalog_ddl(
+                cat, [{"op": "rename", "name": "t.a2", "to": "t.a3"}], retries=2
+            )
+    finally:
+        C._publish_catalog = real_publish
+    # the winner's binding survived intact
+    assert catalog_state(cat)["t.a3"]["version"] == 1
+    # no retries: the loser surfaces the raw conflict
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+    )
+
+    race_once(lambda: dict(catalog_state(cat)))
+    try:
+        with pytest.raises(SnapshotConflictError):
+            catalog_ddl(cat, [{"op": "drop", "name": "t.b"}])
+    finally:
+        C._publish_catalog = real_publish

@@ -90,6 +90,10 @@ BY_DESIGN: dict[str, str] = {
     "kll_quantile_sketch": "quantile estimates vs exact-rank scalars invariant comparison",
     "similarity_ann_lsh_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_ivf_recall": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "snapshot_catalog_ddl": (
+        "per-catalog-version probe: two 1-row count/flag aggregates "
+        "crossed into one summary row per version (4 rows)"
+    ),
     "similarity_ann_persisted": (
         "recall eval over PERSISTED indexes: PQ ADC is corpus x broadcast "
         "query set bounded by |queries|; the 1-row recall/roundtrip flags "
