@@ -1896,3 +1896,96 @@ register(
     ORDER BY catalog_version
     """,
 )(snapshot_catalog_ddl)
+
+
+# ---------------------------------------------------------------------------
+# Batch data source THROUGH the catalog (VERDICT r6 item 7): two tables
+# published by catalog transactions are read with option("catalog", ...)
+# .option("table", ...) at a PINNED catalog version and joined — the
+# Data-Source path gets the same multi-table-consistent view as
+# catalog_read, including after later transactions move the heads. The
+# probe reads catalog v1 (both tables at their first-txn state) while the
+# live heads are already at txn 2 — so a mismatched resolution cannot
+# hide.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_source_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import catalog_txn
+    from airflow_postgres_csv_spark.queries._helpers import dec
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        register_snapshot_table,
+    )
+
+    cat, root_c, root_o = _temp_root(), _temp_root(), _temp_root()
+    cust = load(spark, sf_dir, "customer")
+    ords = load(spark, sf_dir, "orders")
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(F.col("c_custkey") < _TXN_K1)},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(F.col("o_custkey") < _TXN_K1)},
+        ],
+    )
+    catalog_txn(
+        cat,
+        [
+            {"name": "cust", "root": root_c,
+             "df": cust.where(
+                 (F.col("c_custkey") >= _TXN_K1) & (F.col("c_custkey") < _TXN_K2))},
+            {"name": "ords", "root": root_o,
+             "df": ords.where(
+                 (F.col("o_custkey") >= _TXN_K1) & (F.col("o_custkey") < _TXN_K2))},
+        ],
+        expect_pinned=True,
+    )
+    register_snapshot_table(spark)
+
+    def src(name, cv):
+        return (
+            spark.read.format("snapshot_table")
+            .option("catalog", cat)
+            .option("table", name)
+            .option("catalogVersion", cv)
+            .load()
+        )
+
+    parts = []
+    for cv in (1, 2):
+        cc, oo = src("cust", cv), src("ords", cv)
+        parts.append(
+            oo.join(cc, oo["o_custkey"] == cc["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            )
+            .select(
+                F.lit(cv).alias("catalog_version"),
+                "c_mktsegment",
+                "n_orders",
+                "total_price",
+            )
+        )
+    return parts[0].unionAll(parts[1]).orderBy("catalog_version", "c_mktsegment")
+
+
+register(
+    "snapshot_source_catalog_read",
+    f"""
+    WITH probe AS (
+      SELECT 1 AS catalog_version, {_TXN_K1} AS k
+      UNION ALL SELECT 2, {_TXN_K2}
+    )
+    SELECT p.catalog_version, c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM probe p
+    JOIN orders o ON o.o_custkey < p.k
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey < p.k
+    GROUP BY p.catalog_version, c.c_mktsegment
+    ORDER BY p.catalog_version, c.c_mktsegment
+    """,
+)(snapshot_source_catalog_read)

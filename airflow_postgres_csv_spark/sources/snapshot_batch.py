@@ -80,6 +80,55 @@ class SnapshotBatchPartition(InputPartition):
         self.tomb_specs_json = tomb_specs_json
 
 
+def _resolve_table(options: dict) -> tuple[str, int | None]:
+    """Resolve ``(table_root, pinned_version)`` from the reader options.
+
+    Two addressing modes:
+
+    - direct: ``load(root)`` (+ optional ``option("version", int|tag)``);
+    - THROUGH A CATALOG (operators/catalog_txn.py):
+      ``option("catalog", catalog_root).option("table", name)`` — the
+      snapshot version comes from the catalog pin, so multi-table reads
+      in one query see one transaction's mutually-consistent world;
+      ``option("catalogVersion", N)`` time-travels the catalog itself
+      (resolution is per catalog version, so renamed/dropped names of
+      that era resolve exactly as the transaction left them).
+    """
+    cat = options.get("catalog")
+    if cat:
+        name = options.get("table")
+        if not name:
+            raise ValueError(
+                "snapshot_table: option('catalog', ...) requires "
+                "option('table', <name>)"
+            )
+        cv = options.get("catalogversion") or options.get("catalog_version")
+        if isinstance(cv, str) and cv.lstrip("-").isdigit():
+            cv = int(cv)
+        from airflow_postgres_csv_spark.operators.catalog_txn import (
+            catalog_state,
+        )
+
+        tables = catalog_state(cat, cv)
+        if name not in tables:
+            raise KeyError(
+                f"table {name!r} not in catalog {cat} "
+                f"(have {sorted(tables)})"
+            )
+        pin = tables[name]
+        return pin["root"], int(pin["version"])
+    root = options.get("path") or options.get("root")
+    if not root:
+        raise ValueError(
+            "snapshot_table requires a path (load(root)) or a catalog/table "
+            "option pair"
+        )
+    v = options.get("version")
+    if isinstance(v, str) and v.lstrip("-").isdigit():
+        v = int(v)  # DataFrameReader options always arrive as strings
+    return root, S.resolve_version(root, v)
+
+
 def _tighten(rng: tuple, lo, hi) -> tuple:
     """Intersect [lo, hi] into the accumulated range, keeping the old
     bound when the pair is incomparable (conservative, never wrong)."""
@@ -99,13 +148,7 @@ def _tighten(rng: tuple, lo, hi) -> tuple:
 
 class SnapshotBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
-        self._root = options.get("path") or options.get("root")
-        if not self._root:
-            raise ValueError("snapshot_table requires a path (load(root))")
-        v = options.get("version")
-        if isinstance(v, str) and v.lstrip("-").isdigit():
-            v = int(v)  # DataFrameReader options always arrive as strings
-        version = S.resolve_version(self._root, v)
+        self._root, version = _resolve_table(options)
         versions = S.snapshot_versions(self._root)
         if not versions:
             raise FileNotFoundError(f"no snapshot versions at {self._root}")

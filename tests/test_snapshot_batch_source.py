@@ -300,3 +300,47 @@ def test_fully_pruned_scan_returns_empty(spark, tmp_path):
     snapshot_commit(_df(spark, 0, 100).coalesce(1), root, partition_by=["id"])
     got = spark.read.format("snapshot_table").load(root).where(F.col("id") > 10_000)
     assert got.count() == 0
+
+
+def test_catalog_option_reads_pinned_consistent_view(spark, tmp_path):
+    """option('catalog')/option('table') resolves through the catalog pin:
+    the source sees the transaction's version, not the table head, and
+    option('catalogVersion') time-travels the CATALOG — including name
+    resolution across a rename."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_txn,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra = str(tmp_path / "a")
+    catalog_txn(cat, [{"name": "t.a", "root": ra, "df": _df(spark, 0, 10)}])
+    catalog_txn(
+        cat, [{"name": "t.a", "root": ra, "df": _df(spark, 10, 30)}],
+        expect_pinned=True,
+    )
+    # an out-of-band append moves the table HEAD past the catalog pin
+    snapshot_commit(_df(spark, 30, 40), ra)
+
+    def src(**opts):
+        r = spark.read.format("snapshot_table")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    # head read (direct) sees 40 rows; catalog read sees the pinned 30
+    assert src(path=ra).count() == 40
+    assert src(catalog=cat, table="t.a").count() == 30
+    assert _rows(src(catalog=cat, table="t.a", catalogVersion=1)) == _rows(
+        _df(spark, 0, 10)
+    )
+    # rename: old catalog versions resolve the OLD name, head the new one
+    catalog_ddl(cat, [{"op": "rename", "name": "t.a", "to": "t.b"}])
+    assert src(catalog=cat, table="t.b").count() == 30
+    assert src(catalog=cat, table="t.a", catalogVersion=2).count() == 30
+    with pytest.raises(Exception, match="not in catalog"):
+        src(catalog=cat, table="t.a").count()
+    with pytest.raises(Exception, match="requires option"):
+        src(catalog=cat).count()
+    # pushdown still prunes through the catalog path
+    assert src(catalog=cat, table="t.b").where(F.col("id") < 5).count() == 5
