@@ -82,3 +82,57 @@ def test_bench_headline_names_are_registered():
     missing = [n for n in bench.HEADLINE if n not in reg]
     assert missing == [], f"HEADLINE names not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE"
+
+
+def test_growth_never_starves_new_or_old_names():
+    """Growth case (VERDICT r6 item 8): as the corpus grows, every name —
+    including ones registered THIS round with no VERIFY_LOCAL seniority
+    record yet — must drain through the window in bounded rounds. Simulate
+    the rotation forward from the committed history: each simulated round
+    grades its window, and every registered name must be graded within
+    ceil(backlog / rotation_slots) + 1 rounds. Also pin the queue
+    discipline: brand-new names sort AFTER older never-graded names (FIFO
+    by seniority) but BEFORE every already-graded name."""
+    import math
+
+    from airflow_postgres_csv_spark.queries import _first_verified_round
+
+    names = list(registry())
+    history = dict(_correctness_history())
+    seniority = _first_verified_round()
+    slots = _WINDOW_SIZE - len(_ANCHORS)
+    backlog = [n for n in names if n not in history and n not in _ANCHORS]
+    max_rounds = math.ceil(len(backlog) / slots) + 1 if backlog else 1
+
+    # queue discipline on the CURRENT window ordering
+    window = priority_window(names)
+    rotated = [n for n in window if n not in _ANCHORS]
+    if rotated and any(n in seniority for n in backlog):
+        # while senior never-graded names remain, a name with NO seniority
+        # record (registered this round) must not queue-jump into the window
+        senior_waiting = [n for n in backlog if n in seniority and n not in window]
+        fresh_in_window = [n for n in rotated if n not in seniority and n not in history]
+        assert not (senior_waiting and fresh_in_window), (
+            f"fresh names {fresh_in_window[:3]} queue-jumped past "
+            f"{len(senior_waiting)} senior never-graded names"
+        )
+
+    # forward simulation: no name may starve
+    sim_hist = dict(history)
+    latest = max(sim_hist.values(), default=0)
+    graded_round: dict[str, int] = {}
+
+    def sim_window(rnd):
+        pool = [n for n in names if n not in _ANCHORS]
+        pool.sort(key=lambda n: (sim_hist.get(n, 0), seniority.get(n, 10**6)))
+        return list(_ANCHORS) + pool[: slots]
+
+    for rnd in range(latest + 1, latest + 1 + max_rounds):
+        for n in sim_window(rnd):
+            sim_hist[n] = rnd
+            graded_round.setdefault(n, rnd)
+    missing = [n for n in names if n not in graded_round and n not in sim_hist]
+    assert missing == [], (
+        f"{len(missing)} names never graded within {max_rounds} rounds: "
+        f"{missing[:5]}"
+    )
