@@ -223,6 +223,44 @@ def _commit_markers(root: str, manifest: dict):
         yield cid, len(rels), rels
 
 
+def snapshot_files_diff(root: str, prev_m: dict, cur_m: dict) -> tuple[list[str], list[str]]:
+    """``(added, removed)`` rel paths between two manifests of one table,
+    comparing ``commit_files`` markers and materializing file names ONLY
+    for commits whose marker changed — O(changed commits), not O(table).
+    This is the planner primitive of the streaming change feed: a
+    long-lived stream over a 10⁶-file table diffs each micro-batch's
+    version step in a few marker comparisons instead of re-parsing every
+    pinned path. Falls back to the full set diff for legacy manifests."""
+    pcf = dict.get(prev_m, "commit_files")
+    ccf = dict.get(cur_m, "commit_files")
+    if pcf is None or ccf is None:
+        pf, cf = set(prev_m["files"]), set(cur_m["files"])
+        return sorted(cf - pf), sorted(pf - cf)
+
+    def files_of(m, cid, marker):
+        if isinstance(marker, list):
+            return marker
+        return _commit_files_from_sidecar(root, m, cid, marker)
+
+    added: list[str] = []
+    removed: list[str] = []
+    for cid, cm in ccf.items():
+        pm = pcf.get(cid)
+        if pm == cm:  # identical marker: the commit is untouched — an int
+            continue  # count vouches because file sets only ever shrink
+        if pm is None:
+            added.extend(files_of(cur_m, cid, cm))
+            continue
+        pset = set(files_of(prev_m, cid, pm))
+        cset = set(files_of(cur_m, cid, cm))
+        added.extend(cset - pset)
+        removed.extend(pset - cset)
+    for cid, pm in pcf.items():
+        if cid not in ccf:
+            removed.extend(files_of(prev_m, cid, pm))
+    return sorted(added), sorted(removed)
+
+
 def _pack_commit_files(files: list[str], hints: dict) -> dict:
     """Serialize a pinned file list as O(commits) markers: an int when the
     group provably IS the commit's full original set (the count comes
@@ -1280,8 +1318,7 @@ def snapshot_changes(
     """
     old_m = _load_manifest(root, v_old)
     new_m = _load_manifest(root, v_new)
-    old_files, new_files = set(old_m["files"]), set(new_m["files"])
-    removed = old_files - new_files
+    added, removed = snapshot_files_diff(root, old_m, new_m)
     if removed:
         raise ValueError(
             f"versions {v_old}->{v_new} rewrote {len(removed)} file(s); the "
@@ -1292,7 +1329,6 @@ def snapshot_changes(
             f"versions {v_old}->{v_new} changed the delete-tombstone set; "
             "the file delta is not a row delta — use a full table_diff instead"
         )
-    added = sorted(new_files - old_files)
     return _read_pinned(spark, root, new_m, added)
 
 
@@ -2037,8 +2073,12 @@ def snapshot_table_changes(
     prev = _load_manifest(root, from_version) if from_version >= 1 else None
     for v in range(from_version + 1, latest + 1):
         cur = _load_manifest(root, v)
-        prev_files = set(prev["files"]) if prev else set()
-        removed = prev_files - set(cur["files"])
+        # marker-level diff: O(commits this version touched), never
+        # O(table) — same planner discipline as the streaming feed
+        if prev is not None:
+            added, removed = snapshot_files_diff(root, prev, cur)
+        else:
+            added, removed = sorted(cur["files"]), []
         if (
             cur.get("mode") == "overwrite"
             and cur.get("compaction_of") == v - 1
@@ -2053,11 +2093,10 @@ def snapshot_table_changes(
             keys = spark.read.parquet(
                 *[os.path.join(root, f) for f in mi["key_files"]]
             ).select(mi["key_col"])
-            pre = _read_pinned(spark, root, prev, sorted(removed)).join(
+            pre = _read_pinned(spark, root, prev, removed).join(
                 F.broadcast(keys), mi["key_col"], "left_semi"
             )
             emit(pre, v, "delete")
-            added = sorted(set(cur["files"]) - prev_files)
             post = _read_pinned(spark, root, cur, added).join(
                 F.broadcast(keys), mi["key_col"], "left_semi"
             )
@@ -2066,7 +2105,7 @@ def snapshot_table_changes(
             continue
         di = cur.get("delete_info")
         if removed and cur.get("mode") == "delete" and di and prev is not None:
-            pre = _read_pinned(spark, root, prev, sorted(removed)).where(
+            pre = _read_pinned(spark, root, prev, removed).where(
                 F.col(di["col"]).between(di["lo"], di["hi"])
             )
             emit(pre, v, "delete")
@@ -2086,7 +2125,6 @@ def snapshot_table_changes(
                 "without rewriting files (rollback/un-delete has no "
                 "row-delta story); re-anchor from_version past it"
             )
-        added = sorted(set(cur["files"]) - prev_files)
         if added:
             emit(_read_pinned(spark, root, cur, added), v, "insert")
         prev_delete_files = {tuple(u["files"]) for u in prev_tombs}
@@ -2281,8 +2319,10 @@ def snapshot_apply_changes(
     prev = _load_manifest(src_root, applied) if applied >= 1 else None
     for v in range(applied + 1, latest + 1):
         cur = _load_manifest(src_root, v)
-        prev_files = set(prev["files"]) if prev else set()
-        removed = prev_files - set(cur["files"])
+        if prev is not None:
+            added, removed = snapshot_files_diff(src_root, prev, cur)
+        else:
+            added, removed = sorted(cur["files"]), []
         if (
             cur.get("mode") == "overwrite"
             and cur.get("compaction_of") == v - 1
@@ -2308,7 +2348,6 @@ def snapshot_apply_changes(
             keys = spark.read.parquet(
                 *[os.path.join(src_root, f) for f in mi["key_files"]]
             ).select(key_col).distinct()
-            added = sorted(set(cur["files"]) - prev_files)
             rows = _read_pinned(spark, src_root, cur, added).join(
                 F.broadcast(keys), key_col, "left_semi"
             )
@@ -2325,7 +2364,7 @@ def snapshot_apply_changes(
             # reading only the REPLACED files under the PREVIOUS manifest
             # (its tombstones applied, so already-deleted rows are not
             # re-deleted downstream), then delete by key.
-            pre = _read_pinned(spark, src_root, prev, sorted(removed))
+            pre = _read_pinned(spark, src_root, prev, removed)
             keys = (
                 pre.where(F.col(di["col"]).between(di["lo"], di["hi"]))
                 .select(key_col)
@@ -2355,7 +2394,6 @@ def snapshot_apply_changes(
                 "tombstones without rewriting files (rollback/un-delete); "
                 "re-anchor from_version past it or reconcile via table_diff"
             )
-        added = sorted(set(cur["files"]) - prev_files)
         if added:
             rows = _read_pinned(spark, src_root, cur, added)
             if snapshot_versions(dst_root):

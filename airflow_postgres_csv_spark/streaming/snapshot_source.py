@@ -90,6 +90,7 @@ from pyspark.sql.datasource import (
 
 from airflow_postgres_csv_spark.operators.snapshots import (
     _load_manifest,
+    snapshot_files_diff,
     snapshot_versions,
 )
 
@@ -195,8 +196,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         )
         for v in range(lo + 1, hi + 1):
             cur = _load_manifest(self._root, v)
-            prev_files = set(prev["files"]) if prev else set()
-            removed = prev_files - set(cur["files"])
+            # marker-level diff: O(commits changed by this version), never
+            # O(table) — the win that keeps a long-lived stream's per-batch
+            # planning cost independent of how big the table has grown
+            if prev is not None:
+                added, removed = snapshot_files_diff(self._root, prev, cur)
+            else:
+                added, removed = sorted(cur["files"]), []
             if (
                 cur.get("mode") == "overwrite"
                 and cur.get("compaction_of") == v - 1
@@ -226,7 +232,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         prev, cur,
                         {"kind": "range", "col": di["col"],
                          "lo": di["lo"], "hi": di["hi"]},
-                        v, end_defaults,
+                        v, end_defaults, removed,
                     )
                 )
                 prev = cur
@@ -243,7 +249,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 # from the rewritten files, both restricted to the
                 # recorded merge keys (carried-over rows are not changes).
                 parts.extend(
-                    self._merge_partitions(prev, cur, v, end_defaults)
+                    self._merge_partitions(
+                        prev, cur, v, end_defaults, added, removed
+                    )
                 )
                 prev = cur
                 continue
@@ -281,7 +289,6 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     "ignoreDeletes=true to skip delete commits, or "
                     "reprocess via table_diff"
                 )
-            added = sorted(set(cur["files"]) - prev_files)
             commit_schemas = cur.get("commit_schemas", {})
             for rel in added:
                 cid = rel.split("/")[1] if "/" in rel else ""
@@ -338,7 +345,8 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 # its rows were emitted when it was new, nothing to replay
                 continue
             if t.get("kind") == "positional":
-                targets = [r for r in t["applies"] if r in cur["files"]]
+                cur_fileset = set(cur["files"])
+                targets = [r for r in t["applies"] if r in cur_fileset]
             else:
                 cids = set(t["commits"])
                 targets = [
@@ -380,11 +388,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
     def _replaced_file_deletes(
         self, prev: dict, cur: dict, spec: dict, version: int,
-        end_defaults: str,
+        end_defaults: str, removed: list[str],
     ) -> list[InputPartition]:
         """One ``delete`` partition per file a rewrite REPLACED: pre-image
         rows matching ``spec`` (the merge's key set or the COW delete's
-        range), minus rows older tombstones had already removed."""
+        range), minus rows older tombstones had already removed.
+        ``removed`` comes from the marker-level diff — O(touched files)."""
         from airflow_postgres_csv_spark.operators.snapshots import (
             _commit_of,
             _tombstone_applies,
@@ -393,7 +402,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         prev_tombs = prev.get("tombstones", [])
         prev_schemas = prev.get("commit_schemas", {})
         parts: list[InputPartition] = []
-        for rel in sorted(set(prev["files"]) - set(cur["files"])):
+        for rel in removed:
             cid = _commit_of(rel)
             prior = [
                 self._tomb_spec(u)
@@ -415,7 +424,8 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         return parts
 
     def _merge_partitions(
-        self, prev: dict, cur: dict, version: int, end_defaults: str
+        self, prev: dict, cur: dict, version: int, end_defaults: str,
+        added: list[str], removed: list[str],
     ) -> list[InputPartition]:
         """A COW MERGE commit as row changes. The merge recorded its key
         files (``merge_info``); the rewrite's file delta replays as:
@@ -445,9 +455,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         }
         cur_schemas = cur.get("commit_schemas", {})
         parts = self._replaced_file_deletes(
-            prev, cur, spec, version, end_defaults
+            prev, cur, spec, version, end_defaults, removed
         )
-        for rel in sorted(set(cur["files"]) - set(prev["files"])):
+        for rel in added:
             cid = _commit_of(rel)
             parts.append(
                 SnapshotFilePartition(

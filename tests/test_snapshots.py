@@ -1438,3 +1438,58 @@ def test_fully_pruned_commit_never_opens_its_sidecar(spark, tmp_path, monkeypatc
     monkeypatch.setattr(builtins, "open", real_open)
     assert len(set(opened)) == 1, opened  # ONLY the surviving commit's
     assert df.count() == 11
+
+
+def test_files_diff_is_o_changed_commits(spark, tmp_path, monkeypatch):
+    """snapshot_files_diff answers an append step from markers alone:
+    untouched commits' sidecars are never opened — the per-micro-batch
+    planning cost of a long-lived stream must not grow with table size."""
+    import builtins
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_delete,
+        snapshot_files_diff,
+    )
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            spark.range(lo, lo + 100).select(
+                "id", (F.col("id") * 2).alias("v")
+            ).repartition(4),
+            root,
+        )
+    m3, m4 = _load_manifest(root, 3), _load_manifest(root, 4)
+
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def spying_open(path, *a, **kw):
+        if isinstance(path, (str, os.PathLike)) and "sc-" in str(path):
+            opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", spying_open)
+    added, removed = snapshot_files_diff(root, m3, m4)
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert len(added) == 4 and removed == []
+    assert len(set(opened)) == 1, opened  # ONLY the new commit's sidecar
+    assert {f.split(os.sep)[1] for f in added} == {
+        _load_manifest(root, 4)["commit_id"]
+    }
+
+    # a COW partial rewrite: removed = the replaced files, added = the
+    # rewrite's files; untouched commits still contribute nothing
+    snapshot_delete(spark, root, "id", 150, 160)
+    m5 = _load_manifest(root, 5)
+    added2, removed2 = snapshot_files_diff(root, m4, m5)
+    assert removed2 and added2
+    assert all(f in m4["files"] for f in removed2)
+    assert all(f in m5["files"] for f in added2)
+    # parity with the full set diff on every adjacent pair
+    for lo_v, hi_v in ((1, 2), (2, 3), (3, 4), (4, 5)):
+        a, b = _load_manifest(root, lo_v), _load_manifest(root, hi_v)
+        want_a = sorted(set(b["files"]) - set(a["files"]))
+        want_r = sorted(set(a["files"]) - set(b["files"]))
+        assert snapshot_files_diff(root, a, b) == (want_a, want_r)
