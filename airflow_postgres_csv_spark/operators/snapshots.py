@@ -1520,6 +1520,180 @@ def snapshot_merge(
     return _publish(root, versions, body, commit_id, sidecar if new_files else None)
 
 
+def snapshot_merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    matched_update: dict[str, str] | None = None,
+    matched_update_condition: str | None = None,
+    matched_delete_condition: str | None = None,
+    insert_when_not_matched: bool = True,
+    not_matched_condition: str | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """Full MERGE INTO clause surface (Delta/Iceberg ``MERGE``) as one
+    copy-on-write commit::
+
+        MERGE INTO target t USING source s ON t.key = s.key
+        WHEN MATCHED [AND <matched_delete_condition>] THEN DELETE
+        WHEN MATCHED [AND <matched_update_condition>]
+             THEN UPDATE SET col = <expr over t.*, s.*>, ...
+        WHEN NOT MATCHED [AND <not_matched_condition>] THEN INSERT *
+
+    Clause order is fixed DELETE → UPDATE → carry (each clause sees only
+    rows the earlier ones did not consume — the common MERGE layout).
+    Expressions are SQL over the aliases ``t`` (target row) and ``s``
+    (source row), e.g. ``{"v": "t.v + s.v"}``; results cast to the target
+    column's type. ``source`` must be schema-identical to the table
+    (INSERT * shape) and unique per key.
+
+    Execution is ``snapshot_merge``'s file-granular contract: zone maps
+    pick candidate files on the source's key range, only those are read
+    (pinned schema, tombstones folded) and rewritten; every other file is
+    inherited by pointer. The commit records ``merge_info`` with the keys
+    the merge actually CHANGED (deleted + updated + inserted — untouched
+    matches are excluded), so the change feed replays it exactly: delete
+    pre-image + insert post-image per updated key, pre-image only per
+    deleted key, post-image only per inserted key — Delta CDF's pairs
+    with no extra machinery. A merge that changes nothing publishes a
+    metadata-only no-op version.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if extra and (bad := set(extra) & _RESERVED_KEYS):
+        raise ValueError(f"extra metadata may not override reserved keys: {sorted(bad)}")
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    if manifest["schema"] != _schema_json(source):
+        raise ValueError(
+            "snapshot_merge_into: source schema differs from table schema "
+            "(INSERT * contract)"
+        )
+    fields = StructType.fromJson(json.loads(manifest["schema"])).fields
+    cols = [f.name for f in fields]
+    dtypes = {f.name: f.dataType for f in fields}
+    if matched_update:
+        bad_cols = set(matched_update) - set(cols)
+        if bad_cols:
+            raise ValueError(f"matched_update: no such column(s) {sorted(bad_cols)}")
+        if key in matched_update:
+            raise ValueError("matched_update: may not update the merge key")
+
+    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    commit_id = uuid.uuid4().hex[:12]
+
+    def _noop() -> dict:
+        body = _inherit_maps(manifest, manifest["files"])
+        if manifest.get("bloom"):
+            body["bloom"] = manifest["bloom"]
+        if extra:
+            body.update(extra)
+        body.update(
+            mode="merge", commit_id=commit_id, files=list(manifest["files"]),
+            n_files=manifest["n_files"], schema=manifest["schema"],
+        )
+        return _publish(root, versions, body, commit_id, None)
+
+    if lo is None:  # empty source
+        return _noop()
+    key_ranges = _key_stats_for_merge(root, manifest, key)
+    candidates, untouched = [], []
+    for rel in manifest["files"]:
+        if _range_disjoint(key_ranges.get(rel), lo, hi):
+            untouched.append(rel)
+        else:
+            candidates.append(rel)
+    t = _read_pinned(spark, root, manifest, candidates).alias("t")
+    s = source.alias("s")
+    on = F.col(f"t.{key}") == F.col(f"s.{key}")
+    matched = t.join(s, on, "inner")
+    del_cond = (
+        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
+        if matched_delete_condition
+        else F.lit(False)
+    )
+    upd_cond = (
+        F.coalesce(F.expr(matched_update_condition), F.lit(False))
+        if matched_update_condition
+        else F.lit(True)
+    ) if matched_update else F.lit(False)
+
+    t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
+    updated = matched.where(~del_cond & upd_cond).select(
+        *[
+            F.expr(matched_update[c]).cast(dtypes[c]).alias(c)
+            if c in (matched_update or {})
+            else F.col(f"t.{c}").alias(c)
+            for c in cols
+        ]
+    )
+    deleted_keys = matched.where(del_cond).select(F.col(f"t.{key}").alias(key))
+    carried_matched = matched.where(~del_cond & ~upd_cond).select(*t_cols)
+    carried_unmatched = t.join(s.select(f"s.{key}"), key, "left_anti")
+    if insert_when_not_matched:
+        inserts = s.join(t.select(f"t.{key}"), key, "left_anti")
+        if not_matched_condition:
+            inserts = inserts.where(
+                F.coalesce(F.expr(not_matched_condition), F.lit(False))
+            )
+        inserts = inserts.select(*[F.col(f"s.{c}").alias(c) for c in cols])
+    else:
+        inserts = spark.createDataFrame([], t.schema).select(
+            *[F.col(c) for c in cols]
+        )
+    # keys the merge actually CHANGED — the change feed's replay scope
+    affected_keys = (
+        updated.select(key)
+        .unionByName(deleted_keys)
+        .unionByName(inserts.select(key))
+        .distinct()
+    )
+    # one small job decides no-op vs rewrite; localCheckpoint keeps the
+    # multi-consumed key set from recomputing the three-way union per use
+    affected_keys = affected_keys.localCheckpoint(eager=True)
+    if affected_keys.rdd.isEmpty():
+        return _noop()
+    rewritten = (
+        carried_unmatched.select(*[F.col(c) for c in cols])
+        .unionByName(carried_matched)
+        .unionByName(updated)
+        .unionByName(inserts)
+    )
+    commit_id, new_files = _write_data(rewritten, root)
+    mk_dirname = f"{commit_id}-mk"
+    mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
+    affected_keys.coalesce(1).write.mode("error").parquet(mk_dir)
+    mk_files = sorted(
+        os.path.join(_DATA_DIR, mk_dirname, name)
+        for name in os.listdir(mk_dir)
+        if name.endswith(".parquet") and not name.startswith(("_", "."))
+    )
+    files = untouched + new_files
+    body = _inherit_maps(manifest, files)
+    body["merge_info"] = {
+        "key_col": key, "key_files": mk_files,
+        "replaced_files": sorted(candidates),
+    }
+    bloom_cfg = manifest.get("bloom")
+    if bloom_cfg:
+        body["bloom"] = bloom_cfg
+    if extra:
+        body.update(extra)
+    body.update(
+        mode="merge", commit_id=commit_id, files=files, n_files=len(files),
+        schema=manifest["schema"],
+    )
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    if new_files:
+        body["commit_schemas"][commit_id] = manifest["schema"]
+        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    return _publish(root, versions, body, commit_id, sidecar if new_files else None)
+
+
 def snapshot_delete(
     spark: SparkSession, root: str, col: str, lo, hi
 ) -> dict:
@@ -2356,6 +2530,19 @@ def snapshot_apply_changes(
             else:
                 snapshot_commit(rows, dst_root)
             appends += 1
+            # a MERGE INTO with a WHEN MATCHED DELETE clause records the
+            # deleted keys in its key files but they have NO post-image:
+            # propagate them as a downstream equality delete (plain
+            # upsert merges have none — the probe is O(merge keys))
+            del_keys = keys.join(
+                rows.select(key_col), key_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            if snapshot_versions(dst_root) and not del_keys.rdd.isEmpty():
+                _publish_key_tombstone(
+                    dst_root, del_keys, key_col,
+                    f"cdc merge-delete replay of src v{v}",
+                )
+                deletes += 1
             prev = cur
             continue
         di = cur.get("delete_info")

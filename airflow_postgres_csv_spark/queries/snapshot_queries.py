@@ -1989,3 +1989,88 @@ register(
     ORDER BY p.catalog_version, c.c_mktsegment
     """,
 )(snapshot_source_catalog_read)
+
+
+# ---------------------------------------------------------------------------
+# Full MERGE INTO clause surface (round 7): WHEN MATCHED AND <cond> THEN
+# DELETE / WHEN MATCHED AND <cond> THEN UPDATE SET <exprs over t,s> /
+# WHEN NOT MATCHED AND <cond> THEN INSERT * — one copy-on-write commit,
+# replayed by the change feed as Delta-CDF pre/post pairs. The oracle
+# reconstructs the merged state with a LEFT JOIN + CASE — the ANSI
+# definition of the clause semantics.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_merge_into,
+    )
+
+    root = _temp_root()
+    ev = load(spark, sf_dir, "events")
+    snapshot_commit(ev.where(F.col("event_id") % 2 == 0), root)
+    snapshot_commit(ev.where(F.col("event_id") % 2 == 1), root)
+    matched_src = ev.where(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") < 5000)
+    ).withColumn("value", F.col("value") * 2)
+    new_src = ev.where(
+        (F.col("event_id") % 7 == 3) & (F.col("event_id") < 200)
+    ).select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("merged").alias("event_type"),
+        F.lit(1.5).alias("value"),
+        "props",
+    )
+    source = matched_src.select(*ev.columns).unionByName(
+        new_src.select(*ev.columns)
+    )
+    snapshot_merge_into(
+        spark, root, source, key="event_id",
+        matched_update={"value": "t.value + s.value",
+                        "event_type": "'updated'"},
+        matched_update_condition="s.event_id % 3 = 1",
+        matched_delete_condition="s.event_id % 3 = 0",
+        not_matched_condition="s.event_type = 'merged'",
+    )
+    return (
+        snapshot_read(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_merge_into_clauses",
+    """
+    WITH src AS (
+      SELECT event_id, value * 2 AS value
+      FROM events WHERE event_id % 7 = 0 AND event_id < 5000
+      UNION ALL
+      SELECT event_id + 1000000, 1.5
+      FROM events WHERE event_id % 7 = 3 AND event_id < 200
+    ),
+    merged AS (
+      SELECT CASE WHEN s.event_id IS NOT NULL AND s.event_id % 3 = 1
+                  THEN 'updated' ELSE t.event_type END AS event_type,
+             CASE WHEN s.event_id IS NOT NULL AND s.event_id % 3 = 1
+                  THEN t.value + s.value ELSE t.value END AS value
+      FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+      WHERE s.event_id IS NULL OR s.event_id % 3 <> 0
+      UNION ALL
+      SELECT 'merged', s.value
+      FROM src s LEFT JOIN events t ON t.event_id = s.event_id
+      WHERE t.event_id IS NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+)(snapshot_merge_into_clauses)

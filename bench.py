@@ -124,6 +124,10 @@ HEADLINE = [
     # atomic transaction write path (two txns + catalog-read joins)
     "search_hybrid_rrf",
     "snapshot_catalog_txn",
+    # round-7 additions: build-once/serve-many ANN (two index builds +
+    # two persisted searches + the exact-recall probe) and catalog DDL
+    "similarity_ann_persisted",
+    "snapshot_catalog_ddl",
 ]
 
 

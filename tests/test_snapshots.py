@@ -1493,3 +1493,84 @@ def test_files_diff_is_o_changed_commits(spark, tmp_path, monkeypatch):
         want_a = sorted(set(b["files"]) - set(a["files"]))
         want_r = sorted(set(a["files"]) - set(b["files"]))
         assert snapshot_files_diff(root, a, b) == (want_a, want_r)
+
+
+def test_merge_into_full_clause_surface(spark, tmp_path):
+    """MERGE INTO with DELETE / conditional UPDATE / conditional INSERT:
+    exact row semantics, file-granular rewrite, no-op short-circuit, and
+    a change feed that replays update (pre+post), delete (pre only) and
+    insert (post only) — then apply_changes converges a downstream copy,
+    including the merge-deleted keys."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_merge_into,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(i, i * 10, "old") for i in range(10)], "id long, v long, tag string"
+    )
+    snapshot_commit(target.coalesce(2), root)
+    # source: ids 0..4 matched (0,1 delete; 2,3 update; 4 untouched by
+    # conditions), ids 10,11 unmatched (10 inserted, 11 filtered out)
+    source = spark.createDataFrame(
+        [(0, 0, "x"), (1, 0, "x"), (2, 7, "upd"), (3, 7, "upd"),
+         (4, 7, "skip"), (10, 100, "new"), (11, 100, "skip")],
+        "id long, v long, tag string",
+    )
+    m = snapshot_merge_into(
+        spark, root, source, key="id",
+        matched_update={"v": "t.v + s.v", "tag": "s.tag"},
+        matched_update_condition="s.tag = 'upd'",
+        matched_delete_condition="s.v = 0",
+        not_matched_condition="s.tag = 'new'",
+    )
+    assert m["mode"] == "merge" and m["version"] == 2
+    got = {r.id: (r.v, r.tag) for r in snapshot_read(spark, root).collect()}
+    assert 0 not in got and 1 not in got          # WHEN MATCHED DELETE
+    assert got[2] == (27, "upd")                  # UPDATE SET expr over t+s
+    assert got[3] == (37, "upd")
+    assert got[4] == (40, "old")                  # matched, no clause fired
+    assert got[10] == (100, "new")                # conditional INSERT
+    assert 11 not in got                          # insert condition filtered
+    assert all(got[i] == (i * 10, "old") for i in (5, 6, 7, 8, 9))
+
+    # change feed replay shape: per-key (pre, post) pairs
+    ch = snapshot_table_changes(spark, root, 1, 2)
+    by_key = {}
+    for r in ch.collect():
+        by_key.setdefault(r.id, set()).add(r._change_type)
+    assert by_key[0] == {"delete"} and by_key[1] == {"delete"}
+    assert by_key[2] == {"delete", "insert"}      # update = pre + post
+    assert by_key[10] == {"insert"}
+    assert 4 not in by_key and 5 not in by_key    # untouched keys: silent
+
+    # downstream convergence incl. the deleted keys
+    dst = str(tmp_path / "dst")
+    snapshot_apply_changes(spark, root, dst, key_col="id", from_version=0)
+    want = sorted((r.id, r.v, r.tag) for r in snapshot_read(spark, root).collect())
+    have = sorted((r.id, r.v, r.tag) for r in snapshot_read(spark, dst).collect())
+    assert have == want
+
+    # a merge whose clauses change nothing publishes a metadata no-op
+    noop_src = spark.createDataFrame(
+        [(5, 0, "zzz")], "id long, v long, tag string"
+    )
+    m3 = snapshot_merge_into(
+        spark, root, noop_src, key="id",
+        matched_update={"tag": "s.tag"}, matched_update_condition="s.tag = 'upd'",
+        matched_delete_condition="s.v = 99",
+        not_matched_condition="s.tag = 'new'",
+    )
+    assert m3["version"] == 3 and m3["files"] == m["files"]
+
+    # validation: bad column / key update / schema drift raise
+    with pytest.raises(ValueError, match="no such column"):
+        snapshot_merge_into(spark, root, source, "id", matched_update={"zz": "1"})
+    with pytest.raises(ValueError, match="merge key"):
+        snapshot_merge_into(spark, root, source, "id", matched_update={"id": "1"})
+    with pytest.raises(ValueError, match="schema"):
+        snapshot_merge_into(
+            spark, root, source.drop("tag"), "id", matched_update={"v": "s.v"}
+        )
