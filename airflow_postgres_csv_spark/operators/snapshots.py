@@ -1530,6 +1530,7 @@ def snapshot_merge_into(
     matched_delete_condition: str | None = None,
     insert_when_not_matched: bool = True,
     not_matched_condition: str | None = None,
+    not_matched_by_source_delete: str | None = None,
     extra: dict | None = None,
 ) -> dict:
     """Full MERGE INTO clause surface (Delta/Iceberg ``MERGE``) as one
@@ -1540,9 +1541,17 @@ def snapshot_merge_into(
         WHEN MATCHED [AND <matched_update_condition>]
              THEN UPDATE SET col = <expr over t.*, s.*>, ...
         WHEN NOT MATCHED [AND <not_matched_condition>] THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE
+             [AND <not_matched_by_source_delete>] THEN DELETE
 
     Clause order is fixed DELETE → UPDATE → carry (each clause sees only
     rows the earlier ones did not consume — the common MERGE layout).
+    ``not_matched_by_source_delete`` (SQL over ``t.*`` only; ``'true'``
+    for unconditional) deletes target rows whose key is ABSENT from the
+    source — the sync-to-source shape. It is the one clause that cannot
+    be key-range-pruned: EVERY file becomes a rewrite candidate, O(table)
+    by definition (same as Delta) — leave it None for the O(touched)
+    fast path.
     Expressions are SQL over the aliases ``t`` (target row) and ``s``
     (source row), e.g. ``{"v": "t.v + s.v"}``; results cast to the target
     column's type. ``source`` must be schema-identical to the table
@@ -1598,15 +1607,19 @@ def snapshot_merge_into(
         )
         return _publish(root, versions, body, commit_id, None)
 
-    if lo is None:  # empty source
+    if lo is None and not not_matched_by_source_delete:  # empty source
         return _noop()
-    key_ranges = _key_stats_for_merge(root, manifest, key)
-    candidates, untouched = [], []
-    for rel in manifest["files"]:
-        if _range_disjoint(key_ranges.get(rel), lo, hi):
-            untouched.append(rel)
-        else:
-            candidates.append(rel)
+    if not_matched_by_source_delete:
+        # BY SOURCE clauses examine every target row: no key-range prune
+        candidates, untouched = list(manifest["files"]), []
+    else:
+        key_ranges = _key_stats_for_merge(root, manifest, key)
+        candidates, untouched = [], []
+        for rel in manifest["files"]:
+            if _range_disjoint(key_ranges.get(rel), lo, hi):
+                untouched.append(rel)
+            else:
+                candidates.append(rel)
     t = _read_pinned(spark, root, manifest, candidates).alias("t")
     s = source.alias("s")
     on = F.col(f"t.{key}") == F.col(f"s.{key}")
@@ -1634,6 +1647,14 @@ def snapshot_merge_into(
     deleted_keys = matched.where(del_cond).select(F.col(f"t.{key}").alias(key))
     carried_matched = matched.where(~del_cond & ~upd_cond).select(*t_cols)
     carried_unmatched = t.join(s.select(f"s.{key}"), key, "left_anti")
+    if not_matched_by_source_delete:
+        bs_cond = F.coalesce(
+            F.expr(not_matched_by_source_delete), F.lit(False)
+        )
+        deleted_keys = deleted_keys.unionByName(
+            carried_unmatched.where(bs_cond).select(F.col(f"t.{key}").alias(key))
+        )
+        carried_unmatched = carried_unmatched.where(~bs_cond)
     if insert_when_not_matched:
         inserts = s.join(t.select(f"t.{key}"), key, "left_anti")
         if not_matched_condition:

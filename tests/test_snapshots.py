@@ -1574,3 +1574,48 @@ def test_merge_into_full_clause_surface(spark, tmp_path):
         snapshot_merge_into(
             spark, root, source.drop("tag"), "id", matched_update={"v": "s.v"}
         )
+
+
+def test_merge_into_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: sync-to-source — target
+    rows absent from the source are dropped (condition-scoped), and the
+    change feed + apply_changes replay them as deletes downstream."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_merge_into,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "id long, v long"
+        ).coalesce(2),
+        root,
+    )
+    # source keeps 0..4 (3 gets an update), rows 5..9 are not in source:
+    # the by-source clause deletes only the even ones among them
+    source = spark.createDataFrame(
+        [(i, i * 10 if i != 3 else 999) for i in range(5)], "id long, v long"
+    )
+    snapshot_merge_into(
+        spark, root, source, key="id",
+        matched_update={"v": "s.v"}, matched_update_condition="s.v <> t.v",
+        insert_when_not_matched=False,
+        not_matched_by_source_delete="t.id % 2 = 0",
+    )
+    got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 999, 4: 40, 5: 50, 7: 70, 9: 90}
+    # downstream replica converges, including the by-source deletes
+    dst = str(tmp_path / "dst")
+    snapshot_apply_changes(spark, root, dst, key_col="id", from_version=0)
+    have = {r.id: r.v for r in snapshot_read(spark, dst).collect()}
+    assert have == got
+    # unconditional sync: everything not in source goes
+    snapshot_merge_into(
+        spark, root, source, key="id",
+        insert_when_not_matched=False,
+        not_matched_by_source_delete="true",
+    )
+    assert sorted(r.id for r in snapshot_read(spark, root).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
