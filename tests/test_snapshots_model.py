@@ -28,6 +28,7 @@ from airflow_postgres_csv_spark.operators.snapshots import (
     snapshot_delete_mor,
     snapshot_delete_positional,
     snapshot_merge,
+    snapshot_merge_into,
     snapshot_read,
     snapshot_rollback,
     snapshot_versions,
@@ -45,9 +46,65 @@ _op = st.one_of(
         st.just("cow_delete"), st.integers(0, IDS - 1), st.integers(0, 3)
     ),
     st.tuples(st.just("merge"), st.integers(0, IDS - 3), st.integers(1, 3)),
+    st.tuples(
+        st.just("merge_into"), st.integers(0, IDS - 3), st.integers(1, 3),
+        st.integers(0, 2), st.integers(0, 4),
+    ),
+    st.tuples(st.just("merge_sync"), st.integers(0, IDS - 3), st.integers(1, 4)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("rollback"), st.integers(0, 30)),
 )
+
+
+def _apply_merge_into(spark, root, model, opi, lo, n, dm, um):
+    """MERGE INTO with per-key DELETE (s.id%3=dm) / UPDATE (s.id%5=um) /
+    unconditional INSERT clauses — returns the updated multiset model.
+    Updates preserve copy multiplicity (every copy of a matched key gets
+    the new stamp), unlike snapshot_merge's replace-with-one upsert."""
+    src = [(i, opi) for i in range(lo, lo + n)]
+    snapshot_merge_into(
+        spark, root,
+        spark.createDataFrame(src, "id long, stamp long").coalesce(1),
+        key="id",
+        matched_update={"stamp": "s.stamp"},
+        matched_update_condition=f"s.id % 5 = {um}",
+        matched_delete_condition=f"s.id % 3 = {dm}",
+    )
+    src_ids = {i for i, _ in src}
+    existing = {r[0] for r in model}
+    out = []
+    for r in model:
+        if r[0] in src_ids:
+            if r[0] % 3 == dm:
+                continue
+            out.append((r[0], opi) if r[0] % 5 == um else r)
+        else:
+            out.append(r)
+    return out + [(i, opi) for i in sorted(src_ids - existing)]
+
+
+def _apply_merge_sync(spark, root, model, opi, lo, n):
+    """Sync-to-source MERGE: matched keys updated, keys absent from the
+    source deleted when their stamp is even, no inserts."""
+    src = [(i, opi) for i in range(lo, lo + n)]
+    snapshot_merge_into(
+        spark, root,
+        spark.createDataFrame(src, "id long, stamp long").coalesce(1),
+        key="id",
+        matched_update={"stamp": "s.stamp"},
+        insert_when_not_matched=False,
+        not_matched_by_source_delete="t.stamp % 2 = 0",
+    )
+    src_ids = {i for i, _ in src}
+    out = []
+    for r in model:
+        if r[0] in src_ids:
+            out.append((r[0], opi))
+        elif r[1] % 2 == 0:
+            continue
+        else:
+            out.append(r)
+    return out
 
 
 def _snapshot_rows(spark, root, version=None):
@@ -107,6 +164,12 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             )
             keys = {i for i, _ in rows}
             model = [r for r in model if r[0] not in keys] + rows
+        elif kind == "merge_into":
+            _, lo, n, dm, um = op
+            model = _apply_merge_into(spark, root, model, opi, lo, n, dm, um)
+        elif kind == "merge_sync":
+            _, lo, n = op
+            model = _apply_merge_sync(spark, root, model, opi, lo, n)
         elif kind == "compact":
             snapshot_compact(spark, root)
         elif kind == "rollback":
@@ -190,6 +253,11 @@ _cdf_op = st.one_of(
         st.just("cow_delete"), st.integers(0, IDS - 1), st.integers(0, 3)
     ),
     st.tuples(st.just("merge"), st.integers(0, IDS - 3), st.integers(1, 3)),
+    st.tuples(
+        st.just("merge_into"), st.integers(0, IDS - 3), st.integers(1, 3),
+        st.integers(0, 2), st.integers(0, 4),
+    ),
+    st.tuples(st.just("merge_sync"), st.integers(0, IDS - 3), st.integers(1, 4)),
     st.tuples(st.just("compact")),
 )
 
@@ -251,6 +319,12 @@ def test_change_feed_reconstructs_every_version(spark, tmp_path_factory, ops):
             )
             keys = {i for i, _ in rows}
             model = [r for r in model if r[0] not in keys] + rows
+        elif kind == "merge_into":
+            _, lo, n, dm, um = op
+            model = _apply_merge_into(spark, root, model, opi, lo, n, dm, um)
+        elif kind == "merge_sync":
+            _, lo, n = op
+            model = _apply_merge_sync(spark, root, model, opi, lo, n)
         elif kind == "compact":
             snapshot_compact(spark, root)
         history[snapshot_versions(root)[-1]] = sorted(model)
