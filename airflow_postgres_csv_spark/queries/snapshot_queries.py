@@ -2074,3 +2074,87 @@ register(
     FROM merged GROUP BY event_type ORDER BY event_type
     """,
 )(snapshot_merge_into_clauses)
+
+
+# ---------------------------------------------------------------------------
+# LIVE streaming MERGE INTO (round 7): two micro-batches (the events
+# fixture split by event_id parity, maxFilesPerTrigger=1) each
+# pre-aggregate per user and MERGE into a keyed running-totals table —
+# UPDATE SET accumulates decimal-exact totals and a merge counter,
+# INSERT * on first sight, batch-id-stamped inside each merge's atomic
+# publish. Users active in both halves carry batches=2 — proof the
+# second micro-batch really took the UPDATE path.
+# ---------------------------------------------------------------------------
+
+
+def streaming_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from airflow_postgres_csv_spark.queries._helpers import dec
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_merge_into_sink,
+    )
+
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    ev = load(spark, sf_dir, "events")
+    for i in (0, 1):
+        half_dir = os.path.join(_temp_root(), f"half{i}")
+        ev.where(F.col("event_id") % 2 == i).coalesce(1).write.parquet(half_dir)
+        part = next(
+            n for n in os.listdir(half_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        os.rename(os.path.join(half_dir, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(src).schema
+    root = _temp_root()
+
+    def prepare(df):
+        return df.groupBy("user_id").agg(
+            F.sum(dec("value")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(1).cast("long").alias("batches"),
+        )
+
+    q = start_merge_into_sink(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        root,
+        os.path.join(_temp_root(), "ckpt"),
+        key="user_id",
+        prepare=prepare,
+        matched_update={
+            "total": "t.total + s.total",
+            "n": "t.n + s.n",
+            "batches": "t.batches + 1",
+        },
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        snapshot_read(spark, root)
+        .select(
+            "user_id",
+            F.col("total").cast("double").alias("total"),
+            "n",
+            "batches",
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "streaming_merge_upsert_live",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT event_id % 2) AS BIGINT) AS batches
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)(streaming_merge_upsert_live)

@@ -20,6 +20,8 @@ __all__ = [
     "snapshot_batch_commit",
     "start_snapshot_sink",
     "start_expectations_sink",
+    "merge_into_batch",
+    "start_merge_into_sink",
 ]
 
 
@@ -275,6 +277,83 @@ def start_apply_changes_sink(
         stream_df.writeStream.outputMode("append")
         .foreachBatch(
             lambda df, bid: apply_changes_batch(df, bid, dst_root, key_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merge_into_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key: str,
+    prepare=None,
+    retries: int = 0,
+    **clauses,
+) -> bool:
+    """foreachBatch body: one micro-batch as the SOURCE of a full MERGE
+    INTO against a keyed snapshot table, exactly once — Delta's
+    streaming-upsert-with-clauses pattern.
+
+    ``prepare`` (optional ``DataFrame -> DataFrame``) runs first — the
+    usual per-batch pre-aggregation that makes the source unique per key
+    (MERGE requires it; a raw event stream rarely is). ``clauses`` pass
+    through to :func:`snapshot_merge_into` (``matched_update``,
+    ``matched_delete_condition``, ``not_matched_condition``, ...). The
+    batch id stamps the merge's single atomic publish (the no-op path
+    included), so a replayed micro-batch is dropped by the high-water
+    gate before any work — the same discipline as
+    ``snapshot_batch_commit``, with MERGE's one-commit-point guarantee
+    doing the rest. A first batch against an EMPTY root falls back to a
+    plain commit of the (prepared) source — MERGE needs a table, and the
+    insert clause semantics of an empty target are exactly an append.
+    Returns True when the batch applied, False on replay-skip.
+    """
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    if batch_id <= S._max_stamp(root, "last_batch_id", -1):
+        return False
+    src = prepare(batch_df) if prepare is not None else batch_df
+    stamp = {"last_batch_id": batch_id}
+    if not S.snapshot_versions(root):
+        insert_ok = clauses.get("insert_when_not_matched", True)
+        cond = clauses.get("not_matched_condition")
+        if insert_ok:
+            from pyspark.sql import functions as F
+
+            first = src if cond is None else src.alias("s").where(
+                F.coalesce(F.expr(cond), F.lit(False))
+            )
+        else:
+            first = src.limit(0)
+        S.snapshot_commit(first, root, extra=stamp, retries=retries)
+        return True
+    S.snapshot_merge_into(
+        src.sparkSession, root, src, key=key, extra=stamp, **clauses
+    )
+    return True
+
+
+def start_merge_into_sink(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    key: str,
+    prepare=None,
+    **clauses,
+) -> StreamingQuery:
+    """Stream into a keyed snapshot table via MERGE INTO per micro-batch
+    (``merge_into_batch``): the silver-layer upsert pattern — running
+    per-key state maintained by UPDATE SET expressions over (t, s),
+    conditional deletes, and insert-on-first-sight, restart-safe via the
+    batch-id gate inside the merge's atomic publish."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: merge_into_batch(
+                df, bid, root, key, prepare=prepare, **clauses
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

@@ -366,3 +366,46 @@ def test_rocksdb_state_store_matches_default(spark, events_stream_dir):
     assert got, "stream produced no finalized windows under RocksDB"
     for k, v in got.items():
         assert expected[k] == v, k
+
+
+def test_merge_into_batch_exactly_once_and_replay(spark, tmp_path):
+    """merge_into_batch: first batch on an empty root commits the
+    (prepared) source; later batches MERGE with clauses; a replayed
+    batch id is dropped by the high-water gate even when the batch's
+    merge was a no-op (the stamp rides the no-op publish too)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import merge_into_batch
+
+    root = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    b1 = spark.createDataFrame([(2, 5), (3, 30)], "id long, v long")
+    upd = {"v": "t.v + s.v"}
+    assert merge_into_batch(b0, 0, root, key="id", matched_update=upd)
+    assert merge_into_batch(b1, 1, root, key="id", matched_update=upd)
+    got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert got == {1: 10, 2: 25, 3: 30}
+    # replay of either batch: no-op, no new version
+    n = snapshot_versions(root)[-1]
+    assert merge_into_batch(b1, 1, root, key="id", matched_update=upd) is False
+    assert merge_into_batch(b0, 0, root, key="id", matched_update=upd) is False
+    assert snapshot_versions(root)[-1] == n
+    # a batch whose merge no-ops still advances the gate (stamp rides the
+    # metadata-only publish) — its replay is dropped too
+    empty = spark.createDataFrame([], "id long, v long")
+    assert merge_into_batch(empty, 2, root, key="id", matched_update=upd)
+    assert merge_into_batch(empty, 2, root, key="id", matched_update=upd) is False
+    assert {r.id: r.v for r in snapshot_read(spark, root).collect()} == got
+    # prepare hook: per-batch pre-aggregation makes the source keyed
+    raw = spark.createDataFrame(
+        [(1, 1), (1, 2), (4, 4)], "id long, v long"
+    )
+    assert merge_into_batch(
+        raw, 3, root, key="id",
+        prepare=lambda df: df.groupBy("id").agg(F.sum("v").alias("v")),
+        matched_update=upd,
+    )
+    got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert got == {1: 13, 2: 25, 3: 30, 4: 4}
