@@ -176,17 +176,24 @@ def catalog_pin_tables(
     retries: int = 0,
     note: str = "",
     extra: dict | None = None,
+    ddl: list[dict] | None = None,
 ) -> dict:
     """Atomically move the catalog to a version where each ``pins`` entry
     ``name -> (table_root, snapshot_version)`` is current; every other
     table carries forward unchanged. Returns the new catalog manifest.
 
+    ``ddl`` ops (``catalog_ddl`` shapes) apply AFTER the pins in the same
+    flip — the write-and-promote pattern: pin a staged table's new
+    version and rename it over the live name in one atomic version.
+
     With ``retries`` a losing publish rebases onto the new head — unless
-    the winner moved one of the SAME tables (``CatalogConflictError``:
-    two transactions disagree about a table and one must re-run against
-    the new state; blind retry would silently drop the winner's update).
+    the winner moved one of the SAME tables (pinned or DDL-touched;
+    ``CatalogConflictError``: two transactions disagree about a table and
+    one must re-run against the new state; blind retry would silently
+    drop the winner's update).
     """
     txn_id = uuid.uuid4().hex[:12]
+    touched = set(pins) | (_ddl_touched(ddl) if ddl else set())
     attempts = 0
     while True:
         versions = catalog_versions(catalog_root)
@@ -198,7 +205,7 @@ def catalog_pin_tables(
         # winner-state and silently overwrite the winner's pin.
         base = catalog_state(catalog_root, versions[-1]) if versions else {}
         if attempts > 0:
-            for name in pins:
+            for name in touched:
                 before = base_at_start.get(name)
                 now = base.get(name)
                 if before != now:
@@ -211,6 +218,8 @@ def catalog_pin_tables(
         tables = dict(base)
         for name, (root, version) in pins.items():
             tables[name] = {"root": os.path.abspath(root), "version": int(version)}
+        if ddl:
+            _apply_ddl(tables, ddl)
         try:
             return _publish_catalog(
                 catalog_root, versions, tables, txn_id, note, extra=extra
@@ -219,6 +228,53 @@ def catalog_pin_tables(
             attempts += 1
             if attempts > retries:
                 raise
+
+
+def _apply_ddl(tables: dict, ops: list[dict]) -> None:
+    """Apply validated create/rename/drop ops to a bindings map in place
+    (shared by ``catalog_ddl`` and the ``ddl=`` riders on
+    ``catalog_pin_tables``/``catalog_txn``)."""
+    for op in ops:
+        kind, name = op["op"], op["name"]
+        if kind == "create":
+            if name in tables:
+                raise ValueError(f"table {name!r} already exists")
+            from airflow_postgres_csv_spark.operators.snapshots import (
+                snapshot_versions,
+            )
+
+            root = os.path.abspath(op["root"])
+            version = op.get("version")
+            if version is None:
+                tvs = snapshot_versions(root)
+                if not tvs:
+                    raise FileNotFoundError(
+                        f"create {name!r}: no snapshot versions at {root}"
+                    )
+                version = tvs[-1]
+            tables[name] = {"root": root, "version": int(version)}
+        elif kind == "rename":
+            to = op["to"]
+            if name not in tables:
+                raise KeyError(f"rename: no table {name!r} in catalog")
+            if to in tables:
+                raise ValueError(f"rename target {to!r} already exists")
+            tables[to] = tables.pop(name)
+        elif kind == "drop":
+            if name not in tables:
+                raise KeyError(f"drop: no table {name!r} in catalog")
+            del tables[name]
+        else:
+            raise ValueError(f"unknown DDL op {kind!r}")
+
+
+def _ddl_touched(ops: list[dict]) -> set[str]:
+    touched: set[str] = set()
+    for op in ops:
+        touched.add(op["name"])
+        if op["op"] == "rename":
+            touched.add(op["to"])
+    return touched
 
 
 def catalog_ddl(
@@ -252,11 +308,7 @@ def catalog_ddl(
     losing publish rebases unless a concurrent transaction touched one of
     the SAME names (``CatalogConflictError``)."""
     txn_id = uuid.uuid4().hex[:12]
-    touched: set[str] = set()
-    for op in ops:
-        touched.add(op["name"])
-        if op["op"] == "rename":
-            touched.add(op["to"])
+    touched = _ddl_touched(ops)
     attempts = 0
     while True:
         versions = catalog_versions(catalog_root)
@@ -271,38 +323,7 @@ def catalog_ddl(
         else:
             base_at_start = dict(base)
         tables = dict(base)
-        for op in ops:
-            kind, name = op["op"], op["name"]
-            if kind == "create":
-                if name in tables:
-                    raise ValueError(f"table {name!r} already exists")
-                from airflow_postgres_csv_spark.operators.snapshots import (
-                    snapshot_versions,
-                )
-
-                root = os.path.abspath(op["root"])
-                version = op.get("version")
-                if version is None:
-                    tvs = snapshot_versions(root)
-                    if not tvs:
-                        raise FileNotFoundError(
-                            f"create {name!r}: no snapshot versions at {root}"
-                        )
-                    version = tvs[-1]
-                tables[name] = {"root": root, "version": int(version)}
-            elif kind == "rename":
-                to = op["to"]
-                if name not in tables:
-                    raise KeyError(f"rename: no table {name!r} in catalog")
-                if to in tables:
-                    raise ValueError(f"rename target {to!r} already exists")
-                tables[to] = tables.pop(name)
-            elif kind == "drop":
-                if name not in tables:
-                    raise KeyError(f"drop: no table {name!r} in catalog")
-                del tables[name]
-            else:
-                raise ValueError(f"unknown DDL op {kind!r}")
+        _apply_ddl(tables, ops)
         try:
             return _publish_catalog(
                 catalog_root, versions, tables, txn_id,
@@ -335,6 +356,7 @@ def catalog_txn(
     retries: int = 0,
     note: str = "",
     expect_pinned: bool = False,
+    ddl: list[dict] | None = None,
 ) -> dict:
     """Run a multi-table transaction: each ``writes`` entry is
     ``{"name": ..., "root": ..., "df": DataFrame, ...snapshot_commit
@@ -365,7 +387,9 @@ def catalog_txn(
             w["expected_head"] = pinned.get(name, {}).get("version", 0)
         manifest = snapshot_commit(df, root, **w)
         pins[name] = (root, manifest["version"])
-    return catalog_pin_tables(catalog_root, pins, retries=retries, note=note)
+    return catalog_pin_tables(
+        catalog_root, pins, retries=retries, note=note, ddl=ddl
+    )
 
 
 def catalog_read(

@@ -431,3 +431,42 @@ def test_catalog_ddl_conflict_grid(spark, tmp_path):
             catalog_ddl(cat, [{"op": "drop", "name": "t.b"}])
     finally:
         C._publish_catalog = real_publish
+
+
+def test_catalog_txn_with_ddl_rider_write_and_promote(spark, tmp_path):
+    """Blue/green promote in ONE atomic version: a catalog_txn writes the
+    staged table's new version and its ddl rider renames live->archive
+    and staged->live in the same flip — readers see either the whole
+    promotion or none of it."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_tables,
+    )
+
+    cat = str(tmp_path / "cat")
+    live_root = str(tmp_path / "live")
+    staged_root = str(tmp_path / "staged")
+    a1, _ = _dfs(spark, 0, 20)
+    snapshot_commit(a1, live_root)
+    snapshot_commit(a1, staged_root)
+    catalog_ddl(cat, [{"op": "create", "name": "live.t", "root": live_root}])
+    catalog_ddl(cat, [{"op": "create", "name": "staged.t", "root": staged_root}])
+    v0 = catalog_versions(cat)[-1]
+    # one transaction: append to the staged table AND promote it
+    a2, _ = _dfs(spark, 20, 50)
+    m = catalog_txn(
+        cat,
+        [{"name": "staged.t", "root": staged_root, "df": a2}],
+        expect_pinned=True,
+        ddl=[
+            {"op": "rename", "name": "live.t", "to": "archive.t"},
+            {"op": "rename", "name": "staged.t", "to": "live.t"},
+        ],
+    )
+    assert len(catalog_versions(cat)) == v0 + 1  # ONE flip for all of it
+    assert set(m["tables"]) == {"archive.t", "live.t"}
+    assert catalog_read(spark, cat, "live.t").count() == 50
+    assert catalog_read(spark, cat, "archive.t").count() == 20
+    # the pre-promotion world is intact at v0
+    assert set(catalog_tables(cat, catalog_version=v0)) == {"live.t", "staged.t"}
+    assert catalog_read(spark, cat, "live.t", catalog_version=v0).count() == 20
