@@ -1,0 +1,175 @@
+"""Persisted full-text (BM25) index over a snapshot table — the lexical
+twin of the persisted ANN indexes (operators/similarity.py).
+
+``text_index_build`` tokenizes the corpus ONCE and commits the inverted
+index as a versioned snapshot table of posting rows
+``(token, doc_id, tf, dl)``, range-clustered on ``token`` and
+Bloom-indexed on it; the corpus statistics BM25 needs at query time
+(``n_docs``, ``avgdl``) ride the manifest's ``text_index`` key inside the
+same atomic publish. ``text_index_search`` then serves a term query with
+NO tokenization and NO scan of the document corpus: per-term
+manifest-level planning (commit ranges → per-file zone maps → Bloom
+probes on ``token``) picks the handful of posting files that can contain
+the query terms, one pinned read with an ``IN`` filter fetches them, and
+BM25 is computed from the stored tf/dl plus per-term document frequencies
+counted over the fetched postings themselves.
+
+At 100 TB this is the serving shape a retrieval pipeline needs: the
+expensive pass (tokenize + posting aggregation) happens once per index
+generation, rebuilds are new snapshot versions (searches pinned to a
+version keep serving it), and the per-query cost is O(postings of the
+query terms) — file-skipped down from the whole index by the same
+hierarchical pruning every snapshot read uses. Scoring matches
+``queries/text_queries.text_bm25_topk`` bit-for-bit: per-term
+contributions rounded to 9 dp and summed as DECIMAL(28,9), so the
+per-document score is independent of partitioning and engine.
+
+No reference analog (the reference is an Airflow→Postgres ETL shim,
+/root/reference/src/airflow_postgres_csv/operators.py) — extension
+surface for LLM-curation retrieval (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.functions import texts as X
+
+__all__ = ["text_index_build", "text_index_search"]
+
+
+def text_index_build(
+    docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bloom_bits: int = 4096,
+    bloom_hashes: int = 4,
+) -> dict:
+    """Tokenize once, persist the inverted index. Postings are
+    ``(token, doc_id, tf, dl)`` — dl denormalized onto every posting so a
+    search needs no second table — clustered on ``token`` (tight per-file
+    token extents for zone-map pruning) with a Bloom bitset per file for
+    membership probes on hash-scattered terms. Corpus stats land in the
+    manifest: readers can never see postings without the exact stats that
+    normalize them."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(X.tokens(text_col)).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+        .select("token", "doc_id", "tf", "dl")
+    )
+    n_docs, avgdl = dl.agg(
+        F.count(F.lit(1)),
+        F.sum("dl").cast("double") / F.count(F.lit(1)),
+    ).first()
+    return snapshot_commit(
+        postings,
+        index_root,
+        mode="overwrite",
+        partition_by=["token"],
+        bloom_cols=["token"],
+        bloom_bits=bloom_bits,
+        bloom_hashes=bloom_hashes,
+        extra={
+            "text_index": {
+                "id_col": id_col,
+                "n_docs": int(n_docs),
+                "avgdl": float(avgdl),
+            }
+        },
+    )
+
+
+def text_index_plan(
+    index_root: str, terms: list[str], version: int | None = None
+) -> dict:
+    """Planning-only: the union of per-term file plans — which posting
+    files a search for ``terms`` would read vs skip (zone maps + Bloom),
+    the observable the build-once/serve-many tests pin."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_lookup_files,
+        snapshot_versions,
+    )
+
+    v = version if version is not None else snapshot_versions(index_root)[-1]
+    manifest = _load_manifest(index_root, v)
+    kept: list[str] = []
+    seen: set[str] = set()
+    for term in sorted(set(terms)):
+        plan = snapshot_lookup_files(index_root, "token", term, version=v)
+        for rel in plan["kept"]:
+            if rel not in seen:
+                seen.add(rel)
+                kept.append(rel)
+    return {
+        "version": v,
+        "manifest": manifest,
+        "kept": kept,
+        "skipped": manifest["n_files"] - len(kept),
+    }
+
+
+def text_index_search(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    version: int | None = None,
+) -> DataFrame:
+    """BM25 top-k from the persisted index: stats from the pinned
+    manifest, postings from the term-pruned file set, document
+    frequencies counted over the fetched postings (df is exactly the
+    per-term posting count — no extra state). Output contract matches
+    ``text_bm25_topk``: (doc_id, n_terms, bm25, rk), rk <= k."""
+    from pyspark.sql.window import Window
+
+    from airflow_postgres_csv_spark.operators.snapshots import _read_pinned
+
+    plan = text_index_plan(index_root, terms, version=version)
+    meta = plan["manifest"].get("text_index") or {}
+    if not meta:
+        raise ValueError(
+            f"{index_root} v{plan['version']} is not a text index "
+            "(no text_index manifest key)"
+        )
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    tf = _read_pinned(spark, index_root, plan["manifest"], plan["kept"]).where(
+        F.col("token").isin(*terms)
+    )
+    df_tok = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tok), "token")
+        .withColumn("c", F.round(contrib, 9).cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").cast("double").alias("bm25"),
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "n_terms", "bm25", "rk")
+        .orderBy("rk")
+    )
