@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_csv_spark.functions import texts as X
 
-__all__ = ["text_index_build", "text_index_search"]
+__all__ = [
+    "text_index_build",
+    "text_index_append",
+    "text_index_plan",
+    "text_index_search",
+]
 
 
 def text_index_build(
@@ -66,10 +71,10 @@ def text_index_build(
         .join(dl, "doc_id")
         .select("token", "doc_id", "tf", "dl")
     )
-    n_docs, avgdl = dl.agg(
-        F.count(F.lit(1)),
-        F.sum("dl").cast("double") / F.count(F.lit(1)),
-    ).first()
+    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    # stats are stored as EXACT integers; avgdl is derived at search time
+    # with one double division — so an incrementally-appended index's
+    # scores are bit-identical to a from-scratch rebuild's
     return snapshot_commit(
         postings,
         index_root,
@@ -82,9 +87,63 @@ def text_index_build(
             "text_index": {
                 "id_col": id_col,
                 "n_docs": int(n_docs),
-                "avgdl": float(avgdl),
+                "sum_dl": int(sum_dl),
             }
         },
+    )
+
+
+def text_index_append(
+    docs_new: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incrementally extend a persisted index with NEW documents — one
+    append commit of the batch's postings plus exact integer stat
+    updates, no rebuild, no touch of existing posting files. The caller
+    contract is Iceberg-append-shaped: ``docs_new``'s ids must be
+    disjoint from the indexed corpus (re-indexing a changed document
+    means delete + append, or a rebuild). Because the stats are exact
+    integers (``n_docs``, ``sum_dl``) and ``avgdl`` is derived at search
+    time, an incrementally-built index scores bit-identically to a
+    from-scratch build over the union."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(index_root)
+    if not versions:
+        raise FileNotFoundError(f"no index at {index_root}; build first")
+    meta = _load_manifest(index_root, versions[-1]).get("text_index") or {}
+    if not meta:
+        raise ValueError(f"{index_root} is not a text index")
+    toks = docs_new.select(
+        F.col(id_col).alias("doc_id"), F.explode(X.tokens(text_col)).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+        .select("token", "doc_id", "tf", "dl")
+    )
+    n_new, sum_new = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    return snapshot_commit(
+        postings,
+        index_root,
+        mode="append",
+        partition_by=["token"],
+        extra={
+            "text_index": {
+                "id_col": meta["id_col"],
+                "n_docs": meta["n_docs"] + int(n_new),
+                "sum_dl": meta["sum_dl"] + int(sum_new or 0),
+            }
+        },
+        expected_head=versions[-1],
     )
 
 
@@ -143,7 +202,11 @@ def text_index_search(
             f"{index_root} v{plan['version']} is not a text index "
             "(no text_index manifest key)"
         )
-    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    n_docs = meta["n_docs"]
+    # one double division, the same op the from-scratch oracle runs
+    # (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) — exact-integer inputs make
+    # incremental and rebuilt indexes score identically
+    avgdl = meta["sum_dl"] / n_docs
     tf = _read_pinned(spark, index_root, plan["manifest"], plan["kept"]).where(
         F.col("token").isin(*terms)
     )

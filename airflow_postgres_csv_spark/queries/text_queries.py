@@ -1615,3 +1615,64 @@ register(
     ORDER BY rk
     """,
 )(text_index_bm25_search)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: build over half the corpus, APPEND the
+# other half (one commit of the new postings + exact integer stat
+# updates, existing files untouched), search — the oracle is the SAME
+# full-corpus BM25 SQL, so incremental must equal from-scratch exactly.
+# ---------------------------------------------------------------------------
+
+
+def text_index_incremental_search(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_append,
+        text_index_build,
+        text_index_search,
+    )
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+
+    index_root = _temp_root()
+    docs = t(spark, sf_dir, "documents")
+    text_index_build(docs.where(F.col("doc_id") % 2 == 0), index_root)
+    text_index_append(docs.where(F.col("doc_id") % 2 == 1), index_root)
+    return text_index_search(
+        spark, index_root, list(_BM25_TERMS), k=20, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+register(
+    "text_index_incremental_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {str(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(CAST(ROUND(
+                 ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                 * (tf * ({_BM25_K1} + 1.0))
+                 / (tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, n_terms, bm25, rk FROM ranked WHERE rk <= 20
+    ORDER BY rk
+    """,
+)(text_index_incremental_search)
