@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_extents"]
+__all__ = ["zorder_value", "zorder_extents", "hilbert_value"]
 
 
 def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
@@ -34,6 +34,47 @@ def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
             F.shiftleft(by, 2 * i + 1)
         )
     return z
+
+
+def hilbert_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert-curve index of ``(x, y)`` on a 2^bits × 2^bits grid — the
+    space-filling curve behind Databricks liquid clustering, with strictly
+    better locality than Morton: every pair of consecutive curve positions
+    is a grid-NEIGHBOR (Morton jumps quadrant diagonals), so per-file
+    extents are tighter rectangles and 2-D box scans skip more files.
+
+    Implemented as the standard xy→d fold (one rotate-and-accumulate step
+    per bit, MSB first) expressed as ``F.aggregate`` over a static step
+    array with a (x, y, d) struct accumulator: a sequential JVM fold, one
+    expression node per step — NOT an unrolled tree, whose conditional
+    swaps would blow up exponentially with ``bits``. No UDF, no shuffle;
+    whole-stage-codegen-friendly like ``zorder_value``."""
+    steps = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        rx = F.when(ax.bitwiseAND(s) > 0, F.lit(1)).otherwise(0).cast("long")
+        ry = F.when(ay.bitwiseAND(s) > 0, F.lit(1)).otherwise(0).cast("long")
+        d2 = ad + s * s * ((F.lit(3).cast("long") * rx).bitwiseXOR(ry))
+        # rotation: when ry==0, optionally flip (rx==1), then swap x/y
+        nx = (
+            F.when(ry == 0, F.when(rx == 1, s - 1 - ay).otherwise(ay))
+            .otherwise(ax)
+        )
+        ny = (
+            F.when(ry == 0, F.when(rx == 1, s - 1 - ax).otherwise(ax))
+            .otherwise(ay)
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(steps, init, step)["d"]
 
 
 def zorder_extents(

@@ -1337,6 +1337,7 @@ def snapshot_compact(
     root: str,
     target_bytes: int = 128 * 1024 * 1024,
     zorder_by: tuple[str, str] | None = None,
+    curve: str = "morton",
 ) -> dict:
     """Rewrite the latest version's files into ``ceil(bytes/target)`` files
     as a NEW overwrite commit — same logical rows, fewer files, and any
@@ -1374,8 +1375,14 @@ def snapshot_compact(
     if zorder_by is not None:
         from pyspark.sql import functions as F
 
-        from airflow_postgres_csv_spark.operators.layout import zorder_value
+        from airflow_postgres_csv_spark.operators.layout import (
+            hilbert_value,
+            zorder_value,
+        )
 
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"curve must be morton|hilbert, got {curve!r}")
+        curve_fn = hilbert_value if curve == "hilbert" else zorder_value
         xc, yc = zorder_by
         bounds = df.agg(
             F.min(xc), F.max(xc), F.min(yc), F.max(yc)
@@ -1391,7 +1398,7 @@ def snapshot_compact(
                 (F.col(col).cast("long") - F.lit(int(lo))) * scale / F.lit(span)
             ).cast("long")
 
-        z = zorder_value(_norm(xc, x_lo, x_hi), _norm(yc, y_lo, y_hi))
+        z = curve_fn(_norm(xc, x_lo, x_hi), _norm(yc, y_lo, y_hi))
         df = df.repartitionByRange(n_out, z.alias("__z")).sortWithinPartitions(
             z.alias("__z")
         )

@@ -2158,3 +2158,52 @@ register(
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )(streaming_merge_upsert_live)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve OPTIMIZE (round 7): same contract as snapshot_zorder_pruned
+# but re-clustered on the Hilbert index (operators/layout.hilbert_value —
+# consecutive curve positions are grid neighbors, so per-file extents are
+# tighter than Morton's quadrant jumps). The oracle certifies the
+# clustered rewrite changed NOTHING about the rows; the pruning payoff is
+# pinned in tests/test_snapshots.py::test_compact_hilbert_prunes_2d.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_hilbert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(5):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(5)) == r), root)
+    snapshot_compact(
+        spark, root, target_bytes=64 * 1024,
+        zorder_by=("user_id", "event_id"), curve="hilbert",
+    )
+    box = {"user_id": (100, 400), "event_id": (1000, 6000)}
+    return (
+        snapshot_scan(spark, root, ranges=box)
+        .where(
+            F.col("user_id").between(100, 400)
+            & F.col("event_id").between(1000, 6000)
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "snapshot_hilbert_pruned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND event_id BETWEEN 1000 AND 6000
+    ORDER BY event_id
+    """,
+)(snapshot_hilbert_pruned)

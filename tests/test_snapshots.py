@@ -1619,3 +1619,79 @@ def test_merge_into_not_matched_by_source_delete(spark, tmp_path):
     assert sorted(r.id for r in snapshot_read(spark, root).collect()) == [
         0, 1, 2, 3, 4,
     ]
+
+
+def test_hilbert_value_matches_reference_and_is_adjacent(spark):
+    """hilbert_value is the standard xy->d Hilbert index: bijective on the
+    grid, equal to the textbook Python fold, and consecutive d values are
+    grid NEIGHBORS (the locality property Morton lacks — Morton jumps
+    quadrant diagonals)."""
+    from airflow_postgres_csv_spark.operators.layout import hilbert_value
+
+    def ref_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.d
+        for r in grid.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), bits).alias("d")
+        ).collect()
+    }
+    want = {(x, y): ref_xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert got == want
+    # bijective: every d in [0, n^2) exactly once
+    assert sorted(got.values()) == list(range(n * n))
+    # adjacency: consecutive curve positions are Manhattan-distance-1
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_compact_hilbert_prunes_2d(spark, tmp_path):
+    """OPTIMIZE with curve='hilbert': a 2-D box scan on the re-clustered
+    table skips files — and at least as many as the pre-compaction layout
+    allowed (the same payoff contract as the Morton pin)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "snap")
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    snapshot_commit(df.repartition(8), root)
+    m = snapshot_compact(
+        spark, root, target_bytes=48 * 1024, zorder_by=("x", "y"),
+        curve="hilbert",
+    )
+    assert m["n_files"] > 4  # enough files for skipping to mean anything
+    box = {"x": (10, 40), "y": (10, 40)}
+    plan = snapshot_scan_files(root, ranges=box)
+    assert plan["skipped"] > 0, plan
+    assert plan["kept"] < m["n_files"], plan
+    got = snapshot_scan(spark, root, ranges=box).where(
+        F.col("x").between(10, 40) & F.col("y").between(10, 40)
+    )
+    assert got.count() == 31 * 31
+    with pytest.raises(ValueError, match="morton|hilbert"):
+        snapshot_compact(spark, root, zorder_by=("x", "y"), curve="peano")
