@@ -164,6 +164,14 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "events_user_growth": "window over calendar days — bounded by time span, not corpus size",
     "orders_max_inflight": "interval sweep over distinct days — bounded by time span",
     "text_bm25_topk": "rank window runs over the top-20 survivors of TakeOrderedAndProject",
+    "text_index_bm25_search": (
+        "rank window runs over the top-20 survivors of TakeOrderedAndProject "
+        "(same contract as text_bm25_topk, served from the persisted index)"
+    ),
+    "text_index_incremental_search": (
+        "rank window runs over the top-20 survivors of TakeOrderedAndProject "
+        "(same contract as text_bm25_topk, incremental index)"
+    ),
     "sql_string_surface": "rank over c_mktsegment groups — 5 rows",
     "skyline_orders": (
         "phase-2 refine sweep of the two-phase skyline (operators/skyline.py): "
