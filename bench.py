@@ -125,9 +125,12 @@ HEADLINE = [
     "search_hybrid_rrf",
     "snapshot_catalog_txn",
     # round-7 additions: build-once/serve-many ANN (two index builds +
-    # two persisted searches + the exact-recall probe) and catalog DDL
+    # two persisted searches + the exact-recall probe), catalog DDL,
+    # full MERGE INTO clause surface, and the persisted BM25 index
     "similarity_ann_persisted",
     "snapshot_catalog_ddl",
+    "snapshot_merge_into_clauses",
+    "text_index_bm25_search",
 ]
 
 
