@@ -37,6 +37,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_topk",
     "ivf_build_index",
+    "ivf_index_append",
     "ivf_search_index",
     "pq_codebooks",
     "pq_encode",
@@ -541,6 +542,45 @@ def ivf_build_index(
                 "centroids": centroids,
             }
         },
+    )
+
+
+def ivf_index_append(
+    corpus_new: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally extend a persisted IVF index: assign the NEW vectors
+    to the EXISTING centroids (no retraining — the quantizer is frozen
+    per index generation, the IVF contract) and append their coded rows
+    as one commit pinned to the head whose model it used
+    (``expected_head``: a concurrent rebuild conflicts instead of mixing
+    generations). The ingest path of a streaming embedding pipeline:
+    O(batch) work per append, searches see old + new vectors through the
+    same cell-probed join."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(index_root)
+    if not versions:
+        raise FileNotFoundError(f"no index at {index_root}; build first")
+    meta = _load_manifest(index_root, versions[-1]).get("ann_index") or {}
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{index_root} is not an IVF index")
+    ranking = _cell_ranking_udf(meta["centroids"])
+    coded = corpus_new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.element_at(ranking(vec_col), 1).alias("cell"),
+    )
+    return snapshot_commit(
+        coded, index_root, mode="append", partition_by=["cell"],
+        extra={"ann_index": meta},
+        expected_head=versions[-1],
     )
 
 

@@ -625,3 +625,55 @@ register(
     "SELECT 10 AS n_queries, 1 AS ivf_recall_ok, 1 AS pq_recall_ok, "
     "1 AS index_roundtrip_ok",
 )(_ann_persisted)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN ingest (round 7): the IVF index is built over half the
+# corpus, the other half is APPENDED against the frozen quantizer (one
+# commit, no retraining), and the search must still cover the FULL corpus
+# with the usual recall floor vs exact top-5.
+# ---------------------------------------------------------------------------
+
+
+def _ann_incremental(spark, sf_dir):
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    root = _temp_root()
+    m1 = S.ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), root, n_cells=16)
+    m2 = S.ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), root)
+    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.ivf_search_index(spark, root, qs, k=5, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    per_query = exact.groupBy("query_id").count().withColumnRenamed("count", "n_exact")
+    n = emb.count()
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+    versions_ok = int(
+        m1["version"] == 1 and m2["version"] == 2
+        and snapshot_read(spark, root).count() == n
+    )
+    return (
+        per_query.join(hits.withColumnRenamed("count", "n_hit"), "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("n_hit") / F.sum("n_exact")).alias("recall"),
+        )
+        .select(
+            "n_queries",
+            (F.col("recall") >= 0.5).cast("int").alias("recall_ok"),
+            F.lit(versions_ok).alias("index_generations_ok"),
+        )
+    )
+
+
+register(
+    "similarity_ann_incremental",
+    "SELECT 10 AS n_queries, 1 AS recall_ok, 1 AS index_generations_ok",
+)(_ann_incremental)

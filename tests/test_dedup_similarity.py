@@ -557,3 +557,54 @@ def test_persisted_ann_index_serves_without_training(spark, tmp_path, monkeypatc
     assert pinned == want_ivf
     with pytest.raises(ValueError):
         S.pq_search_index(spark, ivf_root, qs)  # wrong index kind
+
+
+def test_ivf_index_append_serves_old_and_new_without_retraining(spark, tmp_path, monkeypatch):
+    """Incremental IVF ingest: new vectors are assigned to the FROZEN
+    centroids and appended; a search then covers old + new with no
+    retraining, and the appended index equals a from-scratch build over
+    the union given the same model."""
+    import numpy as np
+
+    from airflow_postgres_csv_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, rng.randn(16).tolist()) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    old, new = mk(0, 200), mk(200, 300)
+    root = str(tmp_path / "ivf")
+    m1 = S.ivf_build_index(old, root, n_cells=8)
+    qs = old.filter(F.col("vec_id") < 5)
+
+    def boom(*a, **kw):
+        raise AssertionError("training ran on the append path")
+
+    monkeypatch.setattr(S, "_kmeans_fit", boom)
+    monkeypatch.setattr(S, "ivf_centroids", boom)
+    m2 = S.ivf_index_append(new, root)
+    assert m2["version"] == 2
+    assert m2["ann_index"] == m1["ann_index"]  # model frozen, carried
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_search_index(spark, root, qs, k=3, n_probe=4).collect()
+    )
+    # equal to the in-memory searcher over the UNION with the same model
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_topk(
+            old.unionByName(new), qs, k=3, n_probe=4,
+            centroids=m1["ann_index"]["centroids"],
+        ).collect()
+    )
+    assert got == want
+    monkeypatch.undo()
+    # appending to a PQ index (wrong kind) refuses
+    pq_root = str(tmp_path / "pq")
+    S.pq_build_index(old, pq_root, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        S.ivf_index_append(new, pq_root)

@@ -94,6 +94,7 @@ BY_DESIGN: dict[str, str] = {
         "per-catalog-version probe: two 1-row count/flag aggregates "
         "crossed into one summary row per version (4 rows)"
     ),
+    "similarity_ann_incremental": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_persisted": (
         "recall eval over PERSISTED indexes: PQ ADC is corpus x broadcast "
         "query set bounded by |queries|; the 1-row recall/roundtrip flags "
