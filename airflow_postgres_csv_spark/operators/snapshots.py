@@ -1785,7 +1785,8 @@ def snapshot_delete(
 
 
 def snapshot_delete_mor(
-    spark: SparkSession, root: str, condition: str, key_col: str
+    spark: SparkSession, root: str, condition: str, key_col: str,
+    extra: dict | None = None,
 ) -> dict:
     """Merge-on-read DELETE: a metadata-plus-tombstone commit that rewrites
     NOTHING.
@@ -1810,8 +1811,11 @@ def snapshot_delete_mor(
     collects them. ``key_col`` must uniquely identify rows (a primary
     key): the anti-join removes ALL rows sharing a deleted key within the
     applicable commits. Cost: one scan to find the keys, O(deleted keys)
-    bytes written, zero data files rewritten.
+    bytes written, zero data files rewritten. ``extra`` metadata rides the
+    tombstone commit's atomic publish (e.g. an index's stat update).
     """
+    if extra and (bad := set(extra) & _RESERVED_KEYS):
+        raise ValueError(f"extra metadata may not override reserved keys: {sorted(bad)}")
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
@@ -1829,7 +1833,8 @@ def snapshot_delete_mor(
         .distinct()
     )
     return _publish_key_tombstone(
-        root, keys, key_col, condition, as_of_version=versions[-1]
+        root, keys, key_col, condition, extra=extra,
+        as_of_version=versions[-1],
     )
 
 

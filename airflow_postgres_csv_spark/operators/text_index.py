@@ -39,6 +39,7 @@ from airflow_postgres_csv_spark.functions import texts as X
 __all__ = [
     "text_index_build",
     "text_index_append",
+    "text_index_delete",
     "text_index_plan",
     "text_index_search",
 ]
@@ -144,6 +145,57 @@ def text_index_append(
             }
         },
         expected_head=versions[-1],
+    )
+
+
+def text_index_delete(
+    spark: SparkSession, index_root: str, doc_ids: list
+) -> dict:
+    """Remove documents from a persisted index WITHOUT rewriting postings
+    — the GDPR-delete shape. One merge-on-read equality tombstone on
+    ``doc_id`` plus the exact integer stat decrement, both inside the
+    same atomic publish: every read path anti-joins the tombstone away,
+    df/tf recompute over surviving postings, and because the stats stay
+    exact, scores afterwards are bit-identical to an index rebuilt
+    without the documents. Cost: one scan for the removed docs' lengths,
+    O(ids) delete bytes, zero posting files rewritten (compaction folds
+    the tombstone in later)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_delete_mor,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(index_root)
+    if not versions:
+        raise FileNotFoundError(f"no index at {index_root}")
+    meta = _load_manifest(index_root, versions[-1]).get("text_index") or {}
+    if not meta:
+        raise ValueError(f"{index_root} is not a text index")
+    ids = sorted(set(doc_ids))
+    if not ids or not all(isinstance(i, int) for i in ids):
+        raise ValueError("text_index_delete: doc_ids must be non-empty ints")
+    gone = (
+        snapshot_read(spark, index_root)
+        .where(F.col("doc_id").isin(*ids))
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    n_gone, dl_gone = int(gone[0]), int(gone[1] or 0)
+    id_list = ", ".join(str(i) for i in ids)
+    return snapshot_delete_mor(
+        spark, index_root,
+        condition=f"doc_id IN ({id_list})", key_col="doc_id",
+        extra={
+            "text_index": {
+                "id_col": meta["id_col"],
+                "n_docs": meta["n_docs"] - n_gone,
+                "sum_dl": meta["sum_dl"] - dl_gone,
+            }
+        },
     )
 
 

@@ -89,3 +89,69 @@ def test_text_index_serves_without_tokenizing(spark, tmp_path, monkeypatch):
     text_index_build(docs.where(F.col("doc_id") <= 2), root)
     pinned = text_index_search(spark, root, ["join", "stream"], k=3, version=1)
     assert sorted(r.doc_id for r in pinned.collect()) == sorted(by_doc)
+
+
+def test_text_index_delete_matches_rebuild_exactly(spark, tmp_path):
+    """GDPR delete from the persisted index: one MOR tombstone + exact
+    stat decrement — searches afterwards are BIT-IDENTICAL to an index
+    rebuilt without the documents (exact integer stats make avgdl equal),
+    and zero posting files were rewritten."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_versions,
+    )
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_build,
+        text_index_delete,
+        text_index_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join stream filter join"),
+            (2, "stream stream of data join"),
+            (3, "filter the noise out"),
+            (4, "join the stream now"),
+            (5, "filter and join and stream"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    m1 = text_index_build(docs, root)
+    m2 = text_index_delete(spark, root, [2, 4])
+    # MOR: same posting files, one tombstone, stats decremented exactly
+    assert m2["files"] == m1["files"]
+    assert len(m2["tombstones"]) == 1
+    assert m2["text_index"]["n_docs"] == 3
+    assert m2["text_index"]["sum_dl"] == m1["text_index"]["sum_dl"] - 5 - 4
+    got = [
+        (r.doc_id, r.n_terms, r.bm25)
+        for r in text_index_search(spark, root, ["join", "stream"], k=5).collect()
+    ]
+    assert all(d not in (2, 4) for d, _, _ in got)
+    # bit-identical to a from-scratch index over the surviving docs
+    rebuilt = str(tmp_path / "rebuilt")
+    text_index_build(docs.where(~F.col("doc_id").isin(2, 4)), rebuilt)
+    want = [
+        (r.doc_id, r.n_terms, r.bm25)
+        for r in text_index_search(
+            spark, rebuilt, ["join", "stream"], k=5
+        ).collect()
+    ]
+    assert got == want
+    # re-adding a deleted id: the tombstone is commit-scoped — new
+    # postings survive, stats re-increment (MVCC re-insert semantics)
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_append,
+    )
+
+    text_index_append(
+        spark.createDataFrame([(2, "join stream again")], "doc_id long, text string"),
+        root,
+    )
+    m3 = _load_manifest(root, snapshot_versions(root)[-1])
+    assert m3["text_index"]["n_docs"] == 4
+    got2 = {r.doc_id for r in text_index_search(spark, root, ["join"], k=5).collect()}
+    assert 2 in got2
+    with pytest.raises(ValueError, match="non-empty ints"):
+        text_index_delete(spark, root, ["1; DROP"])
