@@ -43,6 +43,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_build_index",
+    "pq_index_append",
     "pq_search_index",
 ]
 
@@ -678,6 +679,41 @@ def pq_build_index(
                 "codebooks": codebooks,
             }
         },
+    )
+
+
+def pq_index_append(
+    corpus_new: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally extend a persisted PQ index: encode the NEW vectors
+    with the EXISTING codebooks (frozen per generation, like
+    ``ivf_index_append``) and append their coded rows, pinned to the head
+    whose model they used."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(index_root)
+    if not versions:
+        raise FileNotFoundError(f"no index at {index_root}; build first")
+    meta = _load_manifest(index_root, versions[-1]).get("ann_index") or {}
+    if meta.get("kind") != "pq":
+        raise ValueError(f"{index_root} is not a PQ index")
+    encode = _pq_encode_udf(meta["codebooks"])
+    coded = corpus_new.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        encode(vec_col).alias("pq_codes"),
+    )
+    return snapshot_commit(
+        coded, index_root, mode="append",
+        extra={"ann_index": meta},
+        expected_head=versions[-1],
     )
 
 

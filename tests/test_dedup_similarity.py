@@ -608,3 +608,50 @@ def test_ivf_index_append_serves_old_and_new_without_retraining(spark, tmp_path,
     S.pq_build_index(old, pq_root, m=4, n_codes=8)
     with pytest.raises(ValueError, match="not an IVF index"):
         S.ivf_index_append(new, pq_root)
+
+
+def test_pq_index_append_no_retraining(spark, tmp_path, monkeypatch):
+    """PQ incremental ingest: new vectors encoded with the frozen
+    codebooks and appended; the persisted search then equals the
+    in-memory searcher over the union given the same model."""
+    import numpy as np
+
+    from airflow_postgres_csv_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, rng.randn(16).tolist()) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    old, new = mk(0, 150), mk(150, 220)
+    root = str(tmp_path / "pq")
+    m1 = S.pq_build_index(old, root, m=4, n_codes=8)
+    qs = old.filter(F.col("vec_id") < 4)
+    monkeypatch.setattr(S, "_kmeans_fit", lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("training ran on the append path")))
+    monkeypatch.setattr(S, "pq_codebooks", lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("training ran on the append path")))
+    m2 = S.pq_index_append(new, root)
+    assert m2["version"] == 2 and m2["ann_index"] == m1["ann_index"]
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_search_index(
+            spark, root, qs, k=3, rerank_factor=4
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk(
+            old.unionByName(new), qs, k=3, rerank_factor=4,
+            codebooks=m1["ann_index"]["codebooks"],
+        ).collect()
+    )
+    assert got == want
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="not a PQ index"):
+        ivf_root = str(tmp_path / "ivf")
+        S.ivf_build_index(old, ivf_root, n_cells=4)
+        S.pq_index_append(new, ivf_root)
