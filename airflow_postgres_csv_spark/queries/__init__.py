@@ -161,18 +161,61 @@ def _first_verified_round() -> dict[str, int]:
     return first
 
 
+# Flagship-first rotation priority (VERDICT r7 item 1). The never-graded
+# backlog was dominated by the newest, highest-risk subsystems (the whole
+# snapshot/catalog/CDC/IVM stack, persisted ANN + BM25 indexes, MERGE INTO,
+# SemDeDup/DSIR/k-means/RRF) because the old tiebreak was FIFO by corpus
+# seniority — the riskiest code got driver-graded LAST. Ties among equally
+# recently graded names now break by an explicit subsystem priority (first
+# matching prefix wins; unlisted names sort after every listed subsystem),
+# then by seniority NEWEST-first, then by name. The never-graded-before-
+# ever-graded invariant and the bounded-drain starvation guard are
+# unchanged: the primary key is still the last graded round.
+_ROTATION_PRIORITY: tuple[str, ...] = (
+    "snapshot_",             # versioned snapshots, catalog, MERGE INTO, CDC/IVM
+    "pipeline_snapshot_",    # medallion / CDC-stream pipelines over snapshots
+    "pipeline_expectations_",  # expectations + quarantine (snapshot-backed)
+    "streaming_snapshot_",   # live change feeds over snapshot tables
+    "streaming_merge_",      # streaming MERGE INTO sink
+    "streaming_catalog_",    # catalog-atomic streaming expectations
+    "similarity_ann_",       # persisted IVF/PQ ANN indexes
+    "text_index_",           # persisted BM25 inverted index
+    "search_",               # hybrid RRF + NDCG eval
+    "cluster_",              # distributed k-means
+    "sample_",               # DSIR / temperature / priority sampling
+    "split_",                # exact stratified splits
+    "dedup_semantic_",       # SemDeDup
+)
+
+
+def _priority_rank(name: str) -> int:
+    """Index of the first matching subsystem prefix (lower = graded
+    sooner); names outside every listed subsystem rank after all of them."""
+    for i, prefix in enumerate(_ROTATION_PRIORITY):
+        if name.startswith(prefix):
+            return i
+    return len(_ROTATION_PRIORITY)
+
+
+def _rotation_sort_key(
+    last: dict[str, int], seniority: dict[str, int]
+) -> Callable[[str], tuple]:
+    """The rotation's total order, shared with the starvation-guard test:
+    (last graded round, subsystem priority, newest-first seniority, name).
+    Names with no seniority record (registered this round) are newest."""
+
+    def key(n: str) -> tuple:
+        return (last.get(n, 0), _priority_rank(n), -seniority.get(n, 10**6), n)
+
+    return key
+
+
 def priority_window(all_names: list[str]) -> list[str]:
     """The 50 names the driver will grade this round, in order."""
     last = _correctness_history()
     pool = [n for n in all_names if n not in _ANCHORS]
-    # Never graded first, then least-recently graded. Ties break by
-    # SENIORITY — the first round a name appeared in a committed
-    # VERIFY_LOCAL_r*.txt report (then registration order): a FIFO
-    # backlog, so queries that have waited since round 1 drain before
-    # names added in later rounds instead of being queue-jumped
-    # alphabetically by every new addition.
     seniority = _first_verified_round()
-    pool.sort(key=lambda n: (last.get(n, 0), seniority.get(n, 10**6)))
+    pool.sort(key=_rotation_sort_key(last, seniority))
     window = list(_ANCHORS) + pool[: _WINDOW_SIZE - len(_ANCHORS)]
     return window[:_WINDOW_SIZE]
 

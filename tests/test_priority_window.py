@@ -85,17 +85,22 @@ def test_bench_headline_names_are_registered():
 
 
 def test_growth_never_starves_new_or_old_names():
-    """Growth case (VERDICT r6 item 8): as the corpus grows, every name —
-    including ones registered THIS round with no VERIFY_LOCAL seniority
-    record yet — must drain through the window in bounded rounds. Simulate
-    the rotation forward from the committed history: each simulated round
-    grades its window, and every registered name must be graded within
-    ceil(backlog / rotation_slots) + 1 rounds. Also pin the queue
-    discipline: brand-new names sort AFTER older never-graded names (FIFO
-    by seniority) but BEFORE every already-graded name."""
+    """Growth + priority case (VERDICT r7 item 1): every name — including
+    ones registered THIS round with no VERIFY_LOCAL seniority record yet —
+    must drain through the window in bounded rounds. Simulate the rotation
+    forward from the committed history with the SAME sort key the real
+    window uses: each simulated round grades its window, and every
+    registered name must be graded within ceil(backlog / rotation_slots)
+    + 1 rounds. Also pin the queue discipline: within the never-graded
+    pool, a flagship-subsystem name (lower priority rank) must never wait
+    outside the window while a lower-priority name occupies a slot."""
     import math
 
-    from airflow_postgres_csv_spark.queries import _first_verified_round
+    from airflow_postgres_csv_spark.queries import (
+        _first_verified_round,
+        _priority_rank,
+        _rotation_sort_key,
+    )
 
     names = list(registry())
     history = dict(_correctness_history())
@@ -104,17 +109,17 @@ def test_growth_never_starves_new_or_old_names():
     backlog = [n for n in names if n not in history and n not in _ANCHORS]
     max_rounds = math.ceil(len(backlog) / slots) + 1 if backlog else 1
 
-    # queue discipline on the CURRENT window ordering
+    # queue discipline on the CURRENT window ordering: flagship-first
     window = priority_window(names)
     rotated = [n for n in window if n not in _ANCHORS]
-    if rotated and any(n in seniority for n in backlog):
-        # while senior never-graded names remain, a name with NO seniority
-        # record (registered this round) must not queue-jump into the window
-        senior_waiting = [n for n in backlog if n in seniority and n not in window]
-        fresh_in_window = [n for n in rotated if n not in seniority and n not in history]
-        assert not (senior_waiting and fresh_in_window), (
-            f"fresh names {fresh_in_window[:3]} queue-jumped past "
-            f"{len(senior_waiting)} senior never-graded names"
+    never_in_window = [n for n in rotated if n not in history]
+    never_waiting = [n for n in backlog if n not in window]
+    if never_in_window and never_waiting:
+        worst_in = max(_priority_rank(n) for n in never_in_window)
+        best_out = min(_priority_rank(n) for n in never_waiting)
+        assert best_out >= worst_in, (
+            f"a rank-{best_out} flagship name waits outside the window "
+            f"while a rank-{worst_in} name holds a slot"
         )
 
     # forward simulation: no name may starve
@@ -124,8 +129,8 @@ def test_growth_never_starves_new_or_old_names():
 
     def sim_window(rnd):
         pool = [n for n in names if n not in _ANCHORS]
-        pool.sort(key=lambda n: (sim_hist.get(n, 0), seniority.get(n, 10**6)))
-        return list(_ANCHORS) + pool[: slots]
+        pool.sort(key=_rotation_sort_key(sim_hist, seniority))
+        return list(_ANCHORS) + pool[:slots]
 
     for rnd in range(latest + 1, latest + 1 + max_rounds):
         for n in sim_window(rnd):
@@ -136,3 +141,36 @@ def test_growth_never_starves_new_or_old_names():
         f"{len(missing)} names never graded within {max_rounds} rounds: "
         f"{missing[:5]}"
     )
+
+
+def test_rotation_window_dominated_by_flagship_subsystems():
+    """VERDICT r7 done-criterion: >=25 of the 35 rotation slots go to the
+    flagship backlog (snapshot/catalog/ANN/text-index/cluster/search/
+    sample families) while any of those names remain never-graded."""
+    names = list(registry())
+    history = _correctness_history()
+    window = priority_window(names)
+    rotated = [n for n in window if n not in _ANCHORS]
+    flagship_prefixes = (
+        "snapshot_",
+        "pipeline_snapshot_",
+        "pipeline_expectations_",
+        "streaming_snapshot_",
+        "streaming_merge_",
+        "streaming_catalog_",
+        "similarity_ann_",
+        "text_index_",
+        "search_",
+        "cluster_",
+        "sample_",
+    )
+    flagship_backlog = [
+        n
+        for n in names
+        if n not in history
+        and n not in _ANCHORS
+        and n.startswith(flagship_prefixes)
+    ]
+    if len(flagship_backlog) >= 25:
+        got = sum(1 for n in rotated if n.startswith(flagship_prefixes))
+        assert got >= 25, f"only {got}/35 rotation slots are flagship names"
