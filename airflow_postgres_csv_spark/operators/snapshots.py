@@ -168,6 +168,49 @@ class _LazyManifest(dict):
         return dict.get(self, key, default)
 
 
+# Session-scoped sidecar memo (VERDICT r7 item 2). Commit sidecars are
+# IMMUTABLE once published: they are fully written before the root
+# manifest's atomic link flips and are never edited in place, so caching
+# their parsed contents per absolute path is safe by construction. This
+# keeps the repeated ``_load_manifest``/``m["files"]`` materializations a
+# single query makes (read + plan + diff + publish all reload the root)
+# from re-opening and re-parsing the same per-commit metadata. Bounded
+# FIFO so a long-lived session (e.g. a streaming driver over a 10⁶-file
+# table) stays metadata-sized; entries are tiny relative to the data they
+# describe. Consumers treat the returned dict as read-only (audited:
+# every call site only ``.get``s / iterates).
+_SIDECAR_JSON_CACHE: dict[str, dict] = {}
+_SIDECAR_JSON_CACHE_CAP = 4096
+
+
+def _sidecar_json(root: str, rel: str, strict: bool) -> dict:
+    """Parsed content of one commit sidecar, memoized per absolute path.
+    ``strict`` propagates open/parse errors (enumeration is correctness);
+    lenient callers get ``{}`` (pruning is an optimization). Failures are
+    never cached."""
+    path = os.path.join(root, rel)
+    hit = _SIDECAR_JSON_CACHE.get(path)
+    if hit is not None:
+        return hit
+    try:
+        with open(path) as f:
+            sc = json.load(f)
+    except (OSError, ValueError):
+        if strict:
+            raise
+        return {}
+    if len(_SIDECAR_JSON_CACHE) >= _SIDECAR_JSON_CACHE_CAP:
+        _SIDECAR_JSON_CACHE.pop(next(iter(_SIDECAR_JSON_CACHE)))
+    _SIDECAR_JSON_CACHE[path] = sc
+    return sc
+
+
+def _metadata_cache_clear() -> None:
+    """Drop the session-scoped sidecar memo (open()-spy tests and any
+    embedder that wants cold-cache behavior)."""
+    _SIDECAR_JSON_CACHE.clear()
+
+
 def _commit_files_from_sidecar(root: str, manifest: dict, cid: str, n: int) -> list[str]:
     """The FULL original file list of one commit, from its immutable
     sidecar. Strict (unlike ``_load_sidecar``): enumeration is
@@ -178,8 +221,7 @@ def _commit_files_from_sidecar(root: str, manifest: dict, cid: str, n: int) -> l
         raise FileNotFoundError(
             f"commit {cid}: no sidecar pointer — cannot enumerate its files"
         )
-    with open(os.path.join(root, rel)) as f:
-        sc = json.load(f)
+    sc = _sidecar_json(root, rel, strict=True)
     files = sc.get("files") or list(sc.get("stats", {}))
     if len(files) != n:
         raise RuntimeError(
@@ -286,17 +328,14 @@ def _pack_commit_files(files: list[str], hints: dict) -> dict:
 
 
 def _load_sidecar(root: str, manifest: dict, commit_id: str) -> dict:
-    """Load one commit's stats sidecar ({"stats": ..., "blooms": ...}).
-    A missing/unreadable sidecar degrades to no-stats (files are kept —
-    pruning is an optimization, never a correctness dependency)."""
+    """Load one commit's stats sidecar ({"stats": ..., "blooms": ...}),
+    memoized per path (sidecars are immutable). A missing/unreadable
+    sidecar degrades to no-stats (files are kept — pruning is an
+    optimization, never a correctness dependency)."""
     rel = manifest.get("sidecars", {}).get(commit_id)
     if not rel:
         return {}
-    try:
-        with open(os.path.join(root, rel)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {}
+    return _sidecar_json(root, rel, strict=False)
 
 
 def _range_disjoint(rng, lo, hi) -> bool:

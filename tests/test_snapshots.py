@@ -1433,11 +1433,67 @@ def test_fully_pruned_commit_never_opens_its_sidecar(spark, tmp_path, monkeypatc
             opened.append(str(path))
         return real_open(path, *a, **kw)
 
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _metadata_cache_clear,
+    )
+
+    _metadata_cache_clear()  # cold cache: opens below are real file I/O
     monkeypatch.setattr(builtins, "open", spying_open)
     df = snapshot_scan(spark, root, "id", 250, 260)
     monkeypatch.setattr(builtins, "open", real_open)
     assert len(set(opened)) == 1, opened  # ONLY the surviving commit's
     assert df.count() == 11
+
+
+def test_sidecar_opens_memoized_within_session(spark, tmp_path, monkeypatch):
+    """Sidecar-open-count pin (VERDICT r7 item 2): a query pattern that
+    loads the manifest repeatedly (read + history + changes + a second
+    read, as the snapshot pipeline queries do) must open each commit
+    sidecar AT MOST ONCE per session — sidecars are immutable, so the
+    session memo absorbs every repeat materialization. This is the
+    structural metric for the metadata path: swings in wall-clock on the
+    snapshot queries are attributable iff this count moves."""
+    import builtins
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        _metadata_cache_clear,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    for lo in (0, 100, 200):
+        snapshot_commit(
+            spark.range(lo, lo + 100).select(
+                "id", (F.col("id") * 2).alias("v")
+            ).repartition(4),
+            root,
+        )
+
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def spying_open(path, *a, **kw):
+        if isinstance(path, (str, os.PathLike)) and "sc-" in str(path):
+            opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    _metadata_cache_clear()
+    monkeypatch.setattr(builtins, "open", spying_open)
+    assert snapshot_read(spark, root).count() == 300
+    _ = _load_manifest(root, 3)["files"]  # a second full materialization
+    snapshot_table_changes(spark, root, 1, 3).count()
+    assert snapshot_read(spark, root, version=2).count() == 200
+    monkeypatch.setattr(builtins, "open", real_open)
+    # 3 commits referenced; each sidecar parsed from disk at most once
+    assert len(opened) == len(set(opened)) == 3, opened
+
+    # and a fully warmed session re-plans with ZERO metadata file I/O
+    opened.clear()
+    monkeypatch.setattr(builtins, "open", spying_open)
+    _ = _load_manifest(root, 3)["files"]
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert opened == [], opened
 
 
 def test_files_diff_is_o_changed_commits(spark, tmp_path, monkeypatch):
@@ -1470,6 +1526,11 @@ def test_files_diff_is_o_changed_commits(spark, tmp_path, monkeypatch):
             opened.append(str(path))
         return real_open(path, *a, **kw)
 
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _metadata_cache_clear,
+    )
+
+    _metadata_cache_clear()  # cold cache: opens below are real file I/O
     monkeypatch.setattr(builtins, "open", spying_open)
     added, removed = snapshot_files_diff(root, m3, m4)
     monkeypatch.setattr(builtins, "open", real_open)
