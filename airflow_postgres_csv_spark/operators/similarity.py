@@ -45,6 +45,7 @@ __all__ = [
     "pq_build_index",
     "pq_index_append",
     "pq_search_index",
+    "ann_index_delete",
 ]
 
 
@@ -786,6 +787,50 @@ def pq_search_index(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_index_delete(
+    spark: SparkSession, index_root: str, vec_ids: list
+) -> dict:
+    """Remove vectors from a persisted IVF/PQ index WITHOUT rewriting the
+    coded corpus or touching the frozen model — the mirror of
+    ``text_index_delete`` for ANN indexes (the gap VERDICT r7 item 3
+    named: a dedup pass that evicts corpus docs must be able to evict
+    their vectors without a rebuild, or stale neighbors serve forever).
+
+    One merge-on-read equality tombstone on ``vec_id``, published
+    atomically with the UNCHANGED ``ann_index`` model metadata carried
+    forward (centroids/codebooks are frozen per generation — deletion
+    never retrains; ANN has no corpus-level stats to decrement, unlike
+    BM25's n_docs/avgdl). Every serve path (`ivf_search_index`,
+    `pq_search_index`) reads the coded table through ``snapshot_read``,
+    which applies the tombstone as a broadcast anti-join — deleted
+    vectors leave candidate generation AND the exact rerank in the same
+    version step, and a search pinned to the pre-delete version still
+    sees them (MVCC). ``snapshot_compact`` folds the tombstone into a
+    clean rewrite later. Cost: one scan to resolve the condition,
+    O(deleted keys) bytes, zero data files rewritten."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_delete_mor,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(index_root)
+    if not versions:
+        raise FileNotFoundError(f"no index at {index_root}")
+    meta = _load_manifest(index_root, versions[-1]).get("ann_index") or {}
+    if meta.get("kind") not in ("ivf", "pq"):
+        raise ValueError(f"{index_root} is not a persisted ANN index")
+    ids = sorted(set(vec_ids))
+    if not ids or not all(isinstance(i, int) for i in ids):
+        raise ValueError("ann_index_delete: vec_ids must be non-empty ints")
+    id_list = ", ".join(str(i) for i in ids)
+    return snapshot_delete_mor(
+        spark, index_root,
+        condition=f"vec_id IN ({id_list})", key_col="vec_id",
+        extra={"ann_index": meta},
     )
 
 

@@ -677,3 +677,87 @@ register(
     "similarity_ann_incremental",
     "SELECT 10 AS n_queries, 1 AS recall_ok, 1 AS index_generations_ok",
 )(_ann_incremental)
+
+
+# ---------------------------------------------------------------------------
+# ANN index deletion (round 8): a dedup pass evicts vectors from the
+# persisted IVF and PQ indexes WITHOUT retraining or rewriting the coded
+# corpus (ann_index_delete = one merge-on-read tombstone commit, frozen
+# model carried forward). Oracle-pinned invariants: post-delete search ==
+# the in-memory searcher over the FILTERED corpus with the SAME frozen
+# model (exact (query, neighbor, rank) set equality — stronger than a
+# recall floor), no deleted id is ever served, the model metadata and the
+# data file list are identical across the delete (MOR: nothing rewritten),
+# and a search pinned to the pre-delete generation still serves the full
+# corpus (MVCC).
+# ---------------------------------------------------------------------------
+
+
+def _ann_delete(spark, sf_dir):
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    gone = list(range(100, 200))
+    survivors = emb.filter(~F.col("vec_id").between(100, 199))
+
+    ivf_root, pq_root = _temp_root(), _temp_root()
+    m_ivf = S.ivf_build_index(emb, ivf_root, n_cells=16)
+    m_pq = S.pq_build_index(emb, pq_root, m=16, n_codes=16)
+    pre = S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    d_ivf = S.ann_index_delete(spark, ivf_root, gone)
+    d_pq = S.ann_index_delete(spark, pq_root, gone)
+
+    def _same(a, b):
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    post_ivf = S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    want_ivf = S.ivf_topk(
+        survivors, qs, k=5, n_probe=8,
+        centroids=m_ivf["ann_index"]["centroids"],
+    ).select("query_id", "neighbor_id", "rank")
+    post_pq = S.pq_search_index(
+        spark, pq_root, qs, k=5, rerank_factor=4
+    ).select("query_id", "neighbor_id", "rank")
+    want_pq = S.pq_topk(
+        survivors, qs, k=5, rerank_factor=4,
+        codebooks=m_pq["ann_index"]["codebooks"],
+    ).select("query_id", "neighbor_id", "rank")
+    pinned = S.ivf_search_index(
+        spark, ivf_root, qs, k=5, n_probe=8, version=m_ivf["version"]
+    ).select("query_id", "neighbor_id", "rank")
+
+    ivf_match = int(_same(post_ivf, want_ivf))
+    pq_match = int(_same(post_pq, want_pq))
+    deleted_absent = int(
+        post_ivf.filter(F.col("neighbor_id").between(100, 199)).count() == 0
+        and post_pq.filter(F.col("neighbor_id").between(100, 199)).count() == 0
+    )
+    model_frozen = int(
+        d_ivf["ann_index"] == m_ivf["ann_index"]
+        and d_pq["ann_index"] == m_pq["ann_index"]
+        and sorted(d_ivf["files"]) == sorted(m_ivf["files"])
+        and sorted(d_pq["files"]) == sorted(m_pq["files"])
+        and bool(d_ivf["tombstones"]) and bool(d_pq["tombstones"])
+    )
+    mvcc_ok = int(_same(pinned, pre))
+    return qs.agg(F.count(F.lit(1)).alias("n_queries")).select(
+        "n_queries",
+        F.lit(ivf_match).alias("ivf_matches_filtered_ok"),
+        F.lit(pq_match).alias("pq_matches_filtered_ok"),
+        F.lit(deleted_absent).alias("deleted_absent_ok"),
+        F.lit(model_frozen).alias("model_frozen_ok"),
+        F.lit(mvcc_ok).alias("mvcc_pinned_ok"),
+    )
+
+
+register(
+    "similarity_ann_delete",
+    "SELECT 10 AS n_queries, 1 AS ivf_matches_filtered_ok, "
+    "1 AS pq_matches_filtered_ok, 1 AS deleted_absent_ok, "
+    "1 AS model_frozen_ok, 1 AS mvcc_pinned_ok",
+)(_ann_delete)

@@ -655,3 +655,95 @@ def test_pq_index_append_no_retraining(spark, tmp_path, monkeypatch):
         ivf_root = str(tmp_path / "ivf")
         S.ivf_build_index(old, ivf_root, n_cells=4)
         S.pq_index_append(new, ivf_root)
+
+
+def test_ann_index_delete_no_retraining_no_rewrite(spark, tmp_path, monkeypatch):
+    """VERDICT r7 item 3: evicting vectors from a persisted ANN index is
+    a merge-on-read tombstone — no retraining, no data files rewritten,
+    model carried forward — and a search afterwards equals the in-memory
+    searcher over the FILTERED corpus with the SAME frozen model. A
+    search pinned to the pre-delete version still sees the vectors
+    (MVCC), and a later append may re-introduce a deleted id."""
+    import numpy as np
+
+    from airflow_postgres_csv_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    qs = corpus.filter(F.col("vec_id") < 5)
+    gone = list(range(50, 100))
+    survivors = corpus.filter(~F.col("vec_id").isin(gone))
+
+    for kind, root, build, search, topk, model_key, kw in (
+        (
+            "ivf", str(tmp_path / "ivf"),
+            lambda c, r: S.ivf_build_index(c, r, n_cells=8),
+            lambda r: S.ivf_search_index(spark, root, qs, k=3, n_probe=8),
+            lambda c, m: S.ivf_topk(c, qs, k=3, n_probe=8, centroids=m),
+            "centroids", {},
+        ),
+        (
+            "pq", str(tmp_path / "pq"),
+            lambda c, r: S.pq_build_index(c, r, m=4, n_codes=8),
+            lambda r: S.pq_search_index(spark, root, qs, k=3, rerank_factor=4),
+            lambda c, m: S.pq_topk(c, qs, k=3, rerank_factor=4, codebooks=m),
+            "codebooks", {},
+        ),
+    ):
+        m1 = build(corpus, root)
+        pre = sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in search(root).collect()
+        )
+
+        def boom(*a, **kw):
+            raise AssertionError("training ran on the delete path")
+
+        monkeypatch.setattr(S, "_kmeans_fit", boom)
+        monkeypatch.setattr(S, "ivf_centroids", boom)
+        monkeypatch.setattr(S, "pq_codebooks", boom)
+        m2 = S.ann_index_delete(spark, root, gone)
+        # model frozen and carried through the tombstone commit; data
+        # files untouched (MOR: same file list, one tombstone entry)
+        assert m2["ann_index"] == m1["ann_index"]
+        assert sorted(m2["files"]) == sorted(m1["files"])
+        assert m2["tombstones"], "delete must be a MOR tombstone"
+
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in search(root).collect()
+        )
+        monkeypatch.undo()
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in topk(survivors, m1["ann_index"][model_key]).collect()
+        )
+        assert got == want, f"{kind}: post-delete search != filtered-corpus search"
+        assert all(nid not in gone for (_, nid, _) in got)
+
+        # MVCC: the pre-delete generation still serves the full corpus
+        if kind == "ivf":
+            pinned = sorted(
+                (r.query_id, r.neighbor_id, r.rank)
+                for r in S.ivf_search_index(
+                    spark, root, qs, k=3, n_probe=8, version=m1["version"]
+                ).collect()
+            )
+            assert pinned == pre
+
+    # later appends are exempt from the tombstone: re-adding a deleted id
+    readd = spark.createDataFrame(
+        [rows[60]], "vec_id long, embedding array<float>"
+    )
+    ivf_root = str(tmp_path / "ivf")
+    S.ivf_index_append(readd, ivf_root)
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+    ids = {
+        r.vec_id
+        for r in snapshot_read(spark, ivf_root).select("vec_id").collect()
+    }
+    assert 60 in ids and 61 not in ids
+    with pytest.raises(ValueError, match="non-empty ints"):
+        S.ann_index_delete(spark, ivf_root, [])
