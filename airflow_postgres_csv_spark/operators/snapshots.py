@@ -1375,7 +1375,7 @@ def snapshot_compact(
     spark: SparkSession,
     root: str,
     target_bytes: int = 128 * 1024 * 1024,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
     curve: str = "morton",
 ) -> dict:
     """Rewrite the latest version's files into ``ceil(bytes/target)`` files
@@ -1383,15 +1383,18 @@ def snapshot_compact(
     merge-on-read tombstones folded in (the rewrite reads through
     ``snapshot_read``, which applies them; the new manifest carries none).
 
-    ``zorder_by=(x, y)`` additionally CLUSTERS the rewrite on the Morton
-    interleave of the two (numeric) columns — Delta/Iceberg's ``OPTIMIZE
-    ZORDER BY``. Each column is affinely scaled into 16 bits from its
-    own min/max (one tiny aggregate; the scaling only shapes the layout,
-    never the rows), the z-value range-partitions AND sorts the output,
-    so every rewritten file covers a tight rectangle in (x, y) — and the
-    per-file zone maps the commit records then prune scans with
-    predicates on EITHER or BOTH columns (``layout.zorder_value``; payoff
-    asserted in tests/test_snapshots.py::test_compact_zorder_prunes_2d).
+    ``zorder_by=(a, b, ...)`` additionally CLUSTERS the rewrite on the
+    space-filling-curve interleave of the 2..4+ (numeric) columns —
+    Delta/Iceberg's ``OPTIMIZE ZORDER BY`` / liquid-clustering layouts.
+    Each column is affinely scaled into its per-column bit budget
+    (``63 // n`` bits, capped at 16) from its own min/max (one tiny
+    aggregate; the scaling only shapes the layout, never the rows), the
+    curve value range-partitions AND sorts the output, so every rewritten
+    file covers a tight n-D box — and the per-file zone maps the commit
+    records then prune scans with predicates on ANY subset of the
+    clustered columns (``layout.zorder_value`` / ``layout.hilbert_value``;
+    payoff asserted in tests/test_snapshots.py::test_compact_zorder_prunes_2d
+    and ::test_compact_zorder3_prunes_3d).
 
     Unlike directory-swap compaction (``dataset.compact_dataset``), the
     snapshot version makes maintenance safe by construction: readers pinned
@@ -1416,28 +1419,35 @@ def snapshot_compact(
 
         from airflow_postgres_csv_spark.operators.layout import (
             hilbert_value,
+            max_curve_bits,
             zorder_value,
         )
 
         if curve not in ("morton", "hilbert"):
             raise ValueError(f"curve must be morton|hilbert, got {curve!r}")
         curve_fn = hilbert_value if curve == "hilbert" else zorder_value
-        xc, yc = zorder_by
+        cols = tuple(zorder_by)
+        bits = min(16, max_curve_bits(len(cols)))
         bounds = df.agg(
-            F.min(xc), F.max(xc), F.min(yc), F.max(yc)
+            *[f(c) for c in cols for f in (F.min, F.max)]
         ).first()
-        x_lo, x_hi, y_lo, y_hi = (
-            (0, 1, 0, 1) if bounds[0] is None else bounds
-        )
-        scale = (1 << 16) - 1
+        scale = (1 << bits) - 1
 
         def _norm(col, lo, hi):
+            if lo is None:  # empty table: layout is moot, any constant works
+                lo, hi = 0, 1
             span = max(int(hi) - int(lo), 1)
             return (
                 (F.col(col).cast("long") - F.lit(int(lo))) * scale / F.lit(span)
             ).cast("long")
 
-        z = curve_fn(_norm(xc, x_lo, x_hi), _norm(yc, y_lo, y_hi))
+        z = curve_fn(
+            *[
+                _norm(c, bounds[2 * i], bounds[2 * i + 1])
+                for i, c in enumerate(cols)
+            ],
+            bits=bits,
+        )
         df = df.repartitionByRange(n_out, z.alias("__z")).sortWithinPartitions(
             z.alias("__z")
         )

@@ -2207,3 +2207,60 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_hilbert_pruned)
+
+
+# ---------------------------------------------------------------------------
+# Three-column OPTIMIZE ZORDER BY (round 8): liquid-clustering-style
+# layouts routinely cluster 3-4 columns; snapshot_compact now interleaves
+# N columns (layout.zorder_value / the n-D Skilling hilbert_value, each
+# column scaled into a 63//n-bit budget). The oracle certifies the
+# 3-column clustered rewrite changed NOTHING about the rows under a 3-D
+# box predicate; the pruning payoff (clustered layout keeps a strictly
+# smaller file fraction than a 1-D sort) is pinned in
+# tests/test_snapshots.py::test_compact_zorder3_prunes_3d.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_zorder3_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(5):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(5)) == r), root)
+    snapshot_compact(
+        spark, root, target_bytes=64 * 1024,
+        zorder_by=("user_id", "event_id", "value"),
+    )
+    box = {
+        "user_id": (100, 400),
+        "event_id": (1000, 6000),
+        "value": (10.0, 60.0),
+    }
+    return (
+        snapshot_scan(spark, root, ranges=box)
+        .where(
+            F.col("user_id").between(100, 400)
+            & F.col("event_id").between(1000, 6000)
+            & F.col("value").between(10.0, 60.0)
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "snapshot_zorder3_pruned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND event_id BETWEEN 1000 AND 6000
+      AND value BETWEEN 10.0 AND 60.0
+    ORDER BY event_id
+    """,
+)(snapshot_zorder3_pruned)

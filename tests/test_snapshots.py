@@ -1709,7 +1709,7 @@ def test_hilbert_value_matches_reference_and_is_adjacent(spark):
     got = {
         (r.x, r.y): r.d
         for r in grid.select(
-            "x", "y", hilbert_value(F.col("x"), F.col("y"), bits).alias("d")
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), bits=bits).alias("d")
         ).collect()
     }
     want = {(x, y): ref_xy2d(n, x, y) for x in range(n) for y in range(n)}
@@ -1756,3 +1756,145 @@ def test_compact_hilbert_prunes_2d(spark, tmp_path):
     assert got.count() == 31 * 31
     with pytest.raises(ValueError, match="morton|hilbert"):
         snapshot_compact(spark, root, zorder_by=("x", "y"), curve="peano")
+
+
+def _ref_hilbert_nd(coords, bits):
+    """Skilling, "Programming the Hilbert curve" (AIP Conf. Proc. 707,
+    2004): AxesToTranspose + bit interleave of the transposed index."""
+    X = list(coords)
+    n = len(X)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = M
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    d = 0
+    for j in range(bits):
+        for i in range(n):
+            d |= (((X[i] ^ t) >> j) & 1) << (j * n + (n - 1 - i))
+    return d
+
+
+def test_hilbert_nd_matches_reference_and_is_adjacent(spark):
+    """hilbert_value generalizes beyond 2 columns (VERDICT r7 item 4):
+    the n-D fold equals the textbook Skilling transform, is bijective on
+    the grid, and keeps the defining Hilbert property — consecutive curve
+    positions are L1-distance-1 grid neighbors — in 3 and 4 dimensions.
+    N-ary zorder_value equals the plain Morton interleave."""
+    from airflow_postgres_csv_spark.operators.layout import (
+        hilbert_value,
+        max_curve_bits,
+        zorder_value,
+    )
+
+    for n_dim, bits in ((3, 2), (4, 2)):
+        side = 1 << bits
+        import itertools
+
+        coords = list(itertools.product(range(side), repeat=n_dim))
+        names = [f"c{i}" for i in range(n_dim)]
+        df = spark.createDataFrame(
+            coords, ", ".join(f"{c} long" for c in names)
+        )
+        got = {
+            tuple(r[:n_dim]): r.d
+            for r in df.select(
+                *names,
+                hilbert_value(*[F.col(c) for c in names], bits=bits).alias("d"),
+            ).collect()
+        }
+        assert got == {c: _ref_hilbert_nd(c, bits) for c in coords}
+        assert sorted(got.values()) == list(range(side**n_dim))
+        by_d = {d: c for c, d in got.items()}
+        for d in range(side**n_dim - 1):
+            a, b = by_d[d], by_d[d + 1]
+            assert sum(abs(x - y) for x, y in zip(a, b)) == 1, (n_dim, d, a, b)
+
+    # n-ary Morton: bit i of column j lands at n*i + j
+    rows = [(5, 9, 3), (1023, 0, 512), (7, 7, 7)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = [
+        r.d
+        for r in df.select(
+            zorder_value(F.col("x"), F.col("y"), F.col("z"), bits=10).alias("d")
+        ).collect()
+    ]
+    want = []
+    for c in rows:
+        d = 0
+        for i in range(10):
+            for j in range(3):
+                d |= ((c[j] >> i) & 1) << (3 * i + j)
+        want.append(d)
+    assert got == want
+    # long-overflow guard: n*bits must fit a signed long
+    assert max_curve_bits(3) == 21 and max_curve_bits(4) == 15
+    with pytest.raises(ValueError, match="63"):
+        zorder_value(F.col("x"), F.col("y"), F.col("z"), bits=22)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        hilbert_value(F.col("x"))
+
+
+def test_compact_zorder3_prunes_3d(spark, tmp_path):
+    """OPTIMIZE on THREE columns: a 3-D box scan on the curve-clustered
+    rewrite skips more files than a 1-D-sorted layout of the same data
+    (the n-column payoff pin mirroring the 2-D one), for both curves."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    n = 32_768
+    df = spark.range(n).select(
+        (F.col("id") % 32).alias("x"),
+        (F.floor(F.col("id") / 32) % 32).alias("y"),
+        F.floor(F.col("id") / 1024).alias("z"),
+        F.col("id").alias("payload"),
+    )
+    n_linear = 32
+    lroot = str(tmp_path / "linear")
+    snapshot_commit(
+        df.repartitionByRange(n_linear, "x").sortWithinPartitions("x"), lroot
+    )
+    box = {"x": (0, 7), "y": (0, 7), "z": (0, 7)}  # 1/64 of the 32^3 grid
+    lplan = snapshot_scan_files(lroot, ranges=box)
+    # x-sorted slabs prune ONLY on x: the box spans 1/4 of x, so ~1/4 kept
+    l_frac = lplan["kept"] / n_linear
+    want_rows = {
+        (x, y, z) for x in range(8) for y in range(8) for z in range(8)
+    }
+    for curve in ("morton", "hilbert"):
+        root = str(tmp_path / curve)
+        snapshot_commit(df.repartition(8), root)
+        m = snapshot_compact(
+            spark, root, target_bytes=6 * 1024,
+            zorder_by=("x", "y", "z"), curve=curve,
+        )
+        assert m["n_files"] >= 16, m["n_files"]
+        plan = snapshot_scan_files(root, ranges=box)
+        # the 3-D clustered layout keeps a strictly smaller FRACTION of
+        # its files than the 1-D sort — the n-column pruning payoff
+        assert plan["kept"] / m["n_files"] < l_frac, (curve, plan, lplan)
+        assert plan["skipped"] > 0, (curve, plan)
+        got = snapshot_scan(spark, root, ranges=box).where(
+            F.col("x").between(0, 7)
+            & F.col("y").between(0, 7)
+            & F.col("z").between(0, 7)
+        )
+        assert {(r.x, r.y, r.z) for r in got.collect()} == want_rows
