@@ -1576,6 +1576,64 @@ def snapshot_merge(
     return _publish(root, versions, body, commit_id, sidecar if new_files else None)
 
 
+# safe widening chains for merge_schema (Delta's mergeSchema upcasts):
+# integral byte→short→int→long and float→double; anything else raises.
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_WIDEN_RANK_F = {"float": 0, "double": 1}
+
+
+def _merge_schemas(target, src):
+    """Evolved schema for ``merge_schema=True``: target fields first
+    (widened where the source is safely wider), then source-only fields
+    appended in source order. Unsafe type conflicts raise."""
+    from pyspark.sql.types import StructField, StructType
+
+    src_by_name = {f.name: f for f in src.fields}
+    out = []
+    for f in target.fields:
+        s = src_by_name.get(f.name)
+        if s is None or s.dataType == f.dataType:
+            out.append(f)
+            continue
+        tn, sn = f.dataType.typeName(), s.dataType.typeName()
+        for rank in (_WIDEN_RANK, _WIDEN_RANK_F):
+            if tn in rank and sn in rank:
+                wide = f.dataType if rank[tn] >= rank[sn] else s.dataType
+                out.append(StructField(f.name, wide, True))
+                break
+        else:
+            raise ValueError(
+                f"merge_schema: column {f.name!r} cannot evolve "
+                f"{f.dataType.simpleString()} <-> {s.dataType.simpleString()} "
+                "(only byte/short/int/long and float/double widen)"
+            )
+    have = {f.name for f in target.fields}
+    for f in src.fields:
+        if f.name not in have:
+            # added column: pre-evolution rows read it as NULL
+            out.append(StructField(f.name, f.dataType, True))
+    return StructType(out)
+
+
+def _align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto ``schema``: present columns cast to the target
+    type, absent columns NULL — the merge-time twin of the read path's
+    per-commit schema alignment."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def snapshot_merge_into(
     spark: SparkSession,
     root: str,
@@ -1587,6 +1645,7 @@ def snapshot_merge_into(
     insert_when_not_matched: bool = True,
     not_matched_condition: str | None = None,
     not_matched_by_source_delete: str | None = None,
+    merge_schema: bool = False,
     extra: dict | None = None,
 ) -> dict:
     """Full MERGE INTO clause surface (Delta/Iceberg ``MERGE``) as one
@@ -1611,7 +1670,20 @@ def snapshot_merge_into(
     Expressions are SQL over the aliases ``t`` (target row) and ``s``
     (source row), e.g. ``{"v": "t.v + s.v"}``; results cast to the target
     column's type. ``source`` must be schema-identical to the table
-    (INSERT * shape) and unique per key.
+    (INSERT * shape) unless ``merge_schema=True``, which evolves the
+    table schema through the merge (Delta's ``mergeSchema``): source-only
+    columns are APPENDED (existing rows read them as NULL through the
+    per-commit schema machinery), and a common column may WIDEN along the
+    safe numeric chains (byte→short→int→long, float→double) — old files
+    up-cast on read; any other type conflict raises. A merge that changes
+    no rows stays a metadata-only no-op and does NOT evolve the schema.
+
+    ``source`` must be unique per ``key``: SQL MERGE raises when a target
+    row matches more than one source row, and this implementation guards
+    slightly stricter — duplicate non-null source keys raise outright
+    (they would also insert duplicate keys into a keyed table). The check
+    rides the min/max aggregate the planner already runs on the source,
+    so it costs no extra scan.
 
     Execution is ``snapshot_merge``'s file-granular contract: zone maps
     pick candidate files on the source's key range, only those are read
@@ -1625,7 +1697,7 @@ def snapshot_merge_into(
     metadata-only no-op version.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     if extra and (bad := set(extra) & _RESERVED_KEYS):
         raise ValueError(f"extra metadata may not override reserved keys: {sorted(bad)}")
@@ -1633,14 +1705,29 @@ def snapshot_merge_into(
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
     manifest = _load_manifest(root, versions[-1])
+    table_schema = StructType.fromJson(json.loads(manifest["schema"]))
     if manifest["schema"] != _schema_json(source):
-        raise ValueError(
-            "snapshot_merge_into: source schema differs from table schema "
-            "(INSERT * contract)"
+        if not merge_schema:
+            raise ValueError(
+                "snapshot_merge_into: source schema differs from table "
+                "schema (INSERT * contract); pass merge_schema=True to "
+                "evolve adds/widens through the merge"
+            )
+        evolved = _merge_schemas(table_schema, source.schema)
+        # canonical serialization (nullability-normalized, same writer as
+        # _schema_json) so later schema-equality string compares hold
+        evolved = StructType(
+            [StructField(f.name, f.dataType, True) for f in evolved.fields]
         )
-    fields = StructType.fromJson(json.loads(manifest["schema"])).fields
+        evolved_json = evolved.json()
+    else:
+        evolved = table_schema
+        evolved_json = manifest["schema"]
+    fields = evolved.fields
     cols = [f.name for f in fields]
     dtypes = {f.name: f.dataType for f in fields}
+    if key not in cols or key not in source.columns:
+        raise ValueError(f"snapshot_merge_into: key {key!r} missing")
     if matched_update:
         bad_cols = set(matched_update) - set(cols)
         if bad_cols:
@@ -1648,7 +1735,16 @@ def snapshot_merge_into(
         if key in matched_update:
             raise ValueError("matched_update: may not update the merge key")
 
-    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    lo, hi, n_nonnull, n_keys = source.agg(
+        F.min(key), F.max(key), F.count(key), F.count_distinct(F.col(key))
+    ).first()
+    if n_nonnull != n_keys:
+        raise ValueError(
+            f"snapshot_merge_into: source has {n_nonnull - n_keys} "
+            f"duplicate value(s) of key {key!r} — SQL MERGE requires at "
+            "most one source row per key (duplicates would fan out "
+            "matched target rows); de-duplicate the source first"
+        )
     commit_id = uuid.uuid4().hex[:12]
 
     def _noop() -> dict:
@@ -1676,8 +1772,17 @@ def snapshot_merge_into(
                 untouched.append(rel)
             else:
                 candidates.append(rel)
-    t = _read_pinned(spark, root, manifest, candidates).alias("t")
-    s = source.alias("s")
+    t_raw = _read_pinned(spark, root, manifest, candidates)
+    if evolved_json != manifest["schema"]:
+        # align both sides to the evolved schema: new columns read NULL
+        # on the target side / target-only columns read NULL on the
+        # source side, widened columns up-cast — the same alignment the
+        # read path applies to old commits after the schema changes
+        t = _align_to_schema(t_raw, evolved).alias("t")
+        s = _align_to_schema(source, evolved).alias("s")
+    else:
+        t = t_raw.alias("t")
+        s = source.alias("s")
     on = F.col(f"t.{key}") == F.col(f"s.{key}")
     matched = t.join(s, on, "inner")
     del_cond = (
@@ -1762,11 +1867,11 @@ def snapshot_merge_into(
         body.update(extra)
     body.update(
         mode="merge", commit_id=commit_id, files=files, n_files=len(files),
-        schema=manifest["schema"],
+        schema=evolved_json,
     )
     sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
     if new_files:
-        body["commit_schemas"][commit_id] = manifest["schema"]
+        body["commit_schemas"][commit_id] = evolved_json
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
     return _publish(root, versions, body, commit_id, sidecar if new_files else None)
 
@@ -2515,6 +2620,24 @@ def snapshot_incremental_agg(
     return {"applied_through": src_latest, "refreshed": True}
 
 
+def _upsert_evolving(spark: SparkSession, dst_root: str, rows: DataFrame, key_col: str) -> dict:
+    """Upsert replayed CDC rows into the downstream table, evolving its
+    schema when the source evolved (a merge_schema merge upstream makes
+    the post-image rows wider than the replica): schema-identical rows
+    take the plain ``snapshot_merge`` fast path; drifted rows go through
+    ``snapshot_merge_into(merge_schema=True)`` with every non-key column
+    replaced — the same replace-matched-rows semantics, plus the add/widen
+    evolution the read path already supports."""
+    dvs = snapshot_versions(dst_root)
+    if _load_manifest(dst_root, dvs[-1])["schema"] == _schema_json(rows):
+        return snapshot_merge(spark, dst_root, rows, key=key_col)
+    return snapshot_merge_into(
+        spark, dst_root, rows, key=key_col,
+        matched_update={c: f"s.{c}" for c in rows.columns if c != key_col},
+        merge_schema=True,
+    )
+
+
 def snapshot_apply_changes(
     spark: SparkSession,
     src_root: str,
@@ -2608,7 +2731,7 @@ def snapshot_apply_changes(
                 F.broadcast(keys), key_col, "left_semi"
             )
             if snapshot_versions(dst_root):
-                snapshot_merge(spark, dst_root, rows, key=key_col)
+                _upsert_evolving(spark, dst_root, rows, key_col)
             else:
                 snapshot_commit(rows, dst_root)
             appends += 1
@@ -2666,7 +2789,7 @@ def snapshot_apply_changes(
         if added:
             rows = _read_pinned(spark, src_root, cur, added)
             if snapshot_versions(dst_root):
-                snapshot_merge(spark, dst_root, rows, key=key_col)
+                _upsert_evolving(spark, dst_root, rows, key_col)
             else:
                 snapshot_commit(rows, dst_root)
             appends += 1

@@ -2077,6 +2077,118 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# MERGE INTO schema evolution (round 8): merge_schema=True lets the
+# source ADD a column through the merge (Delta's mergeSchema) — matched
+# rows take the new column's value, untouched pre-evolution rows read it
+# as NULL, and the change feed replays exactly across the evolution: the
+# query replays the whole history (including the evolving merge) into a
+# fresh replica via snapshot_apply_changes and pins row-set equality as
+# replica_ok. The oracle reconstructs the merged state with the ANSI
+# LEFT-JOIN definition; score = user_id/4 is exact in binary, so no
+# cross-engine rounding is involved.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_merge_into,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root, dst = _temp_root(), _temp_root()
+    snapshot_commit(ev.where(F.col("event_id") % 2 == 0), root)
+    snapshot_commit(ev.where(F.col("event_id") % 2 == 1), root)
+    matched_src = ev.where(
+        (F.col("event_id") % 10 == 0) & (F.col("event_id") < 5000)
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 2).alias("value"),
+        (F.col("user_id").cast("double") / 4).alias("score"),
+    )
+    new_src = ev.where(
+        (F.col("event_id") % 10 == 3) & (F.col("event_id") < 100)
+    ).select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        "user_id",
+        F.lit(1.5).alias("value"),
+        F.lit(9.25).alias("score"),
+    )
+    snapshot_merge_into(
+        spark, root, matched_src.unionByName(new_src), key="event_id",
+        matched_update={"value": "s.value", "score": "s.score"},
+        merge_schema=True,
+    )
+    snapshot_apply_changes(spark, root, dst, key_col="event_id", from_version=0)
+    final = snapshot_read(spark, root).select(
+        "event_id", "user_id", "value", "score"
+    )
+    replica = snapshot_read(spark, dst).select(
+        "event_id", "user_id", "value", "score"
+    )
+    replica_ok = int(
+        final.exceptAll(replica).count() == 0
+        and replica.exceptAll(final).count() == 0
+    )
+    return (
+        final.withColumn(
+            "class",
+            F.when(F.col("event_id") >= 1000000, "inserted")
+            .when(F.col("score").isNotNull(), "updated")
+            .otherwise("untouched"),
+        )
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(F.col("score").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_score"),
+        )
+        .withColumn("replica_ok", F.lit(replica_ok))
+        .orderBy("class")
+    )
+
+
+register(
+    "snapshot_merge_schema_evolution",
+    """
+    WITH base AS (SELECT event_id, user_id, value FROM events),
+    src AS (
+      SELECT event_id, user_id, value * 2 AS value,
+             CAST(user_id AS DOUBLE) / 4 AS score
+      FROM base WHERE event_id % 10 = 0 AND event_id < 5000
+      UNION ALL
+      SELECT event_id + 1000000, user_id, 1.5, 9.25
+      FROM base WHERE event_id % 10 = 3 AND event_id < 100
+    ),
+    merged AS (
+      SELECT t.event_id,
+             CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+             CASE WHEN s.event_id IS NOT NULL THEN s.score ELSE NULL END AS score
+      FROM base t LEFT JOIN src s ON t.event_id = s.event_id
+      UNION ALL
+      SELECT s.event_id, s.value, s.score
+      FROM src s LEFT JOIN base t ON t.event_id = s.event_id
+      WHERE t.event_id IS NULL
+    )
+    SELECT CASE WHEN event_id >= 1000000 THEN 'inserted'
+                WHEN score IS NOT NULL THEN 'updated'
+                ELSE 'untouched' END AS class,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS total_score,
+           1 AS replica_ok
+    FROM merged
+    GROUP BY 1 ORDER BY class
+    """,
+)(snapshot_merge_schema_evolution)
+
+
+# ---------------------------------------------------------------------------
 # LIVE streaming MERGE INTO (round 7): two micro-batches (the events
 # fixture split by event_id parity, maxFilesPerTrigger=1) each
 # pre-aggregate per user and MERGE into a keyed running-totals table —

@@ -1682,6 +1682,111 @@ def test_merge_into_not_matched_by_source_delete(spark, tmp_path):
     ]
 
 
+def test_merge_into_duplicate_source_keys_raise(spark, tmp_path):
+    """SQL MERGE raises when a target row matches multiple source rows;
+    the guard rides the planner's existing min/max aggregate and rejects
+    any duplicated non-null source key up front (VERDICT r7 item 6)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_merge_into,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.createDataFrame([(i, i) for i in range(5)], "id long, v long"),
+        root,
+    )
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 20), (7, 70)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_merge_into(
+            spark, root, dup, key="id", matched_update={"v": "s.v"}
+        )
+    assert len(snapshot_versions(root)) == 1  # nothing published
+
+
+def test_merge_into_schema_evolution(spark, tmp_path):
+    """merge_schema=True evolves adds/widens THROUGH the merge (VERDICT
+    r7 item 5): a source with an added column and a widened column
+    merges; pre-evolution rows read the new column as NULL; time travel
+    to the old version keeps the old schema; and the change feed +
+    apply_changes replay exactly across the evolution."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+        snapshot_merge_into,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(i, i * 10, "old") for i in range(6)],
+            "id long, v int, tag string",
+        ).coalesce(2),
+        root,
+    )
+    # source: widens v (int -> long), appends score (new column)
+    source = spark.createDataFrame(
+        [(2, 7, "upd", 0.5), (3, 7, "upd", 1.5), (10, 100, "new", 9.9)],
+        "id long, v long, tag string, score double",
+    )
+    # without the opt-in, drift still raises
+    with pytest.raises(ValueError, match="merge_schema"):
+        snapshot_merge_into(
+            spark, root, source, key="id", matched_update={"v": "t.v + s.v"}
+        )
+    m = snapshot_merge_into(
+        spark, root, source, key="id",
+        matched_update={"v": "t.v + s.v", "score": "s.score"},
+        merge_schema=True,
+    )
+    assert m["version"] == 2
+    got = {
+        r.id: (r.v, r.tag, r.score)
+        for r in snapshot_read(spark, root).collect()
+    }
+    # updated rows carry the widened sum and the new column
+    assert got[2] == (27, "old", 0.5) and got[3] == (37, "old", 1.5)
+    assert got[10] == (100, "new", 9.9)
+    # untouched pre-evolution rows read score as NULL
+    assert got[0] == (0, "old", None) and got[5] == (50, "old", None)
+    sch = dict(snapshot_read(spark, root).dtypes)
+    assert sch["v"] == "bigint" and sch["score"] == "double"
+    # time travel: version 1 keeps its original 3-column int schema
+    old = snapshot_read(spark, root, version=1)
+    assert dict(old.dtypes) == {"id": "bigint", "v": "int", "tag": "string"}
+
+    # change feed replays exactly across the evolution: update pairs for
+    # 2,3 / insert for 10; pre-images have no score (null-filled)
+    ch = snapshot_table_changes(spark, root, 1, 2)
+    by = {}
+    for r in ch.collect():
+        by.setdefault(r.id, set()).add((r._change_type, r.score))
+    assert by[2] == {("delete", None), ("insert", 0.5)}
+    assert by[3] == {("delete", None), ("insert", 1.5)}
+    assert by[10] == {("insert", 9.9)}
+    assert 0 not in by and 5 not in by
+    dst = str(tmp_path / "dst")
+    snapshot_apply_changes(spark, root, dst, key_col="id", from_version=0)
+    want = sorted(
+        (r.id, r.v, r.tag, r.score)
+        for r in snapshot_read(spark, root).collect()
+    )
+    have = sorted(
+        (r.id, r.v, r.tag, r.score)
+        for r in snapshot_read(spark, dst).collect()
+    )
+    assert have == want
+
+    # unsafe conflicts still raise under the opt-in
+    bad = spark.createDataFrame([(1, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="cannot evolve"):
+        snapshot_merge_into(
+            spark, root, bad, key="id", matched_update=None,
+            merge_schema=True,
+        )
+
+
 def test_hilbert_value_matches_reference_and_is_adjacent(spark):
     """hilbert_value is the standard xy->d Hilbert index: bijective on the
     grid, equal to the textbook Python fold, and consecutive d values are
