@@ -487,13 +487,23 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     commit-level ranges) for the commits still referenced by ``files``,
     tombstones narrowed to those commits (dropped when none remain), and
     the sticky table-level keys (column defaults, partition spec, the
-    streaming sink's high-water batch id)."""
+    streaming sink's high-water batch id).
+
+    Written schemas are materialized EXPLICITLY for every inherited
+    commit (an absent entry in ``prev`` means "= prev's table schema" —
+    the storage elision ``_publish`` applies), so a commit that CHANGES
+    the table schema re-pins every older commit to the schema it was
+    actually written under; same-schema commits re-elide on publish."""
     if prev is None:
         return {"commit_schemas": {}, "sidecars": {}, "commit_ranges": {}, "tombstones": []}
     cids = {_commit_of(rel) for rel in files}
+    prev_cs = prev.get("commit_schemas", {})
+    prev_schema = prev.get("schema")
     out: dict = {
         "commit_schemas": {
-            c: s for c, s in prev.get("commit_schemas", {}).items() if c in cids
+            c: s
+            for c in cids
+            if (s := prev_cs.get(c, prev_schema)) is not None
         },
         "sidecars": {c: p for c, p in prev.get("sidecars", {}).items() if c in cids},
         "commit_ranges": {
@@ -873,6 +883,16 @@ def _publish(
     manifest.setdefault("sidecars", {})
     manifest.setdefault("commit_ranges", {})
     manifest.setdefault("tombstones", [])
+    # storage elision: an absent commit_schemas entry means "= this
+    # manifest's schema" (every reader resolves via .get(cid, schema)),
+    # so the common all-one-schema table stores ZERO per-commit schema
+    # copies — without this a 10^4-commit streaming table's root carries
+    # 10^4 identical schema strings. _inherit_maps re-materializes
+    # explicit entries whenever a commit evolves the table schema.
+    if (cur_schema := manifest.get("schema")) is not None:
+        manifest["commit_schemas"] = {
+            c: s for c, s in manifest["commit_schemas"].items() if s != cur_schema
+        }
     files = manifest.pop("files")
     hints = dict(dict.get(prev_m, "commit_files") or {})
     if pack_hints:

@@ -131,6 +131,13 @@ HEADLINE = [
     "snapshot_catalog_ddl",
     "snapshot_merge_into_clauses",
     "text_index_bm25_search",
+    # round-8 additions: ANN tombstone eviction (two builds + delete +
+    # post-delete/filtered-equivalence searches), 3-column curve
+    # clustering (stage + OPTIMIZE + pruned 3-D box scan), and the
+    # schema-evolving merge with full-history CDC replica replay
+    "similarity_ann_delete",
+    "snapshot_zorder3_pruned",
+    "snapshot_merge_schema_evolution",
 ]
 
 

@@ -2003,3 +2003,117 @@ def test_compact_zorder3_prunes_3d(spark, tmp_path):
             & F.col("z").between(0, 7)
         )
         assert {(r.x, r.y, r.z) for r in got.collect()} == want_rows
+
+
+def test_manifest_commit_count_hygiene_at_10k_commits(spark, tmp_path):
+    """VERDICT r7 item 7: with the root O(commits), commit COUNT is the
+    next unbounded axis for a long-lived streaming table. Pins at 10^4
+    commits: bytes/commit stays small (per-commit schema copies are
+    ELIDED when equal to the table schema — without that the root
+    carries 10^4 identical schema strings), the root parses fast, and a
+    range scan plans by skipping whole commits from the root alone
+    (bounded sidecar opens). Compaction (real, smaller table) collapses
+    the markers back to ONE commit and the root size returns to O(1)."""
+    import json as _json
+    import time as _time
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    # --- (a) synthetic 10^4-commit root, shaped exactly like _publish's
+    # output for an append-per-micro-batch streaming table -------------
+    root = str(tmp_path / "many")
+    seed = snapshot_commit(
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root,
+    )
+    schema_json = seed["schema"]
+    n = 10_000
+    commit_files: dict = dict(S._load_manifest(root, 1)["commit_files"])
+    sidecars = dict(S._load_manifest(root, 1)["sidecars"])
+    commit_ranges = dict(S._load_manifest(root, 1)["commit_ranges"])
+    for i in range(n):
+        cid = f"syn{i:08x}"
+        rel = os.path.join("data", cid, "part-0.parquet")
+        sc_rel = os.path.join("manifests", f"sc-{cid}.json")
+        with open(os.path.join(root, sc_rel), "w") as f:
+            _json.dump({"stats": {rel: {"id": [i, i]}}, "files": [rel]}, f)
+        commit_files[cid] = 1
+        sidecars[cid] = sc_rel
+        commit_ranges[cid] = {"id": [i, i]}
+    manifest = {
+        "version": 2, "parent": 1,
+        "committed_at": S._load_manifest(root, 1)["committed_at"] + 1,
+        "mode": "append", "commit_id": "syn0000270f",
+        "n_files": seed["n_files"] + n, "schema": schema_json,
+        "commit_schemas": {},  # all commits share the table schema
+        "sidecars": sidecars, "commit_ranges": commit_ranges,
+        "tombstones": [], "commit_files": commit_files,
+    }
+    with open(S._manifest_path(root, 2), "w") as f:
+        _json.dump(manifest, f)
+
+    size = os.path.getsize(S._manifest_path(root, 2))
+    assert size / n < 150, f"{size / n:.0f} bytes/commit — root too fat"
+    t0 = _time.time()
+    m = S._load_manifest(root, 2)
+    parse_s = _time.time() - t0
+    assert parse_s < 2.0, f"root parse took {parse_s:.2f}s at {n} commits"
+    t0 = _time.time()
+    plan = S.snapshot_scan_files(root, ranges={"id": (5, 9)})
+    plan_s = _time.time() - t0
+    # commit-level ranges answer the skip from the root alone: at most a
+    # handful of sidecars opened out of 10^4
+    assert plan["commits_skipped"] >= n - 5, plan
+    assert plan["sidecars_loaded"] <= 6, plan  # 5 in-range + seed
+    assert plan_s < 2.0, f"scan planning took {plan_s:.2f}s at {n} commits"
+
+    # --- (b) real table: compaction folds markers + root returns O(1) -
+    root2 = str(tmp_path / "fold")
+    for i in range(40):
+        snapshot_commit(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            root2,
+        )
+    m_before = S._load_manifest(root2, 40)
+    assert len(m_before["commit_files"]) == 40
+    # schema elision: 40 same-schema commits store ZERO schema copies
+    assert m_before["commit_schemas"] == {}
+    size_before = os.path.getsize(S._manifest_path(root2, 40))
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
+
+    m_after = snapshot_compact(spark, root2, target_bytes=1 << 30)
+    assert len(m_after["commit_files"]) == 1, "compaction must fold markers"
+    size_after = os.path.getsize(S._manifest_path(root2, m_after["version"]))
+    assert size_after < size_before / 5, (size_before, size_after)
+    got = sorted(r.id for r in snapshot_read(spark, root2).collect())
+    assert got == list(range(400))
+
+
+def test_schema_elision_survives_evolution(spark, tmp_path):
+    """The storage elision (absent commit_schemas entry == table schema)
+    must re-materialize when a commit EVOLVES the schema: older commits
+    get explicit entries pinned to the schema they were written under,
+    and mixed-schema reads stay exact."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "t")
+    snapshot_commit(spark.range(5).select("id"), root)
+    snapshot_commit(spark.range(5, 10).select("id"), root)
+    assert S._load_manifest(root, 2)["commit_schemas"] == {}
+    # evolution commit: adds a column
+    snapshot_commit(
+        spark.range(10, 15).select("id", F.lit(7).cast("long").alias("v")),
+        root,
+        allow_schema_change=True,
+    )
+    m = S._load_manifest(root, 3)
+    # the two pre-evolution commits are now EXPLICITLY pinned to the old
+    # 1-column schema; the new commit's entry (== table schema) elides
+    old_cids = {S._commit_of(r) for r in S._load_manifest(root, 2)["files"]}
+    assert set(m["commit_schemas"]) == old_cids
+    rows = {(r.id, r.v) for r in snapshot_read(spark, root).collect()}
+    assert rows == {(i, None) for i in range(10)} | {(i, 7) for i in range(10, 15)}
+    # time travel: old version still reads under its own schema
+    assert dict(snapshot_read(spark, root, version=2).dtypes) == {"id": "bigint"}
