@@ -526,6 +526,13 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
                 "cdc_applied_version", "ivm_applied_version"):
         if key in prev:
             out[key] = prev[key]
+    if "optimized_commits" in prev:
+        # clustered-commit stamps survive appends/merges; narrowed to the
+        # commits still referenced (a commit whose files all left the
+        # table no longer needs the stamp)
+        kept = [c for c in prev["optimized_commits"] if c in cids]
+        if kept:
+            out["optimized_commits"] = kept
     return out
 
 
@@ -1485,6 +1492,110 @@ def snapshot_compact(
     )
     new_m["files_before"] = manifest["n_files"]
     return new_m
+
+
+def snapshot_optimize_incremental(
+    spark: SparkSession,
+    root: str,
+    zorder_by: tuple[str, ...],
+    curve: str = "morton",
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Incremental OPTIMIZE: cluster ONLY the files added since the last
+    optimize, leaving previously-optimized files untouched by pointer —
+    the maintenance shape a long-lived streaming table needs at 100 TB,
+    where a full-table ``snapshot_compact`` rewrite per cycle is not an
+    option (Delta's incremental OPTIMIZE / liquid-clustering cadence).
+
+    Files of commits stamped ``optimized_commits`` (this op's own prior
+    outputs, inherited across appends; a COW rewrite that keeps a subset
+    of an optimized commit keeps its stamp — the surviving rows are
+    still clustered) are inherited verbatim; everything else is read
+    (tombstones on those commits folded in), curve-clustered exactly
+    like ``snapshot_compact(zorder_by=...)``, and rewritten as one new
+    commit. The publish is row-preserving and stamps ``compaction_of``,
+    so change feeds, CDC replay, and the streaming source verify-and-skip
+    it like any compaction. Fewer than ``min_files`` unoptimized files
+    publishes nothing and returns the current head (an idempotent
+    maintenance loop can run on a timer).
+
+    Each cycle costs O(new data). Steady state: appends arrive
+    unclustered, the maintenance loop folds them into one clustered
+    commit per cycle, and scans prune per-commit — older optimized
+    commits by their tight curve extents, the newest arrivals by
+    whatever their natural order gave them. A first run on a
+    never-optimized table clusters everything (= the full OPTIMIZE)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators.layout import (
+        hilbert_value,
+        max_curve_bits,
+        zorder_value,
+    )
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"curve must be morton|hilbert, got {curve!r}")
+    manifest = _load_manifest(root, versions[-1])
+    prev_opt = set(manifest.get("optimized_commits", []))
+    keep = [rel for rel in manifest["files"] if _commit_of(rel) in prev_opt]
+    redo = [rel for rel in manifest["files"] if _commit_of(rel) not in prev_opt]
+    if len(redo) < min_files:
+        return manifest
+    df = _read_pinned(spark, root, manifest, redo)
+
+    curve_fn = hilbert_value if curve == "hilbert" else zorder_value
+    cols = tuple(zorder_by)
+    bits = min(16, max_curve_bits(len(cols)))
+    bounds = df.agg(*[f(c) for c in cols for f in (F.min, F.max)]).first()
+    scale = (1 << bits) - 1
+
+    def _norm(col, lo, hi):
+        if lo is None:  # empty unoptimized slice: layout is moot
+            lo, hi = 0, 1
+        span = max(int(hi) - int(lo), 1)
+        return (
+            (F.col(col).cast("long") - F.lit(int(lo))) * scale / F.lit(span)
+        ).cast("long")
+
+    z = curve_fn(
+        *[
+            _norm(c, bounds[2 * i], bounds[2 * i + 1])
+            for i, c in enumerate(cols)
+        ],
+        bits=bits,
+    )
+    total = sum(os.path.getsize(os.path.join(root, rel)) for rel in redo)
+    n_out = max(1, math.ceil(total / target_bytes))
+    clustered = df.repartitionByRange(
+        n_out, z.alias("__z")
+    ).sortWithinPartitions(z.alias("__z"))
+    commit_id, new_files = _write_data(clustered, root)
+    files = keep + new_files
+    body = _inherit_maps(manifest, files)
+    bloom_cfg = manifest.get("bloom")
+    if bloom_cfg:
+        body["bloom"] = bloom_cfg
+    body["optimized_commits"] = sorted(
+        (prev_opt & {_commit_of(rel) for rel in keep}) | {commit_id}
+    )
+    body.update(
+        mode="overwrite", commit_id=commit_id, files=files,
+        n_files=len(files), schema=manifest["schema"],
+        compaction_of=versions[-1],
+    )
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    body["commit_schemas"][commit_id] = manifest["schema"]
+    body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    out = _publish(root, versions, body, commit_id, sidecar)
+    out["files_rewritten"] = len(redo)
+    out["files_kept"] = len(keep)
+    return out
 
 
 def _key_stats_for_merge(root: str, manifest: dict, col: str) -> dict:

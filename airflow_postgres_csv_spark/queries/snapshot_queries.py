@@ -2376,3 +2376,59 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_zorder3_pruned)
+
+
+# ---------------------------------------------------------------------------
+# Incremental OPTIMIZE (round 8): the maintenance cadence a streaming
+# table needs at 100 TB — cluster only the commits added since the last
+# optimize (O(new data) per cycle), keep previously-optimized files by
+# pointer. The oracle certifies the two optimize generations together
+# still read as exactly the staged rows under a 2-D box predicate; the
+# only-new-files / tombstone-fold / feed-skip invariants are pinned in
+# tests/test_snapshots.py::test_optimize_incremental_clusters_only_new_files.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_optimize_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_optimize_incremental,
+        snapshot_scan,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(3):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(5)) == r), root)
+    snapshot_optimize_incremental(
+        spark, root, zorder_by=("user_id", "event_id"),
+        target_bytes=64 * 1024,
+    )
+    for r in (3, 4):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(5)) == r), root)
+    snapshot_optimize_incremental(
+        spark, root, zorder_by=("user_id", "event_id"),
+        target_bytes=64 * 1024,
+    )
+    box = {"user_id": (100, 400), "event_id": (2000, 7000)}
+    return (
+        snapshot_scan(spark, root, ranges=box)
+        .where(
+            F.col("user_id").between(100, 400)
+            & F.col("event_id").between(2000, 7000)
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "snapshot_optimize_incremental",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND event_id BETWEEN 2000 AND 7000
+    ORDER BY event_id
+    """,
+)(snapshot_optimize_incremental_query)

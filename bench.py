@@ -138,6 +138,7 @@ HEADLINE = [
     "similarity_ann_delete",
     "snapshot_zorder3_pruned",
     "snapshot_merge_schema_evolution",
+    "snapshot_optimize_incremental",
 ]
 
 

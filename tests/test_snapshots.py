@@ -2117,3 +2117,75 @@ def test_schema_elision_survives_evolution(spark, tmp_path):
     assert rows == {(i, None) for i in range(10)} | {(i, 7) for i in range(10, 15)}
     # time travel: old version still reads under its own schema
     assert dict(snapshot_read(spark, root, version=2).dtypes) == {"id": "bigint"}
+
+
+def test_optimize_incremental_clusters_only_new_files(spark, tmp_path):
+    """Incremental OPTIMIZE (liquid-clustering cadence): only files added
+    since the last optimize are rewritten — previously-optimized files
+    are inherited BY POINTER (same rel paths) — tombstones on the
+    unoptimized tail fold in, the publish is a verified row-preserving
+    compaction (feeds skip it), and an all-optimized table is a no-op."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_optimize_incremental,
+        snapshot_scan_files,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 64).alias("x"),
+            (F.floor(F.col("id") / 64) % 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+
+    for k in range(3):
+        snapshot_commit(batch(k * 1000, (k + 1) * 1000).coalesce(2), root)
+    m1 = snapshot_optimize_incremental(
+        spark, root, zorder_by=("x", "y"), target_bytes=16 * 1024
+    )
+    assert m1["files_rewritten"] == 6 and m1["files_kept"] == 0
+    opt1_files = set(m1["files"])
+
+    snapshot_commit(batch(3000, 4000).coalesce(2), root)
+    snapshot_commit(batch(4000, 5000).coalesce(2), root)
+    snapshot_delete_mor(
+        spark, root, condition="payload = 3005", key_col="payload"
+    )
+    m2 = snapshot_optimize_incremental(
+        spark, root, zorder_by=("x", "y"), target_bytes=16 * 1024
+    )
+    assert m2["files_kept"] == len(opt1_files)
+    assert m2["files_rewritten"] == 4
+    assert opt1_files < set(m2["files"])  # kept by pointer, untouched
+    # the tombstone FOLDED into the rewrite for the commits it rewrote:
+    # it survives only narrowed to the kept (already-optimized) commits
+    # it also applied to — never to the clean new commit
+    new_cids = {
+        rel.split(os.sep)[1] for rel in set(m2["files"]) - opt1_files
+    }
+    for t in m2["tombstones"]:
+        assert not (set(t["commits"]) & new_cids), t
+        assert set(t["commits"]) <= set(m2["optimized_commits"]), t
+    rows = {r.payload for r in snapshot_read(spark, root).collect()}
+    assert rows == set(range(5000)) - {3005}
+
+    # idempotent maintenance loop: nothing unoptimized -> no-op
+    m3 = snapshot_optimize_incremental(spark, root, zorder_by=("x", "y"))
+    assert m3["version"] == m2["version"]
+
+    # change feed: appends + the MOR delete replay, the optimize commits
+    # verify-and-skip (no rows at their versions)
+    ch = snapshot_table_changes(spark, root, m1["version"], m2["version"])
+    by_type: dict = {}
+    for r in ch.collect():
+        by_type.setdefault(r._change_type, set()).add(r.payload)
+        assert r._commit_version != m2["version"]
+    assert by_type["insert"] == set(range(3000, 5000))
+    assert by_type["delete"] == {3005}
+
+    # pruning payoff: a 2-D box scan skips files in BOTH generations
+    plan = snapshot_scan_files(root, ranges={"x": (0, 7), "y": (0, 7)})
+    assert plan["skipped"] > 0 and plan["kept"] < m2["n_files"], plan
