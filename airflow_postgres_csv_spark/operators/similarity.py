@@ -45,6 +45,9 @@ __all__ = [
     "pq_build_index",
     "pq_index_append",
     "pq_search_index",
+    "ivfpq_build_index",
+    "ivfpq_index_append",
+    "ivfpq_search_index",
     "ann_index_delete",
 ]
 
@@ -790,6 +793,245 @@ def pq_search_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# Composite IVF-PQ (Jégou et al. 2011 §V, the FAISS ``IVFPQ`` shape): the
+# coarse quantizer routes each vector to a cell, and PQ codes the RESIDUAL
+# vector − centroid[cell] (residuals concentrate near zero, so the same
+# code budget quantizes them much more finely than raw vectors). At 100 TB
+# this is THE serving geometry: candidate generation reads ONLY the probed
+# cells' code columns — n_probe/n_cells of the corpus at m bytes/vector —
+# and the true embeddings are touched for just the k·rerank_factor
+# finalists per query.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_train(
+    corpus: DataFrame,
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    sample: int,
+    iters: int,
+    seed: int,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the coarse quantizer AND the residual codebooks from one
+    deterministic, hard-capped driver-side sample (the models are
+    metadata-sized at any corpus scale; only coding is distributed)."""
+    if sample > 100_000:
+        raise ValueError(
+            f"ivfpq sample={sample} exceeds the 100k driver-side cap; "
+            "quantizers do not improve with more — train on a bounded sample"
+        )
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"ivfpq: dim {dim} not divisible by m={m}")
+    rng = np.random.default_rng(seed)
+    C = _kmeans_fit(X, n_cells, iters, rng)
+    assign = np.argmin(
+        ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    R = X - C[assign]  # residuals — what PQ actually codes
+    dsub = dim // m
+    codebooks = [
+        _kmeans_fit(R[:, j * dsub : (j + 1) * dsub], n_codes, iters, rng).tolist()
+        for j in range(m)
+    ]
+    return C.tolist(), codebooks
+
+
+def _centroid_table(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, _cent array<double>",
+    )
+
+
+def _ivfpq_code(
+    corpus: DataFrame, meta: dict, id_col: str, vec_col: str
+) -> DataFrame:
+    """Distributed coding pass: assign cell, PQ-encode the residual.
+    The centroid table broadcasts (n_cells rows); the residual is a JVM
+    ``zip_with`` and only the encoder itself is an Arrow-batched UDF."""
+    spark = corpus.sparkSession
+    ranking = _cell_ranking_udf(meta["centroids"])
+    encode = _pq_encode_udf(meta["codebooks"])
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.element_at(ranking(vec_col), 1).alias("cell"),
+        )
+        .join(F.broadcast(_centroid_table(spark, meta["centroids"])), "cell")
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            encode(
+                F.zip_with(
+                    "embedding", "_cent", lambda x, y: x.cast("double") - y
+                )
+            ).alias("pq_codes"),
+        )
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Build and PERSIST a composite IVF-PQ index: one training pass
+    (coarse centroids + residual codebooks, driver-side on a capped
+    sample), one distributed coding pass, one snapshot commit of
+    ``(vec_id, embedding, cell, pq_codes)`` partition-clustered on
+    ``cell`` (probed cells prune at the COMMIT level before any sidecar
+    read) with both models in the manifest's ``ann_index`` key."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+    centroids, codebooks = _ivfpq_train(
+        corpus, n_cells, m, n_codes, id_col, vec_col, sample, iters, seed
+    )
+    meta = {
+        "kind": "ivfpq", "n_cells": n_cells, "m": m, "n_codes": n_codes,
+        "seed": seed, "centroids": centroids, "codebooks": codebooks,
+    }
+    return snapshot_commit(
+        _ivfpq_code(corpus, meta, id_col, vec_col),
+        index_root, mode="overwrite", partition_by=["cell"],
+        extra={"ann_index": meta},
+    )
+
+
+def ivfpq_index_append(
+    corpus_new: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally extend a persisted IVF-PQ index: code the NEW
+    vectors with the FROZEN quantizer + codebooks (no retraining; the
+    append is pinned to the head whose models it used, so a concurrent
+    rebuild conflicts instead of mixing generations)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(index_root)
+    if not versions:
+        raise FileNotFoundError(f"no index at {index_root}; build first")
+    meta = _load_manifest(index_root, versions[-1]).get("ann_index") or {}
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"{index_root} is not an IVF-PQ index")
+    return snapshot_commit(
+        _ivfpq_code(corpus_new, meta, id_col, vec_col),
+        index_root, mode="append",
+        extra={"ann_index": meta},
+        expected_head=versions[-1],
+    )
+
+
+def ivfpq_search_index(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    version: int | None = None,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: models from the pinned manifest
+    (NO training job), queries rank their ``n_probe`` cells, candidate
+    generation is a cell equi-join scanning ONLY (vec_id, cell, pq_codes)
+    of the probed cells — the embedding column is never read for
+    candidates (column pruning × commit-level cell pruning is the whole
+    point) — ADC scores against centroid + decoded residual, and the
+    exact rerank touches true vectors for the ``k·rerank_factor``
+    finalists. Output contract matches the other searchers."""
+    from airflow_postgres_csv_spark.operators.dedup import cosine_expr
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    v = version if version is not None else snapshot_versions(index_root)[-1]
+    meta = _load_manifest(index_root, v).get("ann_index") or {}
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(
+            f"{index_root} v{v} is not an IVF-PQ index (ann_index={meta.get('kind')!r})"
+        )
+    ranking = _cell_ranking_udf(meta["centroids"])
+    decode = _pq_decode_udf(meta["codebooks"])
+    coded = snapshot_read(spark, index_root, version=v)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    q_probes = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.slice(ranking(vec_col), 1, n_probe)).alias("cell"),
+    )
+    approx = (
+        coded.select("vec_id", "cell", "pq_codes")  # embeddings pruned
+        .join(F.broadcast(q_probes), "cell")
+        .join(F.broadcast(_centroid_table(spark, meta["centroids"])), "cell")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_expr(
+                F.zip_with("_cent", decode(F.col("pq_codes")), lambda x, y: x + y),
+                "_qvec",
+            ).alias("_approx"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select(query_id_col, "neighbor_id")
+    )
+    exact = (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_nvec"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_expr("_nvec", "_qvec").alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_index_delete(
     spark: SparkSession, index_root: str, vec_ids: list
 ) -> dict:
@@ -821,7 +1063,7 @@ def ann_index_delete(
     if not versions:
         raise FileNotFoundError(f"no index at {index_root}")
     meta = _load_manifest(index_root, versions[-1]).get("ann_index") or {}
-    if meta.get("kind") not in ("ivf", "pq"):
+    if meta.get("kind") not in ("ivf", "pq", "ivfpq"):
         raise ValueError(f"{index_root} is not a persisted ANN index")
     ids = sorted(set(vec_ids))
     if not ids or not all(isinstance(i, int) for i in ids):

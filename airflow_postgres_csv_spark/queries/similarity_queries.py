@@ -761,3 +761,66 @@ register(
     "1 AS pq_matches_filtered_ok, 1 AS deleted_absent_ok, "
     "1 AS model_frozen_ok, 1 AS mvcc_pinned_ok",
 )(_ann_delete)
+
+
+# ---------------------------------------------------------------------------
+# Composite IVF-PQ index (round 8, FAISS IVFPQ shape): coarse cells route
+# vectors, PQ codes the RESIDUAL vector - centroid (finer quantization
+# for the same byte budget). Candidate generation scans only the probed
+# cells' (vec_id, cell, pq_codes) columns — commit-level cell pruning x
+# column pruning — and the exact rerank touches true vectors for the
+# k*rerank finalists. The oracle pins the recall floor vs exact top-5,
+# the index round-trip, and a pinned-generation (MVCC) flag; the
+# zero-training-on-serve and column-pruning invariants are monkeypatch/
+# plan-pinned in tests/test_dedup_similarity.py.
+# ---------------------------------------------------------------------------
+
+
+def _ann_ivfpq(spark, sf_dir):
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    root = _temp_root()
+    m1 = S.ivfpq_build_index(
+        emb.where(F.col("vec_id") % 2 == 0), root, n_cells=16, m=16, n_codes=16
+    )
+    m2 = S.ivfpq_index_append(emb.where(F.col("vec_id") % 2 == 1), root)
+    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.ivfpq_search_index(
+        spark, root, qs, k=5, n_probe=8, rerank_factor=4
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    per_query = exact.groupBy("query_id").count().withColumnRenamed(
+        "count", "n_exact"
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+    n = emb.count()
+    versions_ok = int(
+        m1["version"] == 1
+        and m2["version"] == 2
+        and m2["ann_index"] == m1["ann_index"]
+        and snapshot_read(spark, root).count() == n
+    )
+    return (
+        per_query.join(hits.withColumnRenamed("count", "n_hit"), "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("n_hit") / F.sum("n_exact")).alias("recall"),
+        )
+        .select(
+            "n_queries",
+            (F.col("recall") >= 0.5).cast("int").alias("recall_ok"),
+            F.lit(versions_ok).alias("frozen_model_roundtrip_ok"),
+        )
+    )
+
+
+register(
+    "similarity_ann_ivfpq",
+    "SELECT 10 AS n_queries, 1 AS recall_ok, 1 AS frozen_model_roundtrip_ok",
+)(_ann_ivfpq)

@@ -139,6 +139,7 @@ HEADLINE = [
     "snapshot_zorder3_pruned",
     "snapshot_merge_schema_evolution",
     "snapshot_optimize_incremental",
+    "similarity_ann_ivfpq",
 ]
 
 

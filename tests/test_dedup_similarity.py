@@ -747,3 +747,72 @@ def test_ann_index_delete_no_retraining_no_rewrite(spark, tmp_path, monkeypatch)
     assert 60 in ids and 61 not in ids
     with pytest.raises(ValueError, match="non-empty ints"):
         S.ann_index_delete(spark, ivf_root, [])
+
+
+def test_ivfpq_index_build_serve_append_delete(spark, tmp_path, monkeypatch):
+    """Composite IVF-PQ (FAISS IVFPQ shape): residual-coded corpus with
+    both models frozen per generation. Pins: recall floor vs exact
+    top-5, ZERO training jobs on serve/append/delete (monkeypatch
+    bombs), append covers the full corpus against the frozen models,
+    tombstone delete evicts without rewrite, and the candidate scan
+    never touches the embedding column (column pruning — the 100 TB
+    point of PQ codes)."""
+    import numpy as np
+
+    from airflow_postgres_csv_spark.operators import similarity as S
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(32).tolist()) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = corpus.filter(F.col("vec_id") < 8)
+    root = str(tmp_path / "ivfpq")
+    m1 = S.ivfpq_build_index(
+        corpus.where(F.col("vec_id") % 2 == 0), root, n_cells=8, m=8, n_codes=16
+    )
+    assert m1["ann_index"]["kind"] == "ivfpq"
+
+    def boom(*a, **kw):
+        raise AssertionError("training ran on a frozen-model path")
+
+    monkeypatch.setattr(S, "_kmeans_fit", boom)
+    monkeypatch.setattr(S, "_ivfpq_train", boom)
+    m2 = S.ivfpq_index_append(corpus.where(F.col("vec_id") % 2 == 1), root)
+    assert m2["version"] == 2 and m2["ann_index"] == m1["ann_index"]
+
+    got = S.ivfpq_search_index(spark, root, qs, k=5, n_probe=4, rerank_factor=4)
+    monkeypatch.undo()
+    exact = S.topk_cosine_bruteforce(corpus, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(
+        got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits / exact.count() >= 0.5
+
+    # candidate generation reads only (vec_id, cell, pq_codes): the
+    # embedding column appears in the scan plan exactly once — the rerank
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReadSchema") >= 2
+    import re
+
+    cand_reads = [
+        s for s in re.findall(r"ReadSchema: struct<[^>]*>", plan)
+        if "pq_codes" in s
+    ]
+    assert cand_reads and all("embedding" not in s for s in cand_reads), cand_reads
+
+    # tombstone delete: no rewrite, frozen model, deleted ids never served
+    gone = [i for i in range(100, 200)]
+    d = S.ann_index_delete(spark, root, gone)
+    assert d["ann_index"] == m1["ann_index"] and d["tombstones"]
+    post = S.ivfpq_search_index(spark, root, qs, k=5, n_probe=8)
+    assert post.filter(F.col("neighbor_id").between(100, 199)).count() == 0
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+    assert snapshot_read(spark, root).count() == 400 - len(gone)
+    # kind mismatch: appending IVFPQ rows into a plain IVF index raises
+    ivf_root = str(tmp_path / "plain_ivf")
+    S.ivf_build_index(qs, ivf_root, n_cells=2)
+    with pytest.raises(ValueError, match="not an IVF-PQ"):
+        S.ivfpq_index_append(qs, ivf_root)

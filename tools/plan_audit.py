@@ -95,6 +95,7 @@ BY_DESIGN: dict[str, str] = {
         "crossed into one summary row per version (4 rows)"
     ),
     "similarity_ann_incremental": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "similarity_ann_ivfpq": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_delete": (
         "post-delete equivalence eval: PQ ADC is corpus x broadcast query "
         "set bounded by |queries|; 1-row flags ride one summary row"
