@@ -71,7 +71,7 @@ _RESERVED_KEYS = frozenset(
         "version", "parent", "mode", "commit_id", "files", "n_files",
         "schema", "commit_schemas", "sidecars", "commit_ranges",
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
-        "delete_info", "committed_at", "commit_files",
+        "delete_info", "committed_at", "commit_files", "sketch",
     }
 )
 
@@ -523,7 +523,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
                 tombstones.append({**t, "commits": applies})
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
-                "cdc_applied_version", "ivm_applied_version"):
+                "cdc_applied_version", "ivm_applied_version", "sketch"):
         if key in prev:
             out[key] = prev[key]
     if "optimized_commits" in prev:
@@ -545,6 +545,7 @@ def snapshot_commit(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
+    sketch_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     column_defaults: dict | None = None,
     extra: dict | None = None,
@@ -643,6 +644,18 @@ def snapshot_commit(
         bloom_cfg = {"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes}
     else:
         bloom_cfg = prev.get("bloom") if prev else None
+    # HLL distinct sketches: enabled by sketch_cols on any commit, then
+    # sticky (cols UNION across re-specs — sketches have no geometry to
+    # poison, unlike Bloom). Commits made while the config is active get
+    # per-column union-mergeable sketches in their sidecars.
+    if sketch_cols:
+        _validate_sketch_cols(df.schema, list(sketch_cols))
+        prev_scfg = (prev.get("sketch") if prev else None) or {}
+        sketch_cfg = {
+            "cols": sorted(set(sketch_cols) | set(prev_scfg.get("cols", [])))
+        }
+    else:
+        sketch_cfg = prev.get("sketch") if prev else None
     if partition_by:
         df = df.repartitionByRange(*partition_by).sortWithinPartitions(*partition_by)
     commit_id, new_files = _write_data(df, root)
@@ -668,7 +681,7 @@ def snapshot_commit(
         if violations:
             shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
             raise SnapshotExpectationError(violations)
-    sidecar = _new_sidecar(df.sparkSession, root, new_files, bloom_cfg)
+    sidecar = _new_sidecar(df.sparkSession, root, new_files, bloom_cfg, sketch_cfg)
     while True:
         files = (
             list(prev["files"]) + new_files
@@ -678,6 +691,8 @@ def snapshot_commit(
         body = _inherit_maps(prev, files)
         if bloom_cfg:
             body["bloom"] = bloom_cfg
+        if sketch_cfg:
+            body["sketch"] = sketch_cfg
         if column_defaults:
             body["defaults"] = {**body.get("defaults", {}), **column_defaults}
         if partition_by:
@@ -738,6 +753,19 @@ def snapshot_commit(
                         df.sparkSession, root, new_files,
                         bloom_cfg["cols"], bloom_cfg["m"], bloom_cfg["k"],
                     )
+            new_scfg = prev.get("sketch") if prev else None
+            if not sketch_cols and new_scfg != sketch_cfg:
+                # the winner enabled/extended sketching: re-inherit and
+                # re-sketch our files so the rebased commit stays
+                # metadata-answerable
+                sketch_cfg = new_scfg
+                sidecar.pop("sketches", None)
+                if sketch_cfg and new_files:
+                    sk = _build_sketches(
+                        df.sparkSession, root, new_files, sketch_cfg["cols"]
+                    )
+                    if sk:
+                        sidecar["sketches"] = sk
 
 
 def snapshot_commit_staged(
@@ -824,19 +852,140 @@ def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:
 
 
 def _new_sidecar(
-    spark: SparkSession, root: str, new_files: list[str], bloom_cfg: dict | None
+    spark: SparkSession,
+    root: str,
+    new_files: list[str],
+    bloom_cfg: dict | None,
+    sketch_cfg: dict | None = None,
 ) -> dict:
     """Per-file zone maps (from the parquet footers the write just
-    produced — metadata-only, no data scan) and Bloom bitsets for the NEW
-    files of one commit. Lives in the commit's immutable sidecar file;
-    the root manifest carries only a pointer."""
+    produced — metadata-only, no data scan), Bloom bitsets, and HLL
+    distinct-count sketches for the NEW files of one commit. Lives in
+    the commit's immutable sidecar file; the root manifest carries only
+    a pointer."""
     stats = {rel: _footer_stats(os.path.join(root, rel)) for rel in new_files}
     sidecar = {"stats": stats}
     if bloom_cfg and new_files:
         sidecar["blooms"] = _build_blooms(
             spark, root, new_files, bloom_cfg["cols"], bloom_cfg["m"], bloom_cfg["k"]
         )
+    if sketch_cfg and new_files:
+        sk = _build_sketches(spark, root, new_files, sketch_cfg["cols"])
+        if sk:
+            sidecar["sketches"] = sk
     return sidecar
+
+
+def _build_sketches(
+    spark: SparkSession, root: str, new_files: list[str], cols: list[str]
+) -> dict:
+    """One Datasketches HLL sketch per configured column over a commit's
+    new files (Iceberg's Puffin-blob shape, inlined in the commit sidecar
+    — a sketch is ~KBs at lgConfigK=12). Per-commit sketches are
+    UNION-MERGEABLE, so distinct-count analytics over any version answer
+    from metadata alone (``snapshot_approx_distinct``) — no data scan at
+    100 TB. Columns absent from this commit's schema are skipped (schema
+    evolution); all-null columns produce no sketch."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    staged = spark.read.parquet(*[os.path.join(root, rel) for rel in new_files])
+    have = [c for c in cols if c in staged.columns]
+    if not have:
+        return {}
+    row = staged.agg(
+        *[F.hll_sketch_agg(F.col(c)).alias(c) for c in have]
+    ).first()
+    return {
+        c: base64.b64encode(bytes(row[c])).decode("ascii")
+        for c in have
+        if row[c] is not None
+    }
+
+
+def snapshot_approx_distinct(
+    spark: SparkSession, root: str, col: str, version: int | None = None
+) -> dict:
+    """Distinct-count a column over any pinned version from METADATA:
+    union-merge the per-commit HLL sketches (``sketch_cols``) — the
+    Iceberg-Puffin pattern. At 100 TB a COUNT(DISTINCT) scan is the
+    dominant cost of dataset profiling; sketched tables answer it from
+    O(commits) kilobyte blobs instead.
+
+    Exactness of scope (never of the estimate — HLL is ±~1.6% at the
+    default lgConfigK): a commit's stored sketch covers its FULL original
+    row set, so commits that are partially retained (COW kept a subset),
+    tombstone-affected (MOR deletes remove rows a sketch can't forget),
+    or simply unsketched (written before the config) fall back to
+    scanning JUST those commits' files — the merge stays metadata-only
+    for every fully-retained sketched commit. Returns ``{"estimate",
+    "sketched_commits", "scanned_files"}``; ``scanned_files == 0`` is the
+    pure-metadata case the tests pin."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    v = resolve_version(root, version)
+    if v is None:
+        v = versions[-1]
+    manifest = _load_manifest(root, v)
+    tomb_cids: set = set()
+    for t in manifest.get("tombstones", []):
+        if t.get("kind") == "positional":
+            tomb_cids |= {_commit_of(r) for r in t["applies"]}
+        else:
+            tomb_cids |= set(t["commits"])
+    blobs: list[bytes] = []
+    scan_rels: list[str] = []
+    for cid, n, subset in _commit_markers(root, manifest):
+        blob = (_load_sidecar(root, manifest, cid).get("sketches") or {}).get(col)
+        if blob is not None and subset is None and cid not in tomb_cids:
+            blobs.append(base64.b64decode(blob))
+        elif subset is not None:
+            scan_rels.extend(subset)
+        else:
+            scan_rels.extend(_commit_files_from_sidecar(root, manifest, cid, n))
+    parts = []
+    if blobs:
+        parts.append(spark.createDataFrame([(b,) for b in blobs], "sk binary"))
+    if scan_rels:
+        parts.append(
+            _read_pinned(spark, root, manifest, sorted(scan_rels)).agg(
+                F.hll_sketch_agg(F.col(col)).alias("sk")
+            )
+        )
+    if not parts:
+        return {"estimate": 0, "sketched_commits": 0, "scanned_files": 0}
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    est = u.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("e")
+    ).first()["e"]
+    return {
+        "estimate": int(round(est or 0)),
+        "sketched_commits": len(blobs),
+        "scanned_files": len(scan_rels),
+    }
+
+
+_SKETCHABLE = {"int", "bigint", "string", "binary"}
+
+
+def _validate_sketch_cols(schema, cols: list[str]) -> None:
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"sketch_cols: no such column {c!r}")
+        if by_name[c] not in _SKETCHABLE:
+            raise ValueError(
+                f"sketch_cols: {c!r} is {by_name[c]} — HLL sketches support "
+                f"{sorted(_SKETCHABLE)} (Datasketches HLL input types)"
+            )
 
 
 def _merge_ranges(stats: dict) -> dict:
@@ -1589,7 +1738,7 @@ def snapshot_optimize_incremental(
         n_files=len(files), schema=manifest["schema"],
         compaction_of=versions[-1],
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
     body["commit_schemas"][commit_id] = manifest["schema"]
     body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
     out = _publish(root, versions, body, commit_id, sidecar)
@@ -1700,7 +1849,7 @@ def snapshot_merge(
         mode="merge", commit_id=commit_id, files=files, n_files=len(files),
         schema=manifest["schema"],
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
     if new_files:
         body["commit_schemas"][commit_id] = manifest["schema"]
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
@@ -2000,7 +2149,7 @@ def snapshot_merge_into(
         mode="merge", commit_id=commit_id, files=files, n_files=len(files),
         schema=evolved_json,
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
     if new_files:
         body["commit_schemas"][commit_id] = evolved_json
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
@@ -2062,7 +2211,7 @@ def snapshot_delete(
         mode="delete", commit_id=commit_id, files=files, n_files=len(files),
         schema=manifest["schema"],
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg)
+    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
     if new_files:
         body["commit_schemas"][commit_id] = manifest["schema"]
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])

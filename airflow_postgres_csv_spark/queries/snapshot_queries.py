@@ -2432,3 +2432,66 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_optimize_incremental_query)
+
+
+# ---------------------------------------------------------------------------
+# Per-commit HLL distinct sketches (round 8, the Iceberg-Puffin pattern):
+# `snapshot_commit(sketch_cols=[...])` stores a union-mergeable
+# Datasketches HLL blob per commit in its sidecar, and
+# `snapshot_approx_distinct` answers COUNT(DISTINCT col) over any pinned
+# version by merging O(commits) kilobyte blobs — ZERO data files scanned
+# (the query pins scanned_files == 0). The oracle pins the exact distinct
+# counts as reference columns and the estimate-accuracy flags: at these
+# cardinalities the HLL estimate is exact; the wider +/-5% band and the
+# tombstone/compaction fallback behavior are pinned in
+# tests/test_snapshots.py::test_snapshot_sketch_distinct_metadata_only.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_approx_distinct,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(4):
+        snapshot_commit(
+            events.where(F.pmod("event_id", F.lit(4)) == r), root,
+            sketch_cols=["user_id", "event_type"] if r == 0 else None,
+        )
+    du = snapshot_approx_distinct(spark, root, "user_id")
+    dt = snapshot_approx_distinct(spark, root, "event_type")
+    exact = events.agg(
+        F.count_distinct("user_id").alias("nu"),
+        F.count_distinct("event_type").alias("nt"),
+    ).first()
+    users_ok = int(abs(du["estimate"] - exact["nu"]) / exact["nu"] <= 0.05)
+    types_ok = int(dt["estimate"] == exact["nt"])
+    meta_only = int(
+        du["scanned_files"] == 0
+        and dt["scanned_files"] == 0
+        and du["sketched_commits"] == 4
+    )
+    return (
+        events.agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        )
+        .withColumn("users_est_ok", F.lit(users_ok))
+        .withColumn("types_est_ok", F.lit(types_ok))
+        .withColumn("metadata_only_ok", F.lit(meta_only))
+    )
+
+
+register(
+    "snapshot_sketch_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           1 AS users_est_ok, 1 AS types_est_ok, 1 AS metadata_only_ok
+    FROM events
+    """,
+)(snapshot_sketch_distinct)

@@ -140,6 +140,7 @@ HEADLINE = [
     "snapshot_merge_schema_evolution",
     "snapshot_optimize_incremental",
     "similarity_ann_ivfpq",
+    "snapshot_sketch_distinct",
 ]
 
 

@@ -2189,3 +2189,58 @@ def test_optimize_incremental_clusters_only_new_files(spark, tmp_path):
     # pruning payoff: a 2-D box scan skips files in BOTH generations
     plan = snapshot_scan_files(root, ranges={"x": (0, 7), "y": (0, 7)})
     assert plan["skipped"] > 0 and plan["kept"] < m2["n_files"], plan
+
+
+def test_snapshot_sketch_distinct_metadata_only(spark, tmp_path):
+    """Puffin-style per-commit HLL sketches: COUNT DISTINCT over any
+    version answers from O(commits) metadata blobs. Pins: sticky config
+    across appends, metadata-only merge (scanned_files == 0), tombstoned
+    commits fall back to scanning JUST their files, and a compaction
+    re-sketches its rewrite so the table returns to metadata-only."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_approx_distinct,
+        snapshot_compact,
+        snapshot_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 41).alias("u")
+        ).coalesce(2)
+
+    snapshot_commit(batch(0, 3000), root, sketch_cols=["u", "id"])
+    snapshot_commit(batch(3000, 6000), root)  # config is sticky
+    snapshot_commit(batch(6000, 9000), root)
+    assert _load_manifest(root, 3)["sketch"] == {"cols": ["id", "u"]}
+
+    r = snapshot_approx_distinct(spark, root, "u")
+    assert r == {"estimate": 41, "sketched_commits": 3, "scanned_files": 0}
+    r = snapshot_approx_distinct(spark, root, "id")
+    assert r["scanned_files"] == 0 and r["sketched_commits"] == 3
+    assert abs(r["estimate"] - 9000) / 9000 < 0.05  # HLL precision band
+
+    # MOR delete: the sketch cannot forget rows — ONLY the tombstoned
+    # commits' files are scanned, the rest stay metadata
+    snapshot_delete_mor(spark, root, condition="id < 100", key_col="id")
+    r = snapshot_approx_distinct(spark, root, "id")
+    assert r["sketched_commits"] == 0 or r["scanned_files"] > 0
+    assert abs(r["estimate"] - 8900) / 8900 < 0.05
+    # version pin: the pre-delete generation still answers metadata-only
+    r = snapshot_approx_distinct(spark, root, "id", version=3)
+    assert r["scanned_files"] == 0 and r["sketched_commits"] == 3
+
+    # compaction folds the tombstone AND re-sketches the rewrite:
+    # metadata-only again
+    snapshot_compact(spark, root, target_bytes=1 << 30)
+    r = snapshot_approx_distinct(spark, root, "id")
+    assert r["scanned_files"] == 0 and r["sketched_commits"] == 1
+    assert abs(r["estimate"] - 8900) / 8900 < 0.05
+
+    with pytest.raises(ValueError, match="sketch_cols"):
+        snapshot_commit(
+            spark.range(3).select(F.rand().alias("d")),
+            str(tmp_path / "x"), sketch_cols=["d"],
+        )
