@@ -42,7 +42,40 @@ __all__ = [
     "text_index_delete",
     "text_index_plan",
     "text_index_search",
+    "text_index_phrase_search",
 ]
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str, positions: bool) -> DataFrame:
+    """One tokenization pass → posting rows. With ``positions=True`` each
+    posting also carries the token's sorted 0-based occurrence positions
+    (the positional-index shape phrase queries need); tf stays the array
+    size, dl the document token count."""
+    if positions:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(X.tokens(text_col)).alias("pos", "token"),
+        )
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        return (
+            toks.groupBy("token", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            .join(dl, "doc_id")
+            .select("token", "doc_id", "tf", "dl", "positions")
+        )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(X.tokens(text_col)).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+        .select("token", "doc_id", "tf", "dl")
+    )
 
 
 def text_index_build(
@@ -52,6 +85,7 @@ def text_index_build(
     text_col: str = "text",
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
+    positions: bool = False,
 ) -> dict:
     """Tokenize once, persist the inverted index. Postings are
     ``(token, doc_id, tf, dl)`` — dl denormalized onto every posting so a
@@ -59,25 +93,22 @@ def text_index_build(
     token extents for zone-map pruning) with a Bloom bitset per file for
     membership probes on hash-scattered terms. Corpus stats land in the
     manifest: readers can never see postings without the exact stats that
-    normalize them."""
+    normalize them. ``positions=True`` builds a POSITIONAL index (each
+    posting carries the token's occurrence positions — Lucene's positional
+    postings) enabling ``text_index_phrase_search``; the flag is recorded
+    in the manifest and appends must match it."""
     from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(X.tokens(text_col)).alias("token")
+    n_docs, sum_dl = (
+        docs.select(F.size(X.tokens(text_col)).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    postings = (
-        toks.groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(dl, "doc_id")
-        .select("token", "doc_id", "tf", "dl")
-    )
-    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
     # stats are stored as EXACT integers; avgdl is derived at search time
     # with one double division — so an incrementally-appended index's
     # scores are bit-identical to a from-scratch rebuild's
     return snapshot_commit(
-        postings,
+        _postings(docs, id_col, text_col, positions),
         index_root,
         mode="overwrite",
         partition_by=["token"],
@@ -89,6 +120,7 @@ def text_index_build(
                 "id_col": id_col,
                 "n_docs": int(n_docs),
                 "sum_dl": int(sum_dl),
+                "positions": bool(positions),
             }
         },
     )
@@ -121,19 +153,13 @@ def text_index_append(
     meta = _load_manifest(index_root, versions[-1]).get("text_index") or {}
     if not meta:
         raise ValueError(f"{index_root} is not a text index")
-    toks = docs_new.select(
-        F.col(id_col).alias("doc_id"), F.explode(X.tokens(text_col)).alias("token")
+    n_new, sum_new = (
+        docs_new.select(F.size(X.tokens(text_col)).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    postings = (
-        toks.groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(dl, "doc_id")
-        .select("token", "doc_id", "tf", "dl")
-    )
-    n_new, sum_new = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
     return snapshot_commit(
-        postings,
+        _postings(docs_new, id_col, text_col, bool(meta.get("positions"))),
         index_root,
         mode="append",
         partition_by=["token"],
@@ -142,6 +168,7 @@ def text_index_append(
                 "id_col": meta["id_col"],
                 "n_docs": meta["n_docs"] + int(n_new),
                 "sum_dl": meta["sum_dl"] + int(sum_new or 0),
+                "positions": bool(meta.get("positions")),
             }
         },
         expected_head=versions[-1],
@@ -194,6 +221,7 @@ def text_index_delete(
                 "id_col": meta["id_col"],
                 "n_docs": meta["n_docs"] - n_gone,
                 "sum_dl": meta["sum_dl"] - dl_gone,
+                "positions": bool(meta.get("positions")),
             }
         },
     )
@@ -286,5 +314,70 @@ def text_index_search(
     return (
         top.withColumn("rk", F.row_number().over(w))
         .select("doc_id", "n_terms", "bm25", "rk")
+        .orderBy("rk")
+    )
+
+
+def text_index_phrase_search(
+    spark: SparkSession,
+    index_root: str,
+    phrase: str,
+    k: int = 20,
+    version: int | None = None,
+) -> DataFrame:
+    """Exact phrase query over a POSITIONAL index (Lucene's phrase-query
+    algorithm, Spark-shaped): tokenize the phrase with the index's own
+    tokenizer, fetch ONLY the phrase terms' postings (token-pruned file
+    set — the corpus text is never touched), align each term's position
+    list by its offset in the phrase (``transform(positions, p -> p-i)``)
+    and intersect: the surviving values are the phrase's start positions,
+    so ``size(...)`` is the exact occurrence count. Per-query cost is
+    O(postings of the phrase terms); the n-way join is an equi-join on
+    ``doc_id`` over already-pruned posting sets. Output: top-``k`` docs
+    by (n_occurrences desc, doc_id) with a rank column."""
+    from pyspark.sql.window import Window
+
+    from airflow_postgres_csv_spark.operators.snapshots import _read_pinned
+
+    row = spark.createDataFrame([(phrase,)], "t string").select(
+        X.tokens("t").alias("tk")
+    ).first()
+    terms = list(row["tk"])
+    if not terms or terms == [""]:
+        raise ValueError("text_index_phrase_search: empty phrase")
+    plan = text_index_plan(index_root, sorted(set(terms)), version=version)
+    meta = plan["manifest"].get("text_index") or {}
+    if not meta.get("positions"):
+        raise ValueError(
+            f"{index_root} v{plan['version']} is not a positional index; "
+            "build with text_index_build(..., positions=True)"
+        )
+    tf = _read_pinned(spark, index_root, plan["manifest"], plan["kept"]).where(
+        F.col("token").isin(*sorted(set(terms)))
+    )
+    def _shift(off: int):
+        # NB: a two-parameter lambda would be interpreted by the HOF
+        # machinery as (element, array_index) — bind the offset outside
+        return lambda p: p - F.lit(off)
+
+    joined = None
+    for i, term in enumerate(terms):
+        part = tf.where(F.col("token") == term).select(
+            "doc_id",
+            F.transform("positions", _shift(i)).alias(f"_p{i}"),
+        )
+        joined = part if joined is None else joined.join(part, "doc_id")
+    inter = F.col("_p0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"_p{i}"))
+    hits = (
+        joined.select("doc_id", F.size(inter).alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+    top = hits.orderBy(F.desc("n_occurrences"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "n_occurrences", "rk")
         .orderBy("rk")
     )

@@ -1676,3 +1676,53 @@ register(
     ORDER BY rk
     """,
 )(text_index_incremental_search)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 8): the index built with
+# positions=True carries per-posting occurrence positions (Lucene's
+# positional postings), and text_index_phrase_search serves an EXACT
+# phrase query from the term-pruned posting files alone — align each
+# term's positions by its phrase offset, intersect, count. The oracle is
+# the ANSI definition: self-join consecutive token positions.
+# ---------------------------------------------------------------------------
+
+
+def text_index_phrase(spark, sf_dir):
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_build,
+        text_index_phrase_search,
+    )
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+
+    index_root = _temp_root()
+    text_index_build(
+        t(spark, sf_dir, "documents"), index_root, positions=True
+    )
+    return text_index_phrase_search(
+        spark, index_root, "value table", k=20
+    ).select(
+        "doc_id", F.col("n_occurrences").cast("long").alias("n_occurrences"), "rk"
+    )
+
+
+register(
+    "text_index_phrase_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token,
+               generate_subscripts({SQL_TOKENS}, 1) AS pos
+        FROM documents
+    ), hits AS (
+        SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM toks t0
+        JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        WHERE t0.token = 'value' AND t1.token = 'table'
+        GROUP BY t0.doc_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, doc_id) AS rk
+        FROM hits
+    )
+    SELECT doc_id, n_occurrences, rk FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+)(text_index_phrase)

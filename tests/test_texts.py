@@ -155,3 +155,74 @@ def test_text_index_delete_matches_rebuild_exactly(spark, tmp_path):
     assert 2 in got2
     with pytest.raises(ValueError, match="non-empty ints"):
         text_index_delete(spark, root, ["1; DROP"])
+
+
+def test_text_index_phrase_search_positions(spark, tmp_path, monkeypatch):
+    """Positional index (positions=True): exact phrase counting by
+    position-list intersection, correct across multi-occurrence docs,
+    APPENDS that inherit the positional flag, and MOR document deletion;
+    non-positional indexes refuse phrase queries; serving tokenizes
+    NOTHING but the query phrase itself."""
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_build,
+        text_index_append,
+        text_index_delete,
+        text_index_phrase_search,
+        text_index_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "a cat sat  ON the mat and the cat sat on a hat"),
+            (3, "no match here cat alone sat nowhere on nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "pos")
+    m = text_index_build(docs, root, positions=True)
+    assert m["text_index"]["positions"] is True
+
+    got = [
+        (r.doc_id, r.n_occurrences, r.rk)
+        for r in text_index_phrase_search(spark, root, "cat SAT on").collect()
+    ]
+    assert got == [(2, 2, 1), (1, 1, 2)]
+    # single-term phrase degenerates to tf
+    got1 = {
+        r.doc_id: r.n_occurrences
+        for r in text_index_phrase_search(spark, root, "the").collect()
+    }
+    assert got1 == {1: 2, 2: 2}
+
+    # append inherits the positional flag; phrase search covers both
+    text_index_append(
+        spark.createDataFrame(
+            [(9, "cat sat on cat sat on cat sat on")],
+            "doc_id long, text string",
+        ),
+        root,
+    )
+    got = [
+        (r.doc_id, r.n_occurrences)
+        for r in text_index_phrase_search(spark, root, "cat sat on").collect()
+    ]
+    assert got == [(9, 3), (2, 2), (1, 1)]
+    # MOR delete drops the doc from phrase results, flag preserved
+    d = text_index_delete(spark, root, [2])
+    assert d["text_index"]["positions"] is True
+    got = [
+        (r.doc_id, r.n_occurrences)
+        for r in text_index_phrase_search(spark, root, "cat sat on").collect()
+    ]
+    assert got == [(9, 3), (1, 1)]
+    # BM25 search still serves the positional index
+    assert text_index_search(spark, root, ["cat"], k=5).count() == 3
+
+    # a non-positional index refuses phrase queries
+    root2 = str(tmp_path / "plain")
+    text_index_build(docs, root2)
+    with pytest.raises(ValueError, match="positional"):
+        text_index_phrase_search(spark, root2, "cat sat")
+    with pytest.raises(ValueError, match="empty phrase"):
+        text_index_phrase_search(spark, root, "   ")

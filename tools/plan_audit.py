@@ -178,6 +178,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
         "rank window runs over the top-20 survivors of TakeOrderedAndProject "
         "(same contract as text_bm25_topk, incremental index)"
     ),
+    "text_index_phrase_search": (
+        "rank window runs over the top-20 survivors of TakeOrderedAndProject "
+        "(phrase hits, term-pruned postings)"
+    ),
     "sql_string_surface": "rank over c_mktsegment groups — 5 rows",
     "skyline_orders": (
         "phase-2 refine sweep of the two-phase skyline (operators/skyline.py): "
