@@ -2495,3 +2495,55 @@ register(
     FROM events
     """,
 )(snapshot_sketch_distinct)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance advisor (round 8, operators/maintenance.py): the decision
+# layer over compact / optimize_incremental / expire / sketch coverage —
+# answered from the ROOT MANIFEST alone (stat calls, no data read, no
+# Spark job), cheap enough to run per cycle over thousands of tables.
+# The query drives a table into small-file debt, confirms the advisor
+# recommends compaction, runs it, and confirms the table reads exactly
+# and reports healthy; the per-axis trigger/recovery grid is pinned in
+# tests/test_maintenance.py.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_maintenance_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_maintenance_plan,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(6):
+        snapshot_commit(
+            events.where(F.pmod("event_id", F.lit(6)) == r).coalesce(1), root
+        )
+    p1 = snapshot_maintenance_plan(root)
+    compact_recommended = int(
+        [a["action"] for a in p1["actions"]] == ["compact"]
+        and p1["metrics"]["n_files"] == 6
+    )
+    snapshot_compact(spark, root, target_bytes=1 << 30)
+    p2 = snapshot_maintenance_plan(root, max_versions=16)
+    healthy_after = int(p2["actions"] == [] and p2["metrics"]["n_files"] == 1)
+    return (
+        snapshot_read(spark, root)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("compact_recommended", F.lit(compact_recommended))
+        .withColumn("healthy_after", F.lit(healthy_after))
+    )
+
+
+register(
+    "snapshot_maintenance_plan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1 AS compact_recommended, 1 AS healthy_after
+    FROM events
+    """,
+)(snapshot_maintenance_plan_query)

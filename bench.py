@@ -141,6 +141,7 @@ HEADLINE = [
     "snapshot_optimize_incremental",
     "similarity_ann_ivfpq",
     "snapshot_sketch_distinct",
+    "text_index_phrase_search",
 ]
 
 
