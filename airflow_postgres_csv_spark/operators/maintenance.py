@@ -136,7 +136,8 @@ def snapshot_maintenance_plan(
                 "action": "sketch_backfill",
                 "reason": f"{sketch_gap}/{n_commits} commits cannot answer "
                 "distinct-count queries from metadata (pre-config, partial, "
-                "or tombstoned) — a compaction re-sketches its rewrite",
+                "or tombstoned) — run snapshot_sketch_backfill (full "
+                "commits, no rewrite); compaction covers the rest",
             }
         )
     return {"version": versions[-1], "metrics": metrics, "actions": actions}

@@ -973,6 +973,81 @@ def snapshot_approx_distinct(
     }
 
 
+def snapshot_sketch_backfill(
+    spark: SparkSession, root: str, cols: list[str] | None = None
+) -> dict:
+    """Backfill HLL sketches for commits that predate the sketch config
+    (or for newly-added ``cols``) WITHOUT rewriting any data file: each
+    full, non-tombstoned commit lacking sketches gets its files scanned
+    ONCE, a NEW sidecar written beside the immutable original (same
+    stats/blooms, sketches added), and one metadata-only commit repoints
+    the sidecar map — older versions keep their original sidecars, so
+    time travel is unaffected. Partial (COW-subset) and
+    tombstone-affected commits are left alone — their sketches cannot
+    represent the live rows; compaction covers them. Cost: one scan of
+    exactly the unsketched commits' files; idempotent (a second call
+    publishes nothing)."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    cfg = manifest.get("sketch")
+    if cols:
+        cfg = {"cols": sorted(set(cols) | set((cfg or {}).get("cols", [])))}
+    if not cfg:
+        raise ValueError(
+            "snapshot_sketch_backfill: no sketch config on the table — "
+            "pass cols= or commit once with sketch_cols="
+        )
+    tomb_cids: set = set()
+    for t in manifest.get("tombstones", []):
+        if t.get("kind") == "positional":
+            tomb_cids |= {_commit_of(r) for r in t["applies"]}
+        else:
+            tomb_cids |= set(t["commits"])
+    new_sidecars = dict(manifest.get("sidecars", {}))
+    backfilled = 0
+    next_v = versions[-1] + 1
+    for cid, n, subset in _commit_markers(root, manifest):
+        if subset is not None or cid in tomb_cids:
+            continue
+        sc = _load_sidecar(root, manifest, cid)
+        have = sc.get("sketches") or {}
+        missing = [c for c in cfg["cols"] if c not in have]
+        if not missing:
+            continue
+        files = _commit_files_from_sidecar(root, manifest, cid, n)
+        sk = _build_sketches(spark, root, files, missing)
+        if not sk:
+            continue
+        new_rel = os.path.join(_MANIFEST_DIR, f"sc-{cid}-bf{next_v}.json")
+        body_sc = dict(sc)
+        body_sc.setdefault("files", files)
+        body_sc["sketches"] = {**have, **sk}
+        with open(os.path.join(root, new_rel), "w") as f:
+            json.dump(body_sc, f)
+        new_sidecars[cid] = new_rel
+        backfilled += 1
+    if not backfilled and cfg == manifest.get("sketch"):
+        out = dict(manifest)
+        out["backfilled_commits"] = 0
+        return out
+    commit_id = uuid.uuid4().hex[:12]
+    body = _inherit_maps(manifest, list(manifest["files"]))
+    if manifest.get("bloom"):
+        body["bloom"] = manifest["bloom"]
+    body["sketch"] = cfg
+    body["sidecars"] = new_sidecars
+    body.update(
+        mode="sketch-backfill", commit_id=commit_id,
+        files=list(manifest["files"]), n_files=manifest["n_files"],
+        schema=manifest["schema"],
+    )
+    out = _publish(root, versions, body, commit_id, None)
+    out["backfilled_commits"] = backfilled
+    return out
+
+
 _SKETCHABLE = {"int", "bigint", "string", "binary"}
 
 

@@ -2244,3 +2244,74 @@ def test_snapshot_sketch_distinct_metadata_only(spark, tmp_path):
             spark.range(3).select(F.rand().alias("d")),
             str(tmp_path / "x"), sketch_cols=["d"],
         )
+
+
+def test_snapshot_sketch_backfill_no_rewrite(spark, tmp_path):
+    """Backfilling sketches for pre-config commits: new sidecars beside
+    the immutable originals, one metadata-only repoint commit, zero data
+    files touched; older versions keep their original sidecars (time
+    travel unaffected); tombstoned commits are skipped; a second call is
+    a no-op; the advisor's sketch_backfill recommendation clears."""
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_maintenance_plan,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_approx_distinct,
+        snapshot_delete_mor,
+        snapshot_sketch_backfill,
+    )
+
+    root = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 23).alias("u")
+        ).coalesce(1)
+
+    snapshot_commit(batch(0, 2000), root)          # pre-config
+    snapshot_commit(batch(2000, 4000), root)       # pre-config
+    snapshot_delete_mor(spark, root, condition="id = 2001", key_col="id")
+    snapshot_commit(batch(4000, 6000), root, sketch_cols=["u", "id"])
+
+    plan = snapshot_maintenance_plan(root, target_bytes=1024)
+    assert [a["action"] for a in plan["actions"]] == ["sketch_backfill"]
+    r0 = snapshot_approx_distinct(spark, root, "u")
+    assert r0["scanned_files"] > 0  # pre-config commits force scans
+
+    m = snapshot_sketch_backfill(spark, root)
+    # tombstoned commits are SKIPPED: the delete-time tombstone covers
+    # exactly the two pre-config commits (the only ones present then),
+    # so nothing here is backfillable — a sketch cannot forget MOR rows
+    assert m["backfilled_commits"] == 0
+    assert snapshot_approx_distinct(spark, root, "u")["scanned_files"] > 0
+    root2 = str(tmp_path / "clean")
+    snapshot_commit(batch(0, 2000), root2)
+    snapshot_commit(batch(2000, 4000), root2)
+    snapshot_commit(batch(4000, 6000), root2, sketch_cols=["u"])
+    m1 = snapshot_sketch_backfill(spark, root2)
+    assert m1["backfilled_commits"] == 2
+    assert sorted(m1["files"]) == sorted(_load_manifest(root2, 3)["files"])
+    r = snapshot_approx_distinct(spark, root2, "u")
+    assert r == {"estimate": 23, "sketched_commits": 3, "scanned_files": 0}
+    # older version still points at the ORIGINAL sidecars
+    assert _load_manifest(root2, 3)["sidecars"] != m1["sidecars"]
+    r_old = snapshot_approx_distinct(spark, root2, "u", version=3)
+    assert r_old["scanned_files"] > 0
+    # idempotent: second call publishes nothing
+    m2 = snapshot_sketch_backfill(spark, root2)
+    assert m2["backfilled_commits"] == 0 and m2["version"] == m1["version"]
+    # cols= extends the config and backfills the new column everywhere
+    m3 = snapshot_sketch_backfill(spark, root2, cols=["id"])
+    assert m3["backfilled_commits"] == 3
+    r = snapshot_approx_distinct(spark, root2, "id")
+    assert r["scanned_files"] == 0 and abs(r["estimate"] - 6000) / 6000 < 0.05
+    # advisor clears
+    plan = snapshot_maintenance_plan(root2, target_bytes=1024, max_versions=16)
+    assert plan["actions"] == []
+    # feeds: the backfill version emits no row changes
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_table_changes,
+    )
+
+    assert snapshot_table_changes(spark, root2, 3, m1["version"]).count() == 0
