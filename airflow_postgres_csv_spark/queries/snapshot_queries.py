@@ -2547,3 +2547,60 @@ register(
     FROM events
     """,
 )(snapshot_maintenance_plan_query)
+
+
+# ---------------------------------------------------------------------------
+# Sketch backfill (round 8): a table that enabled sketch_cols AFTER
+# ingesting history reaches metadata-only distinct counts without a
+# rewrite — snapshot_sketch_backfill scans exactly the unsketched
+# commits once, writes NEW sidecars beside the immutable originals, and
+# repoints them in one metadata-only commit. The oracle pins the exact
+# reference count and the flags: pre-backfill answers scanned files,
+# post-backfill answers from metadata alone with the SAME estimate
+# contract, and the op reports exactly the two backfilled commits.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_sketch_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_approx_distinct,
+        snapshot_sketch_backfill,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(2):  # pre-config history
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(3)) == r), root)
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(3)) == 2), root,
+        sketch_cols=["user_id"],
+    )
+    pre = snapshot_approx_distinct(spark, root, "user_id")
+    m = snapshot_sketch_backfill(spark, root)
+    post = snapshot_approx_distinct(spark, root, "user_id")
+    exact = events.agg(F.count_distinct("user_id").alias("n")).first()["n"]
+    pre_scans = int(pre["scanned_files"] > 0 and pre["sketched_commits"] == 1)
+    backfilled_ok = int(m["backfilled_commits"] == 2)
+    post_meta_only = int(
+        post["scanned_files"] == 0
+        and post["sketched_commits"] == 3
+        and abs(post["estimate"] - exact) / exact <= 0.05
+    )
+    return (
+        events.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .withColumn("pre_scans_ok", F.lit(pre_scans))
+        .withColumn("backfilled_ok", F.lit(backfilled_ok))
+        .withColumn("post_metadata_only_ok", F.lit(post_meta_only))
+    )
+
+
+register(
+    "snapshot_sketch_backfill",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           1 AS pre_scans_ok, 1 AS backfilled_ok, 1 AS post_metadata_only_ok
+    FROM events
+    """,
+)(snapshot_sketch_backfill_query)
