@@ -2315,3 +2315,52 @@ def test_snapshot_sketch_backfill_no_rewrite(spark, tmp_path):
     )
 
     assert snapshot_table_changes(spark, root2, 3, m1["version"]).count() == 0
+
+
+def test_streaming_ingestion_maintains_sketches(spark, tmp_path):
+    """The sticky sketch config rides the exactly-once streaming sink
+    with no sink-side code: every micro-batch commit sketches its files,
+    so a streamed bronze table answers distinct counts from metadata
+    alone at any point — the 100 TB profiling story for live tables."""
+    import os as _os
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_approx_distinct,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import start_snapshot_sink
+
+    root = str(tmp_path / "snap")
+    # seed commit establishes the config (a streamed table is usually
+    # created by its first micro-batch; here the DDL-style seed does it)
+    snapshot_commit(
+        spark.range(0).select("id", (F.col("id") % 13).alias("u")),
+        root, sketch_cols=["u"],
+    )
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    for idx, (lo, hi) in enumerate([(0, 400), (400, 900), (900, 1300)]):
+        stage = str(tmp_path / f"stage_{idx}")
+        spark.range(lo, hi).select(
+            "id", (F.col("id") % 13).alias("u")
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in _os.listdir(stage):
+            if f.endswith(".parquet"):
+                _os.rename(
+                    _os.path.join(stage, f),
+                    _os.path.join(src, f"{idx:03d}.parquet"),
+                )
+    stream = (
+        spark.readStream.schema("id long, u long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_snapshot_sink(stream, root, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert len(snapshot_versions(root)) == 4  # seed + 3 micro-batches
+    r = snapshot_approx_distinct(spark, root, "u")
+    # 4 sketched commits: the empty seed's sketch is a valid empty blob
+    assert r == {"estimate": 13, "sketched_commits": 4, "scanned_files": 0}
+    # and pinned to a mid-stream version: still metadata-only
+    r2 = snapshot_approx_distinct(spark, root, "u", version=3)
+    assert r2["scanned_files"] == 0 and r2["sketched_commits"] == 3
