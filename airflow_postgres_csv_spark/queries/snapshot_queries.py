@@ -2604,3 +2604,59 @@ register(
     FROM events
     """,
 )(snapshot_sketch_backfill_query)
+
+
+# ---------------------------------------------------------------------------
+# 3-column HILBERT OPTIMIZE (round 8): the n-D Skilling fold
+# (layout.hilbert_value, n>=3) through the same compaction contract as
+# snapshot_zorder3_pruned — driver-facing evidence for the genuinely
+# novel expression path (per-bit-plane exchange/invert F.aggregate fold
+# + Gray correction + transposed interleave). Bijectivity and the
+# neighbor property are pinned in tests/test_snapshots.py; the oracle
+# certifies the clustered rewrite preserves rows exactly under a 3-D box.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_hilbert3_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(5):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(5)) == r), root)
+    snapshot_compact(
+        spark, root, target_bytes=64 * 1024,
+        zorder_by=("user_id", "event_id", "value"), curve="hilbert",
+    )
+    box = {
+        "user_id": (50, 300),
+        "event_id": (2000, 8000),
+        "value": (20.0, 80.0),
+    }
+    return (
+        snapshot_scan(spark, root, ranges=box)
+        .where(
+            F.col("user_id").between(50, 300)
+            & F.col("event_id").between(2000, 8000)
+            & F.col("value").between(20.0, 80.0)
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "snapshot_hilbert3_pruned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 50 AND 300
+      AND event_id BETWEEN 2000 AND 8000
+      AND value BETWEEN 20.0 AND 80.0
+    ORDER BY event_id
+    """,
+)(snapshot_hilbert3_pruned)
