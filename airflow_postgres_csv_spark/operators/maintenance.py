@@ -9,10 +9,16 @@ Each has a maintenance op (``snapshot_compact``,
 operator loop needs is the DECISION — cheap enough to run every cycle
 on thousands of tables.
 
-``snapshot_maintenance_plan`` answers it from the ROOT MANIFEST alone
-(plus per-file byte sizes via ``os.path.getsize`` — a stat call per
-pinned file, no data read, no Spark job): a dict of per-action
-recommendations with the metrics that triggered them. Thresholds are
+``snapshot_maintenance_plan`` answers it from the ROOT MANIFEST alone:
+every commit carries a ``commit_sizes`` rollup ``(n_files,
+total_bytes, n_small @ small_bytes)`` and a ``sketch_commits``
+membership stamped at publish time, so the default sweep is O(commits)
+dict lookups — zero sidecar opens, zero per-file stat calls, no Spark
+job. Only a NON-default ``target_bytes`` (the recorded small-file
+threshold no longer matches) or a COW-partial commit (the rollup
+describes the full original commit, not the retained subset) recounts
+from that commit's sidecar ``bytes`` map — still O(affected commits)
+JSON reads, never O(files) filesystem calls. Thresholds are
 keyword-tunable; the defaults encode the usual lakehouse guidance
 (files under ¼ of the target are "small"; more than a handful of
 tombstones or unclustered commits warrants a cycle; more than
@@ -28,13 +34,45 @@ from __future__ import annotations
 import os
 
 from airflow_postgres_csv_spark.operators.snapshots import (
+    _SMALL_FILE_BYTES,
+    _commit_files_from_sidecar,
     _commit_markers,
     _load_manifest,
     _load_sidecar,
     snapshot_versions,
 )
 
-__all__ = ["snapshot_maintenance_plan"]
+__all__ = ["snapshot_maintenance_plan", "snapshot_table_stats"]
+
+
+def _commit_size_triple(
+    root: str, m: dict, cid: str, n: int, subset, small_thr: int
+) -> tuple[int, int, int]:
+    """``(n_files, total_bytes, n_small)`` for one pinned commit.
+
+    Fast path: the root's ``commit_sizes`` rollup (full commits at the
+    recorded threshold — zero I/O). A threshold mismatch keeps the
+    rollup's file/byte totals and recounts ``n_small`` from the commit
+    sidecar's per-file ``bytes`` map; a COW-partial commit recounts
+    everything over exactly the retained subset. ``os.path.getsize`` is
+    the legacy last resort for sidecars written before byte maps
+    existed."""
+    ent = (m.get("commit_sizes") or {}).get(cid)
+    if subset is None and ent is not None and m.get("small_bytes") == small_thr:
+        return int(ent[0]), int(ent[1]), int(ent[2])
+    rels = subset if subset is not None else None
+    bmap = _load_sidecar(root, m, cid).get("bytes") or {}
+    if rels is None:
+        rels = (
+            list(bmap)
+            if ent is not None and len(bmap) == n
+            else _commit_files_from_sidecar(root, m, cid, n)
+        )
+    sizes = [
+        bmap[rel] if rel in bmap else os.path.getsize(os.path.join(root, rel))
+        for rel in rels
+    ]
+    return len(sizes), sum(sizes), sum(1 for s in sizes if s < small_thr)
 
 
 def snapshot_maintenance_plan(
@@ -61,15 +99,14 @@ def snapshot_maintenance_plan(
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
     m = _load_manifest(root, versions[-1])
-    sizes = [
-        os.path.getsize(os.path.join(root, rel)) for rel in m["files"]
-    ]
-    small = sum(1 for s in sizes if s < target_bytes // 4)
+    small_thr = target_bytes // 4
     tombs = m.get("tombstones", [])
     opt = set(m.get("optimized_commits", []))
+    sketch_cols = (m.get("sketch") or {}).get("cols", [])
+    sketch_rollup = m.get("sketch_commits")  # None only on legacy roots
+    n_files = total_bytes = small = 0
     n_commits = unoptimized = 0
     sketch_gap = 0
-    sketch_cols = (m.get("sketch") or {}).get("cols", [])
     tomb_cids: set = set()
     for t in tombs:
         if t.get("kind") == "positional":
@@ -78,15 +115,23 @@ def snapshot_maintenance_plan(
             tomb_cids |= set(t["commits"])
     for cid, n, subset in _commit_markers(root, m):
         n_commits += 1
+        nf, tb, ns = _commit_size_triple(root, m, cid, n, subset, small_thr)
+        n_files += nf
+        total_bytes += tb
+        small += ns
         if opt and cid not in opt:
             unoptimized += 1
         if sketch_cols:
-            has = bool((_load_sidecar(root, m, cid).get("sketches") or {}))
+            has = (
+                cid in sketch_rollup
+                if sketch_rollup is not None
+                else bool(_load_sidecar(root, m, cid).get("sketches") or {})
+            )
             if not has or subset is not None or cid in tomb_cids:
                 sketch_gap += 1
     metrics = {
-        "n_files": len(sizes),
-        "total_bytes": sum(sizes),
+        "n_files": n_files,
+        "total_bytes": total_bytes,
         "small_files": small,
         "n_tombstones": len(tombs),
         "n_commits": n_commits,
@@ -95,12 +140,12 @@ def snapshot_maintenance_plan(
         "retained_versions": len(versions),
     }
     actions = []
-    if len(sizes) > 1 and small > len(sizes) / 2:
+    if n_files > 1 and small > n_files / 2:
         actions.append(
             {
                 "action": "compact",
-                "reason": f"{small}/{len(sizes)} files under "
-                f"{target_bytes // 4} bytes — small-file debt",
+                "reason": f"{small}/{n_files} files under "
+                f"{small_thr} bytes — small-file debt",
             }
         )
     elif len(tombs) >= max_tombstones:
@@ -141,3 +186,61 @@ def snapshot_maintenance_plan(
             }
         )
     return {"version": versions[-1], "metrics": metrics, "actions": actions}
+
+
+def snapshot_table_stats(root: str, version: int | None = None) -> dict:
+    """``DESCRIBE DETAIL`` for a snapshot table, answered from the root
+    manifest alone (O(commits) dict lookups — the observability face of
+    the maintenance advisor, cheap enough for a fleet dashboard to poll
+    every table every cycle).
+
+    Returns ``{"version", "n_commits", "n_files", "total_bytes",
+    "small_files", "small_bytes_threshold", "n_tombstones",
+    "retained_versions", "clustered_fraction", "sketch_coverage",
+    "partial_commits", "schema_cols"}``. ``clustered_fraction`` is the
+    share of pinned commits covered by the latest curve-clustered
+    generation (``optimized_commits``; None when the table never ran
+    OPTIMIZE); ``sketch_coverage`` is the share of commits whose
+    distinct sketches can answer metadata-only COUNT DISTINCT (None
+    when no sketch config is active). COW-partial commits recount from
+    their sidecar byte maps (O(partial commits), never O(files))."""
+    import json
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    v = versions[-1] if version is None else version
+    m = _load_manifest(root, v)
+    small_thr = m.get("small_bytes", _SMALL_FILE_BYTES)
+    opt = set(m.get("optimized_commits", []))
+    sketch_cols = (m.get("sketch") or {}).get("cols", [])
+    sketch_rollup = m.get("sketch_commits")
+    n_commits = n_files = total_bytes = small = 0
+    clustered = sketched = partial = 0
+    for cid, n, subset in _commit_markers(root, m):
+        n_commits += 1
+        nf, tb, ns = _commit_size_triple(root, m, cid, n, subset, small_thr)
+        n_files += nf
+        total_bytes += tb
+        small += ns
+        if subset is not None:
+            partial += 1
+        if cid in opt:
+            clustered += 1
+        if sketch_rollup is not None and cid in sketch_rollup:
+            sketched += 1
+    schema_cols = len(json.loads(m["schema"])["fields"]) if m.get("schema") else 0
+    return {
+        "version": v,
+        "n_commits": n_commits,
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+        "small_files": small,
+        "small_bytes_threshold": small_thr,
+        "n_tombstones": len(m.get("tombstones", [])),
+        "retained_versions": len(versions),
+        "clustered_fraction": (clustered / n_commits) if opt else None,
+        "sketch_coverage": (sketched / n_commits) if sketch_cols else None,
+        "partial_commits": partial,
+        "schema_cols": schema_cols,
+    }

@@ -72,8 +72,17 @@ _RESERVED_KEYS = frozenset(
         "schema", "commit_schemas", "sidecars", "commit_ranges",
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
         "delete_info", "committed_at", "commit_files", "sketch",
+        "commit_sizes", "sketch_commits", "small_bytes",
     }
 )
+
+# The size-rollup's recorded "small file" threshold: ¼ of the advisor's
+# default 128 MiB compaction target. Per-commit ``commit_sizes`` entries
+# store ``n_small`` measured against THIS value (pinned per table in the
+# manifest's ``small_bytes``), so the default maintenance sweep answers
+# from the root manifest alone; an advisor called with a different
+# threshold recounts from the commit sidecars' per-file byte maps.
+_SMALL_FILE_BYTES = 32 * 1024 * 1024
 
 
 def _schema_json(df: DataFrame) -> str:
@@ -523,9 +532,19 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
                 tombstones.append({**t, "commits": applies})
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
-                "cdc_applied_version", "ivm_applied_version", "sketch"):
+                "cdc_applied_version", "ivm_applied_version", "sketch",
+                "small_bytes"):
         if key in prev:
             out[key] = prev[key]
+    if "commit_sizes" in prev:
+        # per-commit (n_files, total_bytes, n_small) rollups follow their
+        # commits; an entry always describes the commit's FULL original
+        # file set (readers consult the subset marker before trusting it)
+        out["commit_sizes"] = {
+            c: v for c, v in prev["commit_sizes"].items() if c in cids
+        }
+    if "sketch_commits" in prev:
+        out["sketch_commits"] = [c for c in prev["sketch_commits"] if c in cids]
     if "optimized_commits" in prev:
         # clustered-commit stamps survive appends/merges; narrowed to the
         # commits still referenced (a commit whose files all left the
@@ -1007,6 +1026,7 @@ def snapshot_sketch_backfill(
             tomb_cids |= set(t["commits"])
     new_sidecars = dict(manifest.get("sidecars", {}))
     backfilled = 0
+    backfilled_cids: list[str] = []
     next_v = versions[-1] + 1
     for cid, n, subset in _commit_markers(root, manifest):
         if subset is not None or cid in tomb_cids:
@@ -1028,6 +1048,7 @@ def snapshot_sketch_backfill(
             json.dump(body_sc, f)
         new_sidecars[cid] = new_rel
         backfilled += 1
+        backfilled_cids.append(cid)
     if not backfilled and cfg == manifest.get("sketch"):
         out = dict(manifest)
         out["backfilled_commits"] = 0
@@ -1038,6 +1059,9 @@ def snapshot_sketch_backfill(
         body["bloom"] = manifest["bloom"]
     body["sketch"] = cfg
     body["sidecars"] = new_sidecars
+    body["sketch_commits"] = sorted(
+        set(body.get("sketch_commits", [])) | set(backfilled_cids)
+    )
     body.update(
         mode="sketch-backfill", commit_id=commit_id,
         files=list(manifest["files"]), n_files=manifest["n_files"],
@@ -1138,15 +1162,41 @@ def _publish(
             packed[cid] = [r for r in files if _commit_of(r) == cid]
     manifest["commit_files"] = packed
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    # Size + sketch rollups, maintained at the ONE place every commit
+    # passes through so the maintenance advisor / DESCRIBE DETAIL answer
+    # from the root alone: per-commit (n_files, total_bytes, n_small @
+    # small_bytes) in ``commit_sizes``; commits whose sidecar carries
+    # distinct sketches in ``sketch_commits``. The per-file byte map is
+    # stamped into the commit's immutable sidecar (stat calls happen
+    # exactly once, at write time, against files this writer just
+    # produced) for recounts under non-default thresholds.
+    small_thr = manifest.setdefault("small_bytes", _SMALL_FILE_BYTES)
+    commit_sizes = dict(manifest.get("commit_sizes") or {})
+    sketch_commits = list(manifest.get("sketch_commits") or [])
     if sidecar is not None:
         sc_rel = os.path.join(_MANIFEST_DIR, f"sc-{commit_id}.json")
         sidecar = dict(sidecar)
         sidecar.setdefault(
             "files", [r for r in files if _commit_of(r) == commit_id]
         )
+        if "bytes" not in sidecar:
+            sidecar["bytes"] = {
+                rel: os.path.getsize(os.path.join(root, rel))
+                for rel in sidecar["files"]
+            }
+        szs = list(sidecar["bytes"].values())
+        commit_sizes[commit_id] = [
+            len(szs), sum(szs), sum(1 for s in szs if s < small_thr)
+        ]
+        if sidecar.get("sketches") and commit_id not in sketch_commits:
+            sketch_commits.append(commit_id)
         with open(os.path.join(root, sc_rel), "w") as f:
             json.dump(sidecar, f)
         manifest["sidecars"][commit_id] = sc_rel
+    manifest["commit_sizes"] = {
+        c: v for c, v in commit_sizes.items() if c in packed
+    }
+    manifest["sketch_commits"] = [c for c in sketch_commits if c in packed]
     tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -2487,7 +2537,8 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
         if k in target
     }
     for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
-              "cdc_applied_version", "ivm_applied_version"):
+              "cdc_applied_version", "ivm_applied_version",
+              "commit_sizes", "sketch_commits", "small_bytes"):
         if k in target:
             body[k] = target[k]
     # the batch-id high-water mark must never move backwards (the gate
@@ -2681,7 +2732,8 @@ def snapshot_clone(
         if k in m
     }
     body["sidecars"] = sidecars
-    for k in ("bloom", "defaults", "partition_spec"):
+    for k in ("bloom", "defaults", "partition_spec",
+              "commit_sizes", "sketch_commits", "small_bytes"):
         if k in m:
             body[k] = m[k]
     body.update(mode="clone", commit_id=commit_id, cloned_from=v)

@@ -2660,3 +2660,82 @@ register(
     ORDER BY event_id
     """,
 )(snapshot_hilbert3_pruned)
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE DETAIL (round 9, operators/maintenance.py::snapshot_table_stats):
+# the observability face of the maintenance advisor — file/byte/commit
+# counts, clustered fraction, sketch coverage, tombstone and retention
+# debt, all answered from the ROOT MANIFEST's per-commit rollups (zero
+# sidecar opens, zero per-file stat calls — the spy pins live in
+# tests/test_maintenance.py). The query cross-checks the reported totals
+# against independently computed ground truth (os.path.getsize over the
+# pinned files, commit arithmetic) and emits the agreement flags; the
+# oracle pins the fixture row count and the flags.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_table_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_table_stats,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_delete_mor,
+        snapshot_optimize_incremental,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(4):
+        snapshot_commit(
+            events.where(F.pmod("event_id", F.lit(4)) == r).coalesce(1), root,
+            sketch_cols=["user_id"] if r == 0 else None,
+        )
+    snapshot_optimize_incremental(
+        spark, root, zorder_by=("user_id", "event_id"), target_bytes=1 << 30
+    )
+    snapshot_delete_mor(spark, root, condition="event_id = 1", key_col="event_id")
+    st = snapshot_table_stats(root)
+    m = _load_manifest(root, snapshot_versions(root)[-1])
+    true_bytes = sum(
+        os.path.getsize(os.path.join(root, rel)) for rel in m["files"]
+    )
+    counts_ok = int(
+        st["n_commits"] == 1  # optimize folded the 4 appends
+        and st["n_files"] == len(m["files"])
+        and st["total_bytes"] == true_bytes
+        and st["small_files"] == st["n_files"]  # fixture files are tiny
+    )
+    health_ok = int(
+        st["clustered_fraction"] == 1.0
+        and st["sketch_coverage"] == 1.0  # the rewrite re-sketched everything
+        and st["n_tombstones"] == 1
+        and st["partial_commits"] == 0
+        and st["retained_versions"] == 6
+        and st["schema_cols"] == 4
+    )
+    history_ok = int(
+        snapshot_table_stats(root, version=4)["n_commits"] == 4
+    )
+    return (
+        snapshot_read(spark, root)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("counts_ok", F.lit(counts_ok))
+        .withColumn("health_ok", F.lit(health_ok))
+        .withColumn("history_ok", F.lit(history_ok))
+    )
+
+
+register(
+    "snapshot_table_stats",
+    """
+    SELECT CAST(COUNT(*) - 1 AS BIGINT) AS n_rows,
+           1 AS counts_ok, 1 AS health_ok, 1 AS history_ok
+    FROM events
+    """,
+)(snapshot_table_stats_query)

@@ -102,3 +102,101 @@ def test_maintenance_plan_sketch_backfill_axis(spark, tmp_path):
     assert plan["actions"] == []
     with pytest.raises(FileNotFoundError):
         snapshot_maintenance_plan(str(tmp_path / "missing"))
+
+def test_maintenance_plan_root_only_no_stat_calls(spark, tmp_path, monkeypatch):
+    """VERDICT r8 item 2: at the DEFAULT threshold the advisor must be
+    root-manifest-only — zero per-file stat calls AND zero sidecar opens
+    (the per-commit (n_files, total_bytes, n_small) rollup plus the
+    sketch_commits membership answer everything). A non-default
+    threshold may open sidecars (O(commits) JSON reads for the recount)
+    but still never stats a file."""
+    from airflow_postgres_csv_spark.operators import maintenance as M
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "t")
+    for k in range(4):
+        snapshot_commit(
+            _batch(spark, k * 200, (k + 1) * 200).coalesce(1), root,
+            sketch_cols=["x"] if k == 2 else None,
+        )
+    snapshot_delete_mor(spark, root, condition="id = 7", key_col="id")
+    snapshot_optimize_incremental(
+        spark, root, zorder_by=("x", "y"), target_bytes=1 << 30
+    )
+    # reference reading BEFORE arming the spies (default threshold)
+    want = snapshot_maintenance_plan(root)
+    S._metadata_cache_clear()
+
+    def bomb(path):
+        raise AssertionError(f"os.path.getsize({path}) on the advisor path")
+
+    monkeypatch.setattr(M.os.path, "getsize", bomb)
+    real_sidecar = S._load_sidecar
+    opens = {"n": 0}
+
+    def counting_sidecar(root_, manifest, cid):
+        opens["n"] += 1
+        return real_sidecar(root_, manifest, cid)
+
+    monkeypatch.setattr(M, "_load_sidecar", counting_sidecar)
+    got = snapshot_maintenance_plan(root)
+    assert got == want
+    assert opens["n"] == 0, f"{opens['n']} sidecar opens at default threshold"
+    # non-default threshold: sidecar byte maps recount n_small — bounded
+    # by commit count, still zero getsize calls
+    got2 = snapshot_maintenance_plan(root, target_bytes=1 << 20)
+    assert got2["metrics"]["n_files"] == got["metrics"]["n_files"]
+    assert opens["n"] <= got["metrics"]["n_commits"]
+
+
+def test_table_stats_describe_detail(spark, tmp_path, monkeypatch):
+    """snapshot_table_stats = DESCRIBE DETAIL from the root alone: file/
+    byte/commit counts, clustered fraction, sketch coverage, tombstone
+    and retention debt — and zero sidecar opens / stat calls on a
+    fully-rolled-up table."""
+    import os
+
+    from airflow_postgres_csv_spark.operators import maintenance as M
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_table_stats,
+    )
+
+    root = str(tmp_path / "t")
+    for k in range(3):
+        snapshot_commit(
+            _batch(spark, k * 200, (k + 1) * 200).coalesce(1), root,
+            sketch_cols=["x"] if k == 0 else None,
+        )
+    st = snapshot_table_stats(root)
+    assert st["n_commits"] == st["n_files"] == 3
+    assert st["sketch_coverage"] == 1.0 and st["clustered_fraction"] is None
+    assert st["n_tombstones"] == 0 and st["partial_commits"] == 0
+    assert st["schema_cols"] == 3
+    sizes = [
+        os.path.getsize(os.path.join(root, rel))
+        for rel in S._load_manifest(root, 3)["files"]
+    ]
+    assert st["total_bytes"] == sum(sizes) and st["small_files"] == 3
+
+    snapshot_optimize_incremental(
+        spark, root, zorder_by=("x", "y"), target_bytes=1 << 30
+    )
+    snapshot_delete_mor(spark, root, condition="id = 3", key_col="id")
+    st = snapshot_table_stats(root)
+    assert st["clustered_fraction"] == 1.0 and st["n_tombstones"] == 1
+    assert st["version"] == 5 and st["retained_versions"] == 5
+    # version pin reads history
+    st1 = snapshot_table_stats(root, version=1)
+    assert st1["n_commits"] == 1 and st1["n_tombstones"] == 0
+    # metadata-only: no stats, no sidecar opens
+    S._metadata_cache_clear()
+    monkeypatch.setattr(
+        M.os.path, "getsize",
+        lambda p: (_ for _ in ()).throw(AssertionError(f"getsize({p})")),
+    )
+    monkeypatch.setattr(
+        M, "_load_sidecar",
+        lambda *a: (_ for _ in ()).throw(AssertionError("sidecar open")),
+    )
+    assert snapshot_table_stats(root) == st

@@ -2031,15 +2031,21 @@ def test_manifest_commit_count_hygiene_at_10k_commits(spark, tmp_path):
     commit_files: dict = dict(S._load_manifest(root, 1)["commit_files"])
     sidecars = dict(S._load_manifest(root, 1)["sidecars"])
     commit_ranges = dict(S._load_manifest(root, 1)["commit_ranges"])
+    commit_sizes = dict(S._load_manifest(root, 1).get("commit_sizes") or {})
     for i in range(n):
         cid = f"syn{i:08x}"
         rel = os.path.join("data", cid, "part-0.parquet")
         sc_rel = os.path.join("manifests", f"sc-{cid}.json")
         with open(os.path.join(root, sc_rel), "w") as f:
-            _json.dump({"stats": {rel: {"id": [i, i]}}, "files": [rel]}, f)
+            _json.dump(
+                {"stats": {rel: {"id": [i, i]}}, "files": [rel],
+                 "bytes": {rel: 131072 + i}},
+                f,
+            )
         commit_files[cid] = 1
         sidecars[cid] = sc_rel
         commit_ranges[cid] = {"id": [i, i]}
+        commit_sizes[cid] = [1, 131072 + i, 1]
     manifest = {
         "version": 2, "parent": 1,
         "committed_at": S._load_manifest(root, 1)["committed_at"] + 1,
@@ -2048,6 +2054,8 @@ def test_manifest_commit_count_hygiene_at_10k_commits(spark, tmp_path):
         "commit_schemas": {},  # all commits share the table schema
         "sidecars": sidecars, "commit_ranges": commit_ranges,
         "tombstones": [], "commit_files": commit_files,
+        "commit_sizes": commit_sizes,
+        "small_bytes": S._SMALL_FILE_BYTES, "sketch_commits": [],
     }
     with open(S._manifest_path(root, 2), "w") as f:
         _json.dump(manifest, f)
@@ -2066,6 +2074,26 @@ def test_manifest_commit_count_hygiene_at_10k_commits(spark, tmp_path):
     assert plan["commits_skipped"] >= n - 5, plan
     assert plan["sidecars_loaded"] <= 6, plan  # 5 in-range + seed
     assert plan_s < 2.0, f"scan planning took {plan_s:.2f}s at {n} commits"
+    # the maintenance advisor answers from the same root at the same
+    # O(commits) bound: 10^4 commits, zero sidecar opens, no stat calls
+    from airflow_postgres_csv_spark.operators import maintenance as M
+
+    S._metadata_cache_clear()
+    orig_getsize, orig_sidecar = M.os.path.getsize, M._load_sidecar
+    M.os.path.getsize = lambda p: (_ for _ in ()).throw(
+        AssertionError(f"getsize({p}) at 10^4 commits")
+    )
+    M._load_sidecar = lambda *a: (_ for _ in ()).throw(
+        AssertionError("sidecar open at 10^4 commits")
+    )
+    try:
+        t0 = _time.time()
+        advise = M.snapshot_maintenance_plan(root)
+        advise_s = _time.time() - t0
+    finally:
+        M.os.path.getsize, M._load_sidecar = orig_getsize, orig_sidecar
+    assert advise["metrics"]["n_files"] == n + seed["n_files"], advise
+    assert advise_s < 2.0, f"advisor took {advise_s:.2f}s at {n} commits"
 
     # --- (b) real table: compaction folds markers + root returns O(1) -
     root2 = str(tmp_path / "fold")
