@@ -2739,3 +2739,68 @@ register(
     FROM events
     """,
 )(snapshot_table_stats_query)
+
+
+# ---------------------------------------------------------------------------
+# SQL-addressable snapshot tables (round 9,
+# sources/snapshot_batch.py::snapshot_sql_register): raw spark.sql TEXT
+# names two snapshot tables — orders pinned at version 1 (time travel
+# through the view) and customer at latest — and joins them with a
+# selective range predicate. The views are named logical plans over the
+# batch data source, so the WHERE conjuncts reach pushFilters and prune
+# the range-clustered commits exactly as the DataFrame path does
+# (plan-pinned in tests/test_snapshot_batch_source.py); the oracle
+# reconstructs the pinned version arithmetically.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    o_root, c_root = _temp_root(), _temp_root()
+    # v1 = every third order key; v2 appends the rest (pin must hide it)
+    snapshot_commit(
+        orders.where(F.col("o_orderkey") % 3 == 0), o_root,
+        partition_by=["o_orderkey"],
+    )
+    snapshot_commit(orders.where(F.col("o_orderkey") % 3 != 0), o_root)
+    snapshot_commit(customer, c_root)
+    # fresh registration + single statement = the safe pushdown pattern
+    # (see snapshot_sql_register's upstream scan-cache contract)
+    snapshot_sql_register(spark, "snap_orders_v1", o_root, version=1, pushdown=True)
+    snapshot_sql_register(spark, "snap_customer", c_root)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               MIN(o.o_orderkey) AS first_key
+        FROM snap_orders_v1 o
+        JOIN snap_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey BETWEEN 1000 AND 30000
+        GROUP BY c.c_mktsegment
+        ORDER BY mktsegment
+        """
+    )
+
+
+register(
+    "snapshot_sql_read",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           MIN(o.o_orderkey) AS first_key
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 3 = 0 AND o.o_orderkey BETWEEN 1000 AND 30000
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """,
+)(snapshot_sql_read)

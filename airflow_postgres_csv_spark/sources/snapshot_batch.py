@@ -55,7 +55,11 @@ from pyspark.sql.types import StructType
 
 from airflow_postgres_csv_spark.operators import snapshots as S
 
-__all__ = ["SnapshotTableDataSource", "register_snapshot_table"]
+__all__ = [
+    "SnapshotTableDataSource",
+    "register_snapshot_table",
+    "snapshot_sql_register",
+]
 
 _INF = float("inf")
 
@@ -123,6 +127,13 @@ def _resolve_table(options: dict) -> tuple[str, int | None]:
             "snapshot_table requires a path (load(root)) or a catalog/table "
             "option pair"
         )
+    if root.startswith("file:"):
+        # SQL DDL (CREATE TABLE ... USING snapshot_table) normalizes the
+        # path option to a file: URI; the manifest layer wants a plain
+        # local path
+        from urllib.parse import unquote, urlparse
+
+        root = unquote(urlparse(root).path)
     v = options.get("version")
     if isinstance(v, str) and v.lstrip("-").isdigit():
         v = int(v)  # DataFrameReader options always arrive as strings
@@ -148,6 +159,16 @@ def _tighten(rng: tuple, lo, hi) -> tuple:
 
 class SnapshotBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
+        # option("pushdown", "false"): plan the FULL pinned file list
+        # regardless of pushed filters. Spark's Python-data-source scan
+        # cache (PythonDataSourceV2.readInfo, Spark 4.1) is keyed per
+        # RELATION, not per query's pushed filters — a relation reused
+        # across statements (a temp view, a saved DataFrame) serves every
+        # later filterless plan whatever partition list the LAST pushdown
+        # computed, silently dropping files. Disabling partition pruning
+        # makes every cached plan identical (the full list), so reuse is
+        # always exact; Spark still re-evaluates all filters row-level.
+        self._pushdown = str(options.get("pushdown", "true")).lower() != "false"
         self._root, version = _resolve_table(options)
         versions = S.snapshot_versions(self._root)
         if not versions:
@@ -161,6 +182,18 @@ class SnapshotBatchReader(DataSourceReader):
 
     # -- planning ----------------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # REPLACE, never accumulate: the engine hands each planning pass
+        # its complete conjunct set, and the reader instance OUTLIVES one
+        # query — Spark caches the relation (and its planner-worker twin)
+        # across every query that references a saved DataFrame or temp
+        # view. Accumulated state would intersect one query's ranges into
+        # the next query's scan and silently drop rows (caught by the SQL
+        # temp-view pins in tests/test_snapshot_batch_source.py).
+        self._ranges = {}
+        self._eq = []
+        if not self._pushdown:
+            yield from filters
+            return
         cols = {f.name for f in self._schema().fields}
         for f in filters:
             attr = getattr(f, "attribute", None)
@@ -235,7 +268,14 @@ class SnapshotBatchReader(DataSourceReader):
         commit_schemas = m.get("commit_schemas", {})
         tombs = m.get("tombstones", [])
         parts = []
-        for rel in self.planned_files():
+        planned = self.planned_files()
+        # consume the pushed predicates: a filterless re-plan of the same
+        # cached reader (pushFilters is only invoked when the query HAS
+        # filters) must fall back to the full pinned file list, not prune
+        # by the previous query's ranges
+        self._ranges = {}
+        self._eq = []
+        for rel in planned:
             cid = S._commit_of(rel)
             specs = []
             for t in tombs:
@@ -415,3 +455,72 @@ def register_snapshot_table(spark) -> None:
     # registration keeps the source usable from any session
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotTableDataSource)
+
+
+def snapshot_sql_register(
+    spark,
+    name: str,
+    root: str | None = None,
+    *,
+    version: int | str | None = None,
+    catalog: str | None = None,
+    table: str | None = None,
+    catalog_version: int | None = None,
+    pushdown: bool = False,
+):
+    """Make a snapshot (or catalog-pinned) table addressable by NAME in
+    raw ``spark.sql`` text: plans the scan through the ``snapshot_table``
+    batch data source and registers it as a session temp view, so SQL
+    queries over the view inherit the full lakehouse read path —
+    manifest-pinned files, MOR tombstone masks, schema evolution
+    defaults, and time travel.
+
+    ``pushdown`` controls partition-level file pruning through the view,
+    and defaults to OFF because of an upstream contract: Spark's
+    Python-data-source scan cache (``PythonDataSourceV2.readInfo``,
+    Spark 4.1) is per RELATION and not keyed on the pushed filters, and
+    a temp view pins one relation across every statement that names it.
+    With pruning on, a filterless statement planned after a filtered one
+    would reuse the filtered statement's pruned partition list and
+    silently drop rows (so would the second scan of a self-join). The
+    default trades pruning for exactness under arbitrary reuse — every
+    cached plan is the same full pinned list and Spark re-evaluates all
+    predicates row-level. Pass ``pushdown=True`` when the view's
+    lifetime is one statement (register fresh, query once, re-register)
+    — the pattern the pruning plan-pin in
+    tests/test_snapshot_batch_source.py exercises; per-query DataFrame
+    reads (``spark.read.format("snapshot_table")``) always prune, since
+    each ``load()`` is its own relation.
+
+    Addressing mirrors the reader options: ``root`` (+ optional
+    ``version`` int or tag) reads one table directly;
+    ``catalog=..., table=...`` (+ optional ``catalog_version``) resolves
+    through a catalog pin so several registered views see ONE
+    transaction's mutually-consistent world. Pass an explicit
+    ``version``/``catalog_version`` for a stable pin — an unpinned view
+    re-resolves the latest version each time the source replans.
+
+    Returns the registered DataFrame (the same object ``spark.table(name)``
+    yields). Iceberg analog: ``spark.table("cat.db.t")`` via a session
+    catalog plugin; the reference has no SQL surface of its own (it
+    delegates to Postgres — reference operators.py:80).
+    """
+    register_snapshot_table(spark)
+    reader = spark.read.format("snapshot_table").option(
+        "pushdown", "true" if pushdown else "false"
+    )
+    if catalog is not None:
+        reader = reader.option("catalog", catalog).option("table", table or name)
+        if catalog_version is not None:
+            reader = reader.option("catalogVersion", str(catalog_version))
+        df = reader.load()
+    else:
+        if root is None:
+            raise ValueError(
+                "snapshot_sql_register requires root= or catalog=/table="
+            )
+        if version is not None:
+            reader = reader.option("version", str(version))
+        df = reader.load(root)
+    df.createOrReplaceTempView(name)
+    return df

@@ -344,3 +344,100 @@ def test_catalog_option_reads_pinned_consistent_view(spark, tmp_path):
         src(catalog=cat).count()
     # pushdown still prunes through the catalog path
     assert src(catalog=cat, table="t.b").where(F.col("id") < 5).count() == 5
+
+
+def test_sql_view_pushdown_prunes_files(spark, tmp_path):
+    """VERDICT r8 item 4: snapshot tables named in raw spark.sql text.
+    With pushdown=True (fresh registration per statement), the SQL
+    query's own WHERE conjuncts reach pushFilters and prune the
+    range-clustered files: the selective statement PLANS strictly fewer
+    input partitions than the full scan (``.rdd.getNumPartitions()``
+    forces real DSv2 planning), and the result is exact."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
+        )
+    snapshot_sql_register(spark, "sv_pushdown", root, pushdown=True)
+    n_full = spark.sql("SELECT * FROM sv_pushdown").rdd.getNumPartitions()
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(id) AS lo FROM sv_pushdown WHERE id >= 350"
+    ).first()
+    assert (got.n, got.lo) == (50, 350)
+    snapshot_sql_register(spark, "sv_pushdown", root, pushdown=True)
+    n_sel = spark.sql(
+        "SELECT * FROM sv_pushdown WHERE id >= 350"
+    ).rdd.getNumPartitions()
+    assert 0 < n_sel < n_full, (n_sel, n_full)
+
+
+def test_sql_view_default_is_reuse_safe(spark, tmp_path):
+    """The DEFAULT registration must stay exact under ARBITRARY statement
+    sequences over one long-lived view — Spark's per-relation Python
+    scan cache (PythonDataSourceV2.readInfo) is not keyed on pushed
+    filters, so a pruning view would serve a filterless statement the
+    previous statement's pruned partitions. The default disables
+    partition pruning; this sequence (full, selective, full, selective,
+    full, self-join) is the exact poisoning pattern."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
+        )
+    snapshot_sql_register(spark, "sv_safe", root)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_safe").first().n == 400
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM sv_safe WHERE id >= 350").first().n
+        == 50
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_safe").first().n == 400
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM sv_safe WHERE id < 50").first().n
+        == 50
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_safe").first().n == 400
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM sv_safe a
+        JOIN sv_safe b ON a.id = b.id WHERE b.id >= 390
+        """
+    ).first()
+    assert row.n == 10
+
+
+def test_sql_view_version_pin_and_join(spark, tmp_path):
+    """A version-pinned view time-travels in SQL text; two views join in
+    one statement; re-registering the unpinned view sees new commits."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    t1, t2 = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_commit(_df(spark, 0, 10), t1)
+    snapshot_commit(_df(spark, 10, 20), t1)
+    snapshot_commit(
+        spark.range(0, 20).select("id", (F.col("id") % 3).alias("grp")), t2
+    )
+    snapshot_sql_register(spark, "sv_a1", t1, version=1)
+    snapshot_sql_register(spark, "sv_b", t2)
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n, CAST(SUM(a.v) AS BIGINT) AS sv
+        FROM sv_a1 a JOIN sv_b b ON a.id = b.id WHERE b.grp = 0
+        """
+    ).first()
+    # v1 of a = ids 0..9; grp 0 = ids {0,3,6,9,12,15,18} -> join keeps 4
+    assert (row.n, row.sv) == (4, 2 * (0 + 3 + 6 + 9))
+    snapshot_commit(_df(spark, 20, 25), t1)
+    snapshot_sql_register(spark, "sv_a_live", t1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_a_live").first().n == 25
+    # the pinned view still reads version 1 after the new commit
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_a1").first().n == 10
