@@ -73,6 +73,7 @@ _RESERVED_KEYS = frozenset(
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
         "delete_info", "committed_at", "commit_files", "sketch",
         "commit_sizes", "sketch_commits", "small_bytes",
+        "partition_specs", "commit_partitions",
     }
 )
 
@@ -533,9 +534,16 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
-                "small_bytes"):
+                "small_bytes", "partition_specs"):
         if key in prev:
             out[key] = prev[key]
+    if "commit_partitions" in prev:
+        # per-commit partition summaries follow their commits; for a
+        # COW-retained SUBSET the full-commit summary remains a valid
+        # over-approximation (pruning keeps extra files, never drops)
+        out["commit_partitions"] = {
+            c: v for c, v in prev["commit_partitions"].items() if c in cids
+        }
     if "commit_sizes" in prev:
         # per-commit (n_files, total_bytes, n_small) rollups follow their
         # commits; an entry always describes the commit's FULL original
@@ -566,6 +574,7 @@ def snapshot_commit(
     bloom_hashes: int = 4,
     sketch_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    partition_transforms: list | None = None,
     column_defaults: dict | None = None,
     extra: dict | None = None,
     retries: int = 0,
@@ -592,6 +601,21 @@ def snapshot_commit(
     (and the commit as a whole) gets a tight extent on the clustering
     columns, so the root manifest's commit-level ranges prune whole
     commits for predicates on them before any sidecar is read.
+
+    ``partition_transforms`` declares an Iceberg-style HIDDEN partition
+    spec — ``[("ts", "day"), ("user_id", "bucket", 16)]`` (transforms:
+    identity/day/hour/month/year/bucket/truncate, see
+    operators/partitioning.py). The batch is written one hive directory
+    per partition tuple, exact per-file tuples land in the commit
+    sidecar, per-commit value ranges / bucket bitmasks land in the ROOT
+    manifest, and the scan planner maps source-column predicates through
+    the transforms — pruning that is guaranteed by declared metadata
+    rather than inferred from zone-map alignment. The spec is STICKY
+    (later plain commits keep partitioning without re-passing it) and
+    VERSIONED: re-declaring a different spec appends a new entry, each
+    commit pins the spec index it was written under, and pruning applies
+    every commit's own transforms (spec evolution). Combine with
+    ``partition_by`` to additionally sort rows inside each partition.
 
     ``column_defaults`` maps column name → value used when reading files
     written BEFORE the column existed (Iceberg's initial-default); columns
@@ -675,9 +699,27 @@ def snapshot_commit(
         }
     else:
         sketch_cfg = prev.get("sketch") if prev else None
-    if partition_by:
-        df = df.repartitionByRange(*partition_by).sortWithinPartitions(*partition_by)
-    commit_id, new_files = _write_data(df, root)
+    from airflow_postgres_csv_spark.operators import partitioning as P
+
+    specs = list((prev.get("partition_specs") if prev else None) or [])
+    if partition_transforms:
+        spec = P.normalize_spec(partition_transforms)
+        P.validate_spec(spec, df.schema)
+        if not specs or specs[-1] != spec:
+            specs.append(spec)  # spec evolution: append, never rewrite
+    elif specs:
+        spec = specs[-1]  # hidden partitioning: sticky across commits
+        P.validate_spec(spec, df.schema)
+    else:
+        spec = None
+    if spec:
+        commit_id, new_files = _write_data(
+            df, root,
+            partition_cols=P.transform_columns(spec, df.schema),
+            cluster_by=partition_by,
+        )
+    else:
+        commit_id, new_files = _write_data(df, root, cluster_by=partition_by)
     if expect and new_files:
         from pyspark.sql import functions as F
 
@@ -701,6 +743,10 @@ def snapshot_commit(
             shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
             raise SnapshotExpectationError(violations)
     sidecar = _new_sidecar(df.sparkSession, root, new_files, bloom_cfg, sketch_cfg)
+    if spec and new_files:
+        sidecar["partitions"] = {
+            rel: P.partition_values_from_rel(rel, len(spec)) for rel in new_files
+        }
     while True:
         files = (
             list(prev["files"]) + new_files
@@ -722,9 +768,19 @@ def snapshot_commit(
             mode=mode, commit_id=commit_id, files=files, n_files=len(files),
             schema=schema_json,
         )
+        if specs:
+            body["partition_specs"] = specs
         if new_files:
             body["commit_schemas"][commit_id] = schema_json
             body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+            if spec:
+                tuples = [
+                    v for v in sidecar["partitions"].values() if v is not None
+                ]
+                body.setdefault("commit_partitions", {})[commit_id] = {
+                    "s": len(specs) - 1 - specs[::-1].index(spec),
+                    "f": P.commit_partition_summary(spec, tuples),
+                }
         try:
             return _publish(
                 root, versions, body, commit_id, sidecar if new_files else None
@@ -742,6 +798,11 @@ def snapshot_commit(
             # head-dependent contracts (schema drift, Bloom geometry).
             versions = snapshot_versions(root)
             prev = _load_manifest(root, versions[-1]) if versions else None
+            # partition specs: our files were WRITTEN under `spec` — adopt
+            # the winner's spec history and keep ours addressable in it
+            # (the commit_partitions entry re-resolves the index above)
+            wspecs = list((prev.get("partition_specs") if prev else None) or [])
+            specs = wspecs if (spec is None or spec in wspecs) else wspecs + [spec]
             if (
                 prev is not None
                 and not allow_schema_change
@@ -855,12 +916,42 @@ def snapshot_commit_staged(
                 )
 
 
-def _write_data(df: DataFrame, root: str) -> tuple[str, list[str]]:
+def _write_data(
+    df: DataFrame, root: str, partition_cols: list | None = None,
+    cluster_by: list[str] | None = None,
+) -> tuple[str, list[str]]:
     """Write ``df`` under an immutable per-commit dir; return its relative
     parquet paths. No manifest is touched — a crash here leaves only an
-    orphan for ``snapshot_expire``."""
+    orphan for ``snapshot_expire``.
+
+    ``partition_cols`` (aliased ``_p0.._pk`` transform Columns from
+    operators/partitioning.py) switches to a hive-layout partitioned
+    write: rows are co-located per partition tuple (one shuffle on the
+    DERIVED values, so each tuple lands in one task → one file, not one
+    file per tuple per task), the writer drops the derived columns into
+    directory names, and the data files keep exactly the source schema.
+    ``cluster_by`` additionally sorts rows within each partition."""
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(root, _DATA_DIR, commit_id)
+    if partition_cols:
+        from pyspark.sql import functions as F
+
+        names = [f"_p{i}" for i in range(len(partition_cols))]
+        staged = df.select("*", *partition_cols).repartition(
+            *[F.col(n) for n in names]
+        )
+        if cluster_by:
+            staged = staged.sortWithinPartitions(*cluster_by)
+        staged.write.mode("error").partitionBy(*names).parquet(data_dir)
+        new_files = sorted(
+            os.path.relpath(os.path.join(dirpath, name), root)
+            for dirpath, _, fnames in os.walk(data_dir)
+            for name in fnames
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
+        )
+        return commit_id, new_files
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     df.write.mode("error").parquet(data_dir)
     new_files = sorted(
         os.path.join(_DATA_DIR, commit_id, name)
@@ -1455,7 +1546,12 @@ def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
     the O(commits) root stores only a count for a full commit, its file
     names are never even enumerated (tests/test_snapshots.py pins this
     with an open() counter)."""
+    from airflow_postgres_csv_spark.operators import partitioning as P
+
     commit_ranges = manifest.get("commit_ranges", {})
+    specs = manifest.get("partition_specs") or []
+    cparts = manifest.get("commit_partitions", {}) if specs else {}
+    pred_cache: dict[int, list] = {}  # spec index -> mapped predicates
     kept: list[str] = []
     skipped = commits_skipped = sidecars_loaded = no_stats = 0
     for cid, n, subset in _commit_markers(root, manifest):
@@ -1466,6 +1562,23 @@ def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
             commits_skipped += 1
             skipped += n
             continue
+        # declared-partition pruning: map the predicate through the
+        # commit's OWN spec (spec evolution) — commit level from the root
+        # summary, file level from the sidecar's exact tuples below
+        ppreds = None
+        cp = cparts.get(cid)
+        if cp is not None:
+            si = cp.get("s", len(specs) - 1)
+            if 0 <= si < len(specs):
+                if si not in pred_cache:
+                    pred_cache[si] = P.map_predicates(specs[si], want)
+                ppreds = pred_cache[si]
+                if not any(p is not None for p in ppreds):
+                    ppreds = None
+                elif P.prune_commit(cp.get("f") or [], ppreds):
+                    commits_skipped += 1
+                    skipped += n
+                    continue
         sc = _load_sidecar(root, manifest, cid)
         stats = sc.get("stats", {})
         sidecars_loaded += 1
@@ -1476,7 +1589,11 @@ def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
             if len(rels) != n:  # unreadable/short sidecar: enumeration
                 # is correctness — fall back to the strict loader's error
                 rels = _commit_files_from_sidecar(root, manifest, cid, n)
+        pvals = sc.get("partitions") or {}
         for rel in rels:
+            if ppreds is not None and P.prune_file(pvals.get(rel), ppreds):
+                skipped += 1
+                continue
             fstats = stats.get(rel, {})
             disjoint = missing = False
             for c, (clo, chi) in want.items():
@@ -2538,7 +2655,8 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     }
     for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
               "cdc_applied_version", "ivm_applied_version",
-              "commit_sizes", "sketch_commits", "small_bytes"):
+              "commit_sizes", "sketch_commits", "small_bytes",
+              "partition_specs", "commit_partitions"):
         if k in target:
             body[k] = target[k]
     # the batch-id high-water mark must never move backwards (the gate
@@ -2643,19 +2761,27 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
             cdir = os.path.join(data_root, commit_id)
             if not os.path.isdir(cdir):
                 continue
-            for name in sorted(os.listdir(cdir)):
-                rel = os.path.join(_DATA_DIR, commit_id, name)
-                full = os.path.join(cdir, name)
-                keep_file = rel in referenced or (
-                    # parquet sidecars (_SUCCESS, .crc) live and die with
-                    # their commit dir
-                    not name.endswith(".parquet")
-                    and any(r.startswith(os.path.join(_DATA_DIR, commit_id)) for r in referenced)
-                )
-                if not keep_file:
-                    os.remove(full)
-                    if name.endswith(".parquet"):
-                        removed_files += 1
+            commit_referenced = any(
+                r.startswith(os.path.join(_DATA_DIR, commit_id))
+                for r in referenced
+            )
+            # bottom-up walk: hidden-partitioned commits nest hive dirs
+            # (data/<cid>/_p0=…/part-*.parquet) below the commit dir
+            for dirpath, _, filenames in os.walk(cdir, topdown=False):
+                for name in sorted(filenames):
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, root)
+                    keep_file = rel in referenced or (
+                        # parquet sidecars (_SUCCESS, .crc) live and die
+                        # with their commit dir
+                        not name.endswith(".parquet") and commit_referenced
+                    )
+                    if not keep_file:
+                        os.remove(full)
+                        if name.endswith(".parquet"):
+                            removed_files += 1
+                if dirpath != cdir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
             if not os.listdir(cdir):
                 shutil.rmtree(cdir)
     mdir = os.path.join(root, _MANIFEST_DIR)
@@ -2733,7 +2859,8 @@ def snapshot_clone(
     }
     body["sidecars"] = sidecars
     for k in ("bloom", "defaults", "partition_spec",
-              "commit_sizes", "sketch_commits", "small_bytes"):
+              "commit_sizes", "sketch_commits", "small_bytes",
+              "partition_specs", "commit_partitions"):
         if k in m:
             body[k] = m[k]
     body.update(mode="clone", commit_id=commit_id, cloned_from=v)

@@ -2804,3 +2804,94 @@ register(
     ORDER BY mktsegment
     """,
 )(snapshot_sql_read)
+
+
+# ---------------------------------------------------------------------------
+# Declared partition spec / hidden partitioning (round 9,
+# operators/partitioning.py): snapshot_commit(partition_transforms=
+# [("ts","day"), ("user_id","bucket",4)]) writes one hive directory per
+# partition tuple, records exact per-file tuples in the commit sidecar
+# and per-commit day-ranges/bucket-bitmasks in the ROOT manifest, and the
+# planner maps ordinary ts/user_id predicates through the transforms —
+# pruning GUARANTEED by declared metadata (a commit whose day range
+# excludes the window is skipped from the root without opening its
+# sidecar; tests/test_partitioning.py pins the open counts). The commits
+# split the fixture by event_id quartiles (ts is monotone in event_id,
+# so day summaries are disjoint); the result aggregates one bucket-pruned
+# user's events and the flags pin that both pruning layers engaged.
+# Timestamps are handled timezone-free end to end (epoch-micros
+# transforms; the row filter uses unix_micros, never a session-tz cast).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_partition_spec_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = events.count()
+    root = _temp_root()
+    for k in range(4):
+        snapshot_commit(
+            events.where(
+                (F.col("event_id") >= k * n // 4)
+                & (F.col("event_id") < (k + 1) * n // 4)
+            ),
+            root,
+            partition_transforms=[("ts", "day"), ("user_id", "bucket", 4)]
+            if k == 0
+            else None,  # hidden partitioning: sticky after the first commit
+        )
+    # plan-level pins: a 3-day window prunes whole commits from the root;
+    # a bucket equality prunes files inside surviving commits
+    day_plan = snapshot_scan_files(
+        root,
+        ranges={"ts": (_dt.datetime(2024, 1, 14), _dt.datetime(2024, 1, 17))},
+    )
+    eq_plan = snapshot_scan_files(root, ranges={"user_id": (17, 17)})
+    total_files = day_plan["kept"] + day_plan["skipped"]
+    day_pruned = int(
+        day_plan["commits_skipped"] >= 2
+        and day_plan["sidecars_loaded"] <= 2
+        and 0 < day_plan["kept"] < total_files // 2
+    )
+    bucket_pruned = int(0 < eq_plan["kept"] < total_files // 2)
+    lo_us = 19736 * 86_400 * 1_000_000  # 2024-01-14 00:00:00 UTC
+    hi_us = 19739 * 86_400 * 1_000_000  # 2024-01-17 00:00:00 UTC
+    return (
+        snapshot_scan(spark, root, ranges={"user_id": (17, 17)})
+        .where(
+            (F.col("user_id") == 17)
+            & F.unix_micros(F.col("ts")).between(lo_us, hi_us)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("day_pruned", F.lit(day_pruned))
+        .withColumn("bucket_pruned", F.lit(bucket_pruned))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_partition_spec_pruned",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           1 AS day_pruned, 1 AS bucket_pruned
+    FROM events
+    WHERE user_id = 17
+      AND epoch_us(ts) BETWEEN 1705190400000000 AND 1705449600000000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)(snapshot_partition_spec_pruned)
