@@ -555,6 +555,7 @@ def ivf_index_append(
     index_root: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra: dict | None = None,
 ) -> dict:
     """Incrementally extend a persisted IVF index: assign the NEW vectors
     to the EXISTING centroids (no retraining — the quantizer is frozen
@@ -584,7 +585,8 @@ def ivf_index_append(
     )
     return snapshot_commit(
         coded, index_root, mode="append", partition_by=["cell"],
-        extra={"ann_index": meta},
+        # caller stamps (streaming batch id) ride the same atomic publish
+        extra={**(extra or {}), "ann_index": meta},
         expected_head=versions[-1],
     )
 

@@ -86,6 +86,7 @@ def text_index_build(
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
     positions: bool = False,
+    extra: dict | None = None,
 ) -> dict:
     """Tokenize once, persist the inverted index. Postings are
     ``(token, doc_id, tf, dl)`` — dl denormalized onto every posting so a
@@ -116,10 +117,11 @@ def text_index_build(
         bloom_bits=bloom_bits,
         bloom_hashes=bloom_hashes,
         extra={
-            "text_index": {
+            **(extra or {}),  # caller stamps (streaming batch id) ride the
+            "text_index": {   # same atomic publish as the index stats
                 "id_col": id_col,
                 "n_docs": int(n_docs),
-                "sum_dl": int(sum_dl),
+                "sum_dl": int(sum_dl or 0),
                 "positions": bool(positions),
             }
         },
@@ -131,6 +133,7 @@ def text_index_append(
     index_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra: dict | None = None,
 ) -> dict:
     """Incrementally extend a persisted index with NEW documents — one
     append commit of the batch's postings plus exact integer stat
@@ -164,6 +167,7 @@ def text_index_append(
         mode="append",
         partition_by=["token"],
         extra={
+            **(extra or {}),
             "text_index": {
                 "id_col": meta["id_col"],
                 "n_docs": meta["n_docs"] + int(n_new),

@@ -824,3 +824,124 @@ register(
     "similarity_ann_ivfpq",
     "SELECT 10 AS n_queries, 1 AS recall_ok, 1 AS frozen_model_roundtrip_ok",
 )(_ann_ivfpq)
+
+
+# ---------------------------------------------------------------------------
+# LIVE streaming ANN ingest (round 9, streaming/sinks.py::
+# start_ann_index_sink): the IVF index is built over half the corpus
+# (build-once / serve-many), then an embedding stream keeps it fresh —
+# each micro-batch assigns its vectors to the FROZEN centroids and
+# appends one generation-pinned commit with the batch id stamped inside
+# the same atomic publish (no training jobs on the ingest path, replays
+# dropped by the high-water gate). The query feeds one micro-batch,
+# stops, RESTARTS from the same checkpoint for the second, and pins:
+# the live index's search is EXACTLY the batch-appended reference
+# index's search (same deterministic quantizer => same serve results —
+# set equality, stronger than a recall floor), the usual recall floor
+# vs exact top-5 holds, and the restart appended exactly one commit.
+# ---------------------------------------------------------------------------
+
+
+def _streaming_ann_index_live(spark, sf_dir):
+    import os
+    import shutil
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _max_stamp,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+    from airflow_postgres_csv_spark.streaming.sinks import start_ann_index_sink
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    evens = emb.where(F.col("vec_id") % 2 == 0)
+    odds = emb.where(F.col("vec_id") % 2 == 1)
+    live_root, ref_root = _temp_root(), _temp_root()
+    S.ivf_build_index(evens, live_root, n_cells=16)
+    S.ivf_build_index(evens, ref_root, n_cells=16)
+    S.ivf_index_append(odds, ref_root)
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    staged = []
+    for i in (0, 1):
+        part_dir = os.path.join(_temp_root(), f"half{i}")
+        odds.where(F.col("vec_id") % 4 == 2 * i + 1).coalesce(1).write.parquet(
+            part_dir
+        )
+        part = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        staged.append(os.path.join(part_dir, part))
+    dst0 = os.path.join(src, "000.parquet")
+    shutil.move(staged[0], dst0)
+    os.utime(dst0, (1_000_000, 1_000_000))
+    schema = emb.schema
+    ckpt = os.path.join(_temp_root(), "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    q = start_ann_index_sink(stream(), live_root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.move(staged[1], os.path.join(src, "001.parquet"))
+    q2 = start_ann_index_sink(stream(), live_root, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    live = S.ivf_search_index(spark, live_root, qs, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    ref = S.ivf_search_index(spark, ref_root, qs, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    serve_equal = int(
+        live.exceptAll(ref).count() == 0 and ref.exceptAll(live).count() == 0
+    )
+    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(live.select("query_id", "neighbor_id"),
+                   ["query_id", "neighbor_id"])
+        .groupBy("query_id").count()
+    )
+    per_query = exact.groupBy("query_id").count().withColumnRenamed(
+        "count", "n_exact"
+    )
+    restart_ok = int(
+        len(snapshot_versions(live_root)) == 3
+        and _max_stamp(live_root, "last_batch_id", -1) == 1
+        and snapshot_read(spark, live_root).count() == emb.count()
+    )
+    return (
+        per_query.join(hits.withColumnRenamed("count", "n_hit"), "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("n_hit") / F.sum("n_exact")).alias("recall"),
+        )
+        .select(
+            "n_queries",
+            (F.col("recall") >= 0.5).cast("int").alias("recall_ok"),
+            F.lit(serve_equal).alias("live_equals_batch_ok"),
+            F.lit(restart_ok).alias("restart_ok"),
+        )
+    )
+
+
+register(
+    "streaming_ann_index_live",
+    "SELECT 10 AS n_queries, 1 AS recall_ok, 1 AS live_equals_batch_ok, "
+    "1 AS restart_ok",
+)(_streaming_ann_index_live)

@@ -1726,3 +1726,119 @@ register(
     SELECT doc_id, n_occurrences, rk FROM ranked WHERE rk <= 20 ORDER BY rk
     """,
 )(text_index_phrase)
+
+# ---------------------------------------------------------------------------
+# LIVE streaming index maintenance (round 9, streaming/sinks.py::
+# start_text_index_sink): a document stream keeps the persisted BM25
+# index fresh — the first micro-batch BUILDS it, later batches run
+# text_index_append, and the micro-batch id is stamped inside the same
+# atomic manifest publish as the postings + exact integer stats, so a
+# crash-replayed batch can never double-count. The query feeds two
+# micro-batches, STOPS the stream, restarts it from the same checkpoint
+# for a third batch, and serves the same term query as text_bm25_topk
+# from the live index; the oracle is the full-corpus BM25 SQL verbatim —
+# the streamed index must score bit-identically to a from-scratch build,
+# across the restart. restart_ok pins that the restart appended exactly
+# one commit (3 index versions, batch high-water 2).
+# ---------------------------------------------------------------------------
+
+
+def streaming_text_index_live(spark, sf_dir):
+    import os
+    import shutil
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _max_stamp,
+        snapshot_versions,
+    )
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_search,
+    )
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_text_index_sink,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    staged = []
+    for i in range(3):
+        part_dir = os.path.join(_temp_root(), f"third{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(part_dir)
+        part = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        staged.append(os.path.join(part_dir, part))
+    for i in (0, 1):
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.move(staged[i], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    schema = docs.schema
+    index_root = _temp_root()
+    ckpt = os.path.join(_temp_root(), "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    q = start_text_index_sink(stream(), index_root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # late arrival + RESTART from the same checkpoint: batches 0/1 are
+    # behind the offset log, only the new file becomes batch 2
+    shutil.move(staged[2], os.path.join(src, "002.parquet"))
+    q2 = start_text_index_sink(stream(), index_root, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    restart_ok = int(
+        len(snapshot_versions(index_root)) == 3
+        and _max_stamp(index_root, "last_batch_id", -1) == 2
+    )
+    return text_index_search(
+        spark, index_root, list(_BM25_TERMS), k=20, k1=_BM25_K1, b=_BM25_B
+    ).withColumn("restart_ok", F.lit(restart_ok))
+
+
+register(
+    "streaming_text_index_live",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {str(tuple(_BM25_TERMS))}
+        GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(CAST(ROUND(
+                 ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                 * (tf * ({_BM25_K1} + 1.0))
+                 / (tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, n_terms, bm25, rk, 1 AS restart_ok FROM ranked WHERE rk <= 20
+    ORDER BY rk
+    """,
+)(streaming_text_index_live)

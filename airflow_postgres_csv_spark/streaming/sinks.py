@@ -22,6 +22,10 @@ __all__ = [
     "start_expectations_sink",
     "merge_into_batch",
     "start_merge_into_sink",
+    "text_index_batch",
+    "start_text_index_sink",
+    "ann_index_batch",
+    "start_ann_index_sink",
 ]
 
 
@@ -417,6 +421,121 @@ def start_catalog_expectations_sink(
             lambda df, bid: catalog_write_with_expectations(
                 df, catalog_root, main, expectations, quarantine,
                 batch_id=bid, retries=2,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def text_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: bool = False,
+) -> bool:
+    """foreachBatch body: keep a persisted BM25 index
+    (operators/text_index.py) fresh from a live document stream, exactly
+    once. First committed batch BUILDS the index (recording
+    ``positions``); every later batch runs ``text_index_append`` — the
+    O(batch) incremental path whose exact integer stats make live search
+    scores bit-identical to a from-scratch rebuild over the same prefix.
+    The micro-batch id stamps the SAME atomic manifest publish as the
+    postings + stats, so a crash-replayed batch is dropped by the
+    high-water gate before any tokenization — the index can never
+    double-count a document's stats. Returns True when the batch
+    applied, False on replay-skip."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators import text_index as TI
+
+    if batch_id <= S._max_stamp(index_root, "last_batch_id", -1):
+        return False
+    stamp = {"last_batch_id": batch_id}
+    if not S.snapshot_versions(index_root):
+        TI.text_index_build(
+            batch_df, index_root, id_col=id_col, text_col=text_col,
+            positions=positions, extra=stamp,
+        )
+    else:
+        TI.text_index_append(
+            batch_df, index_root, id_col=id_col, text_col=text_col, extra=stamp
+        )
+    return True
+
+
+def start_text_index_sink(
+    stream_df: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: bool = False,
+) -> StreamingQuery:
+    """Stream documents into a persisted BM25 text index
+    (``text_index_batch`` per micro-batch): the live-corpus search
+    pattern — searches between batches see a consistent pinned index
+    version, restarts resume behind the batch-id gate, and the appended
+    index scores bit-identically to a batch rebuild over the same
+    document prefix."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: text_index_batch(
+                df, bid, index_root,
+                id_col=id_col, text_col=text_col, positions=positions,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def ann_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """foreachBatch body: keep a persisted IVF ANN index
+    (operators/similarity.py) fresh from a live embedding stream,
+    exactly once. The index must be BUILT beforehand (build-once /
+    serve-many — training a quantizer inside a sink would put a
+    clustering job on the ingest path); each batch assigns its vectors
+    to the FROZEN centroids and appends one generation-pinned commit
+    with the batch id stamped inside the same atomic publish. Replays
+    are dropped by the high-water gate; a concurrent index rebuild
+    conflicts (``expected_head``) instead of mixing generations."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.similarity import ivf_index_append
+
+    if batch_id <= S._max_stamp(index_root, "last_batch_id", -1):
+        return False
+    ivf_index_append(
+        batch_df, index_root, id_col=id_col, vec_col=vec_col,
+        extra={"last_batch_id": batch_id},
+    )
+    return True
+
+
+def start_ann_index_sink(
+    stream_df: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Stream embeddings into a pre-built IVF ANN index
+    (``ann_index_batch`` per micro-batch): searches between batches see
+    old + new vectors through the same cell-probed serve path, with
+    zero training jobs on the ingest side."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: ann_index_batch(
+                df, bid, index_root, id_col=id_col, vec_col=vec_col
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,74 @@
+"""Streaming index-maintenance sinks (streaming/sinks.py::
+text_index_batch / ann_index_batch): exactly-once batch gating, build-
+then-append lifecycle, and bit-identical live-vs-batch semantics at the
+unit level (the end-to-end checkpointed-restart runs live in the
+streaming_text_index_live / streaming_ann_index_live oracle queries)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators import snapshots as S
+from airflow_postgres_csv_spark.operators.text_index import (
+    text_index_search,
+)
+from airflow_postgres_csv_spark.streaming.sinks import (
+    ann_index_batch,
+    text_index_batch,
+)
+
+_DOCS = [
+    (0, "spark shuffles data across the cluster"),
+    (1, "the cluster shuffles spark data"),
+    (2, "parquet files store columnar data"),
+    (3, "columnar data scans prune columns"),
+    (4, "spark reads parquet data fast"),
+    (5, "indexes make search fast"),
+]
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [d for d in _DOCS if d[0] in ids], ["doc_id", "text"]
+    )
+
+
+def test_text_index_batch_builds_then_appends_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    assert text_index_batch(_docs(spark, {0, 1, 2}), 0, root) is True
+    assert text_index_batch(_docs(spark, {3, 4, 5}), 1, root) is True
+    # crash replay of either batch: dropped by the high-water gate
+    assert text_index_batch(_docs(spark, {0, 1, 2}), 0, root) is False
+    assert text_index_batch(_docs(spark, {3, 4, 5}), 1, root) is False
+    meta = S._load_manifest(root, S.snapshot_versions(root)[-1])["text_index"]
+    assert meta["n_docs"] == 6  # replays never double-count stats
+    got = text_index_search(spark, root, ["spark", "data"], k=6)
+    # full-corpus rebuild must score identically
+    from airflow_postgres_csv_spark.operators.text_index import (
+        text_index_build,
+    )
+
+    root2 = str(tmp_path / "ref")
+    text_index_build(_docs(spark, {0, 1, 2, 3, 4, 5}), root2)
+    ref = text_index_search(spark, root2, ["spark", "data"], k=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_ann_index_batch_requires_prebuilt_index(spark, tmp_path):
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ann")
+    with pytest.raises(FileNotFoundError):
+        ann_index_batch(emb, 0, root)
+    from airflow_postgres_csv_spark.operators.similarity import ivf_build_index
+
+    ivf_build_index(emb.where(F.col("vec_id") < 20), root, n_cells=4)
+    assert ann_index_batch(emb.where(F.col("vec_id") >= 20), 0, root) is True
+    assert ann_index_batch(emb.where(F.col("vec_id") >= 20), 0, root) is False
+    assert S.snapshot_read(spark, root).count() == 40
