@@ -49,6 +49,7 @@ __all__ = [
     "ivfpq_index_append",
     "ivfpq_search_index",
     "ann_index_delete",
+    "ann_derive_settings",
 ]
 
 
@@ -503,8 +504,131 @@ def pq_encode(
 # metadata, so index generations are atomic, time-travelable, and a search
 # runs ZERO training jobs: one manifest read recovers the model, the coded
 # table is scanned with the snapshot reader (cell-clustered commits give
-# commit-level pruning on the cell column for free).
+# commit-level pruning on the cell column for free). A RECALL PROBE SET
+# can be pinned at build time (probe_queries=N): N corpus vectors plus
+# their exact top-k, stored in the manifest, let ann_derive_settings
+# auto-tune n_probe / rerank_factor for a requested recall floor with
+# zero training jobs and zero corpus-wide exact scans at derive time.
 # ---------------------------------------------------------------------------
+
+
+def _build_probe_set(
+    corpus: DataFrame, id_col: str, vec_col: str, probe_queries: int, probe_k: int
+) -> dict:
+    """Recall probe set pinned at BUILD time: the ``probe_queries``
+    lowest-id corpus vectors (deterministic) with their EXACT cosine
+    top-k. One brute-force pass at build (where a training job already
+    runs anyway); metadata-sized forever after — q vectors + q·k ids in
+    the manifest. ``ann_derive_settings`` replays searches against it to
+    auto-tune serve knobs for a recall floor without ever touching the
+    corpus exactly again."""
+    probes = corpus.select(id_col, vec_col).orderBy(id_col).limit(probe_queries)
+    exact = topk_cosine_bruteforce(
+        corpus, probes, k=probe_k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "rank")
+    by_q: dict = {}
+    for r in exact.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    vecs = {r[0]: [float(x) for x in r[1]] for r in probes.collect()}
+    return {
+        "k": probe_k,
+        "queries": [
+            {
+                "id": qid,
+                "vec": vecs[qid],
+                "exact": [nid for _, nid in sorted(by_q.get(qid, []))],
+            }
+            for qid in sorted(vecs)
+        ],
+    }
+
+
+def ann_derive_settings(
+    spark: SparkSession,
+    index_root: str,
+    recall_floor: float = 0.9,
+    version: int | None = None,
+) -> dict:
+    """Auto-derive the serve-time quality knob for a requested recall
+    floor — today callers guess ``n_probe``/``rerank_factor``; this
+    answers it from the index's pinned probe set.
+
+    Walks the knob up a doubling ladder (``n_probe`` for ivf/ivfpq,
+    ``rerank_factor`` for pq), replaying the manifest's probe queries
+    through the NORMAL serve path at each step and measuring recall
+    against the stored exact top-k, stopping at the first setting that
+    meets the floor. Cost: a handful of probe-sized index searches —
+    ZERO training jobs (the quantizer stays frozen; pinned by a
+    monkeypatch bomb in tests/test_dedup_similarity.py) and zero exact
+    corpus scans (the exact sets were pinned at build). Returns
+    ``{"kind", "knob", "<knob>", "recall", "met", "evaluated"}``;
+    ``met=False`` means even the max setting missed the floor (the
+    honest answer — raise k, rebuild with more cells, or lower the
+    floor). FAISS analog: ``ParameterSpace`` auto-tuning, re-expressed
+    over the persisted-index serve path."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_versions,
+    )
+
+    v = version if version is not None else snapshot_versions(index_root)[-1]
+    meta = _load_manifest(index_root, v).get("ann_index") or {}
+    ps = meta.get("probe_set")
+    if not ps:
+        raise ValueError(
+            f"{index_root} has no probe set — rebuild with probe_queries=N"
+        )
+    probes = spark.createDataFrame(
+        [(q["id"], q["vec"]) for q in ps["queries"]],
+        "vec_id bigint, embedding array<double>",
+    )
+    exact = {q["id"]: set(q["exact"]) for q in ps["queries"]}
+    total = sum(len(s) for s in exact.values())
+    kind = meta.get("kind")
+    if kind in ("ivf", "ivfpq"):
+        knob, cap = "n_probe", int(meta["n_cells"])
+    elif kind == "pq":
+        knob, cap = "rerank_factor", 16
+    else:
+        raise ValueError(f"unknown index kind {kind!r}")
+    ladder = []
+    val = 1
+    while val < cap:
+        ladder.append(val)
+        val *= 2
+    ladder.append(cap)
+    evaluated = []
+    for val in ladder:
+        if kind == "ivf":
+            ann = ivf_search_index(
+                spark, index_root, probes, k=ps["k"], n_probe=val, version=v
+            )
+        elif kind == "ivfpq":
+            ann = ivfpq_search_index(
+                spark, index_root, probes, k=ps["k"], n_probe=val, version=v
+            )
+        else:
+            ann = pq_search_index(
+                spark, index_root, probes, k=ps["k"], rerank_factor=val,
+                version=v,
+            )
+        hits = sum(
+            1
+            for r in ann.select("query_id", "neighbor_id").collect()
+            if r.neighbor_id in exact.get(r.query_id, ())
+        )
+        recall = hits / total if total else 1.0
+        evaluated.append({knob: val, "recall": recall})
+        if recall >= recall_floor:
+            return {
+                "kind": kind, "knob": knob, knob: val, "recall": recall,
+                "floor": recall_floor, "met": True, "evaluated": evaluated,
+            }
+    return {
+        "kind": kind, "knob": knob, knob: ladder[-1],
+        "recall": evaluated[-1]["recall"], "floor": recall_floor,
+        "met": False, "evaluated": evaluated,
+    }
 
 
 def ivf_build_index(
@@ -516,6 +640,8 @@ def ivf_build_index(
     sample: int = 512,
     iters: int = 8,
     seed: int = 42,
+    probe_queries: int = 0,
+    probe_k: int = 5,
 ) -> dict:
     """Build and PERSIST an IVF index: train the coarse quantizer once,
     assign every corpus vector its nearest cell (one distributed pass),
@@ -539,14 +665,17 @@ def ivf_build_index(
         F.col(vec_col).alias("embedding"),
         F.element_at(ranking(vec_col), 1).alias("cell"),
     )
+    ann_meta = {
+        "kind": "ivf", "n_cells": n_cells, "seed": seed,
+        "centroids": centroids,
+    }
+    if probe_queries:
+        ann_meta["probe_set"] = _build_probe_set(
+            corpus, id_col, vec_col, probe_queries, probe_k
+        )
     return snapshot_commit(
         coded, index_root, mode="overwrite", partition_by=["cell"],
-        extra={
-            "ann_index": {
-                "kind": "ivf", "n_cells": n_cells, "seed": seed,
-                "centroids": centroids,
-            }
-        },
+        extra={"ann_index": ann_meta},
     )
 
 
@@ -657,6 +786,8 @@ def pq_build_index(
     sample: int = 512,
     iters: int = 8,
     seed: int = 42,
+    probe_queries: int = 0,
+    probe_k: int = 5,
 ) -> dict:
     """Build and PERSIST a PQ index: train the per-subspace codebooks
     once, encode every vector to its m codes (one distributed pass), and
@@ -677,14 +808,17 @@ def pq_build_index(
         F.col(vec_col).alias("embedding"),
         encode(vec_col).alias("pq_codes"),
     )
+    ann_meta = {
+        "kind": "pq", "m": m, "n_codes": n_codes, "seed": seed,
+        "codebooks": codebooks,
+    }
+    if probe_queries:
+        ann_meta["probe_set"] = _build_probe_set(
+            corpus, id_col, vec_col, probe_queries, probe_k
+        )
     return snapshot_commit(
         coded, index_root, mode="overwrite",
-        extra={
-            "ann_index": {
-                "kind": "pq", "m": m, "n_codes": n_codes, "seed": seed,
-                "codebooks": codebooks,
-            }
-        },
+        extra={"ann_index": ann_meta},
     )
 
 
@@ -892,6 +1026,8 @@ def ivfpq_build_index(
     sample: int = 512,
     iters: int = 8,
     seed: int = 42,
+    probe_queries: int = 0,
+    probe_k: int = 5,
 ) -> dict:
     """Build and PERSIST a composite IVF-PQ index: one training pass
     (coarse centroids + residual codebooks, driver-side on a capped
@@ -908,6 +1044,10 @@ def ivfpq_build_index(
         "kind": "ivfpq", "n_cells": n_cells, "m": m, "n_codes": n_codes,
         "seed": seed, "centroids": centroids, "codebooks": codebooks,
     }
+    if probe_queries:
+        meta["probe_set"] = _build_probe_set(
+            corpus, id_col, vec_col, probe_queries, probe_k
+        )
     return snapshot_commit(
         _ivfpq_code(corpus, meta, id_col, vec_col),
         index_root, mode="overwrite", partition_by=["cell"],

@@ -945,3 +945,59 @@ register(
     "SELECT 10 AS n_queries, 1 AS recall_ok, 1 AS live_equals_batch_ok, "
     "1 AS restart_ok",
 )(_streaming_ann_index_live)
+
+
+# ---------------------------------------------------------------------------
+# ANN serving quality knob (round 9, operators/similarity.py::
+# ann_derive_settings): the index pins a RECALL PROBE SET at build time
+# (probe_queries lowest-id vectors + their exact top-k, metadata-sized
+# in the manifest), and the derivation walks the serve knob up a
+# doubling ladder (n_probe for IVF, rerank_factor for PQ), replaying the
+# probe queries through the NORMAL serve path until the requested recall
+# floor is met — callers stop guessing. Zero training jobs on the
+# derivation (monkeypatch bomb in tests/test_dedup_similarity.py) and
+# zero corpus-wide exact scans after build. The flags pin: both derived
+# settings meet the floor on the probe set, the IVF ladder's recall is
+# monotone (more probes only add candidates), and the derived n_probe
+# then delivers the floor on HELD-OUT queries vs exact top-5.
+# ---------------------------------------------------------------------------
+
+
+def _ann_autotune(spark, sf_dir):
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    ivf_root, pq_root = _temp_root(), _temp_root()
+    S.ivf_build_index(emb, ivf_root, n_cells=16, probe_queries=8, probe_k=5)
+    S.pq_build_index(emb, pq_root, m=16, n_codes=16, probe_queries=8, probe_k=5)
+    d_ivf = S.ann_derive_settings(spark, ivf_root, recall_floor=0.8)
+    d_pq = S.ann_derive_settings(spark, pq_root, recall_floor=0.8)
+    recalls = [e["recall"] for e in d_ivf["evaluated"]]
+    derived_ok = int(
+        d_ivf["met"] and d_ivf["recall"] >= 0.8
+        and d_pq["met"] and d_pq["recall"] >= 0.8
+        and d_ivf["knob"] == "n_probe" and d_pq["knob"] == "rerank_factor"
+    )
+    monotone_ok = int(all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:])))
+    # held-out queries (disjoint from the probe set's lowest ids)
+    qs = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.ivf_search_index(
+        spark, ivf_root, qs, k=5, n_probe=d_ivf["n_probe"]
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"]).count()
+    holdout_ok = int(hits / exact.count() >= 0.5)
+    return spark.createDataFrame(
+        [(8, derived_ok, monotone_ok, holdout_ok)],
+        "n_probe_queries int, derived_ok int, ladder_monotone_ok int, "
+        "holdout_recall_ok int",
+    )
+
+
+register(
+    "similarity_ann_autotune",
+    "SELECT 8 AS n_probe_queries, 1 AS derived_ok, 1 AS ladder_monotone_ok, "
+    "1 AS holdout_recall_ok",
+)(_ann_autotune)

@@ -816,3 +816,41 @@ def test_ivfpq_index_build_serve_append_delete(spark, tmp_path, monkeypatch):
     S.ivf_build_index(qs, ivf_root, n_cells=2)
     with pytest.raises(ValueError, match="not an IVF-PQ"):
         S.ivfpq_index_append(qs, ivf_root)
+
+
+def test_ann_derive_settings_no_training_and_floor(spark, tmp_path, monkeypatch):
+    """VERDICT r8 item 7: the recall-knob derivation replays the pinned
+    probe set through the serve path only — a training call during
+    derivation is a bug (monkeypatch bomb), the returned setting meets
+    the floor, and an index built without a probe set refuses."""
+    import pytest as _pytest
+
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+
+    emb = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            # + i keeps id=0 off the zero vector (cosine needs a norm)
+            lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf")
+    SIM.ivf_build_index(emb, root, n_cells=8, probe_queries=6, probe_k=4)
+    root2 = str(tmp_path / "bare")
+    SIM.ivf_build_index(emb, root2, n_cells=8)  # no probe set
+
+    def bomb(*a, **kw):
+        raise AssertionError("training job on the derivation path")
+
+    monkeypatch.setattr(SIM, "ivf_centroids", bomb)
+    monkeypatch.setattr(SIM, "pq_codebooks", bomb)
+    out = SIM.ann_derive_settings(spark, root, recall_floor=0.75)
+    assert out["knob"] == "n_probe" and out["met"]
+    assert out["recall"] >= 0.75
+    # n_probe = n_cells scans every cell: recall 1.0 by construction, so
+    # a floor of 1.0 is always derivable on the probe set
+    full = SIM.ann_derive_settings(spark, root, recall_floor=1.0)
+    assert full["met"] and full["n_probe"] <= 8 and full["recall"] == 1.0
+    with _pytest.raises(ValueError, match="probe set"):
+        SIM.ann_derive_settings(spark, root2)

@@ -95,6 +95,15 @@ BY_DESIGN: dict[str, str] = {
         "crossed into one summary row per version (4 rows)"
     ),
     "similarity_ann_incremental": "recall eval: corpus x broadcast query set, bounded by |queries|",
+    "similarity_ann_autotune": (
+        "recall eval: exact reference is corpus x broadcast held-out query "
+        "set, bounded by |queries|; derivation replays the metadata-sized "
+        "probe set through the serve path"
+    ),
+    "streaming_ann_index_live": (
+        "recall eval: corpus x broadcast query set, bounded by |queries|; "
+        "live-vs-batch set equality over two k-bounded search results"
+    ),
     "similarity_ann_ivfpq": "recall eval: corpus x broadcast query set, bounded by |queries|",
     "similarity_ann_delete": (
         "post-delete equivalence eval: PQ ADC is corpus x broadcast query "
