@@ -579,6 +579,7 @@ def snapshot_commit(
     extra: dict | None = None,
     retries: int = 0,
     expected_head: int | None = None,
+    _cluster_exprs: list | None = None,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
@@ -713,10 +714,13 @@ def snapshot_commit(
     else:
         spec = None
     if spec:
+        # _cluster_exprs (maintenance-internal): arbitrary sort Columns —
+        # compaction keeps the hidden-partition layout and curve-sorts
+        # WITHIN each partition directory
         commit_id, new_files = _write_data(
             df, root,
             partition_cols=P.transform_columns(spec, df.schema),
-            cluster_by=partition_by,
+            cluster_by=_cluster_exprs or partition_by,
         )
     else:
         commit_id, new_files = _write_data(df, root, cluster_by=partition_by)
@@ -918,7 +922,7 @@ def snapshot_commit_staged(
 
 def _write_data(
     df: DataFrame, root: str, partition_cols: list | None = None,
-    cluster_by: list[str] | None = None,
+    cluster_by: list | None = None,  # column names or Column expressions
 ) -> tuple[str, list[str]]:
     """Write ``df`` under an immutable per-commit dir; return its relative
     parquet paths. No manifest is touched — a crash here leaves only an
@@ -1789,6 +1793,47 @@ def snapshot_changes(
     return _read_pinned(spark, root, new_m, added)
 
 
+def _pinned_bytes(root: str, manifest: dict, rels: list[str] | None = None) -> int:
+    """Total bytes of pinned data files, answered from METADATA: the root
+    ``commit_sizes`` rollup for full commits, the commit sidecars' byte
+    maps for subsets, ``os.path.getsize`` only as the legacy last resort.
+    ``rels=None`` sums the whole pinned set in O(commits); an explicit
+    subset costs O(its commits) sidecar JSON reads — never a stat call
+    per file on object storage."""
+    if rels is None:
+        total = 0
+        cs = manifest.get("commit_sizes") or {}
+        for cid, n, subset in _commit_markers(root, manifest):
+            ent = cs.get(cid)
+            if subset is None and ent is not None:
+                total += int(ent[1])
+                continue
+            files = (
+                subset
+                if subset is not None
+                else _commit_files_from_sidecar(root, manifest, cid, n)
+            )
+            bmap = _load_sidecar(root, manifest, cid).get("bytes") or {}
+            total += sum(
+                bmap[rel]
+                if rel in bmap
+                else os.path.getsize(os.path.join(root, rel))
+                for rel in files
+            )
+        return total
+    by_commit: dict[str, list[str]] = {}
+    for rel in rels:
+        by_commit.setdefault(_commit_of(rel), []).append(rel)
+    total = 0
+    for cid, files in by_commit.items():
+        bmap = _load_sidecar(root, manifest, cid).get("bytes") or {}
+        total += sum(
+            bmap[rel] if rel in bmap else os.path.getsize(os.path.join(root, rel))
+            for rel in files
+        )
+    return total
+
+
 def snapshot_compact(
     spark: SparkSession,
     root: str,
@@ -1827,9 +1872,7 @@ def snapshot_compact(
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
     manifest = _load_manifest(root, versions[-1])
-    total = sum(
-        os.path.getsize(os.path.join(root, rel)) for rel in manifest["files"]
-    )
+    total = _pinned_bytes(root, manifest)  # metadata-only table sizing
     n_out = max(1, math.ceil(total / target_bytes))
     df = snapshot_read(spark, root)
     if zorder_by is not None:
@@ -1866,11 +1909,21 @@ def snapshot_compact(
             ],
             bits=bits,
         )
-        df = df.repartitionByRange(n_out, z.alias("__z")).sortWithinPartitions(
-            z.alias("__z")
-        )
+        if manifest.get("partition_specs"):
+            # hidden-partitioned table: the rewrite PRESERVES the declared
+            # layout (snapshot_commit re-applies the sticky spec — one
+            # directory per partition tuple) and curve-sorts within each
+            # partition instead of range-partitioning globally
+            cluster_exprs = [z.alias("__z")]
+        else:
+            cluster_exprs = None
+            df = df.repartitionByRange(n_out, z.alias("__z")).sortWithinPartitions(
+                z.alias("__z")
+            )
     else:
-        df = df.repartition(n_out)
+        cluster_exprs = None
+        if not manifest.get("partition_specs"):
+            df = df.repartition(n_out)
     # Stamp WHAT this overwrite is (inside the atomic publish): a
     # row-preserving rewrite of exactly the version we read. Streams use
     # it to skip the commit (zero row changes) — and the parent check
@@ -1879,7 +1932,7 @@ def snapshot_compact(
     # and the overwrite is treated as destructive.
     new_m = snapshot_commit(
         df, root, mode="overwrite", extra={"compaction_of": versions[-1]},
-        expected_head=versions[-1],
+        expected_head=versions[-1], _cluster_exprs=cluster_exprs,
     )
     new_m["files_before"] = manifest["n_files"]
     return new_m
@@ -1961,7 +2014,7 @@ def snapshot_optimize_incremental(
         ],
         bits=bits,
     )
-    total = sum(os.path.getsize(os.path.join(root, rel)) for rel in redo)
+    total = _pinned_bytes(root, manifest, redo)  # sidecar byte maps, no stats
     n_out = max(1, math.ceil(total / target_bytes))
     clustered = df.repartitionByRange(
         n_out, z.alias("__z")

@@ -241,3 +241,37 @@ def test_batch_source_prunes_through_partition_spec(spark, tmp_path):
         .count()
     )
     assert got == 48
+
+
+def test_compact_preserves_partition_spec(spark, tmp_path):
+    """OPTIMIZE on a hidden-partitioned table must not destroy the
+    declared layout (Iceberg rewrites stay within the spec): after
+    snapshot_compact the table still has per-commit partition summaries,
+    day predicates still prune from the root, and rows are exact."""
+    root = str(tmp_path / "t")
+    for k in range(3):
+        snapshot_commit(
+            _events(spark, k * 240, (k + 1) * 240), root,
+            partition_transforms=[("ts", "day")] if k == 0 else None,
+        )
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_compact
+
+    m = snapshot_compact(spark, root, target_bytes=1 << 30)
+    assert m["commit_partitions"], "rewrite lost the partition summaries"
+    assert len(m["partition_specs"]) == 1
+    lo, hi = dt.datetime(2024, 1, 12), dt.datetime(2024, 1, 14)
+    plan = snapshot_scan_files(root, ranges={"ts": (lo, hi)})
+    assert plan["skipped"] > 0 and 0 < plan["kept"] < m["n_files"]
+    got = (
+        snapshot_scan(spark, root, ranges={"ts": (lo, hi)})
+        .where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .count()
+    )
+    assert got == 48
+    assert snapshot_read(spark, root).count() == 720
+    # curve-clustered rewrite keeps the layout too (sorts within dirs)
+    m2 = snapshot_compact(
+        spark, root, target_bytes=1 << 30, zorder_by=("user_id", "id")
+    )
+    assert m2["commit_partitions"]
+    assert snapshot_read(spark, root).count() == 720
