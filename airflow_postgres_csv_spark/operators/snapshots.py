@@ -2016,10 +2016,25 @@ def snapshot_optimize_incremental(
     )
     total = _pinned_bytes(root, manifest, redo)  # sidecar byte maps, no stats
     n_out = max(1, math.ceil(total / target_bytes))
-    clustered = df.repartitionByRange(
-        n_out, z.alias("__z")
-    ).sortWithinPartitions(z.alias("__z"))
-    commit_id, new_files = _write_data(clustered, root)
+    specs = manifest.get("partition_specs") or []
+    if specs:
+        # hidden-partitioned table: the incremental rewrite PRESERVES the
+        # declared layout (one dir per partition tuple) and curve-sorts
+        # within each partition — same contract as snapshot_compact
+        from airflow_postgres_csv_spark.operators import partitioning as P
+
+        spec = specs[-1]
+        P.validate_spec(spec, df.schema)
+        commit_id, new_files = _write_data(
+            df, root,
+            partition_cols=P.transform_columns(spec, df.schema),
+            cluster_by=[z.alias("__z")],
+        )
+    else:
+        clustered = df.repartitionByRange(
+            n_out, z.alias("__z")
+        ).sortWithinPartitions(z.alias("__z"))
+        commit_id, new_files = _write_data(clustered, root)
     files = keep + new_files
     body = _inherit_maps(manifest, files)
     bloom_cfg = manifest.get("bloom")
@@ -2036,6 +2051,20 @@ def snapshot_optimize_incremental(
     sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
     body["commit_schemas"][commit_id] = manifest["schema"]
     body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    if specs and new_files:
+        from airflow_postgres_csv_spark.operators import partitioning as P
+
+        sidecar["partitions"] = {
+            rel: P.partition_values_from_rel(rel, len(specs[-1]))
+            for rel in new_files
+        }
+        body.setdefault("commit_partitions", {})[commit_id] = {
+            "s": len(specs) - 1,
+            "f": P.commit_partition_summary(
+                specs[-1],
+                [v for v in sidecar["partitions"].values() if v is not None],
+            ),
+        }
     out = _publish(root, versions, body, commit_id, sidecar)
     out["files_rewritten"] = len(redo)
     out["files_kept"] = len(keep)

@@ -275,3 +275,41 @@ def test_compact_preserves_partition_spec(spark, tmp_path):
     )
     assert m2["commit_partitions"]
     assert snapshot_read(spark, root).count() == 720
+
+
+def test_optimize_incremental_preserves_partition_spec(spark, tmp_path):
+    """Incremental OPTIMIZE on a hidden-partitioned table rewrites only
+    the unoptimized tail — WITHIN the declared layout: the new commit
+    carries partition summaries, old optimized files stay by pointer,
+    day pruning still answers from the root, rows exact."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_optimize_incremental,
+    )
+
+    root = str(tmp_path / "t")
+    for k in range(2):
+        snapshot_commit(
+            _events(spark, k * 240, (k + 1) * 240), root,
+            partition_transforms=[("ts", "day")] if k == 0 else None,
+        )
+    m1 = snapshot_optimize_incremental(
+        spark, root, zorder_by=("user_id", "id"), target_bytes=1 << 30
+    )
+    assert m1["commit_partitions"] and m1["partition_specs"]
+    # fresh unoptimized arrivals, then a second incremental cycle
+    snapshot_commit(_events(spark, 480, 720), root)
+    m2 = snapshot_optimize_incremental(
+        spark, root, zorder_by=("user_id", "id"), target_bytes=1 << 30
+    )
+    assert m2["files_rewritten"] > 0
+    assert len(m2["commit_partitions"]) == len(m2["commit_files"])
+    lo, hi = dt.datetime(2024, 1, 22), dt.datetime(2024, 1, 24)
+    plan = snapshot_scan_files(root, ranges={"ts": (lo, hi)})
+    assert plan["skipped"] > 0
+    got = (
+        snapshot_scan(spark, root, ranges={"ts": (lo, hi)})
+        .where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .count()
+    )
+    assert got == 48
+    assert snapshot_read(spark, root).count() == 720
