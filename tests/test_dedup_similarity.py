@@ -854,3 +854,33 @@ def test_ann_derive_settings_no_training_and_floor(spark, tmp_path, monkeypatch)
     assert full["met"] and full["n_probe"] <= 8 and full["recall"] == 1.0
     with _pytest.raises(ValueError, match="probe set"):
         SIM.ann_derive_settings(spark, root2)
+
+
+def test_ann_derive_settings_pq_rerank_ladder(spark, tmp_path):
+    """PQ half of the quality knob: the derivation walks rerank_factor up
+    the doubling ladder against the build-time probe set and returns the
+    first setting meeting the floor (or met=False honestly at the cap)."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+
+    emb = spark.range(0, 256).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "pq")
+    SIM.pq_build_index(emb, root, m=4, n_codes=16, probe_queries=6, probe_k=4)
+    out = SIM.ann_derive_settings(spark, root, recall_floor=0.5)
+    assert out["knob"] == "rerank_factor" and out["kind"] == "pq"
+    vals = [e["rerank_factor"] for e in out["evaluated"]]
+    assert vals == sorted(vals) and all(
+        b == 2 * a for a, b in zip(vals, vals[1:])
+    )
+    if out["met"]:
+        assert out["recall"] >= 0.5
+    else:
+        assert out["rerank_factor"] == 16  # honest miss at the cap
+    # an impossible floor reports met=False instead of lying
+    hard = SIM.ann_derive_settings(spark, root, recall_floor=1.01)
+    assert not hard["met"]
