@@ -814,3 +814,88 @@ register("dedup_semantic_semdedup", _sem_oracle())(
         ).orderBy("id")
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# LIVE streaming dedup-on-ingest (round 9, streaming/sinks.py::
+# start_dedup_ingest_sink): a document stream lands in a snapshot corpus
+# holding each content key exactly once — within-batch survivors are
+# min-doc_id per md5(normalized text), cross-batch rejects anti-join the
+# PERSISTED fingerprint table (O(batch) per micro-batch, the corpus text
+# never re-hashed), and both tables are batch-id-gated inside their
+# atomic publishes (data-then-keys commit order so crash replays
+# converge). Staged stream: micro-batch 0 = even doc_ids; micro-batch
+# 1 = odd doc_ids PLUS re-crawled copies of every even doc (new ids,
+# same text) — every copy must be rejected against batch 0, and odd
+# docs whose text already appeared among evens are rejected too. The
+# oracle expresses exactly that first-batch-wins rule in SQL.
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup_ingest_live(spark, sf_dir):
+    import os
+    import shutil
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_dedup_ingest_sink,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    batch1 = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        evens.withColumn("doc_id", F.col("doc_id") + 1000000)  # re-crawl
+    )
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    for i, part in enumerate((evens, batch1)):
+        part_dir = os.path.join(_temp_root(), f"b{i}")
+        part.coalesce(1).write.parquet(part_dir)
+        f = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.move(os.path.join(part_dir, f), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    root, keys_root = _temp_root(), _temp_root()
+    q = start_dedup_ingest_sink(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        root, keys_root,
+        os.path.join(_temp_root(), "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    corpus = snapshot_read(spark, root)
+    keys_consistent = int(
+        snapshot_read(spark, keys_root).count() == corpus.count()
+    )
+    return (
+        corpus.select("doc_id", "lang", "source")
+        .withColumn("keys_consistent", F.lit(keys_consistent))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "streaming_dedup_ingest_live",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, md5({SQL_NORM}) AS k FROM documents
+    ),
+    surv AS (
+        SELECT k,
+               COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                        MIN(doc_id)) AS doc_id
+        FROM keyed GROUP BY k
+    )
+    SELECT d.doc_id, d.lang, d.source, 1 AS keys_consistent
+    FROM surv s JOIN keyed d ON s.doc_id = d.doc_id AND s.k = d.k
+    ORDER BY d.doc_id
+    """,
+)(streaming_dedup_ingest_live)

@@ -26,6 +26,8 @@ __all__ = [
     "start_text_index_sink",
     "ann_index_batch",
     "start_ann_index_sink",
+    "dedup_ingest_batch",
+    "start_dedup_ingest_sink",
 ]
 
 
@@ -536,6 +538,90 @@ def start_ann_index_sink(
         .foreachBatch(
             lambda df, bid: ann_index_batch(
                 df, bid, index_root, id_col=id_col, vec_col=vec_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    keys_root: str,
+    key=None,
+    id_col: str = "doc_id",
+) -> bool:
+    """foreachBatch body: exact DEDUP-ON-INGEST into a snapshot corpus,
+    exactly once — the bronze-layer pattern for a training-data pipeline
+    where the same document arrives repeatedly (re-crawls, source
+    overlap) and the corpus must hold each content key exactly once,
+    first-writer-wins.
+
+    Per micro-batch: (1) within-batch survivors = min ``id_col`` per
+    dedup key (one hash-agg — deterministic); (2) cross-corpus rejects =
+    key anti-join against the PERSISTED fingerprint table at
+    ``keys_root`` (a (key, id) snapshot table — the corpus text is never
+    re-read or re-hashed, and the key scan is column-pruned); (3) the
+    survivors append to ``root`` and their keys to ``keys_root``, each
+    gated by its OWN batch-id high-water stamp inside its atomic
+    publish. Commit order is data-then-keys ON PURPOSE: survivors are
+    computed against the keys table as of BEFORE this batch, so a crash
+    between the two commits replays into whichever table missed it and
+    converges — keys-first would make the replay's anti-join reject the
+    batch's own survivors. ``key`` defaults to the md5 fingerprint of
+    normalized text (same as operators/dedup.py's exact family).
+    Returns True when the batch applied to at least one table."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.functions import texts as X
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    data_done = batch_id <= S._max_stamp(root, "last_batch_id", -1)
+    keys_done = batch_id <= S._max_stamp(keys_root, "last_batch_id", -1)
+    if data_done and keys_done:
+        return False
+    k = key if key is not None else X.fingerprint_md5("text")
+    keyed = batch_df.select(k.alias("_k"), "*")
+    mins = keyed.groupBy("_k").agg(F.min(id_col).alias("_mid"))
+    survivors = keyed.join(mins, "_k").where(F.col(id_col) == F.col("_mid"))
+    if S.snapshot_versions(keys_root):
+        existing = S.snapshot_read(batch_df.sparkSession, keys_root).select("_k")
+        survivors = survivors.join(existing, "_k", "left_anti")
+    # one computation feeds both commits (localCheckpoint: the second
+    # commit must not re-plan the anti-join after the first moved state)
+    survivors = survivors.drop("_mid").localCheckpoint(eager=True)
+    stamp = {"last_batch_id": batch_id}
+    if not data_done:
+        S.snapshot_commit(survivors.drop("_k"), root, extra=stamp, retries=2)
+    if not keys_done:
+        S.snapshot_commit(
+            survivors.select("_k", F.col(id_col)), keys_root,
+            extra=stamp, retries=2,
+        )
+    return True
+
+
+def start_dedup_ingest_sink(
+    stream_df: DataFrame,
+    root: str,
+    keys_root: str,
+    checkpoint_dir: str,
+    key=None,
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Stream documents through exact dedup-on-ingest
+    (``dedup_ingest_batch`` per micro-batch): the corpus table holds each
+    content key exactly once (first batch wins, min-id within a batch),
+    the companion fingerprint table makes every batch's reject check an
+    O(batch) key anti-join instead of an O(corpus) re-hash, and both
+    tables recover exactly-once across crash replays."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: dedup_ingest_batch(
+                df, bid, root, keys_root, key=key, id_col=id_col
             )
         )
         .option("checkpointLocation", checkpoint_dir)

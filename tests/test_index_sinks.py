@@ -72,3 +72,42 @@ def test_ann_index_batch_requires_prebuilt_index(spark, tmp_path):
     assert ann_index_batch(emb.where(F.col("vec_id") >= 20), 0, root) is True
     assert ann_index_batch(emb.where(F.col("vec_id") >= 20), 0, root) is False
     assert S.snapshot_read(spark, root).count() == 40
+
+
+def test_dedup_ingest_batch_exactly_once_and_first_wins(spark, tmp_path):
+    """Dedup-on-ingest: within-batch min-id survivors, cross-batch
+    first-writer-wins via the persisted fingerprint table, and replayed
+    batches (either table behind) converge without duplicates."""
+    from airflow_postgres_csv_spark.streaming.sinks import dedup_ingest_batch
+
+    root, keys = str(tmp_path / "corpus"), str(tmp_path / "keys")
+    b0 = spark.createDataFrame(
+        [(4, "alpha beta"), (2, "alpha beta"), (7, "gamma")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(9, "ALPHA   beta"), (11, "delta"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    assert dedup_ingest_batch(b0, 0, root, keys) is True
+    import shutil
+
+    keys2 = str(tmp_path / "keys2")  # keys state as of batch 0 — the
+    shutil.copytree(keys, keys2)     # crash-between-commits replica
+    assert dedup_ingest_batch(b1, 1, root, keys) is True
+    got = {(r.doc_id, r.text) for r in S.snapshot_read(spark, root).collect()}
+    # batch0: min-id 2 wins alpha-beta, 7 gamma; batch1: 9 rejected
+    # (normalized == alpha beta), 11 wins delta within-batch over 13
+    assert got == {(2, "alpha beta"), (7, "gamma"), (11, "delta")}
+    assert S.snapshot_read(spark, keys).count() == 3
+    # full replay: both gates closed, nothing changes
+    assert dedup_ingest_batch(b1, 1, root, keys) is False
+    assert S.snapshot_read(spark, root).count() == 3
+    # partial replay — crash landed the DATA commit but not the KEYS
+    # commit (keys2 froze at batch 0): the replay recomputes survivors
+    # against the pre-batch keys state, skips the closed data gate, and
+    # advances only the keys table to the identical key set
+    assert dedup_ingest_batch(b1, 1, root, keys2) is True
+    k2 = {r._k for r in S.snapshot_read(spark, keys2).collect()}
+    assert k2 == {r._k for r in S.snapshot_read(spark, keys).collect()}
+    assert S.snapshot_read(spark, root).count() == 3  # corpus untouched
