@@ -142,6 +142,18 @@ HEADLINE = [
     "similarity_ann_ivfpq",
     "snapshot_sketch_distinct",
     "text_index_phrase_search",
+    # round-9 additions: declared-partition-spec staging + pruned scan,
+    # SQL-view join over two snapshot tables, DESCRIBE DETAIL from the
+    # root rollups, the three exactly-once streaming sinks (text index
+    # across a checkpointed restart, ANN ingest, dedup-on-ingest with the
+    # fingerprint table), and the recall-knob derivation ladder
+    "snapshot_partition_spec_pruned",
+    "snapshot_sql_read",
+    "snapshot_table_stats",
+    "streaming_text_index_live",
+    "streaming_ann_index_live",
+    "streaming_dedup_ingest_live",
+    "similarity_ann_autotune",
 ]
 
 
