@@ -965,6 +965,29 @@ def _write_data(
     return commit_id, new_files
 
 
+def _write_rewrite(df: DataFrame, root: str, manifest: dict) -> tuple[str, list[str]]:
+    """COW-rewrite write (merge/merge_into/delete): preserves the table's
+    declared partition spec when one is active — rewritten rows land one
+    directory per partition tuple, so a merge-heavy CDC table keeps its
+    guaranteed partition pruning (``_publish`` re-derives the commit's
+    partition rollup from the hive paths). A schema that evolved past
+    the spec's columns falls back to a plain write (safe: the commit
+    simply records no partition values)."""
+    specs = manifest.get("partition_specs") or []
+    if specs:
+        from airflow_postgres_csv_spark.operators import partitioning as P
+
+        spec = specs[-1]
+        try:
+            P.validate_spec(spec, df.schema)
+        except ValueError:
+            return _write_data(df, root)
+        return _write_data(
+            df, root, partition_cols=P.transform_columns(spec, df.schema)
+        )
+    return _write_data(df, root)
+
+
 def _new_sidecar(
     spark: SparkSession,
     root: str,
@@ -1285,6 +1308,35 @@ def _publish(
         ]
         if sidecar.get("sketches") and commit_id not in sketch_commits:
             sketch_commits.append(commit_id)
+        # declared-partition rollup for writers that didn't record one
+        # themselves (COW rewrites, staged writes): files written under
+        # the latest spec carry their tuples in hive path segments —
+        # parse them back; unpartitioned files simply record nothing
+        # (no entry == no partition pruning for the commit, always safe)
+        specs = manifest.get("partition_specs") or []
+        cparts = dict(manifest.get("commit_partitions") or {})
+        if specs and commit_id not in cparts:
+            from airflow_postgres_csv_spark.operators import partitioning as P
+
+            if "partitions" not in sidecar:
+                vals = {
+                    rel: P.partition_values_from_rel(rel, len(specs[-1]))
+                    for rel in sidecar["files"]
+                }
+                if any(v is not None for v in vals.values()):
+                    sidecar["partitions"] = vals
+            if sidecar.get("partitions"):
+                cparts[commit_id] = {
+                    "s": len(specs) - 1,
+                    "f": P.commit_partition_summary(
+                        specs[-1],
+                        [
+                            v for v in sidecar["partitions"].values()
+                            if v is not None
+                        ],
+                    ),
+                }
+                manifest["commit_partitions"] = cparts
         with open(os.path.join(root, sc_rel), "w") as f:
             json.dump(sidecar, f)
         manifest["sidecars"][commit_id] = sc_rel
@@ -1292,6 +1344,10 @@ def _publish(
         c: v for c, v in commit_sizes.items() if c in packed
     }
     manifest["sketch_commits"] = [c for c in sketch_commits if c in packed]
+    if "commit_partitions" in manifest:
+        manifest["commit_partitions"] = {
+            c: v for c, v in manifest["commit_partitions"].items() if c in packed
+        }
     tmp = _manifest_path(root, version) + f".tmp-{commit_id}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -2145,7 +2201,7 @@ def snapshot_merge(
             candidates.append(rel)
     current = _read_pinned(spark, root, manifest, candidates)
     rewritten = current.join(updates.select(key), key, "left_anti").unionByName(updates)
-    commit_id, new_files = _write_data(rewritten, root)
+    commit_id, new_files = _write_rewrite(rewritten, root, manifest)
     # Record the merged KEYS (O(keys) bytes, own flat dir so expire's
     # commit-dir walk stays single-level): the change feed replays this
     # COW rewrite as delete pre-image + insert post-image restricted to
@@ -2449,7 +2505,7 @@ def snapshot_merge_into(
         .unionByName(updated)
         .unionByName(inserts)
     )
-    commit_id, new_files = _write_data(rewritten, root)
+    commit_id, new_files = _write_rewrite(rewritten, root, manifest)
     mk_dirname = f"{commit_id}-mk"
     mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
     affected_keys.coalesce(1).write.mode("error").parquet(mk_dir)
@@ -2518,7 +2574,7 @@ def snapshot_delete(
     kept_rows = _read_pinned(spark, root, manifest, candidates).where(
         ~F.col(col).between(lo, hi)
     )
-    commit_id, new_files = _write_data(kept_rows, root)
+    commit_id, new_files = _write_rewrite(kept_rows, root, manifest)
     files = untouched + new_files
     body = _inherit_maps(manifest, files)
     # Record WHAT was deleted so the change feed can replay this rewrite

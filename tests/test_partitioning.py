@@ -313,3 +313,46 @@ def test_optimize_incremental_preserves_partition_spec(spark, tmp_path):
     )
     assert got == 48
     assert snapshot_read(spark, root).count() == 720
+
+
+def test_cow_rewrites_preserve_partition_spec(spark, tmp_path):
+    """COW merge / MERGE INTO / range delete on a hidden-partitioned
+    table rewrite their files WITHIN the declared layout: the rewrite
+    commit re-records partition values (derived back from the hive
+    paths by _publish), pruning still answers from the root, and every
+    read path stays exact."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_merge_into,
+    )
+
+    root = str(tmp_path / "t")
+    for k in range(2):
+        snapshot_commit(
+            _events(spark, k * 240, (k + 1) * 240), root,
+            partition_transforms=[("ts", "day")] if k == 0 else None,
+        )
+    # COW merge: replace some rows' user_id
+    updates = _events(spark, 100, 120).withColumn(
+        "user_id", F.lit(999).cast("bigint")
+    )
+    m = snapshot_merge(spark, root, updates, key="id")
+    assert set(m["commit_partitions"]) >= {m["commit_id"]}, "merge lost spec"
+    # MERGE INTO with an update clause
+    src = _events(spark, 200, 210).withColumn("kind", F.lit("9"))
+    m2 = snapshot_merge_into(
+        spark, root, src, key="id", matched_update={"kind": "s.kind"}
+    )
+    assert m2["commit_id"] in m2["commit_partitions"]
+    # COW range delete
+    m3 = snapshot_delete(spark, root, "id", 50, 60)
+    assert m3["commit_id"] in m3["commit_partitions"]
+    # pruning still works post-rewrites and rows are exact
+    lo, hi = dt.datetime(2024, 1, 12), dt.datetime(2024, 1, 14)
+    plan = snapshot_scan_files(root, ranges={"ts": (lo, hi)})
+    assert plan["skipped"] > 0
+    got = snapshot_read(spark, root)
+    assert got.count() == 480 - 11  # ids 50..60 deleted
+    assert got.where(F.col("user_id") == 999).count() == 20
+    assert got.where(F.col("kind") == "9").count() == 10
