@@ -2895,3 +2895,90 @@ register(
     GROUP BY event_type ORDER BY event_type
     """,
 )(snapshot_partition_spec_pruned)
+
+
+# ---------------------------------------------------------------------------
+# Partition SPEC EVOLUTION (round 9): the table starts day-partitioned,
+# a later commit evolves the spec to day+bucket, and a third plain
+# commit inherits the evolved spec (hidden partitioning). Specs are
+# append-only and every commit pins the spec index it was written
+# under, so the planner maps each predicate through each commit's OWN
+# transforms: a bucket equality prunes files only inside spec-1 commits
+# (spec-0 commits keep all files — no wrong pruning across the
+# evolution), while a day range prunes across both generations. The
+# result set re-aggregates the bucket-pruned scan; flags pin the spec
+# bookkeeping and both pruning behaviors.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = events.count()
+    root = _temp_root()
+    splits = [
+        events.where(F.col("event_id") < n // 3),
+        events.where(
+            (F.col("event_id") >= n // 3) & (F.col("event_id") < 2 * n // 3)
+        ),
+        events.where(F.col("event_id") >= 2 * n // 3),
+    ]
+    snapshot_commit(splits[0], root, partition_transforms=[("ts", "day")])
+    snapshot_commit(
+        splits[1], root,
+        partition_transforms=[("ts", "day"), ("user_id", "bucket", 4)],
+    )
+    snapshot_commit(splits[2], root)  # inherits the evolved spec
+    m = _load_manifest(root, 3)
+    spec_ids = sorted(cp["s"] for cp in m["commit_partitions"].values())
+    evolution_ok = int(
+        len(m["partition_specs"]) == 2 and spec_ids == [0, 1, 1]
+    )
+    # day range prunes across BOTH spec generations (ts monotone in
+    # event_id => the three commits' day summaries are near-disjoint)
+    day_plan = snapshot_scan_files(
+        root,
+        ranges={"ts": (_dt.datetime(2024, 1, 4), _dt.datetime(2024, 1, 7))},
+    )
+    total = day_plan["kept"] + day_plan["skipped"]
+    day_ok = int(day_plan["commits_skipped"] >= 1 and 0 < day_plan["kept"] < total)
+    # bucket equality: only spec-1 commits may drop files for it
+    eq_plan = snapshot_scan_files(root, ranges={"user_id": (23, 23)})
+    bucket_ok = int(0 < eq_plan["kept"] < total)
+    return (
+        snapshot_scan(spark, root, ranges={"user_id": (23, 23)})
+        .where(F.col("user_id") == 23)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("evolution_ok", F.lit(evolution_ok))
+        .withColumn("day_pruned", F.lit(day_ok))
+        .withColumn("bucket_pruned", F.lit(bucket_ok))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_partition_evolution",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           1 AS evolution_ok, 1 AS day_pruned, 1 AS bucket_pruned
+    FROM events
+    WHERE user_id = 23
+    GROUP BY event_type ORDER BY event_type
+    """,
+)(snapshot_partition_evolution)

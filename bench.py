@@ -154,6 +154,7 @@ HEADLINE = [
     "streaming_ann_index_live",
     "streaming_dedup_ingest_live",
     "similarity_ann_autotune",
+    "snapshot_partition_evolution",
 ]
 
 
