@@ -356,3 +356,43 @@ def test_cow_rewrites_preserve_partition_spec(spark, tmp_path):
     assert got.count() == 480 - 11  # ids 50..60 deleted
     assert got.where(F.col("user_id") == 999).count() == 20
     assert got.where(F.col("kind") == "9").count() == 10
+
+
+def test_staged_source_write_into_spec_table_is_safe(spark, tmp_path):
+    """The batch data source's executor-staged Arrow writes don't apply
+    partition transforms (the staging tasks write plain files). On a
+    hidden-partitioned table such a commit must record NO partition
+    values — never a wrong rollup — so reads stay exact and partition
+    pruning simply skips nothing for that commit (zone maps still
+    apply). Later engine commits keep partitioning."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        register_snapshot_table,
+    )
+
+    register_snapshot_table(spark)
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _events(spark, 0, 240), root, partition_transforms=[("ts", "day")]
+    )
+    # staged write path (spark.write through the data source)
+    _events(spark, 240, 480).write.format("snapshot_table").mode(
+        "append"
+    ).save(root)
+    m = S._load_manifest(root, 2)
+    staged_cid = m["commit_id"]
+    assert staged_cid not in m.get("commit_partitions", {}), (
+        "staged commit must not claim partition values it doesn't have"
+    )
+    assert snapshot_read(spark, root).count() == 480
+    # a day predicate prunes partitioned commit-1 files but keeps ALL of
+    # the staged commit's files (no wrong pruning), result exact
+    lo, hi = dt.datetime(2024, 1, 12), dt.datetime(2024, 1, 14)
+    got = (
+        snapshot_scan(spark, root, ranges={"ts": (lo, hi)})
+        .where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .count()
+    )
+    assert got == 48
+    # the NEXT engine commit re-applies the sticky spec
+    m3 = snapshot_commit(_events(spark, 480, 520), root)
+    assert m3["commit_id"] in m3["commit_partitions"]
