@@ -215,8 +215,10 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
     opt = set(m.get("optimized_commits", []))
     sketch_cols = (m.get("sketch") or {}).get("cols", [])
     sketch_rollup = m.get("sketch_commits")
+    specs = m.get("partition_specs") or []
+    cparts = m.get("commit_partitions") or {}
     n_commits = n_files = total_bytes = small = 0
-    clustered = sketched = partial = 0
+    clustered = sketched = partial = partitioned = 0
     for cid, n, subset in _commit_markers(root, m):
         n_commits += 1
         nf, tb, ns = _commit_size_triple(root, m, cid, n, subset, small_thr)
@@ -229,6 +231,8 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
             clustered += 1
         if sketch_rollup is not None and cid in sketch_rollup:
             sketched += 1
+        if cid in cparts:
+            partitioned += 1
     schema_cols = len(json.loads(m["schema"])["fields"]) if m.get("schema") else 0
     return {
         "version": v,
@@ -243,4 +247,9 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
         "sketch_coverage": (sketched / n_commits) if sketch_cols else None,
         "partial_commits": partial,
         "schema_cols": schema_cols,
+        # declared-partition visibility: the active spec (latest entry)
+        # and the share of commits whose files carry partition values —
+        # below 1.0 means staged/legacy commits rely on zone maps alone
+        "partition_spec": [list(f) for f in specs[-1]] if specs else None,
+        "partition_coverage": (partitioned / n_commits) if specs else None,
     }

@@ -200,3 +200,31 @@ def test_table_stats_describe_detail(spark, tmp_path, monkeypatch):
         lambda *a: (_ for _ in ()).throw(AssertionError("sidecar open")),
     )
     assert snapshot_table_stats(root) == st
+
+
+def test_table_stats_partition_visibility(spark, tmp_path):
+    """DESCRIBE DETAIL reports the active partition spec and the share of
+    commits carrying partition values — still from the root alone."""
+    import datetime as dt
+
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_table_stats,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        "id",
+        (
+            F.lit(dt.datetime(2024, 1, 1).isoformat()).cast("timestamp")
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+    )
+    snapshot_commit(df, root, partition_transforms=[("ts", "day")])
+    st = snapshot_table_stats(root)
+    assert st["partition_spec"] == [["ts", "day"]]
+    assert st["partition_coverage"] == 1.0
+    # a spec-less table reports None for both
+    root2 = str(tmp_path / "plain")
+    snapshot_commit(df, root2)
+    st2 = snapshot_table_stats(root2)
+    assert st2["partition_spec"] is None and st2["partition_coverage"] is None
