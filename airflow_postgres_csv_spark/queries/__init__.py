@@ -202,10 +202,16 @@ def _rotation_sort_key(
 ) -> Callable[[str], tuple]:
     """The rotation's total order, shared with the starvation-guard test:
     (last graded round, subsystem priority, newest-first seniority, name).
-    Names with no seniority record (registered this round) are newest."""
+    Names with no seniority record at all (registered THIS round, not yet
+    in any committed local-verify report) drain AFTER the existing
+    never-graded backlog: the backlog is finite and named, while new
+    registrations are unbounded — letting them jump the queue would let
+    a productive round starve the very names the previous round promised
+    to grade next. They join the normal newest-first order as soon as the
+    round's verify report is committed."""
 
     def key(n: str) -> tuple:
-        return (last.get(n, 0), _priority_rank(n), -seniority.get(n, 10**6), n)
+        return (last.get(n, 0), _priority_rank(n), -seniority.get(n, 0), n)
 
     return key
 
