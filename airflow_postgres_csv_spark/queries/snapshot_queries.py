@@ -2982,3 +2982,77 @@ register(
     GROUP BY event_type ORDER BY event_type
     """,
 )(snapshot_partition_evolution)
+
+
+def snapshot_join_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime join-time file pruning (operators/runtime_filter.py — the
+    dynamic-file-pruning analog of Spark's DPP, answered from the
+    snapshot manifest): lineitem committed as four disjoint l_orderkey
+    ranges, joined to a dimension of URGENT orders confined to the
+    second key quartile. The dimension's collected key set (or its
+    [min, max] envelope once it overflows ``max_keys`` at larger SFs —
+    both modes must prune identically here) proves three of the four
+    fact commits can hold no match, so their sidecars are never opened
+    and their files never scanned; ``commits_pruned_ok`` pins that from
+    the planning counters while the oracle certifies the joined rows.
+    Bounds derive from MAX(o_orderkey) on both sides: SF-independent."""
+    from airflow_postgres_csv_spark.operators.runtime_filter import (
+        runtime_filter,
+        snapshot_join,
+        snapshot_join_files,
+    )
+    from airflow_postgres_csv_spark.queries._helpers import dec
+
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    q = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+    root = _temp_root()
+    for i in range(4):
+        snapshot_commit(
+            lineitem.where(
+                (F.col("l_orderkey") >= q[i]) & (F.col("l_orderkey") < q[i + 1])
+            ).coalesce(1),
+            root,
+        )
+    dim = orders.where(
+        (F.col("o_orderkey") >= q[1])
+        & (F.col("o_orderkey") < q[2])
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    plan = snapshot_join_files(
+        root, "l_orderkey", runtime_filter(dim, "l_orderkey")
+    )
+    pruned_ok = int(plan["commits_skipped"] == 3 and plan["sidecars_loaded"] == 1)
+    return (
+        snapshot_join(spark, root, dim, on="l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("commits_pruned_ok", F.lit(pruned_ok))
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "snapshot_join_runtime_pruned",
+    """
+    SELECT l.l_returnflag, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           1 AS commits_pruned_ok
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey >= (SELECT MAX(o_orderkey) // 4 FROM orders)
+      AND o.o_orderkey <  (SELECT MAX(o_orderkey) // 2 FROM orders)
+      AND o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)(snapshot_join_runtime_pruned)
