@@ -3056,3 +3056,64 @@ register(
     GROUP BY l.l_returnflag ORDER BY l.l_returnflag
     """,
 )(snapshot_join_runtime_pruned)
+
+
+def snapshot_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on a branch (operators/branches.py): the odd
+    half of ``events`` is staged on an ephemeral branch and audited
+    against the FULL would-be table state. Attempt 1 carries a failing
+    aggregate audit — main must remain exactly the even half (the branch
+    is quarantined, not published). Attempt 2 re-stages with passing
+    audits and fast-forwards main in one atomic manifest link. The oracle
+    states both observed main states: after-fail = evens only,
+    after-publish = the whole table."""
+    from airflow_postgres_csv_spark.operators.branches import (
+        AuditError,
+        snapshot_branches,
+        snapshot_drop_branch,
+        write_audit_publish,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    total = events.count()
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 0), root)
+    odd = events.where(F.pmod("event_id", F.lit(2)) == 1)
+    try:
+        write_audit_publish(
+            spark, root, odd,
+            audits={"impossible_volume": f"count(*) > {total}"},
+            branch="triage",
+        )
+        raise AssertionError("failing audit must raise")  # pragma: no cover
+    except AuditError:
+        pass
+    after_fail = snapshot_read(spark, root).select(
+        F.lit("after_fail").alias("side"), "event_id", "event_type"
+    )
+    assert "triage" in snapshot_branches(root)  # quarantined, readable
+    snapshot_drop_branch(root, "triage")
+    write_audit_publish(
+        spark, root, odd,
+        audits={
+            "complete": f"count(*) = {total}",
+            "no_null_keys": "count_if(event_id IS NULL) = 0",
+        },
+    )
+    after_pub = snapshot_read(spark, root).select(
+        F.lit("after_publish").alias("side"), "event_id", "event_type"
+    )
+    return after_fail.unionAll(after_pub).orderBy("side", "event_id")
+
+
+register(
+    "snapshot_wap_branch",
+    """
+    SELECT * FROM (
+        SELECT 'after_fail' AS side, event_id, event_type FROM events
+        WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT 'after_publish', event_id, event_type FROM events
+    ) ORDER BY side, event_id
+    """,
+)(snapshot_wap_branch)

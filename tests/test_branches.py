@@ -1,0 +1,166 @@
+"""Branch / write-audit-publish (WAP) semantics on snapshot tables.
+
+Covers operators/branches.py: branch creation is a zero-copy in-root
+clone, publish is an atomic fast-forward that refuses when main moved,
+WAP gates aggregate audits against the FULL would-be table state, and
+all root-rollup metadata (sizes, partition specs, sketches) survives a
+publish so the advisor / DESCRIBE DETAIL / pruning keep working on main.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.branches import (
+    AuditError,
+    snapshot_branch,
+    snapshot_branches,
+    snapshot_drop_branch,
+    snapshot_publish_branch,
+    write_audit_publish,
+)
+from airflow_postgres_csv_spark.operators.snapshots import (
+    SnapshotConflictError,
+    snapshot_commit,
+    snapshot_read,
+    snapshot_versions,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_branch_create_commit_publish(spark, tmp_path):
+    """Branch = zero-copy clone inside the root; a branch commit then a
+    publish fast-forwards main in one manifest, consuming the branch."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), root)
+    broot = snapshot_branch(root, "etl")
+    # zero-copy: every branch data file shares its inode with main
+    from airflow_postgres_csv_spark.operators.snapshots import _load_manifest
+
+    bm1 = _load_manifest(broot, 1)
+    for rel in bm1["files"]:
+        assert os.stat(os.path.join(broot, rel)).st_nlink >= 2
+    assert snapshot_branches(root) == {
+        "etl": {"base": 2, "head": 1, "root": broot}
+    }
+    # main is invisible to the branch commit until publish
+    snapshot_commit(_df(spark, 20, 30).coalesce(1), broot)
+    assert snapshot_read(spark, root).count() == 20
+    m = snapshot_publish_branch(root, "etl")
+    assert m["mode"] == "publish_branch" and m["version"] == 3
+    assert m["branch"] == "etl" and m["branch_base"] == 2
+    assert snapshot_read(spark, root).count() == 30
+    # published rows are exactly the branch head's logical state
+    assert snapshot_read(spark, root).agg(F.sum("v")).first()[0] == 870
+    # branch consumed; time travel on main still sees the pre-publish state
+    assert snapshot_branches(root) == {}
+    assert snapshot_read(spark, root, version=2).count() == 20
+
+
+def test_publish_is_fast_forward_only(spark, tmp_path):
+    """If main advanced past the branch base, publish refuses atomically
+    (main untouched) rather than silently dropping main's commits."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 5).coalesce(1), root)
+    snapshot_branch(root, "b")
+    snapshot_commit(_df(spark, 100, 105).coalesce(1), root)  # main races ahead
+    with pytest.raises(SnapshotConflictError):
+        snapshot_publish_branch(root, "b")
+    assert snapshot_versions(root) == [1, 2]
+    assert snapshot_read(spark, root).count() == 10
+    # the branch survives the refused publish for re-branch-and-replay
+    assert "b" in snapshot_branches(root)
+    snapshot_drop_branch(root, "b")
+    assert snapshot_branches(root) == {}
+
+
+def test_branch_mor_delete_publishes_tombstones(spark, tmp_path):
+    """Branch-side MOR deletes publish as tombstones: main's head hides
+    the rows without a rewrite, and the key files travel with the link."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "fix")
+    snapshot_delete_mor(spark, broot, "id >= 7", key_col="id")
+    m = snapshot_publish_branch(root, "fix")
+    assert m["tombstones"], "branch tombstones must publish to main"
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(7))
+
+
+def test_publish_carries_root_rollups(spark, tmp_path):
+    """Size rollups, sketches, and hidden-partition specs recorded on the
+    branch must survive the publish so main's metadata-only surfaces
+    (advisor, DESCRIBE DETAIL, partition pruning) keep answering."""
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _df(spark, 0, 10).coalesce(1), root,
+        partition_transforms=[("id", "bucket", 4)], sketch_cols=["v"],
+    )
+    broot = snapshot_branch(root, "grow")
+    snapshot_commit(
+        _df(spark, 10, 20).coalesce(1), broot,
+        partition_transforms=[("id", "bucket", 4)], sketch_cols=["v"],
+    )
+    m = snapshot_publish_branch(root, "grow")
+    # every pinned commit has a size rollup and a partition summary
+    cids = set(m["commit_files"])
+    assert set(m["commit_sizes"]) >= cids
+    assert set(m["commit_partitions"]) >= cids
+    assert len(m["sketch_commits"]) == 2 and m["partition_specs"]
+
+
+def test_wap_publishes_on_pass(spark, tmp_path):
+    """write_audit_publish: aggregate audits (SQL and callable) run over
+    the staged FULL table state; on pass main fast-forwards."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    m = write_audit_publish(
+        spark, root, _df(spark, 10, 20).coalesce(1),
+        audits={
+            "nonempty": "count(*) = 20",           # sees base + increment
+            "no_null_keys": "count_if(id IS NULL) = 0",
+            "callable": lambda df: df.agg(F.max("id")).first()[0] == 19,
+        },
+    )
+    assert m["mode"] == "publish_branch"
+    assert snapshot_read(spark, root).count() == 20
+    assert snapshot_branches(root) == {}
+
+
+def test_wap_fail_leaves_main_untouched_and_retains_branch(spark, tmp_path):
+    """A failed audit aborts before any main mutation; the quarantined
+    branch is retained and readable for triage."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    with pytest.raises(AuditError) as ei:
+        write_audit_publish(
+            spark, root, _df(spark, 10, 20).coalesce(1),
+            audits={"too_small": "count(*) >= 1000", "ok": "count(*) = 20"},
+            branch="quarantine",
+        )
+    assert ei.value.failed == ["too_small"]
+    assert snapshot_versions(root) == [1]
+    assert snapshot_read(spark, root).count() == 10
+    b = snapshot_branches(root)["quarantine"]
+    assert snapshot_read(spark, b["root"]).count() == 20  # triage read
+    snapshot_drop_branch(root, "quarantine")
+
+
+def test_branch_name_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 3).coalesce(1), root)
+    for bad in ("", "a/b", ".hidden", "../escape"):
+        with pytest.raises(ValueError):
+            snapshot_branch(root, bad)
+    snapshot_branch(root, "ok")
+    with pytest.raises(FileExistsError):
+        snapshot_branch(root, "ok")
