@@ -21,6 +21,15 @@ branch adds over a free-standing clone is the PUBLISH edge back:
   complement of the per-row gates in operators/expectations.py), publish
   on pass, and on fail leave main untouched with the quarantined branch
   retained for triage.
+- ``snapshot_transaction`` stacks multi-statement ACID on the same edge:
+  any sequence of snapshot operations against the yielded branch root
+  becomes ONE atomic main version on exit (rollback on exception).
+- ``rebase=True`` relaxes fast-forward-only for APPEND-ONLY branches:
+  the branch's new commits replay onto a moved main head in one merged
+  manifest — Iceberg's snapshot-isolation append validation generalized
+  to a multi-commit branch; anything that could interleave with main's
+  concurrent changes (fork-point file rewrites, deletes into fork-point
+  commits, schema/spec/defaults evolution) still refuses.
 
 At 100 TB the costs are all metadata-sized: branch creation links
 O(files) names (no data movement), audits run Spark jobs against the
@@ -35,6 +44,7 @@ shallow-clone-then-swap pattern from public sources.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
@@ -57,6 +67,7 @@ __all__ = [
     "snapshot_branches",
     "snapshot_drop_branch",
     "snapshot_publish_branch",
+    "snapshot_transaction",
     "write_audit_publish",
     "AuditError",
 ]
@@ -118,34 +129,21 @@ def snapshot_drop_branch(root: str, name: str) -> None:
     shutil.rmtree(_branch_root(root, name))
 
 
-def snapshot_publish_branch(
-    root: str, name: str, drop: bool = True
-) -> dict:
-    """Fast-forward main to the branch head, atomically.
+# Branch-head manifest keys the publish carries onto main verbatim
+# (fast-forward) — the same inheritable set _inherit_maps maintains.
+_CARRY_KEYS = (
+    "files", "n_files", "schema", "commit_schemas", "commit_ranges",
+    "tombstones", "sidecars", "bloom", "defaults", "merge_info",
+    "commit_sizes", "sketch_commits", "small_bytes",
+    "partition_specs", "commit_partitions", "partition_spec",
+    "last_batch_id", "cdc_applied_version", "ivm_applied_version",
+    "sketch",
+)
 
-    Files the branch added since its base (new commits' data files,
-    delete-tombstone key files, commit sidecars) are hardlinked back
-    into the table root first, then ONE manifest is published on main
-    carrying the branch head's exact state — schema, tombstones,
-    per-commit metadata, partition specs, rollups. The manifest link is
-    the atomic commit point (first-writer-wins). Fast-forward-only: if
-    main moved past the branch's base the publish raises
-    ``SnapshotConflictError`` before touching anything."""
-    broot = _branch_root(root, name)
-    bversions = snapshot_versions(broot)
-    if not bversions:
-        raise FileNotFoundError(f"no branch {name!r} at {broot}")
-    base = _load_manifest(broot, bversions[0]).get("cloned_from")
-    versions = snapshot_versions(root)
-    if not versions or versions[-1] != base:
-        raise SnapshotConflictError(
-            f"branch {name!r} forked from version {base} but main is at "
-            f"{versions[-1] if versions else None}; fast-forward publish "
-            "refused — re-branch from the current head and replay"
-        )
-    bm = _load_manifest(broot, bversions[-1])
-    base_m = _load_manifest(root, base)
-    added, _removed = snapshot_files_diff(broot, base_m, bm)
+
+def _link_back(root: str, broot: str, bm: dict, added: list[str]) -> None:
+    """Hardlink the branch's new data / delete / sidecar files into the
+    table root (idempotent — existing names are base files or retries)."""
     to_link = list(added)
     for t in bm.get("tombstones", []):
         to_link.extend(t["files"])
@@ -158,30 +156,156 @@ def snapshot_publish_branch(
             continue
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.link(os.path.join(broot, rel), dst)
-    body = {
-        k: bm[k]
-        for k in (
-            "files", "n_files", "schema", "commit_schemas", "commit_ranges",
-            "tombstones", "sidecars", "bloom", "defaults", "merge_info",
-            "commit_sizes", "sketch_commits", "small_bytes",
-            "partition_specs", "commit_partitions", "partition_spec",
-            "last_batch_id", "cdc_applied_version", "ivm_applied_version",
-            "sketch",
+
+
+def _rebase_body(
+    base_m: dict, bm: dict, head_m: dict, added: list[str], removed: list[str]
+) -> tuple[dict, dict]:
+    """Replay an APPEND-ONLY branch onto a moved main head: returns the
+    merged manifest body + pack hints, or raises ``SnapshotConflictError``
+    on any change that could interleave with main's concurrent commits
+    (Iceberg's snapshot-isolation validation, conservatively)."""
+    from airflow_postgres_csv_spark.operators.snapshots import _commit_of
+
+    def conflict(why: str):
+        raise SnapshotConflictError(
+            f"rebase publish refused: {why}; re-branch from the current "
+            "head and replay"
         )
-        if k in bm
-    }
-    commit_id = uuid.uuid4().hex[:12]
-    body.update(
-        mode="publish_branch",
-        commit_id=commit_id,
-        branch=name,
-        branch_base=base,
-        branch_commits=len(bversions) - 1,
-    )
-    out = _publish(
-        root, versions, body, commit_id, None,
-        pack_hints=dict.get(bm, "commit_files"),
-    )
+
+    if removed:
+        conflict("the branch rewrote or removed fork-point files "
+                 "(COW merge/delete/compaction on shared data)")
+    if bm.get("schema") != base_m.get("schema"):
+        conflict("the branch evolved the table schema")
+    if (bm.get("partition_specs") or []) != (base_m.get("partition_specs") or []):
+        conflict("the branch evolved the partition spec")
+    if bm.get("defaults") != base_m.get("defaults"):
+        conflict("the branch changed column defaults")
+    head_specs = head_m.get("partition_specs") or []
+    if head_specs[: len(base_m.get("partition_specs") or [])] != (
+        base_m.get("partition_specs") or []
+    ):
+        conflict("main's partition-spec history no longer extends the "
+                 "fork point's")
+    base_cids = set(base_m.get("commit_files", {}))
+    new_cids = [c for c in bm.get("commit_files", {}) if c not in base_cids]
+    new_set = set(new_cids)
+    base_tombs = {_tomb_key(t): t for t in base_m.get("tombstones", [])}
+    new_tombs = []
+    for t in bm.get("tombstones", []):
+        if _tomb_key(t) in base_tombs:
+            continue  # inherited from the fork point; main carries its own
+        targets = (
+            {_commit_of(rel) for rel in t.get("applies", [])}
+            if t.get("kind") == "positional"
+            else set(t.get("commits", []))
+        )
+        if not targets <= new_set:
+            conflict("the branch deleted rows from fork-point commits "
+                     "that main may have concurrently rewritten")
+        new_tombs.append(t)
+    body = {k: head_m[k] for k in _CARRY_KEYS if k in head_m}
+    body["files"] = list(head_m["files"]) + list(added)
+    body["n_files"] = len(body["files"])
+    body["tombstones"] = list(head_m.get("tombstones", [])) + new_tombs
+    bschema = bm.get("schema")
+    for cid in new_cids:
+        body.setdefault("sidecars", {})
+        body.setdefault("commit_ranges", {})
+        body.setdefault("commit_schemas", {})
+        if cid in bm.get("sidecars", {}):
+            body["sidecars"][cid] = bm["sidecars"][cid]
+        if cid in bm.get("commit_ranges", {}):
+            body["commit_ranges"][cid] = bm["commit_ranges"][cid]
+        # resolve the branch's schema elision explicitly; _publish
+        # re-elides against MAIN's (possibly evolved) table schema
+        body["commit_schemas"][cid] = bm.get("commit_schemas", {}).get(
+            cid, bschema
+        )
+        for key in ("commit_sizes", "commit_partitions"):
+            if cid in bm.get(key, {}):
+                body.setdefault(key, {})[cid] = bm[key][cid]
+        if cid in bm.get("sketch_commits", []):
+            body.setdefault("sketch_commits", [])
+            body["sketch_commits"].append(cid)
+    hints = dict(dict.get(bm, "commit_files") or {})
+    return body, hints
+
+
+def _tomb_key(t: dict) -> str:
+    return "|".join(sorted(t.get("files", [])))
+
+
+def snapshot_publish_branch(
+    root: str, name: str, drop: bool = True,
+    rebase: bool = False, retries: int = 0,
+) -> dict:
+    """Publish the branch to main, atomically.
+
+    Fast-forward (main still at the fork point): files the branch added
+    since its base (new commits' data files, delete-tombstone key files,
+    commit sidecars) are hardlinked back into the table root first, then
+    ONE manifest is published on main carrying the branch head's exact
+    state — schema, tombstones, per-commit metadata, partition specs,
+    rollups. The manifest link is the atomic commit point
+    (first-writer-wins).
+
+    If main moved past the fork point the publish raises
+    ``SnapshotConflictError`` — unless ``rebase=True`` AND the branch is
+    APPEND-ONLY relative to its base (no fork-point file rewrites or
+    removals, no deletes targeting fork-point commits, no schema /
+    partition-spec / defaults evolution). Then the branch's new commits
+    are replayed onto main's head in one merged manifest — Iceberg's
+    snapshot-isolation append validation, generalized to a multi-commit
+    branch. Anything that could interleave with main's concurrent
+    changes still refuses. ``retries`` re-runs the whole validate+merge
+    against the new head when a racing writer lands first (O(manifest)
+    each time; data files are never relinked twice)."""
+    broot = _branch_root(root, name)
+    bversions = snapshot_versions(broot)
+    if not bversions:
+        raise FileNotFoundError(f"no branch {name!r} at {broot}")
+    base = _load_manifest(broot, bversions[0]).get("cloned_from")
+    bm = _load_manifest(broot, bversions[-1])
+    base_m_cache: dict | None = None
+    while True:
+        versions = snapshot_versions(root)
+        fast_forward = bool(versions) and versions[-1] == base
+        if not versions or (not fast_forward and not rebase):
+            raise SnapshotConflictError(
+                f"branch {name!r} forked from version {base} but main is at "
+                f"{versions[-1] if versions else None}; fast-forward publish "
+                "refused — re-branch from the current head and replay, or "
+                "publish with rebase=True for an append-only branch"
+            )
+        if base_m_cache is None:
+            base_m_cache = _load_manifest(root, base)
+        base_m = base_m_cache
+        added, removed = snapshot_files_diff(broot, base_m, bm)
+        if fast_forward:
+            body = {k: bm[k] for k in _CARRY_KEYS if k in bm}
+            hints = dict.get(bm, "commit_files")
+        else:
+            head_m = _load_manifest(root, versions[-1])
+            body, hints = _rebase_body(base_m, bm, head_m, added, removed)
+        _link_back(root, broot, bm, added)
+        commit_id = uuid.uuid4().hex[:12]
+        body.update(
+            mode="publish_branch",
+            commit_id=commit_id,
+            branch=name,
+            branch_base=base,
+            branch_commits=len(bversions) - 1,
+            rebased=not fast_forward,
+        )
+        try:
+            out = _publish(root, versions, body, commit_id, None, pack_hints=hints)
+            break
+        except SnapshotConflictError:
+            if retries <= 0:
+                raise
+            retries -= 1
     if drop:
         snapshot_drop_branch(root, name)
     return out
@@ -220,3 +344,36 @@ def write_audit_publish(
     if failed:
         raise AuditError(name, failed)
     return snapshot_publish_branch(root, name)
+
+
+@contextlib.contextmanager
+def snapshot_transaction(root: str, rebase: bool = False, retries: int = 0):
+    """Multi-statement ACID transaction on one snapshot table.
+
+    Yields an ephemeral branch root; run ANY sequence of snapshot
+    operations against it (appends, MOR/COW deletes, MERGE INTO,
+    compaction — they all just take a root). On clean exit the branch
+    publishes to main in ONE atomic manifest link, so readers observe
+    every statement or none; on exception the branch is dropped and main
+    is untouched (automatic rollback). Isolation is snapshot-level: the
+    transaction works on the fork-point state and publish is
+    fast-forward-only by default, so a concurrent main commit aborts
+    this transaction (``SnapshotConflictError``) rather than
+    interleaving — first committer wins, exactly like the single-commit
+    ``expected_head`` guard, generalized to N statements.
+    ``rebase=True`` upgrades to snapshot isolation for APPEND-ONLY
+    transactions: they replay onto the moved head instead of aborting
+    (``retries`` bounds how many racing writers to rebase past).
+
+    >>> with snapshot_transaction(root) as txn:
+    ...     snapshot_commit(staging_df, txn)
+    ...     snapshot_delete_mor(spark, txn, "stale = true", key_col="id")
+    """
+    name = f"txn-{uuid.uuid4().hex[:8]}"
+    broot = snapshot_branch(root, name)
+    try:
+        yield broot
+    except BaseException:
+        snapshot_drop_branch(root, name)
+        raise
+    snapshot_publish_branch(root, name, rebase=rebase, retries=retries)

@@ -2615,9 +2615,11 @@ def snapshot_delete_mor(
        the Iceberg/Delta playbook) under the commit's own directory;
     2. publishes a new manifest with the SAME data file list plus a
        tombstone entry recording the delete file, the key column, and the
-       commit ids it applies to (everything present at delete time —
-       rows appended LATER are exempt, so re-inserting a deleted key
-       behaves like any MVCC table).
+       commit ids it applies to: the commits present at delete time whose
+       key-column zone range can contain a deleted key (provably
+       key-disjoint commits never pay the read-time anti-join). Rows
+       appended LATER are exempt either way, so re-inserting a deleted
+       key behaves like any MVCC table.
 
     Every read path applies tombstones as broadcast anti-joins on the key
     column; ``snapshot_compact`` folds them into a clean rewrite, after
@@ -2676,7 +2678,14 @@ def _publish_key_tombstone(
             f"(now {versions[-1]}); recompute delete keys and retry"
         )
     manifest = _load_manifest(root, versions[-1])
-    n_keys = keys.count()
+    from pyspark.sql import functions as F
+
+    krow = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+    ).first()
+    n_keys, kmin, kmax = krow["n"], krow["lo"], krow["hi"]
     commit_id = uuid.uuid4().hex[:12]
     body = _inherit_maps(manifest, manifest["files"])
     if manifest.get("bloom"):
@@ -2695,12 +2704,34 @@ def _publish_key_tombstone(
             for name in os.listdir(delete_dir)
             if name.endswith(".parquet") and not name.startswith(("_", "."))
         )
+        # Scope the tombstone to commits whose ZONE RANGE on key_col can
+        # contain any deleted key (footer min/max are conservative bounds
+        # even when truncated). Commits provably key-disjoint never carry
+        # the anti-join at read time — and a branch whose deletes only
+        # touch its own appended commits stays rebase-publishable. A
+        # commit with no usable range (absent column, mixed types, NaN)
+        # is included: over-approximation is always safe.
+        ranges = manifest.get("commit_ranges", {})
+
+        def may_contain(cid: str) -> bool:
+            rng = (ranges.get(cid) or {}).get(key_col)
+            if not rng or rng[0] is None or rng[1] is None or kmin is None:
+                return True
+            try:
+                return not (kmax < rng[0] or kmin > rng[1])
+            except TypeError:
+                return True
+
         body["tombstones"] = list(body.get("tombstones", [])) + [
             {
                 "key_col": key_col,
                 "predicate": predicate,
                 "files": delete_files,
-                "commits": sorted({_commit_of(r) for r in manifest["files"]}),
+                "commits": sorted(
+                    c
+                    for c in {_commit_of(r) for r in manifest["files"]}
+                    if may_contain(c)
+                ),
                 "n_keys": n_keys,
             }
         ]

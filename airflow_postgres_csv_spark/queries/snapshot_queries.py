@@ -3117,3 +3117,46 @@ register(
     ) ORDER BY side, event_id
     """,
 )(snapshot_wap_branch)
+
+
+def snapshot_txn_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement transaction + snapshot-isolation rebase
+    (operators/branches.py): a transaction stages two appends (the
+    event_id%4==1 and %4==3 slices) on its branch while MAIN concurrently
+    lands the %4==2 slice; the plain fast-forward publish refuses
+    (first-committer-wins pinned), then the rebase publish replays the
+    append-only branch onto the moved head in ONE merged manifest. Final
+    state must be every slice exactly once — the oracle is simply the
+    whole table — and the transaction's two appends become one atomic
+    main version (pinned: exactly 3 main versions)."""
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branch,
+        snapshot_publish_branch,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_versions,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    part = F.pmod("event_id", F.lit(4))
+    root = _temp_root()
+    snapshot_commit(events.where(part == 0), root)
+    broot = snapshot_branch(root, "txn")
+    snapshot_commit(events.where(part == 1), broot)
+    snapshot_commit(events.where(part == 3), broot)
+    snapshot_commit(events.where(part == 2), root)  # main races ahead
+    try:
+        snapshot_publish_branch(root, "txn")
+        raise AssertionError("fast-forward must refuse")  # pragma: no cover
+    except SnapshotConflictError:
+        pass
+    m = snapshot_publish_branch(root, "txn", rebase=True)
+    assert m["rebased"] is True and snapshot_versions(root) == [1, 2, 3]
+    return snapshot_read(spark, root).orderBy("event_id")
+
+
+register(
+    "snapshot_txn_rebase",
+    "SELECT event_id, event_type FROM events ORDER BY event_id",
+)(snapshot_txn_rebase)

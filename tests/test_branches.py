@@ -164,3 +164,109 @@ def test_branch_name_validation(spark, tmp_path):
     snapshot_branch(root, "ok")
     with pytest.raises(FileExistsError):
         snapshot_branch(root, "ok")
+
+
+def test_snapshot_transaction_atomic_publish(spark, tmp_path):
+    """Multi-statement transaction: append + MOR delete become ONE main
+    version; mid-transaction main never sees partial state."""
+    from airflow_postgres_csv_spark.operators.branches import snapshot_transaction
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    with snapshot_transaction(root) as txn:
+        snapshot_commit(_df(spark, 10, 20).coalesce(1), txn)
+        snapshot_delete_mor(spark, txn, "id < 3", key_col="id")
+        assert snapshot_read(spark, root).count() == 10  # invisible yet
+    assert snapshot_versions(root) == [1, 2]  # one version for two stmts
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(3, 20))
+
+
+def test_snapshot_transaction_rollback_on_error(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.branches import snapshot_transaction
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    with pytest.raises(RuntimeError, match="boom"):
+        with snapshot_transaction(root) as txn:
+            snapshot_commit(_df(spark, 10, 20).coalesce(1), txn)
+            raise RuntimeError("boom")
+    assert snapshot_versions(root) == [1]
+    assert snapshot_read(spark, root).count() == 10
+    assert snapshot_branches(root) == {}  # txn branch cleaned up
+
+
+def test_rebase_publish_append_only_branch(spark, tmp_path):
+    """An append-only branch publishes onto a MOVED main head: both
+    sides' rows land, main's concurrent tombstones survive, and the
+    merged manifest keeps per-commit metadata for the replayed commits."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root, sketch_cols=["v"])
+    broot = snapshot_branch(root, "feed")
+    snapshot_commit(_df(spark, 100, 110).coalesce(1), broot, sketch_cols=["v"])
+    snapshot_commit(_df(spark, 110, 120).coalesce(1), broot, sketch_cols=["v"])
+    # main races ahead: one append + one MOR delete
+    snapshot_commit(_df(spark, 50, 55).coalesce(1), root, sketch_cols=["v"])
+    snapshot_delete_mor(spark, root, "id = 0", key_col="id")
+    with pytest.raises(SnapshotConflictError):
+        snapshot_publish_branch(root, "feed")  # plain FF refuses
+    m = snapshot_publish_branch(root, "feed", rebase=True)
+    assert m["rebased"] is True and m["branch_commits"] == 2
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(1, 10)) + list(range(50, 55)) + list(range(100, 120))
+    # per-commit rollups merged for every pinned commit
+    cids = set(m["commit_files"])
+    assert set(m["commit_sizes"]) >= cids and set(m["commit_ranges"]) >= cids
+
+
+def test_rebase_refuses_interleavable_changes(spark, tmp_path):
+    """Rebase only ever replays append-only branches: fork-point file
+    rewrites, deletes into fork-point commits, and schema evolution all
+    refuse once main has moved."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete,
+        snapshot_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+
+    def moved_main_branch(name, lo):
+        broot = snapshot_branch(root, name)
+        snapshot_commit(_df(spark, lo, lo + 5).coalesce(1), root)  # main moves
+        return broot
+
+    # 1) branch COW-deletes fork-point rows (rewrites shared files)
+    b1 = moved_main_branch("cow", 200)
+    snapshot_delete(spark, b1, "id", 0, 1)
+    with pytest.raises(SnapshotConflictError, match="rewrote or removed"):
+        snapshot_publish_branch(root, "cow", rebase=True)
+    snapshot_drop_branch(root, "cow")
+    # 2) branch MOR-deletes rows living in fork-point commits
+    b2 = moved_main_branch("mor", 210)
+    snapshot_delete_mor(spark, b2, "id = 5", key_col="id")
+    with pytest.raises(SnapshotConflictError, match="fork-point commits"):
+        snapshot_publish_branch(root, "mor", rebase=True)
+    snapshot_drop_branch(root, "mor")
+    # 3) branch evolves the schema
+    b3 = moved_main_branch("evo", 220)
+    snapshot_commit(
+        _df(spark, 20, 25).withColumn("extra", F.lit(1)).coalesce(1),
+        b3, allow_schema_change=True,
+    )
+    with pytest.raises(SnapshotConflictError, match="schema"):
+        snapshot_publish_branch(root, "evo", rebase=True)
+    # 4) a branch MOR delete of its OWN appended rows is still rebasable
+    b4 = moved_main_branch("own", 230)
+    snapshot_commit(_df(spark, 300, 310).coalesce(1), b4)
+    snapshot_delete_mor(spark, b4, "id >= 305", key_col="id")
+    m = snapshot_publish_branch(root, "own", rebase=True)
+    assert m["rebased"] is True
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == (
+        list(range(10)) + list(range(200, 205)) + list(range(210, 215))
+        + list(range(220, 225)) + list(range(230, 235)) + list(range(300, 305))
+    )

@@ -2308,10 +2308,12 @@ def test_snapshot_sketch_backfill_no_rewrite(spark, tmp_path):
     assert r0["scanned_files"] > 0  # pre-config commits force scans
 
     m = snapshot_sketch_backfill(spark, root)
-    # tombstoned commits are SKIPPED: the delete-time tombstone covers
-    # exactly the two pre-config commits (the only ones present then),
-    # so nothing here is backfillable — a sketch cannot forget MOR rows
-    assert m["backfilled_commits"] == 0
+    # tombstoned commits are SKIPPED (a sketch cannot forget MOR rows),
+    # and the delete-time tombstone is zone-narrowed to the commits that
+    # can actually hold the deleted key: id=2001 lives in the second
+    # pre-config commit only, so the key-disjoint first commit IS
+    # backfillable while the tombstoned one still forces scans
+    assert m["backfilled_commits"] == 1
     assert snapshot_approx_distinct(spark, root, "u")["scanned_files"] > 0
     root2 = str(tmp_path / "clean")
     snapshot_commit(batch(0, 2000), root2)
