@@ -68,6 +68,7 @@ __all__ = [
     "snapshot_drop_branch",
     "snapshot_publish_branch",
     "snapshot_transaction",
+    "run_audits",
     "write_audit_publish",
     "AuditError",
 ]
@@ -97,10 +98,15 @@ def snapshot_branch(root: str, name: str, version: int | str | None = None) -> s
     """Create branch ``name`` from a pinned main version (default head)
     and return its root path — directly usable with every snapshot
     operator. The branch is a hardlink clone under ``<root>/_branches``;
-    its v1 manifest records the fork point (``cloned_from``)."""
+    its v1 manifest records the fork point (``cloned_from``). Branching a
+    table with NO versions yet yields an empty bootstrap branch (fork
+    point = nothing): the first WAP publish creates main's v1."""
     broot = _branch_root(root, name)
     if snapshot_versions(broot):
         raise FileExistsError(f"branch {name!r} already exists at {broot}")
+    if not snapshot_versions(root):
+        os.makedirs(broot, exist_ok=True)
+        return broot
     snapshot_clone(root, broot, version=version)
     return broot
 
@@ -178,16 +184,16 @@ def _rebase_body(
                  "(COW merge/delete/compaction on shared data)")
     if bm.get("schema") != base_m.get("schema"):
         conflict("the branch evolved the table schema")
-    if (bm.get("partition_specs") or []) != (base_m.get("partition_specs") or []):
+    bspecs = bm.get("partition_specs") or []
+    if bspecs != (base_m.get("partition_specs") or []):
         conflict("the branch evolved the partition spec")
     if bm.get("defaults") != base_m.get("defaults"):
         conflict("the branch changed column defaults")
-    head_specs = head_m.get("partition_specs") or []
-    if head_specs[: len(base_m.get("partition_specs") or [])] != (
-        base_m.get("partition_specs") or []
-    ):
+    # index stability: the branch commits' spec indexes (commit_partitions
+    # "s") must resolve to the SAME specs in main's head list
+    if (head_m.get("partition_specs") or [])[: len(bspecs)] != bspecs:
         conflict("main's partition-spec history no longer extends the "
-                 "fork point's")
+                 "branch's")
     base_cids = set(base_m.get("commit_files", {}))
     new_cids = [c for c in bm.get("commit_files", {}) if c not in base_cids]
     new_set = set(new_cids)
@@ -229,6 +235,13 @@ def _rebase_body(
         if cid in bm.get("sketch_commits", []):
             body.setdefault("sketch_commits", [])
             body["sketch_commits"].append(cid)
+    # monotone stamps merge by max: the streaming WAP sink threads its
+    # batch id through the branch commit, and main may carry older stamps
+    for stamp in ("last_batch_id", "cdc_applied_version",
+                  "ivm_applied_version"):
+        vals = [m[stamp] for m in (head_m, bm) if m.get(stamp) is not None]
+        if vals:
+            body[stamp] = max(vals)
     hints = dict(dict.get(bm, "commit_files") or {})
     return body, hints
 
@@ -271,8 +284,10 @@ def snapshot_publish_branch(
     base_m_cache: dict | None = None
     while True:
         versions = snapshot_versions(root)
-        fast_forward = bool(versions) and versions[-1] == base
-        if not versions or (not fast_forward and not rebase):
+        fast_forward = (
+            versions[-1] == base if versions else base is None
+        )
+        if not fast_forward and not rebase:
             raise SnapshotConflictError(
                 f"branch {name!r} forked from version {base} but main is at "
                 f"{versions[-1] if versions else None}; fast-forward publish "
@@ -280,7 +295,20 @@ def snapshot_publish_branch(
                 "publish with rebase=True for an append-only branch"
             )
         if base_m_cache is None:
-            base_m_cache = _load_manifest(root, base)
+            base_m_cache = (
+                _load_manifest(root, base)
+                if base is not None
+                # bootstrap branch of an empty table: fork point = nothing;
+                # the vacuous schema/spec/defaults twins keep the rebase
+                # validation meaningful (only index stability vs main's
+                # head still applies)
+                else {
+                    "files": [], "commit_files": {}, "tombstones": [],
+                    "schema": bm.get("schema"),
+                    "defaults": bm.get("defaults"),
+                    "partition_specs": bm.get("partition_specs"),
+                }
+            )
         base_m = base_m_cache
         added, removed = snapshot_files_diff(broot, base_m, bm)
         if fast_forward:
@@ -311,28 +339,11 @@ def snapshot_publish_branch(
     return out
 
 
-def write_audit_publish(
-    spark: SparkSession,
-    root: str,
-    df: DataFrame,
-    audits: dict,
-    branch: str | None = None,
-    **commit_kwargs,
-) -> dict:
-    """One-call WAP: commit ``df`` on an ephemeral branch, audit the
-    branch head (the FULL would-be table state), publish on pass.
-
-    ``audits`` maps audit name -> either a SQL boolean expression
-    evaluated over the staged table (aggregates allowed, e.g.
-    ``"count(*) > 0 AND sum(amount) >= 0"``) or a callable
-    ``(DataFrame) -> bool``. All audits run; if any fails, main is left
-    untouched, the branch is RETAINED for triage, and ``AuditError``
-    lists the failures. On success returns the published main manifest
-    (the branch is consumed)."""
-    name = branch or f"wap-{uuid.uuid4().hex[:8]}"
-    broot = snapshot_branch(root, name)
-    snapshot_commit(df, broot, **commit_kwargs)
-    staged = snapshot_read(spark, broot)
+def run_audits(staged: DataFrame, audits: dict) -> list[str]:
+    """Evaluate every audit against the staged table state; returns the
+    names that failed. An audit is either a SQL boolean expression
+    (aggregates allowed, e.g. ``"count(*) > 0 AND sum(amount) >= 0"``)
+    or a callable ``(DataFrame) -> bool``."""
     failed = []
     for aname, audit in audits.items():
         if callable(audit):
@@ -341,9 +352,40 @@ def write_audit_publish(
             ok = bool(staged.selectExpr(f"({audit}) AS ok").first()[0])
         if not ok:
             failed.append(aname)
+    return failed
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    audits: dict,
+    branch: str | None = None,
+    rebase: bool = False,
+    publish_retries: int = 0,
+    **commit_kwargs,
+) -> dict:
+    """One-call WAP: commit ``df`` on an ephemeral branch, audit the
+    branch head (the FULL would-be table state), publish on pass.
+
+    ``audits`` is a ``run_audits`` mapping. All audits run; if any
+    fails, main is left untouched, the branch is RETAINED for triage,
+    and ``AuditError`` lists the failures. On success returns the
+    published main manifest (the branch is consumed). ``commit_kwargs``
+    forward to the staging ``snapshot_commit`` (expectations, sketches,
+    partition transforms, ``extra=`` stamps...). ``rebase=True`` +
+    ``publish_retries`` let the publish replay past concurrent main
+    commits (snapshot isolation — note the audits then validated the
+    fork-point view, not the interleaved head)."""
+    name = branch or f"wap-{uuid.uuid4().hex[:8]}"
+    broot = snapshot_branch(root, name)
+    snapshot_commit(df, broot, **commit_kwargs)
+    failed = run_audits(snapshot_read(spark, broot), audits)
     if failed:
         raise AuditError(name, failed)
-    return snapshot_publish_branch(root, name)
+    return snapshot_publish_branch(
+        root, name, rebase=rebase, retries=publish_retries
+    )
 
 
 @contextlib.contextmanager

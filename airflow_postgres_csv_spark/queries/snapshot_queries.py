@@ -3160,3 +3160,80 @@ register(
     "snapshot_txn_rebase",
     "SELECT event_id, event_type FROM events ORDER BY event_id",
 )(snapshot_txn_rebase)
+
+
+def streaming_wap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write-audit-publish (streaming/sinks.py::start_wap_sink):
+    three micro-batches (events split by ``event_id % 3``) flow through
+    an aggregate-audit gate; the middle batch carries NULLed event_types
+    (every ``event_id % 7 = 0`` row) so the ``no_null_types`` audit fails
+    — that batch is QUARANTINED on a retained branch while batches 0 and
+    2 publish, and the stream never stops. The oracle is the two clean
+    slices; structural flags pin that exactly one branch was quarantined
+    and that its triage state equals published-head-at-fork + the bad
+    batch."""
+    import os as _os
+    import shutil as _shutil
+
+    from airflow_postgres_csv_spark.operators.branches import snapshot_branches
+    from airflow_postgres_csv_spark.streaming.sinks import start_wap_sink
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    part = F.pmod("event_id", F.lit(3))
+    batches = [
+        events.where(part == 0),
+        events.where(part == 1).withColumn(
+            "event_type",
+            F.when(F.pmod("event_id", F.lit(7)) == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        ),
+        events.where(part == 2),
+    ]
+    src = _os.path.join(_temp_root(), "src")
+    _os.makedirs(src)
+    for i, b in enumerate(batches):
+        stage = _os.path.join(_temp_root(), f"b{i}")
+        b.coalesce(1).write.parquet(stage)
+        f = next(
+            n for n in _os.listdir(stage)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        dst = _os.path.join(src, f"{i:03d}.parquet")
+        _shutil.move(_os.path.join(stage, f), dst)
+        _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    root = _temp_root()
+    q = start_wap_sink(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        root,
+        {"no_null_types": "count_if(event_type IS NULL) = 0",
+         "nonempty": "count(*) > 0"},
+        _os.path.join(_temp_root(), "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    branches = snapshot_branches(root)
+    n0 = batches[0].count()
+    n1 = batches[1].count()
+    triage_ok = int(
+        list(branches) == ["wap-1"]
+        and snapshot_read(spark, branches["wap-1"]["root"]).count() == n0 + n1
+    )
+    return (
+        snapshot_read(spark, root)
+        .withColumn("triage_ok", F.lit(triage_ok))
+        .orderBy("event_id")
+    )
+
+
+register(
+    "streaming_wap_live",
+    """
+    SELECT event_id, event_type, 1 AS triage_ok FROM events
+    WHERE event_id % 3 <> 1 ORDER BY event_id
+    """,
+)(streaming_wap_live)

@@ -28,6 +28,8 @@ __all__ = [
     "start_ann_index_sink",
     "dedup_ingest_batch",
     "start_dedup_ingest_sink",
+    "wap_batch",
+    "start_wap_sink",
 ]
 
 
@@ -624,6 +626,69 @@ def start_dedup_ingest_sink(
                 df, bid, root, keys_root, key=key, id_col=id_col
             )
         )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def wap_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    audits: dict,
+    retries: int = 2,
+) -> str:
+    """foreachBatch body: write-audit-publish one micro-batch, exactly
+    once. Returns ``"published"``, ``"skipped"`` (replay of an already
+    published batch) or ``"quarantined"`` (audit failure — main is
+    untouched, the batch is retained on branch ``wap-<batch_id>`` for
+    triage, and the stream KEEPS RUNNING: a bad batch must not take the
+    pipeline down, exactly the expectations-sink contract upgraded from
+    per-row rules to aggregate audits over the full would-be state).
+
+    Exactly-once: the batch id rides the staging commit's ``extra=`` and
+    is carried into main's ONE atomic publish link, so the high-water
+    gate (same as ``snapshot_batch_commit``) makes crash replays no-ops.
+    A leftover ``wap-<batch_id>`` branch from a crashed attempt is
+    dropped and redone — main being unstamped proves it never published.
+    Maintenance commits racing the publish are rebased past
+    (``rebase=True`` is sound here: the staging branch is append-only by
+    construction)."""
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    if batch_id <= S._max_stamp(root, "last_batch_id", -1):
+        return "skipped"
+    name = f"wap-{batch_id}"
+    if name in B.snapshot_branches(root):
+        B.snapshot_drop_branch(root, name)
+    try:
+        B.write_audit_publish(
+            batch_df.sparkSession, root, batch_df, audits, branch=name,
+            rebase=True, publish_retries=retries,
+            extra={"last_batch_id": batch_id},
+        )
+    except B.AuditError:
+        return "quarantined"
+    return "published"
+
+
+def start_wap_sink(
+    stream_df: DataFrame,
+    root: str,
+    audits: dict,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream into a snapshot table through a write-audit-publish gate:
+    each micro-batch stages on an ephemeral branch, aggregate ``audits``
+    validate the FULL would-be table state (not just the increment), and
+    only passing batches fast-forward main — failing batches are
+    quarantined as retained branches (``snapshot_branches``) while the
+    stream keeps running. Restart-safe via ``wap_batch``'s batch-id
+    gate."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: wap_batch(df, bid, root, audits))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -270,3 +270,81 @@ def test_rebase_refuses_interleavable_changes(spark, tmp_path):
         list(range(10)) + list(range(200, 205)) + list(range(210, 215))
         + list(range(220, 225)) + list(range(230, 235)) + list(range(300, 305))
     )
+
+
+def test_streaming_wap_sink_restart_and_quarantine(spark, tmp_path):
+    """start_wap_sink across a checkpointed RESTART: published batches
+    are exactly-once (replays skip on the batch-id stamp), a failing
+    batch quarantines on its retained branch without stopping the
+    stream, and the bootstrap batch creates main's v1 through the same
+    gate."""
+    import shutil
+
+    from airflow_postgres_csv_spark.streaming.sinks import start_wap_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "t")
+
+    def stage(i, df):
+        d = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(d))
+        f = next(p for p in d.iterdir() if p.name.endswith(".parquet")
+                 and not p.name.startswith(("_", ".")))
+        dst = src / f"{i:03d}.parquet"
+        shutil.move(str(f), str(dst))
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    audits = {"no_negatives": "count_if(v < 0) = 0"}
+    stream = lambda: spark.readStream.schema(  # noqa: E731
+        _df(spark, 0, 1).schema
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+
+    stage(0, _df(spark, 0, 10))                       # bootstrap, clean
+    stage(1, _df(spark, 10, 20).withColumn("v", F.lit(-1)))  # audit fail
+    q = start_wap_sink(stream(), root, audits, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snapshot_read(spark, root).count() == 10   # batch 1 quarantined
+    assert list(snapshot_branches(root)) == ["wap-1"]
+    assert snapshot_read(
+        spark, snapshot_branches(root)["wap-1"]["root"]
+    ).count() == 20
+    # restart with a new clean file: only batch 2 lands, no replays
+    stage(2, _df(spark, 20, 30))
+    q = start_wap_sink(stream(), root, audits, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(10)) + list(range(20, 30))
+    from airflow_postgres_csv_spark.operators.snapshots import _load_manifest
+
+    assert _load_manifest(root, 2)["last_batch_id"] == 2
+    assert snapshot_versions(root) == [1, 2]
+
+
+def test_bootstrap_branch_and_wap_on_empty_table(spark, tmp_path):
+    """WAP on a table with no versions: the bootstrap branch stages v1;
+    publish creates main's first version, audit failure leaves main
+    nonexistent with the staged branch retained."""
+    root = str(tmp_path / "t")
+    with pytest.raises(AuditError):
+        write_audit_publish(
+            spark, root, _df(spark, 0, 5).coalesce(1),
+            audits={"big": "count(*) >= 100"}, branch="boot",
+        )
+    assert snapshot_versions(root) == []
+    assert snapshot_read(
+        spark, snapshot_branches(root)["boot"]["root"]
+    ).count() == 5
+    snapshot_drop_branch(root, "boot")
+    m = write_audit_publish(
+        spark, root, _df(spark, 0, 5).coalesce(1), audits={"ok": "count(*) = 5"},
+    )
+    assert m["version"] == 1 and m["mode"] == "publish_branch"
+    assert snapshot_read(spark, root).count() == 5
