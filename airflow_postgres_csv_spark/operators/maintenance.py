@@ -81,6 +81,7 @@ def snapshot_maintenance_plan(
     max_tombstones: int = 4,
     max_unoptimized_commits: int = 8,
     max_versions: int = 32,
+    max_branch_age_s: float = 7 * 24 * 3600,
 ) -> dict:
     """Inspect the latest manifest and recommend maintenance actions.
 
@@ -90,11 +91,22 @@ def snapshot_maintenance_plan(
     rewrite folds both), ``optimize_incremental`` (the table has a
     curve-clustered generation and enough unclustered newer commits to
     warrant a cycle), ``expire`` (retained version count beyond
-    ``max_versions``), and ``sketch_backfill`` (a sketch config is
+    ``max_versions``), ``sketch_backfill`` (a sketch config is
     active but some commits predate it or were tombstone-invalidated —
-    ``snapshot_compact`` re-sketches everything it rewrites). An empty
-    ``actions`` list means the table is healthy; the metrics are always
-    returned so a fleet scheduler can apply its own policy."""
+    ``snapshot_compact`` re-sketches everything it rewrites), and
+    ``drop_branches`` (WAP quarantine / abandoned transaction branches
+    whose head commit is older than ``max_branch_age_s`` — they pin
+    hardlinked data past every retention window until dropped; the
+    action lists the stale names so the operator can triage-then-drop).
+    An empty ``actions`` list means the table is healthy; the metrics
+    are always returned so a fleet scheduler can apply its own policy.
+    Branch inspection is O(branches) manifest reads — still metadata
+    only, no Spark job, no data I/O."""
+    import time as _time
+
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branches,
+    )
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions at {root}")
@@ -129,6 +141,19 @@ def snapshot_maintenance_plan(
             )
             if not has or subset is not None or cid in tomb_cids:
                 sketch_gap += 1
+    branches = snapshot_branches(root)
+    now_ns = _time.time_ns()
+    stale = sorted(
+        name
+        for name, info in branches.items()
+        if (
+            now_ns
+            - _load_manifest(info["root"], info["head"]).get(
+                "committed_at", now_ns
+            )
+        )
+        > max_branch_age_s * 1e9
+    )
     metrics = {
         "n_files": n_files,
         "total_bytes": total_bytes,
@@ -138,6 +163,8 @@ def snapshot_maintenance_plan(
         "unoptimized_commits": unoptimized if opt else None,
         "sketch_gap_commits": sketch_gap if sketch_cols else None,
         "retained_versions": len(versions),
+        "n_branches": len(branches),
+        "stale_branches": len(stale),
     }
     actions = []
     if n_files > 1 and small > n_files / 2:
@@ -185,6 +212,16 @@ def snapshot_maintenance_plan(
                 "commits, no rewrite); compaction covers the rest",
             }
         )
+    if stale:
+        actions.append(
+            {
+                "action": "drop_branches",
+                "reason": f"{len(stale)} branch(es) older than "
+                f"{max_branch_age_s:.0f}s pin hardlinked data past every "
+                "retention window — triage then snapshot_drop_branch",
+                "branches": stale,
+            }
+        )
     return {"version": versions[-1], "metrics": metrics, "actions": actions}
 
 
@@ -205,6 +242,10 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
     when no sketch config is active). COW-partial commits recount from
     their sidecar byte maps (O(partial commits), never O(files))."""
     import json
+
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branches,
+    )
 
     versions = snapshot_versions(root)
     if not versions:
@@ -252,4 +293,5 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
         # below 1.0 means staged/legacy commits rely on zone maps alone
         "partition_spec": [list(f) for f in specs[-1]] if specs else None,
         "partition_coverage": (partitioned / n_commits) if specs else None,
+        "n_branches": len(snapshot_branches(root)),
     }

@@ -134,6 +134,16 @@ def _resolve_table(options: dict) -> tuple[str, int | None]:
         from urllib.parse import unquote, urlparse
 
         root = unquote(urlparse(root).path)
+    if branch := options.get("branch"):
+        # a branch IS a root (operators/branches.py) — resolve the name
+        # so WAP quarantine triage and in-flight branch state are
+        # readable through the same pruned scan path (and through SQL
+        # via snapshot_sql_register)
+        from airflow_postgres_csv_spark.operators.branches import (
+            _branch_root,
+        )
+
+        root = _branch_root(root, branch)
     v = options.get("version")
     if isinstance(v, str) and v.lstrip("-").isdigit():
         v = int(v)  # DataFrameReader options always arrive as strings
@@ -463,6 +473,7 @@ def snapshot_sql_register(
     root: str | None = None,
     *,
     version: int | str | None = None,
+    branch: str | None = None,
     catalog: str | None = None,
     table: str | None = None,
     catalog_version: int | None = None,
@@ -493,7 +504,9 @@ def snapshot_sql_register(
     each ``load()`` is its own relation.
 
     Addressing mirrors the reader options: ``root`` (+ optional
-    ``version`` int or tag) reads one table directly;
+    ``version`` int or tag, + optional ``branch`` name — WAP quarantine
+    triage and in-flight transaction state in plain SQL) reads one
+    table directly;
     ``catalog=..., table=...`` (+ optional ``catalog_version``) resolves
     through a catalog pin so several registered views see ONE
     transaction's mutually-consistent world. Pass an explicit
@@ -521,6 +534,8 @@ def snapshot_sql_register(
             )
         if version is not None:
             reader = reader.option("version", str(version))
+        if branch is not None:
+            reader = reader.option("branch", branch)
         df = reader.load(root)
     df.createOrReplaceTempView(name)
     return df

@@ -348,3 +348,56 @@ def test_bootstrap_branch_and_wap_on_empty_table(spark, tmp_path):
     )
     assert m["version"] == 1 and m["mode"] == "publish_branch"
     assert snapshot_read(spark, root).count() == 5
+
+
+def test_branch_readable_via_source_and_sql(spark, tmp_path):
+    """A branch is addressable through the batch data source
+    (option('branch', name)) and through snapshot_sql_register(branch=)
+    — WAP triage in plain SQL, same pruned scan path; main unaffected."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        register_snapshot_table,
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "triage")
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), broot)
+    register_snapshot_table(spark)
+    got = (
+        spark.read.format("snapshot_table")
+        .option("branch", "triage")
+        .load(root)
+    )
+    assert got.count() == 20
+    assert spark.read.format("snapshot_table").load(root).count() == 10
+    snapshot_sql_register(spark, "t_triage", root, branch="triage")
+    assert spark.sql(
+        "SELECT count(*) AS n, max(id) AS mx FROM t_triage"
+    ).first().asDict() == {"n": 20, "mx": 19}
+
+
+def test_advisor_flags_stale_branches(spark, tmp_path):
+    """The maintenance advisor reports branch debt from metadata alone:
+    fresh branches count in metrics, stale ones (head older than the
+    age threshold) produce a drop_branches action naming them."""
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_maintenance_plan,
+        snapshot_table_stats,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "wip")
+    snapshot_commit(_df(spark, 10, 12).coalesce(1), broot)
+    plan = snapshot_maintenance_plan(root)
+    assert plan["metrics"]["n_branches"] == 1
+    assert plan["metrics"]["stale_branches"] == 0
+    assert not any(a["action"] == "drop_branches" for a in plan["actions"])
+    assert snapshot_table_stats(root)["n_branches"] == 1
+    # age threshold 0: everything with a committed head is stale
+    plan = snapshot_maintenance_plan(root, max_branch_age_s=0)
+    acts = [a for a in plan["actions"] if a["action"] == "drop_branches"]
+    assert len(acts) == 1 and acts[0]["branches"] == ["wip"]
+    snapshot_drop_branch(root, "wip")
+    assert snapshot_table_stats(root)["n_branches"] == 0
