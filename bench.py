@@ -155,6 +155,12 @@ HEADLINE = [
     "streaming_dedup_ingest_live",
     "similarity_ann_autotune",
     "snapshot_partition_evolution",
+    # round-9 session 2: branches/WAP/transactions (fast-forward +
+    # rebase publish, streaming WAP gate) and join-time runtime pruning
+    "snapshot_wap_branch",
+    "snapshot_txn_rebase",
+    "streaming_wap_live",
+    "snapshot_join_runtime_pruned",
 ]
 
 
