@@ -296,7 +296,12 @@ def snapshot_publish_branch(
             )
         if base_m_cache is None:
             base_m_cache = (
-                _load_manifest(root, base)
+                # the branch's own v1 (the clone manifest) IS the fork
+                # point's state — reading it instead of main's manifest
+                # keeps long-lived branches publishable even after main
+                # EXPIRED the base version (rebase never needs main to
+                # retain history beyond its head)
+                _load_manifest(broot, bversions[0])
                 if base is not None
                 # bootstrap branch of an empty table: fork point = nothing;
                 # the vacuous schema/spec/defaults twins keep the rebase

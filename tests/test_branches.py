@@ -401,3 +401,22 @@ def test_advisor_flags_stale_branches(spark, tmp_path):
     assert len(acts) == 1 and acts[0]["branches"] == ["wip"]
     snapshot_drop_branch(root, "wip")
     assert snapshot_table_stats(root)["n_branches"] == 0
+
+
+def test_rebase_survives_expired_fork_point(spark, tmp_path):
+    """A long-lived branch stays publishable after main EXPIRED its fork
+    version: the fork-point state is read from the branch's own clone
+    manifest, so rebase never needs main to retain history."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_expire
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "slow")
+    snapshot_commit(_df(spark, 100, 110).coalesce(1), broot)
+    snapshot_commit(_df(spark, 50, 55).coalesce(1), root)   # main moves...
+    snapshot_expire(root, keep_last=1)                       # ...and forgets v1
+    assert snapshot_versions(root) == [2]
+    m = snapshot_publish_branch(root, "slow", rebase=True)
+    assert m["rebased"] is True
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(10)) + list(range(50, 55)) + list(range(100, 110))
