@@ -457,3 +457,87 @@ def catalog_expire(catalog_root: str, keep_last: int = 10) -> dict:
     for v in cut:
         os.unlink(_catalog_path(catalog_root, v))
     return {"removed": cut, "kept": versions[len(cut):]}
+
+
+def catalog_write_audit_publish(
+    spark: SparkSession,
+    catalog_root: str,
+    writes: list[dict],
+    audits: dict | None = None,
+    cross_audits: dict | None = None,
+    retries: int = 0,
+    note: str = "",
+    expect_pinned: bool = False,
+    branch: str = "wap",
+) -> dict:
+    """MULTI-TABLE write-audit-publish: the catalog-level completion of
+    ``operators/branches.py::write_audit_publish``.
+
+    Every ``writes`` entry (``{"name", "root", "df", ...snapshot_commit
+    kwargs}``) stages on a branch of ITS table — no table root is
+    touched. Then two audit layers run over the staged would-be states:
+    ``audits[name]`` are per-table ``run_audits`` mappings against that
+    table's branch head, and ``cross_audits`` maps audit name ->
+    ``callable(dict[name, DataFrame]) -> bool`` over ALL staged states
+    together (the referential-integrity / rollup-consistency checks a
+    single-table WAP cannot express). Only if everything passes are the
+    branches fast-forward-published to their table roots and the catalog
+    pins flipped in ONE atomic link — catalog readers observe every
+    table at its audited version or none of them. On any failure
+    ``AuditError`` lists ``table:audit`` names and EVERY table keeps its
+    staged branch (a mutually-consistent cross-table triage snapshot).
+
+    Crash contract: a crash between branch publishes leaves some table
+    roots advanced but UNPINNED — invisible through the catalog, and a
+    re-run supersedes them (``catalog_txn``'s documented orphan story;
+    ``expect_pinned=True`` makes the re-run surface them loudly by
+    checking each fork point against the catalog pin). A leftover
+    ``branch`` from a crashed/failed attempt is dropped and re-staged —
+    safe because an unstamped catalog proves the attempt never
+    published.
+    """
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_versions,
+    )
+
+    audits = audits or {}
+    pinned = catalog_state(catalog_root) if expect_pinned else {}
+    staged: dict[str, DataFrame] = {}
+    roots: dict[str, str] = {}
+    for w in writes:
+        w = dict(w)
+        name, root, df = w.pop("name"), w.pop("root"), w.pop("df")
+        if expect_pinned:
+            head = (snapshot_versions(root) or [0])[-1]
+            want = pinned.get(name, {}).get("version", 0)
+            if head != want:
+                raise SnapshotConflictError(
+                    f"table {name!r} is at version {head} but the catalog "
+                    f"pins {want} — an out-of-band or crash-orphaned "
+                    "commit; adopt it with catalog_pin_tables (or roll "
+                    "back) before re-running the transaction"
+                )
+        if branch in B.snapshot_branches(root):
+            B.snapshot_drop_branch(root, branch)
+        broot = B.snapshot_branch(root, branch)
+        snapshot_commit(df, broot, **w)
+        staged[name] = snapshot_read(spark, broot)
+        roots[name] = root
+    failed = []
+    for name, table_audits in audits.items():
+        if name not in staged:
+            raise KeyError(f"audits name {name!r} not among writes")
+        failed.extend(
+            f"{name}:{a}" for a in B.run_audits(staged[name], table_audits)
+        )
+    for aname, fn in (cross_audits or {}).items():
+        if not bool(fn(staged)):
+            failed.append(f"*:{aname}")
+    if failed:
+        raise B.AuditError(branch, failed)
+    pins: dict[str, tuple[str, int]] = {}
+    for name, root in roots.items():
+        m = B.snapshot_publish_branch(root, branch)
+        pins[name] = (root, m["version"])
+    return catalog_pin_tables(catalog_root, pins, retries=retries, note=note)

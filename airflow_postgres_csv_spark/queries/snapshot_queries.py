@@ -3237,3 +3237,70 @@ register(
     WHERE event_id % 3 <> 1 ORDER BY event_id
     """,
 )(streaming_wap_live)
+
+
+def snapshot_catalog_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table write-audit-publish through the catalog
+    (operators/catalog_txn.py::catalog_write_audit_publish): a documents
+    slice and its per-type rollup stage on per-table branches; a
+    CROSS-TABLE audit (rollup total == doc count) rejects a deliberately
+    off-by-one rollup — catalog AND both table roots untouched, staged
+    branches retained as a mutually-consistent triage snapshot — then
+    the corrected pair publishes and ONE catalog link pins both tables.
+    The oracle is the doc slice; the flag pins rollup consistency as
+    read back THROUGH the catalog."""
+    from airflow_postgres_csv_spark.operators.branches import AuditError
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_versions,
+        catalog_write_audit_publish,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_versions,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    docs = events.where(F.pmod("event_id", F.lit(2)) == 0)
+    good = docs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bad = docs.groupBy("event_type").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n")
+    )
+    cat, r1, r2 = _temp_root(), _temp_root(), _temp_root()
+    cross = {
+        "rollup_total": lambda s: s["stats"].agg(F.sum("n")).first()[0]
+        == s["docs"].count()
+    }
+    try:
+        catalog_write_audit_publish(
+            spark, cat,
+            [{"name": "docs", "root": r1, "df": docs},
+             {"name": "stats", "root": r2, "df": bad}],
+            cross_audits=cross,
+        )
+        raise AssertionError("bad rollup must fail")  # pragma: no cover
+    except AuditError:
+        pass
+    assert catalog_versions(cat) == [] and snapshot_versions(r1) == []
+    catalog_write_audit_publish(
+        spark, cat,
+        [{"name": "docs", "root": r1, "df": docs},
+         {"name": "stats", "root": r2, "df": good}],
+        audits={"docs": {"nonempty": "count(*) > 0"}},
+        cross_audits=cross,
+    )
+    out = catalog_read(spark, cat, "docs")
+    total = catalog_read(spark, cat, "stats").agg(F.sum("n")).first()[0]
+    return out.withColumn(
+        "stats_total_ok", F.lit(int(total == out.count()))
+    ).orderBy("event_id")
+
+
+register(
+    "snapshot_catalog_wap",
+    """
+    SELECT event_id, event_type, 1 AS stats_total_ok FROM events
+    WHERE event_id % 2 = 0 ORDER BY event_id
+    """,
+)(snapshot_catalog_wap)

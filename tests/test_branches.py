@@ -420,3 +420,74 @@ def test_rebase_survives_expired_fork_point(spark, tmp_path):
     assert m["rebased"] is True
     got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
     assert got == list(range(10)) + list(range(50, 55)) + list(range(100, 110))
+
+
+def test_catalog_write_audit_publish(spark, tmp_path):
+    """Multi-table WAP: per-table + cross-table audits over the staged
+    branch states; failure retains a mutually-consistent triage snapshot
+    on every table and flips nothing; success publishes every branch and
+    pins all tables in one catalog version."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_state,
+        catalog_versions,
+        catalog_write_audit_publish,
+    )
+
+    cat = str(tmp_path / "cat")
+    r1, r2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    writes = [
+        {"name": "docs", "root": r1, "df": _df(spark, 0, 10).coalesce(1)},
+        {"name": "stats", "root": r2, "df": _df(spark, 0, 3).coalesce(1)},
+    ]
+    # cross-table audit fails: stats must have one row per docs-decade
+    with pytest.raises(AuditError) as ei:
+        catalog_write_audit_publish(
+            spark, cat, writes,
+            audits={"docs": {"nonempty": "count(*) > 0"}},
+            cross_audits={
+                "rollup_complete": lambda s: s["stats"].count()
+                == s["docs"].count() // 10 * 2
+            },
+        )
+    assert ei.value.failed == ["*:rollup_complete"]
+    assert catalog_versions(cat) == []          # catalog untouched
+    assert snapshot_versions(r1) == []           # no table root touched
+    assert "wap" in snapshot_branches(r1) and "wap" in snapshot_branches(r2)
+    # passing attempt: leftover branches are re-staged, everything lands
+    m = catalog_write_audit_publish(
+        spark, cat, writes,
+        audits={"docs": {"nonempty": "count(*) > 0"},
+                "stats": {"small": "count(*) <= 5"}},
+        cross_audits={"fewer_stats": lambda s: s["stats"].count()
+                      < s["docs"].count()},
+    )
+    assert sorted(m["tables"]) == ["docs", "stats"]
+    assert catalog_read(spark, cat, "docs").count() == 10
+    assert catalog_read(spark, cat, "stats").count() == 3
+    assert snapshot_branches(r1) == {} and snapshot_branches(r2) == {}
+    st = catalog_state(cat)
+    assert st["docs"]["version"] == 1 and st["stats"]["version"] == 1
+
+
+def test_catalog_wap_expect_pinned_surfaces_orphans(spark, tmp_path):
+    """expect_pinned: a table whose head moved past its catalog pin
+    (crash-orphaned or out-of-band commit) fails the staging loudly."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_write_audit_publish,
+    )
+
+    cat = str(tmp_path / "cat")
+    r1 = str(tmp_path / "t1")
+    catalog_write_audit_publish(
+        spark, cat, [{"name": "t", "root": r1,
+                      "df": _df(spark, 0, 5).coalesce(1)}],
+        expect_pinned=True,
+    )
+    snapshot_commit(_df(spark, 5, 8).coalesce(1), r1)  # out-of-band
+    with pytest.raises(SnapshotConflictError, match="catalog pins"):
+        catalog_write_audit_publish(
+            spark, cat, [{"name": "t", "root": r1,
+                          "df": _df(spark, 8, 10).coalesce(1)}],
+            expect_pinned=True,
+        )
