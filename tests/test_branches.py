@@ -491,3 +491,61 @@ def test_catalog_wap_expect_pinned_surfaces_orphans(spark, tmp_path):
                           "df": _df(spark, 8, 10).coalesce(1)}],
             expect_pinned=True,
         )
+
+
+def test_publish_is_metadata_only_and_o_changed_commits(spark, tmp_path, monkeypatch):
+    """Structural pin: the publish's marker DIFF materializes only the
+    branch's changed commits (base commits short-circuit on equal int
+    markers), the publish itself runs zero stat calls and hardlinks only
+    the files the branch added + its commit sidecars. Publish takes no
+    SparkSession at all — the whole edge is driver-side metadata; its
+    one O(commits) cost (re-packing the pinned file list) is the same
+    cost every append commit already pays."""
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "t")
+    for k in range(6):
+        snapshot_commit(_df(spark, k * 10, (k + 1) * 10).coalesce(1), root)
+    broot = snapshot_branch(root, "b")
+    snapshot_commit(_df(spark, 100, 110).coalesce(2), broot)
+    snapshot_commit(_df(spark, 110, 120).coalesce(2), broot)
+    S._metadata_cache_clear()
+
+    real_mat = S._commit_files_from_sidecar
+    mats = []
+
+    def counting_mat(root_, m, cid, marker):
+        mats.append(cid)
+        return real_mat(root_, m, cid, marker)
+
+    monkeypatch.setattr(S, "_commit_files_from_sidecar", counting_mat)
+    # the diff alone touches at most the 2 branch-added commits
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_files_diff,
+    )
+
+    base_m = _load_manifest(broot, 1)
+    bm = _load_manifest(broot, 3)
+    added, removed = snapshot_files_diff(broot, base_m, bm)
+    assert len(added) == 4 and not removed
+    assert len(set(mats)) <= 2, f"diff materialized {sorted(set(mats))}"
+
+    def bomb(path):
+        raise AssertionError(f"os.path.getsize({path}) on the publish path")
+
+    monkeypatch.setattr(B.os.path, "getsize", bomb, raising=False)
+    real_link = os.link
+    links = {"n": 0}
+
+    def counting_link(src, dst):
+        links["n"] += 1
+        return real_link(src, dst)
+
+    monkeypatch.setattr(B.os, "link", counting_link)
+    B.snapshot_publish_branch(root, "b")
+    assert snapshot_read(spark, root).count() == 80
+    # linked exactly the branch's new data files + its 2 commit sidecars
+    # + the atomic manifest link that IS the commit point
+    assert links["n"] == 4 + 2 + 1
