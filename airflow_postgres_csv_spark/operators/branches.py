@@ -27,9 +27,15 @@ branch adds over a free-standing clone is the PUBLISH edge back:
 - ``rebase=True`` relaxes fast-forward-only for APPEND-ONLY branches:
   the branch's new commits replay onto a moved main head in one merged
   manifest — Iceberg's snapshot-isolation append validation generalized
-  to a multi-commit branch; anything that could interleave with main's
-  concurrent changes (fork-point file rewrites, deletes into fork-point
-  commits, schema/spec/defaults evolution) still refuses.
+  to a multi-commit branch. MOR deletes are rebasable when every
+  targeted fork-point commit is provably UNTOUCHED by main (identical
+  commit marker — file sets only shrink, so marker equality proves no
+  rewrite raced the delete); anything else that could interleave
+  (fork-point file rewrites, deletes into rewritten commits,
+  schema/spec/defaults evolution) still refuses.
+- ``snapshot_branch_changes`` is the pre-publish REVIEW diff: the exact
+  insert/delete rows a publish would apply, from the branch's own
+  change feed (O(changed data)).
 
 At 100 TB the costs are all metadata-sized: branch creation links
 O(files) names (no data movement), audits run Spark jobs against the
@@ -67,6 +73,7 @@ __all__ = [
     "snapshot_branches",
     "snapshot_drop_branch",
     "snapshot_publish_branch",
+    "snapshot_branch_changes",
     "snapshot_transaction",
     "run_audits",
     "write_audit_publish",
@@ -197,6 +204,17 @@ def _rebase_body(
     base_cids = set(base_m.get("commit_files", {}))
     new_cids = [c for c in bm.get("commit_files", {}) if c not in base_cids]
     new_set = set(new_cids)
+
+    def untouched(cid: str) -> bool:
+        """A fork-point commit main still pins with an IDENTICAL marker:
+        file sets only ever shrink, so an equal marker proves main
+        neither rewrote, compacted, nor partially retained it — a branch
+        delete scoped to it cannot have lost a race with a rewrite
+        (Iceberg's validateNoConflicting* checks, on commit markers)."""
+        return head_m.get("commit_files", {}).get(cid) == base_m[
+            "commit_files"
+        ].get(cid)
+
     base_tombs = {_tomb_key(t): t for t in base_m.get("tombstones", [])}
     new_tombs = []
     for t in bm.get("tombstones", []):
@@ -207,9 +225,9 @@ def _rebase_body(
             if t.get("kind") == "positional"
             else set(t.get("commits", []))
         )
-        if not targets <= new_set:
+        if not all(c in new_set or untouched(c) for c in targets):
             conflict("the branch deleted rows from fork-point commits "
-                     "that main may have concurrently rewritten")
+                     "that main concurrently rewrote or dropped")
         new_tombs.append(t)
     body = {k: head_m[k] for k in _CARRY_KEYS if k in head_m}
     body["files"] = list(head_m["files"]) + list(added)
@@ -391,6 +409,26 @@ def write_audit_publish(
     return snapshot_publish_branch(
         root, name, rebase=rebase, retries=publish_retries
     )
+
+
+def snapshot_branch_changes(
+    spark: SparkSession, root: str, name: str
+) -> DataFrame:
+    """Row-level REVIEW DIFF of a branch: every change the publish would
+    apply to main, as the branch's own change feed from its fork point
+    (clone v1) to its head — ``_change_type`` insert/delete rows with
+    ``_commit_version`` provenance, O(changed data) never O(table). The
+    pre-publish review step of the WAP loop: audit aggregates say
+    whether to publish, this says exactly WHAT."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_table_changes,
+    )
+
+    broot = _branch_root(root, name)
+    versions = snapshot_versions(broot)
+    if not versions:
+        raise FileNotFoundError(f"no branch {name!r} at {broot}")
+    return snapshot_table_changes(spark, broot, versions[0], versions[-1])
 
 
 @contextlib.contextmanager

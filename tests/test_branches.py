@@ -245,9 +245,12 @@ def test_rebase_refuses_interleavable_changes(spark, tmp_path):
     with pytest.raises(SnapshotConflictError, match="rewrote or removed"):
         snapshot_publish_branch(root, "cow", rebase=True)
     snapshot_drop_branch(root, "cow")
-    # 2) branch MOR-deletes rows living in fork-point commits
+    # 2) branch MOR-deletes rows from a fork-point commit main REWROTE
+    #    (marker changed) — refused; an untouched fork-point commit is
+    #    fine (case 5 below)
     b2 = moved_main_branch("mor", 210)
     snapshot_delete_mor(spark, b2, "id = 5", key_col="id")
+    snapshot_delete(spark, root, "id", 5, 6)  # main rewrites that commit
     with pytest.raises(SnapshotConflictError, match="fork-point commits"):
         snapshot_publish_branch(root, "mor", rebase=True)
     snapshot_drop_branch(root, "mor")
@@ -265,11 +268,21 @@ def test_rebase_refuses_interleavable_changes(spark, tmp_path):
     snapshot_delete_mor(spark, b4, "id >= 305", key_col="id")
     m = snapshot_publish_branch(root, "own", rebase=True)
     assert m["rebased"] is True
-    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
-    assert got == (
-        list(range(10)) + list(range(200, 205)) + list(range(210, 215))
-        + list(range(220, 225)) + list(range(230, 235)) + list(range(300, 305))
+    expect = (
+        [i for i in range(10) if i not in (5, 6)] + list(range(200, 205))
+        + list(range(210, 215)) + list(range(220, 225))
+        + list(range(230, 235)) + list(range(300, 305))
     )
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == expect
+    # 5) a branch MOR delete into an UNTOUCHED fork-point commit rebases:
+    #    the equal commit marker proves main never rewrote it
+    b5 = moved_main_branch("mor_ok", 240)
+    snapshot_delete_mor(spark, b5, "id = 231", key_col="id")
+    m = snapshot_publish_branch(root, "mor_ok", rebase=True)
+    assert m["rebased"] is True
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == sorted(set(expect + list(range(240, 245))) - {231})
 
 
 def test_streaming_wap_sink_restart_and_quarantine(spark, tmp_path):
@@ -549,3 +562,24 @@ def test_publish_is_metadata_only_and_o_changed_commits(spark, tmp_path, monkeyp
     # linked exactly the branch's new data files + its 2 commit sidecars
     # + the atomic manifest link that IS the commit point
     assert links["n"] == 4 + 2 + 1
+
+
+def test_branch_changes_review_diff(spark, tmp_path):
+    """snapshot_branch_changes = the rows a publish would apply: inserts
+    from branch appends, delete pre-images from branch MOR deletes,
+    nothing from the fork point itself."""
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branch_changes,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "rev")
+    snapshot_commit(_df(spark, 10, 15).coalesce(1), broot)
+    snapshot_delete_mor(spark, broot, "id = 12", key_col="id")
+    ch = snapshot_branch_changes(spark, root, "rev")
+    rows = sorted(
+        (r["_change_type"], r["id"]) for r in ch.select("_change_type", "id").collect()
+    )
+    assert rows == [("delete", 12)] + [("insert", i) for i in range(10, 15)]
