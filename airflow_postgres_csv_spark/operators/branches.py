@@ -37,6 +37,14 @@ branch adds over a free-standing clone is the PUBLISH edge back:
   insert/delete rows a publish would apply, from the branch's own
   change feed (O(changed data)).
 
+CDC interplay: a publish of an append+MOR-only branch (the WAP /
+transaction shape) is one ordinary change-feed step — inserts + delete
+pre-images emit at the publish version and downstream mirrors replay it
+with no extra machinery (tested). A branch containing COW rewrites
+publishes as a SQUASH with no single row-delta story; the change feed
+refuses that step loudly (re-anchor past it), exactly like any other
+multi-rewrite overwrite.
+
 At 100 TB the costs are all metadata-sized: branch creation links
 O(files) names (no data movement), audits run Spark jobs against the
 branch like any read, and publish links only the files the branch ADDED

@@ -583,3 +583,27 @@ def test_branch_changes_review_diff(spark, tmp_path):
         (r["_change_type"], r["id"]) for r in ch.select("_change_type", "id").collect()
     )
     assert rows == [("delete", 12)] + [("insert", i) for i in range(10, 15)]
+
+
+def test_publish_flows_through_change_feed(spark, tmp_path):
+    """A publish of an append+MOR-only branch is one ordinary change-feed
+    step: the branch's inserts and delete pre-images emit at the publish
+    version, so CDC mirrors downstream of a WAP/transaction table replay
+    it with no extra machinery."""
+    from airflow_postgres_csv_spark.operators.branches import snapshot_transaction
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    with snapshot_transaction(root) as txn:
+        snapshot_commit(_df(spark, 10, 15).coalesce(1), txn)
+        snapshot_delete_mor(spark, txn, "id = 3", key_col="id")
+    ch = snapshot_table_changes(spark, root, 1)  # the publish step only
+    rows = sorted(
+        (r["_change_type"], r["id"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert rows == [("delete", 3, 2)] + [("insert", i, 2) for i in range(10, 15)]
