@@ -1842,3 +1842,64 @@ register(
     ORDER BY rk
     """,
 )(streaming_text_index_live)
+
+
+def text_quality_classifier(spark, sf_dir):
+    """Trained quality/domain classifier (operators/classifier.py):
+    multinomial Naive Bayes over md5-hashed token buckets — the
+    closed-form member of the fastText/NB-SVM linear-classifier family
+    the LLM-data pipelines use for corpus filtering. ONE distributed
+    pass trains the O(n_buckets) model (per-bucket add-one-smoothed
+    log-likelihood ratios + class prior); scoring is a broadcast join +
+    exact decimal sum, so every per-doc logit is bit-identical to the
+    oracle's plain-SQL replay. Pseudo-labels y = (lang = 'en'); the
+    accuracy floor is pinned in tests, bit-exactness here."""
+    from airflow_postgres_csv_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    _, scored = train_quality_classifier(docs, F.col("lang") == "en")
+    return scored.orderBy("doc_id")
+
+
+_CLF_ORACLE = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             unnest({SQL_TOKENS}) AS tok
+      FROM documents
+    ),
+    f AS MATERIALIZED (
+      SELECT doc_id, any_value(y) AS y,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b,
+             COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, b
+    ),
+    st AS MATERIALIZED (
+      SELECT b, SUM(cnt * y) AS c1, SUM(cnt * (1 - y)) AS c0
+      FROM f GROUP BY b
+    ),
+    tt AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0 FROM st),
+    w AS MATERIALIZED (
+      SELECT st.b,
+             CAST(ROUND(LN(CAST((st.c1 + 1) * (tt.t0 + 256) AS DOUBLE)
+                           / CAST((st.c0 + 1) * (tt.t1 + 256) AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS llr
+      FROM st, tt
+    ),
+    pr AS (
+      SELECT CAST(ROUND(LN(CAST(n1 AS DOUBLE) / n0), 9) AS DECIMAL(18,9)) AS prior
+      FROM (SELECT COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS n1,
+                   COUNT(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS n0
+            FROM f)
+    )
+    SELECT f.doc_id, any_value(f.y) AS y,
+           CAST(CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                + (SELECT prior FROM pr) AS DOUBLE) AS score,
+           CAST((CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                 + (SELECT prior FROM pr)) >= 0 AS INT) AS pred
+    FROM f JOIN w USING (b)
+    GROUP BY f.doc_id ORDER BY f.doc_id"""
+
+
+register("text_quality_classifier", _CLF_ORACLE)(text_quality_classifier)

@@ -1,0 +1,69 @@
+"""Trained quality/domain classifier (operators/classifier.py)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.catalog import load
+from airflow_postgres_csv_spark.operators.classifier import (
+    hashed_token_counts,
+    score_documents,
+    train_quality_classifier,
+)
+
+
+def test_hashed_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    f = hashed_token_counts(docs, F.col("lang") == "en", n_buckets=32)
+    assert f.where((F.col("b") < 0) | (F.col("b") >= 32)).count() == 0
+    assert f.select("y").distinct().count() == 2
+    # counts sum back to per-doc token counts
+    total = f.agg(F.sum("cnt")).first()[0]
+    from airflow_postgres_csv_spark.functions import texts as X
+
+    assert total == docs.select(F.size(X.tokens("text")).alias("n")).agg(
+        F.sum("n")
+    ).first()[0]
+
+
+def test_classifier_recovers_planted_signal(spark, sf_dir):
+    """Learning sanity floor: plant class-marker tokens in the positive
+    docs' text and the one-pass model must recover them (the fixture's
+    lang labels share one synthetic vocabulary, so THEY are near the
+    Bayes ceiling at ~60% — a planted signal separates mechanism bugs
+    from fixture inseparability)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("lang") == "en",
+            F.concat(F.col("text"), F.lit(" qmark qmark")),
+        ).otherwise(F.col("text")),
+    )
+    model, scored = train_quality_classifier(docs, F.col("lang") == "en")
+    scored = scored.cache()
+    n = scored.count()
+    majority = scored.groupBy("y").count().agg(F.max("count")).first()[0] / n
+    acc = scored.where(F.col("pred") == F.col("y")).count() / n
+    assert acc > max(majority, 0.95), f"acc {acc:.3f} majority {majority:.3f}"
+    # model invariants: exact 9-dp decimals for every bucket
+    assert len(model["llr"]) == model["n_buckets"] == 256
+    assert all(isinstance(w, Decimal) for w in model["llr"].values())
+    assert isinstance(model["prior"], Decimal)
+    # pred is the logit sign
+    bad = scored.where(
+        ((F.col("score") >= 0).cast("int")) != F.col("pred")
+    ).count()
+    assert bad == 0
+
+
+def test_score_documents_matches_training_scores(spark, sf_dir):
+    """score_documents (the apply-to-new-corpus hot path) reproduces the
+    training-time scores exactly on the same corpus."""
+    docs = load(spark, sf_dir, "documents")
+    model, scored = train_quality_classifier(docs, F.col("lang") == "en")
+    rescored = score_documents(docs, model)
+    a = {r["doc_id"]: (r["score"], r["pred"]) for r in scored.collect()}
+    b = {r["doc_id"]: (r["score"], r["pred"]) for r in rescored.collect()}
+    assert a == b
