@@ -1903,3 +1903,61 @@ _CLF_ORACLE = f"""
 
 
 register("text_quality_classifier", _CLF_ORACLE)(text_quality_classifier)
+
+
+def sample_classifier_topk(spark, sf_dir):
+    """Classifier-driven data selection — the DCLM-baseline pipeline
+    step: train the one-pass Naive Bayes filter, then keep the top 100
+    documents by logit (ties broken by doc_id; exact decimal logits
+    make the cut deterministic). The global rank comes from the
+    distributed global-order machinery (operators/global_order.py); the
+    oracle replays model + ranking in plain SQL."""
+    from airflow_postgres_csv_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from airflow_postgres_csv_spark.operators.global_order import (
+        with_global_order_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    _, scored = train_quality_classifier(docs, F.col("lang") == "en")
+    # the distributed global-order machinery (value-range buckets +
+    # broadcast offsets), NOT a single-partition row_number window —
+    # at corpus scale `scored` is one row per document
+    ranked = with_global_order_stats(
+        scored, "score", descending=True, tiebreak="doc_id", rank_col="rank"
+    )
+    return (
+        ranked.where(F.col("rank") <= 100)
+        .select(
+            "doc_id", "y", F.round("score", 9).alias("score9"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+register(
+    "sample_classifier_topk",
+    _CLF_ORACLE.replace(
+        """
+    SELECT f.doc_id, any_value(f.y) AS y,
+           CAST(CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                + (SELECT prior FROM pr) AS DOUBLE) AS score,
+           CAST((CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                 + (SELECT prior FROM pr)) >= 0 AS INT) AS pred
+    FROM f JOIN w USING (b)
+    GROUP BY f.doc_id ORDER BY f.doc_id""",
+        """
+    , sc AS (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             CAST(CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                  + (SELECT prior FROM pr) AS DOUBLE) AS score
+      FROM f JOIN w USING (b)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, y, ROUND(score, 9) AS score9,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM sc QUALIFY rank <= 100 ORDER BY rank""",
+    ),
+)(sample_classifier_topk)
