@@ -2892,10 +2892,18 @@ def resolve_version(root: str, version: int | str | None) -> int | None:
     return version
 
 
-def snapshot_expire(root: str, keep_last: int = 1) -> dict:
+def snapshot_expire(
+    root: str, keep_last: int = 1, older_than_ns: int | None = None
+) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data
     files, delete (tombstone) files, stats sidecars, and then-empty commit
     dirs no retained version references.
+
+    ``older_than_ns`` adds Iceberg's age-based retention: versions whose
+    ``committed_at`` is >= the cutoff are PROTECTED from ``keep_last``
+    (expire drops only versions that are both superseded beyond
+    ``keep_last`` AND older than the cutoff), so a time-travel /
+    reproducibility window survives aggressive count-based policies.
 
     Orphaned commit dirs and sidecars from crashed/lost commits (data
     written, manifest link never happened) are collected too: they are
@@ -2911,7 +2919,14 @@ def snapshot_expire(root: str, keep_last: int = 1) -> dict:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(root)
     tagged = set(snapshot_tags(root).values())
-    keep = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
+    keep = set(versions[-keep_last:]) | (tagged & set(versions))
+    if older_than_ns is not None:
+        keep |= {
+            v
+            for v in versions
+            if _load_manifest(root, v).get("committed_at", 0) >= older_than_ns
+        }
+    keep = sorted(keep)
     drop = [v for v in versions if v not in keep]
     referenced: set[str] = set()
     referenced_sidecars: set[str] = set()

@@ -2394,3 +2394,22 @@ def test_streaming_ingestion_maintains_sketches(spark, tmp_path):
     # and pinned to a mid-stream version: still metadata-only
     r2 = snapshot_approx_distinct(spark, root, "u", version=3)
     assert r2["scanned_files"] == 0 and r2["sketched_commits"] == 3
+
+
+def test_expire_age_based_retention(spark, tmp_path):
+    """older_than_ns protects recent versions from keep_last (Iceberg's
+    expire_snapshots(older_than=..., retain_last=...)): only versions
+    both superseded beyond keep_last AND older than the cutoff drop."""
+    root = str(tmp_path / "t")
+    ms = [snapshot_commit(_df(spark, k * 5, (k + 1) * 5).coalesce(1), root)
+          for k in range(4)]
+    # cutoff between v2 and v3: v1, v2 old enough to drop; v3 protected
+    cutoff = ms[2]["committed_at"]
+    r = snapshot_expire(root, keep_last=1, older_than_ns=cutoff)
+    assert r["expired_versions"] == [1, 2]
+    assert snapshot_versions(root) == [3, 4]
+    assert snapshot_read(spark, root, version=3).count() == 15
+    # without the cutoff, keep_last=1 drops v3 too
+    r = snapshot_expire(root, keep_last=1)
+    assert r["expired_versions"] == [3]
+    assert snapshot_read(spark, root).count() == 20
