@@ -47,6 +47,8 @@ __all__ = [
     "hashed_token_counts",
     "train_quality_classifier",
     "score_documents",
+    "save_classifier",
+    "load_classifier",
 ]
 
 
@@ -176,3 +178,48 @@ def score_documents(
         docs, F.lit(0), id_col, text_col, model["n_buckets"]
     )
     return _score_feats(feats, model, id_col).drop("y")
+
+
+def save_classifier(spark, model: dict, root: str) -> dict:
+    """Persist the model as a versioned snapshot table (the persisted-
+    index pattern of operators/similarity.py / text_index.py): the
+    O(n_buckets) llr table is the data, prior/n_buckets ride the
+    manifest ``extra``. Retraining commits a new version — serving pins
+    any generation via time travel; returns the manifest."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+    wdf = spark.createDataFrame(
+        sorted((b, v) for b, v in model["llr"].items()),
+        "b long, llr decimal(18,9)",
+    ).coalesce(1)
+    return snapshot_commit(
+        wdf, root, mode="overwrite",
+        extra={"classifier": {
+            "prior": str(model["prior"]), "n_buckets": model["n_buckets"],
+        }},
+    )
+
+
+def load_classifier(spark, root: str, version: int | str | None = None) -> dict:
+    """Load a pinned model generation; exact round trip of
+    ``save_classifier`` (decimals survive bit-for-bit)."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        resolve_version,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    v = resolve_version(root, version)
+    if v is None:
+        v = snapshot_versions(root)[-1]
+    meta = _load_manifest(root, v)["classifier"]
+    llr = {
+        int(r["b"]): r["llr"]
+        for r in snapshot_read(spark, root, version=v).collect()
+    }
+    return {
+        "llr": llr,
+        "prior": Decimal(meta["prior"]),
+        "n_buckets": int(meta["n_buckets"]),
+    }

@@ -374,13 +374,18 @@ def _footer_stats(path: str) -> dict:
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except NotImplementedError:
+                # pyarrow cannot extract stats for some logical types
+                # (e.g. DECIMAL) — the column is simply not prunable
                 continue
             name = col.path_in_schema
             if "." in name:  # nested — not a prunable top-level column
                 continue
-            mn, mx = st.min, st.max
             if isinstance(mn, bytes) or isinstance(mx, bytes):
                 continue
             if isinstance(mn, (int, float, str, bool)) and isinstance(

@@ -67,3 +67,35 @@ def test_score_documents_matches_training_scores(spark, sf_dir):
     a = {r["doc_id"]: (r["score"], r["pred"]) for r in scored.collect()}
     b = {r["doc_id"]: (r["score"], r["pred"]) for r in rescored.collect()}
     assert a == b
+
+
+def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """save/load through a versioned snapshot table is an exact round
+    trip (decimal weights bit-for-bit); retraining commits a new
+    generation and old generations stay pinnable."""
+    from airflow_postgres_csv_spark.operators.classifier import (
+        load_classifier,
+        save_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model, scored = train_quality_classifier(docs, F.col("lang") == "en")
+    root = str(tmp_path / "clf")
+    m1 = save_classifier(spark, model, root)
+    assert load_classifier(spark, root) == model
+    # a retrained generation supersedes; version pin recovers the old one
+    model2, _ = train_quality_classifier(
+        docs, F.col("lang") == "fr", n_buckets=128
+    )
+    save_classifier(spark, model2, root)
+    assert load_classifier(spark, root) == model2
+    assert load_classifier(spark, root, version=m1["version"]) == model
+    # loaded model scores identically
+    a = {r["doc_id"]: r["score"] for r in scored.collect()}
+    b = {
+        r["doc_id"]: r["score"]
+        for r in score_documents(
+            docs, load_classifier(spark, root, version=m1["version"])
+        ).collect()
+    }
+    assert a == b
