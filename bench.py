@@ -161,6 +161,9 @@ HEADLINE = [
     "snapshot_txn_rebase",
     "streaming_wap_live",
     "snapshot_join_runtime_pruned",
+    "snapshot_catalog_wap",
+    "text_quality_classifier",
+    "sample_classifier_topk",
 ]
 
 
