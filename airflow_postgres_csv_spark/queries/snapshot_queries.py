@@ -3304,3 +3304,59 @@ register(
     WHERE event_id % 2 = 0 ORDER BY event_id
     """,
 )(snapshot_catalog_wap)
+
+
+def pipeline_snapshot_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end to end: the erasure request lands as a
+    cheap MOR equality tombstone (zero data files rewritten), compaction
+    FOLDS it into a clean rewrite, and age/count retention EXPIRES every
+    pre-erasure version plus the delete-key files — after which the
+    erased users are unreadable at EVERY retained version (no time
+    travel resurrects them) and no tombstone remains in any retained
+    manifest. The oracle is the surviving rows; the flags pin the
+    compliance invariants the SQL cannot see."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_expire,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = _temp_root()
+    for r in range(2):
+        snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == r), root)
+    snapshot_delete_mor(spark, root, "user_id % 97 = 0", key_col="event_id")
+    snapshot_compact(spark, root)
+    snapshot_expire(root, keep_last=1)
+    versions = snapshot_versions(root)
+    erased_everywhere = int(
+        all(
+            snapshot_read(spark, root, version=v)
+            .where("user_id % 97 = 0")
+            .count() == 0
+            for v in versions
+        )
+    )
+    no_tombstones = int(
+        all(not _load_manifest(root, v).get("tombstones") for v in versions)
+    )
+    return (
+        snapshot_read(spark, root)
+        .withColumn("erased_everywhere", F.lit(erased_everywhere))
+        .withColumn("no_tombstones", F.lit(no_tombstones))
+        .withColumn("one_version", F.lit(int(len(versions) == 1)))
+        .orderBy("event_id")
+    )
+
+
+register(
+    "pipeline_snapshot_gdpr_erasure",
+    """
+    SELECT event_id, user_id, event_type,
+           1 AS erased_everywhere, 1 AS no_tombstones, 1 AS one_version
+    FROM events WHERE user_id % 97 <> 0 ORDER BY event_id
+    """,
+)(pipeline_snapshot_gdpr_erasure)
