@@ -607,3 +607,46 @@ def test_publish_flows_through_change_feed(spark, tmp_path):
         for r in ch.collect()
     )
     assert rows == [("delete", 3, 2)] + [("insert", i, 2) for i in range(10, 15)]
+
+
+def test_threaded_branch_publish_race_rebases(spark, tmp_path):
+    """N real threads each branch, commit, and rebase-publish with
+    retries: every publish lands exactly once (first-writer-wins atomic
+    link + O(manifest) rebase re-validation per retry), no rows lost,
+    version chain contiguous."""
+    import threading
+
+    from airflow_postgres_csv_spark.operators.snapshots import _load_manifest
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    # pre-stage every branch from the SAME base so the publishes race
+    names = [f"w{k}" for k in range(5)]
+    for k, name in enumerate(names):
+        broot = snapshot_branch(root, name)
+        snapshot_commit(
+            _df(spark, 100 + k * 10, 100 + (k + 1) * 10).coalesce(1), broot
+        )
+    errors: list[Exception] = []
+
+    def publisher(name: str) -> None:
+        try:
+            snapshot_publish_branch(root, name, rebase=True, retries=10)
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=publisher, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert snapshot_versions(root) == [1, 2, 3, 4, 5, 6]
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(10)) + list(range(100, 150))
+    # exactly one fast-forward won; the rest rebased past it
+    rebased = [
+        _load_manifest(root, v)["rebased"] for v in range(2, 7)
+    ]
+    assert rebased.count(False) == 1 and rebased.count(True) == 4
+    assert snapshot_branches(root) == {}
