@@ -469,9 +469,13 @@ def catalog_write_audit_publish(
     note: str = "",
     expect_pinned: bool = False,
     branch: str = "wap",
+    ddl: list[dict] | None = None,
 ) -> dict:
     """MULTI-TABLE write-audit-publish: the catalog-level completion of
-    ``operators/branches.py::write_audit_publish``.
+    ``operators/branches.py::write_audit_publish``. ``ddl`` ops ride the
+    final catalog flip (``catalog_pin_tables`` shapes) — the
+    write-audit-promote pattern: stage + audit under a scratch name,
+    rename over the live name in the SAME atomic version.
 
     Every ``writes`` entry (``{"name", "root", "df", ...snapshot_commit
     kwargs}``) stages on a branch of ITS table — no table root is
@@ -540,4 +544,6 @@ def catalog_write_audit_publish(
     for name, root in roots.items():
         m = B.snapshot_publish_branch(root, branch)
         pins[name] = (root, m["version"])
-    return catalog_pin_tables(catalog_root, pins, retries=retries, note=note)
+    return catalog_pin_tables(
+        catalog_root, pins, retries=retries, note=note, ddl=ddl
+    )

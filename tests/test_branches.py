@@ -650,3 +650,31 @@ def test_threaded_branch_publish_race_rebases(spark, tmp_path):
     ]
     assert rebased.count(False) == 1 and rebased.count(True) == 4
     assert snapshot_branches(root) == {}
+
+
+def test_catalog_wap_with_ddl_promote(spark, tmp_path):
+    """Write-audit-PROMOTE: stage + audit a rebuilt table under a
+    scratch name, rename it over the live name in the same atomic
+    catalog flip that pins the audited version."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_tables,
+        catalog_write_audit_publish,
+    )
+
+    cat = str(tmp_path / "cat")
+    live, staged = str(tmp_path / "live"), str(tmp_path / "staged")
+    catalog_write_audit_publish(
+        spark, cat, [{"name": "t", "root": live,
+                      "df": _df(spark, 0, 5).coalesce(1)}],
+    )
+    catalog_write_audit_publish(
+        spark, cat,
+        [{"name": "t_rebuild", "root": staged,
+          "df": _df(spark, 0, 20).coalesce(1)}],
+        audits={"t_rebuild": {"bigger": "count(*) > 5"}},
+        ddl=[{"op": "drop", "name": "t"},
+             {"op": "rename", "name": "t_rebuild", "to": "t"}],
+    )
+    assert list(catalog_tables(cat)) == ["t"]
+    assert catalog_read(spark, cat, "t").count() == 20
