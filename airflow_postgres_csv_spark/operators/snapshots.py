@@ -2806,6 +2806,113 @@ def snapshot_delete_positional(
     return _publish(root, versions, body, commit_id, None)
 
 
+def snapshot_alter(
+    root: str,
+    add: dict | None = None,
+    widen: dict | None = None,
+    drop: list[str] | None = None,
+    column_defaults: dict | None = None,
+) -> dict:
+    """Metadata-only ALTER TABLE: ADD COLUMN / widen type / DROP COLUMN
+    as a ZERO-DATA commit (Delta/Iceberg's instant schema change).
+
+    The new version pins the SAME files under the evolved schema; every
+    read path already aligns each file to the version\'s pinned schema
+    (added columns default-fill, widened columns up-cast, dropped
+    columns prune — the rules of ``_read_pinned``), so the change is
+    visible instantly at any table size with zero bytes rewritten, and
+    time travel to older versions still reads the old shape.
+
+    ``add`` maps name -> Spark type string (``"long"``, ``"double"``,
+    ...); ``column_defaults`` optionally fills them for pre-ALTER rows
+    (NULL otherwise). ``widen`` maps name -> wider type along the safe
+    chains byte→short→int→long and float→double (anything else raises —
+    the ``merge_schema`` contract). ``drop`` refuses columns the table\'s
+    metadata still depends on: partition-spec sources, tombstone key
+    columns, Bloom/sketch config columns.
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    prev = _load_manifest(root, versions[-1])
+    schema = StructType.fromJson(_json.loads(prev["schema"]))
+    fields = {f.name: f for f in schema.fields}
+    add, widen, drop = add or {}, widen or {}, list(drop or [])
+    for name in add:
+        if name in fields:
+            raise ValueError(f"ADD COLUMN {name!r}: already exists")
+    for name, t in widen.items():
+        if name not in fields:
+            raise ValueError(f"widen {name!r}: no such column")
+        old = fields[name].dataType.typeName()
+        new_t = _parse_datatype_string(t).typeName()
+        ok = any(
+            old in rank and new_t in rank and rank[new_t] > rank[old]
+            for rank in (_WIDEN_RANK, _WIDEN_RANK_F)
+        )
+        if not ok:
+            raise ValueError(
+                f"widen {name!r}: {old} -> {new_t} is not a safe widening "
+                "(byte/short/int/long and float/double chains only)"
+            )
+    protected: set[str] = set()
+    for spec in prev.get("partition_specs") or []:
+        protected |= {f[0] for f in spec}
+    for t in prev.get("tombstones", []):
+        if t.get("key_col"):
+            protected.add(t["key_col"])
+    protected |= set((prev.get("bloom") or {}).get("cols", []))
+    protected |= set((prev.get("sketch") or {}).get("cols", []))
+    for name in drop:
+        if name not in fields:
+            raise ValueError(f"DROP COLUMN {name!r}: no such column")
+        if name in protected:
+            raise ValueError(
+                f"DROP COLUMN {name!r}: partition specs, tombstone keys, "
+                "or Bloom/sketch configs still depend on it"
+            )
+    out_fields = []
+    for f in schema.fields:
+        if f.name in drop:
+            continue
+        if f.name in widen:
+            f = StructField(f.name, _parse_datatype_string(widen[f.name]), True)
+        out_fields.append(f)
+    for name, t in add.items():
+        out_fields.append(StructField(name, _parse_datatype_string(t), True))
+    new_schema = StructType(out_fields)
+    commit_id = uuid.uuid4().hex[:12]
+    body = _inherit_maps(prev, prev["files"])
+    for key in ("bloom", "sketch"):
+        if key in prev:
+            body[key] = prev[key]
+    defaults = {
+        k: v for k, v in body.get("defaults", {}).items() if k not in drop
+    }
+    if column_defaults:
+        unknown = set(column_defaults) - {f.name for f in new_schema.fields}
+        if unknown:
+            raise ValueError(f"defaults for unknown columns: {sorted(unknown)}")
+        defaults.update(column_defaults)
+    if defaults:
+        body["defaults"] = defaults
+    else:
+        body.pop("defaults", None)
+    body.update(
+        mode="alter",
+        commit_id=commit_id,
+        files=list(prev["files"]),
+        n_files=prev["n_files"],
+        schema=new_schema.json(),
+        alter={"add": add, "widen": widen, "drop": drop},
+    )
+    return _publish(root, versions, body, commit_id, None)
+
+
 def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     """Undo as a FORWARD commit: publish a new version whose logical state
     (file list, schema, tombstones, per-commit metadata) is exactly

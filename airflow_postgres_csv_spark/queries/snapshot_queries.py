@@ -3360,3 +3360,36 @@ register(
     FROM events WHERE user_id % 97 <> 0 ORDER BY event_id
     """,
 )(pipeline_snapshot_gdpr_erasure)
+
+
+def snapshot_alter_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE (operators/snapshots.py::snapshot_alter):
+    after committing the even half of ``events``, ADD COLUMN batch
+    DEFAULT 1 lands as a ZERO-DATA commit — same pinned files, evolved
+    schema — and the odd half appends under the new shape with batch=2.
+    Reads align instantly (pre-ALTER rows default-fill), so the oracle
+    is a plain CASE on the split."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_alter
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 0), root)
+    m = snapshot_alter(root, add={"batch": "long"}, column_defaults={"batch": 1})
+    assert m["mode"] == "alter" and not m.get("tombstones")
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 1).withColumn(
+            "batch", F.lit(2).cast("long")
+        ),
+        root,
+    )
+    return snapshot_read(spark, root).orderBy("event_id")
+
+
+register(
+    "snapshot_alter_instant",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS batch
+    FROM events ORDER BY event_id
+    """,
+)(snapshot_alter_instant)

@@ -2413,3 +2413,56 @@ def test_expire_age_based_retention(spark, tmp_path):
     r = snapshot_expire(root, keep_last=1)
     assert r["expired_versions"] == [3]
     assert snapshot_read(spark, root).count() == 20
+
+
+def test_snapshot_alter_metadata_only(spark, tmp_path, monkeypatch):
+    """Metadata-only ALTER: add/widen/drop evolve the schema in a
+    zero-data commit (same pinned files, no Spark job), reads align
+    instantly, time travel keeps the old shape, and dependent columns
+    refuse to drop."""
+    from pyspark.sql.types import LongType
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+        snapshot_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(0, 5).select(
+            F.col("id").cast("int").alias("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1),
+        root,
+    )
+    m1 = snapshot_versions(root)[-1]
+    m = snapshot_alter(
+        root,
+        add={"note": "string", "score": "double"},
+        widen={"id": "long"},
+        column_defaults={"note": "n/a"},
+    )
+    assert m["mode"] == "alter" and m["n_files"] == 1
+    df = snapshot_read(spark, root)
+    assert df.schema["id"].dataType == LongType()
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [(i, i * 2, "n/a", None) for i in range(5)]
+    # time travel: the pre-ALTER version still reads the old shape
+    assert snapshot_read(spark, root, version=m1).columns == ["id", "v"]
+    # appends under the evolved schema coexist with old files
+    snapshot_commit(
+        spark.createDataFrame(
+            [(100, 1, "x", 0.5)], "id long, v long, note string, score double"
+        ),
+        root,
+    )
+    assert snapshot_read(spark, root).count() == 6
+    # drop works and refuses protected columns
+    snapshot_alter(root, drop=["score"])
+    assert "score" not in snapshot_read(spark, root).columns
+    snapshot_delete_mor(spark, root, "id = 100", key_col="id")
+    with pytest.raises(ValueError, match="depend"):
+        snapshot_alter(root, drop=["id"])  # tombstone key
+    with pytest.raises(ValueError, match="safe widening"):
+        snapshot_alter(root, widen={"v": "string"})
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_alter(root, add={"v": "long"})
