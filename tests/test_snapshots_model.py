@@ -53,6 +53,11 @@ _op = st.one_of(
     st.tuples(st.just("merge_sync"), st.integers(0, IDS - 3), st.integers(1, 4)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("rollback"), st.integers(0, 30)),
+    st.tuples(
+        st.just("txn"), st.integers(0, IDS - 3), st.integers(1, 3),
+        st.integers(0, IDS),
+    ),
+    st.tuples(st.just("wap_fail"), st.integers(0, IDS - 3), st.integers(1, 3)),
 )
 
 
@@ -170,6 +175,49 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
         elif kind == "merge_sync":
             _, lo, n = op
             model = _apply_merge_sync(spark, root, model, opi, lo, n)
+        elif kind == "txn":
+            # multi-statement transaction: append + (sometimes) an
+            # equality delete, published as ONE atomic main version —
+            # interleaves branch publish with every other op kind
+            from airflow_postgres_csv_spark.operators.branches import (
+                snapshot_transaction,
+            )
+
+            _, lo, n, dk = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            with snapshot_transaction(root) as txn:
+                snapshot_commit(
+                    spark.createDataFrame(
+                        rows, "id long, stamp long"
+                    ).coalesce(1),
+                    txn,
+                )
+                model = model + rows
+                if dk < IDS:
+                    snapshot_delete_mor(spark, txn, f"id = {dk}", key_col="id")
+                    model = [r for r in model if r[0] != dk]
+        elif kind == "wap_fail":
+            # failed aggregate audit: main must be untouched
+            from airflow_postgres_csv_spark.operators.branches import (
+                AuditError,
+                snapshot_drop_branch,
+                write_audit_publish,
+            )
+
+            _, lo, n = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            try:
+                write_audit_publish(
+                    spark, root,
+                    spark.createDataFrame(
+                        rows, "id long, stamp long"
+                    ).coalesce(1),
+                    audits={"impossible": "count(*) < 0"},
+                    branch=f"q{opi}",
+                )
+                raise AssertionError("audit must fail")
+            except AuditError:
+                snapshot_drop_branch(root, f"q{opi}")
         elif kind == "compact":
             snapshot_compact(spark, root)
         elif kind == "rollback":
@@ -178,6 +226,12 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             target = versions[j % len(versions)]
             snapshot_rollback(spark, root, target)
             model = list(history[target])
+        if kind == "wap_fail":
+            # no version was created; latest must still match the model
+            assert _snapshot_rows(spark, root) == history[
+                snapshot_versions(root)[-1]
+            ], f"wap_fail mutated main at op {opi}"
+            continue
         v = snapshot_versions(root)[-1]
         history[v] = sorted(model)
         assert _snapshot_rows(spark, root) == history[v], (
@@ -325,6 +379,49 @@ def test_change_feed_reconstructs_every_version(spark, tmp_path_factory, ops):
         elif kind == "merge_sync":
             _, lo, n = op
             model = _apply_merge_sync(spark, root, model, opi, lo, n)
+        elif kind == "txn":
+            # multi-statement transaction: append + (sometimes) an
+            # equality delete, published as ONE atomic main version —
+            # interleaves branch publish with every other op kind
+            from airflow_postgres_csv_spark.operators.branches import (
+                snapshot_transaction,
+            )
+
+            _, lo, n, dk = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            with snapshot_transaction(root) as txn:
+                snapshot_commit(
+                    spark.createDataFrame(
+                        rows, "id long, stamp long"
+                    ).coalesce(1),
+                    txn,
+                )
+                model = model + rows
+                if dk < IDS:
+                    snapshot_delete_mor(spark, txn, f"id = {dk}", key_col="id")
+                    model = [r for r in model if r[0] != dk]
+        elif kind == "wap_fail":
+            # failed aggregate audit: main must be untouched
+            from airflow_postgres_csv_spark.operators.branches import (
+                AuditError,
+                snapshot_drop_branch,
+                write_audit_publish,
+            )
+
+            _, lo, n = op
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            try:
+                write_audit_publish(
+                    spark, root,
+                    spark.createDataFrame(
+                        rows, "id long, stamp long"
+                    ).coalesce(1),
+                    audits={"impossible": "count(*) < 0"},
+                    branch=f"q{opi}",
+                )
+                raise AssertionError("audit must fail")
+            except AuditError:
+                snapshot_drop_branch(root, f"q{opi}")
         elif kind == "compact":
             snapshot_compact(spark, root)
         history[snapshot_versions(root)[-1]] = sorted(model)
