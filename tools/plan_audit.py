@@ -163,6 +163,11 @@ BY_DESIGN: dict[str, str] = {
         "two 1-row scalar broadcasts (token total, sum of p^alpha) crossed "
         "into the per-language mixture arithmetic"
     ),
+    "sample_classifier_topk": (
+        "classifier logit ranking through the global-order machinery "
+        "(global_order.py): 1-row min/max stats broadcast + bucket-offset "
+        "broadcast — both O(1)/O(buckets) crossed onto the scored rows"
+    ),
     "sample_perplexity_buckets": (
         "unigram-LM token-total scalar broadcast + the global-order "
         "machinery's 1-row stats / bucket-offset broadcasts (same shape as "
