@@ -678,3 +678,24 @@ def test_catalog_wap_with_ddl_promote(spark, tmp_path):
     )
     assert list(catalog_tables(cat)) == ["t"]
     assert catalog_read(spark, cat, "t").count() == 20
+
+
+def test_branch_from_tag_and_version(spark, tmp_path):
+    """Branches fork from any pinned version or tag name; publish from a
+    non-head fork refuses fast-forward (main moved past it) but rebases
+    when append-only."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_tag
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_tag(root, "golden")
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), root)
+    broot = snapshot_branch(root, "from_tag", version="golden")
+    assert snapshot_read(spark, broot).count() == 10  # the tagged state
+    snapshot_commit(_df(spark, 100, 105).coalesce(1), broot)
+    with pytest.raises(SnapshotConflictError):
+        snapshot_publish_branch(root, "from_tag")
+    m = snapshot_publish_branch(root, "from_tag", rebase=True)
+    assert m["rebased"] is True
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(20)) + list(range(100, 105))
