@@ -699,3 +699,24 @@ def test_branch_from_tag_and_version(spark, tmp_path):
     assert m["rebased"] is True
     got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
     assert got == list(range(20)) + list(range(100, 105))
+
+
+def test_wap_batch_crash_replay_redoes_stale_branch(spark, tmp_path):
+    """Crash window: a leftover wap-<bid> branch with main unstamped
+    proves the attempt never published — the replay drops it and redoes
+    the batch from scratch, landing exactly once."""
+    from airflow_postgres_csv_spark.streaming.sinks import wap_batch
+
+    root = str(tmp_path / "t")
+    audits = {"ok": "count(*) > 0"}
+    assert wap_batch(_df(spark, 0, 10).coalesce(1), 0, root, audits) == "published"
+    # simulate a crashed attempt of batch 1: branch staged, publish never ran
+    broot = snapshot_branch(root, "wap-1")
+    snapshot_commit(_df(spark, 500, 505).coalesce(1), broot)  # stale payload
+    assert wap_batch(_df(spark, 10, 20).coalesce(1), 1, root, audits) == "published"
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(20))  # stale 500s gone, batch 1 exactly once
+    assert snapshot_branches(root) == {}
+    # replay of a published batch is a no-op
+    assert wap_batch(_df(spark, 10, 20).coalesce(1), 1, root, audits) == "skipped"
+    assert snapshot_versions(root) == [1, 2]

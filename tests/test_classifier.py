@@ -99,3 +99,19 @@ def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_score_documents_unseen_tokens_use_default_llr(spark, sf_dir):
+    """Scoring a corpus containing tokens never seen in training: their
+    buckets fall back to the smoothing-only ratio instead of crashing
+    or silently dropping mass."""
+    from pyspark.sql import Row
+
+    docs = load(spark, sf_dir, "documents")
+    model, _ = train_quality_classifier(docs, F.col("lang") == "en")
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="zzzunseen qqqnovel zzzunseen")]
+    )
+    out = score_documents(new, model).collect()
+    assert len(out) == 1 and out[0]["score"] is not None
+    assert out[0]["pred"] in (0, 1)

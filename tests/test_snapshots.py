@@ -2466,3 +2466,31 @@ def test_snapshot_alter_metadata_only(spark, tmp_path, monkeypatch):
         snapshot_alter(root, widen={"v": "string"})
     with pytest.raises(ValueError, match="already exists"):
         snapshot_alter(root, add={"v": "long"})
+
+
+def test_alter_preserves_hidden_partition_pruning(spark, tmp_path):
+    """Metadata-only ALTER must not disturb declared partition specs:
+    pruning keyed on partition values still skips commits after the
+    ALTER, and post-ALTER appends keep partitioning."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+        snapshot_scan_files,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _df(spark, 0, 40), root, partition_transforms=[("id", "bucket", 4)]
+    )
+    m = snapshot_alter(root, add={"note": "string"})
+    assert m["partition_specs"] and m["commit_partitions"]
+    snapshot_commit(
+        _df(spark, 40, 80).withColumn("note", F.lit("x")), root,
+        partition_transforms=[("id", "bucket", 4)],
+    )
+    plan = snapshot_scan_files(root, "id", 0, 0)  # one bucket's values
+    assert 0 < plan["kept"] < plan["kept"] + plan["skipped"]
+    # the declared-spec column refuses to drop
+    import pytest as _p
+
+    with _p.raises(ValueError, match="depend"):
+        snapshot_alter(root, drop=["id"])
