@@ -3393,3 +3393,45 @@ register(
     FROM events ORDER BY event_id
     """,
 )(snapshot_alter_instant)
+
+
+def snapshot_branch_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish branch REVIEW diff
+    (operators/branches.py::snapshot_branch_changes): the odd half of
+    ``events`` is staged on a branch and its 'click' rows MOR-deleted;
+    the review feed lists EXACTLY what a publish would apply — inserts
+    at the branch's append version, delete pre-images (evaluated over
+    the branch state, so both halves' clicks) at its delete version —
+    without touching main. The oracle states both row sets."""
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branch,
+        snapshot_branch_changes,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_delete_mor
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 0), root)
+    broot = snapshot_branch(root, "review")
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 1), broot)
+    snapshot_delete_mor(spark, broot, "event_type = 'click'", key_col="event_id")
+    ch = snapshot_branch_changes(spark, root, "review")
+    assert snapshot_versions(root) == [1]  # main untouched by the review
+    return ch.select(
+        "event_id", "event_type", "_change_type", "_commit_version"
+    ).orderBy("_commit_version", "event_id")
+
+
+register(
+    "snapshot_branch_review",
+    """
+    SELECT * FROM (
+        SELECT event_id, event_type, 'insert' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM events WHERE event_id % 2 = 1
+        UNION ALL
+        SELECT event_id, event_type, 'delete', CAST(3 AS BIGINT)
+        FROM events WHERE event_type = 'click'
+    ) ORDER BY _commit_version, event_id
+    """,
+)(snapshot_branch_review)
