@@ -176,7 +176,13 @@ def _link_back(root: str, broot: str, bm: dict, added: list[str]) -> None:
         if os.path.exists(dst):
             continue
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.link(os.path.join(broot, rel), dst)
+        try:
+            os.link(os.path.join(broot, rel), dst)
+        except FileExistsError:
+            # a concurrent publish linked the same inode between our
+            # exists-check and link — identical content, safe to skip;
+            # the manifest link downstream still arbitrates the winner
+            pass
 
 
 def _rebase_body(
@@ -469,4 +475,12 @@ def snapshot_transaction(root: str, rebase: bool = False, retries: int = 0):
     except BaseException:
         snapshot_drop_branch(root, name)
         raise
-    snapshot_publish_branch(root, name, rebase=rebase, retries=retries)
+    try:
+        snapshot_publish_branch(root, name, rebase=rebase, retries=retries)
+    except SnapshotConflictError:
+        # aborted transaction (first-committer-wins): drop the ephemeral
+        # branch too, exactly like the exception path — otherwise retried
+        # transactions accumulate random-named branches pinning hardlinked
+        # data until the stale-branch advisor fires
+        snapshot_drop_branch(root, name)
+        raise

@@ -468,7 +468,7 @@ def catalog_write_audit_publish(
     retries: int = 0,
     note: str = "",
     expect_pinned: bool = False,
-    branch: str = "wap",
+    branch: str | None = None,
     ddl: list[dict] | None = None,
 ) -> dict:
     """MULTI-TABLE write-audit-publish: the catalog-level completion of
@@ -495,10 +495,16 @@ def catalog_write_audit_publish(
     roots advanced but UNPINNED — invisible through the catalog, and a
     re-run supersedes them (``catalog_txn``'s documented orphan story;
     ``expect_pinned=True`` makes the re-run surface them loudly by
-    checking each fork point against the catalog pin). A leftover
-    ``branch`` from a crashed/failed attempt is dropped and re-staged —
-    safe because an unstamped catalog proves the attempt never
-    published.
+    checking each fork point against the catalog pin).
+
+    ``branch`` defaults to a fresh ``wap-<hex>`` per attempt so
+    concurrent invocations over overlapping tables never clobber each
+    other's in-flight staged branches; failed attempts retain their
+    uniquely-named triage branches until dropped or GC'd. Passing an
+    explicit name opts into deterministic-retry semantics: a leftover
+    branch of that name from a crashed/failed attempt is dropped and
+    re-staged — safe because an unstamped catalog proves the attempt
+    never published (callers own the no-concurrent-same-name contract).
     """
     from airflow_postgres_csv_spark.operators import branches as B
     from airflow_postgres_csv_spark.operators.snapshots import (
@@ -506,6 +512,8 @@ def catalog_write_audit_publish(
     )
 
     audits = audits or {}
+    named_retry = branch is not None
+    branch = branch or f"wap-{uuid.uuid4().hex[:8]}"
     pinned = catalog_state(catalog_root) if expect_pinned else {}
     staged: dict[str, DataFrame] = {}
     roots: dict[str, str] = {}
@@ -522,7 +530,7 @@ def catalog_write_audit_publish(
                     "commit; adopt it with catalog_pin_tables (or roll "
                     "back) before re-running the transaction"
                 )
-        if branch in B.snapshot_branches(root):
+        if named_retry and branch in B.snapshot_branches(root):
             B.snapshot_drop_branch(root, branch)
         broot = B.snapshot_branch(root, branch)
         snapshot_commit(df, broot, **w)

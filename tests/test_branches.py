@@ -197,6 +197,92 @@ def test_snapshot_transaction_rollback_on_error(spark, tmp_path):
     assert snapshot_branches(root) == {}  # txn branch cleaned up
 
 
+def test_snapshot_transaction_drops_branch_on_publish_conflict(spark, tmp_path):
+    """A transaction aborted by a concurrent main commit (first committer
+    wins) must drop its ephemeral txn-<hex> branch exactly like the
+    exception path — retried transactions must not accumulate
+    random-named branches pinning hardlinked data."""
+    from airflow_postgres_csv_spark.operators.branches import snapshot_transaction
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    with pytest.raises(SnapshotConflictError):
+        with snapshot_transaction(root) as txn:
+            snapshot_commit(_df(spark, 10, 20).coalesce(1), txn)
+            # concurrent writer moves main before our publish
+            snapshot_commit(_df(spark, 50, 55).coalesce(1), root)
+    assert snapshot_branches(root) == {}  # aborted txn left no branch
+    assert snapshot_versions(root) == [1, 2]  # only the concurrent commit
+    got = sorted(r[0] for r in snapshot_read(spark, root).select("id").collect())
+    assert got == list(range(0, 10)) + list(range(50, 55))
+
+
+def test_link_back_tolerates_concurrent_link(spark, tmp_path, monkeypatch):
+    """_link_back's exists-then-link race: if a concurrent publish links
+    the same inode between our exists() check and os.link, the
+    FileExistsError is absorbed (same content — safe), and the publish
+    proceeds to the manifest-link arbitration instead of dying midway."""
+    from airflow_postgres_csv_spark.operators import branches as B
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "feed")
+    snapshot_commit(_df(spark, 10, 20).coalesce(1), broot)
+
+    real_exists = os.path.exists
+
+    def racy_exists(path):
+        # simulate the loser of the race: report absent, then have the
+        # winner link the branch file into the root before our os.link
+        if real_exists(path):
+            return True
+        rel = os.path.relpath(path, root)
+        src = os.path.join(broot, rel)
+        if real_exists(src) and not path.endswith(".json"):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            os.link(src, path)
+        return False
+
+    monkeypatch.setattr(
+        "airflow_postgres_csv_spark.operators.branches.os.path.exists",
+        racy_exists,
+    )
+    m = snapshot_publish_branch(root, "feed")
+    monkeypatch.undo()
+    assert m["mode"] == "publish_branch"
+    assert snapshot_read(spark, root).count() == 20
+
+
+def test_catalog_wap_default_branch_is_collision_free(spark, tmp_path):
+    """Default (no explicit branch): each attempt stages under a fresh
+    wap-<hex> name, so a failed attempt's triage branches survive a
+    subsequent successful attempt instead of being clobbered."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_write_audit_publish,
+    )
+
+    cat = str(tmp_path / "cat")
+    r1 = str(tmp_path / "t1")
+    with pytest.raises(AuditError):
+        catalog_write_audit_publish(
+            spark, cat,
+            [{"name": "t", "root": r1, "df": _df(spark, 0, 5).coalesce(1)}],
+            audits={"t": {"big": "count(*) > 100"}},
+        )
+    left = set(snapshot_branches(r1))
+    assert len(left) == 1
+    (triage_name,) = left
+    assert triage_name.startswith("wap-") and triage_name != "wap"
+    # second (passing) default-named attempt neither reuses nor drops it
+    catalog_write_audit_publish(
+        spark, cat,
+        [{"name": "t", "root": r1, "df": _df(spark, 0, 5).coalesce(1)}],
+    )
+    assert catalog_read(spark, cat, "t").count() == 5
+    assert set(snapshot_branches(r1)) == {triage_name}  # triage retained
+
+
 def test_rebase_publish_append_only_branch(spark, tmp_path):
     """An append-only branch publishes onto a MOVED main head: both
     sides' rows land, main's concurrent tombstones survive, and the
@@ -456,7 +542,7 @@ def test_catalog_write_audit_publish(spark, tmp_path):
     # cross-table audit fails: stats must have one row per docs-decade
     with pytest.raises(AuditError) as ei:
         catalog_write_audit_publish(
-            spark, cat, writes,
+            spark, cat, writes, branch="wap",
             audits={"docs": {"nonempty": "count(*) > 0"}},
             cross_audits={
                 "rollup_complete": lambda s: s["stats"].count()
@@ -467,9 +553,9 @@ def test_catalog_write_audit_publish(spark, tmp_path):
     assert catalog_versions(cat) == []          # catalog untouched
     assert snapshot_versions(r1) == []           # no table root touched
     assert "wap" in snapshot_branches(r1) and "wap" in snapshot_branches(r2)
-    # passing attempt: leftover branches are re-staged, everything lands
+    # passing named retry: leftover branches are re-staged, everything lands
     m = catalog_write_audit_publish(
-        spark, cat, writes,
+        spark, cat, writes, branch="wap",
         audits={"docs": {"nonempty": "count(*) > 0"},
                 "stats": {"small": "count(*) <= 5"}},
         cross_audits={"fewer_stats": lambda s: s["stats"].count()
