@@ -521,26 +521,159 @@ def _build_probe_set(
     runs anyway); metadata-sized forever after — q vectors + q·k ids in
     the manifest. ``ann_derive_settings`` replays searches against it to
     auto-tune serve knobs for a recall floor without ever touching the
-    corpus exactly again."""
+    corpus exactly again.
+
+    Lists are stored at ``depth = 2·k`` WITH their cosines, so index
+    mutations can keep them exact without corpus scans: a delete prunes
+    evicted members (an exact top-L prefix minus a member is the exact
+    top-(L-1) of the post-delete corpus) and only recomputes a query
+    whose list fell below k; an append merges a batch-only exact
+    top-depth (O(batch) work) into the stored lists by cosine."""
+    depth = 2 * probe_k
     probes = corpus.select(id_col, vec_col).orderBy(id_col).limit(probe_queries)
     exact = topk_cosine_bruteforce(
-        corpus, probes, k=probe_k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", "rank")
+        corpus, probes, k=depth, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "cosine", "rank")
     by_q: dict = {}
     for r in exact.collect():
-        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, [int(r.neighbor_id), float(r.cosine)])
+        )
     vecs = {r[0]: [float(x) for x in r[1]] for r in probes.collect()}
     return {
         "k": probe_k,
+        "depth": depth,
         "queries": [
             {
                 "id": qid,
                 "vec": vecs[qid],
-                "exact": [nid for _, nid in sorted(by_q.get(qid, []))],
+                "exact": [e for _, e in sorted(by_q.get(qid, []))],
             }
             for qid in sorted(vecs)
         ],
     }
+
+
+def _probe_exact_ids(entry: dict, k: int) -> list:
+    """First-k neighbor ids of a probe entry's exact list; tolerates the
+    legacy id-only shape alongside the [[id, cosine], ...] shape."""
+    out = []
+    for e in entry["exact"][:k]:
+        out.append(int(e[0]) if isinstance(e, (list, tuple)) else int(e))
+    return out
+
+
+def _probe_entry_pairs(entry: dict) -> list | None:
+    """Exact list as [(id, cosine), ...], or None for a legacy id-only
+    list (no cosines — unmergeable, caller must recompute)."""
+    pairs = []
+    for e in entry["exact"]:
+        if not isinstance(e, (list, tuple)):
+            return None
+        pairs.append((int(e[0]), float(e[1])))
+    return pairs
+
+
+def _exact_pairs_by_query(
+    corpus: DataFrame, probes_df: DataFrame, depth: int
+) -> dict:
+    """query_id -> exact top-``depth`` [(neighbor_id, cosine), ...] of
+    ``probes_df`` (vec_id, embedding) against ``corpus``."""
+    rows = topk_cosine_bruteforce(
+        corpus, probes_df, k=depth, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id", "cosine", "rank").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, (int(r.neighbor_id), float(r.cosine)))
+        )
+    return {q: [p for _, p in sorted(v)] for q, v in by_q.items()}
+
+
+def _probes_df(spark: SparkSession, entries: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(q["id"], q["vec"]) for q in entries],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def _probe_set_after_delete(
+    spark: SparkSession, index_root: str, meta: dict, deleted_ids: set
+) -> dict | None:
+    """The probe set repaired for the POST-delete corpus, or None when
+    the index has none. Metadata-only in the common case: deleting a
+    vector that is in no stored exact list cannot change any list
+    (deletion only removes candidates), and pruning a deleted member
+    from an exact prefix leaves an exact (shorter) prefix. Only queries
+    whose pruned list fell below k are recomputed, against the
+    anti-joined head state, in ONE probe-sized brute-force pass."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+    ps = meta.get("probe_set")
+    if not ps:
+        return None
+    k = int(ps["k"])
+    depth = int(ps.get("depth", k))
+    entries = [dict(q) for q in ps["queries"]]
+    depleted = []
+    for q in entries:
+        pairs = _probe_entry_pairs(q)
+        if pairs is None:
+            # legacy id-only list: prune what we can; recompute if it dips
+            kept = [e for e in q["exact"] if int(e) not in deleted_ids]
+            q["exact"] = kept
+            if len(kept) < k:
+                depleted.append(q)
+            continue
+        kept = [p for p in pairs if p[0] not in deleted_ids]
+        q["exact"] = [[n, c] for n, c in kept]
+        if len(kept) < k:
+            depleted.append(q)
+    if depleted:
+        post = snapshot_read(spark, index_root).select("vec_id", "embedding")
+        post = post.filter(~F.col("vec_id").isin(list(deleted_ids)))
+        fresh = _exact_pairs_by_query(post, _probes_df(spark, depleted), depth)
+        for q in depleted:
+            q["exact"] = [[n, c] for n, c in fresh.get(q["id"], [])]
+    return {"k": k, "depth": depth, "queries": entries}
+
+
+def _probe_set_after_append(
+    corpus_new: DataFrame, meta: dict, id_col: str, vec_col: str
+) -> dict | None:
+    """The probe set extended for the appended batch, or None when the
+    index has none. O(batch): the probe queries' exact top-depth WITHIN
+    the batch is computed (batch-sized scan), then merged driver-side
+    with the stored lists by cosine. The merged prefix stays exact up to
+    min(stored length, batch coverage) — any union-corpus top-m member
+    is in the stored top-m or the batch top-m for m ≤ both."""
+    ps = meta.get("probe_set")
+    if not ps:
+        return None
+    spark = corpus_new.sparkSession
+    k = int(ps["k"])
+    depth = int(ps.get("depth", k))
+    entries = [dict(q) for q in ps["queries"]]
+    legacy = [q for q in entries if _probe_entry_pairs(q) is None]
+    batch = corpus_new.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if legacy:
+        # unmergeable (no stored cosines — a pre-depth probe set)
+        raise ValueError(
+            "probe set predates cosine-bearing lists — rebuild the index "
+            "with probe_queries=N to enable incremental maintenance"
+        )
+    batch_top = _exact_pairs_by_query(batch, _probes_df(spark, entries), depth)
+    for q in entries:
+        old = _probe_entry_pairs(q)
+        new = batch_top.get(q["id"], [])
+        merged = sorted(set(old) | set(new), key=lambda p: (-p[1], p[0]))
+        # exact-prefix length = len(old): a union-corpus top-m member is
+        # in the stored top-m (needs m <= len(old)) or the batch top-m
+        # (guaranteed — the batch list is depth-deep, and depth >= len(old))
+        q["exact"] = [[n, c] for n, c in merged[: len(old)]]
+    return {"k": k, "depth": depth, "queries": entries}
 
 
 def ann_derive_settings(
@@ -582,7 +715,9 @@ def ann_derive_settings(
         [(q["id"], q["vec"]) for q in ps["queries"]],
         "vec_id bigint, embedding array<double>",
     )
-    exact = {q["id"]: set(q["exact"]) for q in ps["queries"]}
+    exact = {
+        q["id"]: set(_probe_exact_ids(q, int(ps["k"]))) for q in ps["queries"]
+    }
     total = sum(len(s) for s in exact.values())
     kind = meta.get("kind")
     if kind in ("ivf", "ivfpq"):
@@ -712,6 +847,9 @@ def ivf_index_append(
         F.col(vec_col).alias("embedding"),
         F.element_at(ranking(vec_col), 1).alias("cell"),
     )
+    merged_ps = _probe_set_after_append(corpus_new, meta, id_col, vec_col)
+    if merged_ps is not None:
+        meta = {**meta, "probe_set": merged_ps}
     return snapshot_commit(
         coded, index_root, mode="append", partition_by=["cell"],
         # caller stamps (streaming batch id) ride the same atomic publish
@@ -850,6 +988,9 @@ def pq_index_append(
         F.col(vec_col).alias("embedding"),
         encode(vec_col).alias("pq_codes"),
     )
+    merged_ps = _probe_set_after_append(corpus_new, meta, id_col, vec_col)
+    if merged_ps is not None:
+        meta = {**meta, "probe_set": merged_ps}
     return snapshot_commit(
         coded, index_root, mode="append",
         extra={"ann_index": meta},
@@ -1077,9 +1218,12 @@ def ivfpq_index_append(
     meta = _load_manifest(index_root, versions[-1]).get("ann_index") or {}
     if meta.get("kind") != "ivfpq":
         raise ValueError(f"{index_root} is not an IVF-PQ index")
+    coded = _ivfpq_code(corpus_new, meta, id_col, vec_col)
+    merged_ps = _probe_set_after_append(corpus_new, meta, id_col, vec_col)
+    if merged_ps is not None:
+        meta = {**meta, "probe_set": merged_ps}
     return snapshot_commit(
-        _ivfpq_code(corpus_new, meta, id_col, vec_col),
-        index_root, mode="append",
+        coded, index_root, mode="append",
         extra={"ann_index": meta},
         expected_head=versions[-1],
     )
@@ -1194,7 +1338,13 @@ def ann_index_delete(
     version step, and a search pinned to the pre-delete version still
     sees them (MVCC). ``snapshot_compact`` folds the tombstone into a
     clean rewrite later. Cost: one scan to resolve the condition,
-    O(deleted keys) bytes, zero data files rewritten."""
+    O(deleted keys) bytes, zero data files rewritten.
+
+    The pinned recall probe set is repaired in the SAME commit (deleted
+    vectors pruned from the stored exact lists; a list that fell below k
+    is recomputed against the post-delete state), so a later
+    ``ann_derive_settings`` tunes against the live corpus, never a
+    drifted reference."""
     from airflow_postgres_csv_spark.operators.snapshots import (
         _load_manifest,
         snapshot_delete_mor,
@@ -1210,6 +1360,9 @@ def ann_index_delete(
     ids = sorted(set(vec_ids))
     if not ids or not all(isinstance(i, int) for i in ids):
         raise ValueError("ann_index_delete: vec_ids must be non-empty ints")
+    repaired = _probe_set_after_delete(spark, index_root, meta, set(ids))
+    if repaired is not None:
+        meta = {**meta, "probe_set": repaired}
     id_list = ", ".join(str(i) for i in ids)
     return snapshot_delete_mor(
         spark, index_root,

@@ -884,3 +884,87 @@ def test_ann_derive_settings_pq_rerank_ladder(spark, tmp_path):
     # an impossible floor reports met=False instead of lying
     hard = SIM.ann_derive_settings(spark, root, recall_floor=1.01)
     assert not hard["met"]
+
+
+def _stored_and_fresh_probe_topk(spark, root):
+    """(stored first-k id lists, freshly recomputed exact first-k id
+    lists over the LIVE index state) for every probe query."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    v = snapshot_versions(root)[-1]
+    ps = _load_manifest(root, v)["ann_index"]["probe_set"]
+    k = int(ps["k"])
+    stored = {q["id"]: SIM._probe_exact_ids(q, k) for q in ps["queries"]}
+    corpus = snapshot_read(spark, root).select("vec_id", "embedding")
+    fresh_pairs = SIM._exact_pairs_by_query(
+        corpus, SIM._probes_df(spark, ps["queries"]), k
+    )
+    fresh = {qid: [n for n, _ in pairs][:k] for qid, pairs in fresh_pairs.items()}
+    return stored, fresh
+
+
+def test_probe_set_maintained_on_delete_and_append(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 7: index mutations must not leave the pinned
+    recall probe set stale. A delete prunes evicted vectors from the
+    stored exact lists in the SAME commit (recomputing only lists that
+    fell below k); an append merges the batch's exact top-depth in
+    O(batch) driver-side. After each mutation the stored lists equal a
+    freshly computed exact top-k over the live corpus, and
+    ann_derive_settings still reaches recall 1.0 at full probe — all
+    with ZERO training jobs (monkeypatch bomb)."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+
+    def emb_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+            ).alias("embedding"),
+        )
+
+    root = str(tmp_path / "ivf")
+    SIM.ivf_build_index(emb_df(0, 200), root, n_cells=8,
+                        probe_queries=5, probe_k=4)
+    stored0, fresh0 = _stored_and_fresh_probe_topk(spark, root)
+    assert stored0 == fresh0  # build-time lists are exact
+
+    def bomb(*a, **kw):
+        raise AssertionError("training job on a mutation path")
+
+    monkeypatch.setattr(SIM, "ivf_centroids", bomb)
+    monkeypatch.setattr(SIM, "pq_codebooks", bomb)
+
+    # delete vectors that ARE stored exact neighbors (forces real repair,
+    # including depleted-list recomputes: 4 of each 8-deep list + every
+    # list's top hit)
+    victims = sorted({ids[0] for ids in stored0.values()}
+                     | {i for ids in stored0.values() for i in ids[:2]})
+    SIM.ann_index_delete(spark, root, victims)
+    stored1, fresh1 = _stored_and_fresh_probe_topk(spark, root)
+    assert stored1 == fresh1
+    assert all(len(v) == 4 for v in stored1.values())  # back to full k
+    assert not any(set(v) & set(victims) for v in stored1.values())
+
+    # append a batch engineered to enter the probe top-k (near-clones of
+    # the probe vectors land at cosine ~1) — the merge must surface them
+    SIM.ivf_index_append(emb_df(1000, 1040).withColumn(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin((F.col("vec_id") % 5) * i * 0.7 + i).cast("float"),
+        ),
+    ), root)
+    stored2, fresh2 = _stored_and_fresh_probe_topk(spark, root)
+    assert stored2 == fresh2
+    # the near-clones (ids >= 1000) actually displaced old neighbors
+    assert any(any(n >= 1000 for n in ids) for ids in stored2.values())
+
+    # autotune against the maintained set: full probe = recall 1.0
+    out = SIM.ann_derive_settings(spark, root, recall_floor=1.0)
+    assert out["met"] and out["recall"] == 1.0
