@@ -2769,9 +2769,10 @@ def snapshot_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snapshot_commit(orders.where(F.col("o_orderkey") % 3 != 0), o_root)
     snapshot_commit(customer, c_root)
-    # fresh registration + single statement = the safe pushdown pattern
-    # (see snapshot_sql_register's upstream scan-cache contract)
-    snapshot_sql_register(spark, "snap_orders_v1", o_root, version=1, pushdown=True)
+    # the default registration prunes AND stays reuse-safe: the session
+    # statement hook re-registers a fresh relation per statement (see
+    # snapshot_sql_register's upstream scan-cache contract)
+    snapshot_sql_register(spark, "snap_orders_v1", o_root, version=1)
     snapshot_sql_register(spark, "snap_customer", c_root)
     return spark.sql(
         """

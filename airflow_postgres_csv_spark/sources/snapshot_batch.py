@@ -59,6 +59,7 @@ __all__ = [
     "SnapshotTableDataSource",
     "register_snapshot_table",
     "snapshot_sql_register",
+    "snapshot_sql_unregister",
 ]
 
 _INF = float("inf")
@@ -467,6 +468,126 @@ def register_snapshot_table(spark) -> None:
     spark.dataSource.register(SnapshotTableDataSource)
 
 
+def _register_view_relation(spark, name: str, spec: dict, pushdown: bool):
+    """(Re-)register temp view ``name`` over a FRESH relation — each
+    ``load()`` is its own ``PythonDataSourceV2`` instance, so its scan
+    cache starts empty (the fresh-relation safety unit)."""
+    register_snapshot_table(spark)
+    reader = spark.read.format("snapshot_table").option(
+        "pushdown", "true" if pushdown else "false"
+    )
+    if spec.get("catalog") is not None:
+        reader = reader.option("catalog", spec["catalog"]).option(
+            "table", spec.get("table") or name
+        )
+        if spec.get("catalog_version") is not None:
+            reader = reader.option(
+                "catalogVersion", str(spec["catalog_version"])
+            )
+        df = reader.load()
+    else:
+        if spec.get("version") is not None:
+            reader = reader.option("version", str(spec["version"]))
+        if spec.get("branch") is not None:
+            reader = reader.option("branch", spec["branch"])
+        df = reader.load(spec["root"])
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def _has_repeated_python_scan(spark, df) -> bool:
+    """True iff some Python-data-source TABLE INSTANCE is scanned more
+    than once in ``df``'s optimized plan (children AND subquery plans).
+
+    That is exactly the shape the per-relation scan cache cannot serve
+    exactly: each scan's pushFilters overwrites the one shared readInfo
+    (``PythonDataSourceV2.setReadInfo``), so the last planner pass's
+    partition list would feed every scan of the relation. Single-scan
+    statements over a fresh relation are always exact — the cache has
+    one writer (that scan's own pushdown) or none."""
+    counts: dict[int, int] = {}
+    ident = spark._jvm.java.lang.System.identityHashCode
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "DataSourceV2ScanRelation":
+            tbl = node.relation().table()
+            if tbl.getClass().getSimpleName() == "PythonTable":
+                h = ident(tbl)
+                counts[h] = counts.get(h, 0) + 1
+                if counts[h] > 1:
+                    return True
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        sq = node.subqueries()
+        for i in range(sq.length()):
+            stack.append(sq.apply(i))
+    return False
+
+
+def _sql_views(spark) -> dict:
+    reg = getattr(spark, "_snapshot_sql_views", None)
+    if reg is None:
+        reg = {}
+        spark._snapshot_sql_views = reg
+    return reg
+
+
+def _install_sql_hook(spark) -> None:
+    """Give raw ``spark.sql`` text fresh-relation semantics for the
+    pruning views in this session's registry (the Python-side analog of
+    a catalog plugin — Python data sources have no session-catalog
+    extension point in Spark 4.1).
+
+    Before a statement that names a registered view runs, the view is
+    re-registered over a FRESH relation (empty scan cache); after
+    planning, if the statement scans the same table instance twice
+    (self-join with asymmetric filters, an optimizer-duplicated CTE, a
+    scalar subquery over the same view — shapes the shared cache cannot
+    serve exactly), the view is swapped to a full-list relation and the
+    statement replans: pruned when provably safe, never wrong.
+    Statements naming no registered view pass straight through."""
+    if getattr(spark, "_snapshot_sql_hook", None) is not None:
+        return
+    import re as _re
+    import threading
+
+    orig_sql = spark.sql
+    lock = threading.Lock()
+
+    def sql_hook(sqlQuery, *args, **kwargs):
+        views = _sql_views(spark)
+        if not isinstance(sqlQuery, str) or not views:
+            return orig_sql(sqlQuery, *args, **kwargs)
+        hit = [
+            n
+            for n in views
+            if _re.search(rf"\b{_re.escape(n)}\b", sqlQuery, _re.IGNORECASE)
+        ]
+        if not hit:
+            return orig_sql(sqlQuery, *args, **kwargs)
+        with lock:
+            for n in hit:
+                _register_view_relation(spark, n, views[n], pushdown=True)
+            df = orig_sql(sqlQuery, *args, **kwargs)
+            if _has_repeated_python_scan(spark, df):
+                for n in hit:
+                    _register_view_relation(spark, n, views[n], pushdown=False)
+                df = orig_sql(sqlQuery, *args, **kwargs)
+            return df
+
+    spark.sql = sql_hook
+    spark._snapshot_sql_hook = sql_hook
+
+
+def snapshot_sql_unregister(spark, name: str) -> None:
+    """Drop ``name`` from the pruning registry and the temp-view catalog
+    (the statement hook stays installed but no longer touches it)."""
+    _sql_views(spark).pop(name, None)
+    spark.catalog.dropTempView(name)
+
+
 def snapshot_sql_register(
     spark,
     name: str,
@@ -477,7 +598,7 @@ def snapshot_sql_register(
     catalog: str | None = None,
     table: str | None = None,
     catalog_version: int | None = None,
-    pushdown: bool = False,
+    pushdown: bool = True,
 ):
     """Make a snapshot (or catalog-pinned) table addressable by NAME in
     raw ``spark.sql`` text: plans the scan through the ``snapshot_table``
@@ -486,22 +607,29 @@ def snapshot_sql_register(
     manifest-pinned files, MOR tombstone masks, schema evolution
     defaults, and time travel.
 
-    ``pushdown`` controls partition-level file pruning through the view,
-    and defaults to OFF because of an upstream contract: Spark's
+    ``pushdown=True`` (the default) gives SQL text the same
+    partition-level file pruning as the DataFrame path, made SAFE BY
+    CONSTRUCTION against the upstream scan-cache hazard: Spark's
     Python-data-source scan cache (``PythonDataSourceV2.readInfo``,
-    Spark 4.1) is per RELATION and not keyed on the pushed filters, and
-    a temp view pins one relation across every statement that names it.
-    With pruning on, a filterless statement planned after a filtered one
-    would reuse the filtered statement's pruned partition list and
-    silently drop rows (so would the second scan of a self-join). The
-    default trades pruning for exactness under arbitrary reuse — every
-    cached plan is the same full pinned list and Spark re-evaluates all
-    predicates row-level. Pass ``pushdown=True`` when the view's
-    lifetime is one statement (register fresh, query once, re-register)
-    — the pattern the pruning plan-pin in
-    tests/test_snapshot_batch_source.py exercises; per-query DataFrame
-    reads (``spark.read.format("snapshot_table")``) always prune, since
-    each ``load()`` is its own relation.
+    Spark 4.1) is per RELATION and not keyed on the pushed filters, so
+    a long-lived view pinning one relation would serve a filterless
+    statement the PREVIOUS statement's pruned partition list.
+    Registration therefore installs a session statement hook
+    (``_install_sql_hook``) that re-registers the view over a fresh
+    relation before each statement naming it — each statement owns its
+    cache — and falls back to an unpruned relation for the one shape a
+    fresh relation cannot fix (the same table instance scanned twice in
+    ONE statement with divergent filters: asymmetric self-joins,
+    optimizer-duplicated CTEs, scalar subqueries over the view — the
+    last scan's ``setReadInfo`` would feed both). Pruned when provably
+    safe, exact always; ``pushdown=False`` opts out of the hook and
+    pins a plain full-list view.
+
+    The same cache reuse contract applies to SAVED DataFrames from
+    ``spark.read.format("snapshot_table").load(root)``: the loaded
+    object pins one relation, so run differently-filtered queries over
+    fresh ``load()`` calls (cheap — planning is O(manifest)), not over
+    one long-lived DataFrame.
 
     Addressing mirrors the reader options: ``root`` (+ optional
     ``version`` int or tag, + optional ``branch`` name — WAP quarantine
@@ -518,24 +646,21 @@ def snapshot_sql_register(
     catalog plugin; the reference has no SQL surface of its own (it
     delegates to Postgres — reference operators.py:80).
     """
-    register_snapshot_table(spark)
-    reader = spark.read.format("snapshot_table").option(
-        "pushdown", "true" if pushdown else "false"
-    )
-    if catalog is not None:
-        reader = reader.option("catalog", catalog).option("table", table or name)
-        if catalog_version is not None:
-            reader = reader.option("catalogVersion", str(catalog_version))
-        df = reader.load()
+    if catalog is None and root is None:
+        raise ValueError(
+            "snapshot_sql_register requires root= or catalog=/table="
+        )
+    spec = {
+        "root": root,
+        "version": version,
+        "branch": branch,
+        "catalog": catalog,
+        "table": table,
+        "catalog_version": catalog_version,
+    }
+    if pushdown:
+        _sql_views(spark)[name] = spec
+        _install_sql_hook(spark)
     else:
-        if root is None:
-            raise ValueError(
-                "snapshot_sql_register requires root= or catalog=/table="
-            )
-        if version is not None:
-            reader = reader.option("version", str(version))
-        if branch is not None:
-            reader = reader.option("branch", branch)
-        df = reader.load(root)
-    df.createOrReplaceTempView(name)
-    return df
+        _sql_views(spark).pop(name, None)
+    return _register_view_relation(spark, name, spec, pushdown=pushdown)

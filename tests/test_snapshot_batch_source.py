@@ -347,12 +347,15 @@ def test_catalog_option_reads_pinned_consistent_view(spark, tmp_path):
 
 
 def test_sql_view_pushdown_prunes_files(spark, tmp_path):
-    """VERDICT r8 item 4: snapshot tables named in raw spark.sql text.
-    With pushdown=True (fresh registration per statement), the SQL
-    query's own WHERE conjuncts reach pushFilters and prune the
-    range-clustered files: the selective statement PLANS strictly fewer
-    input partitions than the full scan (``.rdd.getNumPartitions()``
-    forces real DSv2 planning), and the result is exact."""
+    """VERDICT r8 item 4 + r9 item 2: snapshot tables named in raw
+    spark.sql text. With the DEFAULT registration the statement hook
+    re-registers a fresh relation per statement, so the SQL query's own
+    WHERE conjuncts reach pushFilters and prune the range-clustered
+    commits — the selective statement PLANS strictly fewer input
+    partitions than the full scan (``.rdd.getNumPartitions()`` forces
+    real DSv2 planning), at most one commit's worth of files survives
+    (commit-level pruning, not just file luck), and the result is
+    exact. No manual re-registration between statements."""
     from airflow_postgres_csv_spark.sources.snapshot_batch import (
         snapshot_sql_register,
     )
@@ -362,27 +365,33 @@ def test_sql_view_pushdown_prunes_files(spark, tmp_path):
         snapshot_commit(
             _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
         )
-    snapshot_sql_register(spark, "sv_pushdown", root, pushdown=True)
+    snapshot_sql_register(spark, "sv_pushdown", root)
     n_full = spark.sql("SELECT * FROM sv_pushdown").rdd.getNumPartitions()
     got = spark.sql(
         "SELECT COUNT(*) AS n, MIN(id) AS lo FROM sv_pushdown WHERE id >= 350"
     ).first()
     assert (got.n, got.lo) == (50, 350)
-    snapshot_sql_register(spark, "sv_pushdown", root, pushdown=True)
     n_sel = spark.sql(
         "SELECT * FROM sv_pushdown WHERE id >= 350"
     ).rdd.getNumPartitions()
     assert 0 < n_sel < n_full, (n_sel, n_full)
+    # ≤K of N commits: id >= 350 survives only the last of the 4
+    # disjoint-range commits, so at most a quarter of the files plan
+    assert n_sel <= n_full // 4, (n_sel, n_full)
 
 
 def test_sql_view_default_is_reuse_safe(spark, tmp_path):
     """The DEFAULT registration must stay exact under ARBITRARY statement
     sequences over one long-lived view — Spark's per-relation Python
     scan cache (PythonDataSourceV2.readInfo) is not keyed on pushed
-    filters, so a pruning view would serve a filterless statement the
-    previous statement's pruned partitions. The default disables
-    partition pruning; this sequence (full, selective, full, selective,
-    full, self-join) is the exact poisoning pattern."""
+    filters, so a naive pruning view would serve a filterless statement
+    the previous statement's pruned partitions. The statement hook
+    re-registers a fresh relation per statement (each statement owns
+    its cache) and falls back to an unpruned relation when one
+    statement scans the same table instance twice with divergent
+    filters. This sequence (full, selective, full, selective, full,
+    then self-joins / optimizer-duplicated CTE / scalar subquery — the
+    exact poisoning patterns) must stay exact WITH pruning on."""
     from airflow_postgres_csv_spark.sources.snapshot_batch import (
         snapshot_sql_register,
     )
@@ -404,6 +413,9 @@ def test_sql_view_default_is_reuse_safe(spark, tmp_path):
         == 50
     )
     assert spark.sql("SELECT COUNT(*) AS n FROM sv_safe").first().n == 400
+    # symmetric self-join (join-key constraint propagation makes both
+    # scans' filters equal) and ASYMMETRIC self-join (divergent filters
+    # — the fallback shape)
     row = spark.sql(
         """
         SELECT COUNT(*) AS n FROM sv_safe a
@@ -411,6 +423,43 @@ def test_sql_view_default_is_reuse_safe(spark, tmp_path):
         """
     ).first()
     assert row.n == 10
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM sv_safe a
+        JOIN sv_safe b ON a.id = b.id WHERE b.id >= 390 AND a.v < 790
+        """
+    ).first()
+    assert row.n == 5  # ids 390..394
+    # optimizer-duplicated CTE: two scans, divergent pushed filters
+    assert (
+        spark.sql(
+            """
+            WITH c AS (SELECT * FROM sv_safe)
+            SELECT COUNT(*) AS n FROM (
+              SELECT * FROM c WHERE id < 50
+              UNION ALL SELECT * FROM c WHERE id >= 350
+            )
+            """
+        ).first().n
+        == 100
+    )
+    # scalar subquery over the same view (subquery scan would poison the
+    # outer scan's cache without the fallback)
+    assert (
+        spark.sql(
+            """
+            SELECT COUNT(*) AS n FROM sv_safe
+            WHERE id > (SELECT MAX(id) - 10 FROM sv_safe WHERE id < 100)
+            """
+        ).first().n
+        == 310
+    )
+    # and pruning is genuinely ON through the same long-lived view
+    n_full = spark.sql("SELECT * FROM sv_safe").rdd.getNumPartitions()
+    n_sel = spark.sql(
+        "SELECT * FROM sv_safe WHERE id >= 350"
+    ).rdd.getNumPartitions()
+    assert 0 < n_sel < n_full, (n_sel, n_full)
 
 
 def test_sql_view_version_pin_and_join(spark, tmp_path):
