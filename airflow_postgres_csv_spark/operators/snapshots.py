@@ -3096,6 +3096,117 @@ def snapshot_expire(
     }
 
 
+def snapshot_vacuum(
+    root: str,
+    older_than_ns: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Remove ORPHAN files: anything under the table root that no
+    retained manifest pins — Iceberg's ``remove_orphan_files``, the GC
+    that ``snapshot_expire`` is not (expire collects files by dropping
+    VERSIONS; vacuum keeps every version and collects only storage debt
+    no version ever references).
+
+    The debt it targets: a hard-crashed writer that staged
+    ``data/<cid>/`` files and died before its manifest link, a publish
+    that hardlinked a branch's files into the root and crashed before
+    the manifest link, leaked stats sidecars. At 100 TB with fleets of
+    writers this is real storage.
+
+    Safety, in order:
+
+    - files referenced by ANY retained version (not just the head) —
+      data, delete/tombstone, MERGE key files, sidecars — are never
+      touched, so time travel and tags are unaffected;
+    - only files whose mtime is older than ``older_than_ns`` (default:
+      7 days ago) are collected, so an IN-FLIGHT commit or publish —
+      staged files whose manifest link hasn't happened yet — survives
+      (Iceberg's exact contract; pass a recent cutoff only when no
+      writer can be in flight);
+    - branches are untouched: ``_branches/`` is not walked, and
+      removing a root-side orphan NAME never destroys a branch's copy
+      (hardlinks share the inode — the branch keeps its own link), so a
+      crashed publish stays retryable (``_link_back`` re-links missing
+      names);
+    - ``dry_run=True`` reports what would be removed, removes nothing.
+
+    Cost: O(versions) manifest reads + one listing of ``data/`` and
+    ``manifests/`` — no data I/O, no Spark job. Returns
+    ``{"removed_files", "removed_bytes", "candidates", "dry_run"}``
+    where ``candidates`` is the root-relative orphan list.
+    """
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    if older_than_ns is None:
+        older_than_ns = time.time_ns() - 7 * 86400 * 10**9
+    referenced: set[str] = set()
+    referenced_sidecars: set[str] = set()
+    for v in versions:
+        m = _load_manifest(root, v)
+        referenced.update(m["files"])
+        for t in m.get("tombstones", []):
+            referenced.update(t["files"])
+        if m.get("merge_info"):
+            referenced.update(m["merge_info"]["key_files"])
+        referenced_sidecars.update(m.get("sidecars", {}).values())
+    candidates: list[str] = []
+    removed_bytes = 0
+    data_root = os.path.join(root, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for commit_id in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_id)
+            if not os.path.isdir(cdir):
+                continue
+            commit_referenced = any(
+                r.startswith(os.path.join(_DATA_DIR, commit_id))
+                for r in referenced
+            )
+            for dirpath, _, filenames in os.walk(cdir, topdown=False):
+                for name in sorted(filenames):
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, root)
+                    if rel in referenced or (
+                        # parquet sidecars (_SUCCESS, .crc) live and die
+                        # with their commit dir
+                        not name.endswith(".parquet") and commit_referenced
+                    ):
+                        continue
+                    st = os.stat(full)
+                    if st.st_mtime_ns >= older_than_ns:
+                        continue  # inside the in-flight safety window
+                    candidates.append(rel)
+                    removed_bytes += st.st_size
+                    if not dry_run:
+                        os.remove(full)
+                if not dry_run and dirpath != cdir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            if not dry_run and not os.listdir(cdir):
+                shutil.rmtree(cdir)
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("sc-") and name.endswith(".json")):
+                continue
+            rel = os.path.join(_MANIFEST_DIR, name)
+            if rel in referenced_sidecars:
+                continue
+            full = os.path.join(mdir, name)
+            st = os.stat(full)
+            if st.st_mtime_ns >= older_than_ns:
+                continue
+            candidates.append(rel)
+            removed_bytes += st.st_size
+            if not dry_run:
+                os.remove(full)
+    return {
+        "removed_files": 0 if dry_run else len(candidates),
+        "removed_bytes": 0 if dry_run else removed_bytes,
+        "candidates": sorted(candidates),
+        "dry_run": dry_run,
+    }
+
+
 def snapshot_clone(
     src_root: str,
     dst_root: str,

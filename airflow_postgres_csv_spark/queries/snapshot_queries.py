@@ -3436,3 +3436,73 @@ register(
     ) ORDER BY _commit_version, event_id
     """,
 )(snapshot_branch_review)
+
+
+def snapshot_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC (operators/snapshots.py::snapshot_vacuum —
+    Iceberg's remove_orphan_files): ``orders`` lands in two commits,
+    then a crash-staged parquet no manifest pins is planted under
+    ``data/`` and aged past the safety window. Vacuum collects exactly
+    that one file, keeps BOTH versions readable (it never drops
+    history), and the table reads losslessly afterwards; a second
+    vacuum finds nothing. The vacuum stats ride the result as literal
+    columns the oracle restates."""
+    import os
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_vacuum,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    root = _temp_root()
+    snapshot_commit(orders.where(F.pmod("o_orderkey", F.lit(2)) == 0), root)
+    snapshot_commit(orders.where(F.pmod("o_orderkey", F.lit(2)) == 1), root)
+    staged = os.path.join(root, "data", "deadbeefcafe")
+    os.makedirs(staged)
+    orphan = os.path.join(staged, "part-crashed.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 crash before manifest link PAR1")
+    import time
+
+    old = time.time_ns() - 10 * 86400 * 10**9
+    os.utime(orphan, ns=(old, old))
+    stats = snapshot_vacuum(root)
+    again = snapshot_vacuum(root)
+    out = (
+        snapshot_read(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return (
+        out.withColumn(
+            "removed_files", F.lit(stats["removed_files"]).cast("int")
+        )
+        .withColumn(
+            "removed_again", F.lit(again["removed_files"]).cast("int")
+        )
+        .withColumn(
+            "n_versions",
+            F.lit(len(snapshot_versions(root))).cast("int"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "snapshot_vacuum_orphans",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           1 AS removed_files,
+           0 AS removed_again,
+           2 AS n_versions
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)(snapshot_vacuum_orphans)
