@@ -157,6 +157,7 @@ _CARRY_KEYS = (
     "tombstones", "sidecars", "bloom", "defaults", "merge_info",
     "commit_sizes", "sketch_commits", "small_bytes",
     "partition_specs", "commit_partitions", "partition_spec",
+    "column_history",
     "last_batch_id", "cdc_applied_version", "ivm_applied_version",
     "sketch",
 )

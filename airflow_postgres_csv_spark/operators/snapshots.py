@@ -539,7 +539,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
-                "small_bytes", "partition_specs"):
+                "small_bytes", "partition_specs", "column_history"):
         if key in prev:
             out[key] = prev[key]
     if "commit_partitions" in prev:
@@ -1389,6 +1389,27 @@ def _tombstone_applies(t: dict, cid: str, rel: str) -> bool:
 _REL_FROM_URI = r"data/[^/]+/[^/]+$"
 
 
+def _written_name(name: str, have, history: dict) -> str | None:
+    """The physical column name holding ``name``'s data in a file whose
+    written schema has column set ``have``: the name itself when
+    present, else a prior name along the manifest's ``column_history``
+    rename chain (ALTER RENAME is metadata-only, so files written
+    before the rename keep the old physical name), else — when ``name``
+    is itself a retired name (a reader pinned to a pre-rename schema,
+    e.g. a running stream) — the current name of the column that once
+    carried it. Retired names are reserved (``snapshot_alter`` refuses
+    re-binding), so each lookup has at most one answer."""
+    if name in have:
+        return name
+    for h in history.get(name, []):
+        if h in have:
+            return h
+    for cur, chain in history.items():
+        if name in chain and cur in have:
+            return cur
+    return None
+
+
 def _read_pinned(
     spark: SparkSession,
     root: str,
@@ -1456,6 +1477,7 @@ def _read_pinned(
                 ).alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
+        history = manifest.get("column_history", {})
         for i in tids:
             t = tombs[i]
             keys = spark.read.parquet(*[os.path.join(root, f) for f in t["files"]])
@@ -1463,16 +1485,28 @@ def _read_pinned(
                 cond = (df["__file"] == keys["file"]) & (df["__pos"] == keys["pos"])
                 df = df.join(F.broadcast(keys), on=cond, how="left_anti")
             else:
-                df = df.join(F.broadcast(keys), on=t["key_col"], how="left_anti")
+                # a file written before an ALTER RENAME carries the old
+                # physical name; resolve the tombstone's (current) key
+                # column to it
+                key = _written_name(t["key_col"], set(df.columns), history)
+                if key == t["key_col"]:
+                    df = df.join(F.broadcast(keys), on=key, how="left_anti")
+                else:
+                    df = df.join(
+                        F.broadcast(keys),
+                        on=df[key] == keys[t["key_col"]],
+                        how="left_anti",
+                    )
         extra_cols = ["__file", "__pos"] if with_position else []
         if sj != manifest["schema"]:
             defaults = manifest.get("defaults", {})
             have = {f.name: f.dataType for f in written.fields}
             cols = []
             for f in version_schema.fields:
-                if f.name in have:
-                    c = F.col(f.name)
-                    if have[f.name] != f.dataType:
+                src = _written_name(f.name, have, history)
+                if src is not None:
+                    c = F.col(src)
+                    if have[src] != f.dataType:
                         c = c.cast(f.dataType)
                     cols.append(c.alias(f.name))
                 else:
@@ -1616,13 +1650,22 @@ def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
     commit_ranges = manifest.get("commit_ranges", {})
     specs = manifest.get("partition_specs") or []
     cparts = manifest.get("commit_partitions", {}) if specs else {}
+    history = manifest.get("column_history", {})
     pred_cache: dict[int, list] = {}  # spec index -> mapped predicates
+
+    def _rng_of(stats_map: dict, col: str):
+        # stats are recorded under the name the commit was WRITTEN with;
+        # resolve a current (possibly post-rename) predicate column to it
+        src = _written_name(col, stats_map, history) if history else col
+        return stats_map.get(src) if src is not None else None
+
     kept: list[str] = []
     skipped = commits_skipped = sidecars_loaded = no_stats = 0
     for cid, n, subset in _commit_markers(root, manifest):
         cr = commit_ranges.get(cid)
         if cr is not None and any(
-            _range_disjoint(cr.get(c), clo, chi) for c, (clo, chi) in want.items()
+            _range_disjoint(_rng_of(cr, c), clo, chi)
+            for c, (clo, chi) in want.items()
         ):
             commits_skipped += 1
             skipped += n
@@ -1662,7 +1705,7 @@ def _plan_scan(root: str, manifest: dict, want: dict) -> dict:
             fstats = stats.get(rel, {})
             disjoint = missing = False
             for c, (clo, chi) in want.items():
-                rng = fstats.get(c)
+                rng = _rng_of(fstats, c)
                 if rng is None:
                     missing = True
                 elif _range_disjoint(rng, clo, chi):
@@ -2812,9 +2855,11 @@ def snapshot_alter(
     widen: dict | None = None,
     drop: list[str] | None = None,
     column_defaults: dict | None = None,
+    rename: dict | None = None,
 ) -> dict:
     """Metadata-only ALTER TABLE: ADD COLUMN / widen type / DROP COLUMN
-    as a ZERO-DATA commit (Delta/Iceberg's instant schema change).
+    / RENAME COLUMN as a ZERO-DATA commit (Delta/Iceberg's instant
+    schema change).
 
     The new version pins the SAME files under the evolved schema; every
     read path already aligns each file to the version\'s pinned schema
@@ -2830,6 +2875,21 @@ def snapshot_alter(
     the ``merge_schema`` contract). ``drop`` refuses columns the table\'s
     metadata still depends on: partition-spec sources, tombstone key
     columns, Bloom/sketch config columns.
+
+    ``rename`` maps old -> new name (Iceberg's field-id rename,
+    re-expressed as a per-version name lineage): the manifest's
+    cumulative ``column_history`` records each current column's prior
+    names, and every read path — pinned reads, the batch/streaming
+    Python data sources, CDC, MERGE, zone-map/commit-range pruning —
+    resolves a current name to the physical name each file was written
+    under, so files written before the rename read under the new name
+    with zero bytes rewritten while time travel shows each version's
+    own names. Renaming a column the table's metadata depends on
+    (partition-spec sources, live tombstone keys, Bloom/sketch config)
+    is REFUSED — evolve those with a rewrite instead. Retired names
+    stay reserved: re-adding (or renaming another column to) a name an
+    existing column once carried would ambiguously re-bind the old
+    physical data, so it raises.
     """
     import json as _json
 
@@ -2842,9 +2902,19 @@ def snapshot_alter(
     schema = StructType.fromJson(_json.loads(prev["schema"]))
     fields = {f.name: f for f in schema.fields}
     add, widen, drop = add or {}, widen or {}, list(drop or [])
+    rename = dict(rename or {})
+    history = {
+        k: list(v) for k, v in (prev.get("column_history") or {}).items()
+    }
+    retired = {h for chain in history.values() for h in chain}
     for name in add:
         if name in fields:
             raise ValueError(f"ADD COLUMN {name!r}: already exists")
+        if name in retired:
+            raise ValueError(
+                f"ADD COLUMN {name!r}: a renamed column once carried this "
+                "name; re-binding it would be ambiguous for pre-rename files"
+            )
     for name, t in widen.items():
         if name not in fields:
             raise ValueError(f"widen {name!r}: no such column")
@@ -2875,23 +2945,56 @@ def snapshot_alter(
                 f"DROP COLUMN {name!r}: partition specs, tombstone keys, "
                 "or Bloom/sketch configs still depend on it"
             )
+    taken = (set(fields) - set(drop)) | set(add)
+    for old, new in rename.items():
+        if old not in fields:
+            raise ValueError(f"RENAME COLUMN {old!r}: no such column")
+        if old in drop or old in widen or old in rename.values():
+            raise ValueError(
+                f"RENAME COLUMN {old!r}: also dropped/widened/renamed-to "
+                "in the same ALTER — split the statements"
+            )
+        if old in protected:
+            raise ValueError(
+                f"RENAME COLUMN {old!r}: partition specs, tombstone keys, "
+                "or Bloom/sketch configs still depend on it — rewrite "
+                "those first"
+            )
+        if new in taken - {old}:
+            raise ValueError(f"RENAME COLUMN {old!r} -> {new!r}: name taken")
+        if new in retired:
+            raise ValueError(
+                f"RENAME COLUMN {old!r} -> {new!r}: a renamed column once "
+                "carried this name; re-binding it would be ambiguous for "
+                "pre-rename files"
+            )
     out_fields = []
     for f in schema.fields:
         if f.name in drop:
             continue
-        if f.name in widen:
-            f = StructField(f.name, _parse_datatype_string(widen[f.name]), True)
-        out_fields.append(f)
+        name = rename.get(f.name, f.name)
+        dtype = (
+            _parse_datatype_string(widen[f.name])
+            if f.name in widen
+            else f.dataType
+        )
+        out_fields.append(StructField(name, dtype, True))
     for name, t in add.items():
         out_fields.append(StructField(name, _parse_datatype_string(t), True))
     new_schema = StructType(out_fields)
+    for name in drop:
+        history.pop(name, None)
+    for old, new in rename.items():
+        history[new] = [old] + history.pop(old, [])
     commit_id = uuid.uuid4().hex[:12]
     body = _inherit_maps(prev, prev["files"])
     for key in ("bloom", "sketch"):
         if key in prev:
             body[key] = prev[key]
     defaults = {
-        k: v for k, v in body.get("defaults", {}).items() if k not in drop
+        rename.get(k, k): v
+        for k, v in body.get("defaults", {}).items()
+        if k not in drop
     }
     if column_defaults:
         unknown = set(column_defaults) - {f.name for f in new_schema.fields}
@@ -2902,13 +3005,17 @@ def snapshot_alter(
         body["defaults"] = defaults
     else:
         body.pop("defaults", None)
+    if history:
+        body["column_history"] = history
+    else:
+        body.pop("column_history", None)
     body.update(
         mode="alter",
         commit_id=commit_id,
         files=list(prev["files"]),
         n_files=prev["n_files"],
         schema=new_schema.json(),
-        alter={"add": add, "widen": widen, "drop": drop},
+        alter={"add": add, "widen": widen, "drop": drop, "rename": rename},
     )
     return _publish(root, versions, body, commit_id, None)
 
@@ -3365,8 +3472,22 @@ def snapshot_table_changes(
         raise FileNotFoundError(f"no snapshot versions at {root}")
     latest = to_version if to_version is not None else versions[-1]
     pieces: list[DataFrame] = []
+    # ALTER RENAME lineage: rows of a pre-rename version surface in the
+    # feed under the TO-version's names (old -> current, from the latest
+    # manifest's column_history), so the union is exact across renames
+    latest_hist = (
+        _load_manifest(root, latest).get("column_history", {})
+        if latest >= 1
+        else {}
+    )
+    current_of = {
+        old: cur for cur, chain in latest_hist.items() for old in chain
+    }
 
     def emit(df: DataFrame, v: int, change: str) -> None:
+        for old, cur in current_of.items():
+            if old in df.columns and cur not in df.columns:
+                df = df.withColumnRenamed(old, cur)
         pieces.append(
             df.withColumn("_commit_version", F.lit(v).cast("long"))
             .withColumn("_change_type", F.lit(change))

@@ -76,6 +76,7 @@ class SnapshotBatchPartition(InputPartition):
         table_schema_json: str,
         defaults_json: str,
         tomb_specs_json: str,
+        history_json: str = "{}",
     ):
         self.path = path
         self.rel = rel
@@ -83,6 +84,7 @@ class SnapshotBatchPartition(InputPartition):
         self.table_schema_json = table_schema_json
         self.defaults_json = defaults_json
         self.tomb_specs_json = tomb_specs_json
+        self.history_json = history_json
 
 
 def _resolve_table(options: dict) -> tuple[str, int | None]:
@@ -309,6 +311,7 @@ class SnapshotBatchReader(DataSourceReader):
                     table_schema_json=m["schema"],
                     defaults_json=json.dumps(m.get("defaults", {})),
                     tomb_specs_json=json.dumps(specs),
+                    history_json=json.dumps(m.get("column_history", {})),
                 )
             )
         return parts
@@ -325,6 +328,10 @@ class SnapshotBatchReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            _written_name,
+        )
+
         table_schema = StructType.fromJson(
             json.loads(partition.table_schema_json)
         )
@@ -336,14 +343,22 @@ class SnapshotBatchReader(DataSourceReader):
             ).fields
         }
         defaults = json.loads(partition.defaults_json)
+        history = json.loads(partition.history_json)
+        # ALTER RENAME lineage: a pre-rename file stores the old physical
+        # name — resolve each target column to the name this file carries
+        src_of = {
+            f.name: _written_name(f.name, written, history) for f in target
+        }
         tbl = pq.read_table(
-            partition.path, columns=[f.name for f in target if f.name in written]
+            partition.path,
+            columns=[s for s in src_of.values() if s is not None],
         )
         n = tbl.num_rows
         arrays = []
         for f in target:
-            if f.name in written:
-                arrays.append(tbl.column(f.name).cast(f.type))
+            src = src_of[f.name]
+            if src is not None:
+                arrays.append(tbl.column(src).cast(f.type))
             else:
                 arrays.append(pa.array([defaults.get(f.name)] * n, type=f.type))
         aligned = pa.table(arrays, schema=target)
@@ -362,6 +377,8 @@ class SnapshotBatchReader(DataSourceReader):
                 keys = pa.concat_tables(
                     [pq.read_table(f, columns=[key]) for f in spec["delete_files"]]
                 )[key]
+                # `aligned` already carries CURRENT names, so the (current)
+                # tombstone key column addresses it directly
                 col = aligned[key]
                 mask = pc.is_in(
                     col, value_set=keys.combine_chunks().cast(col.type)

@@ -118,6 +118,7 @@ class SnapshotFilePartition(InputPartition):
         delete_spec_json: str = "",
         include_spec_json: str = "",
         rel: str = "",
+        history_json: str = "{}",
     ):
         self.path = path
         self.written_schema_json = written_schema_json
@@ -130,6 +131,8 @@ class SnapshotFilePartition(InputPartition):
         # touched (key in the recorded merge-key files), not carried rows
         self.include_spec_json = include_spec_json
         self.rel = rel
+        # ALTER RENAME lineage of the emitting version's manifest
+        self.history_json = history_json
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -139,6 +142,16 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._root = options.get("root")
         if not self._root:
             raise ValueError("snapshot_feed requires option 'root'")
+        # rename lineage of the manifest the stream schema was fixed
+        # from: versions emitted from BEFORE a rename carry no lineage of
+        # their own, but their files must still align to the stream's
+        # (current) names
+        _vs = snapshot_versions(self._root)
+        self._history_json = json.dumps(
+            _load_manifest(self._root, _vs[-1]).get("column_history", {})
+            if _vs
+            else {}
+        )
         self._start_version = int(options.get("startingversion", 0))
         if "startingtimestamp" in options:
             if "startingversion" in options:
@@ -302,6 +315,11 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         defaults_json=end_defaults,
                         version=v,
                         rel=rel,
+                        history_json=(
+                            json.dumps(cur["column_history"])
+                            if cur.get("column_history")
+                            else self._history_json
+                        ),
                     )
                 )
             if self._change_feed:
@@ -373,6 +391,11 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             {"new": _spec(t), "prior": prior}
                         ),
                         rel=rel,
+                        history_json=(
+                            json.dumps(cur["column_history"])
+                            if cur.get("column_history")
+                            else self._history_json
+                        ),
                     )
                 )
         return parts
@@ -484,6 +507,10 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
         import pyarrow.compute as pc
 
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            _written_name,
+        )
+
         stream_schema = StructType.fromJson(
             json.loads(partition.stream_schema_json)
         )
@@ -494,17 +521,28 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             ).fields
         }
         defaults = json.loads(partition.defaults_json)
+        history = json.loads(partition.history_json)
         data_fields = [
             f for f in target if f.name not in (VERSION_COL, CHANGE_COL)
         ]
+        # ALTER RENAME lineage: resolve each stream column to the name
+        # this file physically carries (either direction — the stream's
+        # schema is pinned at query start, files may pre- or post-date a
+        # rename)
+        src_of = {
+            f.name: _written_name(f.name, written, history)
+            for f in data_fields
+        }
         tbl = pq.read_table(
-            partition.path, columns=[f.name for f in data_fields if f.name in written]
+            partition.path,
+            columns=[s for s in src_of.values() if s is not None],
         )
         n = tbl.num_rows
         arrays = []
         for f in data_fields:
-            if f.name in written:
-                arrays.append(tbl.column(f.name).cast(f.type))
+            src = src_of[f.name]
+            if src is not None:
+                arrays.append(tbl.column(src).cast(f.type))
             else:
                 # column added by a later schema evolution: default-fill,
                 # exactly as snapshots._read_pinned does JVM-side
