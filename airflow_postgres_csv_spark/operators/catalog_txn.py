@@ -555,3 +555,237 @@ def catalog_write_audit_publish(
     return catalog_pin_tables(
         catalog_root, pins, retries=retries, note=note, ddl=ddl
     )
+
+
+# ---------------------------------------------------------------------------
+# CATALOG-LEVEL BRANCHES (Nessie / Iceberg-branching at the catalog
+# pointer): fork the WHOLE catalog, stage a multi-table experiment on it
+# (each touched table forks a per-table branch lazily), audit, and
+# publish everything back as ONE atomic catalog flip. The capstone of
+# the per-table branch (operators/branches.py) + multi-table catalog
+# (above) halves: per-table branches give cheap isolated staging,
+# the catalog pointer gives all-or-nothing cross-table visibility.
+# ---------------------------------------------------------------------------
+
+_CAT_BRANCH_DIR = "_catbranches"
+
+
+def _branch_catalog_root(catalog_root: str, name: str) -> str:
+    if not name or "/" in name or os.sep in name or name.startswith("."):
+        raise ValueError(f"invalid catalog branch name {name!r}")
+    return os.path.join(catalog_root, _CAT_BRANCH_DIR, name)
+
+
+def _table_branch_name(branch: str) -> str:
+    return f"catb-{branch}"
+
+
+def catalog_branch(catalog_root: str, name: str) -> str:
+    """Fork the catalog POINTER: the branch is itself a catalog whose
+    version 1 clones the main head's pins verbatim (O(tables) metadata,
+    zero table I/O — no table forks until a branch write touches one).
+    Reads through the branch (``catalog_read(spark, branch_root, t)``)
+    see the fork-point world; main is never affected until
+    ``catalog_publish_branch``. Returns the branch catalog root."""
+    versions = catalog_versions(catalog_root)
+    if not versions:
+        raise FileNotFoundError(f"no catalog versions at {catalog_root}")
+    broot = _branch_catalog_root(catalog_root, name)
+    if catalog_versions(broot):
+        raise FileExistsError(f"catalog branch {name!r} already exists")
+    head = versions[-1]
+    _publish_catalog(
+        broot,
+        [],
+        dict(catalog_state(catalog_root, head)),
+        uuid.uuid4().hex[:12],
+        f"branched from catalog v{head}",
+        extra={"branched_from": {"root": os.path.abspath(catalog_root),
+                                 "version": head}},
+    )
+    return broot
+
+
+def catalog_branches(catalog_root: str) -> dict[str, dict]:
+    """Live catalog branches: name -> {base (main catalog version forked
+    from), head (branch catalog head version), root}."""
+    bdir = os.path.join(catalog_root, _CAT_BRANCH_DIR)
+    out: dict[str, dict] = {}
+    if not os.path.isdir(bdir):
+        return out
+    for name in sorted(os.listdir(bdir)):
+        broot = os.path.join(bdir, name)
+        versions = catalog_versions(broot)
+        if not versions:
+            continue
+        base = _load_catalog(broot, versions[0]).get("branched_from", {})
+        out[name] = {
+            "base": base.get("version"),
+            "head": versions[-1],
+            "root": broot,
+        }
+    return out
+
+
+def catalog_drop_branch(catalog_root: str, name: str) -> None:
+    """Drop a catalog branch: its pointer directory AND every per-table
+    branch it forked (hardlinked data shared with the real tables
+    survives — only the branch names are unlinked)."""
+    import shutil
+
+    from airflow_postgres_csv_spark.operators import branches as B
+
+    broot = _branch_catalog_root(catalog_root, name)
+    versions = catalog_versions(broot)
+    if versions:
+        tb = _table_branch_name(name)
+        for pin in catalog_state(broot).values():
+            base_root = pin.get("base_root")
+            if base_root and tb in B.snapshot_branches(base_root):
+                B.snapshot_drop_branch(base_root, tb)
+    shutil.rmtree(broot)
+
+
+def catalog_branch_write(
+    spark: SparkSession,
+    catalog_root: str,
+    branch: str,
+    writes: list[dict],
+    audits: dict | None = None,
+    cross_audits: dict | None = None,
+    note: str = "",
+) -> dict:
+    """Stage a multi-table transaction ON a catalog branch: each
+    ``writes`` entry (``{"name", "df", ...snapshot_commit kwargs}`` —
+    the table must be pinned in the branch catalog) lazily forks a
+    per-table branch from the table's FORK-POINT pinned version, commits
+    to it, and flips the BRANCH catalog's pin to the table-branch head —
+    so reads through the branch catalog see every staged statement,
+    mutually consistent, while main and the real table roots are
+    untouched.
+
+    ``audits`` / ``cross_audits`` (``catalog_write_audit_publish``
+    shapes) gate over the staged would-be states; on failure
+    ``AuditError`` is raised, the BRANCH CATALOG pins are NOT advanced,
+    and each staged table branch is ROLLED BACK to its pre-write state
+    (a forward rollback commit — the offending rows stay time-travelable
+    on the branch for triage but never pollute later branch writes)."""
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    broot_cat = _branch_catalog_root(catalog_root, branch)
+    if not catalog_versions(broot_cat):
+        raise FileNotFoundError(f"no catalog branch {branch!r}")
+    state = catalog_state(broot_cat)
+    tb = _table_branch_name(branch)
+    staged: dict[str, DataFrame] = {}
+    new_pins: dict[str, dict] = {}
+    pre_heads: dict[str, tuple[str, int]] = {}
+    audits = audits or {}
+    for w in writes:
+        w = dict(w)
+        name, df = w.pop("name"), w.pop("df")
+        pin = state.get(name)
+        if pin is None:
+            raise KeyError(
+                f"table {name!r} not pinned by catalog branch {branch!r} "
+                f"(have {sorted(state)}); register it on main first"
+            )
+        base_root = pin.get("base_root", pin["root"])
+        base_version = pin.get("base_version", pin["version"])
+        if tb not in B.snapshot_branches(base_root):
+            B.snapshot_branch(base_root, tb, version=base_version)
+        tbroot = B._branch_root(base_root, tb)
+        pre_heads.setdefault(name, (tbroot, snapshot_versions(tbroot)[-1]))
+        m = snapshot_commit(df, tbroot, **w)
+        staged[name] = snapshot_read(spark, tbroot)
+        new_pins[name] = {
+            "root": tbroot,
+            "version": m["version"],
+            "base_root": os.path.abspath(base_root),
+            "base_version": base_version,
+        }
+    failed = []
+    for name, table_audits in audits.items():
+        if name not in staged:
+            raise KeyError(f"audits name {name!r} not among writes")
+        failed.extend(
+            f"{name}:{a}" for a in B.run_audits(staged[name], table_audits)
+        )
+    for aname, fn in (cross_audits or {}).items():
+        full = dict(staged)
+        if not bool(fn(full)):
+            failed.append(f"*:{aname}")
+    if failed:
+        for name, (tbroot, pre_v) in pre_heads.items():
+            snapshot_rollback(spark, tbroot, pre_v)
+        raise B.AuditError(branch, failed)
+    tables = dict(state)
+    tables.update(new_pins)
+    versions = catalog_versions(broot_cat)
+    return _publish_catalog(
+        broot_cat, versions, tables, uuid.uuid4().hex[:12],
+        note or f"branch write ({', '.join(sorted(new_pins))})",
+    )
+
+
+def catalog_publish_branch(
+    catalog_root: str, name: str, retries: int = 0, note: str = ""
+) -> dict:
+    """Publish a catalog branch back to main as ONE atomic catalog flip
+    (all-or-nothing cross-table visibility):
+
+    1. conflict check — every table the branch TOUCHED must still carry
+       its fork-point pin on main's head (first-committer-wins across
+       catalog branches; ``CatalogConflictError`` otherwise, branch
+       retained for rebase/triage). Tables the branch never touched
+       follow main freely (snapshot isolation: main's concurrent moves
+       of OTHER tables carry forward under the flip).
+    2. each touched table's per-table branch fast-forward-publishes to
+       its real root (one manifest link per table);
+    3. one ``catalog_pin_tables`` flips every touched pin together. A
+       crash between 2 and 3 leaves table versions UNPINNED — invisible
+       through the catalog, superseded by a re-publish (the catalog
+       crash contract).
+
+    The branch is consumed on success."""
+    import shutil
+
+    from airflow_postgres_csv_spark.operators import branches as B
+
+    broot_cat = _branch_catalog_root(catalog_root, name)
+    bversions = catalog_versions(broot_cat)
+    if not bversions:
+        raise FileNotFoundError(f"no catalog branch {name!r}")
+    fork = _load_catalog(broot_cat, bversions[0])
+    cur = catalog_state(broot_cat)
+    head_state = catalog_state(catalog_root)
+    touched = {n: p for n, p in cur.items() if "base_root" in p}
+    if not touched:
+        shutil.rmtree(broot_cat)
+        return _load_catalog(
+            catalog_root, catalog_versions(catalog_root)[-1]
+        )
+    for n in touched:
+        fork_pin = fork["tables"].get(n)
+        now_pin = head_state.get(n)
+        if fork_pin != now_pin:
+            raise CatalogConflictError(
+                f"catalog branch {name!r}: table {n!r} moved on main since "
+                f"the fork ({fork_pin} -> {now_pin}); rebase the branch or "
+                "re-run against the new state"
+            )
+    pins: dict[str, tuple[str, int]] = {}
+    tb = _table_branch_name(name)
+    for n, p in touched.items():
+        m = B.snapshot_publish_branch(p["base_root"], tb)
+        pins[n] = (p["base_root"], m["version"])
+    out = catalog_pin_tables(
+        catalog_root, pins, retries=retries,
+        note=note or f"publish catalog branch {name}",
+    )
+    shutil.rmtree(broot_cat)
+    return out

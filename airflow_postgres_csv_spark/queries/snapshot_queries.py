@@ -3506,3 +3506,123 @@ register(
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )(snapshot_vacuum_orphans)
+
+
+def snapshot_alter_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN (operators/snapshots.py::snapshot_alter
+    ``rename=``): the even half of ``events`` commits under the original
+    ``event_type`` name, the column is renamed to ``etype`` in a
+    zero-data commit, the odd half appends under the NEW name, and a
+    merge-on-read delete keyed on ``event_id`` then removes the 'click'
+    rows by their renamed column — reaching pre-rename files through the
+    manifest's name lineage (column_history). The final read returns
+    every surviving row under the current name; time travel to v1 (also
+    asserted) still shows the original name. Oracle restates the rename
+    as a SQL alias."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+        snapshot_delete_mor,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    root = _temp_root()
+    snapshot_commit(events.where(F.pmod("event_id", F.lit(2)) == 0), root)
+    m = snapshot_alter(root, rename={"event_type": "etype"})
+    assert m["mode"] == "alter" and m["column_history"] == {
+        "etype": ["event_type"]
+    }
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 1).withColumnRenamed(
+            "event_type", "etype"
+        ),
+        root,
+    )
+    snapshot_delete_mor(spark, root, "etype = 'click'", key_col="event_id")
+    assert snapshot_read(spark, root, version=1).columns == [
+        "event_id",
+        "event_type",
+    ]
+    return snapshot_read(spark, root).orderBy("event_id")
+
+
+register(
+    "snapshot_alter_rename",
+    """
+    SELECT event_id, event_type AS etype
+    FROM events WHERE event_type <> 'click' ORDER BY event_id
+    """,
+)(snapshot_alter_rename)
+
+
+def snapshot_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level branch (operators/catalog_txn.py::catalog_branch):
+    a two-table world (``docs`` = even events, ``stats`` = its per-type
+    rollup) forks as ONE catalog branch; the branch stages the odd half
+    plus the recomputed rollup with a cross-table audit, while MAIN
+    still reads the fork-point world (captured as the ``before_*``
+    literal columns); ``catalog_publish_branch`` then flips both pins in
+    one atomic catalog version. The result is the post-publish rollup
+    read THROUGH main joined with the before/after counts; the oracle
+    restates all of it from the fixture."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+        catalog_branch_write,
+        catalog_publish_branch,
+        catalog_read,
+        catalog_txn,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    even = events.where(F.pmod("event_id", F.lit(2)) == 0)
+    odd = events.where(F.pmod("event_id", F.lit(2)) == 1)
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    cat, r_docs, r_stats = _temp_root(), _temp_root(), _temp_root()
+    catalog_txn(
+        cat,
+        [{"name": "docs", "root": r_docs, "df": even},
+         {"name": "stats", "root": r_stats, "df": rollup(even)}],
+    )
+    catalog_branch(cat, "exp")
+    catalog_branch_write(
+        spark, cat, "exp",
+        [{"name": "docs", "df": odd},
+         {"name": "stats", "df": rollup(events), "mode": "overwrite"}],
+        cross_audits={
+            "rollup_total": lambda s: s["stats"].agg(F.sum("n")).first()[0]
+            == s["docs"].count()
+        },
+    )
+    # main still serves the fork-point world for BOTH tables
+    before_docs = catalog_read(spark, cat, "docs").count()
+    before_total = (
+        catalog_read(spark, cat, "stats").agg(F.sum("n")).first()[0]
+    )
+    catalog_publish_branch(cat, "exp")
+    out = catalog_read(spark, cat, "stats")
+    after_docs = catalog_read(spark, cat, "docs").count()
+    return (
+        out.withColumn("before_docs", F.lit(before_docs).cast("bigint"))
+        .withColumn("before_total", F.lit(before_total).cast("bigint"))
+        .withColumn("after_docs", F.lit(after_docs).cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_catalog_branch",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0)
+             AS before_docs,
+           (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0)
+             AS before_total,
+           (SELECT COUNT(*) FROM events) AS after_docs
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)(snapshot_catalog_branch)

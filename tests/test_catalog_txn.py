@@ -470,3 +470,148 @@ def test_catalog_txn_with_ddl_rider_write_and_promote(spark, tmp_path):
     # the pre-promotion world is intact at v0
     assert set(catalog_tables(cat, catalog_version=v0)) == {"live.t", "staged.t"}
     assert catalog_read(spark, cat, "live.t", catalog_version=v0).count() == 20
+
+
+def _branch_setup(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 100)
+    catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a1.coalesce(1)},
+         {"name": "b", "root": rb, "df": b1.coalesce(1)}],
+    )
+    broot = catalog_branch(cat, "exp")
+    return cat, ra, rb, broot
+
+
+def test_catalog_branch_stage_audit_publish_atomic(spark, tmp_path):
+    """VERDICT r9 item 5: a catalog branch forks the WHOLE catalog,
+    stages a multi-table experiment (lazy per-table branches + audits),
+    and publishes as ONE atomic flip — main readers observe both tables
+    at their old pins right up to the flip, then both at the new ones;
+    the branch and its table branches are consumed."""
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch_write,
+        catalog_branches,
+        catalog_publish_branch,
+    )
+
+    cat, ra, rb, broot = _branch_setup(spark, tmp_path)
+    assert catalog_branches(cat) == {
+        "exp": {"base": 1, "head": 1, "root": broot}
+    }
+    # branch view == fork point
+    assert catalog_read(spark, broot, "a").count() == 100
+    a2, b2 = _dfs(spark, 100, 150)
+    catalog_branch_write(
+        spark, cat, "exp",
+        [{"name": "a", "df": a2.coalesce(1)},
+         {"name": "b", "df": b2.coalesce(1)}],
+        audits={"a": {"grew": "count(*) = 150"}},
+        cross_audits={"same_n": lambda s: s["a"].count() == s["b"].count()},
+    )
+    # branch sees both staged; MAIN and the real roots see nothing
+    assert catalog_read(spark, broot, "a").count() == 150
+    assert catalog_read(spark, broot, "b").count() == 150
+    assert catalog_read(spark, cat, "a").count() == 100
+    assert catalog_read(spark, cat, "b").count() == 100
+    assert snapshot_versions(ra) == [1] and snapshot_versions(rb) == [1]
+    m = catalog_publish_branch(cat, "exp")
+    st = catalog_state(cat)
+    assert st["a"]["version"] == 2 and st["b"]["version"] == 2
+    assert st["a"]["root"] == ra  # pins point at the REAL roots again
+    assert catalog_read(spark, cat, "a").count() == 150
+    assert catalog_read(spark, cat, "b").count() == 150
+    # all-or-nothing: the previous catalog version still shows both old
+    assert catalog_read(spark, cat, "a", catalog_version=m["version"] - 1).count() == 100
+    assert catalog_branches(cat) == {}
+    assert B.snapshot_branches(ra) == {} and B.snapshot_branches(rb) == {}
+
+
+def test_catalog_branch_snapshot_isolation_and_conflict(spark, tmp_path):
+    """Main's concurrent move of an UNTOUCHED table carries forward
+    under the branch publish (snapshot isolation); a move of a TOUCHED
+    table conflicts — nothing flips, the branch is retained, and
+    dropping it cleans the per-table branches."""
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch_write,
+        catalog_branches,
+        catalog_drop_branch,
+        catalog_publish_branch,
+    )
+
+    cat, ra, rb, broot = _branch_setup(spark, tmp_path)
+    a2, _ = _dfs(spark, 100, 150)
+    catalog_branch_write(
+        spark, cat, "exp", [{"name": "a", "df": a2.coalesce(1)}]
+    )
+    # concurrent main txn moves b (untouched by the branch)
+    _, b3 = _dfs(spark, 500, 600)
+    catalog_txn(cat, [{"name": "b", "root": rb, "df": b3.coalesce(1)}])
+    catalog_publish_branch(cat, "exp")
+    st = catalog_state(cat)
+    assert catalog_read(spark, cat, "a").count() == 150   # branch landed
+    assert catalog_read(spark, cat, "b").count() == 200   # main's move kept
+    # now a conflicting case: branch touches a, main moves a post-fork
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+    )
+
+    catalog_branch(cat, "exp2")
+    a4, _ = _dfs(spark, 1000, 1010)
+    catalog_branch_write(
+        spark, cat, "exp2", [{"name": "a", "df": a4.coalesce(1)}]
+    )
+    a5, _ = _dfs(spark, 2000, 2010)
+    catalog_txn(cat, [{"name": "a", "root": ra, "df": a5.coalesce(1)}])
+    before = catalog_state(cat)
+    with pytest.raises(CatalogConflictError, match="moved on main"):
+        catalog_publish_branch(cat, "exp2")
+    assert catalog_state(cat) == before          # nothing flipped
+    assert "exp2" in catalog_branches(cat)       # retained for rebase
+    assert "catb-exp2" in B.snapshot_branches(ra)
+    catalog_drop_branch(cat, "exp2")
+    assert catalog_branches(cat) == {}
+    assert B.snapshot_branches(ra) == {}
+
+
+def test_catalog_branch_audit_failure_keeps_branch_view(spark, tmp_path):
+    """A failed audit leaves the BRANCH catalog at its last good pins
+    and rolls the table branch back to its pre-write state — the
+    rejected rows stay time-travelable on the branch for triage but
+    never pollute later branch writes."""
+    from airflow_postgres_csv_spark.operators.branches import AuditError
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch_write,
+        catalog_publish_branch,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+
+    cat, ra, rb, broot = _branch_setup(spark, tmp_path)
+    bad, _ = _dfs(spark, 100, 101)
+    with pytest.raises(AuditError):
+        catalog_branch_write(
+            spark, cat, "exp", [{"name": "a", "df": bad.coalesce(1)}],
+            audits={"a": {"big_batch": "count(*) >= 150"}},
+        )
+    # branch view unpolluted
+    assert catalog_read(spark, broot, "a").count() == 100
+    good, _ = _dfs(spark, 100, 160)
+    catalog_branch_write(
+        spark, cat, "exp", [{"name": "a", "df": good.coalesce(1)}],
+        audits={"a": {"big_batch": "count(*) >= 150"}},
+    )
+    # the rejected row is NOT in the branch state (rolled back), only in
+    # the branch's time-travel history for triage
+    assert catalog_read(spark, broot, "a").count() == 160
+    tbroot = catalog_state(broot)["a"]["root"]
+    assert snapshot_read(spark, tbroot, version=2).count() == 101  # triage
+    catalog_publish_branch(cat, "exp")
+    assert catalog_read(spark, cat, "a").count() == 160
