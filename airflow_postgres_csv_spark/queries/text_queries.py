@@ -1961,3 +1961,132 @@ register(
     FROM sc QUALIFY rank <= 100 ORDER BY rank""",
     ),
 )(sample_classifier_topk)
+
+
+def streaming_classifier_live(spark, sf_dir):
+    """Score-on-ingest (streaming/sinks.py::start_classifier_sink —
+    VERDICT r9 item 6): the trained quality classifier gates a LIVE
+    document stream. The model trains once and persists as a snapshot
+    generation; two micro-batches (documents split by doc_id parity)
+    stream through the sink with a CHECKPOINTED RESTART between them,
+    ``drop_rejected=True`` keeps only predicted-quality rows, and every
+    commit stamps the scoring model's version inside its atomic publish.
+    Live per-doc logits are bit-identical to the batch replay, so the
+    plain-SQL oracle applies verbatim; structural flags pin the restart
+    (2 commits, batch gate at 1) and the model stamp."""
+    import os
+    import shutil
+
+    from airflow_postgres_csv_spark.operators.classifier import (
+        save_classifier,
+        train_quality_classifier,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        _max_stamp,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from airflow_postgres_csv_spark.queries.snapshot_queries import _temp_root
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_classifier_sink,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    model, _ = train_quality_classifier(docs, F.col("lang") == "en")
+    model_root = _temp_root()
+    save_classifier(spark, model, model_root)
+
+    src = os.path.join(_temp_root(), "src")
+    os.makedirs(src)
+    staged = []
+    for i in (0, 1):
+        part_dir = os.path.join(_temp_root(), f"half{i}")
+        docs.where(F.pmod("doc_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            part_dir
+        )
+        part = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        staged.append(os.path.join(part_dir, part))
+    dst0 = os.path.join(src, "000.parquet")
+    shutil.move(staged[0], dst0)
+    os.utime(dst0, (1_000_000, 1_000_000))
+    schema = docs.schema
+    ckpt = os.path.join(_temp_root(), "ckpt")
+    root = _temp_root()
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    def sink(s):
+        return start_classifier_sink(
+            s, root, model_root, ckpt, drop_rejected=True
+        )
+
+    q = sink(stream())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.move(staged[1], os.path.join(src, "001.parquet"))
+    q2 = sink(stream())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    versions = snapshot_versions(root)
+    restart_ok = int(
+        len(versions) == 2 and _max_stamp(root, "last_batch_id", -1) == 1
+    )
+    model_ok = int(
+        all(
+            _load_manifest(root, v).get("classifier_model", {}).get("version")
+            == 1
+            for v in versions
+        )
+    )
+    return (
+        snapshot_read(spark, root)
+        .select(
+            "doc_id",
+            F.round("score", 9).alias("score9"),
+            "pred",
+            F.lit(restart_ok).alias("restart_ok"),
+            F.lit(model_ok).alias("model_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "streaming_classifier_live",
+    _CLF_ORACLE.replace(
+        """
+    SELECT f.doc_id, any_value(f.y) AS y,
+           CAST(CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                + (SELECT prior FROM pr) AS DOUBLE) AS score,
+           CAST((CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                 + (SELECT prior FROM pr)) >= 0 AS INT) AS pred
+    FROM f JOIN w USING (b)
+    GROUP BY f.doc_id ORDER BY f.doc_id""",
+        """
+    , sc AS (
+      SELECT f.doc_id,
+             CAST(CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                  + (SELECT prior FROM pr) AS DOUBLE) AS score,
+             CAST((CAST(SUM(CAST(f.cnt AS DECIMAL(10,0)) * w.llr) AS DECIMAL(28,9))
+                   + (SELECT prior FROM pr)) >= 0 AS INT) AS pred
+      FROM f JOIN w USING (b)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, ROUND(score, 9) AS score9, pred,
+           1 AS restart_ok, 1 AS model_ok
+    FROM sc WHERE pred = 1 ORDER BY doc_id""",
+    ),
+)(streaming_classifier_live)

@@ -692,3 +692,99 @@ def start_wap_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def classifier_scoring_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    model: dict,
+    model_version: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_rejected: bool = False,
+    retries: int = 2,
+) -> bool:
+    """foreachBatch body of the score-on-ingest sink: score one
+    micro-batch under a FROZEN classifier generation (the model was
+    loaded once at sink start — the persisted-index discipline of the
+    ANN/BM25 sinks: serving never retrains) and append the documents
+    WITH their ``score``/``pred`` columns as one snapshot commit.
+
+    Exactly-once via the batch-id high-water gate, and the scoring
+    model's snapshot version rides the SAME atomic publish
+    (``extra={"classifier_model": ...}``) — every committed row is
+    auditable to the exact model generation that scored it.
+    ``drop_rejected=True`` additionally gates ingest on ``pred = 1``
+    (quality filtering at the door; the scores of kept rows still land,
+    so thresholds can be re-tightened downstream)."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.classifier import (
+        score_documents,
+    )
+
+    if batch_id <= S._max_stamp(root, "last_batch_id", -1):
+        return False
+    scored = batch_df.join(
+        score_documents(batch_df, model, id_col=id_col, text_col=text_col),
+        id_col,
+    )
+    if drop_rejected:
+        scored = scored.where(F.col("pred") == 1)
+    S.snapshot_commit(
+        scored, root,
+        extra={
+            "last_batch_id": batch_id,
+            "classifier_model": {"version": int(model_version)},
+        },
+        retries=retries,
+    )
+    return True
+
+
+def start_classifier_sink(
+    stream_df: DataFrame,
+    root: str,
+    model_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_version: int | str | None = None,
+    drop_rejected: bool = False,
+) -> StreamingQuery:
+    """Score-on-ingest (VERDICT r9 item 6): stream documents through the
+    trained quality classifier (operators/classifier.py) into a snapshot
+    table — each row lands with its ``score``/``pred`` and the scoring
+    model's version stamped inside the same atomic publish. The model
+    generation is pinned at sink START (pass ``model_version`` to pin an
+    older one); retraining publishes a new generation that takes effect
+    on the next sink (re)start, never mid-stream. Restart-safe via the
+    batch-id gate; ``drop_rejected=True`` turns it into a quality GATE
+    (predicted-bad rows never land)."""
+    from airflow_postgres_csv_spark.operators.classifier import (
+        load_classifier,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        resolve_version,
+        snapshot_versions,
+    )
+
+    spark = stream_df.sparkSession
+    v = resolve_version(model_root, model_version)
+    if v is None:
+        v = snapshot_versions(model_root)[-1]
+    model = load_classifier(spark, model_root, v)
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: classifier_scoring_batch(
+                df, bid, root, model, v,
+                id_col=id_col, text_col=text_col,
+                drop_rejected=drop_rejected,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

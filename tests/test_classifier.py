@@ -115,3 +115,64 @@ def test_score_documents_unseen_tokens_use_default_llr(spark, sf_dir):
     out = score_documents(new, model).collect()
     assert len(out) == 1 and out[0]["score"] is not None
     assert out[0]["pred"] in (0, 1)
+
+
+def test_streaming_classifier_sink_scores_and_pins_generation(
+    spark, sf_dir, tmp_path
+):
+    """Score-on-ingest sink: live scores equal batch scoring, each
+    commit stamps the model generation it used, replayed batches are
+    no-ops, and the generation is pinned at sink start — a retrain mid-
+    stream never changes in-flight scoring (pass model_version to pin
+    an older generation explicitly)."""
+    import os
+
+    from airflow_postgres_csv_spark.operators.classifier import (
+        save_classifier,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_classifier_sink,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model, _ = train_quality_classifier(docs, F.col("lang") == "en")
+    model_root = str(tmp_path / "model")
+    save_classifier(spark, model, model_root)
+    # a retrained (different-label) generation 2 exists; the sink pinned
+    # to generation 1 must ignore it
+    model2, _ = train_quality_classifier(docs, F.col("lang") != "en")
+    save_classifier(spark, model2, model_root)
+    assert snapshot_versions(model_root) == [1, 2]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs.limit(40).coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "scored")
+    q = start_classifier_sink(
+        spark.readStream.schema(docs.schema).parquet(src),
+        root, model_root, str(tmp_path / "ckpt"),
+        model_version=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in snapshot_read(spark, root).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in score_documents(
+            snapshot_read(spark, root).select(docs.columns), model
+        ).collect()
+    }
+    assert live == batch and len(live) == 40  # gen-1 scores, no gating
+    m = _load_manifest(root, 1)
+    assert m["classifier_model"] == {"version": 1}
+    assert m["last_batch_id"] == 0
