@@ -586,11 +586,21 @@ def _install_sql_hook(spark) -> None:
             return orig_sql(sqlQuery, *args, **kwargs)
         with lock:
             for n in hit:
-                _register_view_relation(spark, n, views[n], pushdown=True)
+                try:
+                    _register_view_relation(spark, n, views[n], pushdown=True)
+                except Exception:
+                    # the table root is gone (a torn-down scratch dir):
+                    # the view is dead either way — unregister so a
+                    # statement that merely MENTIONS the name (a column,
+                    # a string literal) is not poisoned by the registry
+                    views.pop(n, None)
             df = orig_sql(sqlQuery, *args, **kwargs)
             if _has_repeated_python_scan(spark, df):
                 for n in hit:
-                    _register_view_relation(spark, n, views[n], pushdown=False)
+                    if n in views:
+                        _register_view_relation(
+                            spark, n, views[n], pushdown=False
+                        )
                 df = orig_sql(sqlQuery, *args, **kwargs)
             return df
 

@@ -490,3 +490,24 @@ def test_sql_view_version_pin_and_join(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) AS n FROM sv_a_live").first().n == 25
     # the pinned view still reads version 1 after the new commit
     assert spark.sql("SELECT COUNT(*) AS n FROM sv_a1").first().n == 10
+
+
+def test_sql_view_hook_survives_torn_down_root(spark, tmp_path):
+    """A registered pruning view whose table root was deleted (scratch
+    dir cleanup) must not poison later statements that merely mention
+    the name: the hook unregisters it on refresh failure and the
+    statement proceeds."""
+    import shutil
+
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "gone")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_sql_register(spark, "sv_gone", root)
+    assert spark.sql("SELECT COUNT(*) n FROM sv_gone").first().n == 10
+    shutil.rmtree(root)
+    # the name appears only as a string literal — statement must succeed
+    row = spark.sql("SELECT 'sv_gone' AS who, 1 AS one").first()
+    assert (row.who, row.one) == ("sv_gone", 1)
