@@ -3158,16 +3158,16 @@ def snapshot_expire(
             referenced.update(m["merge_info"]["key_files"])
         referenced_sidecars.update(m.get("sidecars", {}).values())
     removed_files = 0
+    # O(1) per-commit membership (a startswith scan over the referenced
+    # set would be O(commits x files) at 10^6-file scale)
+    ref_commits = {_commit_of(r) for r in referenced}
     data_root = os.path.join(root, _DATA_DIR)
     if os.path.isdir(data_root):
         for commit_id in sorted(os.listdir(data_root)):
             cdir = os.path.join(data_root, commit_id)
             if not os.path.isdir(cdir):
                 continue
-            commit_referenced = any(
-                r.startswith(os.path.join(_DATA_DIR, commit_id))
-                for r in referenced
-            )
+            commit_referenced = commit_id in ref_commits
             # bottom-up walk: hidden-partitioned commits nest hive dirs
             # (data/<cid>/_p0=…/part-*.parquet) below the commit dir
             for dirpath, _, filenames in os.walk(cdir, topdown=False):
@@ -3259,16 +3259,16 @@ def snapshot_vacuum(
         referenced_sidecars.update(m.get("sidecars", {}).values())
     candidates: list[str] = []
     removed_bytes = 0
+    # O(1) per-commit membership (a startswith scan over the referenced
+    # set would be O(commits x files) at 10^6-file scale)
+    ref_commits = {_commit_of(r) for r in referenced}
     data_root = os.path.join(root, _DATA_DIR)
     if os.path.isdir(data_root):
         for commit_id in sorted(os.listdir(data_root)):
             cdir = os.path.join(data_root, commit_id)
             if not os.path.isdir(cdir):
                 continue
-            commit_referenced = any(
-                r.startswith(os.path.join(_DATA_DIR, commit_id))
-                for r in referenced
-            )
+            commit_referenced = commit_id in ref_commits
             for dirpath, _, filenames in os.walk(cdir, topdown=False):
                 for name in sorted(filenames):
                     full = os.path.join(dirpath, name)
