@@ -164,6 +164,13 @@ HEADLINE = [
     "snapshot_catalog_wap",
     "text_quality_classifier",
     "sample_classifier_topk",
+    # round-10 additions: orphan-file GC, column-rename lineage reads,
+    # catalog-level branch fork/stage/publish, and the score-on-ingest
+    # classifier sink across a checkpointed restart
+    "snapshot_vacuum_orphans",
+    "snapshot_alter_rename",
+    "snapshot_catalog_branch",
+    "streaming_classifier_live",
 ]
 
 
