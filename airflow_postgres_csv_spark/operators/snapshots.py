@@ -539,7 +539,14 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
-                "small_bytes", "partition_specs", "column_history"):
+                "small_bytes", "partition_specs", "column_history",
+                # persisted-index / model metadata: a maintenance commit
+                # (compact, incremental OPTIMIZE, COW delete/merge,
+                # rollback) is a row-preserving rewrite of the same
+                # logical index — losing the frozen model would break
+                # every later serve; rebuilds still replace it because
+                # the caller's `extra` is applied after inheritance
+                "ann_index", "text_index", "classifier"):
         if key in prev:
             out[key] = prev[key]
     if "commit_partitions" in prev:

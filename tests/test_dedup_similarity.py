@@ -968,3 +968,59 @@ def test_probe_set_maintained_on_delete_and_append(spark, tmp_path, monkeypatch)
     # autotune against the maintained set: full probe = recall 1.0
     out = SIM.ann_derive_settings(spark, root, recall_floor=1.0)
     assert out["met"] and out["recall"] == 1.0
+
+
+def test_index_model_metadata_survives_compaction(spark, tmp_path):
+    """snapshot_compact (and every other _inherit_maps maintenance
+    commit) is a row-preserving rewrite of the same logical index — the
+    frozen model metadata (ann_index / text_index) must ride along, or
+    the documented 'compact folds the tombstone in later' lifecycle
+    would orphan the model and break every later serve. The compacted
+    index serves identically and its maintained probe set stays exact."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+    from airflow_postgres_csv_spark.operators import text_index as TI
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_versions,
+    )
+
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf")
+    SIM.ivf_build_index(emb, root, n_cells=8, probe_queries=4, probe_k=3)
+    SIM.ann_index_delete(spark, root, [5, 6, 7])
+    qs = emb.filter("vec_id >= 190")
+    before = SIM.ivf_search_index(spark, root, qs, k=3, n_probe=8)
+    rows_before = sorted(map(tuple, before.select(
+        "query_id", "neighbor_id", "rank").collect()))
+    snapshot_compact(spark, root)
+    head = _load_manifest(root, snapshot_versions(root)[-1])
+    assert head["ann_index"]["kind"] == "ivf"
+    assert not head.get("tombstones")  # the fold actually happened
+    after = SIM.ivf_search_index(spark, root, qs, k=3, n_probe=8)
+    assert sorted(map(tuple, after.select(
+        "query_id", "neighbor_id", "rank").collect())) == rows_before
+    stored, fresh = _stored_and_fresh_probe_topk(spark, root)
+    assert stored == fresh  # probe set still exact over the live state
+
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    troot = str(tmp_path / "bm25")
+    TI.text_index_build(docs, troot)
+    q_before = sorted(map(tuple, TI.text_index_search(
+        spark, troot, ["alpha", "beta"], k=5).collect()))
+    snapshot_compact(spark, troot)
+    thead = _load_manifest(troot, snapshot_versions(troot)[-1])
+    assert "text_index" in thead
+    q_after = sorted(map(tuple, TI.text_index_search(
+        spark, troot, ["alpha", "beta"], k=5).collect()))
+    assert q_after == q_before
