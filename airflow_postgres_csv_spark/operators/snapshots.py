@@ -3381,7 +3381,12 @@ def snapshot_clone(
     body["sidecars"] = sidecars
     for k in ("bloom", "defaults", "partition_spec",
               "commit_sizes", "sketch_commits", "small_bytes",
-              "partition_specs", "commit_partitions"):
+              "partition_specs", "commit_partitions",
+              # sketch CONFIG rides with sketch_commits; rename lineage
+              # and frozen index/model metadata must survive a clone or
+              # the clone null-fills renamed columns / cannot serve
+              "sketch", "column_history",
+              "ann_index", "text_index", "classifier"):
         if k in m:
             body[k] = m[k]
     body.update(mode="clone", commit_id=commit_id, cloned_from=v)

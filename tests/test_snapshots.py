@@ -2626,3 +2626,39 @@ def test_alter_rename_through_data_source_and_sql(spark, tmp_path):
     q.awaitTermination(120)
     vals = sorted((r.id, r.val) for r in out)
     assert vals == [(i, 2 * i) for i in range(300)]
+
+
+def test_clone_carries_rename_lineage_and_index_model(spark, tmp_path):
+    """snapshot_clone must carry the rename lineage (column_history),
+    the sketch CONFIG, and frozen index/model metadata — a clone of a
+    renamed table otherwise silently null-fills the renamed column for
+    pre-rename files, and a cloned ANN index cannot serve."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+        snapshot_clone,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root, sketch_cols=["id"])
+    snapshot_alter(root, rename={"v": "w"})
+    dst = str(tmp_path / "t2")
+    m = snapshot_clone(root, dst)
+    assert m["column_history"] == {"w": ["v"]} and m["sketch"]
+    got = sorted(tuple(r) for r in snapshot_read(spark, dst).collect())
+    assert got == [(i, 2 * i) for i in range(10)]  # no null-fill
+
+    emb = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    iroot, iclone = str(tmp_path / "ivf"), str(tmp_path / "ivf2")
+    SIM.ivf_build_index(emb, iroot, n_cells=8)
+    snapshot_clone(iroot, iclone)
+    out = SIM.ivf_search_index(
+        spark, iclone, emb.filter("vec_id < 3"), k=3, n_probe=8
+    )
+    assert out.count() == 9  # the cloned index serves with its model
