@@ -806,3 +806,26 @@ def test_wap_batch_crash_replay_redoes_stale_branch(spark, tmp_path):
     # replay of a published batch is a no-op
     assert wap_batch(_df(spark, 10, 20).coalesce(1), 1, root, audits) == "skipped"
     assert snapshot_versions(root) == [1, 2]
+
+
+def test_branch_publish_carries_rename_lineage(spark, tmp_path):
+    """An ALTER RENAME staged on a branch (plus an append under the new
+    name) publishes fast-forward with the name lineage intact: main
+    reads pre-rename files under the new name, no null-fill."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_alter
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    broot = snapshot_branch(root, "schema-work")
+    snapshot_alter(broot, rename={"v": "w"})
+    snapshot_commit(
+        spark.range(10, 20).select("id", (F.col("id") * 2).alias("w")).coalesce(1),
+        broot,
+    )
+    m = snapshot_publish_branch(root, "schema-work")
+    assert m["column_history"] == {"w": ["v"]}
+    df = snapshot_read(spark, root)
+    assert df.columns == ["id", "w"]
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (i, 2 * i) for i in range(20)
+    ]
