@@ -157,9 +157,12 @@ _CARRY_KEYS = (
     "tombstones", "sidecars", "bloom", "defaults", "merge_info",
     "commit_sizes", "sketch_commits", "small_bytes",
     "partition_specs", "commit_partitions", "partition_spec",
-    "column_history",
+    "column_history", "retired_columns",
     "last_batch_id", "cdc_applied_version", "ivm_applied_version",
     "sketch",
+    # frozen index/model metadata: a published index branch (streaming
+    # ANN/BM25 sinks staged through WAP) must keep serving on main
+    "ann_index", "text_index", "classifier",
 )
 
 

@@ -640,8 +640,10 @@ def catalog_drop_branch(catalog_root: str, name: str) -> None:
     if versions:
         tb = _table_branch_name(name)
         for pin in catalog_state(broot).values():
-            base_root = pin.get("base_root")
-            if base_root and tb in B.snapshot_branches(base_root):
+            # audit-failed first writes fork a table branch without ever
+            # advancing the catalog pin (no base_root) — clean those too
+            base_root = pin.get("base_root", pin["root"])
+            if tb in B.snapshot_branches(base_root):
                 B.snapshot_drop_branch(base_root, tb)
     shutil.rmtree(broot)
 
@@ -696,6 +698,15 @@ def catalog_branch_write(
             )
         base_root = pin.get("base_root", pin["root"])
         base_version = pin.get("base_version", pin["version"])
+        if "base_root" not in pin:
+            existing = B.snapshot_branches(base_root).get(tb)
+            if existing is not None and existing["base"] != base_version:
+                # a leftover catb- branch from a PRIOR same-named catalog
+                # branch: its fork point predates our pin — reusing it
+                # would stage on stale state. (A fork at OUR pin is this
+                # catalog branch's own audit-failed attempt — reuse keeps
+                # its rolled-back triage history.)
+                B.snapshot_drop_branch(base_root, tb)
         if tb not in B.snapshot_branches(base_root):
             B.snapshot_branch(base_root, tb, version=base_version)
         tbroot = B._branch_root(base_root, tb)

@@ -639,31 +639,50 @@ def _probe_set_after_delete(
 
 
 def _probe_set_after_append(
-    corpus_new: DataFrame, meta: dict, id_col: str, vec_col: str
+    corpus_new: DataFrame,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+    index_root: str | None = None,
 ) -> dict | None:
     """The probe set extended for the appended batch, or None when the
     index has none. O(batch): the probe queries' exact top-depth WITHIN
     the batch is computed (batch-sized scan), then merged driver-side
     with the stored lists by cosine. The merged prefix stays exact up to
     min(stored length, batch coverage) — any union-corpus top-m member
-    is in the stored top-m or the batch top-m for m ≤ both."""
+    is in the stored top-m or the batch top-m for m ≤ both.
+
+    A legacy id-only probe set (no stored cosines — unmergeable) is
+    upgraded in place: one brute-force pass over head state + batch
+    recomputes every list at depth (the cost the build already paid
+    once; appends after that are O(batch) again)."""
     ps = meta.get("probe_set")
     if not ps:
         return None
     spark = corpus_new.sparkSession
     k = int(ps["k"])
-    depth = int(ps.get("depth", k))
+    depth = int(ps.get("depth", 2 * k))
     entries = [dict(q) for q in ps["queries"]]
     legacy = [q for q in entries if _probe_entry_pairs(q) is None]
     batch = corpus_new.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     if legacy:
-        # unmergeable (no stored cosines — a pre-depth probe set)
-        raise ValueError(
-            "probe set predates cosine-bearing lists — rebuild the index "
-            "with probe_queries=N to enable incremental maintenance"
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            snapshot_read,
         )
+
+        full = (
+            snapshot_read(spark, index_root)
+            .select("vec_id", "embedding")
+            .unionByName(batch)
+            if index_root is not None
+            else batch
+        )
+        fresh = _exact_pairs_by_query(full, _probes_df(spark, entries), depth)
+        for q in entries:
+            q["exact"] = [[n, c] for n, c in fresh.get(q["id"], [])]
+        return {"k": k, "depth": depth, "queries": entries}
     batch_top = _exact_pairs_by_query(batch, _probes_df(spark, entries), depth)
     for q in entries:
         old = _probe_entry_pairs(q)
@@ -711,10 +730,7 @@ def ann_derive_settings(
         raise ValueError(
             f"{index_root} has no probe set — rebuild with probe_queries=N"
         )
-    probes = spark.createDataFrame(
-        [(q["id"], q["vec"]) for q in ps["queries"]],
-        "vec_id bigint, embedding array<double>",
-    )
+    probes = _probes_df(spark, ps["queries"])
     exact = {
         q["id"]: set(_probe_exact_ids(q, int(ps["k"]))) for q in ps["queries"]
     }
@@ -847,7 +863,9 @@ def ivf_index_append(
         F.col(vec_col).alias("embedding"),
         F.element_at(ranking(vec_col), 1).alias("cell"),
     )
-    merged_ps = _probe_set_after_append(corpus_new, meta, id_col, vec_col)
+    merged_ps = _probe_set_after_append(
+        corpus_new, meta, id_col, vec_col, index_root=index_root
+    )
     if merged_ps is not None:
         meta = {**meta, "probe_set": merged_ps}
     return snapshot_commit(
@@ -988,7 +1006,9 @@ def pq_index_append(
         F.col(vec_col).alias("embedding"),
         encode(vec_col).alias("pq_codes"),
     )
-    merged_ps = _probe_set_after_append(corpus_new, meta, id_col, vec_col)
+    merged_ps = _probe_set_after_append(
+        corpus_new, meta, id_col, vec_col, index_root=index_root
+    )
     if merged_ps is not None:
         meta = {**meta, "probe_set": merged_ps}
     return snapshot_commit(
@@ -1219,7 +1239,9 @@ def ivfpq_index_append(
     if meta.get("kind") != "ivfpq":
         raise ValueError(f"{index_root} is not an IVF-PQ index")
     coded = _ivfpq_code(corpus_new, meta, id_col, vec_col)
-    merged_ps = _probe_set_after_append(corpus_new, meta, id_col, vec_col)
+    merged_ps = _probe_set_after_append(
+        corpus_new, meta, id_col, vec_col, index_root=index_root
+    )
     if merged_ps is not None:
         meta = {**meta, "probe_set": merged_ps}
     return snapshot_commit(

@@ -540,6 +540,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
                 "small_bytes", "partition_specs", "column_history",
+                "retired_columns",
                 # persisted-index / model metadata: a maintenance commit
                 # (compact, incremental OPTIMIZE, COW delete/merge,
                 # rollback) is a row-preserving rewrite of the same
@@ -2895,8 +2896,10 @@ def snapshot_alter(
     (partition-spec sources, live tombstone keys, Bloom/sketch config)
     is REFUSED — evolve those with a rewrite instead. Retired names
     stay reserved: re-adding (or renaming another column to) a name an
-    existing column once carried would ambiguously re-bind the old
-    physical data, so it raises.
+    existing column once carried — a prior rename name OR a dropped
+    column (``retired_columns``) — would ambiguously re-bind the old
+    files' physical data, so it raises (conservative relative to
+    Iceberg, whose field-ids allow the re-add; here names ARE the ids).
     """
     import json as _json
 
@@ -2913,14 +2916,22 @@ def snapshot_alter(
     history = {
         k: list(v) for k, v in (prev.get("column_history") or {}).items()
     }
-    retired = {h for chain in history.values() for h in chain}
+    # names that may still exist PHYSICALLY in already-written files under
+    # a different binding: prior names of renamed columns, plus every
+    # dropped column (its data lingers in pre-drop files — re-binding the
+    # name would resurface it instead of the new column's default)
+    dropped_reserved = set(prev.get("retired_columns") or [])
+    retired = (
+        {h for chain in history.values() for h in chain} | dropped_reserved
+    )
     for name in add:
         if name in fields:
             raise ValueError(f"ADD COLUMN {name!r}: already exists")
         if name in retired:
             raise ValueError(
-                f"ADD COLUMN {name!r}: a renamed column once carried this "
-                "name; re-binding it would be ambiguous for pre-rename files"
+                f"ADD COLUMN {name!r}: a renamed or dropped column once "
+                "carried this name; re-binding it would ambiguously "
+                "resurface old files' physical data"
             )
     for name, t in widen.items():
         if name not in fields:
@@ -2952,7 +2963,11 @@ def snapshot_alter(
                 f"DROP COLUMN {name!r}: partition specs, tombstone keys, "
                 "or Bloom/sketch configs still depend on it"
             )
-    taken = (set(fields) - set(drop)) | set(add)
+    targets = list(rename.values())
+    if len(set(targets)) != len(targets):
+        raise ValueError(
+            f"RENAME COLUMN: duplicate target names {sorted(targets)}"
+        )
     for old, new in rename.items():
         if old not in fields:
             raise ValueError(f"RENAME COLUMN {old!r}: no such column")
@@ -2967,13 +2982,16 @@ def snapshot_alter(
                 "or Bloom/sketch configs still depend on it — rewrite "
                 "those first"
             )
-        if new in taken - {old}:
+        # a same-ALTER drop does NOT free its name for rename: the
+        # dropped column's data lingers physically in old files and
+        # would resurface under the renamed binding
+        if new in (set(fields) - {old}) | set(add):
             raise ValueError(f"RENAME COLUMN {old!r} -> {new!r}: name taken")
         if new in retired:
             raise ValueError(
-                f"RENAME COLUMN {old!r} -> {new!r}: a renamed column once "
-                "carried this name; re-binding it would be ambiguous for "
-                "pre-rename files"
+                f"RENAME COLUMN {old!r} -> {new!r}: a renamed or dropped "
+                "column once carried this name; re-binding it would be "
+                "ambiguous for old files"
             )
     out_fields = []
     for f in schema.fields:
@@ -2990,7 +3008,9 @@ def snapshot_alter(
         out_fields.append(StructField(name, _parse_datatype_string(t), True))
     new_schema = StructType(out_fields)
     for name in drop:
-        history.pop(name, None)
+        # a dropped column's name — and every prior name on its rename
+        # chain — stays reserved: the physical data lingers in old files
+        dropped_reserved |= {name, *history.pop(name, [])}
     for old, new in rename.items():
         history[new] = [old] + history.pop(old, [])
     commit_id = uuid.uuid4().hex[:12]
@@ -3016,6 +3036,8 @@ def snapshot_alter(
         body["column_history"] = history
     else:
         body.pop("column_history", None)
+    if dropped_reserved:
+        body["retired_columns"] = sorted(dropped_reserved)
     body.update(
         mode="alter",
         commit_id=commit_id,
@@ -3051,7 +3073,13 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
               "cdc_applied_version", "ivm_applied_version",
               "commit_sizes", "sketch_commits", "small_bytes",
-              "partition_specs", "commit_partitions"):
+              "partition_specs", "commit_partitions",
+              # restore the target's sketch config, rename lineage /
+              # retired-name reservations, and frozen index/model
+              # metadata verbatim — dropping them would NULL-fill
+              # renamed columns and break index serving after a rollback
+              "sketch", "column_history", "retired_columns",
+              "ann_index", "text_index", "classifier"):
         if k in target:
             body[k] = target[k]
     # the batch-id high-water mark must never move backwards (the gate
@@ -3118,6 +3146,25 @@ def resolve_version(root: str, version: int | str | None) -> int | None:
     return version
 
 
+def _referenced_files(root: str, versions: list[int]) -> tuple[set, set]:
+    """Every file the given manifest versions pin — data files, delete/
+    tombstone files, MERGE key files — plus the referenced stats-sidecar
+    rels. THE single source of truth for GC safety: ``snapshot_expire``
+    and ``snapshot_vacuum`` both collect against this set, so a new
+    manifest-pinned file kind added here protects both paths at once."""
+    referenced: set[str] = set()
+    referenced_sidecars: set[str] = set()
+    for v in versions:
+        m = _load_manifest(root, v)
+        referenced.update(m["files"])
+        for t in m.get("tombstones", []):
+            referenced.update(t["files"])
+        if m.get("merge_info"):
+            referenced.update(m["merge_info"]["key_files"])
+        referenced_sidecars.update(m.get("sidecars", {}).values())
+    return referenced, referenced_sidecars
+
+
 def snapshot_expire(
     root: str, keep_last: int = 1, older_than_ns: int | None = None
 ) -> dict:
@@ -3154,16 +3201,7 @@ def snapshot_expire(
         }
     keep = sorted(keep)
     drop = [v for v in versions if v not in keep]
-    referenced: set[str] = set()
-    referenced_sidecars: set[str] = set()
-    for v in keep:
-        m = _load_manifest(root, v)
-        referenced.update(m["files"])
-        for t in m.get("tombstones", []):
-            referenced.update(t["files"])
-        if m.get("merge_info"):
-            referenced.update(m["merge_info"]["key_files"])
-        referenced_sidecars.update(m.get("sidecars", {}).values())
+    referenced, referenced_sidecars = _referenced_files(root, keep)
     removed_files = 0
     # O(1) per-commit membership (a startswith scan over the referenced
     # set would be O(commits x files) at 10^6-file scale)
@@ -3254,16 +3292,7 @@ def snapshot_vacuum(
         raise FileNotFoundError(f"no snapshot versions at {root}")
     if older_than_ns is None:
         older_than_ns = time.time_ns() - 7 * 86400 * 10**9
-    referenced: set[str] = set()
-    referenced_sidecars: set[str] = set()
-    for v in versions:
-        m = _load_manifest(root, v)
-        referenced.update(m["files"])
-        for t in m.get("tombstones", []):
-            referenced.update(t["files"])
-        if m.get("merge_info"):
-            referenced.update(m["merge_info"]["key_files"])
-        referenced_sidecars.update(m.get("sidecars", {}).values())
+    referenced, referenced_sidecars = _referenced_files(root, versions)
     candidates: list[str] = []
     removed_bytes = 0
     # O(1) per-commit membership (a startswith scan over the referenced
@@ -3385,7 +3414,7 @@ def snapshot_clone(
               # sketch CONFIG rides with sketch_commits; rename lineage
               # and frozen index/model metadata must survive a clone or
               # the clone null-fills renamed columns / cannot serve
-              "sketch", "column_history",
+              "sketch", "column_history", "retired_columns",
               "ann_index", "text_index", "classifier"):
         if k in m:
             body[k] = m[k]

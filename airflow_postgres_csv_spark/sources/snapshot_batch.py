@@ -584,10 +584,21 @@ def _install_sql_hook(spark) -> None:
         ]
         if not hit:
             return orig_sql(sqlQuery, *args, **kwargs)
+        # a statement that CREATES something over a registered view (a
+        # derived temp view, CTAS, CACHE) pins THIS statement's relation
+        # beyond the statement — later statements over the derived name
+        # bypass the hook, so the pinned relation must be the always-safe
+        # full list (pruning is lost through derived objects, exactness
+        # is not)
+        derives = bool(
+            _re.search(r"\b(CREATE|CACHE)\b", sqlQuery, _re.IGNORECASE)
+        )
         with lock:
             for n in hit:
                 try:
-                    _register_view_relation(spark, n, views[n], pushdown=True)
+                    _register_view_relation(
+                        spark, n, views[n], pushdown=not derives
+                    )
                 except Exception:
                     # the table root is gone (a torn-down scratch dir):
                     # the view is dead either way — unregister so a
@@ -595,7 +606,7 @@ def _install_sql_hook(spark) -> None:
                     # a string literal) is not poisoned by the registry
                     views.pop(n, None)
             df = orig_sql(sqlQuery, *args, **kwargs)
-            if _has_repeated_python_scan(spark, df):
+            if not derives and _has_repeated_python_scan(spark, df):
                 for n in hit:
                     if n in views:
                         _register_view_relation(
@@ -653,10 +664,14 @@ def snapshot_sql_register(
     pins a plain full-list view.
 
     The same cache reuse contract applies to SAVED DataFrames from
-    ``spark.read.format("snapshot_table").load(root)``: the loaded
-    object pins one relation, so run differently-filtered queries over
-    fresh ``load()`` calls (cheap — planning is O(manifest)), not over
-    one long-lived DataFrame.
+    ``spark.read.format("snapshot_table").load(root)`` — including the
+    DataFrame this function returns: a saved object pins one relation,
+    so run differently-filtered queries over fresh ``load()`` calls /
+    ``spark.sql`` statements (cheap — planning is O(manifest)), not
+    over one long-lived DataFrame handle. Statements that CREATE a
+    derived object over the view (a temp view, CTAS, CACHE TABLE) pin
+    an always-safe full-list relation instead, since later statements
+    over the derived name bypass the hook.
 
     Addressing mirrors the reader options: ``root`` (+ optional
     ``version`` int or tag, + optional ``branch`` name — WAP quarantine

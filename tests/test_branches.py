@@ -829,3 +829,28 @@ def test_branch_publish_carries_rename_lineage(spark, tmp_path):
     assert sorted(tuple(r) for r in df.collect()) == [
         (i, 2 * i) for i in range(20)
     ]
+
+
+def test_publish_carries_index_model_metadata(spark, tmp_path):
+    """A branch of a persisted ANN index (streaming WAP staging shape)
+    must keep serving on main after the fast-forward publish — the
+    frozen model metadata rides _CARRY_KEYS."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+
+    emb = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf")
+    SIM.ivf_build_index(emb.where("vec_id < 80"), root, n_cells=8)
+    broot = snapshot_branch(root, "ingest")
+    SIM.ivf_index_append(emb.where("vec_id >= 80"), broot)
+    m = snapshot_publish_branch(root, "ingest")
+    assert m["ann_index"]["kind"] == "ivf"
+    out = SIM.ivf_search_index(
+        spark, root, emb.filter("vec_id < 3"), k=3, n_probe=8
+    )
+    assert out.count() == 9

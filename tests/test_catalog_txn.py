@@ -615,3 +615,48 @@ def test_catalog_branch_audit_failure_keeps_branch_view(spark, tmp_path):
     assert snapshot_read(spark, tbroot, version=2).count() == 101  # triage
     catalog_publish_branch(cat, "exp")
     assert catalog_read(spark, cat, "a").count() == 160
+
+
+def test_catalog_branch_leftovers_never_reused_stale(spark, tmp_path):
+    """A leftover catb-<name> table branch from a PRIOR same-named
+    catalog branch (or an audit-failed attempt) must not poison a new
+    catalog branch: drop cleans even unpinned forks, and a new branch
+    re-forks from ITS OWN pin when the leftover's fork point is stale."""
+    from airflow_postgres_csv_spark.operators import branches as B
+    from airflow_postgres_csv_spark.operators.branches import AuditError
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+        catalog_branch_write,
+        catalog_drop_branch,
+        catalog_publish_branch,
+        catalog_read,
+    )
+
+    cat, ra, rb, broot = _branch_setup(spark, tmp_path)
+    bad, _ = _dfs(spark, 100, 101)
+    with pytest.raises(AuditError):
+        catalog_branch_write(
+            spark, cat, "exp", [{"name": "a", "df": bad.coalesce(1)}],
+            audits={"a": {"big": "count(*) >= 1000"}},
+        )
+    # the failed attempt forked catb-exp without advancing the pins;
+    # drop must clean it anyway
+    assert "catb-exp" in B.snapshot_branches(ra)
+    catalog_drop_branch(cat, "exp")
+    assert B.snapshot_branches(ra) == {}
+
+    # stale-leftover case: fork catb-exp2 by hand at v1, then move main
+    # and open a NEW catalog branch of the same name — its write must
+    # re-fork from the CURRENT pin, not reuse the v1 fork
+    B.snapshot_branch(ra, "catb-exp2")
+    a2, _ = _dfs(spark, 100, 150)
+    catalog_txn(cat, [{"name": "a", "root": ra, "df": a2.coalesce(1)}])
+    catalog_branch(cat, "exp2")
+    a3, _ = _dfs(spark, 200, 210)
+    catalog_branch_write(
+        spark, cat, "exp2", [{"name": "a", "df": a3.coalesce(1)}]
+    )
+    bview = catalog_state(os.path.join(cat, "_catbranches", "exp2"))
+    assert bview["a"]["base_version"] == 2  # forked from the CURRENT pin
+    catalog_publish_branch(cat, "exp2")
+    assert catalog_read(spark, cat, "a").count() == 160  # 100+50+10

@@ -511,3 +511,41 @@ def test_sql_view_hook_survives_torn_down_root(spark, tmp_path):
     # the name appears only as a string literal — statement must succeed
     row = spark.sql("SELECT 'sv_gone' AS who, 1 AS one").first()
     assert (row.who, row.one) == ("sv_gone", 1)
+
+
+def test_sql_view_derived_objects_stay_exact(spark, tmp_path):
+    """A statement that CREATES a derived object over a registered
+    pruning view (temp view, CACHE) pins a relation BEYOND the
+    statement, and later statements over the derived name bypass the
+    hook — so the hook gives such statements an always-safe full-list
+    relation. The exact poisoning sequence (filtered over the derived
+    view, then filterless) must stay exact."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
+        )
+    snapshot_sql_register(spark, "sv_base", root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW sv_derived AS "
+              "SELECT id, v FROM sv_base")
+    assert (
+        spark.sql("SELECT COUNT(*) n FROM sv_derived WHERE id >= 350").first().n
+        == 50
+    )
+    assert spark.sql("SELECT COUNT(*) n FROM sv_derived").first().n == 400
+    assert (
+        spark.sql("SELECT COUNT(*) n FROM sv_derived WHERE id < 50").first().n
+        == 50
+    )
+    assert spark.sql("SELECT COUNT(*) n FROM sv_derived").first().n == 400
+    # direct statements over the registered name still prune
+    n_full = spark.sql("SELECT * FROM sv_base").rdd.getNumPartitions()
+    n_sel = spark.sql(
+        "SELECT * FROM sv_base WHERE id >= 350"
+    ).rdd.getNumPartitions()
+    assert 0 < n_sel < n_full
+    spark.catalog.dropTempView("sv_derived")

@@ -2662,3 +2662,82 @@ def test_clone_carries_rename_lineage_and_index_model(spark, tmp_path):
         spark, iclone, emb.filter("vec_id < 3"), k=3, n_probe=8
     )
     assert out.count() == 9  # the cloned index serves with its model
+
+
+def test_rollback_restores_lineage_and_index_model(spark, tmp_path):
+    """snapshot_rollback builds its manifest from an explicit key list —
+    it must restore the target's rename lineage and frozen index/model
+    metadata, or a post-rename rollback NULL-fills the renamed column
+    and a rolled-back index cannot serve."""
+    from airflow_postgres_csv_spark.operators import similarity as SIM
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_alter,
+        snapshot_rollback,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, 0, 10).coalesce(1), root)
+    snapshot_alter(root, rename={"v": "w"})
+    snapshot_commit(
+        spark.range(10, 20).select("id", (F.col("id") * 2).alias("w")).coalesce(1),
+        root,
+    )
+    m = snapshot_rollback(spark, root, 2)  # post-rename, pre-append
+    assert m["column_history"] == {"w": ["v"]}
+    got = sorted(tuple(r) for r in snapshot_read(spark, root).collect())
+    assert got == [(i, 2 * i) for i in range(10)]  # no NULL-fill
+
+    emb = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    iroot = str(tmp_path / "ivf")
+    SIM.ivf_build_index(emb.where("vec_id < 80"), iroot, n_cells=8)
+    SIM.ivf_index_append(emb.where("vec_id >= 80"), iroot)
+    snapshot_rollback(spark, iroot, 1)
+    head = _load_manifest(iroot, snapshot_versions(iroot)[-1])
+    assert head["ann_index"]["kind"] == "ivf"
+    out = SIM.ivf_search_index(
+        spark, iroot, emb.filter("vec_id < 3"), k=3, n_probe=8
+    )
+    assert out.count() == 9
+
+
+def test_alter_rename_validation_holes_closed(spark, tmp_path):
+    """Rename validation: duplicate targets refuse; renaming onto a
+    same-ALTER-dropped name refuses (the dropped column's physical data
+    would resurface); dropping a column reserves its name AND its rename
+    chain forever (re-adding would re-bind stale physical data)."""
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_alter
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(0, 5).select(
+            "id", (F.col("id") * 2).alias("a"), (F.col("id") * 3).alias("b")
+        ).coalesce(1),
+        root,
+    )
+    with pytest.raises(ValueError, match="duplicate target"):
+        snapshot_alter(root, rename={"a": "x", "b": "x"})
+    with pytest.raises(ValueError, match="name taken"):
+        snapshot_alter(root, drop=["b"], rename={"a": "b"})
+    # drop reserves the name and, transitively, the rename chain
+    snapshot_alter(root, rename={"a": "a2"})
+    m = snapshot_alter(root, drop=["a2"])
+    assert sorted(m["retired_columns"]) == ["a", "a2"]
+    for dead in ("a", "a2"):
+        with pytest.raises(ValueError, match="once carried"):
+            snapshot_alter(root, add={dead: "long"})
+        with pytest.raises(ValueError, match="once carried"):
+            snapshot_alter(root, rename={"b": dead})
+    # and the reservation survives later commits (sticky)
+    snapshot_commit(
+        spark.range(5, 8).select("id", (F.col("id") * 3).alias("b")).coalesce(1),
+        root,
+    )
+    with pytest.raises(ValueError, match="once carried"):
+        snapshot_alter(root, add={"a": "long"})
