@@ -295,3 +295,82 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
         "partition_coverage": (partitioned / n_commits) if specs else None,
         "n_branches": len(snapshot_branches(root)),
     }
+
+
+def snapshot_metadata_table(
+    spark, root: str, kind: str, version: int | None = None
+):
+    """Iceberg-style QUERYABLE metadata tables over a snapshot table —
+    ``SELECT * FROM t.history`` re-expressed as driver-built DataFrames
+    (the metadata is O(commits), never data-sized, so building it
+    driver-side IS the scalable plan):
+
+    - ``"history"`` — one row per retained version: (version, parent,
+      mode, commit_id, n_files, n_tombstones, committed_at);
+    - ``"files"`` — one row per file PINNED by ``version`` (head when
+      None): (file, commit_id, bytes, partition) — bytes from the
+      commit sidecar byte maps, partition the hidden-partition tuple
+      rendered as a string (NULL for unpartitioned commits);
+    - ``"partitions"`` — files/bytes aggregated per partition tuple:
+      (partition, n_files, total_bytes).
+
+    Register the result as a temp view for raw SQL
+    (``snapshot_metadata_table(...).createOrReplaceTempView("t_files")``)
+    — the view is a static snapshot of the metadata at registration,
+    exactly like Iceberg's metadata tables pin a snapshot."""
+    import json as _json
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _commit_of,
+        _load_manifest,
+        _load_sidecar,
+        resolve_version,
+        snapshot_history,
+        snapshot_versions,
+    )
+
+    if kind == "history":
+        rows = [
+            (
+                h["version"], h["parent"], h["mode"], h["commit_id"],
+                h["n_files"], h["n_tombstones"], h["committed_at"],
+            )
+            for h in snapshot_history(root)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, mode string, commit_id string, "
+            "n_files bigint, n_tombstones bigint, committed_at bigint",
+        )
+    if kind not in ("files", "partitions"):
+        raise ValueError(f"unknown metadata table {kind!r}")
+    v = resolve_version(root, version)
+    if v is None:
+        v = snapshot_versions(root)[-1]
+    m = _load_manifest(root, v)
+    rows = []
+    by_commit: dict[str, tuple[dict, dict]] = {}
+    for rel in m["files"]:
+        cid = _commit_of(rel)
+        if cid not in by_commit:
+            sc = _load_sidecar(root, m, cid)
+            by_commit[cid] = (sc.get("bytes") or {}, sc.get("partitions") or {})
+        bmap, pmap = by_commit[cid]
+        ptuple = pmap.get(rel)
+        rows.append(
+            (
+                rel, cid, bmap.get(rel),
+                _json.dumps(ptuple) if ptuple is not None else None,
+            )
+        )
+    files_df = spark.createDataFrame(
+        rows, "file string, commit_id string, bytes bigint, partition string"
+    )
+    if kind == "files":
+        return files_df
+    from pyspark.sql import functions as F
+
+    return files_df.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+    )

@@ -3626,3 +3626,55 @@ register(
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )(snapshot_catalog_branch)
+
+
+def snapshot_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable metadata tables
+    (operators/maintenance.py::snapshot_metadata_table — Iceberg's
+    ``t.history`` / ``t.files``): ``events`` lands in two appends plus a
+    merge-on-read delete; the HISTORY table states exactly that lineage
+    (modes, file/tombstone counts per version) and the FILES table's
+    row count at head rides along as a literal column. The oracle
+    restates the whole lineage as constants — the metadata is a pure
+    function of the staged operations."""
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_metadata_table,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    root = _temp_root()
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 0).coalesce(1), root
+    )
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 1).coalesce(1), root
+    )
+    snapshot_delete_mor(
+        spark, root, "event_type = 'click'", key_col="event_id"
+    )
+    hist = snapshot_metadata_table(spark, root, "history")
+    n_head_files = snapshot_metadata_table(spark, root, "files").count()
+    return (
+        hist.select("version", "mode", "n_files", "n_tombstones")
+        .withColumn("head_files", F.lit(n_head_files).cast("bigint"))
+        .orderBy("version")
+    )
+
+
+register(
+    "snapshot_metadata_history",
+    """
+    SELECT CAST(version AS INT) AS version, mode,
+           CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_tombstones AS BIGINT) AS n_tombstones,
+           CAST(2 AS BIGINT) AS head_files
+    FROM (VALUES (1, 'append', 1, 0),
+                 (2, 'append', 2, 0),
+                 (3, 'delete-mor', 2, 1))
+         AS t(version, mode, n_files, n_tombstones)
+    ORDER BY version
+    """,
+)(snapshot_metadata_history)

@@ -339,3 +339,43 @@ def test_vacuum_spares_branches_and_crashed_publish_retries(spark, tmp_path):
     m = B.snapshot_publish_branch(root, "feed")
     assert m["mode"] == "publish_branch"
     assert snapshot_read(spark, root).count() == 80
+
+
+def test_metadata_tables_files_and_partitions(spark, tmp_path):
+    """files/partitions metadata tables: one row per pinned file with
+    its commit, sidecar bytes, and hidden-partition tuple; the
+    partitions view aggregates files/bytes per tuple. Registered as a
+    temp view they answer raw SQL (static snapshot at registration)."""
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_metadata_table,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _batch(spark, 0, 100), root,
+        partition_transforms=[("y", "identity")],
+    )
+    snapshot_commit(
+        _batch(spark, 100, 200), root,
+        partition_transforms=[("y", "identity")],
+    )
+    files = snapshot_metadata_table(spark, root, "files")
+    rows = files.collect()
+    # identity partitioning: one file per y value per commit (y in 0..6)
+    assert len(rows) == 14
+    assert all(r.bytes and r.bytes > 0 for r in rows)
+    assert all(r.partition is not None for r in rows)
+    assert len({r.commit_id for r in rows}) == 2
+    parts = snapshot_metadata_table(spark, root, "partitions")
+    prow = {r.partition: (r.n_files, r.total_bytes) for r in parts.collect()}
+    assert len(prow) == 7 and all(n == 2 for n, _ in prow.values())
+    # version pin: the files table of v1 lists only the first commit
+    f1 = snapshot_metadata_table(spark, root, "files", version=1)
+    assert f1.count() == 7
+    # SQL addressability
+    parts.createOrReplaceTempView("t_partitions")
+    assert spark.sql(
+        "SELECT COUNT(*) n FROM t_partitions WHERE n_files = 2"
+    ).first().n == 7
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        snapshot_metadata_table(spark, root, "nope")
