@@ -615,7 +615,26 @@ def _install_sql_hook(spark) -> None:
                 df = orig_sql(sqlQuery, *args, **kwargs)
             return df
 
+    orig_table = spark.table
+
+    def table_hook(tableName):
+        views = _sql_views(spark)
+        if tableName in views:
+            with lock:
+                try:
+                    # a handle the caller may save and reuse across
+                    # differently-filtered queries: give it its own
+                    # always-safe full-list relation (pruning stays on
+                    # the statement path, where freshness is managed)
+                    return _register_view_relation(
+                        spark, tableName, views[tableName], pushdown=False
+                    )
+                except Exception:
+                    views.pop(tableName, None)
+        return orig_table(tableName)
+
     spark.sql = sql_hook
+    spark.table = table_hook
     spark._snapshot_sql_hook = sql_hook
 
 

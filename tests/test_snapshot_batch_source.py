@@ -549,3 +549,30 @@ def test_sql_view_derived_objects_stay_exact(spark, tmp_path):
     ).rdd.getNumPartitions()
     assert 0 < n_sel < n_full
     spark.catalog.dropTempView("sv_derived")
+
+
+def test_sql_view_spark_table_handle_is_reuse_safe(spark, tmp_path):
+    """spark.table(name) on a registered pruning view returns a handle
+    the caller may save and reuse across differently-filtered queries —
+    it gets its own always-safe full-list relation (the per-relation
+    scan cache cannot be made filter-exact for a long-lived handle), so
+    the filtered-then-filterless reuse stays exact."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
+        )
+    snapshot_sql_register(spark, "sv_handle", root)
+    t = spark.table("sv_handle")
+    assert t.filter("id >= 350").count() == 50
+    assert t.count() == 400  # the poisoning reuse pattern stays exact
+    # and the statement path still prunes afterwards
+    n_full = spark.sql("SELECT * FROM sv_handle").rdd.getNumPartitions()
+    n_sel = spark.sql(
+        "SELECT * FROM sv_handle WHERE id >= 350"
+    ).rdd.getNumPartitions()
+    assert 0 < n_sel < n_full
