@@ -22,6 +22,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_alter,
     snapshot_commit,
     snapshot_compact,
     snapshot_delete,
@@ -52,6 +53,7 @@ _op = st.one_of(
     ),
     st.tuples(st.just("merge_sync"), st.integers(0, IDS - 3), st.integers(1, 4)),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("rename")),
     st.tuples(st.just("rollback"), st.integers(0, 30)),
     st.tuples(
         st.just("txn"), st.integers(0, IDS - 3), st.integers(1, 3),
@@ -61,7 +63,7 @@ _op = st.one_of(
 )
 
 
-def _apply_merge_into(spark, root, model, opi, lo, n, dm, um):
+def _apply_merge_into(spark, root, model, opi, lo, n, dm, um, col="stamp"):
     """MERGE INTO with per-key DELETE (s.id%3=dm) / UPDATE (s.id%5=um) /
     unconditional INSERT clauses — returns the updated multiset model.
     Updates preserve copy multiplicity (every copy of a matched key gets
@@ -69,9 +71,9 @@ def _apply_merge_into(spark, root, model, opi, lo, n, dm, um):
     src = [(i, opi) for i in range(lo, lo + n)]
     snapshot_merge_into(
         spark, root,
-        spark.createDataFrame(src, "id long, stamp long").coalesce(1),
+        spark.createDataFrame(src, f"id long, {col} long").coalesce(1),
         key="id",
-        matched_update={"stamp": "s.stamp"},
+        matched_update={col: f"s.{col}"},
         matched_update_condition=f"s.id % 5 = {um}",
         matched_delete_condition=f"s.id % 3 = {dm}",
     )
@@ -88,17 +90,17 @@ def _apply_merge_into(spark, root, model, opi, lo, n, dm, um):
     return out + [(i, opi) for i in sorted(src_ids - existing)]
 
 
-def _apply_merge_sync(spark, root, model, opi, lo, n):
+def _apply_merge_sync(spark, root, model, opi, lo, n, col="stamp"):
     """Sync-to-source MERGE: matched keys updated, keys absent from the
     source deleted when their stamp is even, no inserts."""
     src = [(i, opi) for i in range(lo, lo + n)]
     snapshot_merge_into(
         spark, root,
-        spark.createDataFrame(src, "id long, stamp long").coalesce(1),
+        spark.createDataFrame(src, f"id long, {col} long").coalesce(1),
         key="id",
-        matched_update={"stamp": "s.stamp"},
+        matched_update={col: f"s.{col}"},
         insert_when_not_matched=False,
-        not_matched_by_source_delete="t.stamp % 2 = 0",
+        not_matched_by_source_delete=f"t.{col} % 2 = 0",
     )
     src_ids = {i for i, _ in src}
     out = []
@@ -112,9 +114,9 @@ def _apply_merge_sync(spark, root, model, opi, lo, n):
     return out
 
 
-def _snapshot_rows(spark, root, version=None):
+def _snapshot_rows(spark, root, version=None, col="stamp"):
     df = snapshot_read(spark, root, version=version)
-    return sorted((r["id"], r["stamp"]) for r in df.collect())
+    return sorted((r["id"], r[col]) for r in df.collect())
 
 
 @settings(
@@ -134,13 +136,20 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
         spark.createDataFrame(model, "id long, stamp long").coalesce(1), root
     )
     history[1] = sorted(model)
+    # ALTER RENAME interleaves with every other op: the value column's
+    # CURRENT name evolves (stamp -> s<opi> -> ...), per-version names
+    # are tracked so time travel asserts under each version's own name
+    cur_col = "stamp"
+    col_at: dict[int, str] = {1: cur_col}
     for opi, op in enumerate(ops, start=1):
         kind = op[0]
         if kind == "append":
             _, lo, n = op
             rows = [(i, opi) for i in range(lo, lo + n)]
             snapshot_commit(
-                spark.createDataFrame(rows, "id long, stamp long").coalesce(1),
+                spark.createDataFrame(
+                    rows, f"id long, {cur_col} long"
+                ).coalesce(1),
                 root,
             )
             model = model + rows
@@ -151,7 +160,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
         elif kind == "delete_pos":
             _, k, s = op
             snapshot_delete_positional(
-                spark, root, f"id = {k} AND stamp = {s}"
+                spark, root, f"id = {k} AND {cur_col} = {s}"
             )
             model = [r for r in model if not (r[0] == k and r[1] == s)]
         elif kind == "cow_delete":
@@ -164,17 +173,21 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             snapshot_merge(
                 spark,
                 root,
-                spark.createDataFrame(rows, "id long, stamp long").coalesce(1),
+                spark.createDataFrame(
+                    rows, f"id long, {cur_col} long"
+                ).coalesce(1),
                 key="id",
             )
             keys = {i for i, _ in rows}
             model = [r for r in model if r[0] not in keys] + rows
         elif kind == "merge_into":
             _, lo, n, dm, um = op
-            model = _apply_merge_into(spark, root, model, opi, lo, n, dm, um)
+            model = _apply_merge_into(
+                spark, root, model, opi, lo, n, dm, um, col=cur_col
+            )
         elif kind == "merge_sync":
             _, lo, n = op
-            model = _apply_merge_sync(spark, root, model, opi, lo, n)
+            model = _apply_merge_sync(spark, root, model, opi, lo, n, col=cur_col)
         elif kind == "txn":
             # multi-statement transaction: append + (sometimes) an
             # equality delete, published as ONE atomic main version —
@@ -188,7 +201,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             with snapshot_transaction(root) as txn:
                 snapshot_commit(
                     spark.createDataFrame(
-                        rows, "id long, stamp long"
+                        rows, f"id long, {cur_col} long"
                     ).coalesce(1),
                     txn,
                 )
@@ -210,7 +223,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                 write_audit_publish(
                     spark, root,
                     spark.createDataFrame(
-                        rows, "id long, stamp long"
+                        rows, f"id long, {cur_col} long"
                     ).coalesce(1),
                     audits={"impossible": "count(*) < 0"},
                     branch=f"q{opi}",
@@ -220,26 +233,33 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                 snapshot_drop_branch(root, f"q{opi}")
         elif kind == "compact":
             snapshot_compact(spark, root)
+        elif kind == "rename":
+            new = f"s{opi}"
+            snapshot_alter(root, rename={cur_col: new})
+            cur_col = new  # zero-data commit; the model rows are unchanged
         elif kind == "rollback":
             _, j = op
             versions = snapshot_versions(root)
             target = versions[j % len(versions)]
             snapshot_rollback(spark, root, target)
             model = list(history[target])
+            cur_col = col_at[target]  # the target version's own name
         if kind == "wap_fail":
             # no version was created; latest must still match the model
-            assert _snapshot_rows(spark, root) == history[
+            assert _snapshot_rows(spark, root, col=cur_col) == history[
                 snapshot_versions(root)[-1]
             ], f"wap_fail mutated main at op {opi}"
             continue
         v = snapshot_versions(root)[-1]
         history[v] = sorted(model)
-        assert _snapshot_rows(spark, root) == history[v], (
+        col_at[v] = cur_col
+        assert _snapshot_rows(spark, root, col=cur_col) == history[v], (
             f"latest mismatch after op {opi} {op}"
         )
-    # time travel: every version still reads as the state it pinned
+    # time travel: every version still reads as the state it pinned,
+    # under that version's OWN column names
     for v, expect in history.items():
-        assert _snapshot_rows(spark, root, version=v) == expect, (
+        assert _snapshot_rows(spark, root, version=v, col=col_at[v]) == expect, (
             f"time travel to v{v} diverged"
         )
 
