@@ -171,6 +171,7 @@ HEADLINE = [
     "snapshot_alter_rename",
     "snapshot_catalog_branch",
     "streaming_classifier_live",
+    "snapshot_metadata_history",
 ]
 
 
