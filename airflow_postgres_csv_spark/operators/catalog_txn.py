@@ -800,3 +800,53 @@ def catalog_publish_branch(
     )
     shutil.rmtree(broot_cat)
     return out
+
+
+def catalog_vacuum(
+    catalog_root: str,
+    older_than_ns: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Orphan-file GC for a WHOLE catalog: ``snapshot_vacuum`` every
+    table the catalog head pins (each table keeps all its versions, so
+    older catalog pins stay readable), aggregate the storage reclaimed,
+    and REPORT catalog branches whose head predates the safety window —
+    the fleet-level sweep a platform runs nightly instead of N per-table
+    crons. Stale branches are reported, never auto-dropped: a branch is
+    someone's in-flight experiment until its owner says otherwise
+    (``catalog_drop_branch`` is one call away)."""
+    import time as _time
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest as _load_table_manifest,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_vacuum,
+    )
+
+    if older_than_ns is None:
+        older_than_ns = _time.time_ns() - 7 * 86400 * 10**9
+    per_table: dict[str, dict] = {}
+    removed_files = removed_bytes = 0
+    seen_roots: set[str] = set()
+    for name, pin in sorted(catalog_state(catalog_root).items()):
+        root = pin["root"]
+        if root in seen_roots:  # two names may pin one root (rename DDL)
+            continue
+        seen_roots.add(root)
+        r = snapshot_vacuum(root, older_than_ns=older_than_ns, dry_run=dry_run)
+        per_table[name] = r
+        removed_files += r["removed_files"]
+        removed_bytes += r["removed_bytes"]
+    stale_branches = []
+    for bname, info in catalog_branches(catalog_root).items():
+        head_m = _load_catalog(info["root"], info["head"])
+        if head_m.get("committed_at", 0) < older_than_ns:
+            stale_branches.append(bname)
+    return {
+        "tables": per_table,
+        "removed_files": removed_files,
+        "removed_bytes": removed_bytes,
+        "stale_branches": stale_branches,
+        "dry_run": dry_run,
+    }

@@ -660,3 +660,59 @@ def test_catalog_branch_leftovers_never_reused_stale(spark, tmp_path):
     assert bview["a"]["base_version"] == 2  # forked from the CURRENT pin
     catalog_publish_branch(cat, "exp2")
     assert catalog_read(spark, cat, "a").count() == 160  # 100+50+10
+
+
+def test_catalog_vacuum_sweeps_all_tables(spark, tmp_path):
+    """catalog_vacuum: one call vacuums every pinned table (orphans
+    collected, all versions kept, older catalog pins still readable)
+    and reports — never drops — catalog branches older than the
+    window."""
+    import time
+
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+        catalog_branches,
+        catalog_vacuum,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a1, b1 = _dfs(spark, 0, 50)
+    catalog_txn(
+        cat,
+        [{"name": "a", "root": ra, "df": a1.coalesce(1)},
+         {"name": "b", "root": rb, "df": b1.coalesce(1)}],
+    )
+    a2, _ = _dfs(spark, 50, 80)
+    catalog_txn(cat, [{"name": "a", "root": ra, "df": a2.coalesce(1)}])
+    # crash-staged orphans in both tables, aged past the window
+    old = time.time_ns() - 10 * 86400 * 10**9
+    for root in (ra, rb):
+        d = os.path.join(root, "data", "deadbeef0001")
+        os.makedirs(d)
+        p = os.path.join(d, "part-crashed.parquet")
+        with open(p, "wb") as f:
+            f.write(b"PAR1crashPAR1")
+        os.utime(p, ns=(old, old))
+    catalog_branch(cat, "exp")
+    out = catalog_vacuum(cat, dry_run=True)
+    assert out["removed_files"] == 0 and len(out["tables"]) == 2
+    assert sum(len(t["candidates"]) for t in out["tables"].values()) == 2
+    out = catalog_vacuum(cat)
+    assert out["removed_files"] == 2 and out["removed_bytes"] > 0
+    assert out["stale_branches"] == []  # the fresh branch is in-window
+    # every catalog pin still reads (vacuum keeps all table versions)
+    assert catalog_read(spark, cat, "a").count() == 80
+    assert catalog_read(spark, cat, "a", catalog_version=1).count() == 50
+    # an aged branch is REPORTED, not dropped
+    broot = catalog_branches(cat)["exp"]["root"]
+    bhead = os.path.join(broot, "_catalog", "c000001.json")
+    import json as _json
+
+    m = _json.load(open(bhead))
+    m["committed_at"] = old
+    with open(bhead, "w") as f:
+        _json.dump(m, f)
+    out = catalog_vacuum(cat)
+    assert out["stale_branches"] == ["exp"]
+    assert "exp" in catalog_branches(cat)
