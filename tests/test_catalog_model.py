@@ -1,0 +1,173 @@
+"""Model-based property test for the CATALOG subsystem: random
+interleavings of multi-table transactions, WAP (passing and failing),
+and catalog-branch fork/stage/publish cycles against a plain-Python
+model of the catalog-visible state.
+
+Invariants, checked by hypothesis over generated histories:
+
+1. After every operation, ``catalog_read`` of every table equals the
+   model — failed audits and refused publishes change NOTHING.
+2. Catalog time travel: every catalog version still reads every table
+   exactly as the transaction that published it left the world
+   (mutual consistency is per catalog version, forever).
+3. Branch publishes are all-or-nothing across tables, and a branch
+   whose touched table was moved on main conflicts instead of
+   interleaving.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.branches import AuditError
+from airflow_postgres_csv_spark.operators.catalog_txn import (
+    CatalogConflictError,
+    catalog_branch,
+    catalog_branch_write,
+    catalog_drop_branch,
+    catalog_publish_branch,
+    catalog_read,
+    catalog_txn,
+    catalog_versions,
+)
+
+TABLES = ("a", "b")
+
+_op = st.one_of(
+    # multi-table txn: append rows to a subset of tables, one atomic flip
+    st.tuples(
+        st.just("txn"), st.integers(0, 9), st.integers(1, 3),
+        st.integers(1, 3),  # bitmask over TABLES (never 0)
+    ),
+    # WAP that passes / fails its aggregate audit
+    st.tuples(st.just("wap_ok"), st.integers(0, 9), st.integers(1, 3)),
+    st.tuples(st.just("wap_fail"), st.integers(0, 9), st.integers(1, 3)),
+    # catalog branch: fork, stage on a subset, publish — optionally with
+    # a concurrent main txn in between touching a DISJOINT table
+    # (snapshot isolation) or the SAME table (conflict)
+    st.tuples(
+        st.just("branch"), st.integers(0, 9), st.integers(1, 3),
+        st.sampled_from(["clean", "disjoint", "conflict"]),
+    ),
+)
+
+
+def _read_all(spark, cat, catalog_version=None):
+    out = {}
+    for t in TABLES:
+        out[t] = sorted(
+            tuple(r)
+            for r in catalog_read(
+                spark, cat, t, catalog_version=catalog_version
+            ).collect()
+        )
+    return out
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=5))
+def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
+    base = tmp_path_factory.mktemp("catmodel")
+    cat = str(base / "cat")
+    roots = {t: str(base / t) for t in TABLES}
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id long, stamp long").coalesce(1)
+
+    # seed both tables in one transaction
+    model = {t: [(i, 0) for i in range(5)] for t in TABLES}
+    catalog_txn(
+        cat,
+        [{"name": t, "root": roots[t], "df": df(model[t])} for t in TABLES],
+    )
+    hist = {catalog_versions(cat)[-1]: {t: sorted(model[t]) for t in TABLES}}
+    bi = 0  # unique branch names across retries of the same history
+    for opi, op in enumerate(ops, start=1):
+        kind = op[0]
+        if kind == "txn":
+            _, lo, n, mask = op
+            writes = []
+            for j, t in enumerate(TABLES):
+                if mask & (1 << j):
+                    rows = [(i, opi) for i in range(lo, lo + n)]
+                    writes.append({"name": t, "root": roots[t], "df": df(rows)})
+                    model[t] = model[t] + rows
+            catalog_txn(cat, writes)
+        elif kind == "wap_ok":
+            _, lo, n = op
+            from airflow_postgres_csv_spark.operators.catalog_txn import (
+                catalog_write_audit_publish,
+            )
+
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            catalog_write_audit_publish(
+                spark, cat,
+                [{"name": "a", "root": roots["a"], "df": df(rows)}],
+                audits={"a": {"nonempty": "count(*) > 0"}},
+            )
+            model["a"] = model["a"] + rows
+        elif kind == "wap_fail":
+            _, lo, n = op
+            from airflow_postgres_csv_spark.operators.catalog_txn import (
+                catalog_write_audit_publish,
+            )
+
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            try:
+                catalog_write_audit_publish(
+                    spark, cat,
+                    [{"name": "a", "root": roots["a"], "df": df(rows)}],
+                    audits={"a": {"impossible": "count(*) < 0"}},
+                )
+                raise AssertionError("audit must fail")
+            except AuditError:
+                pass  # catalog AND model unchanged
+        elif kind == "branch":
+            _, lo, n, race = op
+            bi += 1
+            bname = f"exp{bi}"
+            catalog_branch(cat, bname)
+            rows = [(i, opi) for i in range(lo, lo + n)]
+            catalog_branch_write(
+                spark, cat, bname, [{"name": "a", "df": df(rows)}]
+            )
+            if race == "disjoint":
+                # main moves b while the branch is in flight: publish
+                # succeeds, both effects land (snapshot isolation)
+                brows = [(i, 1000 + opi) for i in range(lo, lo + n)]
+                catalog_txn(
+                    cat, [{"name": "b", "root": roots["b"], "df": df(brows)}]
+                )
+                model["b"] = model["b"] + brows
+                catalog_publish_branch(cat, bname)
+                model["a"] = model["a"] + rows
+            elif race == "conflict":
+                # main moves a (touched by the branch): publish conflicts,
+                # nothing from the branch lands; drop it
+                arows = [(i, 2000 + opi) for i in range(lo, lo + n)]
+                catalog_txn(
+                    cat, [{"name": "a", "root": roots["a"], "df": df(arows)}]
+                )
+                model["a"] = model["a"] + arows
+                try:
+                    catalog_publish_branch(cat, bname)
+                    raise AssertionError("publish must conflict")
+                except CatalogConflictError:
+                    catalog_drop_branch(cat, bname)
+            else:
+                catalog_publish_branch(cat, bname)
+                model["a"] = model["a"] + rows
+        got = _read_all(spark, cat)
+        want = {t: sorted(model[t]) for t in TABLES}
+        assert got == want, f"catalog state diverged after op {opi} {op}"
+        hist[catalog_versions(cat)[-1]] = want
+    # catalog time travel: every published version replays its exact world
+    for v, want in hist.items():
+        assert _read_all(spark, cat, catalog_version=v) == want, (
+            f"catalog time travel to v{v} diverged"
+        )
