@@ -379,3 +379,64 @@ def test_metadata_tables_files_and_partitions(spark, tmp_path):
     ).first().n == 7
     with pytest.raises(ValueError, match="unknown metadata table"):
         snapshot_metadata_table(spark, root, "nope")
+
+
+def test_vacuum_bounded_at_10k_commits(spark, tmp_path):
+    """Scale pin for the orphan GC: at 10^4 commits, snapshot_vacuum's
+    reference collection is O(commits) JSON reads (root + sidecars, no
+    data I/O) and the sweep itself touches only what the data/ listing
+    yields — the whole call stays within a small wall bound while still
+    finding a planted aged orphan."""
+    import json as _json
+    import os
+    import time as _time
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "many")
+    seed = snapshot_commit(_batch(spark, 0, 10).coalesce(1), root)
+    n = 10_000
+    m1 = S._load_manifest(root, 1)
+    commit_files = dict(m1["commit_files"])
+    sidecars = dict(m1["sidecars"])
+    commit_ranges = dict(m1["commit_ranges"])
+    for i in range(n):
+        cid = f"syn{i:08x}"
+        rel = os.path.join("data", cid, "part-0.parquet")
+        sc_rel = os.path.join("manifests", f"sc-{cid}.json")
+        with open(os.path.join(root, sc_rel), "w") as f:
+            _json.dump(
+                {"stats": {rel: {"id": [i, i]}}, "files": [rel],
+                 "bytes": {rel: 131072 + i}}, f,
+            )
+        commit_files[cid] = 1
+        sidecars[cid] = sc_rel
+        commit_ranges[cid] = {"id": [i, i]}
+    manifest = {
+        "version": 2, "parent": 1,
+        "committed_at": m1["committed_at"] + 1,
+        "mode": "append", "commit_id": "syn0000270f",
+        "n_files": seed["n_files"] + n, "schema": seed["schema"],
+        "commit_schemas": {}, "sidecars": sidecars,
+        "commit_ranges": commit_ranges, "tombstones": [],
+        "commit_files": commit_files,
+    }
+    with open(S._manifest_path(root, 2), "w") as f:
+        _json.dump(manifest, f)
+    # a crash-staged orphan aged past the window
+    d = os.path.join(root, "data", "orphan000001")
+    os.makedirs(d)
+    p = os.path.join(d, "part-crashed.parquet")
+    with open(p, "wb") as f:
+        f.write(b"PAR1crashPAR1")
+    old = _time.time_ns() - 10 * 86400 * 10**9
+    os.utime(p, ns=(old, old))
+    t0 = _time.time()
+    out = S.snapshot_vacuum(root)
+    wall = _time.time() - t0
+    assert out["removed_files"] == 1 and out["candidates"] == [
+        os.path.join("data", "orphan000001", "part-crashed.parquet")
+    ]
+    assert wall < 5.0, f"vacuum took {wall:.2f}s at {n} commits"
+    # every pinned file survived (the seed's real file reads back)
+    assert snapshot_read(spark, root, version=1).count() == 10
