@@ -361,17 +361,24 @@ def _range_disjoint(rng, lo, hi) -> bool:
         return False
 
 
-def _footer_stats(path: str) -> dict:
-    """Per-column [min, max] for one parquet file, merged across its row
-    groups, from footer metadata only. Columns whose statistics are absent
-    or non-JSON-serializable (nested, binary) are omitted — pruning then
-    simply never skips on them (safe default)."""
+def _footer_meta(path: str) -> tuple[dict, int]:
+    """``(per-column [min, max], row count)`` for one parquet file from
+    footer metadata only — ONE footer open serves both the zone maps and
+    the commit row-count rollup. Columns whose statistics are absent or
+    non-JSON-serializable (nested, binary) are omitted — pruning then
+    simply never skips on them (safe default). A column's range is kept
+    only when EVERY row group recorded valid stats for it: parquet
+    writers drop a row group's statistics when a value exceeds the max
+    stats size, and a range merged from the surviving row groups would
+    under-cover the file — a pruning decision on it could skip rows."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     out: dict[str, list] = {}
+    covered: set[str] | None = None  # cols with stats in every rg so far
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
+        rg_cols: set[str] = set()
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             try:
@@ -391,11 +398,22 @@ def _footer_stats(path: str) -> dict:
             if isinstance(mn, (int, float, str, bool)) and isinstance(
                 mx, (int, float, str, bool)
             ):
+                rg_cols.add(name)
                 if name in out:
                     out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
                 else:
                     out[name] = [mn, mx]
-    return out
+        covered = rg_cols if covered is None else covered & rg_cols
+    for name in list(out):
+        if name not in (covered or set()):
+            del out[name]
+    return out, int(md.num_rows)
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] zone map for one parquet file (see
+    ``_footer_meta``)."""
+    return _footer_meta(path)[0]
 
 
 def _build_blooms(
@@ -899,8 +917,10 @@ def snapshot_commit_staged(
             "the table's; use snapshot_commit(allow_schema_change=True) "
             "for schema evolution"
         )
+    _metas = {rel: _footer_meta(os.path.join(root, rel)) for rel in new_files}
     sidecar = {
-        "stats": {rel: _footer_stats(os.path.join(root, rel)) for rel in new_files}
+        "stats": {rel: st for rel, (st, _) in _metas.items()},
+        "rows": {rel: n for rel, (_, n) in _metas.items()},
     }
     while True:
         files = (
@@ -1013,8 +1033,9 @@ def _new_sidecar(
     distinct-count sketches for the NEW files of one commit. Lives in
     the commit's immutable sidecar file; the root manifest carries only
     a pointer."""
-    stats = {rel: _footer_stats(os.path.join(root, rel)) for rel in new_files}
-    sidecar = {"stats": stats}
+    metas = {rel: _footer_meta(os.path.join(root, rel)) for rel in new_files}
+    stats = {rel: st for rel, (st, _) in metas.items()}
+    sidecar = {"stats": stats, "rows": {rel: n for rel, (_, n) in metas.items()}}
     if bloom_cfg and new_files:
         sidecar["blooms"] = _build_blooms(
             spark, root, new_files, bloom_cfg["cols"], bloom_cfg["m"], bloom_cfg["k"]
@@ -1319,6 +1340,14 @@ def _publish(
         commit_sizes[commit_id] = [
             len(szs), sum(szs), sum(1 for s in szs if s < small_thr)
         ]
+        # 4th element: commit row count (when the sidecar's per-file rows
+        # map covers every file) — lets snapshot_fast_agg answer COUNT(*)
+        # from the root alone. Legacy 3-element entries stay valid.
+        rows_map = sidecar.get("rows") or {}
+        if all(rel in rows_map for rel in sidecar["files"]):
+            commit_sizes[commit_id].append(
+                int(sum(rows_map[rel] for rel in sidecar["files"]))
+            )
         if sidecar.get("sketches") and commit_id not in sketch_commits:
             sketch_commits.append(commit_id)
         # declared-partition rollup for writers that didn't record one

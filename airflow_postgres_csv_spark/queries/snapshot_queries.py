@@ -3678,3 +3678,81 @@ register(
     ORDER BY version
     """,
 )(snapshot_metadata_history)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregates (round 10, operators/fast_agg.py): COUNT(*) and
+# MIN/MAX answered from the root manifest's per-commit row-count rollup and
+# zone maps — Iceberg's manifest-stats aggregate pushdown. Exact or
+# fallback, never approximate: a merge-on-read delete makes footer stats
+# overcount, so the second phase must flip to the scan path and still agree
+# with the oracle's WHERE-filtered truth.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_fast_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.fast_agg import (
+        snapshot_fast_agg,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(3):
+        snapshot_commit(
+            events.where(F.pmod("event_id", F.lit(3)) == r).coalesce(1), root
+        )
+    meta = snapshot_fast_agg(
+        root, ["event_id", "value", "event_type"], spark=None, allow_scan=False
+    )
+    metadata_only = int(
+        meta["rows_source"] == "root"
+        and all(c["source"] == "root" for c in meta["columns"].values())
+    )
+    snapshot_delete_mor(
+        spark, root, "event_type = 'click'", key_col="event_id"
+    )
+    post = snapshot_fast_agg(root, ["event_id"], spark=spark)
+    scan_exact = int(post["rows_source"] == "scan")
+    return spark.createDataFrame(
+        [
+            (
+                meta["n_rows"],
+                meta["columns"]["event_id"]["min"],
+                meta["columns"]["event_id"]["max"],
+                float(meta["columns"]["value"]["min"]),
+                float(meta["columns"]["value"]["max"]),
+                meta["columns"]["event_type"]["min"],
+                meta["columns"]["event_type"]["max"],
+                metadata_only,
+                post["n_rows"],
+                scan_exact,
+            )
+        ],
+        schema=(
+            "n_before bigint, id_min bigint, id_max bigint, "
+            "val_min double, val_max double, type_min string, "
+            "type_max string, metadata_only int, n_after bigint, "
+            "scan_exact int"
+        ),
+    )
+
+
+register(
+    "snapshot_fast_count",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+           MIN(event_id) AS id_min, MAX(event_id) AS id_max,
+           MIN(value) AS val_min, MAX(value) AS val_max,
+           MIN(event_type) AS type_min, MAX(event_type) AS type_max,
+           1 AS metadata_only,
+           CAST((SELECT COUNT(*) FROM events WHERE event_type <> 'click')
+                AS BIGINT) AS n_after,
+           1 AS scan_exact
+    FROM events
+    """,
+)(snapshot_fast_count_query)

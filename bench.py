@@ -172,6 +172,9 @@ HEADLINE = [
     "snapshot_catalog_branch",
     "streaming_classifier_live",
     "snapshot_metadata_history",
+    # round-10 session 2: metadata-only COUNT(*)/MIN/MAX with the
+    # exact-or-scan fallback under merge-on-read deletes
+    "snapshot_fast_count",
 ]
 
 

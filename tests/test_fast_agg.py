@@ -1,0 +1,247 @@
+"""snapshot_fast_agg: metadata-only COUNT(*)/MIN/MAX with exact-or-scan
+fallback — Iceberg manifest-stats aggregate pushdown, re-expressed over the
+snapshot root's per-commit rollups.
+
+The structural pins (bombed sidecar loads / footer opens / scan reads) are
+the scale evidence: on the append-only fast path the answer comes from the
+root manifest ALONE — O(commits) JSON already in memory, no per-file I/O —
+so the same call on a 10⁶-file table stays metadata-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators import fast_agg as FA
+from airflow_postgres_csv_spark.operators import snapshots as S
+from airflow_postgres_csv_spark.operators.fast_agg import snapshot_fast_agg
+from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_alter,
+    snapshot_commit,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_delete_mor,
+    snapshot_read,
+    snapshot_versions,
+)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 13).alias("x"),
+        F.concat(F.lit("u"), F.format_string("%03d", F.col("id") % 50)).alias(
+            "tag"
+        ),
+    )
+
+
+def _truth(spark, root, cols, version=None):
+    df = snapshot_read(spark, root, version=version)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def _bomb_scan(monkeypatch):
+    def bomb(*a, **k):
+        raise AssertionError("data scan on the metadata-only path")
+
+    monkeypatch.setattr(FA, "snapshot_read", bomb)
+
+
+def _bomb_footers(monkeypatch):
+    def bomb(path):
+        raise AssertionError(f"footer open({path}) on the rollup path")
+
+    monkeypatch.setattr(FA, "_footer_meta", bomb)
+
+
+def _count_sidecars(monkeypatch):
+    real = S._load_sidecar
+    calls = {"n": 0}
+
+    def counting(root, manifest, cid):
+        calls["n"] += 1
+        return real(root, manifest, cid)
+
+    monkeypatch.setattr(FA, "_load_sidecar", counting)
+    return calls
+
+
+def test_append_only_answers_from_root_alone(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    for k in range(3):
+        snapshot_commit(_batch(spark, k * 100, (k + 1) * 100).coalesce(1), root)
+    want = _truth(spark, root, ["id", "x", "tag"])
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    _bomb_footers(monkeypatch)
+    sidecars = _count_sidecars(monkeypatch)
+    got = snapshot_fast_agg(
+        root, ["id", "x", "tag"], spark=None, allow_scan=False
+    )
+    assert got["n_rows"] == want["n"] == 300
+    assert got["rows_source"] == "root"
+    for c in ["id", "x", "tag"]:
+        assert got["columns"][c]["min"] == want[f"mn_{c}"]
+        assert got["columns"][c]["max"] == want[f"mx_{c}"]
+        assert got["columns"][c]["source"] == "root"
+    assert sidecars["n"] == 0
+
+
+def test_time_travel_version_pin(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 50).coalesce(1), root)
+    snapshot_commit(_batch(spark, 50, 400).coalesce(1), root)
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(root, ["id"], version=1, allow_scan=False)
+    assert got["n_rows"] == 50
+    assert got["columns"]["id"] == {"min": 0, "max": 49, "source": "root"}
+
+
+def test_cow_partial_commit_uses_sidecar(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    # two files in one commit, split on id so the delete touches only one
+    b = _batch(spark, 0, 200)
+    snapshot_commit(
+        b.repartitionByRange(2, "id").sortWithinPartitions("id"), root
+    )
+    snapshot_delete(spark, root, "id", 0, 10)  # COW: one file rewritten
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    assert any(
+        isinstance(mk, list) for mk in dict.get(m, "commit_files").values()
+    ), "expected a partially-retained commit"
+    want = _truth(spark, root, ["id", "tag"])
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    _bomb_footers(monkeypatch)
+    got = snapshot_fast_agg(root, ["id", "tag"], spark=None, allow_scan=False)
+    assert got["n_rows"] == want["n"] == 189
+    assert got["columns"]["id"]["min"] == want["mn_id"] == 11
+    assert got["columns"]["id"]["max"] == want["mx_id"]
+    assert got["columns"]["tag"]["min"] == want["mn_tag"]
+    # the subset commit's ranges come from its sidecar's per-file stats
+    assert got["rows_source"] in ("root", "sidecar")
+    assert got["columns"]["id"]["source"] in ("root", "sidecar")
+
+
+def test_legacy_sidecar_falls_back_to_footers(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 120).coalesce(1), root)
+    # simulate a pre-rowcount sidecar + 3-element rollup (legacy table)
+    v = snapshot_versions(root)[-1]
+    mpath = S._manifest_path(root, v)
+    m = json.loads(open(mpath).read())
+    for cid, ent in m["commit_sizes"].items():
+        m["commit_sizes"][cid] = ent[:3]
+    for rel in m["sidecars"].values():
+        sc = json.loads(open(os.path.join(root, rel)).read())
+        sc.pop("rows", None)
+        with open(os.path.join(root, rel), "w") as f:
+            json.dump(sc, f)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(root, ["id"], spark=None, allow_scan=False)
+    assert got["n_rows"] == 120
+    assert got["rows_source"] == "footer"  # metadata still — never a scan
+    assert got["columns"]["id"] == {"min": 0, "max": 119, "source": "root"}
+
+
+def test_tombstones_force_exact_scan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 100).coalesce(1), root)
+    snapshot_delete_mor(spark, root, condition="id >= 90", key_col="id")
+    with pytest.raises(RuntimeError, match="allow_scan=False"):
+        snapshot_fast_agg(root, ["id"], allow_scan=False)
+    got = snapshot_fast_agg(root, ["id"], spark=spark)
+    assert got["n_rows"] == 90 and got["rows_source"] == "scan"
+    assert got["columns"]["id"] == {"min": 0, "max": 89, "source": "scan"}
+
+
+def test_added_default_column_scans_that_column_only(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 80).coalesce(1), root)
+    snapshot_alter(root, add={"score": "long"}, column_defaults={"score": 7})
+    snapshot_commit(
+        _batch(spark, 80, 160)
+        .withColumn("score", F.lit(2).cast("long"))
+        .coalesce(1),
+        root,
+        allow_schema_change=True,
+    )
+    got = snapshot_fast_agg(root, ["id", "score"], spark=spark)
+    # pre-ALTER rows surface the default 7 — only a scan can see it
+    assert got["columns"]["score"] == {"min": 2, "max": 7, "source": "scan"}
+    assert got["columns"]["id"]["source"] == "root"  # untouched by fallback
+    assert got["n_rows"] == 160 and got["rows_source"] == "root"
+
+
+def test_rename_lineage_resolves_old_physical_names(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 60).coalesce(1), root)
+    snapshot_alter(root, rename={"tag": "label"})
+    snapshot_commit(
+        _batch(spark, 60, 90).withColumnRenamed("tag", "label").coalesce(1),
+        root,
+    )
+    want = _truth(spark, root, ["label"])
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(root, ["label"], spark=None, allow_scan=False)
+    assert got["columns"]["label"]["min"] == want["mn_label"]
+    assert got["columns"]["label"]["max"] == want["mx_label"]
+    assert got["n_rows"] == 90
+
+
+def test_compaction_keeps_root_only_answers(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    for k in range(4):
+        snapshot_commit(_batch(spark, k * 25, (k + 1) * 25).coalesce(1), root)
+    snapshot_compact(spark, root, target_bytes=1 << 30)
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    _bomb_footers(monkeypatch)
+    got = snapshot_fast_agg(root, ["id"], spark=None, allow_scan=False)
+    assert got["n_rows"] == 100 and got["rows_source"] == "root"
+    assert got["columns"]["id"] == {"min": 0, "max": 99, "source": "root"}
+
+
+def test_missing_column_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 10).coalesce(1), root)
+    with pytest.raises(ValueError, match="nope"):
+        snapshot_fast_agg(root, ["nope"])
+
+
+def test_footer_meta_requires_stats_in_every_row_group(tmp_path):
+    """A column whose stats are absent in SOME row group (all-NULL group
+    here; oversized-value stat drops in the wild) must not surface a
+    merged range — it would under-cover the file for pruning and fast
+    aggregates alike."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "f.parquet")
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 4], pa.int64()),
+            "b": pa.array([10, 20, None, None], pa.int64()),
+        }
+    )
+    pq.write_table(t, path, row_group_size=2)  # rg2 of b is all-NULL
+    stats, n_rows = S._footer_meta(path)
+    assert n_rows == 4
+    assert stats["a"] == [1, 4]
+    assert "b" not in stats  # conservative: not provably file-covering
