@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -217,6 +218,11 @@ def catalog_pin_tables(
             base_at_start = dict(base)
         tables = dict(base)
         for name, (root, version) in pins.items():
+            if _is_view(tables.get(name, {})):
+                raise ValueError(
+                    f"{name!r} is a view — a table pin cannot replace it "
+                    "(drop_view first)"
+                )
             tables[name] = {"root": os.path.abspath(root), "version": int(version)}
         if ddl:
             _apply_ddl(tables, ddl)
@@ -230,10 +236,65 @@ def catalog_pin_tables(
                 raise
 
 
+def _is_view(pin: dict) -> bool:
+    """Whether a catalog binding is a stored VIEW (SQL text + table
+    aliases) rather than a table pin ({"root", "version"})."""
+    return isinstance(pin, dict) and "view" in pin
+
+
+_ALIAS_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _view_entry(tables: dict, op: dict) -> dict:
+    """Validate a create_view/replace_view op against the bindings map
+    and return the catalog entry. Views share the namespace with tables
+    (Iceberg's rule — one name, one object); references are stored as
+    ``alias -> catalog table name`` so the SQL text stays engine-plain
+    (aliases are plain identifiers, registered fresh at read time) and a
+    rename of the VIEW never has to rewrite it. View-on-view is refused:
+    late-binding + shared-map cycles are a resolver of their own — keep
+    the dependency graph one level deep."""
+    sql = op.get("sql")
+    refs = op.get("tables")
+    if not isinstance(sql, str) or not sql.strip():
+        raise ValueError(f"view {op['name']!r}: 'sql' must be non-empty SQL text")
+    if not isinstance(refs, dict) or not refs:
+        raise ValueError(
+            f"view {op['name']!r}: 'tables' must map alias -> catalog table"
+        )
+    for alias, tname in refs.items():
+        if not _ALIAS_RE.match(alias):
+            raise ValueError(
+                f"view {op['name']!r}: alias {alias!r} is not a plain "
+                "identifier"
+            )
+        ent = tables.get(tname)
+        if ent is None:
+            raise KeyError(
+                f"view {op['name']!r}: referenced table {tname!r} not in "
+                f"catalog (have {sorted(tables)})"
+            )
+        if _is_view(ent):
+            raise ValueError(
+                f"view {op['name']!r}: {tname!r} is itself a view — "
+                "view-on-view is not supported"
+            )
+    return {"view": {"sql": sql, "tables": dict(refs)}}
+
+
+def _view_dependents(tables: dict, name: str) -> list[str]:
+    """Names of live views that reference table ``name``."""
+    return sorted(
+        v
+        for v, ent in tables.items()
+        if _is_view(ent) and name in ent["view"]["tables"].values()
+    )
+
+
 def _apply_ddl(tables: dict, ops: list[dict]) -> None:
-    """Apply validated create/rename/drop ops to a bindings map in place
-    (shared by ``catalog_ddl`` and the ``ddl=`` riders on
-    ``catalog_pin_tables``/``catalog_txn``)."""
+    """Apply validated create/rename/drop/create_view/replace_view/
+    drop_view ops to a bindings map in place (shared by ``catalog_ddl``
+    and the ``ddl=`` riders on ``catalog_pin_tables``/``catalog_txn``)."""
     for op in ops:
         kind, name = op["op"], op["name"]
         if kind == "create":
@@ -259,10 +320,37 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                 raise KeyError(f"rename: no table {name!r} in catalog")
             if to in tables:
                 raise ValueError(f"rename target {to!r} already exists")
+            if not _is_view(tables[name]):
+                deps = _view_dependents(tables, name)
+                if deps:
+                    raise ValueError(
+                        f"rename {name!r}: views {deps} reference it by "
+                        "name; replace or drop them first"
+                    )
             tables[to] = tables.pop(name)
         elif kind == "drop":
             if name not in tables:
                 raise KeyError(f"drop: no table {name!r} in catalog")
+            if _is_view(tables[name]):
+                raise ValueError(f"{name!r} is a view — use drop_view")
+            deps = _view_dependents(tables, name)
+            if deps:
+                raise ValueError(
+                    f"drop {name!r}: views {deps} reference it; drop them "
+                    "first (DROP ... CASCADE is deliberately absent)"
+                )
+            del tables[name]
+        elif kind == "create_view":
+            if name in tables:
+                raise ValueError(f"name {name!r} already exists")
+            tables[name] = _view_entry(tables, op)
+        elif kind == "replace_view":
+            if name not in tables or not _is_view(tables[name]):
+                raise KeyError(f"replace_view: no view {name!r} in catalog")
+            tables[name] = _view_entry(tables, op)
+        elif kind == "drop_view":
+            if name not in tables or not _is_view(tables[name]):
+                raise KeyError(f"drop_view: no view {name!r} in catalog")
             del tables[name]
         else:
             raise ValueError(f"unknown DDL op {kind!r}")
@@ -300,6 +388,22 @@ def catalog_ddl(
       (per-table GC stays ``snapshot_expire``'s job), and every older
       catalog version still resolves the name until ``catalog_expire``
       retires it — DROP is an unbind, not a delete.
+
+    Views share the same namespace and versioning (Iceberg view-spec
+    shape — the catalog stores SQL text, resolved late):
+
+    - ``{"op": "create_view", "name": ..., "sql": ..., "tables":
+      {alias: table_name}}`` — bind a name to SQL text over catalog
+      tables; each alias registers as a temp view pinned at the READING
+      catalog version, so time travel replays the view text and the
+      table pins of its era together. View-on-view is refused.
+    - ``{"op": "replace_view", ...}`` — CREATE OR REPLACE (same shape;
+      the name must be an existing view).
+    - ``{"op": "drop_view", "name": ...}`` — unbind (head only, like
+      drop). Renaming/dropping a TABLE that live views reference is
+      refused until the views are replaced or dropped; plain ``drop`` on
+      a view (or a table pin over a view name) is refused too — one
+      name, one object kind.
 
     Names are dot-qualified (``namespace.table``); ``catalog_tables``
     lists per namespace. All ops in one call flip together (e.g. the
@@ -348,6 +452,18 @@ def catalog_tables(
         return tables
     prefix = namespace + "."
     return {n: p for n, p in tables.items() if n.startswith(prefix)}
+
+
+def catalog_views(
+    catalog_root: str, catalog_version: int | None = None
+) -> dict:
+    """The stored views of a catalog version (latest when None):
+    ``name -> {"sql": ..., "tables": {alias: table_name}}``."""
+    return {
+        n: dict(ent["view"])
+        for n, ent in catalog_state(catalog_root, catalog_version).items()
+        if _is_view(ent)
+    }
 
 
 def catalog_txn(
@@ -413,6 +529,27 @@ def catalog_read(
     if name not in tables:
         raise KeyError(f"table {name!r} not in catalog (have {sorted(tables)})")
     pin = tables[name]
+    if _is_view(pin):
+        # late-binding VIEW: register every referenced table pinned at
+        # THIS catalog version (multi-table consistent), then run the
+        # stored SQL — catalog time travel replays the view text AND the
+        # table pins of its era together
+        from airflow_postgres_csv_spark.sources.snapshot_batch import (
+            snapshot_sql_register,
+        )
+
+        vdef = pin["view"]
+        for alias, tname in vdef["tables"].items():
+            tpin = tables.get(tname)
+            if tpin is None or _is_view(tpin):
+                raise KeyError(
+                    f"view {name!r}: referenced table {tname!r} is not a "
+                    "table at this catalog version"
+                )
+            snapshot_sql_register(
+                spark, alias, tpin["root"], version=tpin["version"]
+            )
+        return spark.sql(vdef["sql"])
     return snapshot_read(spark, pin["root"], version=pin["version"])
 
 
@@ -640,6 +777,8 @@ def catalog_drop_branch(catalog_root: str, name: str) -> None:
     if versions:
         tb = _table_branch_name(name)
         for pin in catalog_state(broot).values():
+            if _is_view(pin):  # views pin no data — nothing to clean
+                continue
             # audit-failed first writes fork a table branch without ever
             # advancing the catalog pin (no base_root) — clean those too
             base_root = pin.get("base_root", pin["root"])
@@ -695,6 +834,10 @@ def catalog_branch_write(
             raise KeyError(
                 f"table {name!r} not pinned by catalog branch {branch!r} "
                 f"(have {sorted(state)}); register it on main first"
+            )
+        if _is_view(pin):
+            raise ValueError(
+                f"{name!r} is a view — write to its base tables instead"
             )
         base_root = pin.get("base_root", pin["root"])
         base_version = pin.get("base_version", pin["version"])
@@ -830,6 +973,8 @@ def catalog_vacuum(
     removed_files = removed_bytes = 0
     seen_roots: set[str] = set()
     for name, pin in sorted(catalog_state(catalog_root).items()):
+        if _is_view(pin):  # views pin no files
+            continue
         root = pin["root"]
         if root in seen_roots:  # two names may pin one root (rename DDL)
             continue

@@ -3756,3 +3756,105 @@ register(
     FROM events
     """,
 )(snapshot_fast_count_query)
+
+
+# ---------------------------------------------------------------------------
+# Catalog-stored VIEWS (round 10, operators/catalog_txn.py): CREATE VIEW as
+# a versioned catalog object — SQL text resolved LATE over the reading
+# catalog version's table pins (Iceberg view-spec shape), so catalog time
+# travel replays the view definition AND the data of its era together. The
+# query stages nation v1, creates a per-region rollup view, grows the table
+# + REPLACEs the definition, then reads the view at HEAD and AS-OF the
+# creation version; the oracle restates both eras straight over the parquet.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_pin_tables,
+        catalog_read,
+    )
+
+    cat, nroot, rroot = _temp_root(), _temp_root(), _temp_root()
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    snapshot_commit(nation.where(F.col("n_nationkey") < _SPLIT_KEY), nroot)
+    snapshot_commit(region, rroot)
+    catalog_ddl(
+        cat,
+        [
+            {"op": "create", "name": "gold.nation", "root": nroot},
+            {"op": "create", "name": "gold.region", "root": rroot},
+        ],
+    )
+    # catalog v2: the view — per-region nation counts
+    catalog_ddl(
+        cat,
+        [
+            {
+                "op": "create_view",
+                "name": "gold.region_rollup",
+                "sql": (
+                    "SELECT r.r_name AS r_name, "
+                    "CAST(COUNT(*) AS BIGINT) AS n_nations "
+                    "FROM n JOIN r ON n.n_regionkey = r.r_regionkey "
+                    "GROUP BY r.r_name"
+                ),
+                "tables": {"n": "gold.nation", "r": "gold.region"},
+            }
+        ],
+    )
+    v_created = 2
+    # catalog v3+v4: the table grows and the definition is REPLACEd
+    m2 = snapshot_commit(
+        nation.where(F.col("n_nationkey") >= _SPLIT_KEY), nroot
+    )
+    catalog_pin_tables(cat, {"gold.nation": (nroot, m2["version"])})
+    catalog_ddl(
+        cat,
+        [
+            {
+                "op": "replace_view",
+                "name": "gold.region_rollup",
+                "sql": (
+                    "SELECT r.r_name AS r_name, "
+                    "CAST(COUNT(*) AS BIGINT) AS n_nations, "
+                    "CAST(MAX(n.n_nationkey) AS BIGINT) AS max_key "
+                    "FROM n JOIN r ON n.n_regionkey = r.r_regionkey "
+                    "GROUP BY r.r_name"
+                ),
+                "tables": {"n": "gold.nation", "r": "gold.region"},
+            }
+        ],
+    )
+    head = catalog_read(spark, cat, "gold.region_rollup")
+    # AS-OF the creation version: the ORIGINAL SQL over the ORIGINAL pin
+    asof = catalog_read(
+        spark, cat, "gold.region_rollup", catalog_version=v_created
+    )
+    want_asof = (
+        nation.where(F.col("n_nationkey") < _SPLIT_KEY)
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"))
+    )
+    asof_ok = int(
+        sorted(map(tuple, asof.collect()))
+        == sorted(map(tuple, want_asof.collect()))
+    )
+    return head.withColumn("asof_ok", F.lit(asof_ok)).orderBy("r_name")
+
+
+register(
+    "snapshot_catalog_view",
+    """
+    SELECT r.r_name AS r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MAX(n.n_nationkey) AS BIGINT) AS max_key,
+           1 AS asof_ok
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r_name
+    """,
+)(snapshot_catalog_view_query)

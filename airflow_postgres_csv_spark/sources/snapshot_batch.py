@@ -123,6 +123,12 @@ def _resolve_table(options: dict) -> tuple[str, int | None]:
                 f"(have {sorted(tables)})"
             )
         pin = tables[name]
+        if "view" in pin:
+            raise ValueError(
+                f"{name!r} is a catalog VIEW — read it with "
+                "catalog_read(spark, catalog_root, name), which resolves "
+                "the stored SQL over the version's table pins"
+            )
         return pin["root"], int(pin["version"])
     root = options.get("path") or options.get("root")
     if not root:

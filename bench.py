@@ -173,8 +173,10 @@ HEADLINE = [
     "streaming_classifier_live",
     "snapshot_metadata_history",
     # round-10 session 2: metadata-only COUNT(*)/MIN/MAX with the
-    # exact-or-scan fallback under merge-on-read deletes
+    # exact-or-scan fallback under merge-on-read deletes, and
+    # catalog-stored views resolved over the reading version's pins
     "snapshot_fast_count",
+    "snapshot_catalog_view",
 ]
 
 
