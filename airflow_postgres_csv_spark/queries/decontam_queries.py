@@ -205,3 +205,99 @@ register(
     ORDER BY doc_id
     """,
 )(dedup_cluster_survivors)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits (round 10): the classic eval-hygiene failure is a
+# near-duplicate pair straddling train/test — the model "generalizes" to a
+# paraphrase of its own training data. The fix is to split by DEDUP CLUSTER,
+# not by document: close the near-dup pairs into components, hash the
+# CLUSTER id into train/val/test, and let every member inherit the
+# cluster's split. ``crossed`` flags the documents a naive per-doc hash
+# split would have separated from their near-duplicates — the leakage this
+# operator exists to prevent. Scale shape: the banded/capped candidate
+# generation and iterative label propagation are the audited
+# dedup_clusters path; the split itself is one md5 projection — no new
+# shuffles beyond the closure.
+# ---------------------------------------------------------------------------
+
+
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_NGRAM_DF_CAP
+    ).select("id_a", "id_b")
+    assign = connected_components(
+        edges, docs.select("doc_id"), src="id_a", dst="id_b", id_col="doc_id"
+    )
+    ch = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    dh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    cluster_split = (
+        F.when(ch < "14", F.lit("test"))
+        .when(ch < "28", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    naive_split = (
+        F.when(dh < "14", F.lit("test"))
+        .when(dh < "28", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        assign.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            cluster_split.alias("split"),
+            (
+                (F.col("cluster_size") > 1)
+                & (naive_split != cluster_split)
+            ).cast("int").alias("crossed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "split_cluster_safe",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES_CAPPED},
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM cshingles a
+      JOIN cshingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN csizes sa ON sa.doc_id = a.doc_id
+      JOIN csizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) >= 0.5
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, w.root FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    assign AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node
+    ),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) AS ch,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS dh
+      FROM assign
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           CASE WHEN ch < '14' THEN 'test'
+                WHEN ch < '28' THEN 'val' ELSE 'train' END AS split,
+           CAST(cluster_size > 1 AND
+                (CASE WHEN ch < '14' THEN 'test'
+                      WHEN ch < '28' THEN 'val' ELSE 'train' END)
+                <> (CASE WHEN dh < '14' THEN 'test'
+                         WHEN dh < '28' THEN 'val' ELSE 'train' END)
+                AS INT) AS crossed
+    FROM sized
+    ORDER BY doc_id
+    """,
+)(split_cluster_safe)

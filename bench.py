@@ -177,6 +177,8 @@ HEADLINE = [
     # catalog-stored views resolved over the reading version's pins
     "snapshot_fast_count",
     "snapshot_catalog_view",
+    # leakage-safe splits: near-dup clusters never straddle train/test
+    "split_cluster_safe",
 ]
 
 

@@ -164,3 +164,38 @@ def test_dsir_importance_prefers_target_like_docs(spark):
         for r in dsir_importance_weights(df, F.col("lang") == "en").collect()
     }
     assert got == again
+
+
+def test_split_cluster_safe_no_leakage(spark):
+    """Near-dup clusters never straddle splits: every cluster maps to ONE
+    split, and documents a naive per-doc hash would have torn away from
+    their near-duplicates are flagged ``crossed``."""
+    from airflow_postgres_csv_spark.queries.decontam_queries import (
+        split_cluster_safe,
+    )
+
+    out = split_cluster_safe(spark, "/root/testdata/sf0.001").cache()
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.max("cluster_size").alias("size"),
+        )
+        .collect()
+    )
+    assert per_cluster and all(r.n_splits == 1 for r in per_cluster)
+    rows = out.collect()
+    # the flag is exactly "multi-doc cluster AND naive-hash disagrees"
+    import hashlib
+
+    def bucket(x):
+        h = hashlib.md5(str(x).encode()).hexdigest()[:2]
+        return "test" if h < "14" else ("val" if h < "28" else "train")
+
+    for r in rows:
+        want = int(
+            r.cluster_size > 1 and bucket(r.doc_id) != bucket(r.cluster_id)
+        )
+        assert r.crossed == want
+        assert r.split == bucket(r.cluster_id)
+    out.unpersist()
