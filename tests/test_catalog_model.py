@@ -34,6 +34,22 @@ from airflow_postgres_csv_spark.operators.catalog_txn import (
 
 TABLES = ("a", "b")
 
+# catalog-view definitions over table "a": (stored SQL, model evaluator)
+_VIEW_DEFS = {
+    0: (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS x FROM ta",
+        lambda rows: len(rows),
+    ),
+    1: (
+        "SELECT CAST(SUM(id) AS BIGINT) AS x FROM ta",
+        lambda rows: sum(i for i, _ in rows),
+    ),
+    2: (
+        "SELECT CAST(MAX(stamp) AS BIGINT) AS x FROM ta",
+        lambda rows: max(s for _, s in rows),
+    ),
+}
+
 _op = st.one_of(
     # multi-table txn: append rows to a subset of tables, one atomic flip
     st.tuples(
@@ -50,6 +66,10 @@ _op = st.one_of(
         st.just("branch"), st.integers(0, 9), st.integers(1, 3),
         st.sampled_from(["clean", "disjoint", "conflict"]),
     ),
+    # stored view over table a: create-or-replace with one of the defs,
+    # or drop it (no-op when absent)
+    st.tuples(st.just("view_set"), st.integers(0, 2)),
+    st.tuples(st.just("view_drop"), st.just(0)),
 )
 
 
@@ -86,9 +106,34 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
         [{"name": t, "root": roots[t], "df": df(model[t])} for t in TABLES],
     )
     hist = {catalog_versions(cat)[-1]: {t: sorted(model[t]) for t in TABLES}}
+    vmodel: int | None = None  # current view def id (None = no view)
+    vhist = {catalog_versions(cat)[-1]: None}  # version -> expected view x
     bi = 0  # unique branch names across retries of the same history
     for opi, op in enumerate(ops, start=1):
         kind = op[0]
+        if kind == "view_set":
+            from airflow_postgres_csv_spark.operators.catalog_txn import (
+                catalog_ddl,
+            )
+
+            _, di = op
+            sql, _ = _VIEW_DEFS[di]
+            catalog_ddl(
+                cat,
+                [{
+                    "op": "create_view" if vmodel is None else "replace_view",
+                    "name": "v", "sql": sql, "tables": {"ta": "a"},
+                }],
+            )
+            vmodel = di
+        elif kind == "view_drop":
+            if vmodel is not None:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_ddl,
+                )
+
+                catalog_ddl(cat, [{"op": "drop_view", "name": "v"}])
+                vmodel = None
         if kind == "txn":
             _, lo, n, mask = op
             writes = []
@@ -165,9 +210,24 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
         got = _read_all(spark, cat)
         want = {t: sorted(model[t]) for t in TABLES}
         assert got == want, f"catalog state diverged after op {opi} {op}"
+        if vmodel is not None:
+            _, ev = _VIEW_DEFS[vmodel]
+            vx = catalog_read(spark, cat, "v").collect()[0]["x"]
+            assert vx == ev(model["a"]), f"view diverged after op {opi} {op}"
         hist[catalog_versions(cat)[-1]] = want
+        vhist[catalog_versions(cat)[-1]] = (
+            None if vmodel is None else (vmodel, _VIEW_DEFS[vmodel][1](model["a"]))
+        )
     # catalog time travel: every published version replays its exact world
+    # — tables AND the view definition + data of its era
     for v, want in hist.items():
         assert _read_all(spark, cat, catalog_version=v) == want, (
             f"catalog time travel to v{v} diverged"
         )
+        vexp = vhist.get(v)
+        if vexp is not None:
+            assert (
+                catalog_read(spark, cat, "v", catalog_version=v)
+                .collect()[0]["x"]
+                == vexp[1]
+            ), f"view time travel to v{v} diverged"
