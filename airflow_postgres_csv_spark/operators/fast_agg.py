@@ -133,17 +133,125 @@ def _metadata_range(
     return [lo, hi], source
 
 
+def _partition_filtered(
+    root: str, manifest: dict, where: dict, cols: list[str]
+) -> tuple[int, dict, str] | None:
+    """Exact COUNT(*)/MIN/MAX under an identity-partition equality
+    predicate, from metadata: with a declared spec whose ``where``
+    columns are IDENTITY transforms, a file's partition tuple decides
+    membership for EVERY row (one value per file, both directions), so
+    matching files contribute their full sidecar row counts and their
+    footer ranges are the ranges of matching rows. Returns ``(n_rows,
+    {col: [min, max] | None-for-scan}, source)`` or None when metadata
+    cannot decide exactly (no spec, a commit without tuples, a non-
+    identity field, a missing per-file tuple) — the caller falls back to
+    one filtered scan. O(matching commits) sidecar reads; commits whose
+    root summary excludes the value are never opened."""
+    from airflow_postgres_csv_spark.operators import partitioning as P
+
+    specs = manifest.get("partition_specs") or []
+    cparts = manifest.get("commit_partitions") or {}
+    if not specs:
+        return None
+    history = manifest.get("column_history") or {}
+    want = {c: (v, v) for c, v in where.items()}
+    total = 0
+    ranges: dict[str, list | None] = {c: None for c in cols}
+    dead: set[str] = set()  # cols that must scan
+    source = "root"
+    pred_cache: dict[int, list] = {}
+    for cid, n, subset in _commit_markers(root, manifest):
+        if n == 0:
+            continue
+        cp = cparts.get(cid)
+        if cp is None:
+            return None  # pre-spec commit: membership unprovable
+        si = cp.get("s", len(specs) - 1)
+        if not (0 <= si < len(specs)):
+            return None
+        spec = specs[si]
+        idx: dict[str, int] = {}
+        probe: dict[str, object] = {}
+        for c, v in where.items():
+            j = next(
+                (
+                    k
+                    for k, f in enumerate(spec)
+                    if f[0] == c and f[1] == "identity"
+                ),
+                None,
+            )
+            if j is None:
+                return None  # not identity-partitioned in this commit
+            idx[c] = j
+            probe[c] = P.transform_literal(spec[j], v)
+        if si not in pred_cache:
+            pred_cache[si] = P.map_predicates(spec, want)
+        if P.prune_commit(cp.get("f") or [], pred_cache[si]):
+            continue  # whole commit excluded from the root summary alone
+        sc = _load_sidecar(root, manifest, cid)
+        source = _weaker(source, "sidecar")
+        pvals = sc.get("partitions") or {}
+        rmap = sc.get("rows") or {}
+        stats = sc.get("stats") or {}
+        files = (
+            subset
+            if subset is not None
+            else (sc.get("files") or list(stats))
+        )
+        if subset is None and len(files) != n:
+            files = _commit_files_from_sidecar(root, manifest, cid, n)
+        fields = _schema_fields(manifest, cid)
+        phys_of = {c: _written_name(c, fields, history) for c in cols}
+        for rel in files:
+            tup = pvals.get(rel)
+            if tup is None:
+                return None  # file without a recorded tuple
+            if any(tup[idx[c]] != probe[c] for c in where):
+                continue  # identity mismatch: provably zero matching rows
+            if rel in rmap:
+                total += int(rmap[rel])
+            else:
+                total += _footer_meta(os.path.join(root, rel))[1]
+                source = _weaker(source, "footer")
+            for c in cols:
+                if c in dead:
+                    continue
+                phys = phys_of[c]
+                rng = (stats.get(rel) or {}).get(phys) if phys else None
+                if rng is None:
+                    dead.add(c)
+                    ranges[c] = None
+                    continue
+                cur = ranges[c]
+                ranges[c] = (
+                    list(rng)
+                    if cur is None
+                    else [min(cur[0], rng[0]), max(cur[1], rng[1])]
+                )
+    for c in dead:
+        ranges[c] = None
+    return total, ranges, dead, source
+
+
 def snapshot_fast_agg(
     root: str,
     cols: tuple[str, ...] | list[str] = (),
     *,
+    where: dict | None = None,
     version: int | None = None,
     spark: SparkSession | None = None,
     allow_scan: bool = True,
 ) -> dict:
     """COUNT(*) plus per-column MIN/MAX for a snapshot table version,
     answered from metadata where exactness is provable and from ONE Spark
-    scan otherwise. Returns::
+    scan otherwise. ``where`` adds a conjunctive equality predicate
+    (``{col: value}``): with a declared spec whose where-columns are
+    IDENTITY partition transforms, membership is decided per FILE from
+    the recorded partition tuples (exact both directions — identity
+    files hold one value), costing O(matching commits) sidecar reads;
+    any commit that cannot prove membership flips the whole call to one
+    filtered scan. Returns::
 
         {"version": v, "n_rows": int, "rows_source": src,
          "columns": {col: {"min": .., "max": .., "source": src}}}
@@ -163,6 +271,14 @@ def snapshot_fast_agg(
     missing = [c for c in cols if c not in current]
     if missing:
         raise ValueError(f"columns not in version {v} schema: {missing}")
+    if where:
+        bad = [c for c in where if c not in current]
+        if bad:
+            raise ValueError(f"where columns not in version {v} schema: {bad}")
+        if any(val is None for val in where.values()):
+            raise ValueError(
+                "where values must be non-NULL (equality never matches NULL)"
+            )
 
     out: dict = {"version": v, "columns": {}}
     scan_cols: list[str] = []
@@ -173,6 +289,24 @@ def snapshot_fast_agg(
         # path (which applies tombstones) is exact
         need_scan_rows = True
         scan_cols = list(cols)
+    elif where:
+        part = _partition_filtered(root, manifest, where, list(cols))
+        if part is None:
+            need_scan_rows = True
+            scan_cols = list(cols)
+        else:
+            n_rows, ranges, dead, src = part
+            out["n_rows"], out["rows_source"] = n_rows, src
+            for c in cols:
+                if c in dead:
+                    scan_cols.append(c)
+                else:
+                    rng = ranges[c]  # None => zero matching rows: NULLs
+                    out["columns"][c] = {
+                        "min": rng[0] if rng else None,
+                        "max": rng[1] if rng else None,
+                        "source": src,
+                    }
     else:
         n_rows, src = _metadata_rows(root, manifest)
         out["n_rows"], out["rows_source"] = n_rows, src
@@ -196,6 +330,9 @@ def snapshot_fast_agg(
         from pyspark.sql import functions as F
 
         df = snapshot_read(spark, root, version=v)
+        if where:
+            for c, val in where.items():
+                df = df.filter(df[c] == val)
         aggs = []
         if need_scan_rows:
             aggs.append(F.count(F.lit(1)).alias("__n"))

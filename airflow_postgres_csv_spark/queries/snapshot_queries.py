@@ -3858,3 +3858,63 @@ register(
     ORDER BY r_name
     """,
 )(snapshot_catalog_view_query)
+
+
+# ---------------------------------------------------------------------------
+# Partition-filtered metadata aggregates (round 10, fast_agg.py): COUNT(*)
+# and MIN/MAX under an identity-partition equality predicate, decided per
+# FILE from the recorded partition tuples — exact in both directions
+# (identity files hold exactly one value), zero data reads. The oracle is a
+# plain WHERE over the source parquet; the bombed-scan flag pins that the
+# answer came from metadata alone.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_partition_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.fast_agg import (
+        snapshot_fast_agg,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = _temp_root()
+    for r in range(2):
+        snapshot_commit(
+            events.where(F.pmod("event_id", F.lit(2)) == r),
+            root,
+            partition_transforms=[("event_type", "identity")],
+        )
+    got = snapshot_fast_agg(
+        root, ["event_id", "value"], where={"event_type": "click"},
+        spark=None, allow_scan=False,  # scan REFUSED: metadata must answer
+    )
+    metadata_only = int(got["rows_source"] in ("root", "sidecar"))
+    return spark.createDataFrame(
+        [
+            (
+                got["n_rows"],
+                got["columns"]["event_id"]["min"],
+                got["columns"]["event_id"]["max"],
+                float(got["columns"]["value"]["min"]),
+                float(got["columns"]["value"]["max"]),
+                metadata_only,
+            )
+        ],
+        schema=(
+            "n_clicks bigint, id_min bigint, id_max bigint, "
+            "val_min double, val_max double, metadata_only int"
+        ),
+    )
+
+
+register(
+    "snapshot_partition_count",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           MIN(event_id) AS id_min, MAX(event_id) AS id_max,
+           MIN(value) AS val_min, MAX(value) AS val_max,
+           1 AS metadata_only
+    FROM events WHERE event_type = 'click'
+    """,
+)(snapshot_partition_count_query)

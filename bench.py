@@ -179,6 +179,8 @@ HEADLINE = [
     "snapshot_catalog_view",
     # leakage-safe splits: near-dup clusters never straddle train/test
     "split_cluster_safe",
+    # partition-filtered metadata count: identity tuples decide per file
+    "snapshot_partition_count",
 ]
 
 

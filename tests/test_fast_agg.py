@@ -245,3 +245,119 @@ def test_footer_meta_requires_stats_in_every_row_group(tmp_path):
     assert n_rows == 4
     assert stats["a"] == [1, 4]
     assert "b" not in stats  # conservative: not provably file-covering
+
+
+def _pbatch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id",
+        F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def test_where_identity_partition_counts_from_metadata(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    for k in range(2):
+        snapshot_commit(
+            _pbatch(spark, k * 90, (k + 1) * 90),
+            root,
+            partition_transforms=[("lang", "identity")],
+        )
+    want = (
+        snapshot_read(spark, root)
+        .where(F.col("lang") == "L1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()[0]
+    )
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(
+        root, ["v"], where={"lang": "L1"}, spark=None, allow_scan=False
+    )
+    assert got["n_rows"] == want["n"] == 60
+    assert got["columns"]["v"] == {
+        "min": want["mn"], "max": want["mx"], "source": got["rows_source"]
+    }
+    assert got["rows_source"] in ("root", "sidecar")
+    # a value no partition holds: exactly zero, NULL min/max, no scan
+    none = snapshot_fast_agg(
+        root, ["v"], where={"lang": "nope"}, spark=None, allow_scan=False
+    )
+    assert none["n_rows"] == 0
+    assert none["columns"]["v"]["min"] is None
+
+
+def test_where_without_identity_spec_scans(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(_pbatch(spark, 0, 50).coalesce(1), root)  # no spec
+    with pytest.raises(RuntimeError, match="allow_scan=False"):
+        snapshot_fast_agg(root, where={"lang": "L1"}, allow_scan=False)
+    got = snapshot_fast_agg(root, ["v"], where={"lang": "L1"}, spark=spark)
+    truth = (
+        snapshot_read(spark, root).where(F.col("lang") == "L1").count()
+    )
+    assert got["n_rows"] == truth and got["rows_source"] == "scan"
+
+
+def test_where_pre_spec_commit_scans(spark, tmp_path):
+    """A table with one pre-spec commit cannot prove membership — the
+    whole call falls back (and stays exact)."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_pbatch(spark, 0, 30).coalesce(1), root)
+    snapshot_commit(
+        _pbatch(spark, 30, 90),
+        root,
+        partition_transforms=[("lang", "identity")],
+    )
+    got = snapshot_fast_agg(root, where={"lang": "L0"}, spark=spark)
+    truth = snapshot_read(spark, root).where(F.col("lang") == "L0").count()
+    assert got["n_rows"] == truth and got["rows_source"] == "scan"
+
+
+def test_where_tombstones_force_filtered_scan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _pbatch(spark, 0, 90), root,
+        partition_transforms=[("lang", "identity")],
+    )
+    snapshot_delete_mor(spark, root, condition="id < 9", key_col="id")
+    got = snapshot_fast_agg(root, where={"lang": "L1"}, spark=spark)
+    truth = (
+        snapshot_read(spark, root).where(F.col("lang") == "L1").count()
+    )
+    assert got["n_rows"] == truth and got["rows_source"] == "scan"
+
+
+def test_where_rejects_null_and_unknown_columns(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(_pbatch(spark, 0, 10).coalesce(1), root)
+    with pytest.raises(ValueError, match="non-NULL"):
+        snapshot_fast_agg(root, where={"lang": None})
+    with pytest.raises(ValueError, match="where columns"):
+        snapshot_fast_agg(root, where={"nope": 1})
+
+
+def test_where_int_identity_partition(spark, tmp_path, monkeypatch):
+    """Identity on an INT column: hive-path tuples parse back as ints and
+    match an int probe."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 80).select(
+        "id", (F.col("id") % 4).alias("shard"), (F.col("id") + 7).alias("v")
+    )
+    snapshot_commit(
+        df, root, partition_transforms=[("shard", "identity")]
+    )
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(
+        root, ["id"], where={"shard": 2}, spark=None, allow_scan=False
+    )
+    assert got["n_rows"] == 20
+    assert got["columns"]["id"]["min"] == 2
+    assert got["columns"]["id"]["max"] == 78
