@@ -918,7 +918,28 @@ def catalog_publish_branch(
     cur = catalog_state(broot_cat)
     head_state = catalog_state(catalog_root)
     touched = {n: p for n, p in cur.items() if "base_root" in p}
-    if not touched:
+    # stored-view changes staged on the branch (DDL against the branch
+    # catalog) publish in the SAME atomic flip as the table pins —
+    # first-committer-wins per view name, exactly like tables
+    fork_views = {n: e for n, e in fork["tables"].items() if _is_view(e)}
+    cur_views = {n: e for n, e in cur.items() if _is_view(e)}
+    vddl: list[dict] = []
+    for n in sorted(set(fork_views) | set(cur_views)):
+        f, c = fork_views.get(n), cur_views.get(n)
+        if f == c:
+            continue
+        if head_state.get(n) != f:
+            raise CatalogConflictError(
+                f"catalog branch {name!r}: view {n!r} moved on main since "
+                f"the fork; rebase the branch or re-run against the new state"
+            )
+        if c is None:
+            vddl.append({"op": "drop_view", "name": n})
+        elif f is None:
+            vddl.append({"op": "create_view", "name": n, **c["view"]})
+        else:
+            vddl.append({"op": "replace_view", "name": n, **c["view"]})
+    if not touched and not vddl:
         shutil.rmtree(broot_cat)
         return _load_catalog(
             catalog_root, catalog_versions(catalog_root)[-1]
@@ -932,13 +953,20 @@ def catalog_publish_branch(
                 f"the fork ({fork_pin} -> {now_pin}); rebase the branch or "
                 "re-run against the new state"
             )
+    if not touched:
+        out = catalog_ddl(
+            catalog_root, vddl,
+            note=note or f"publish catalog branch {name} (views)",
+        )
+        shutil.rmtree(broot_cat)
+        return out
     pins: dict[str, tuple[str, int]] = {}
     tb = _table_branch_name(name)
     for n, p in touched.items():
         m = B.snapshot_publish_branch(p["base_root"], tb)
         pins[n] = (p["base_root"], m["version"])
     out = catalog_pin_tables(
-        catalog_root, pins, retries=retries,
+        catalog_root, pins, retries=retries, ddl=vddl or None,
         note=note or f"publish catalog branch {name}",
     )
     shutil.rmtree(broot_cat)

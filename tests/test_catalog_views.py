@@ -226,3 +226,84 @@ def test_view_validation_errors(spark, tmp_path):
             [{"op": "replace_view", "name": "v", "sql": "SELECT 1",
               "tables": {"o": "sales.orders"}}],
         )
+
+
+def test_branch_view_ddl_publishes_atomically(spark, tmp_path):
+    """View DDL staged on a catalog branch lands on main in the SAME flip
+    as the branch's table pins — and a view-only branch publishes too."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        CatalogConflictError,
+        catalog_publish_branch,
+        catalog_versions,
+    )
+
+    cat, ro, ru = _seed(spark, tmp_path)
+    _create_view(cat)
+
+    # branch: replace the view AND write to orders; one publish, one flip
+    broot = catalog_branch(cat, "exp")
+    catalog_ddl(
+        broot,
+        [{
+            "op": "replace_view", "name": "sales.by_seg",
+            "sql": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o",
+            "tables": {"o": "sales.orders"},
+        }],
+    )
+    catalog_branch_write(
+        spark, cat, "exp",
+        [{"name": "sales.orders",
+          "df": spark.range(100, 150).select(
+              "id", F.lit(1.0).alias("amount"))}],
+    )
+    pre_v = catalog_versions(cat)[-1]
+    catalog_publish_branch(cat, "exp")
+    # main: new rows AND the new definition together
+    assert catalog_read(spark, cat, "sales.by_seg").collect()[0]["n"] == 150
+    # pre-publish main version still reads the OLD definition
+    old = catalog_read(
+        spark, cat, "sales.by_seg", catalog_version=pre_v
+    )
+    assert set(old.columns) == {"seg", "total"}
+
+    # view-only branch (no table writes): create + drop still publish
+    broot2 = catalog_branch(cat, "vonly")
+    catalog_ddl(
+        broot2,
+        [{
+            "op": "create_view", "name": "sales.n_users",
+            "sql": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u",
+            "tables": {"u": "sales.users"},
+        }],
+    )
+    catalog_publish_branch(cat, "vonly")
+    assert "sales.n_users" in catalog_views(cat)
+    assert catalog_read(spark, cat, "sales.n_users").collect()[0]["n"] == 100
+
+    # conflict: main replaces a view after the fork; branch touched it too
+    broot3 = catalog_branch(cat, "race")
+    catalog_ddl(
+        broot3,
+        [{
+            "op": "replace_view", "name": "sales.n_users",
+            "sql": "SELECT CAST(SUM(id) AS BIGINT) AS n FROM u",
+            "tables": {"u": "sales.users"},
+        }],
+    )
+    catalog_ddl(
+        cat,
+        [{
+            "op": "replace_view", "name": "sales.n_users",
+            "sql": "SELECT CAST(MAX(id) AS BIGINT) AS n FROM u",
+            "tables": {"u": "sales.users"},
+        }],
+    )
+    with pytest.raises(CatalogConflictError, match="view .* moved on main"):
+        catalog_publish_branch(cat, "race")
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_drop_branch as _drop,
+    )
+
+    _drop(cat, "race")
+    # main keeps ITS definition (MAX)
+    assert catalog_read(spark, cat, "sales.n_users").collect()[0]["n"] == 99
