@@ -361,3 +361,53 @@ def test_where_int_identity_partition(spark, tmp_path, monkeypatch):
     assert got["n_rows"] == 20
     assert got["columns"]["id"]["min"] == 2
     assert got["columns"]["id"]["max"] == 78
+
+
+def test_fast_agg_bounded_at_10k_commits(spark, tmp_path, monkeypatch):
+    """Scale pin: at 10^4 commits, COUNT(*)/MIN/MAX answer from the ROOT
+    manifest alone — one JSON parse, zero sidecar opens, zero footer
+    reads, zero Spark jobs — inside a small wall bound."""
+    import json as _json
+    import time as _time
+
+    root = str(tmp_path / "many")
+    seed = snapshot_commit(_batch(spark, 0, 10).coalesce(1), root)
+    n = 10_000
+    m1 = S._load_manifest(root, 1)
+    commit_files = dict(m1["commit_files"])
+    sidecars = dict(m1["sidecars"])
+    commit_ranges = dict(m1["commit_ranges"])
+    commit_sizes = dict(m1["commit_sizes"])
+    for i in range(n):
+        cid = f"syn{i:08x}"
+        rel = os.path.join("data", cid, "part-0.parquet")
+        commit_files[cid] = 1
+        sidecars[cid] = os.path.join("manifests", f"sc-{cid}.json")
+        commit_ranges[cid] = {"id": [100 + i, 100 + i]}
+        commit_sizes[cid] = [1, 131072, 1, 7]  # 7 rows per synthetic commit
+    manifest = {
+        "version": 2, "parent": 1,
+        "committed_at": m1["committed_at"] + 1,
+        "mode": "append", "commit_id": "syn0000270f",
+        "n_files": seed["n_files"] + n, "schema": seed["schema"],
+        "commit_schemas": {}, "sidecars": sidecars,
+        "commit_ranges": commit_ranges, "tombstones": [],
+        "commit_files": commit_files, "commit_sizes": commit_sizes,
+        "small_bytes": m1["small_bytes"],
+    }
+    with open(S._manifest_path(root, 2), "w") as f:
+        _json.dump(manifest, f)
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    _bomb_footers(monkeypatch)
+    sidecar_calls = _count_sidecars(monkeypatch)
+    t0 = _time.time()
+    got = snapshot_fast_agg(root, ["id"], spark=None, allow_scan=False)
+    wall = _time.time() - t0
+    assert got["n_rows"] == 10 + 7 * n
+    assert got["columns"]["id"] == {
+        "min": 0, "max": 100 + n - 1, "source": "root"
+    }
+    assert got["rows_source"] == "root"
+    assert sidecar_calls["n"] == 0
+    assert wall < 2.0, f"fast_agg took {wall:.2f}s at {n} commits"
