@@ -218,10 +218,10 @@ def catalog_pin_tables(
             base_at_start = dict(base)
         tables = dict(base)
         for name, (root, version) in pins.items():
-            if _is_view(tables.get(name, {})):
+            if _is_virtual(tables.get(name, {})):
                 raise ValueError(
                     f"{name!r} is a view — a table pin cannot replace it "
-                    "(drop_view first)"
+                    "(drop it first)"
                 )
             tables[name] = {"root": os.path.abspath(root), "version": int(version)}
         if ddl:
@@ -240,6 +240,17 @@ def _is_view(pin: dict) -> bool:
     """Whether a catalog binding is a stored VIEW (SQL text + table
     aliases) rather than a table pin ({"root", "version"})."""
     return isinstance(pin, dict) and "view" in pin
+
+
+def _is_mview(pin: dict) -> bool:
+    """Whether a catalog binding is a MATERIALIZED view (stored SQL plus
+    a materialized snapshot table and the source pins it was computed
+    from)."""
+    return isinstance(pin, dict) and "mview" in pin
+
+
+def _is_virtual(pin: dict) -> bool:
+    return _is_view(pin) or _is_mview(pin)
 
 
 _ALIAS_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -274,7 +285,7 @@ def _view_entry(tables: dict, op: dict) -> dict:
                 f"view {op['name']!r}: referenced table {tname!r} not in "
                 f"catalog (have {sorted(tables)})"
             )
-        if _is_view(ent):
+        if _is_virtual(ent):
             raise ValueError(
                 f"view {op['name']!r}: {tname!r} is itself a view — "
                 "view-on-view is not supported"
@@ -283,12 +294,15 @@ def _view_entry(tables: dict, op: dict) -> dict:
 
 
 def _view_dependents(tables: dict, name: str) -> list[str]:
-    """Names of live views that reference table ``name``."""
-    return sorted(
-        v
-        for v, ent in tables.items()
-        if _is_view(ent) and name in ent["view"]["tables"].values()
-    )
+    """Names of live views / materialized views that reference table
+    ``name``."""
+    out = []
+    for v, ent in tables.items():
+        if _is_view(ent) and name in ent["view"]["tables"].values():
+            out.append(v)
+        elif _is_mview(ent) and name in ent["mview"]["tables"].values():
+            out.append(v)
+    return sorted(out)
 
 
 def _apply_ddl(tables: dict, ops: list[dict]) -> None:
@@ -320,7 +334,7 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                 raise KeyError(f"rename: no table {name!r} in catalog")
             if to in tables:
                 raise ValueError(f"rename target {to!r} already exists")
-            if not _is_view(tables[name]):
+            if not _is_virtual(tables[name]):
                 deps = _view_dependents(tables, name)
                 if deps:
                     raise ValueError(
@@ -333,6 +347,8 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                 raise KeyError(f"drop: no table {name!r} in catalog")
             if _is_view(tables[name]):
                 raise ValueError(f"{name!r} is a view — use drop_view")
+            if _is_mview(tables[name]):
+                raise ValueError(f"{name!r} is a materialized view — use drop_mview")
             deps = _view_dependents(tables, name)
             if deps:
                 raise ValueError(
@@ -351,6 +367,31 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
         elif kind == "drop_view":
             if name not in tables or not _is_view(tables[name]):
                 raise KeyError(f"drop_view: no view {name!r} in catalog")
+            del tables[name]
+        elif kind == "create_mview":
+            if name in tables:
+                raise ValueError(f"name {name!r} already exists")
+            ent = _view_entry(tables, op)
+            mroot = op.get("root")
+            if not mroot:
+                raise ValueError(
+                    f"mview {name!r}: 'root' (materialized table path) "
+                    "required"
+                )
+            tables[name] = {
+                "mview": {
+                    **ent["view"],
+                    "root": os.path.abspath(mroot),
+                    # unrefreshed: no materialized version, no source pins
+                    "version": None,
+                    "pins": None,
+                }
+            }
+        elif kind == "drop_mview":
+            if name not in tables or not _is_mview(tables[name]):
+                raise KeyError(
+                    f"drop_mview: no materialized view {name!r} in catalog"
+                )
             del tables[name]
         else:
             raise ValueError(f"unknown DDL op {kind!r}")
@@ -404,6 +445,20 @@ def catalog_ddl(
       refused until the views are replaced or dropped; plain ``drop`` on
       a view (or a table pin over a view name) is refused too — one
       name, one object kind.
+
+    Materialized views (Iceberg's materialized-view shape — stored SQL
+    plus a managed snapshot table and the source pins it was computed
+    from):
+
+    - ``{"op": "create_mview", "name": ..., "sql": ..., "tables":
+      {alias: table_name}, "root": path}`` — register (unrefreshed);
+      ``catalog_refresh_mview(spark, ...)`` materializes from the head
+      pins and flips ``pins``/``version`` atomically. ``catalog_read``
+      serves the MATERIALIZED table at the entry's pinned version —
+      possibly stale, never recomputed inline (``catalog_mviews`` reports
+      staleness). The materialized root is a normal snapshot table:
+      time travel, expire, and ``catalog_vacuum`` all apply.
+    - ``{"op": "drop_mview", "name": ...}`` — unbind (head only).
 
     Names are dot-qualified (``namespace.table``); ``catalog_tables``
     lists per namespace. All ops in one call flip together (e.g. the
@@ -464,6 +519,106 @@ def catalog_views(
         for n, ent in catalog_state(catalog_root, catalog_version).items()
         if _is_view(ent)
     }
+
+
+def catalog_mviews(
+    catalog_root: str, catalog_version: int | None = None
+) -> dict:
+    """The materialized views of a catalog version (latest when None):
+    ``name -> {"sql", "tables", "root", "version", "pins", "stale"}``.
+    ``stale`` compares the recorded source pins against the SAME catalog
+    version's current table pins — True when any source moved since the
+    last refresh (or the mview was never refreshed)."""
+    state = catalog_state(catalog_root, catalog_version)
+    out: dict = {}
+    for n, ent in state.items():
+        if not _is_mview(ent):
+            continue
+        mv = dict(ent["mview"])
+        cur_pins = {
+            tname: [state[tname]["root"], state[tname]["version"]]
+            for tname in mv["tables"].values()
+            if tname in state and not _is_virtual(state[tname])
+        }
+        mv["stale"] = mv.get("pins") != cur_pins or mv.get("version") is None
+        out[n] = mv
+    return out
+
+
+def catalog_refresh_mview(
+    spark: SparkSession,
+    catalog_root: str,
+    name: str,
+    retries: int = 0,
+    note: str = "",
+) -> dict:
+    """Recompute a materialized view from its CURRENT source pins and
+    flip the catalog entry in one atomic version.
+
+    No-op (``{"refreshed": False}``) when the recorded source pins
+    already match the head — refresh is idempotent and cheap to run on a
+    schedule. Otherwise: register every source table pinned at the head
+    catalog version (mutually consistent), run the stored SQL, commit
+    the result as an OVERWRITE version of the materialized root (older
+    materializations stay time-travelable until expire), and publish a
+    catalog version updating the entry's ``pins``/``version``. A crash
+    between the table commit and the catalog flip leaves an unpinned
+    materialized version a re-run supersedes — the standard catalog
+    crash contract. Concurrent refreshes race at the catalog link;
+    first-writer-wins, the loser rebases (``retries``) and re-checks,
+    conflicting if the entry moved."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    versions = catalog_versions(catalog_root)
+    if not versions:
+        raise FileNotFoundError(f"no catalog versions at {catalog_root}")
+    state = catalog_state(catalog_root, versions[-1])
+    ent = state.get(name)
+    if ent is None or not _is_mview(ent):
+        raise KeyError(f"no materialized view {name!r} in catalog")
+    mv = dict(ent["mview"])
+    src_pins: dict[str, list] = {}
+    for alias, tname in mv["tables"].items():
+        tpin = state.get(tname)
+        if tpin is None or _is_virtual(tpin):
+            raise KeyError(
+                f"mview {name!r}: source {tname!r} is not a table at head"
+            )
+        src_pins[tname] = [tpin["root"], tpin["version"]]
+    if mv.get("version") is not None and mv.get("pins") == src_pins:
+        return {"refreshed": False, "version": mv["version"], "pins": src_pins}
+    for alias, tname in mv["tables"].items():
+        snapshot_sql_register(
+            spark, alias, state[tname]["root"], version=state[tname]["version"]
+        )
+    df = spark.sql(mv["sql"])
+    m = snapshot_commit(df, mv["root"], mode="overwrite")
+    new_mv = {**mv, "version": m["version"], "pins": src_pins}
+    txn_id = uuid.uuid4().hex[:12]
+    attempts = 0
+    while True:
+        versions = catalog_versions(catalog_root)
+        base = catalog_state(catalog_root, versions[-1])
+        cur = base.get(name)
+        if not _is_mview(cur) or cur["mview"].get("sql") != mv["sql"]:
+            raise CatalogConflictError(
+                f"mview {name!r} was redefined or dropped by a concurrent "
+                "transaction; re-run against the new state"
+            )
+        tables = dict(base)
+        tables[name] = {"mview": new_mv}
+        try:
+            _publish_catalog(
+                catalog_root, versions, tables, txn_id,
+                note or f"refresh mview {name}",
+            )
+            return {"refreshed": True, "version": m["version"], "pins": src_pins}
+        except SnapshotConflictError:
+            attempts += 1
+            if attempts > retries:
+                raise
 
 
 def catalog_txn(
@@ -529,6 +684,18 @@ def catalog_read(
     if name not in tables:
         raise KeyError(f"table {name!r} not in catalog (have {sorted(tables)})")
     pin = tables[name]
+    if _is_mview(pin):
+        # MATERIALIZED view: serve the materialized snapshot table at the
+        # version the entry pins — possibly stale relative to the sources
+        # (that is the point of materialization; check/refresh with
+        # catalog_mviews / catalog_refresh_mview). Never recomputes.
+        mv = pin["mview"]
+        if mv.get("version") is None:
+            raise RuntimeError(
+                f"materialized view {name!r} has never been refreshed — "
+                "run catalog_refresh_mview(spark, catalog_root, name)"
+            )
+        return snapshot_read(spark, mv["root"], version=mv["version"])
     if _is_view(pin):
         # late-binding VIEW: register every referenced table pinned at
         # THIS catalog version (multi-table consistent), then run the
@@ -777,7 +944,7 @@ def catalog_drop_branch(catalog_root: str, name: str) -> None:
     if versions:
         tb = _table_branch_name(name)
         for pin in catalog_state(broot).values():
-            if _is_view(pin):  # views pin no data — nothing to clean
+            if _is_virtual(pin):  # views/mviews fork no table branches
                 continue
             # audit-failed first writes fork a table branch without ever
             # advancing the catalog pin (no base_root) — clean those too
@@ -835,7 +1002,7 @@ def catalog_branch_write(
                 f"table {name!r} not pinned by catalog branch {branch!r} "
                 f"(have {sorted(state)}); register it on main first"
             )
-        if _is_view(pin):
+        if _is_virtual(pin):
             raise ValueError(
                 f"{name!r} is a view — write to its base tables instead"
             )
@@ -921,6 +1088,19 @@ def catalog_publish_branch(
     # stored-view changes staged on the branch (DDL against the branch
     # catalog) publish in the SAME atomic flip as the table pins —
     # first-committer-wins per view name, exactly like tables
+    fork_mv = {n: e for n, e in fork["tables"].items() if _is_mview(e)}
+    cur_mv = {n: e for n, e in cur.items() if _is_mview(e)}
+    if fork_mv != cur_mv:
+        moved = sorted(
+            n
+            for n in set(fork_mv) | set(cur_mv)
+            if fork_mv.get(n) != cur_mv.get(n)
+        )
+        raise ValueError(
+            f"catalog branch {name!r} changed materialized views {moved}; "
+            "create/refresh materialized views on main (their materialized "
+            "tables live outside the branch's staging scope)"
+        )
     fork_views = {n: e for n, e in fork["tables"].items() if _is_view(e)}
     cur_views = {n: e for n, e in cur.items() if _is_view(e)}
     vddl: list[dict] = []
@@ -1003,6 +1183,10 @@ def catalog_vacuum(
     for name, pin in sorted(catalog_state(catalog_root).items()):
         if _is_view(pin):  # views pin no files
             continue
+        if _is_mview(pin):  # the materialized table is a real root
+            if pin["mview"].get("version") is None:
+                continue  # never refreshed: nothing on disk yet
+            pin = {"root": pin["mview"]["root"]}
         root = pin["root"]
         if root in seen_roots:  # two names may pin one root (rename DDL)
             continue

@@ -3918,3 +3918,93 @@ register(
     FROM events WHERE event_type = 'click'
     """,
 )(snapshot_partition_count_query)
+
+
+# ---------------------------------------------------------------------------
+# Materialized views (round 10, operators/catalog_txn.py): stored SQL + a
+# managed snapshot table + the source pins it was computed from, refreshed
+# as one atomic catalog flip. The query pins the full lifecycle: refresh →
+# serve materialized; source moves → reads stay on the MATERIALIZED state
+# (stale-by-design, flagged in catalog_mviews, never recomputed inline);
+# refresh again → current; catalog time travel replays the pre-refresh
+# materialization. The oracle restates both eras over the parquet.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_mview_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_mviews,
+        catalog_pin_tables,
+        catalog_read,
+        catalog_refresh_mview,
+        catalog_versions,
+    )
+
+    cat, eroot, mroot = _temp_root(), _temp_root(), _temp_root()
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    first = events.where(F.pmod("event_id", F.lit(2)) == 0)
+    snapshot_commit(first, eroot)
+    catalog_ddl(cat, [{"op": "create", "name": "gold.events", "root": eroot}])
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview",
+            "name": "gold.by_type",
+            "sql": (
+                "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total "
+                "FROM e GROUP BY event_type"
+            ),
+            "tables": {"e": "gold.events"},
+            "root": mroot,
+        }],
+    )
+    catalog_refresh_mview(spark, cat, "gold.by_type")
+    half = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in catalog_read(spark, cat, "gold.by_type").collect()
+    }
+    # the source grows; the mview is stale but serves its materialization
+    m2 = snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 1), eroot
+    )
+    catalog_pin_tables(cat, {"gold.events": (eroot, m2["version"])})
+    stale_flag = catalog_mviews(cat)["gold.by_type"]["stale"]
+    served_stale = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in catalog_read(spark, cat, "gold.by_type").collect()
+    }
+    pre_v = catalog_versions(cat)[-1]
+    catalog_refresh_mview(spark, cat, "gold.by_type")
+    replay = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in catalog_read(
+            spark, cat, "gold.by_type", catalog_version=pre_v
+        ).collect()
+    }
+    lifecycle_ok = int(
+        stale_flag is True
+        and served_stale == half
+        and replay == half
+        and catalog_mviews(cat)["gold.by_type"]["stale"] is False
+    )
+    return (
+        catalog_read(spark, cat, "gold.by_type")
+        .withColumn("lifecycle_ok", F.lit(lifecycle_ok))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_catalog_mview",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           1 AS lifecycle_ok
+    FROM events GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(snapshot_catalog_mview_query)

@@ -123,6 +123,13 @@ def _resolve_table(options: dict) -> tuple[str, int | None]:
                 f"(have {sorted(tables)})"
             )
         pin = tables[name]
+        if "mview" in pin:
+            mv = pin["mview"]
+            if mv.get("version") is None:
+                raise ValueError(
+                    f"materialized view {name!r} has never been refreshed"
+                )
+            return mv["root"], int(mv["version"])
         if "view" in pin:
             raise ValueError(
                 f"{name!r} is a catalog VIEW — read it with "

@@ -181,6 +181,8 @@ HEADLINE = [
     "split_cluster_safe",
     # partition-filtered metadata count: identity tuples decide per file
     "snapshot_partition_count",
+    # materialized views: refresh-as-one-flip, stale-by-design serving
+    "snapshot_catalog_mview",
 ]
 
 

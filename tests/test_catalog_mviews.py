@@ -1,0 +1,172 @@
+"""Materialized views (operators/catalog_txn.py): stored SQL + a managed
+snapshot table + the source pins it was computed from, refreshed as one
+atomic catalog flip. Reads serve the MATERIALIZED data (possibly stale,
+never recomputed inline); staleness is a metadata comparison; the
+materialized root behaves like any snapshot table (time travel through
+catalog versions, vacuum)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.catalog_txn import (
+    catalog_ddl,
+    catalog_mviews,
+    catalog_pin_tables,
+    catalog_read,
+    catalog_refresh_mview,
+    catalog_txn,
+    catalog_versions,
+)
+from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
+
+
+def _seed(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    ro = str(tmp_path / "orders")
+    orders = spark.range(0, 100).select(
+        "id", (F.col("id") % 5).alias("bucket"),
+        (F.col("id") % 7).cast("double").alias("amount"),
+    )
+    catalog_txn(cat, [{"name": "sales.orders", "root": ro, "df": orders}])
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview",
+            "name": "sales.rollup",
+            "sql": (
+                "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total "
+                "FROM o GROUP BY bucket"
+            ),
+            "tables": {"o": "sales.orders"},
+            "root": str(tmp_path / "mv_rollup"),
+        }],
+    )
+    return cat, ro
+
+
+def test_mview_refresh_read_staleness_cycle(spark, tmp_path):
+    cat, ro = _seed(spark, tmp_path)
+    # unrefreshed: read refuses, listing says stale
+    assert catalog_mviews(cat)["sales.rollup"]["stale"] is True
+    with pytest.raises(RuntimeError, match="never been refreshed"):
+        catalog_read(spark, cat, "sales.rollup")
+    r1 = catalog_refresh_mview(spark, cat, "sales.rollup")
+    assert r1["refreshed"] is True
+    got = {
+        r["bucket"]: (r["n"], r["total"])
+        for r in catalog_read(spark, cat, "sales.rollup").collect()
+    }
+    assert got[0] == (20, sum(float(i % 7) for i in range(0, 100, 5)))
+    assert catalog_mviews(cat)["sales.rollup"]["stale"] is False
+    # refresh is idempotent while sources stand still
+    assert catalog_refresh_mview(spark, cat, "sales.rollup")["refreshed"] is False
+
+    # source moves -> stale, but reads still serve the MATERIALIZED state
+    snapshot_commit(
+        spark.range(100, 200).select(
+            "id",
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit(1.0).alias("amount"),
+        ),
+        ro,
+    )
+    catalog_pin_tables(cat, {"sales.orders": (ro, 2)})
+    assert catalog_mviews(cat)["sales.rollup"]["stale"] is True
+    still = {
+        r["bucket"]: r["n"]
+        for r in catalog_read(spark, cat, "sales.rollup").collect()
+    }
+    assert still[0] == 20  # stale-by-design, not silently recomputed
+    pre_refresh_v = catalog_versions(cat)[-1]
+
+    r2 = catalog_refresh_mview(spark, cat, "sales.rollup")
+    assert r2["refreshed"] is True
+    now = {
+        r["bucket"]: r["n"]
+        for r in catalog_read(spark, cat, "sales.rollup").collect()
+    }
+    assert now[0] == 120
+    # catalog time travel replays the era's MATERIALIZED state
+    old = {
+        r["bucket"]: r["n"]
+        for r in catalog_read(
+            spark, cat, "sales.rollup", catalog_version=pre_refresh_v
+        ).collect()
+    }
+    assert old[0] == 20
+
+
+def test_mview_guards(spark, tmp_path):
+    cat, ro = _seed(spark, tmp_path)
+    catalog_refresh_mview(spark, cat, "sales.rollup")
+    # the source table is protected while the mview references it
+    with pytest.raises(ValueError, match="reference it"):
+        catalog_ddl(cat, [{"op": "drop", "name": "sales.orders"}])
+    with pytest.raises(ValueError, match="materialized view"):
+        catalog_ddl(cat, [{"op": "drop", "name": "sales.rollup"}])
+    with pytest.raises(ValueError, match="view-on-view"):
+        catalog_ddl(
+            cat,
+            [{
+                "op": "create_view", "name": "sales.v",
+                "sql": "SELECT * FROM m", "tables": {"m": "sales.rollup"},
+            }],
+        )
+    with pytest.raises(ValueError, match="a table pin cannot replace"):
+        catalog_pin_tables(cat, {"sales.rollup": (ro, 1)})
+    # a plain view and an mview share the namespace
+    with pytest.raises(ValueError, match="already exists"):
+        catalog_ddl(
+            cat,
+            [{
+                "op": "create_mview", "name": "sales.orders",
+                "sql": "SELECT 1 AS one", "tables": {"o": "sales.orders"},
+                "root": str(tmp_path / "x"),
+            }],
+        )
+    catalog_ddl(cat, [{"op": "drop_mview", "name": "sales.rollup"}])
+    catalog_ddl(cat, [{"op": "drop", "name": "sales.orders"}])
+
+
+def test_mview_branch_changes_refused(spark, tmp_path):
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+        catalog_drop_branch,
+        catalog_publish_branch,
+    )
+
+    cat, ro = _seed(spark, tmp_path)
+    catalog_refresh_mview(spark, cat, "sales.rollup")
+    broot = catalog_branch(cat, "exp")
+    catalog_ddl(broot, [{"op": "drop_mview", "name": "sales.rollup"}])
+    with pytest.raises(ValueError, match="materialized views"):
+        catalog_publish_branch(cat, "exp")
+    catalog_drop_branch(cat, "exp")
+
+
+def test_mview_vacuum_sweeps_materialized_root(spark, tmp_path):
+    import os
+
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_vacuum,
+    )
+
+    cat, ro = _seed(spark, tmp_path)
+    catalog_refresh_mview(spark, cat, "sales.rollup")
+    mroot = catalog_mviews(cat)["sales.rollup"]["root"]
+    # crash-staged orphan inside the MATERIALIZED root
+    d = os.path.join(mroot, "data", "orphan0001")
+    os.makedirs(d)
+    p = os.path.join(d, "part-crashed.parquet")
+    with open(p, "wb") as f:
+        f.write(b"PAR1xPAR1")
+    import time as _time
+
+    out = catalog_vacuum(cat, older_than_ns=_time.time_ns() + 10**9)
+    assert out["removed_files"] >= 1
+    assert not os.path.exists(p)
+    # and the materialized data still reads back
+    assert catalog_read(spark, cat, "sales.rollup").count() == 5
