@@ -566,7 +566,14 @@ def catalog_refresh_mview(
     materialized version a re-run supersedes — the standard catalog
     crash contract. Concurrent refreshes race at the catalog link;
     first-writer-wins, the loser rebases (``retries``) and re-checks,
-    conflicting if the entry moved."""
+    conflicting if the entry moved.
+
+    Refresh is a FULL recompute by design (arbitrary SQL, exactly the
+    Iceberg materialized-view contract). For the incrementally-
+    maintainable (count, sum)-rollup shape, point the pipeline at
+    ``snapshots.snapshot_incremental_agg`` instead — change-feed IVM
+    with retractions and an exactly-once applied-version stamp — and
+    pin its destination as a plain catalog table."""
     from airflow_postgres_csv_spark.sources.snapshot_batch import (
         snapshot_sql_register,
     )
