@@ -411,3 +411,87 @@ def test_fast_agg_bounded_at_10k_commits(spark, tmp_path, monkeypatch):
     assert got["rows_source"] == "root"
     assert sidecar_calls["n"] == 0
     assert wall < 2.0, f"fast_agg took {wall:.2f}s at {n} commits"
+
+
+def test_fast_agg_matches_model_over_random_histories(
+    spark, tmp_path_factory
+):
+    """Property: after every operation of a random append / MOR-delete /
+    COW-delete / compact / rename history, snapshot_fast_agg (count +
+    min/max, exact-or-scan) equals the plain-Python multiset model."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+    )
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 4)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 11)),
+        st.tuples(st.just("cow_delete"), st.integers(0, 11), st.integers(0, 3)),
+        st.tuples(st.just("compact")),
+        st.tuples(st.just("rename")),
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=2, max_size=5))
+    def run(ops):
+        root = str(tmp_path_factory.mktemp("fam") / "t")
+        model: list[tuple[int, int]] = [(i, 0) for i in range(6)]
+        snapshot_commit(
+            spark.createDataFrame(model, "id long, stamp long").coalesce(1),
+            root,
+        )
+        stamp_col = "stamp"
+        for opi, o in enumerate(ops, start=1):
+            kind = o[0]
+            if kind == "append":
+                _, lo, n = o
+                rows = [(i, opi) for i in range(lo, lo + n)]
+                snapshot_commit(
+                    spark.createDataFrame(
+                        rows, f"id long, {stamp_col} long"
+                    ).coalesce(1),
+                    root,
+                    allow_schema_change=True,
+                )
+                model = model + rows
+            elif kind == "delete_mor":
+                _, key = o
+                snapshot_delete_mor(
+                    spark, root, condition=f"id = {key}", key_col="id"
+                )
+                model = [r for r in model if r[0] != key]
+            elif kind == "cow_delete":
+                _, lo, w = o
+                snapshot_delete(spark, root, "id", lo, lo + w)
+                model = [r for r in model if not (lo <= r[0] <= lo + w)]
+            elif kind == "compact":
+                snapshot_compact(spark, root, target_bytes=1 << 30)
+            elif kind == "rename":
+                new = stamp_col + "x"
+                snapshot_alter(root, rename={stamp_col: new})
+                stamp_col = new
+            got = snapshot_fast_agg(root, ["id", stamp_col], spark=spark)
+            assert got["n_rows"] == len(model), f"count after op {opi} {o}"
+            ids = [r[0] for r in model]
+            stamps = [r[1] for r in model]
+            want_cols = {
+                "id": (min(ids) if ids else None, max(ids) if ids else None),
+                stamp_col: (
+                    min(stamps) if stamps else None,
+                    max(stamps) if stamps else None,
+                ),
+            }
+            for c, (mn, mx) in want_cols.items():
+                assert got["columns"][c]["min"] == mn, f"{c} min after {o}"
+                assert got["columns"][c]["max"] == mx, f"{c} max after {o}"
+
+    run()
