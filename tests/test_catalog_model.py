@@ -70,6 +70,11 @@ _op = st.one_of(
     # or drop it (no-op when absent)
     st.tuples(st.just("view_set"), st.integers(0, 2)),
     st.tuples(st.just("view_drop"), st.just(0)),
+    # materialized view over table a: create (no-op when present),
+    # refresh (freezes eval-at-refresh-time), drop (no-op when absent)
+    st.tuples(st.just("mview_set"), st.integers(0, 2)),
+    st.tuples(st.just("mview_refresh"), st.just(0)),
+    st.tuples(st.just("mview_drop"), st.just(0)),
 )
 
 
@@ -108,6 +113,10 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
     hist = {catalog_versions(cat)[-1]: {t: sorted(model[t]) for t in TABLES}}
     vmodel: int | None = None  # current view def id (None = no view)
     vhist = {catalog_versions(cat)[-1]: None}  # version -> expected view x
+    # materialized view model: (def id, frozen value at last refresh)
+    mv_def: int | None = None
+    mv_frozen: int | None = None
+    mi = 0  # distinct materialized roots per mview generation
     bi = 0  # unique branch names across retries of the same history
     for opi, op in enumerate(ops, start=1):
         kind = op[0]
@@ -134,6 +143,39 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
 
                 catalog_ddl(cat, [{"op": "drop_view", "name": "v"}])
                 vmodel = None
+        elif kind == "mview_set":
+            if mv_def is None:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_ddl,
+                )
+
+                _, di = op
+                mi += 1
+                catalog_ddl(
+                    cat,
+                    [{
+                        "op": "create_mview", "name": "mv",
+                        "sql": _VIEW_DEFS[di][0], "tables": {"ta": "a"},
+                        "root": str(base / f"mvroot{mi}"),
+                    }],
+                )
+                mv_def, mv_frozen = di, None
+        elif kind == "mview_refresh":
+            if mv_def is not None:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_refresh_mview,
+                )
+
+                catalog_refresh_mview(spark, cat, "mv")
+                mv_frozen = _VIEW_DEFS[mv_def][1](model["a"])
+        elif kind == "mview_drop":
+            if mv_def is not None:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_ddl,
+                )
+
+                catalog_ddl(cat, [{"op": "drop_mview", "name": "mv"}])
+                mv_def = mv_frozen = None
         if kind == "txn":
             _, lo, n, mask = op
             writes = []
@@ -214,6 +256,11 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
             _, ev = _VIEW_DEFS[vmodel]
             vx = catalog_read(spark, cat, "v").collect()[0]["x"]
             assert vx == ev(model["a"]), f"view diverged after op {opi} {op}"
+        if mv_def is not None and mv_frozen is not None:
+            # materialized reads serve the FROZEN refresh-time value,
+            # whatever the sources did since
+            mx = catalog_read(spark, cat, "mv").collect()[0]["x"]
+            assert mx == mv_frozen, f"mview diverged after op {opi} {op}"
         hist[catalog_versions(cat)[-1]] = want
         vhist[catalog_versions(cat)[-1]] = (
             None if vmodel is None else (vmodel, _VIEW_DEFS[vmodel][1](model["a"]))
