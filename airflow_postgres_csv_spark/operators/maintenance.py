@@ -294,6 +294,9 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
         "partition_spec": [list(f) for f in specs[-1]] if specs else None,
         "partition_coverage": (partitioned / n_commits) if specs else None,
         "n_branches": len(snapshot_branches(root)),
+        # declared CHECK constraints (name -> SQL) enforced on every
+        # value-introducing write — straight from the root manifest
+        "constraints": dict(m.get("constraints") or {}),
     }
 
 

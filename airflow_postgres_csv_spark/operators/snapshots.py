@@ -73,7 +73,7 @@ _RESERVED_KEYS = frozenset(
         "tombstones", "bloom", "defaults", "partition_spec", "merge_info",
         "delete_info", "committed_at", "commit_files", "sketch",
         "commit_sizes", "sketch_commits", "small_bytes",
-        "partition_specs", "commit_partitions",
+        "partition_specs", "commit_partitions", "constraints",
     }
 )
 
@@ -558,7 +558,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
                 "small_bytes", "partition_specs", "column_history",
-                "retired_columns",
+                "retired_columns", "constraints",
                 # persisted-index / model metadata: a maintenance commit
                 # (compact, incremental OPTIMIZE, COW delete/merge,
                 # rollback) is a row-preserving rewrite of the same
@@ -755,25 +755,13 @@ def snapshot_commit(
         )
     else:
         commit_id, new_files = _write_data(df, root, cluster_by=partition_by)
-    if expect and new_files:
-        from pyspark.sql import functions as F
-
-        staged = df.sparkSession.read.parquet(
-            *[os.path.join(root, rel) for rel in new_files]
+    rules = list(expect or []) + sorted(
+        ((prev.get("constraints") or {}) if prev else {}).items()
+    )
+    if rules and new_files:
+        violations = _staged_violations(
+            df.sparkSession, root, new_files, rules
         )
-        # NULL rule results count as violations (a rule that cannot decide
-        # a row has not been satisfied by it)
-        counts = staged.agg(
-            *[
-                F.sum(
-                    (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
-                ).alias(name)
-                for name, cond in expect
-            ]
-        ).first()
-        violations = {
-            name: int(counts[name]) for name, _ in expect if counts[name]
-        }
         if violations:
             shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
             raise SnapshotExpectationError(violations)
@@ -890,6 +878,7 @@ def snapshot_commit_staged(
     schema_json: str,
     mode: str = "append",
     retries: int = 0,
+    validated: bool = False,
 ) -> dict:
     """Publish parquet files ALREADY staged under ``data/<commit_id>/`` as
     the next version — the manifest half of :func:`snapshot_commit` for
@@ -917,6 +906,22 @@ def snapshot_commit_staged(
             "the table's; use snapshot_commit(allow_schema_change=True) "
             "for schema evolution"
         )
+    declared = (prev.get("constraints") or {}) if prev else {}
+    if declared and new_files and not validated:
+        # this path runs in the Python-data-source worker — no
+        # SparkSession exists there, so the authoritative writer check is
+        # per-task over in-memory Arrow batches (validated=True); direct
+        # callers get a DuckDB pass over the staged files instead:
+        # constraints are a hard contract, never silently skipped
+        violations = _staged_violations_duckdb(
+            [os.path.join(root, rel) for rel in new_files],
+            sorted(declared.items()),
+        )
+        if violations:
+            shutil.rmtree(
+                os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True
+            )
+            raise SnapshotExpectationError(violations)
     _metas = {rel: _footer_meta(os.path.join(root, rel)) for rel in new_files}
     sidecar = {
         "stats": {rel: st for rel, (st, _) in _metas.items()},
@@ -951,6 +956,84 @@ def snapshot_commit_staged(
                     "schema drift on staged-append rebase: a concurrent "
                     "winner changed the table schema"
                 )
+
+
+def _staged_violations(
+    spark: SparkSession, root: str, new_files: list[str], rules
+) -> dict:
+    """``{rule_name: n_violating_rows}`` for boolean SQL rules evaluated
+    over freshly STAGED files (the write-audit-publish gate's evaluator,
+    shared by ad-hoc ``expect=`` rules and DECLARED table constraints).
+    One aggregation job for all rules; a NULL rule result counts as a
+    violation (a rule that cannot decide a row has not been satisfied by
+    it). Empty when no rules or no files."""
+    if not rules or not new_files:
+        return {}
+    from pyspark.sql import functions as F
+
+    staged = spark.read.parquet(
+        *[os.path.join(root, rel) for rel in new_files]
+    )
+    counts = staged.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
+            ).alias(f"__r{i}")
+            for i, (_, cond) in enumerate(rules)
+        ]
+    ).first()
+    return {
+        name: int(counts[f"__r{i}"])
+        for i, (name, _) in enumerate(rules)
+        if counts[f"__r{i}"]
+    }
+
+
+def _staged_violations_duckdb(paths: list[str], rules) -> dict:
+    """Session-less twin of :func:`_staged_violations`: evaluate boolean
+    SQL rules over staged parquet with DuckDB (the Python-data-source
+    commit path has no SparkSession). Constraint expressions must
+    therefore stay portable ANSI SQL; an expression either engine cannot
+    analyze REFUSES the write (loudly) rather than skipping the check."""
+    if not rules or not paths:
+        return {}
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        selects = ", ".join(
+            f"SUM(CASE WHEN NOT coalesce(({cond}), false) THEN 1 ELSE 0 END)"
+            for _, cond in rules
+        )
+        row = con.execute(
+            f"SELECT {selects} FROM read_parquet(?)", [paths]
+        ).fetchone()
+    finally:
+        con.close()
+    return {
+        name: int(row[i])
+        for i, (name, _) in enumerate(rules)
+        if row[i]
+    }
+
+
+def _enforce_constraints(
+    spark: SparkSession, root: str, manifest: dict, new_files: list[str],
+    cleanup_dirs: list[str],
+) -> None:
+    """Enforce the manifest's DECLARED constraints over a value-
+    introducing rewrite's new files (merge / MERGE INTO / UPDATE).
+    Row-preserving rewrites (compact, optimize, clone) and row-removing
+    ones (COW/MOR delete) cannot introduce violations and skip this.
+    On violation the staged dirs are removed and the commit aborts."""
+    declared = manifest.get("constraints") or {}
+    violations = _staged_violations(
+        spark, root, new_files, sorted(declared.items())
+    )
+    if violations:
+        for d in cleanup_dirs:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        raise SnapshotExpectationError(violations)
 
 
 def _write_data(
@@ -2287,6 +2370,10 @@ def snapshot_merge(
     current = _read_pinned(spark, root, manifest, candidates)
     rewritten = current.join(updates.select(key), key, "left_anti").unionByName(updates)
     commit_id, new_files = _write_rewrite(rewritten, root, manifest)
+    _enforce_constraints(
+        spark, root, manifest, new_files,
+        [os.path.join(_DATA_DIR, commit_id)],
+    )
     # Record the merged KEYS (O(keys) bytes, own flat dir so expire's
     # commit-dir walk stays single-level): the change feed replays this
     # COW rewrite as delete pre-image + insert post-image restricted to
@@ -2591,6 +2678,10 @@ def snapshot_merge_into(
         .unionByName(inserts)
     )
     commit_id, new_files = _write_rewrite(rewritten, root, manifest)
+    _enforce_constraints(
+        spark, root, manifest, new_files,
+        [os.path.join(_DATA_DIR, commit_id)],
+    )
     mk_dirname = f"{commit_id}-mk"
     mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
     affected_keys.coalesce(1).write.mode("error").parquet(mk_dir)
@@ -2984,6 +3075,19 @@ def snapshot_alter(
             protected.add(t["key_col"])
     protected |= set((prev.get("bloom") or {}).get("cols", []))
     protected |= set((prev.get("sketch") or {}).get("cols", []))
+    # declared-constraint dependencies: conservative word match on the
+    # stored SQL text (a column name inside a string literal refuses too
+    # — drop the constraint first, then the column)
+    import re as _re
+
+    for cname, cexpr in (prev.get("constraints") or {}).items():
+        for col in drop + list(rename):
+            if _re.search(rf"\b{_re.escape(col)}\b", cexpr):
+                raise ValueError(
+                    f"column {col!r} appears in declared constraint "
+                    f"{cname!r} ({cexpr!r}) — snapshot_drop_constraint "
+                    "first"
+                )
     for name in drop:
         if name not in fields:
             raise ValueError(f"DROP COLUMN {name!r}: no such column")
@@ -3078,6 +3182,89 @@ def snapshot_alter(
     return _publish(root, versions, body, commit_id, None)
 
 
+def snapshot_add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> dict:
+    """Declare a persistent CHECK constraint (Delta's ``ALTER TABLE ADD
+    CONSTRAINT``): a boolean SQL expression every row must satisfy,
+    stored in the manifest and enforced on every value-introducing write
+    from then on — appends, overwrites, staged data-source writes, MERGE
+    upserts, MERGE INTO, UPDATE (one extra aggregation over the STAGED
+    files only, never a table rescan; a violating batch aborts with
+    ``SnapshotExpectationError`` before the manifest link). Row-
+    preserving rewrites (compact/optimize/clone) and row-removing ones
+    (COW/MOR delete) skip the check — they cannot introduce violations.
+
+    Adding VALIDATES the existing table first (one aggregation over the
+    current version, like Delta): any live violating row refuses the
+    constraint. The declaration itself is a zero-data metadata commit;
+    constraints survive compaction, rollback, clone, and branching, and
+    ``snapshot_alter`` refuses dropping or renaming a column a
+    constraint mentions (conservative word match on the stored SQL).
+    """
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    prev = _load_manifest(root, versions[-1])
+    declared = dict(prev.get("constraints") or {})
+    if name in declared:
+        raise ValueError(
+            f"constraint {name!r} already declared ({declared[name]!r}); "
+            "snapshot_drop_constraint first to redefine"
+        )
+    bad = int(
+        snapshot_read(spark, root)
+        .agg(
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+            ).alias("n")
+        )
+        .first()["n"]
+        or 0
+    )
+    if bad:
+        raise SnapshotExpectationError({name: bad})
+    declared[name] = expr
+    commit_id = uuid.uuid4().hex[:12]
+    body = _inherit_maps(prev, prev["files"])
+    body["constraints"] = declared
+    body.update(
+        mode="alter", commit_id=commit_id, files=prev["files"],
+        n_files=prev["n_files"], schema=prev["schema"],
+        alter={"add_constraint": {name: expr}},
+    )
+    return _publish(
+        root, versions, body, commit_id, None,
+        pack_hints=dict.get(prev, "commit_files"),
+    )
+
+
+def snapshot_drop_constraint(root: str, name: str) -> dict:
+    """Remove a declared constraint as a zero-data metadata commit."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    prev = _load_manifest(root, versions[-1])
+    declared = dict(prev.get("constraints") or {})
+    if name not in declared:
+        raise KeyError(f"no declared constraint {name!r} (have {sorted(declared)})")
+    del declared[name]
+    commit_id = uuid.uuid4().hex[:12]
+    body = _inherit_maps(prev, prev["files"])
+    body["constraints"] = declared
+    body.update(
+        mode="alter", commit_id=commit_id, files=prev["files"],
+        n_files=prev["n_files"], schema=prev["schema"],
+        alter={"drop_constraint": name},
+    )
+    return _publish(
+        root, versions, body, commit_id, None,
+        pack_hints=dict.get(prev, "commit_files"),
+    )
+
+
 def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     """Undo as a FORWARD commit: publish a new version whose logical state
     (file list, schema, tombstones, per-commit metadata) is exactly
@@ -3102,7 +3289,7 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
               "cdc_applied_version", "ivm_applied_version",
               "commit_sizes", "sketch_commits", "small_bytes",
-              "partition_specs", "commit_partitions",
+              "partition_specs", "commit_partitions", "constraints",
               # restore the target's sketch config, rename lineage /
               # retired-name reservations, and frozen index/model
               # metadata verbatim — dropping them would NULL-fill
@@ -3116,6 +3303,34 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     latest = _load_manifest(root, versions[-1])
     if latest.get("last_batch_id", -1) > body.get("last_batch_id", -1):
         body["last_batch_id"] = latest["last_batch_id"]
+    # declared constraints are table GOVERNANCE, not data: rolling back
+    # bad rows must not silently drop integrity rules declared since the
+    # target version (explicit snapshot_drop_constraint is the only out).
+    # The resurrected state must HOLD them — a target version written
+    # before the declaration may contain rows a later cleanup removed, so
+    # re-validate (one aggregation; rollbacks are rare administrative
+    # ops) and refuse rather than reopen the invariant.
+    if latest.get("constraints"):
+        from pyspark.sql import functions as F
+
+        rules = sorted(latest["constraints"].items())
+        rolled = _read_pinned(spark, root, target, target["files"])
+        counts = rolled.agg(
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
+                ).alias(f"__r{i}")
+                for i, (_, cond) in enumerate(rules)
+            ]
+        ).first()
+        violations = {
+            name: int(counts[f"__r{i}"])
+            for i, (name, _) in enumerate(rules)
+            if counts[f"__r{i}"]
+        }
+        if violations:
+            raise SnapshotExpectationError(violations)
+        body["constraints"] = latest["constraints"]
     body.update(mode="rollback", commit_id=commit_id, rolled_back_to=to_version)
     return _publish(
         root, versions, body, commit_id, None,
@@ -3439,7 +3654,7 @@ def snapshot_clone(
     body["sidecars"] = sidecars
     for k in ("bloom", "defaults", "partition_spec",
               "commit_sizes", "sketch_commits", "small_bytes",
-              "partition_specs", "commit_partitions",
+              "partition_specs", "commit_partitions", "constraints",
               # sketch CONFIG rides with sketch_commits; rename lineage
               # and frozen index/model metadata must survive a clone or
               # the clone null-fills renamed columns / cannot serve

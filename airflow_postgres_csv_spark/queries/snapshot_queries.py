@@ -4008,3 +4008,81 @@ register(
     ORDER BY event_type
     """,
 )(snapshot_catalog_mview_query)
+
+
+# ---------------------------------------------------------------------------
+# Declared table constraints (round 10, snapshots.py::snapshot_add_constraint
+# — Delta's ALTER TABLE ADD CONSTRAINT): boolean SQL rules stored in the
+# manifest, validated against the live table when declared, then enforced on
+# every value-introducing write (append / overwrite / staged data-source
+# write / MERGE / UPDATE) over the STAGED files only. The query pins the
+# lifecycle: declare on half the corpus, reject a violating append AND a
+# violating MERGE with the table unchanged, land the clean second half, and
+# return the final per-type rollup the oracle recomputes over the parquet.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_constraints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        SnapshotExpectationError,
+        snapshot_add_constraint,
+        snapshot_merge,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = _temp_root()
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 0).coalesce(1), root
+    )
+    snapshot_add_constraint(spark, root, "id_set", "event_id IS NOT NULL")
+    snapshot_add_constraint(spark, root, "type_set", "event_type IS NOT NULL")
+    n_before = snapshot_read(spark, root).count()
+    bad_append = bad_merge = 0
+    try:
+        snapshot_commit(
+            spark.createDataFrame(
+                [(None, "click", 1.0)],
+                "event_id bigint, event_type string, value double",
+            ),
+            root,
+        )
+    except SnapshotExpectationError:
+        bad_append = 1
+    try:
+        snapshot_merge(
+            spark, root,
+            spark.createDataFrame(
+                [(2, None, 1.0)],
+                "event_id bigint, event_type string, value double",
+            ),
+            key="event_id",
+        )
+    except SnapshotExpectationError:
+        bad_merge = 1
+    unchanged = int(snapshot_read(spark, root).count() == n_before)
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 1).coalesce(1), root
+    )
+    return (
+        snapshot_read(spark, root)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("rejected_append", F.lit(bad_append))
+        .withColumn("rejected_merge", F.lit(bad_merge))
+        .withColumn("unchanged_after_rejects", F.lit(unchanged))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_constraints",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           1 AS rejected_append, 1 AS rejected_merge,
+           1 AS unchanged_after_rejects
+    FROM events GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(snapshot_constraints_query)

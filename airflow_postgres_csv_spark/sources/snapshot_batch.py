@@ -431,6 +431,19 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         ).json()
         self._overwrite = overwrite
         self._commit_id = uuid.uuid4().hex[:12]
+        # declared table constraints, captured at plan time from the
+        # latest manifest: each TASK validates its own in-memory Arrow
+        # batches before writing a byte (distributed, zero extra I/O) —
+        # the only enforcement point reachable from this session-less
+        # Python-data-source path
+        versions = S.snapshot_versions(root)
+        self._constraints = sorted(
+            (
+                (S._load_manifest(root, versions[-1]).get("constraints") or {})
+                if versions
+                else {}
+            ).items()
+        )
 
     def write(self, iterator):
         import uuid
@@ -441,10 +454,37 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         batches = list(iterator)
         if not batches or sum(b.num_rows for b in batches) == 0:
             return SnapshotWriteMessage([])  # empty task: no file
+        table = pa.Table.from_batches(batches)
+        if self._constraints:
+            import duckdb
+
+            con = duckdb.connect()
+            try:
+                con.register("__staged", table)
+                selects = ", ".join(
+                    f"SUM(CASE WHEN NOT coalesce(({cond}), false) "
+                    "THEN 1 ELSE 0 END)"
+                    for _, cond in self._constraints
+                )
+                row = con.execute(
+                    f"SELECT {selects} FROM __staged"
+                ).fetchone()
+            finally:
+                con.close()
+            violations = {
+                name: int(row[i])
+                for i, (name, _) in enumerate(self._constraints)
+                if row[i]
+            }
+            if violations:
+                raise ValueError(
+                    f"snapshot write rejected by declared constraints: "
+                    f"{violations}"
+                )
         staging = os.path.join(self._root, "data", self._commit_id)
         os.makedirs(staging, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
-        pq.write_table(pa.Table.from_batches(batches), os.path.join(staging, name))
+        pq.write_table(table, os.path.join(staging, name))
         return SnapshotWriteMessage([os.path.join("data", self._commit_id, name)])
 
     def commit(self, messages):
@@ -456,6 +496,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             self._schema_json,
             mode="overwrite" if self._overwrite else "append",
             retries=3,
+            validated=True,  # every task checked its batches at write()
         )
 
     def abort(self, messages):

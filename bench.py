@@ -183,6 +183,8 @@ HEADLINE = [
     "snapshot_partition_count",
     # materialized views: refresh-as-one-flip, stale-by-design serving
     "snapshot_catalog_mview",
+    # declared CHECK constraints enforced on every value-introducing write
+    "snapshot_constraints",
 ]
 
 
