@@ -4086,3 +4086,106 @@ register(
     ORDER BY event_type
     """,
 )(snapshot_constraints_query)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVM sink (round 10, streaming/sinks.py::start_ivm_sink): each
+# micro-batch lands in the SOURCE snapshot table exactly once, and a
+# per-group (count, sum) rollup advances beside it via change-feed IVM —
+# including a RETRACTION between stream runs (a MOR delete against the
+# source while the stream is down must be subtracted from the live rollup
+# by the next batch, not just stop counting). The oracle recomputes the
+# rollup over the surviving rows.
+# ---------------------------------------------------------------------------
+
+
+def _stage_stream_file(df, src_files: str, idx: int) -> None:
+    """Write one single-file micro-batch into the file-stream source dir
+    with a monotone mtime (file streams order batches by mtime)."""
+    import os
+
+    half_dir = os.path.join(_temp_root(), f"stage{idx}")
+    df.coalesce(1).write.parquet(half_dir)
+    part = next(
+        n for n in os.listdir(half_dir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    dst = os.path.join(src_files, f"{idx:03d}.parquet")
+    os.rename(os.path.join(half_dir, part), dst)
+    os.utime(dst, (1_000_000 + idx, 1_000_000 + idx))
+
+
+def streaming_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import start_ivm_sink
+
+    src_files = os.path.join(_temp_root(), "in")
+    os.makedirs(src_files)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    for i in (0, 1):
+        _stage_stream_file(ev.where(F.col("event_id") % 3 == i), src_files, i)
+    schema = spark.read.parquet(src_files).schema
+    src_root, dst_root = _temp_root(), _temp_root()
+
+    def prepare(df):
+        # integer amount (exact cents) — the IVM rollup sums longs
+        return df.select(
+            "event_id",
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+
+    def run_stream():
+        q = start_ivm_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_files),
+            src_root,
+            dst_root,
+            os.path.join(_temp_root(), "ckpt-ivm"),
+            group_col="user_id",
+            amount_col="cents",
+            prepare=prepare,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    # out-of-band retraction while the stream is down: erase user 1's
+    # rows from the SOURCE table; the next batch folds the retraction in
+    snapshot_delete_mor(
+        spark, src_root, condition="user_id = 1", key_col="user_id"
+    )
+    _stage_stream_file(ev.where(F.col("event_id") % 3 == 2), src_files, 2)
+    run_stream()  # restart from the checkpoint: exactly-once + catch-up
+    return (
+        snapshot_read(spark, dst_root)
+        .where(F.col("n") > 0)
+        .select("user_id", "n", F.col("total").alias("cents_total"))
+        .orderBy("user_id")
+    )
+
+
+register(
+    "streaming_ivm_live",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_total
+    FROM events
+    WHERE user_id <> 1
+      OR event_id % 3 = 2  -- post-erasure batch re-inserts user 1 rows
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)(streaming_ivm_live)

@@ -30,6 +30,8 @@ __all__ = [
     "start_dedup_ingest_sink",
     "wap_batch",
     "start_wap_sink",
+    "ivm_batch",
+    "start_ivm_sink",
 ]
 
 
@@ -785,6 +787,66 @@ def start_classifier_sink(
                 drop_rejected=drop_rejected,
             )
         )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def ivm_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    src_root: str,
+    dst_root: str,
+    group_col: str,
+    amount_col: str,
+) -> bool:
+    """foreachBatch body: ingest one micro-batch into the SOURCE snapshot
+    table exactly once (``snapshot_batch_commit``'s batch-id gate), then
+    advance the incrementally-maintained per-group rollup to the source
+    head (``snapshot_incremental_agg`` — change-feed IVM with
+    retractions, high-water-marked on ``ivm_applied_version`` inside its
+    ONE atomic commit).
+
+    Crash matrix, all exactly-once without idempotence tricks: a replay
+    after the source commit skips the ingest (stamp) and re-runs the
+    rollup step as a no-op catch-up; a crash BETWEEN the two steps just
+    leaves the rollup one version behind — the next batch's step applies
+    both deltas, because the IVM reads changes from its own applied mark,
+    not from the triggering batch. Out-of-band writers to the source
+    (batch ETL appends, MOR deletes) are folded in by the same step."""
+    committed = snapshot_batch_commit(batch_df, batch_id, src_root)
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    S.snapshot_incremental_agg(
+        batch_df.sparkSession, src_root, dst_root, group_col, amount_col
+    )
+    return committed
+
+
+def start_ivm_sink(
+    stream_df: DataFrame,
+    src_root: str,
+    dst_root: str,
+    checkpoint_dir: str,
+    group_col: str,
+    amount_col: str,
+    prepare=None,
+) -> StreamingQuery:
+    """Stream into a source snapshot table AND keep a live per-group
+    (count, sum) rollup incrementally maintained beside it — the
+    streaming face of ``snapshot_incremental_agg``. ``prepare`` optionally
+    projects each micro-batch before ingest (e.g. derive an integer
+    amount column). Read the rollup with ``snapshot_read(dst_root)``
+    filtered to ``n > 0`` (retraction-zeroed groups persist as rows)."""
+
+    def body(df: DataFrame, bid: int) -> None:
+        if prepare is not None:
+            df = prepare(df)
+        ivm_batch(df, bid, src_root, dst_root, group_col, amount_col)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(body)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

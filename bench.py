@@ -185,6 +185,8 @@ HEADLINE = [
     "snapshot_catalog_mview",
     # declared CHECK constraints enforced on every value-introducing write
     "snapshot_constraints",
+    # streaming IVM: live per-group rollup with retractions, exactly-once
+    "streaming_ivm_live",
 ]
 
 

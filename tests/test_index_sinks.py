@@ -111,3 +111,36 @@ def test_dedup_ingest_batch_exactly_once_and_first_wins(spark, tmp_path):
     k2 = {r._k for r in S.snapshot_read(spark, keys2).collect()}
     assert k2 == {r._k for r in S.snapshot_read(spark, keys).collect()}
     assert S.snapshot_read(spark, root).count() == 3  # corpus untouched
+
+
+def test_ivm_sink_crash_between_ingest_and_rollup(spark, tmp_path):
+    """A crash AFTER the source commit but BEFORE the rollup step leaves
+    the rollup one version behind; the next batch's step applies both
+    deltas (the IVM reads from its own applied mark, not the triggering
+    batch), and a full replay of the crashed batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_read
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        ivm_batch,
+        snapshot_batch_commit,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("amt")
+        ).coalesce(1)
+
+    ivm_batch(batch(0, 30), 0, src, dst, "g", "amt")
+    # batch 1 "crashes" between the two steps: source committed, no rollup
+    snapshot_batch_commit(batch(30, 60), 1, src)
+    lag = {r.g: r.n for r in snapshot_read(spark, dst).collect()}
+    assert sum(lag.values()) == 30  # rollup still at batch 0
+    # replayed batch 1 through the sink body: ingest skipped (stamp),
+    # rollup catches up over BOTH the missed and the replayed delta
+    assert ivm_batch(batch(30, 60), 1, src, dst, "g", "amt") is False
+    now = {r.g: (r.n, r.total) for r in snapshot_read(spark, dst).collect()}
+    assert sum(n for n, _ in now.values()) == 60
+    assert now[0] == (20, sum(i * 2 for i in range(0, 60, 3)))
