@@ -765,6 +765,26 @@ def snapshot_sql_register(
         raise ValueError(
             "snapshot_sql_register requires root= or catalog=/table="
         )
+    if catalog is not None and table is not None:
+        # a catalog VIEW registers as its RESOLVED DataFrame (stored SQL
+        # over the pinned base tables of the addressed catalog version) —
+        # spark.sql text over the name then works like any other view;
+        # the base-table registrations inside catalog_read inherit the
+        # same pruning-hook safety
+        from airflow_postgres_csv_spark.operators.catalog_txn import (
+            _is_view,
+            catalog_read,
+            catalog_state,
+        )
+
+        ent = catalog_state(catalog, catalog_version).get(table)
+        if ent is not None and _is_view(ent):
+            df = catalog_read(
+                spark, catalog, table, catalog_version=catalog_version
+            )
+            df.createOrReplaceTempView(name)
+            _sql_views(spark).pop(name, None)
+            return df
     spec = {
         "root": root,
         "version": version,

@@ -307,3 +307,38 @@ def test_branch_view_ddl_publishes_atomically(spark, tmp_path):
     _drop(cat, "race")
     # main keeps ITS definition (MAX)
     assert catalog_read(spark, cat, "sales.n_users").collect()[0]["n"] == 99
+
+
+def test_view_sql_register(spark, tmp_path):
+    """A catalog VIEW registers for raw spark.sql text as its resolved
+    DataFrame over the addressed catalog version's pins."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    cat, ro, ru = _seed(spark, tmp_path)
+    _create_view(cat)
+    snapshot_sql_register(spark, "seg_rollup", catalog=cat,
+                          table="sales.by_seg")
+    got = spark.sql(
+        "SELECT seg, total FROM seg_rollup ORDER BY seg"
+    ).collect()
+    assert len(got) == 3 and got[0]["seg"] == "0"
+    # and a MATERIALIZED view registers as its materialized table
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_refresh_mview,
+    )
+
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview", "name": "sales.mv",
+            "sql": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o",
+            "tables": {"o": "sales.orders"},
+            "root": str(tmp_path / "mvr"),
+        }],
+    )
+    catalog_refresh_mview(spark, cat, "sales.mv")
+    snapshot_sql_register(spark, "mv_n", catalog=cat, table="sales.mv")
+    assert spark.sql("SELECT n FROM mv_n").collect()[0]["n"] == 100
