@@ -371,6 +371,31 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
         elif kind == "create_mview":
             if name in tables:
                 raise ValueError(f"name {name!r} already exists")
+            inc = op.get("incremental")
+            if inc is not None:
+                # incrementally-maintained rollup: fixed (count, sum)
+                # shape over ONE source table, refreshed via change-feed
+                # IVM instead of a recompute — the sql field is
+                # synthesized for listings
+                if set(inc) != {"group_col", "amount_col"}:
+                    raise ValueError(
+                        f"mview {name!r}: incremental needs exactly "
+                        "{'group_col', 'amount_col'}"
+                    )
+                if len(op.get("tables") or {}) != 1:
+                    raise ValueError(
+                        f"mview {name!r}: incremental mviews take exactly "
+                        "one source table"
+                    )
+                op = {
+                    **op,
+                    "sql": (
+                        f"SELECT {inc['group_col']}, COUNT(*) AS n, "
+                        f"SUM({inc['amount_col']}) AS total FROM "
+                        f"{next(iter(op['tables']))} "
+                        f"GROUP BY {inc['group_col']} -- incremental IVM"
+                    ),
+                }
             ent = _view_entry(tables, op)
             mroot = op.get("root")
             if not mroot:
@@ -378,15 +403,16 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                     f"mview {name!r}: 'root' (materialized table path) "
                     "required"
                 )
-            tables[name] = {
-                "mview": {
-                    **ent["view"],
-                    "root": os.path.abspath(mroot),
-                    # unrefreshed: no materialized version, no source pins
-                    "version": None,
-                    "pins": None,
-                }
+            mv = {
+                **ent["view"],
+                "root": os.path.abspath(mroot),
+                # unrefreshed: no materialized version, no source pins
+                "version": None,
+                "pins": None,
             }
+            if inc is not None:
+                mv["incremental"] = dict(inc)
+            tables[name] = {"mview": mv}
         elif kind == "drop_mview":
             if name not in tables or not _is_mview(tables[name]):
                 raise KeyError(
@@ -596,12 +622,34 @@ def catalog_refresh_mview(
         src_pins[tname] = [tpin["root"], tpin["version"]]
     if mv.get("version") is not None and mv.get("pins") == src_pins:
         return {"refreshed": False, "version": mv["version"], "pins": src_pins}
-    for alias, tname in mv["tables"].items():
-        snapshot_sql_register(
-            spark, alias, state[tname]["root"], version=state[tname]["version"]
+    if mv.get("incremental"):
+        # change-feed IVM: apply only the source delta since the last
+        # refresh, exactly up to the pinned source version — O(changes),
+        # never a recompute (snapshots.snapshot_incremental_agg)
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            snapshot_incremental_agg,
+            snapshot_versions as _svs,
         )
-    df = spark.sql(mv["sql"])
-    m = snapshot_commit(df, mv["root"], mode="overwrite")
+
+        (src_name,) = mv["tables"].values()
+        inc = mv["incremental"]
+        snapshot_incremental_agg(
+            spark,
+            state[src_name]["root"],
+            mv["root"],
+            inc["group_col"],
+            inc["amount_col"],
+            up_to=state[src_name]["version"],
+        )
+        m = {"version": _svs(mv["root"])[-1]}
+    else:
+        for alias, tname in mv["tables"].items():
+            snapshot_sql_register(
+                spark, alias, state[tname]["root"],
+                version=state[tname]["version"],
+            )
+        df = spark.sql(mv["sql"])
+        m = snapshot_commit(df, mv["root"], mode="overwrite")
     new_mv = {**mv, "version": m["version"], "pins": src_pins}
     txn_id = uuid.uuid4().hex[:12]
     attempts = 0
@@ -702,7 +750,15 @@ def catalog_read(
                 f"materialized view {name!r} has never been refreshed — "
                 "run catalog_refresh_mview(spark, catalog_root, name)"
             )
-        return snapshot_read(spark, mv["root"], version=mv["version"])
+        out = snapshot_read(spark, mv["root"], version=mv["version"])
+        if mv.get("incremental"):
+            # IVM keeps retraction-zeroed groups as n = 0 rows (the
+            # exactly-once stamp rides the same commit); the view
+            # surface hides them, matching what a recompute would emit
+            from pyspark.sql import functions as F
+
+            out = out.where(F.col("n") > 0)
+        return out
     if _is_view(pin):
         # late-binding VIEW: register every referenced table pinned at
         # THIS catalog version (multi-table consistent), then run the

@@ -3900,6 +3900,7 @@ def snapshot_incremental_agg(
     dst_root: str,
     group_col: str,
     amount_col: str,
+    up_to: int | None = None,
 ) -> dict:
     """Incremental view maintenance (IVM) WITH RETRACTIONS: keep a
     persisted per-group aggregate (``n`` = live row count, ``total`` =
@@ -3929,6 +3930,15 @@ def snapshot_incremental_agg(
     if not src_versions:
         raise FileNotFoundError(f"no snapshot versions at {src_root}")
     src_latest = src_versions[-1]
+    if up_to is not None:
+        # catalog-pinned refresh: advance exactly to the pinned source
+        # version, not past it (out-of-band commits beyond the pin fold
+        # in at the NEXT pinned refresh)
+        if up_to not in src_versions:
+            raise ValueError(
+                f"up_to={up_to} is not a retained source version"
+            )
+        src_latest = up_to
     dvs = snapshot_versions(dst_root)
     applied = _max_stamp(dst_root, "ivm_applied_version", 0)
     if src_latest <= applied:

@@ -129,6 +129,12 @@ def _resolve_table(options: dict) -> tuple[str, int | None]:
                 raise ValueError(
                     f"materialized view {name!r} has never been refreshed"
                 )
+            if mv.get("incremental"):
+                raise ValueError(
+                    f"{name!r} is an INCREMENTAL materialized view — read "
+                    "it with catalog_read / snapshot_sql_register, which "
+                    "hide the IVM's retraction-zeroed groups"
+                )
             return mv["root"], int(mv["version"])
         if "view" in pin:
             raise ValueError(
@@ -778,7 +784,13 @@ def snapshot_sql_register(
         )
 
         ent = catalog_state(catalog, catalog_version).get(table)
-        if ent is not None and _is_view(ent):
+        if ent is not None and (
+            _is_view(ent)
+            or (isinstance(ent, dict) and (ent.get("mview") or {}).get("incremental"))
+        ):
+            # plain views resolve their stored SQL; INCREMENTAL mviews
+            # need the n > 0 retraction mask — both register as the
+            # catalog_read DataFrame rather than a raw relation
             df = catalog_read(
                 spark, catalog, table, catalog_version=catalog_version
             )

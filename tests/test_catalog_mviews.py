@@ -170,3 +170,77 @@ def test_mview_vacuum_sweeps_materialized_root(spark, tmp_path):
     assert not os.path.exists(p)
     # and the materialized data still reads back
     assert catalog_read(spark, cat, "sales.rollup").count() == 5
+
+
+def test_incremental_mview_ivm_refresh(spark, tmp_path):
+    """An incremental mview refreshes via change-feed IVM — O(changes),
+    with retractions — and reads hide the n=0 groups; the catalog pin
+    bounds each refresh exactly at the pinned source version."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+
+    cat = str(tmp_path / "cat")
+    ro = str(tmp_path / "src")
+    rows = spark.range(0, 60).select(
+        "id", (F.col("id") % 4).alias("g"), (F.col("id") * 3).alias("amt")
+    )
+    catalog_txn(cat, [{"name": "t", "root": ro, "df": rows.coalesce(1)}])
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview", "name": "t_rollup",
+            "tables": {"s": "t"}, "root": str(tmp_path / "mv"),
+            "incremental": {"group_col": "g", "amount_col": "amt"},
+        }],
+    )
+    assert catalog_refresh_mview(spark, cat, "t_rollup")["refreshed"]
+    got = {r.g: (r.n, r.total)
+           for r in catalog_read(spark, cat, "t_rollup").collect()}
+    assert got[0] == (15, sum(i * 3 for i in range(0, 60, 4)))
+    # idempotent while the pin stands still
+    assert not catalog_refresh_mview(spark, cat, "t_rollup")["refreshed"]
+
+    # retraction: erase group 2's rows, pin, refresh — the group VANISHES
+    snapshot_delete_mor(spark, ro, condition="g = 2", key_col="g")
+    catalog_pin_tables(cat, {"t": (ro, 2)})
+    assert catalog_refresh_mview(spark, cat, "t_rollup")["refreshed"]
+    after = {r.g: r.n for r in catalog_read(spark, cat, "t_rollup").collect()}
+    assert 2 not in after and after[0] == 15
+
+    # out-of-band commit BEYOND the pin is not folded until it is pinned
+    snapshot_commit(
+        spark.range(60, 80).select(
+            "id", F.lit(0).cast("long").alias("g"),
+            (F.col("id") * 3).alias("amt"),
+        ).coalesce(1),
+        ro,
+    )
+    assert not catalog_refresh_mview(spark, cat, "t_rollup")["refreshed"]
+    assert {r.g: r.n for r in catalog_read(spark, cat, "t_rollup").collect()}[0] == 15
+    catalog_pin_tables(cat, {"t": (ro, 3)})
+    catalog_refresh_mview(spark, cat, "t_rollup")
+    assert {r.g: r.n for r in catalog_read(spark, cat, "t_rollup").collect()}[0] == 35
+
+
+def test_incremental_mview_validation(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    ro = str(tmp_path / "src")
+    catalog_txn(
+        cat,
+        [{"name": "t", "root": ro,
+          "df": spark.range(3).select("id", F.lit(1).alias("g"))}],
+    )
+    with pytest.raises(ValueError, match="exactly"):
+        catalog_ddl(
+            cat,
+            [{"op": "create_mview", "name": "m", "tables": {"s": "t"},
+              "root": str(tmp_path / "m"), "incremental": {"group_col": "g"}}],
+        )
+    with pytest.raises(ValueError, match="one source table"):
+        catalog_ddl(
+            cat,
+            [{"op": "create_mview", "name": "m",
+              "tables": {"s": "t", "u": "t"}, "root": str(tmp_path / "m"),
+              "incremental": {"group_col": "g", "amount_col": "id"}}],
+        )
