@@ -4189,3 +4189,82 @@ register(
     ORDER BY user_id
     """,
 )(streaming_ivm_live)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized view (round 10): the catalog mview refreshed via
+# change-feed IVM — appends AND a retraction land through O(changes)
+# refreshes bounded at the pinned source version, never a recompute. The
+# oracle recomputes the rollup over the surviving rows.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_mview_ivm_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_pin_tables,
+        catalog_read,
+        catalog_refresh_mview,
+        catalog_txn,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+
+    cat, eroot, mroot = _temp_root(), _temp_root(), _temp_root()
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    catalog_txn(
+        cat,
+        [{
+            "name": "gold.events", "root": eroot,
+            "df": events.where(F.pmod("event_id", F.lit(2)) == 0),
+        }],
+    )
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview", "name": "gold.by_user", "root": mroot,
+            "tables": {"e": "gold.events"},
+            "incremental": {"group_col": "user_id", "amount_col": "cents"},
+        }],
+    )
+    catalog_refresh_mview(spark, cat, "gold.by_user")
+    # phase 2: append the other half + erase the 'error' events, pin, refresh
+    m2 = snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 1), eroot
+    )
+    snapshot_delete_mor(
+        spark, eroot, condition="event_type = 'error'", key_col="event_id"
+    )
+    catalog_pin_tables(
+        cat, {"gold.events": (eroot, m2["version"] + 1)}
+    )
+    catalog_refresh_mview(spark, cat, "gold.by_user")
+    return (
+        catalog_read(spark, cat, "gold.by_user")
+        .select("user_id", "n", F.col("total").alias("cents_total"))
+        .orderBy("user_id")
+    )
+
+
+register(
+    "snapshot_catalog_mview_ivm",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_total
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)(snapshot_catalog_mview_ivm_query)

@@ -187,6 +187,8 @@ HEADLINE = [
     "snapshot_constraints",
     # streaming IVM: live per-group rollup with retractions, exactly-once
     "streaming_ivm_live",
+    # incremental mview: catalog refresh via change-feed IVM at the pin
+    "snapshot_catalog_mview_ivm",
 ]
 
 
