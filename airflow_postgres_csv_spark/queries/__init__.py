@@ -211,7 +211,16 @@ def _rotation_sort_key(
     round's verify report is committed."""
 
     def key(n: str) -> tuple:
-        return (last.get(n, 0), _priority_rank(n), -seniority.get(n, 0), n)
+        # the no-seniority flag outranks subsystem priority: a freshly
+        # registered high-priority name must NOT displace the finite,
+        # named backlog the previous round promised to grade next
+        return (
+            last.get(n, 0),
+            n not in seniority,
+            _priority_rank(n),
+            -seniority.get(n, 0),
+            n,
+        )
 
     return key
 

@@ -109,11 +109,19 @@ def test_growth_never_starves_new_or_old_names():
     backlog = [n for n in names if n not in history and n not in _ANCHORS]
     max_rounds = math.ceil(len(backlog) / slots) + 1 if backlog else 1
 
-    # queue discipline on the CURRENT window ordering: flagship-first
+    # queue discipline on the CURRENT window ordering: flagship-first —
+    # but ONLY among names that hold a VERIFY_LOCAL seniority record. A
+    # name registered this session (no record yet) must wait behind the
+    # whole named backlog regardless of its subsystem rank: the backlog
+    # is finite and promised, new registrations are unbounded.
     window = priority_window(names)
     rotated = [n for n in window if n not in _ANCHORS]
-    never_in_window = [n for n in rotated if n not in history]
-    never_waiting = [n for n in backlog if n not in window]
+    never_in_window = [
+        n for n in rotated if n not in history and n in seniority
+    ]
+    never_waiting = [
+        n for n in backlog if n not in window and n in seniority
+    ]
     if never_in_window and never_waiting:
         worst_in = max(_priority_rank(n) for n in never_in_window)
         best_out = min(_priority_rank(n) for n in never_waiting)
@@ -121,6 +129,14 @@ def test_growth_never_starves_new_or_old_names():
             f"a rank-{best_out} flagship name waits outside the window "
             f"while a rank-{worst_in} name holds a slot"
         )
+    # and no record-less name may hold a slot while a recorded name waits
+    recordless_in = [n for n in rotated if n not in seniority]
+    recorded_waiting = [
+        n for n in backlog if n not in window and n in seniority
+    ]
+    assert not (recordless_in and recorded_waiting), (
+        f"recordless {recordless_in[:3]} jumped the recorded backlog"
+    )
 
     # forward simulation: no name may starve
     sim_hist = dict(history)
