@@ -3313,23 +3313,48 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     if latest.get("constraints"):
         from pyspark.sql import functions as F
 
-        rules = sorted(latest["constraints"].items())
-        rolled = _read_pinned(spark, root, target, target["files"])
-        counts = rolled.agg(
-            *[
-                F.sum(
-                    (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
-                ).alias(f"__r{i}")
-                for i, (_, cond) in enumerate(rules)
-            ]
-        ).first()
-        violations = {
-            name: int(counts[f"__r{i}"])
-            for i, (name, _) in enumerate(rules)
-            if counts[f"__r{i}"]
-        }
-        if violations:
-            raise SnapshotExpectationError(violations)
+        # validate only the RESURRECTED rows — O(delta), not O(table):
+        # a file pinned at head with identical tombstone coverage is
+        # already proven valid by the head invariant. Resurrection means
+        # (a) a file the head no longer pins, or (b) a head tombstone
+        # that the target does not apply to a shared file. The common
+        # rollback of an append-only table resurrects nothing → no scan.
+        latest_files = set(latest["files"])
+        l_tombs = latest.get("tombstones", [])
+        t_tombs = target.get("tombstones", [])
+
+        def _coverage(tombs, rel):
+            cid = _commit_of(rel)
+            return sorted(
+                json.dumps(t, sort_keys=True)
+                for t in tombs
+                if _tombstone_applies(t, cid, rel)
+            )
+
+        check = [
+            rel
+            for rel in target["files"]
+            if rel not in latest_files
+            or _coverage(l_tombs, rel) != _coverage(t_tombs, rel)
+        ]
+        if check:
+            rules = sorted(latest["constraints"].items())
+            rolled = _read_pinned(spark, root, target, check)
+            counts = rolled.agg(
+                *[
+                    F.sum(
+                        (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
+                    ).alias(f"__r{i}")
+                    for i, (_, cond) in enumerate(rules)
+                ]
+            ).first()
+            violations = {
+                name: int(counts[f"__r{i}"])
+                for i, (name, _) in enumerate(rules)
+                if counts[f"__r{i}"]
+            }
+            if violations:
+                raise SnapshotExpectationError(violations)
         body["constraints"] = latest["constraints"]
     body.update(mode="rollback", commit_id=commit_id, rolled_back_to=to_version)
     return _publish(

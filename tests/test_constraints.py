@@ -137,3 +137,24 @@ def test_rollback_resurrecting_violations_refused(spark, tmp_path):
     snapshot_rollback(spark, root, 2)
     with pytest.raises(SnapshotExpectationError):
         snapshot_commit(_df(spark, [(3, -1)]), root)
+
+
+def test_rollback_validation_scans_only_resurrected_files(
+    spark, tmp_path, monkeypatch
+):
+    """Append-only rollback resurrects nothing → the constraint check
+    must be a ZERO-scan metadata decision (O(delta) discipline)."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = _table(spark, tmp_path)
+    snapshot_commit(_df(spark, [(7, 70)]), root)
+
+    def bomb(*a, **k):
+        raise AssertionError("data scan on an append-only rollback")
+
+    monkeypatch.setattr(S, "_read_pinned", bomb)
+    snapshot_rollback(spark, root, snapshot_versions(root)[0])
+    monkeypatch.undo()
+    # constraints retained: the gate still closes
+    with pytest.raises(SnapshotExpectationError):
+        snapshot_commit(_df(spark, [(8, -8)]), root)
