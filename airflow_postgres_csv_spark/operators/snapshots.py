@@ -878,7 +878,7 @@ def snapshot_commit_staged(
     schema_json: str,
     mode: str = "append",
     retries: int = 0,
-    validated: bool = False,
+    validated_rules: list | None = None,
 ) -> dict:
     """Publish parquet files ALREADY staged under ``data/<commit_id>/`` as
     the next version — the manifest half of :func:`snapshot_commit` for
@@ -906,22 +906,33 @@ def snapshot_commit_staged(
             "the table's; use snapshot_commit(allow_schema_change=True) "
             "for schema evolution"
         )
-    declared = (prev.get("constraints") or {}) if prev else {}
-    if declared and new_files and not validated:
+    def _check_constraints(manifest) -> None:
         # this path runs in the Python-data-source worker — no
-        # SparkSession exists there, so the authoritative writer check is
-        # per-task over in-memory Arrow batches (validated=True); direct
-        # callers get a DuckDB pass over the staged files instead:
-        # constraints are a hard contract, never silently skipped
-        violations = _staged_violations_duckdb(
-            [os.path.join(root, rel) for rel in new_files],
-            sorted(declared.items()),
-        )
-        if violations:
-            shutil.rmtree(
-                os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True
+        # SparkSession exists there, so the normal writer check is
+        # per-task over in-memory Arrow batches; ``validated_rules``
+        # carries the rules that check covered, and anything declared
+        # SINCE (or for direct callers: everything) gets a DuckDB pass
+        # over the staged files here. Re-run against the CURRENT head on
+        # every rebase attempt, so a constraint landing concurrently can
+        # never slip past the gate: a hard contract, never skipped.
+        declared = (manifest.get("constraints") or {}) if manifest else {}
+        pending = [
+            r
+            for r in sorted(declared.items())
+            if r not in (validated_rules or [])
+        ]
+        if pending and new_files:
+            violations = _staged_violations_duckdb(
+                [os.path.join(root, rel) for rel in new_files], pending
             )
-            raise SnapshotExpectationError(violations)
+            if violations:
+                shutil.rmtree(
+                    os.path.join(root, _DATA_DIR, commit_id),
+                    ignore_errors=True,
+                )
+                raise SnapshotExpectationError(violations)
+
+    _check_constraints(prev)
     _metas = {rel: _footer_meta(os.path.join(root, rel)) for rel in new_files}
     sidecar = {
         "stats": {rel: st for rel, (st, _) in _metas.items()},
@@ -956,6 +967,7 @@ def snapshot_commit_staged(
                     "schema drift on staged-append rebase: a concurrent "
                     "winner changed the table schema"
                 )
+            _check_constraints(prev)  # a winner may have declared one
 
 
 def _staged_violations(

@@ -502,7 +502,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             self._schema_json,
             mode="overwrite" if self._overwrite else "append",
             retries=3,
-            validated=True,  # every task checked its batches at write()
+            # every task checked exactly these rules over its in-memory
+            # batches at write(); rules declared since plan time get the
+            # staged-file DuckDB pass inside commit_staged
+            validated_rules=self._constraints,
         )
 
     def abort(self, messages):
