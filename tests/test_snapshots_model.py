@@ -60,6 +60,11 @@ _op = st.one_of(
         st.integers(0, IDS),
     ),
     st.tuples(st.just("wap_fail"), st.integers(0, IDS - 3), st.integers(1, 3)),
+    # declared constraint lifecycle: toggle "id >= 0" on/off, and an
+    # append of NEGATIVE ids that must be rejected exactly while it is on
+    st.tuples(st.just("con_on")),
+    st.tuples(st.just("con_off")),
+    st.tuples(st.just("append_neg"), st.integers(0, 5), st.integers(1, 3)),
 )
 
 
@@ -141,8 +146,11 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
     # are tracked so time travel asserts under each version's own name
     cur_col = "stamp"
     col_at: dict[int, str] = {1: cur_col}
+    con_on = False  # declared constraint "id >= 0" currently active
+    rejected = False  # this op was refused: no version, state unchanged
     for opi, op in enumerate(ops, start=1):
         kind = op[0]
+        rejected = False
         if kind == "append":
             _, lo, n = op
             rows = [(i, opi) for i in range(lo, lo + n)]
@@ -241,9 +249,75 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             _, j = op
             versions = snapshot_versions(root)
             target = versions[j % len(versions)]
-            snapshot_rollback(spark, root, target)
-            model = list(history[target])
-            cur_col = col_at[target]  # the target version's own name
+            if con_on and any(r[0] < 0 for r in history[target]):
+                # the rollback would RESURRECT constraint-violating rows:
+                # it must refuse and change nothing
+                from airflow_postgres_csv_spark.operators.snapshots import (
+                    SnapshotExpectationError,
+                )
+
+                try:
+                    snapshot_rollback(spark, root, target)
+                    raise AssertionError("rollback must refuse")
+                except SnapshotExpectationError:
+                    rejected = True
+            else:
+                snapshot_rollback(spark, root, target)
+                model = list(history[target])
+                cur_col = col_at[target]  # the target version's own name
+        elif kind == "con_on":
+            from airflow_postgres_csv_spark.operators.snapshots import (
+                SnapshotExpectationError,
+                snapshot_add_constraint,
+            )
+
+            if con_on:
+                rejected = True  # no-op: already declared
+            elif any(r[0] < 0 for r in model):
+                # live violating rows: declaration must refuse
+                try:
+                    snapshot_add_constraint(spark, root, "id_nonneg", "id >= 0")
+                    raise AssertionError("add_constraint must refuse")
+                except SnapshotExpectationError:
+                    rejected = True
+            else:
+                snapshot_add_constraint(spark, root, "id_nonneg", "id >= 0")
+                con_on = True
+        elif kind == "con_off":
+            from airflow_postgres_csv_spark.operators.snapshots import (
+                snapshot_drop_constraint,
+            )
+
+            if con_on:
+                snapshot_drop_constraint(root, "id_nonneg")
+                con_on = False
+            else:
+                rejected = True  # no-op: nothing declared
+        elif kind == "append_neg":
+            _, lo, n = op
+            rows = [(-(lo + k + 1), opi) for k in range(n)]
+            df = spark.createDataFrame(
+                rows, f"id long, {cur_col} long"
+            ).coalesce(1)
+            if con_on:
+                from airflow_postgres_csv_spark.operators.snapshots import (
+                    SnapshotExpectationError,
+                )
+
+                try:
+                    snapshot_commit(df, root)
+                    raise AssertionError("negative append must be rejected")
+                except SnapshotExpectationError:
+                    rejected = True
+            else:
+                snapshot_commit(df, root)
+                model = model + rows
+        if rejected:
+            # refused ops create no version and mutate nothing
+            assert _snapshot_rows(spark, root, col=cur_col) == history[
+                snapshot_versions(root)[-1]
+            ], f"rejected op {opi} {op} mutated the table"
+            continue
         if kind == "wap_fail":
             # no version was created; latest must still match the model
             assert _snapshot_rows(spark, root, col=cur_col) == history[
