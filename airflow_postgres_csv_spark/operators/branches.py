@@ -157,7 +157,8 @@ _CARRY_KEYS = (
     "tombstones", "sidecars", "bloom", "defaults", "merge_info",
     "commit_sizes", "sketch_commits", "small_bytes",
     "partition_specs", "commit_partitions", "partition_spec",
-    "column_history", "retired_columns",
+    "column_history", "retired_columns", "constraints",
+    "sums", "commit_sums",
     "last_batch_id", "cdc_applied_version", "ivm_applied_version",
     "sketch",
     # frozen index/model metadata: a published index branch (streaming
@@ -265,7 +266,7 @@ def _rebase_body(
         body["commit_schemas"][cid] = bm.get("commit_schemas", {}).get(
             cid, bschema
         )
-        for key in ("commit_sizes", "commit_partitions"):
+        for key in ("commit_sizes", "commit_partitions", "commit_sums"):
             if cid in bm.get(key, {}):
                 body.setdefault(key, {})[cid] = bm[key][cid]
         if cid in bm.get("sketch_commits", []):

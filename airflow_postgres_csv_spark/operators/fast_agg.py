@@ -134,7 +134,8 @@ def _metadata_range(
 
 
 def _partition_filtered(
-    root: str, manifest: dict, where: dict, cols: list[str]
+    root: str, manifest: dict, where: dict, cols: list[str],
+    sums_cols: list[str] = (),
 ) -> tuple[int, dict, str] | None:
     """Exact COUNT(*)/MIN/MAX under an identity-partition equality
     predicate, from metadata: with a declared spec whose ``where``
@@ -157,7 +158,9 @@ def _partition_filtered(
     want = {c: (v, v) for c, v in where.items()}
     total = 0
     ranges: dict[str, list | None] = {c: None for c in cols}
+    fsums: dict[str, list] = {c: [0, 0] for c in sums_cols}
     dead: set[str] = set()  # cols that must scan
+    dead_sums: set[str] = set()
     source = "root"
     pred_cache: dict[int, list] = {}
     for cid, n, subset in _commit_markers(root, manifest):
@@ -202,7 +205,11 @@ def _partition_filtered(
         if subset is None and len(files) != n:
             files = _commit_files_from_sidecar(root, manifest, cid, n)
         fields = _schema_fields(manifest, cid)
-        phys_of = {c: _written_name(c, fields, history) for c in cols}
+        phys_of = {
+            c: _written_name(c, fields, history)
+            for c in set(cols) | set(sums_cols)
+        }
+        smap = sc.get("sums") or {}
         for rel in files:
             tup = pvals.get(rel)
             if tup is None:
@@ -229,15 +236,62 @@ def _partition_filtered(
                     if cur is None
                     else [min(cur[0], rng[0]), max(cur[1], rng[1])]
                 )
+            for c in sums_cols:
+                if c in dead_sums:
+                    continue
+                phys = phys_of[c]
+                ent = (smap.get(rel) or {}).get(phys) if phys else None
+                if ent is None:
+                    dead_sums.add(c)
+                    continue
+                fsums[c][0] += int(ent[0])
+                fsums[c][1] += int(ent[1])
     for c in dead:
         ranges[c] = None
-    return total, ranges, dead, source
+    return total, ranges, dead, source, fsums, dead_sums
+
+
+def _metadata_sum(
+    root: str, manifest: dict, col: str
+) -> tuple[list | None, str]:
+    """Exact ``[sum, n_nonnull]`` for ``col`` from the per-commit sum
+    rollups (``sum_cols=`` config), or ``(None, "scan")`` when any pinned
+    commit cannot vouch — pre-config commits, staged data-source writes
+    (no Spark at write time), partial commits without per-file sums."""
+    history = manifest.get("column_history") or {}
+    csums = manifest.get("commit_sums") or {}
+    total = 0
+    nonnull = 0
+    source = "root"
+    for cid, n, subset in _commit_markers(root, manifest):
+        if n == 0:
+            continue
+        phys = _written_name(col, _schema_fields(manifest, cid), history)
+        if phys is None:
+            return None, "scan"  # default-filled pre-evolution rows
+        if subset is None:
+            ent = (csums.get(cid) or {}).get(phys)
+            if ent is None:
+                return None, "scan"
+            total += int(ent[0])
+            nonnull += int(ent[1])
+        else:
+            smap = _load_sidecar(root, manifest, cid).get("sums") or {}
+            source = _weaker(source, "sidecar")
+            for rel in subset:
+                ent = (smap.get(rel) or {}).get(phys)
+                if ent is None:
+                    return None, "scan"
+                total += int(ent[0])
+                nonnull += int(ent[1])
+    return [total, nonnull], source
 
 
 def snapshot_fast_agg(
     root: str,
     cols: tuple[str, ...] | list[str] = (),
     *,
+    sums: tuple[str, ...] | list[str] = (),
     where: dict | None = None,
     version: int | None = None,
     spark: SparkSession | None = None,
@@ -268,7 +322,9 @@ def snapshot_fast_agg(
     v = versions[-1] if version is None else version
     manifest = _load_manifest(root, v)
     current = {f["name"] for f in json.loads(manifest["schema"])["fields"]}
-    missing = [c for c in cols if c not in current]
+    missing = [c for c in cols if c not in current] + [
+        c for c in sums if c not in current
+    ]
     if missing:
         raise ValueError(f"columns not in version {v} schema: {missing}")
     if where:
@@ -280,8 +336,9 @@ def snapshot_fast_agg(
                 "where values must be non-NULL (equality never matches NULL)"
             )
 
-    out: dict = {"version": v, "columns": {}}
+    out: dict = {"version": v, "columns": {}, "sums": {}}
     scan_cols: list[str] = []
+    scan_sums: list[str] = []
     need_scan_rows = False
 
     if manifest.get("tombstones"):
@@ -289,13 +346,17 @@ def snapshot_fast_agg(
         # path (which applies tombstones) is exact
         need_scan_rows = True
         scan_cols = list(cols)
+        scan_sums = list(sums)
     elif where:
-        part = _partition_filtered(root, manifest, where, list(cols))
+        part = _partition_filtered(
+            root, manifest, where, list(cols), list(sums)
+        )
         if part is None:
             need_scan_rows = True
             scan_cols = list(cols)
+            scan_sums = list(sums)
         else:
-            n_rows, ranges, dead, src = part
+            n_rows, ranges, dead, src, fsums, dead_sums = part
             out["n_rows"], out["rows_source"] = n_rows, src
             for c in cols:
                 if c in dead:
@@ -307,6 +368,14 @@ def snapshot_fast_agg(
                         "max": rng[1] if rng else None,
                         "source": src,
                     }
+            for c in sums:
+                if c in dead_sums:
+                    scan_sums.append(c)
+                else:
+                    s, nn = fsums[c]
+                    out["sums"][c] = {
+                        "value": s if nn else None, "source": src,
+                    }
     else:
         n_rows, src = _metadata_rows(root, manifest)
         out["n_rows"], out["rows_source"] = n_rows, src
@@ -316,10 +385,22 @@ def snapshot_fast_agg(
                 scan_cols.append(c)
             else:
                 out["columns"][c] = {"min": rng[0], "max": rng[1], "source": csrc}
+        for c in sums:
+            ent, ssrc = _metadata_sum(root, manifest, c)
+            if ent is None:
+                scan_sums.append(c)
+            else:
+                out["sums"][c] = {
+                    "value": ent[0] if ent[1] else None, "source": ssrc,
+                }
 
-    if need_scan_rows or scan_cols:
+    if need_scan_rows or scan_cols or scan_sums:
         if not allow_scan:
-            what = (["COUNT(*)"] if need_scan_rows else []) + scan_cols
+            what = (
+                (["COUNT(*)"] if need_scan_rows else [])
+                + scan_cols
+                + [f"SUM({c})" for c in scan_sums]
+            )
             raise RuntimeError(
                 f"metadata cannot answer {what} exactly for version {v} "
                 "(live tombstones or uncovered column stats) and "
@@ -339,12 +420,20 @@ def snapshot_fast_agg(
         for c in scan_cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+        for c in scan_sums:
+            aggs.append(F.sum(c).alias(f"__sm_{c}"))
         row = df.agg(*aggs).collect()[0].asDict()
         if need_scan_rows:
             out["n_rows"], out["rows_source"] = int(row["__n"]), "scan"
         for c in scan_cols:
             out["columns"][c] = {
                 "min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"],
+                "source": "scan",
+            }
+        for c in scan_sums:
+            val = row[f"__sm_{c}"]
+            out["sums"][c] = {
+                "value": int(val) if val is not None else None,
                 "source": "scan",
             }
     return out

@@ -74,6 +74,7 @@ _RESERVED_KEYS = frozenset(
         "delete_info", "committed_at", "commit_files", "sketch",
         "commit_sizes", "sketch_commits", "small_bytes",
         "partition_specs", "commit_partitions", "constraints",
+        "sums", "commit_sums",
     }
 )
 
@@ -428,8 +429,17 @@ def _build_blooms(
 
     from airflow_postgres_csv_spark.operators.sketches import _bloom_bits
 
+    from urllib.parse import unquote as _unq, urlparse as _urp
+
     paths = [os.path.join(root, rel) for rel in rel_files]
-    by_base = {os.path.basename(rel): rel for rel in rel_files}
+    # absolute-path mapping: hive-partitioned writes repeat one task's
+    # part-file basename across every _pN= directory — a basename key
+    # would union several files' bits under one rel (safe for pruning,
+    # a superset never skips wrongly, but the OTHER files lose their
+    # bitsets and stop pruning at all)
+    by_abs = {
+        os.path.abspath(os.path.join(root, rel)): rel for rel in rel_files
+    }
     df = spark.read.parquet(*paths)
     parts = []
     for c in cols:
@@ -459,7 +469,7 @@ def _build_blooms(
     )
     out: dict = {}
     for r in rel:
-        relpath = by_base.get(os.path.basename(r._f))
+        relpath = by_abs.get(os.path.abspath(_unq(_urp(r._f).path)))
         if relpath is None:
             continue
         out.setdefault(relpath, {}).setdefault(r._c, {})[str(r._widx)] = r._w
@@ -558,7 +568,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
                 "small_bytes", "partition_specs", "column_history",
-                "retired_columns", "constraints",
+                "retired_columns", "constraints", "sums",
                 # persisted-index / model metadata: a maintenance commit
                 # (compact, incremental OPTIMIZE, COW delete/merge,
                 # rollback) is a row-preserving rewrite of the same
@@ -582,6 +592,11 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
         out["commit_sizes"] = {
             c: v for c, v in prev["commit_sizes"].items() if c in cids
         }
+    if "commit_sums" in prev:
+        # same full-set contract as commit_sizes: subset markers gate use
+        out["commit_sums"] = {
+            c: v for c, v in prev["commit_sums"].items() if c in cids
+        }
     if "sketch_commits" in prev:
         out["sketch_commits"] = [c for c in prev["sketch_commits"] if c in cids]
     if "optimized_commits" in prev:
@@ -604,6 +619,7 @@ def snapshot_commit(
     bloom_bits: int = 4096,
     bloom_hashes: int = 4,
     sketch_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     partition_transforms: list | None = None,
     column_defaults: dict | None = None,
@@ -731,6 +747,16 @@ def snapshot_commit(
         }
     else:
         sketch_cfg = prev.get("sketch") if prev else None
+    # per-commit column sums: enabled by sum_cols on any commit, then
+    # sticky with col-set union — same discipline as sketch_cols
+    if sum_cols:
+        _validate_sum_cols(df.schema, list(sum_cols))
+        prev_mcfg = (prev.get("sums") if prev else None) or {}
+        sums_cfg = {
+            "cols": sorted(set(sum_cols) | set(prev_mcfg.get("cols", [])))
+        }
+    else:
+        sums_cfg = prev.get("sums") if prev else None
     from airflow_postgres_csv_spark.operators import partitioning as P
 
     specs = list((prev.get("partition_specs") if prev else None) or [])
@@ -765,7 +791,9 @@ def snapshot_commit(
         if violations:
             shutil.rmtree(os.path.join(root, _DATA_DIR, commit_id), ignore_errors=True)
             raise SnapshotExpectationError(violations)
-    sidecar = _new_sidecar(df.sparkSession, root, new_files, bloom_cfg, sketch_cfg)
+    sidecar = _new_sidecar(
+        df.sparkSession, root, new_files, bloom_cfg, sketch_cfg, sums_cfg
+    )
     if spec and new_files:
         sidecar["partitions"] = {
             rel: P.partition_values_from_rel(rel, len(spec)) for rel in new_files
@@ -781,6 +809,8 @@ def snapshot_commit(
             body["bloom"] = bloom_cfg
         if sketch_cfg:
             body["sketch"] = sketch_cfg
+        if sums_cfg:
+            body["sums"] = sums_cfg
         if column_defaults:
             body["defaults"] = {**body.get("defaults", {}), **column_defaults}
         if partition_by:
@@ -1122,12 +1152,13 @@ def _new_sidecar(
     new_files: list[str],
     bloom_cfg: dict | None,
     sketch_cfg: dict | None = None,
+    sums_cfg: dict | None = None,
 ) -> dict:
     """Per-file zone maps (from the parquet footers the write just
-    produced — metadata-only, no data scan), Bloom bitsets, and HLL
-    distinct-count sketches for the NEW files of one commit. Lives in
-    the commit's immutable sidecar file; the root manifest carries only
-    a pointer."""
+    produced — metadata-only, no data scan), Bloom bitsets, HLL
+    distinct-count sketches, and per-file column SUMS for the NEW files
+    of one commit. Lives in the commit's immutable sidecar file; the
+    root manifest carries only a pointer."""
     metas = {rel: _footer_meta(os.path.join(root, rel)) for rel in new_files}
     stats = {rel: st for rel, (st, _) in metas.items()}
     sidecar = {"stats": stats, "rows": {rel: n for rel, (_, n) in metas.items()}}
@@ -1139,7 +1170,67 @@ def _new_sidecar(
         sk = _build_sketches(spark, root, new_files, sketch_cfg["cols"])
         if sk:
             sidecar["sketches"] = sk
+    if sums_cfg and new_files:
+        sm = _build_sums(spark, root, new_files, sums_cfg["cols"])
+        if sm:
+            sidecar["sums"] = sm
     return sidecar
+
+
+def _build_sums(
+    spark: SparkSession, root: str, new_files: list[str], cols: list[str]
+) -> dict:
+    """Per-file ``{col: [sum, n_nonnull]}`` for the configured INTEGRAL
+    columns over one commit's new files — ONE Spark job grouped by
+    input file. Python ints are unbounded, so merged totals never
+    overflow; ``n_nonnull`` distinguishes a genuine SUM of NULL (no
+    non-null rows anywhere) from a zero sum. Columns absent from the
+    written schema are simply skipped (pre-evolution rewrites) — the
+    reader falls back for them."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(root, rel) for rel in new_files]
+    # map by ABSOLUTE path, not basename: hive-partitioned writes repeat
+    # one task's part-file name across every _pN= directory
+    by_abs = {
+        os.path.abspath(os.path.join(root, rel)): rel for rel in new_files
+    }
+    df = spark.read.parquet(*paths)
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return {}
+    aggs = []
+    for c in present:
+        aggs.append(F.sum(c).alias(f"__s_{c}"))
+        aggs.append(F.count(c).alias(f"__n_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    out: dict = {}
+    for r in rows:
+        rel = by_abs.get(os.path.abspath(unquote(urlparse(r["__f"]).path)))
+        if rel is None:
+            continue
+        out[rel] = {
+            c: [int(r[f"__s_{c}"] or 0), int(r[f"__n_{c}"])]
+            for c in present
+        }
+    return out
+
+
+def _validate_sum_cols(schema, cols: list[str]) -> None:
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"sum_cols: no such column {c!r}")
+        if by_name[c] not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"sum_cols: {c!r} is {by_name[c]} — metadata sums support "
+                "integral columns only (exact, order-independent addition; "
+                "store money as integer cents / a scaled long)"
+            )
 
 
 def _build_sketches(
@@ -1445,6 +1536,24 @@ def _publish(
             )
         if sidecar.get("sketches") and commit_id not in sketch_commits:
             sketch_commits.append(commit_id)
+        # per-commit column-sum rollup: {col: [sum, n_nonnull]} when the
+        # sidecar's per-file sums cover every file of the commit — lets
+        # snapshot_fast_agg answer SUM() from the root alone
+        sums_map = sidecar.get("sums") or {}
+        if sums_map and all(rel in sums_map for rel in sidecar["files"]):
+            cols = set.intersection(
+                *[set(sums_map[rel]) for rel in sidecar["files"]]
+            ) if sidecar["files"] else set()
+            if cols:
+                commit_sums = dict(manifest.get("commit_sums") or {})
+                commit_sums[commit_id] = {
+                    c: [
+                        int(sum(sums_map[rel][c][0] for rel in sidecar["files"])),
+                        int(sum(sums_map[rel][c][1] for rel in sidecar["files"])),
+                    ]
+                    for c in sorted(cols)
+                }
+                manifest["commit_sums"] = commit_sums
         # declared-partition rollup for writers that didn't record one
         # themselves (COW rewrites, staged writes): files written under
         # the latest spec carry their tuples in hive path segments —
@@ -1481,6 +1590,10 @@ def _publish(
         c: v for c, v in commit_sizes.items() if c in packed
     }
     manifest["sketch_commits"] = [c for c in sketch_commits if c in packed]
+    if "commit_sums" in manifest:
+        manifest["commit_sums"] = {
+            c: v for c, v in manifest["commit_sums"].items() if c in packed
+        }
     if "commit_partitions" in manifest:
         manifest["commit_partitions"] = {
             c: v for c, v in manifest["commit_partitions"].items() if c in packed
@@ -2284,7 +2397,10 @@ def snapshot_optimize_incremental(
         n_files=len(files), schema=manifest["schema"],
         compaction_of=versions[-1],
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
+    sidecar = _new_sidecar(
+        spark, root, new_files, bloom_cfg, manifest.get("sketch"),
+        manifest.get("sums"),
+    )
     body["commit_schemas"][commit_id] = manifest["schema"]
     body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
     if specs and new_files:
@@ -2413,7 +2529,10 @@ def snapshot_merge(
         mode="merge", commit_id=commit_id, files=files, n_files=len(files),
         schema=manifest["schema"],
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
+    sidecar = _new_sidecar(
+        spark, root, new_files, bloom_cfg, manifest.get("sketch"),
+        manifest.get("sums"),
+    )
     if new_files:
         body["commit_schemas"][commit_id] = manifest["schema"]
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
@@ -2717,7 +2836,10 @@ def snapshot_merge_into(
         mode="merge", commit_id=commit_id, files=files, n_files=len(files),
         schema=evolved_json,
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
+    sidecar = _new_sidecar(
+        spark, root, new_files, bloom_cfg, manifest.get("sketch"),
+        manifest.get("sums"),
+    )
     if new_files:
         body["commit_schemas"][commit_id] = evolved_json
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
@@ -2779,7 +2901,10 @@ def snapshot_delete(
         mode="delete", commit_id=commit_id, files=files, n_files=len(files),
         schema=manifest["schema"],
     )
-    sidecar = _new_sidecar(spark, root, new_files, bloom_cfg, manifest.get("sketch"))
+    sidecar = _new_sidecar(
+        spark, root, new_files, bloom_cfg, manifest.get("sketch"),
+        manifest.get("sums"),
+    )
     if new_files:
         body["commit_schemas"][commit_id] = manifest["schema"]
         body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
@@ -3302,6 +3427,7 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
               "cdc_applied_version", "ivm_applied_version",
               "commit_sizes", "sketch_commits", "small_bytes",
               "partition_specs", "commit_partitions", "constraints",
+              "sums", "commit_sums",
               # restore the target's sketch config, rename lineage /
               # retired-name reservations, and frozen index/model
               # metadata verbatim — dropping them would NULL-fill
@@ -3692,6 +3818,7 @@ def snapshot_clone(
     for k in ("bloom", "defaults", "partition_spec",
               "commit_sizes", "sketch_commits", "small_bytes",
               "partition_specs", "commit_partitions", "constraints",
+              "sums", "commit_sums",
               # sketch CONFIG rides with sketch_commits; rename lineage
               # and frozen index/model metadata must survive a clone or
               # the clone null-fills renamed columns / cannot serve

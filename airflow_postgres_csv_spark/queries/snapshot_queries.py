@@ -4268,3 +4268,80 @@ register(
     ORDER BY user_id
     """,
 )(snapshot_catalog_mview_ivm_query)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only SUM pushdown (round 10, fast_agg.py + sum_cols config):
+# per-commit integral column sums stamped at publish answer SUM() from the
+# root alone — exact, order-independent integer addition, sticky config
+# across later commits — and an identity-partitioned table answers the
+# filtered SUM from the matching files' sidecar sums. Both phases refuse
+# the scan path outright; the oracle recomputes over the parquet.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_fast_sum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.fast_agg import (
+        snapshot_fast_agg,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = _temp_root()
+    snapshot_commit(
+        events.where(F.pmod("event_id", F.lit(2)) == 0).coalesce(1),
+        root, sum_cols=["cents"],
+    )
+    snapshot_commit(  # config is sticky: no sum_cols repeated
+        events.where(F.pmod("event_id", F.lit(2)) == 1).coalesce(1), root
+    )
+    total = snapshot_fast_agg(
+        root, sums=["cents"], spark=None, allow_scan=False
+    )
+    proot = _temp_root()
+    snapshot_commit(
+        events, proot,
+        partition_transforms=[("event_type", "identity")],
+        sum_cols=["cents"],
+    )
+    clicks = snapshot_fast_agg(
+        proot, sums=["cents"], where={"event_type": "click"},
+        spark=None, allow_scan=False,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                total["n_rows"],
+                total["sums"]["cents"]["value"],
+                int(total["sums"]["cents"]["source"] == "root"),
+                clicks["n_rows"],
+                clicks["sums"]["cents"]["value"],
+            )
+        ],
+        schema=(
+            "n_rows bigint, cents_total bigint, root_only int, "
+            "n_clicks bigint, click_cents bigint"
+        ),
+    )
+
+
+register(
+    "snapshot_fast_sum",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_total,
+           1 AS root_only,
+           CAST((SELECT COUNT(*) FROM events WHERE event_type = 'click')
+                AS BIGINT) AS n_clicks,
+           CAST((SELECT SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 FROM events WHERE event_type = 'click') AS BIGINT)
+                AS click_cents
+    FROM events
+    """,
+)(snapshot_fast_sum_query)

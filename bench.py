@@ -189,6 +189,8 @@ HEADLINE = [
     "streaming_ivm_live",
     # incremental mview: catalog refresh via change-feed IVM at the pin
     "snapshot_catalog_mview_ivm",
+    # metadata-only SUM pushdown via the per-commit integral sum rollup
+    "snapshot_fast_sum",
 ]
 
 

@@ -495,3 +495,101 @@ def test_fast_agg_matches_model_over_random_histories(
                 assert got["columns"][c]["max"] == mx, f"{c} max after {o}"
 
     run()
+
+
+def _sbatch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 3).alias("amt"),
+    )
+
+
+def test_sum_pushdown_root_only(spark, tmp_path, monkeypatch):
+    """sum_cols config: SUM answers from the per-commit rollup with zero
+    sidecar/footer/scan I/O; the config is sticky across later commits."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_sbatch(spark, 0, 50).coalesce(1), root, sum_cols=["amt"])
+    snapshot_commit(_sbatch(spark, 50, 120).coalesce(1), root)  # sticky
+    want = snapshot_read(spark, root).agg(F.sum("amt").alias("s")).first()["s"]
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    _bomb_footers(monkeypatch)
+    sidecars = _count_sidecars(monkeypatch)
+    got = snapshot_fast_agg(root, sums=["amt"], spark=None, allow_scan=False)
+    assert got["sums"]["amt"] == {"value": want, "source": "root"}
+    assert got["n_rows"] == 120 and sidecars["n"] == 0
+
+
+def test_sum_pushdown_cow_partial_and_where(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _sbatch(spark, 0, 100).repartitionByRange(2, "id")
+        .sortWithinPartitions("id"),
+        root, sum_cols=["amt"],
+    )
+    snapshot_delete(spark, root, "id", 0, 9)  # partial commit
+    want = (
+        snapshot_read(spark, root).agg(F.sum("amt").alias("s")).first()["s"]
+    )
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(root, sums=["amt"], spark=None, allow_scan=False)
+    assert got["sums"]["amt"]["value"] == want
+    assert got["sums"]["amt"]["source"] in ("root", "sidecar")
+    # identity-partitioned table: filtered sums from matching files only
+    root2 = str(tmp_path / "p")
+    snapshot_commit(
+        _sbatch(spark, 0, 90), root2,
+        partition_transforms=[("g", "identity")], sum_cols=["amt"],
+    )
+    want2 = (
+        snapshot_read(spark, root2).where("g = 2")
+        .agg(F.sum("amt").alias("s")).first()["s"]
+    )
+    S._metadata_cache_clear()
+    got2 = snapshot_fast_agg(
+        root2, sums=["amt"], where={"g": 2}, spark=None, allow_scan=False
+    )
+    assert got2["sums"]["amt"]["value"] == want2
+    assert got2["n_rows"] == 18
+
+
+def test_sum_pushdown_fallbacks_and_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # pre-config commit: metadata cannot vouch -> one scan, still exact
+    snapshot_commit(_sbatch(spark, 0, 40).coalesce(1), root)
+    snapshot_commit(_sbatch(spark, 40, 70).coalesce(1), root, sum_cols=["amt"])
+    got = snapshot_fast_agg(root, sums=["amt"], spark=spark)
+    want = snapshot_read(spark, root).agg(F.sum("amt").alias("s")).first()["s"]
+    assert got["sums"]["amt"] == {"value": want, "source": "scan"}
+    # tombstones force the scan path too
+    snapshot_delete_mor(spark, root, condition="id < 5", key_col="id")
+    got2 = snapshot_fast_agg(root, sums=["amt"], spark=spark)
+    want2 = snapshot_read(spark, root).agg(F.sum("amt").alias("s")).first()["s"]
+    assert got2["sums"]["amt"]["value"] == want2
+    # non-integral columns refused at declaration
+    with pytest.raises(ValueError, match="integral"):
+        snapshot_commit(
+            spark.range(3).select(F.col("id").cast("double").alias("d")),
+            str(tmp_path / "x"),
+            sum_cols=["d"],
+        )
+
+
+def test_sum_survives_compact_and_rename(spark, tmp_path, monkeypatch):
+    from airflow_postgres_csv_spark.operators.snapshots import snapshot_alter
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_sbatch(spark, 0, 60).coalesce(1), root, sum_cols=["amt"])
+    snapshot_compact(spark, root, target_bytes=1 << 30)
+    snapshot_alter(root, rename={"amt": "amount"})
+    want = (
+        snapshot_read(spark, root).agg(F.sum("amount").alias("s")).first()["s"]
+    )
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(
+        root, sums=["amount"], spark=None, allow_scan=False
+    )
+    assert got["sums"]["amount"]["value"] == want
