@@ -158,3 +158,27 @@ def test_rollback_validation_scans_only_resurrected_files(
     # constraints retained: the gate still closes
     with pytest.raises(SnapshotExpectationError):
         snapshot_commit(_df(spark, [(8, -8)]), root)
+
+
+def test_constraints_survive_branch_publish(spark, tmp_path):
+    """Fast-forward publishing a branch must carry the declared
+    constraints onto main (they were absent from the carry list)."""
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branch,
+        snapshot_publish_branch,
+    )
+
+    root = _table(spark, tmp_path)
+    snapshot_branch(root, "exp")
+    from airflow_postgres_csv_spark.operators import branches as B
+
+    broot = B._branch_root(root, "exp")
+    # the branch enforces too (manifest clone carries the rules)
+    with pytest.raises(SnapshotExpectationError):
+        snapshot_commit(_df(spark, [(9, -1)]), broot)
+    snapshot_commit(_df(spark, [(9, 9)]), broot)
+    snapshot_publish_branch(root, "exp")
+    # main still enforces after the fast-forward
+    with pytest.raises(SnapshotExpectationError):
+        snapshot_commit(_df(spark, [(10, -1)]), root)
+    assert snapshot_read(spark, root).count() == 6
