@@ -374,7 +374,8 @@ def snapshot_fast_agg(
                 else:
                     s, nn = fsums[c]
                     out["sums"][c] = {
-                        "value": s if nn else None, "source": src,
+                        "value": s if nn else None, "n_nonnull": nn,
+                        "source": src,
                     }
     else:
         n_rows, src = _metadata_rows(root, manifest)
@@ -391,7 +392,9 @@ def snapshot_fast_agg(
                 scan_sums.append(c)
             else:
                 out["sums"][c] = {
-                    "value": ent[0] if ent[1] else None, "source": ssrc,
+                    "value": ent[0] if ent[1] else None,
+                    "n_nonnull": ent[1],  # exact AVG = value / n_nonnull
+                    "source": ssrc,
                 }
 
     if need_scan_rows or scan_cols or scan_sums:
@@ -422,6 +425,7 @@ def snapshot_fast_agg(
             aggs.append(F.max(c).alias(f"__mx_{c}"))
         for c in scan_sums:
             aggs.append(F.sum(c).alias(f"__sm_{c}"))
+            aggs.append(F.count(c).alias(f"__sn_{c}"))
         row = df.agg(*aggs).collect()[0].asDict()
         if need_scan_rows:
             out["n_rows"], out["rows_source"] = int(row["__n"]), "scan"
@@ -434,6 +438,7 @@ def snapshot_fast_agg(
             val = row[f"__sm_{c}"]
             out["sums"][c] = {
                 "value": int(val) if val is not None else None,
+                "n_nonnull": int(row[f"__sn_{c}"]),
                 "source": "scan",
             }
     return out

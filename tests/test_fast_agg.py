@@ -517,7 +517,9 @@ def test_sum_pushdown_root_only(spark, tmp_path, monkeypatch):
     _bomb_footers(monkeypatch)
     sidecars = _count_sidecars(monkeypatch)
     got = snapshot_fast_agg(root, sums=["amt"], spark=None, allow_scan=False)
-    assert got["sums"]["amt"] == {"value": want, "source": "root"}
+    assert got["sums"]["amt"] == {
+        "value": want, "n_nonnull": 120, "source": "root"
+    }
     assert got["n_rows"] == 120 and sidecars["n"] == 0
 
 
@@ -562,7 +564,9 @@ def test_sum_pushdown_fallbacks_and_validation(spark, tmp_path):
     snapshot_commit(_sbatch(spark, 40, 70).coalesce(1), root, sum_cols=["amt"])
     got = snapshot_fast_agg(root, sums=["amt"], spark=spark)
     want = snapshot_read(spark, root).agg(F.sum("amt").alias("s")).first()["s"]
-    assert got["sums"]["amt"] == {"value": want, "source": "scan"}
+    assert got["sums"]["amt"] == {
+        "value": want, "n_nonnull": 70, "source": "scan"
+    }
     # tombstones force the scan path too
     snapshot_delete_mor(spark, root, condition="id < 5", key_col="id")
     got2 = snapshot_fast_agg(root, sums=["amt"], spark=spark)
