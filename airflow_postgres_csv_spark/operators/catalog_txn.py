@@ -662,6 +662,13 @@ def catalog_refresh_mview(
                 f"mview {name!r} was redefined or dropped by a concurrent "
                 "transaction; re-run against the new state"
             )
+        if cur["mview"].get("pins") != mv.get("pins"):
+            # a concurrent refresh already landed (possibly from NEWER
+            # source pins) — republishing ours would regress the entry
+            raise CatalogConflictError(
+                f"mview {name!r} was refreshed concurrently; re-run "
+                "against the new state"
+            )
         tables = dict(base)
         tables[name] = {"mview": new_mv}
         try:

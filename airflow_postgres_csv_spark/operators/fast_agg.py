@@ -136,17 +136,19 @@ def _metadata_range(
 def _partition_filtered(
     root: str, manifest: dict, where: dict, cols: list[str],
     sums_cols: list[str] = (),
-) -> tuple[int, dict, str] | None:
-    """Exact COUNT(*)/MIN/MAX under an identity-partition equality
+) -> tuple | None:
+    """Exact COUNT(*)/MIN/MAX/SUM under an identity-partition equality
     predicate, from metadata: with a declared spec whose ``where``
     columns are IDENTITY transforms, a file's partition tuple decides
     membership for EVERY row (one value per file, both directions), so
-    matching files contribute their full sidecar row counts and their
-    footer ranges are the ranges of matching rows. Returns ``(n_rows,
-    {col: [min, max] | None-for-scan}, source)`` or None when metadata
-    cannot decide exactly (no spec, a commit without tuples, a non-
-    identity field, a missing per-file tuple) — the caller falls back to
-    one filtered scan. O(matching commits) sidecar reads; commits whose
+    matching files contribute their full sidecar row counts, their
+    footer ranges are the ranges of matching rows, and their sidecar
+    sums add up exactly. Returns ``(n_rows, {col: [min, max] | None},
+    dead_cols, source, {col: [sum, n_nonnull]}, dead_sum_cols)`` —
+    ``dead`` sets name the columns that must fall back to the filtered
+    scan — or None when metadata cannot decide membership at all (no
+    spec, a commit without tuples, a non-identity field, a missing
+    per-file tuple). O(matching commits) sidecar reads; commits whose
     root summary excludes the value are never opened."""
     from airflow_postgres_csv_spark.operators import partitioning as P
 
@@ -321,12 +323,26 @@ def snapshot_fast_agg(
         raise FileNotFoundError(f"no snapshot versions under {root}")
     v = versions[-1] if version is None else version
     manifest = _load_manifest(root, v)
-    current = {f["name"] for f in json.loads(manifest["schema"])["fields"]}
+    fields = json.loads(manifest["schema"])["fields"]
+    current = {f["name"] for f in fields}
     missing = [c for c in cols if c not in current] + [
         c for c in sums if c not in current
     ]
     if missing:
         raise ValueError(f"columns not in version {v} schema: {missing}")
+    type_of = {f["name"]: f["type"] for f in fields}
+    bad_sums = [
+        c for c in sums
+        if type_of.get(c) not in ("byte", "short", "integer", "long")
+    ]
+    if bad_sums:
+        # same contract as sum_cols at write time: exact integer addition
+        # only — the scan fallback would otherwise silently truncate a
+        # float SUM through int()
+        raise ValueError(
+            f"sums= supports integral columns only, got {bad_sums} "
+            "(store money as integer cents / a scaled long)"
+        )
     if where:
         bad = [c for c in where if c not in current]
         if bad:

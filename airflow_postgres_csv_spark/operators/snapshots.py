@@ -417,6 +417,22 @@ def _footer_stats(path: str) -> dict:
     return _footer_meta(path)[0]
 
 
+def _rel_by_abs(root: str, rel_files: list[str]) -> dict:
+    """Absolute-path -> rel mapping for attributing ``input_file_name``
+    rows back to pinned rel paths. Keyed by ABSOLUTE path, never
+    basename: hive-partitioned writes repeat one task's part-file name
+    across every ``_pN=`` directory."""
+    return {
+        os.path.abspath(os.path.join(root, rel)): rel for rel in rel_files
+    }
+
+
+def _rel_of_uri(by_abs: dict, uri: str):
+    from urllib.parse import unquote, urlparse
+
+    return by_abs.get(os.path.abspath(unquote(urlparse(uri).path)))
+
+
 def _build_blooms(
     spark: SparkSession, root: str, rel_files: list[str], cols: list[str], m: int, k: int
 ) -> dict:
@@ -429,17 +445,8 @@ def _build_blooms(
 
     from airflow_postgres_csv_spark.operators.sketches import _bloom_bits
 
-    from urllib.parse import unquote as _unq, urlparse as _urp
-
     paths = [os.path.join(root, rel) for rel in rel_files]
-    # absolute-path mapping: hive-partitioned writes repeat one task's
-    # part-file basename across every _pN= directory — a basename key
-    # would union several files' bits under one rel (safe for pruning,
-    # a superset never skips wrongly, but the OTHER files lose their
-    # bitsets and stop pruning at all)
-    by_abs = {
-        os.path.abspath(os.path.join(root, rel)): rel for rel in rel_files
-    }
+    by_abs = _rel_by_abs(root, rel_files)
     df = spark.read.parquet(*paths)
     parts = []
     for c in cols:
@@ -469,7 +476,7 @@ def _build_blooms(
     )
     out: dict = {}
     for r in rel:
-        relpath = by_abs.get(os.path.abspath(_unq(_urp(r._f).path)))
+        relpath = _rel_of_uri(by_abs, r._f)
         if relpath is None:
             continue
         out.setdefault(relpath, {}).setdefault(r._c, {})[str(r._widx)] = r._w
@@ -899,6 +906,36 @@ def snapshot_commit(
                     )
                     if sk:
                         sidecar["sketches"] = sk
+            new_mcfg = prev.get("sums") if prev else None
+            if not sum_cols and new_mcfg != sums_cfg:
+                # same for the sums config: a winner enabling sum_cols
+                # must not leave this commit scan-only for SUM forever
+                sums_cfg = new_mcfg
+                sidecar.pop("sums", None)
+                if sums_cfg and new_files:
+                    sm = _build_sums(
+                        df.sparkSession, root, new_files, sums_cfg["cols"]
+                    )
+                    if sm:
+                        sidecar["sums"] = sm
+            # a winner may also have DECLARED constraints after this
+            # writer evaluated its rules — re-gate the staged files
+            # against any rule not already enforced above
+            new_rules = sorted(
+                (((prev.get("constraints") or {}) if prev else {})).items()
+            )
+            pending = [r for r in new_rules if r not in rules]
+            if pending and new_files:
+                violations = _staged_violations(
+                    df.sparkSession, root, new_files, pending
+                )
+                if violations:
+                    shutil.rmtree(
+                        os.path.join(root, _DATA_DIR, commit_id),
+                        ignore_errors=True,
+                    )
+                    raise SnapshotExpectationError(violations)
+                rules = rules + pending
 
 
 def snapshot_commit_staged(
@@ -1000,23 +1037,16 @@ def snapshot_commit_staged(
             _check_constraints(prev)  # a winner may have declared one
 
 
-def _staged_violations(
-    spark: SparkSession, root: str, new_files: list[str], rules
-) -> dict:
-    """``{rule_name: n_violating_rows}`` for boolean SQL rules evaluated
-    over freshly STAGED files (the write-audit-publish gate's evaluator,
-    shared by ad-hoc ``expect=`` rules and DECLARED table constraints).
-    One aggregation job for all rules; a NULL rule result counts as a
-    violation (a rule that cannot decide a row has not been satisfied by
-    it). Empty when no rules or no files."""
-    if not rules or not new_files:
-        return {}
+def _violation_counts(df: DataFrame, rules) -> dict:
+    """``{rule_name: n_violating_rows}`` for boolean SQL rules over any
+    DataFrame — ONE aggregation job for all rules; a NULL rule result
+    counts as a violation (a rule that cannot decide a row has not been
+    satisfied by it). The single definition behind the expect gate,
+    declared-constraint enforcement, add-time validation, and rollback
+    resurrection checks."""
     from pyspark.sql import functions as F
 
-    staged = spark.read.parquet(
-        *[os.path.join(root, rel) for rel in new_files]
-    )
-    counts = staged.agg(
+    counts = df.agg(
         *[
             F.sum(
                 (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
@@ -1029,6 +1059,19 @@ def _staged_violations(
         for i, (name, _) in enumerate(rules)
         if counts[f"__r{i}"]
     }
+
+
+def _staged_violations(
+    spark: SparkSession, root: str, new_files: list[str], rules
+) -> dict:
+    """:func:`_violation_counts` over freshly STAGED files. Empty when no
+    rules or no files."""
+    if not rules or not new_files:
+        return {}
+    return _violation_counts(
+        spark.read.parquet(*[os.path.join(root, rel) for rel in new_files]),
+        rules,
+    )
 
 
 def _staged_violations_duckdb(paths: list[str], rules) -> dict:
@@ -1187,16 +1230,10 @@ def _build_sums(
     non-null rows anywhere) from a zero sum. Columns absent from the
     written schema are simply skipped (pre-evolution rewrites) — the
     reader falls back for them."""
-    from urllib.parse import unquote, urlparse
-
     from pyspark.sql import functions as F
 
     paths = [os.path.join(root, rel) for rel in new_files]
-    # map by ABSOLUTE path, not basename: hive-partitioned writes repeat
-    # one task's part-file name across every _pN= directory
-    by_abs = {
-        os.path.abspath(os.path.join(root, rel)): rel for rel in new_files
-    }
+    by_abs = _rel_by_abs(root, new_files)
     df = spark.read.parquet(*paths)
     present = [c for c in cols if c in df.columns]
     if not present:
@@ -1210,7 +1247,7 @@ def _build_sums(
     )
     out: dict = {}
     for r in rows:
-        rel = by_abs.get(os.path.abspath(unquote(urlparse(r["__f"]).path)))
+        rel = _rel_of_uri(by_abs, r["__f"])
         if rel is None:
             continue
         out[rel] = {
@@ -1428,9 +1465,19 @@ def _validate_sketch_cols(schema, cols: list[str]) -> None:
 def _merge_ranges(stats: dict) -> dict:
     """Commit-level column ranges: the union of the commit's per-file zone
     maps. Stored in the ROOT manifest (O(commits × cols)), so scans prune
-    whole commits before reading any per-file sidecar."""
+    whole commits before reading any per-file sidecar.
+
+    A column is kept only when EVERY file of the commit recorded a range
+    for it: a commit-level range merged from a subset of files would
+    under-cover the commit — commit-level pruning on it could skip a
+    whole commit whose stats-less file held matching rows, and
+    ``snapshot_fast_agg`` would serve the narrowed range as an exact
+    MIN/MAX. (Per-file pruning is unaffected: a file without stats is
+    simply never skipped.)"""
     out: dict = {}
+    covered: set | None = None
     for fstats in stats.values():
+        covered = set(fstats) if covered is None else covered & set(fstats)
         for col, rng in fstats.items():
             if col in out:
                 try:
@@ -1439,7 +1486,7 @@ def _merge_ranges(stats: dict) -> dict:
                     out.pop(col, None)  # mixed types across files — unusable
             else:
                 out[col] = list(rng)
-    return out
+    return {c: r for c, r in out.items() if c in (covered or set())}
 
 
 def _publish(
@@ -3351,18 +3398,9 @@ def snapshot_add_constraint(
             f"constraint {name!r} already declared ({declared[name]!r}); "
             "snapshot_drop_constraint first to redefine"
         )
-    bad = int(
-        snapshot_read(spark, root)
-        .agg(
-            F.sum(
-                (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
-            ).alias("n")
-        )
-        .first()["n"]
-        or 0
-    )
-    if bad:
-        raise SnapshotExpectationError({name: bad})
+    violations = _violation_counts(snapshot_read(spark, root), [(name, expr)])
+    if violations:
+        raise SnapshotExpectationError(violations)
     declared[name] = expr
     commit_id = uuid.uuid4().hex[:12]
     body = _inherit_maps(prev, prev["files"])
@@ -3448,6 +3486,11 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     # before the declaration may contain rows a later cleanup removed, so
     # re-validate (one aggregation; rollbacks are rare administrative
     # ops) and refuse rather than reopen the invariant.
+    # head-wins on the declaration set even when EMPTY: rolling data back
+    # must neither resurrect a dropped constraint (the target's copy) nor
+    # drop ones declared since — key presence, not truthiness, decides
+    if "constraints" in latest:
+        body["constraints"] = latest["constraints"]
     if latest.get("constraints"):
         from pyspark.sql import functions as F
 
@@ -3476,24 +3519,12 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
             or _coverage(l_tombs, rel) != _coverage(t_tombs, rel)
         ]
         if check:
-            rules = sorted(latest["constraints"].items())
-            rolled = _read_pinned(spark, root, target, check)
-            counts = rolled.agg(
-                *[
-                    F.sum(
-                        (~F.coalesce(F.expr(cond), F.lit(False))).cast("long")
-                    ).alias(f"__r{i}")
-                    for i, (_, cond) in enumerate(rules)
-                ]
-            ).first()
-            violations = {
-                name: int(counts[f"__r{i}"])
-                for i, (name, _) in enumerate(rules)
-                if counts[f"__r{i}"]
-            }
+            violations = _violation_counts(
+                _read_pinned(spark, root, target, check),
+                sorted(latest["constraints"].items()),
+            )
             if violations:
                 raise SnapshotExpectationError(violations)
-        body["constraints"] = latest["constraints"]
     body.update(mode="rollback", commit_id=commit_id, rolled_back_to=to_version)
     return _publish(
         root, versions, body, commit_id, None,

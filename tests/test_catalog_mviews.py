@@ -244,3 +244,67 @@ def test_incremental_mview_validation(spark, tmp_path):
               "tables": {"s": "t", "u": "t"}, "root": str(tmp_path / "m"),
               "incremental": {"group_col": "g", "amount_col": "id"}}],
         )
+
+
+def test_refresh_retry_never_regresses_a_concurrent_refresh(
+    spark, tmp_path, monkeypatch
+):
+    """A losing refresh that retries must CONFLICT when another refresh
+    landed meanwhile — republishing its older materialization would
+    regress the catalog entry to staler pins."""
+    from airflow_postgres_csv_spark.operators import catalog_txn as C
+
+    cat = str(tmp_path / "cat")
+    ro = str(tmp_path / "src")
+    catalog_txn(
+        cat,
+        [{"name": "t", "root": ro,
+          "df": spark.range(10).select("id", (F.col("id") % 2).alias("g"))}],
+    )
+    catalog_ddl(
+        cat,
+        [{"op": "create_mview", "name": "m", "sql":
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s",
+          "tables": {"s": "t"}, "root": str(tmp_path / "m")}],
+    )
+    catalog_refresh_mview(spark, cat, "m")
+    # sources move twice; refresh A computes from pin v2 but a concurrent
+    # refresh B lands (from pin v3) before A's catalog flip
+    snapshot_commit(
+        spark.range(10, 30).select("id", (F.col("id") % 2).alias("g")), ro
+    )
+    catalog_pin_tables(cat, {"t": (ro, 2)})
+    real = C._publish_catalog
+    state = {"fired": False}
+
+    def racing(croot, versions, tables, txn_id, note, extra=None):
+        if not state["fired"] and note.startswith("refresh mview"):
+            state["fired"] = True
+            # concurrent refresh B from even NEWER pins lands first
+            snapshot_commit(
+                spark.range(30, 40).select(
+                    "id", (F.col("id") % 2).alias("g")
+                ),
+                ro,
+            )
+            monkeypatch.undo()
+            catalog_pin_tables(cat, {"t": (ro, 3)})
+            catalog_refresh_mview(spark, cat, "m")
+            monkeypatch.setattr(C, "_publish_catalog", racing)
+            from airflow_postgres_csv_spark.operators.snapshots import (
+                SnapshotConflictError,
+            )
+
+            raise SnapshotConflictError("lost the catalog race (injected)")
+        return real(croot, versions, tables, txn_id, note, extra=extra)
+
+    monkeypatch.setattr(C, "_publish_catalog", racing)
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        CatalogConflictError,
+    )
+
+    with pytest.raises(CatalogConflictError, match="refreshed concurrently"):
+        catalog_refresh_mview(spark, cat, "m", retries=1)
+    monkeypatch.undo()
+    # the catalog still serves B's fresher materialization
+    assert catalog_read(spark, cat, "m").collect()[0]["n"] == 40

@@ -182,3 +182,58 @@ def test_constraints_survive_branch_publish(spark, tmp_path):
     with pytest.raises(SnapshotExpectationError):
         snapshot_commit(_df(spark, [(10, -1)]), root)
     assert snapshot_read(spark, root).count() == 6
+
+
+def test_rebase_enforces_constraint_declared_by_winner(
+    spark, tmp_path, monkeypatch
+):
+    """A writer that computed its rules from the old head and loses the
+    version race must re-gate its staged files against any constraint
+    the WINNER declared — the rebase cannot bypass a rule that was live
+    at publish time."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, [(1, 1)]), root)
+    real_publish = S._publish
+    state = {"fired": False}
+
+    names = iter(["v_nonneg", "v_small"])
+    exprs = {"v_nonneg": "v >= 0", "v_small": "v <= 100"}
+
+    def racing_publish(r, versions, body, commit_id, sidecar, **kw):
+        if not state["fired"] and body.get("mode") == "append" and r == root:
+            state["fired"] = True
+            # the winner declares a constraint first — our caller's
+            # version target is now taken AND the rules changed
+            cname = next(names)
+            snapshot_add_constraint(spark, root, cname, exprs[cname])
+            raise S.SnapshotConflictError("lost the race (injected)")
+        return real_publish(r, versions, body, commit_id, sidecar, **kw)
+
+    monkeypatch.setattr(S, "_publish", racing_publish)
+    with pytest.raises(SnapshotExpectationError):
+        snapshot_commit(_df(spark, [(2, -9)]), root, retries=1)
+    monkeypatch.undo()
+    assert snapshot_read(spark, root).count() == 1  # nothing landed
+    # and a CLEAN batch rebases through the same race just fine
+    state["fired"] = False
+    monkeypatch.setattr(S, "_publish", racing_publish)
+    snapshot_commit(_df(spark, [(3, 9)]), root, retries=1)
+    monkeypatch.undo()
+    assert snapshot_read(spark, root).count() == 2
+
+
+def test_rollback_does_not_resurrect_dropped_constraints(spark, tmp_path):
+    """HEAD-wins on the declaration set even when it is EMPTY: rolling
+    back to a version that carried a constraint must not re-declare a
+    rule an explicit drop removed."""
+    root = str(tmp_path / "t")
+    snapshot_commit(_df(spark, [(1, 1)]), root)
+    snapshot_add_constraint(spark, root, "v_nonneg", "v >= 0")
+    v_constrained = snapshot_versions(root)[-1]
+    snapshot_drop_constraint(root, "v_nonneg")
+    snapshot_rollback(spark, root, v_constrained)
+    # the rule stays dropped: a violating append now lands
+    snapshot_commit(_df(spark, [(2, -1)]), root)
+    assert snapshot_read(spark, root).count() == 2

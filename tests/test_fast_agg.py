@@ -597,3 +597,27 @@ def test_sum_survives_compact_and_rename(spark, tmp_path, monkeypatch):
         root, sums=["amount"], spark=None, allow_scan=False
     )
     assert got["sums"]["amount"]["value"] == want
+
+
+def test_merge_ranges_requires_stats_in_every_file():
+    """A commit-level range merged from a SUBSET of the commit's files
+    under-covers the commit: commit-level pruning on it could skip a
+    stats-less file's matching rows, and fast_agg would serve a narrowed
+    'exact' MIN/MAX. Only columns covered by EVERY file survive."""
+    stats = {
+        "data/c/a.parquet": {"x": [1, 5], "y": [10, 20]},
+        "data/c/b.parquet": {"x": [3, 9]},  # y's stats were dropped
+    }
+    merged = S._merge_ranges(stats)
+    assert merged == {"x": [1, 9]}
+
+
+def test_sums_rejects_non_integral_request(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(5).select("id", F.col("id").cast("double").alias("d"))
+        .coalesce(1),
+        root,
+    )
+    with pytest.raises(ValueError, match="integral"):
+        snapshot_fast_agg(root, sums=["d"], spark=spark)
