@@ -253,6 +253,68 @@ def _is_virtual(pin: dict) -> bool:
     return _is_view(pin) or _is_mview(pin)
 
 
+def _normalize_incremental(name: str, inc: dict) -> dict:
+    """Validate + canonicalize an incremental-mview spec. Accepts the
+    legacy ``{group_col, amount_col}`` (count+sum) and the general
+    ``{group_cols: [...], amount_col, aggs: [...]}`` shapes; returns the
+    canonical ``{group_cols, amount_col, aggs}`` with aggs in the fixed
+    count/sum/avg/min/max order (the stored-schema and read-surface
+    column order both derive from it)."""
+    from airflow_postgres_csv_spark.operators.snapshots import _IVM_AGGS
+
+    allowed = {"group_col", "group_cols", "amount_col", "aggs"}
+    if (
+        set(inc) - allowed
+        or "amount_col" not in inc
+        or ("group_col" in inc) == ("group_cols" in inc)
+    ):
+        raise ValueError(
+            f"mview {name!r}: incremental needs exactly 'amount_col' plus "
+            "'group_col' OR 'group_cols' (optional: 'aggs')"
+        )
+    keys = (
+        [inc["group_col"]] if "group_col" in inc else list(inc["group_cols"])
+    )
+    if not keys or not all(isinstance(k, str) and k for k in keys):
+        raise ValueError(
+            f"mview {name!r}: group_cols must be non-empty column names"
+        )
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"mview {name!r}: duplicate group columns {keys}")
+    want = set(inc.get("aggs") or ("count", "sum"))
+    bad = want - set(_IVM_AGGS)
+    if bad:
+        raise ValueError(
+            f"mview {name!r}: aggs supports {_IVM_AGGS}, got {sorted(bad)}"
+        )
+    return {
+        "group_cols": keys,
+        "amount_col": inc["amount_col"],
+        "aggs": [a for a in _IVM_AGGS if a in want],
+    }
+
+
+_IVM_SQL_AGG = {
+    "count": "COUNT(*) AS n",
+    "sum": "SUM({a}) AS total",
+    "avg": "AVG({a}) AS avg",
+    "min": "MIN({a}) AS mn",
+    "max": "MAX({a}) AS mx",
+}
+
+
+def _ivm_sql(inc: dict, src: str) -> str:
+    """The recompute-equivalent SQL for an incremental mview — stored for
+    listings and as the redefinition guard's identity."""
+    a = inc["amount_col"]
+    cols = ", ".join(
+        list(inc["group_cols"])
+        + [_IVM_SQL_AGG[x].format(a=a) for x in inc["aggs"]]
+    )
+    keys = ", ".join(inc["group_cols"])
+    return f"SELECT {cols} FROM {src} GROUP BY {keys} -- incremental IVM"
+
+
 _ALIAS_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -373,15 +435,14 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                 raise ValueError(f"name {name!r} already exists")
             inc = op.get("incremental")
             if inc is not None:
-                # incrementally-maintained rollup: fixed (count, sum)
-                # shape over ONE source table, refreshed via change-feed
-                # IVM instead of a recompute — the sql field is
-                # synthesized for listings
-                if set(inc) != {"group_col", "amount_col"}:
-                    raise ValueError(
-                        f"mview {name!r}: incremental needs exactly "
-                        "{'group_col', 'amount_col'}"
-                    )
+                # incrementally-maintained rollup over ONE source table,
+                # refreshed via change-feed IVM instead of a recompute —
+                # the sql field is synthesized for listings. Legacy shape
+                # {group_col, amount_col} = (count, sum); the general
+                # shape adds group_cols (list) and aggs (subset of
+                # count/sum/avg/min/max, min/max maintained with
+                # retraction-scoped recompute).
+                inc = _normalize_incremental(name, inc)
                 if len(op.get("tables") or {}) != 1:
                     raise ValueError(
                         f"mview {name!r}: incremental mviews take exactly "
@@ -389,12 +450,8 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                     )
                 op = {
                     **op,
-                    "sql": (
-                        f"SELECT {inc['group_col']}, COUNT(*) AS n, "
-                        f"SUM({inc['amount_col']}) AS total FROM "
-                        f"{next(iter(op['tables']))} "
-                        f"GROUP BY {inc['group_col']} -- incremental IVM"
-                    ),
+                    "incremental": inc,
+                    "sql": _ivm_sql(inc, next(iter(op["tables"]))),
                 }
             ent = _view_entry(tables, op)
             mroot = op.get("root")
@@ -627,21 +684,56 @@ def catalog_refresh_mview(
         # refresh, exactly up to the pinned source version — O(changes),
         # never a recompute (snapshots.snapshot_incremental_agg)
         from airflow_postgres_csv_spark.operators.snapshots import (
+            _load_manifest as _lm,
             snapshot_incremental_agg,
             snapshot_versions as _svs,
         )
 
         (src_name,) = mv["tables"].values()
-        inc = mv["incremental"]
+        inc = _normalize_incremental(name, mv["incremental"])
+        pin = state[src_name]["version"]
         snapshot_incremental_agg(
             spark,
             state[src_name]["root"],
             mv["root"],
-            inc["group_col"],
+            inc["group_cols"],
             inc["amount_col"],
-            up_to=state[src_name]["version"],
+            up_to=pin,
+            aggs=tuple(inc["aggs"]),
         )
-        m = {"version": _svs(mv["root"])[-1]}
+        # Serve the dst version whose ivm_applied_version STAMP equals the
+        # pinned source version — never blindly the latest: an out-of-band
+        # advance (direct snapshot_incremental_agg past the pin, or an
+        # ivm_batch sink sharing the dst) makes the agg above a no-op, and
+        # pinning head would publish content AHEAD of the recorded pins.
+        # The stamp is monotone along the chain (inherited, max-guarded),
+        # so the FIRST version reaching it — found by binary search,
+        # O(log versions) manifest reads — is the stamping commit itself;
+        # an out-of-band commit after it only inherits and is never picked.
+        dvs = _svs(mv["root"])
+        lo_i, hi_i = 0, len(dvs) - 1
+        while lo_i <= hi_i:
+            mid = (lo_i + hi_i) // 2
+            st = _lm(mv["root"], dvs[mid]).get("ivm_applied_version")
+            if st is None or st < pin:
+                lo_i = mid + 1
+            else:
+                hi_i = mid - 1
+        served = (
+            dvs[lo_i]
+            if lo_i < len(dvs)
+            and _lm(mv["root"], dvs[lo_i]).get("ivm_applied_version") == pin
+            else None
+        )
+        if served is None:
+            raise CatalogConflictError(
+                f"mview {name!r}: destination {mv['root']!r} was advanced "
+                f"out-of-band past source version {pin} and no retained "
+                "materialization matches the pin; re-pin the source table "
+                "(catalog_pin_tables) or refresh after the source head "
+                "catches up"
+            )
+        m = {"version": served}
     else:
         for alias, tname in mv["tables"].items():
             snapshot_sql_register(
@@ -761,10 +853,30 @@ def catalog_read(
         if mv.get("incremental"):
             # IVM keeps retraction-zeroed groups as n = 0 rows (the
             # exactly-once stamp rides the same commit); the view
-            # surface hides them, matching what a recompute would emit
+            # surface hides them — and projects exactly the declared
+            # aggregates (AVG derives from the stored total/nn, exact
+            # under NULL amounts) — matching what a recompute would emit
             from pyspark.sql import functions as F
 
+            inc = _normalize_incremental(name, mv["incremental"])
             out = out.where(F.col("n") > 0)
+            sel = [F.col(k) for k in inc["group_cols"]]
+            for a in inc["aggs"]:
+                if a == "count":
+                    sel.append(F.col("n"))
+                elif a == "sum":
+                    sel.append(F.col("total"))
+                elif a == "avg":
+                    sel.append(
+                        F.when(
+                            F.col("nn") > 0, F.col("total") / F.col("nn")
+                        ).alias("avg")
+                    )
+                elif a == "min":
+                    sel.append(F.col("mn"))
+                elif a == "max":
+                    sel.append(F.col("mx"))
+            out = out.select(*sel)
         return out
     if _is_view(pin):
         # late-binding VIEW: register every referenced table pinned at

@@ -40,6 +40,7 @@ import os
 from pyspark.sql import SparkSession
 
 from airflow_postgres_csv_spark.operators.snapshots import (
+    _STATS_V_KEY,
     _commit_files_from_sidecar,
     _commit_markers,
     _footer_meta,
@@ -62,6 +63,33 @@ def _weaker(a: str, b: str) -> str:
 def _schema_fields(manifest: dict, cid: str) -> set[str]:
     sj = manifest.get("commit_schemas", {}).get(cid, manifest["schema"])
     return {f["name"] for f in json.loads(sj)["fields"]}
+
+
+def _probe_image(value, dtype: str | None):
+    """The hive-path PARSE image of a ``where`` equality literal for an
+    identity-partitioned column of Spark type ``dtype`` — the recorded
+    partition tuples are parsed back from path segments
+    (``partitioning.partition_values_from_rel``), which int-coerces
+    numeric-looking segments, so the probe must round-trip the same
+    encoding or equality against the tuples silently excludes matching
+    files. Returns None when membership is UNPROVABLE from parsed
+    tuples: a string literal that int-parses (the parse conflates
+    '0123' with '123'), or any non-int/non-string type (bool/float/
+    temporal renderings are writer-specific) — the caller then falls
+    back to the one-scan path, exact by construction."""
+    if (
+        dtype in ("byte", "short", "integer", "long")
+        and isinstance(value, int)
+        and not isinstance(value, bool)
+    ):
+        return value
+    if dtype == "string" and isinstance(value, str):
+        try:
+            int(value)
+            return None  # path parse int-coerces: distinct strings conflate
+        except ValueError:
+            return value
+    return None
 
 
 def _metadata_rows(root: str, manifest: dict) -> tuple[int, str]:
@@ -96,7 +124,9 @@ def _metadata_range(
 ) -> tuple[list | None, str]:
     """Exact [min, max] for ``col`` from zone maps, or ``(None, "scan")``
     when any pinned commit cannot vouch for it (column added later and
-    default-filled on read, stats absent, empty ranges)."""
+    default-filled on read, stats absent, empty ranges, stats written by
+    a pre-stamp engine whose coverage/exactness is unverifiable, or
+    cross-commit ranges whose types no longer compare after evolution)."""
     history = manifest.get("column_history") or {}
     ranges = manifest.get("commit_ranges") or {}
     lo = hi = None
@@ -111,12 +141,21 @@ def _metadata_range(
             # declared default on read, which no footer stat covers
             return None, "scan"
         if subset is None:
-            rng = (ranges.get(cid) or {}).get(phys)
+            rng_map = ranges.get(cid) or {}
+            if not rng_map.get(_STATS_V_KEY):
+                # unstamped ranges may be merged from a SUBSET of row
+                # groups/files (pre-coverage-fix writers) — under-covering
+                # bounds would be served as exact; only pruning may use them
+                return None, "scan"
+            rng = rng_map.get(phys)
             if rng is None:
                 return None, "scan"
             pairs = [rng]
         else:
-            stats = _load_sidecar(root, manifest, cid).get("stats") or {}
+            sc = _load_sidecar(root, manifest, cid)
+            if not sc.get("stats_v"):
+                return None, "scan"  # same vintage gate, per-file stats
+            stats = sc.get("stats") or {}
             pairs = []
             for rel in subset:
                 rng = (stats.get(rel) or {}).get(phys)
@@ -124,10 +163,15 @@ def _metadata_range(
                     return None, "scan"
                 pairs.append(rng)
             source = _weaker(source, "sidecar")
-        for mn, mx in pairs:
-            saw_rows = True
-            lo = mn if lo is None or mn < lo else lo
-            hi = mx if hi is None or mx > hi else hi
+        try:
+            for mn, mx in pairs:
+                saw_rows = True
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+        except TypeError:
+            # renamed/evolved columns can carry differently-typed ranges
+            # across commits — incomparable means unanswerable, not a crash
+            return None, "scan"
     if not saw_rows:
         return None, "scan"  # empty table: scan path yields NULLs exactly
     return [lo, hi], source
@@ -157,7 +201,19 @@ def _partition_filtered(
     if not specs:
         return None
     history = manifest.get("column_history") or {}
-    want = {c: (v, v) for c, v in where.items()}
+    # membership is tested against tuples PARSED BACK from hive path
+    # segments — probe through the same lossy encoding, and refuse when
+    # the encoding cannot prove equality (see _probe_image)
+    cur_types = {
+        f["name"]: f["type"] for f in json.loads(manifest["schema"])["fields"]
+    }
+    img: dict[str, object] = {}
+    for c, v in where.items():
+        iv = _probe_image(v, cur_types.get(c))
+        if iv is None:
+            return None  # unprovable from parsed tuples: one filtered scan
+        img[c] = iv
+    want = {c: (iv, iv) for c, iv in img.items()}
     total = 0
     ranges: dict[str, list | None] = {c: None for c in cols}
     fsums: dict[str, list] = {c: [0, 0] for c in sums_cols}
@@ -177,7 +233,7 @@ def _partition_filtered(
         spec = specs[si]
         idx: dict[str, int] = {}
         probe: dict[str, object] = {}
-        for c, v in where.items():
+        for c in where:
             j = next(
                 (
                     k
@@ -189,7 +245,7 @@ def _partition_filtered(
             if j is None:
                 return None  # not identity-partitioned in this commit
             idx[c] = j
-            probe[c] = P.transform_literal(spec[j], v)
+            probe[c] = img[c]
         if si not in pred_cache:
             pred_cache[si] = P.map_predicates(spec, want)
         if P.prune_commit(cp.get("f") or [], pred_cache[si]):
@@ -227,17 +283,25 @@ def _partition_filtered(
                 if c in dead:
                     continue
                 phys = phys_of[c]
-                rng = (stats.get(rel) or {}).get(phys) if phys else None
+                rng = (
+                    (stats.get(rel) or {}).get(phys)
+                    if phys and sc.get("stats_v")  # vintage gate: only the
+                    else None  # coverage-fixed writer's stats are exact
+                )
                 if rng is None:
                     dead.add(c)
                     ranges[c] = None
                     continue
                 cur = ranges[c]
-                ranges[c] = (
-                    list(rng)
-                    if cur is None
-                    else [min(cur[0], rng[0]), max(cur[1], rng[1])]
-                )
+                try:
+                    ranges[c] = (
+                        list(rng)
+                        if cur is None
+                        else [min(cur[0], rng[0]), max(cur[1], rng[1])]
+                    )
+                except TypeError:
+                    dead.add(c)  # incomparable cross-commit types: scan
+                    ranges[c] = None
             for c in sums_cols:
                 if c in dead_sums:
                     continue
@@ -251,6 +315,91 @@ def _partition_filtered(
     for c in dead:
         ranges[c] = None
     return total, ranges, dead, source, fsums, dead_sums
+
+
+def _group_rollup(
+    root: str, manifest: dict, group_by: str, sums_cols: list[str]
+) -> tuple | None:
+    """Exact per-group ``{value: [n_rows, {col: [sum, nn]}]}`` for an
+    IDENTITY-partitioned column, from commit sidecars alone — Iceberg's
+    partitions-metadata-table rollup as a GROUP BY: every file holds
+    exactly one value of an identity-transform column, so its sidecar
+    row count and per-file sums attribute to that group exactly. Returns
+    ``(groups, source)`` or None when any pinned file cannot prove its
+    group (no spec, pre-spec commit, non-identity field, missing tuple,
+    a string column whose parsed tuple int-coerced — '0123' and '123'
+    conflate in hive paths — or a file without recorded sums).
+    O(commits) sidecar reads, zero data I/O."""
+    specs = manifest.get("partition_specs") or []
+    cparts = manifest.get("commit_partitions") or {}
+    if not specs:
+        return None
+    history = manifest.get("column_history") or {}
+    cur_types = {
+        f["name"]: f["type"] for f in json.loads(manifest["schema"])["fields"]
+    }
+    dtype = cur_types.get(group_by)
+    if dtype not in ("byte", "short", "integer", "long", "string"):
+        return None
+    groups: dict = {}
+    source = "sidecar"
+    for cid, n, subset in _commit_markers(root, manifest):
+        if n == 0:
+            continue
+        cp = cparts.get(cid)
+        if cp is None:
+            return None  # pre-spec commit: group attribution unprovable
+        si = cp.get("s", len(specs) - 1)
+        if not (0 <= si < len(specs)):
+            return None
+        spec = specs[si]
+        j = next(
+            (
+                k
+                for k, f in enumerate(spec)
+                if f[0] == group_by and f[1] == "identity"
+            ),
+            None,
+        )
+        if j is None:
+            return None  # not identity-partitioned in this commit
+        sc = _load_sidecar(root, manifest, cid)
+        pvals = sc.get("partitions") or {}
+        rmap = sc.get("rows") or {}
+        smap = sc.get("sums") or {}
+        files = (
+            subset
+            if subset is not None
+            else (sc.get("files") or list(sc.get("stats") or {}))
+        )
+        if subset is None and len(files) != n:
+            files = _commit_files_from_sidecar(root, manifest, cid, n)
+        fields = _schema_fields(manifest, cid)
+        phys_of = {c: _written_name(c, fields, history) for c in sums_cols}
+        for rel in files:
+            tup = pvals.get(rel)
+            if tup is None:
+                return None
+            gval = tup[j]
+            if dtype == "string" and isinstance(gval, int):
+                return None  # int-coerced path parse: value irrecoverable
+            if rel in rmap:
+                nrows = int(rmap[rel])
+            else:
+                nrows = _footer_meta(os.path.join(root, rel))[1]
+                source = _weaker(source, "footer")
+            ent = groups.setdefault(
+                gval, [0, {c: [0, 0] for c in sums_cols}]
+            )
+            ent[0] += nrows
+            for c in sums_cols:
+                phys = phys_of[c]
+                s = (smap.get(rel) or {}).get(phys) if phys else None
+                if s is None:
+                    return None  # a file without recorded sums: scan
+                ent[1][c][0] += int(s[0])
+                ent[1][c][1] += int(s[1])
+    return groups, source
 
 
 def _metadata_sum(
@@ -364,9 +513,16 @@ def snapshot_fast_agg(
         scan_cols = list(cols)
         scan_sums = list(sums)
     elif where:
-        part = _partition_filtered(
-            root, manifest, where, list(cols), list(sums)
-        )
+        try:
+            part = _partition_filtered(
+                root, manifest, where, list(cols), list(sums)
+            )
+        except (FileNotFoundError, RuntimeError):
+            # missing/unreadable sidecar: metadata cannot vouch — the API
+            # promises exact-or-one-scan, not exact-or-crash
+            if not allow_scan:
+                raise
+            part = None
         if part is None:
             need_scan_rows = True
             scan_cols = list(cols)
@@ -394,16 +550,31 @@ def snapshot_fast_agg(
                         "source": src,
                     }
     else:
-        n_rows, src = _metadata_rows(root, manifest)
-        out["n_rows"], out["rows_source"] = n_rows, src
+        try:
+            n_rows, src = _metadata_rows(root, manifest)
+            out["n_rows"], out["rows_source"] = n_rows, src
+        except (FileNotFoundError, RuntimeError):
+            if not allow_scan:
+                raise
+            need_scan_rows = True  # unreadable sidecar: degrade, don't crash
         for c in cols:
-            rng, csrc = _metadata_range(root, manifest, c)
+            try:
+                rng, csrc = _metadata_range(root, manifest, c)
+            except (FileNotFoundError, RuntimeError):
+                if not allow_scan:
+                    raise
+                rng = None
             if rng is None:
                 scan_cols.append(c)
             else:
                 out["columns"][c] = {"min": rng[0], "max": rng[1], "source": csrc}
         for c in sums:
-            ent, ssrc = _metadata_sum(root, manifest, c)
+            try:
+                ent, ssrc = _metadata_sum(root, manifest, c)
+            except (FileNotFoundError, RuntimeError):
+                if not allow_scan:
+                    raise
+                ent = None
             if ent is None:
                 scan_sums.append(c)
             else:

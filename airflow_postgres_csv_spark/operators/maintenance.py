@@ -311,11 +311,14 @@ def snapshot_metadata_table(
     - ``"history"`` — one row per retained version: (version, parent,
       mode, commit_id, n_files, n_tombstones, committed_at);
     - ``"files"`` — one row per file PINNED by ``version`` (head when
-      None): (file, commit_id, bytes, partition) — bytes from the
-      commit sidecar byte maps, partition the hidden-partition tuple
+      None): (file, commit_id, bytes, record_count, partition) — bytes
+      and row counts from the commit sidecar maps (record_count NULL
+      for legacy sidecars), partition the hidden-partition tuple
       rendered as a string (NULL for unpartitioned commits);
-    - ``"partitions"`` — files/bytes aggregated per partition tuple:
-      (partition, n_files, total_bytes).
+    - ``"partitions"`` — files/bytes/rows aggregated per partition
+      tuple: (partition, n_files, total_bytes, record_count) —
+      Iceberg's partitions-table shape, all from sidecar metadata,
+      zero data I/O.
 
     Register the result as a temp view for raw SQL
     (``snapshot_metadata_table(...).createOrReplaceTempView("t_files")``)
@@ -352,22 +355,30 @@ def snapshot_metadata_table(
         v = snapshot_versions(root)[-1]
     m = _load_manifest(root, v)
     rows = []
-    by_commit: dict[str, tuple[dict, dict]] = {}
+    by_commit: dict[str, tuple[dict, dict, dict]] = {}
     for rel in m["files"]:
         cid = _commit_of(rel)
         if cid not in by_commit:
             sc = _load_sidecar(root, m, cid)
-            by_commit[cid] = (sc.get("bytes") or {}, sc.get("partitions") or {})
-        bmap, pmap = by_commit[cid]
+            by_commit[cid] = (
+                sc.get("bytes") or {},
+                sc.get("partitions") or {},
+                sc.get("rows") or {},
+            )
+        bmap, pmap, rmap = by_commit[cid]
         ptuple = pmap.get(rel)
+        nrec = rmap.get(rel)
         rows.append(
             (
                 rel, cid, bmap.get(rel),
+                int(nrec) if nrec is not None else None,
                 _json.dumps(ptuple) if ptuple is not None else None,
             )
         )
     files_df = spark.createDataFrame(
-        rows, "file string, commit_id string, bytes bigint, partition string"
+        rows,
+        "file string, commit_id string, bytes bigint, "
+        "record_count bigint, partition string",
     )
     if kind == "files":
         return files_df
@@ -376,4 +387,10 @@ def snapshot_metadata_table(
     return files_df.groupBy("partition").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").alias("total_bytes"),
+        # NULL when any member file predates per-file row counts — an
+        # exact-or-absent contract, never an undercount
+        F.when(
+            F.count(F.lit(1)) == F.count("record_count"),
+            F.sum("record_count"),
+        ).alias("record_count"),
     )

@@ -275,7 +275,14 @@ def commit_partition_summary(spec: list[list], tuples: list[list]) -> list:
                 sum(1 << v for v in set(vals)) if f[2] <= 64 else None
             )
         else:
-            out.append([min(vals), max(vals)])
+            try:
+                out.append([min(vals), max(vals)])
+            except TypeError:
+                # hive-path parsing int-coerces numeric-LOOKING strings, so
+                # one string column can yield mixed int/str tuples — no
+                # ordered rollup exists; None just disables commit-level
+                # pruning for the field (file-level tuples still prune)
+                out.append(None)
     return out
 
 
@@ -309,18 +316,25 @@ def map_predicates(spec: list[list], want: dict) -> list:
 
 
 def prune_commit(summary: list, preds: list) -> bool:
-    """True when the commit-level rollup proves NO file can match."""
+    """True when the commit-level rollup proves NO file can match. An
+    incomparable summary/probe pair (hive-path tuples int-coerce
+    numeric-looking strings, so a str probe can meet an int rollup)
+    proves nothing — never prune on it, same contract as
+    :func:`prune_file`."""
     for s, p in zip(summary, preds):
         if s is None or p is None:
             continue
-        if p[0] == "range" and isinstance(s, list):
-            if s[0] > p[2] or s[1] < p[1]:
-                return True
-        elif p[0] == "eq":
-            if isinstance(s, int) and not (s >> p[1]) & 1:
-                return True
-            if isinstance(s, list) and (s[0] > p[1] or s[1] < p[1]):
-                return True
+        try:
+            if p[0] == "range" and isinstance(s, list):
+                if s[0] > p[2] or s[1] < p[1]:
+                    return True
+            elif p[0] == "eq":
+                if isinstance(s, int) and not (s >> p[1]) & 1:
+                    return True
+                if isinstance(s, list) and (s[0] > p[1] or s[1] < p[1]):
+                    return True
+        except TypeError:
+            continue
     return False
 
 

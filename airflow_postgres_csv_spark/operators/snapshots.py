@@ -65,6 +65,13 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "manifests"
 _DATA_DIR = "data"
 
+# Pseudo-column stamp inside each commit_ranges entry (and "stats_v" at the
+# sidecar top level): vouches the stats were produced by the coverage-fixed
+# writer, so fast_agg may serve them as EXACT. Propagates for free with the
+# structures themselves (branch publish, COW retain, rename) — no new carry
+# key. "\x00" cannot collide with a real column name.
+_STATS_V_KEY = "\x00stats_v"
+
 # Keys the engine assembles itself; ``extra`` metadata may not clobber them.
 _RESERVED_KEYS = frozenset(
     {
@@ -385,6 +392,16 @@ def _footer_meta(path: str) -> tuple[dict, int]:
             try:
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    continue
+                # parquet writers may TRUNCATE long binary min/max (wider
+                # bounds: fine for pruning, wrong for fast_agg's exact
+                # MIN/MAX) — honor the exactness flags where this pyarrow
+                # exposes them; absent flags mean "writer didn't truncate"
+                # for the pyarrow/Spark writers this engine uses
+                if (
+                    getattr(st, "is_min_value_exact", None) is False
+                    or getattr(st, "is_max_value_exact", None) is False
+                ):
                     continue
                 mn, mx = st.min, st.max
             except NotImplementedError:
@@ -1004,6 +1021,7 @@ def snapshot_commit_staged(
     sidecar = {
         "stats": {rel: st for rel, (st, _) in _metas.items()},
         "rows": {rel: n for rel, (_, n) in _metas.items()},
+        "stats_v": 1,
     }
     while True:
         files = (
@@ -1204,7 +1222,11 @@ def _new_sidecar(
     root manifest carries only a pointer."""
     metas = {rel: _footer_meta(os.path.join(root, rel)) for rel in new_files}
     stats = {rel: st for rel, (st, _) in metas.items()}
-    sidecar = {"stats": stats, "rows": {rel: n for rel, (_, n) in metas.items()}}
+    sidecar = {
+        "stats": stats,
+        "rows": {rel: n for rel, (_, n) in metas.items()},
+        "stats_v": 1,
+    }
     if bloom_cfg and new_files:
         sidecar["blooms"] = _build_blooms(
             spark, root, new_files, bloom_cfg["cols"], bloom_cfg["m"], bloom_cfg["k"]
@@ -1486,7 +1508,14 @@ def _merge_ranges(stats: dict) -> dict:
                     out.pop(col, None)  # mixed types across files — unusable
             else:
                 out[col] = list(rng)
-    return {c: r for c, r in out.items() if c in (covered or set())}
+    out = {c: r for c, r in out.items() if c in (covered or set())}
+    # format stamp: vouches the ranges were produced by the coverage-fixed
+    # writer (every-row-group stats + exactness flags honored), so
+    # snapshot_fast_agg may serve them as exact. Commits without it
+    # (older engines) stay prunable but route fast_agg to the scan path.
+    # "\x00" keeps the pseudo-key out of any real column namespace.
+    out[_STATS_V_KEY] = 1
+    return out
 
 
 def _publish(
@@ -4089,26 +4118,58 @@ def snapshot_table_changes(
     )
 
 
+_IVM_AGGS = ("count", "sum", "avg", "min", "max")
+_IVM_KEY = "__gk"  # composite merge key column for multi-column groups
+
+
+def _ivm_gk(keys: list[str]):
+    """Deterministic composite merge key over the group columns —
+    hex-encoded per part so no value can forge the separator, NULL
+    distinct from every string. snapshot_merge is single-key; this keeps
+    multi-column groups one zone-mappable upsert key."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.coalesce(F.hex(F.col(c).cast("string").cast("binary")), F.lit("N"))
+        for c in keys
+    ]
+    return F.concat_ws("-", *parts)
+
+
 def snapshot_incremental_agg(
     spark: SparkSession,
     src_root: str,
     dst_root: str,
-    group_col: str,
+    group_col: str | list[str],
     amount_col: str,
     up_to: int | None = None,
+    aggs: tuple[str, ...] | list[str] = ("count", "sum"),
 ) -> dict:
     """Incremental view maintenance (IVM) WITH RETRACTIONS: keep a
-    persisted per-group aggregate (``n`` = live row count, ``total`` =
-    sum of ``amount_col``) in sync with a source snapshot table across
-    appends AND deletes/merges, reading only the changes.
+    persisted per-group aggregate in sync with a source snapshot table
+    across appends AND deletes/merges, reading only the changes.
+
+    ``group_col`` may be one column or a list (multi-column group keys
+    merge on a derived composite key). ``aggs`` picks the maintained
+    aggregates from ``count / sum / avg / min / max``; the stored schema
+    is ``n`` (live row count, always — it drives liveness), ``total``
+    (when sum/avg), ``nn`` (non-null amount count, when avg — exact
+    AVG = total / nn, never total / n which miscounts NULLs), and
+    ``mn`` / ``mx`` (when min/max).
 
     Classic incremental rollups break at the first delete; this one
     consumes the batch change feed (``snapshot_table_changes``) and
     applies each change with a sign — insert +1, delete -1 — so the
     maintained aggregate equals a full GROUP BY over the source's live
-    state at O(changed data) per refresh, never O(table). This is the
-    materialized-view maintenance discipline (delta processing with
-    retractions, Flink/Materialize-style) on lakehouse commits.
+    state at O(changed data) per refresh, never O(table). MIN/MAX are
+    not sign-invertible (a retraction can displace the extreme), so
+    groups whose batch contains ANY delete recompute their extremes from
+    the source's live rows RESTRICTED to those groups — O(affected
+    groups' data), never a full recompute; insert-only groups merge
+    ``least/greatest`` against the stored extremes with no source read.
+    This is the materialized-view maintenance discipline (delta
+    processing with retractions, Flink/Materialize-style) on lakehouse
+    commits.
 
     Exactly-once without idempotence tricks: the refresh is ONE commit
     (merge upsert of changed groups, seeded by a plain commit), and the
@@ -4120,6 +4181,20 @@ def snapshot_incremental_agg(
     deleted in a second commit (filter ``n > 0`` when reading).
     """
     from pyspark.sql import functions as F
+
+    keys = [group_col] if isinstance(group_col, str) else list(group_col)
+    if not keys:
+        raise ValueError("group_col: at least one grouping column")
+    agg_set = set(aggs)
+    bad = agg_set - set(_IVM_AGGS)
+    if bad:
+        raise ValueError(
+            f"aggs: unsupported {sorted(bad)} (supported: {_IVM_AGGS})"
+        )
+    need_total = bool(agg_set & {"sum", "avg"})
+    need_nn = "avg" in agg_set
+    need_mm = bool(agg_set & {"min", "max"})
+    multi = len(keys) > 1
 
     src_versions = snapshot_versions(src_root)
     if not src_versions:
@@ -4139,36 +4214,113 @@ def snapshot_incremental_agg(
     if src_latest <= applied:
         return {"applied_through": applied, "refreshed": False}
     ch = snapshot_table_changes(spark, src_root, applied, src_latest)
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    delta = ch.groupBy(group_col).agg(
-        F.sum(sign).cast("long").alias("__n_d"),
-        F.sum(sign * F.col(amount_col)).cast("long").alias("__t_d"),
-    )
+    ins = F.col("_change_type") == "insert"
+    sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    amt = F.col(amount_col)
+    delta_aggs = [F.sum(sign).cast("long").alias("__n_d")]
+    if need_total:
+        delta_aggs.append(F.sum(sign * amt).cast("long").alias("__t_d"))
+    if need_nn:
+        delta_aggs.append(
+            F.sum(sign * amt.isNotNull().cast("long"))
+            .cast("long").alias("__nn_d")
+        )
+    if need_mm:
+        delta_aggs += [
+            F.min(F.when(ins, amt)).alias("__mn_i"),
+            F.max(F.when(ins, amt)).alias("__mx_i"),
+            F.max(F.when(~ins, F.lit(1)).otherwise(F.lit(0))).alias("__del"),
+        ]
+    delta = ch.groupBy(*keys).agg(*delta_aggs)
     stamp = {"ivm_applied_version": src_latest}
-    if not dvs:
-        snapshot_commit(
-            delta.select(
-                group_col,
-                F.col("__n_d").alias("n"),
-                F.col("__t_d").alias("total"),
-            ),
-            dst_root,
-            extra=stamp,
+
+    cur = snapshot_read(spark, dst_root).drop(_IVM_KEY) if dvs else None
+    if cur is None:
+        joined = delta
+        old = {
+            "n": F.lit(0).cast("long"),
+            "total": F.lit(0).cast("long"),
+            "nn": F.lit(0).cast("long"),
+            "mn": F.lit(None),
+            "mx": F.lit(None),
+        }
+    else:
+        joined = (
+            cur.join(delta, keys, "full_outer")
+            # only groups the delta touched
+            .where(F.col("__n_d").isNotNull())
         )
-        return {"applied_through": src_latest, "refreshed": True}
-    cur = snapshot_read(spark, dst_root)
-    updated = (
-        cur.join(delta, group_col, "full_outer")
-        .where(F.col("__n_d").isNotNull())  # only groups the delta touched
-        .select(
-            group_col,
-            (F.coalesce("n", F.lit(0)) + F.col("__n_d")).alias("n"),
-            (F.coalesce("total", F.lit(0)) + F.col("__t_d")).alias("total"),
+        old = {
+            "n": F.coalesce("n", F.lit(0)),
+            "total": F.coalesce("total", F.lit(0)) if need_total else None,
+            "nn": F.coalesce("nn", F.lit(0)) if need_nn else None,
+            "mn": F.col("mn") if need_mm else None,
+            "mx": F.col("mx") if need_mm else None,
+        }
+    out_cols = ([_ivm_gk(keys).alias(_IVM_KEY)] if multi else []) + [
+        F.col(c) for c in keys
+    ]
+    out_cols.append((old["n"] + F.col("__n_d")).alias("n"))
+    if need_total:
+        out_cols.append(
+            (old["total"] + F.coalesce("__t_d", F.lit(0))).alias("total")
         )
-    )
-    snapshot_merge(spark, dst_root, updated, key=group_col, extra=stamp)
+    if need_nn:
+        out_cols.append(
+            (old["nn"] + F.coalesce("__nn_d", F.lit(0))).alias("nn")
+        )
+    if need_mm:
+        # insert-only merge first; delete-touched groups resolve below
+        out_cols += [
+            F.least(old["mn"], F.col("__mn_i")).alias("mn"),
+            F.greatest(old["mx"], F.col("__mx_i")).alias("mx"),
+            F.col("__del").alias("__del"),
+        ]
+    updated = joined.select(*out_cols)
+
+    pinned = None
+    if need_mm:
+        # A delete can DISPLACE a stored extreme — signs can't undo
+        # min/max. Recompute exactly the retracting groups from the
+        # source's live rows: the join restricts the scan to affected
+        # groups (AQE broadcast when few), never the whole table.
+        pinned = updated.persist()
+        has_del = bool(pinned.where(F.col("__del") == 1).limit(1).count())
+        if has_del:
+            retr = pinned.where(F.col("__del") == 1).select(*keys)
+            src_live = snapshot_read(spark, src_root, version=src_latest)
+            rec = (
+                src_live.join(retr, keys, "inner")
+                .groupBy(*keys)
+                .agg(
+                    F.min(amt).alias("__mn_r"),
+                    F.max(amt).alias("__mx_r"),
+                )
+            )
+            updated = pinned.join(rec, keys, "left").select(
+                *([_IVM_KEY] if multi else []),
+                *keys,
+                "n",
+                *(["total"] if need_total else []),
+                *(["nn"] if need_nn else []),
+                F.when(F.col("__del") == 1, F.col("__mn_r"))
+                .otherwise(F.col("mn")).alias("mn"),
+                F.when(F.col("__del") == 1, F.col("__mx_r"))
+                .otherwise(F.col("mx")).alias("mx"),
+            )
+        else:
+            updated = pinned.drop("__del")
+    try:
+        if cur is None:
+            snapshot_commit(updated, dst_root, extra=stamp)
+        else:
+            snapshot_merge(
+                spark, dst_root, updated,
+                key=_IVM_KEY if multi else keys[0], extra=stamp,
+            )
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
     return {"applied_through": src_latest, "refreshed": True}
 
 

@@ -4192,10 +4192,15 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Incremental materialized view (round 10): the catalog mview refreshed via
-# change-feed IVM — appends AND a retraction land through O(changes)
-# refreshes bounded at the pinned source version, never a recompute. The
-# oracle recomputes the rollup over the surviving rows.
+# Incremental materialized view (round 10, generalized round 11): the catalog
+# mview refreshed via change-feed IVM — appends AND retractions land through
+# O(changes) refreshes bounded at the pinned source version, never a
+# recompute. Round 11 exercises the GENERAL shape: multi-column group keys
+# (user_id, event_type) and the full agg set count/sum/avg/min/max — the
+# phase-2 retraction erases the cheapest events, DISPLACING group minima,
+# which IVM resolves by recomputing extremes for exactly the retracting
+# groups from the change feed (never a full recompute). The oracle recomputes
+# the rollup over the surviving rows.
 # ---------------------------------------------------------------------------
 
 
@@ -4232,40 +4237,62 @@ def snapshot_catalog_mview_ivm_query(
     catalog_ddl(
         cat,
         [{
-            "op": "create_mview", "name": "gold.by_user", "root": mroot,
+            "op": "create_mview", "name": "gold.by_user_type", "root": mroot,
             "tables": {"e": "gold.events"},
-            "incremental": {"group_col": "user_id", "amount_col": "cents"},
+            "incremental": {
+                "group_cols": ["user_id", "event_type"],
+                "amount_col": "cents",
+                "aggs": ["count", "sum", "avg", "min", "max"],
+            },
         }],
     )
-    catalog_refresh_mview(spark, cat, "gold.by_user")
-    # phase 2: append the other half + erase the 'error' events, pin, refresh
+    catalog_refresh_mview(spark, cat, "gold.by_user_type")
+    # phase 2: append the other half + erase every low-cents event (the
+    # per-group MINIMA among them — the retraction-displacement case),
+    # pin, refresh
     m2 = snapshot_commit(
         events.where(F.pmod("event_id", F.lit(2)) == 1), eroot
     )
     snapshot_delete_mor(
-        spark, eroot, condition="event_type = 'error'", key_col="event_id"
+        spark, eroot, condition="cents < 2000", key_col="event_id"
     )
     catalog_pin_tables(
         cat, {"gold.events": (eroot, m2["version"] + 1)}
     )
-    catalog_refresh_mview(spark, cat, "gold.by_user")
+    catalog_refresh_mview(spark, cat, "gold.by_user_type")
     return (
-        catalog_read(spark, cat, "gold.by_user")
-        .select("user_id", "n", F.col("total").alias("cents_total"))
-        .orderBy("user_id")
+        catalog_read(spark, cat, "gold.by_user_type")
+        .select(
+            "user_id",
+            "event_type",
+            "n",
+            F.col("total").alias("cents_total"),
+            F.col("avg").alias("cents_avg"),
+            F.col("mn").alias("cents_min"),
+            F.col("mx").alias("cents_max"),
+        )
+        .orderBy("user_id", "event_type")
     )
 
 
 register(
     "snapshot_catalog_mview_ivm",
     """
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                AS BIGINT) AS cents_total
-    FROM events
-    WHERE event_type <> 'error'
-    GROUP BY user_id
-    ORDER BY user_id
+    WITH cents_rows AS (
+        SELECT user_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(cents) AS cents_avg,
+           MIN(cents) AS cents_min,
+           MAX(cents) AS cents_max
+    FROM cents_rows
+    WHERE cents >= 2000
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
     """,
 )(snapshot_catalog_mview_ivm_query)
 

@@ -75,7 +75,27 @@ _op = st.one_of(
     st.tuples(st.just("mview_set"), st.integers(0, 2)),
     st.tuples(st.just("mview_refresh"), st.just(0)),
     st.tuples(st.just("mview_drop"), st.just(0)),
+    # INCREMENTAL mview over table a (general shape: group_cols +
+    # count/sum/avg/min/max), and an out-of-band retraction on a that the
+    # next pinned refresh must fold in (min/max displacement included)
+    st.tuples(st.just("imv_set"), st.just(0)),
+    st.tuples(st.just("imv_refresh"), st.just(0)),
+    st.tuples(st.just("imv_drop"), st.just(0)),
+    st.tuples(st.just("adel"), st.integers(0, 2)),
 )
+
+
+def _imv_eval(rows):
+    """Model of the incremental mview surface: GROUP BY stamp over live
+    (id, stamp) rows with n/total/avg/mn/mx on id — what catalog_read
+    must serve after a refresh froze this state."""
+    groups: dict = {}
+    for i, s in rows:
+        groups.setdefault(s, []).append(i)
+    return sorted(
+        (s, len(v), sum(v), sum(v) / len(v), min(v), max(v))
+        for s, v in groups.items()
+    )
 
 
 def _read_all(spark, cat, catalog_version=None):
@@ -118,6 +138,10 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
     mv_frozen: int | None = None
     mi = 0  # distinct materialized roots per mview generation
     bi = 0  # unique branch names across retries of the same history
+    # incremental mview model: present flag + frozen rollup at refresh
+    imv_on = False
+    imv_frozen: list | None = None
+    ii = 0  # distinct incremental materialized roots per generation
     for opi, op in enumerate(ops, start=1):
         kind = op[0]
         if kind == "view_set":
@@ -176,6 +200,65 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
 
                 catalog_ddl(cat, [{"op": "drop_mview", "name": "mv"}])
                 mv_def = mv_frozen = None
+        elif kind == "imv_set":
+            if not imv_on:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_ddl,
+                )
+
+                ii += 1
+                catalog_ddl(
+                    cat,
+                    [{
+                        "op": "create_mview", "name": "imv",
+                        "tables": {"ta": "a"},
+                        "root": str(base / f"imvroot{ii}"),
+                        "incremental": {
+                            "group_cols": ["stamp"], "amount_col": "id",
+                            "aggs": ["count", "sum", "avg", "min", "max"],
+                        },
+                    }],
+                )
+                imv_on, imv_frozen = True, None
+        elif kind == "imv_refresh":
+            if imv_on:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_refresh_mview,
+                )
+
+                catalog_refresh_mview(spark, cat, "imv")
+                imv_frozen = _imv_eval(model["a"])
+        elif kind == "imv_drop":
+            if imv_on:
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_ddl,
+                )
+
+                catalog_ddl(cat, [{"op": "drop_mview", "name": "imv"}])
+                imv_on, imv_frozen = False, None
+        elif kind == "adel":
+            # out-of-band retraction on a + catalog pin: live state and
+            # every view/mview model shrink together
+            _, k = op
+            remaining = [r for r in model["a"] if r[0] % 3 != k]
+            # keep a non-empty (the view defs aggregate over it) and only
+            # fire when the retraction actually removes rows
+            if remaining and len(remaining) < len(model["a"]):
+                from airflow_postgres_csv_spark.operators.catalog_txn import (
+                    catalog_pin_tables,
+                )
+                from airflow_postgres_csv_spark.operators.snapshots import (
+                    snapshot_delete_mor,
+                    snapshot_versions,
+                )
+
+                snapshot_delete_mor(
+                    spark, roots["a"], f"id % 3 = {k}", key_col="id"
+                )
+                catalog_pin_tables(
+                    cat, {"a": (roots["a"], snapshot_versions(roots["a"])[-1])}
+                )
+                model["a"] = remaining
         if kind == "txn":
             _, lo, n, mask = op
             writes = []
@@ -261,6 +344,14 @@ def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
             # whatever the sources did since
             mx = catalog_read(spark, cat, "mv").collect()[0]["x"]
             assert mx == mv_frozen, f"mview diverged after op {opi} {op}"
+        if imv_on and imv_frozen is not None:
+            got_imv = sorted(
+                tuple(r)
+                for r in catalog_read(spark, cat, "imv").collect()
+            )
+            assert got_imv == imv_frozen, (
+                f"incremental mview diverged after op {opi} {op}"
+            )
         hist[catalog_versions(cat)[-1]] = want
         vhist[catalog_versions(cat)[-1]] = (
             None if vmodel is None else (vmodel, _VIEW_DEFS[vmodel][1](model["a"]))

@@ -308,3 +308,71 @@ def test_refresh_retry_never_regresses_a_concurrent_refresh(
     monkeypatch.undo()
     # the catalog still serves B's fresher materialization
     assert catalog_read(spark, cat, "m").collect()[0]["n"] == 40
+
+
+def test_incremental_mview_out_of_band_dst_advance(spark, tmp_path):
+    """The refresh must pin the dst version whose ivm_applied_version
+    STAMP equals the pinned source version — when the rollup table was
+    advanced out-of-band (direct snapshot_incremental_agg sharing the
+    dst), blindly pinning the dst head would serve content AHEAD of the
+    recorded source pins. If no retained materialization matches the
+    pin, the refresh refuses loudly instead of publishing a lie."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        CatalogConflictError,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_incremental_agg,
+        snapshot_versions,
+    )
+
+    cat = str(tmp_path / "cat")
+    ro = str(tmp_path / "src")
+    mv_root = str(tmp_path / "mv")
+    rows = spark.range(0, 40).select(
+        "id", (F.col("id") % 4).alias("g"), (F.col("id") * 3).alias("amt")
+    )
+    catalog_txn(cat, [{"name": "t", "root": ro, "df": rows.coalesce(1)}])
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview", "name": "t_rollup",
+            "tables": {"s": "t"}, "root": mv_root,
+            "incremental": {"group_col": "g", "amount_col": "amt"},
+        }],
+    )
+    assert catalog_refresh_mview(spark, cat, "t_rollup")["refreshed"]
+
+    # src advances to v2; an OUT-OF-BAND direct IVM run applies it to the
+    # dst before any catalog pin moves
+    snapshot_commit(
+        spark.range(40, 60).select(
+            "id", F.lit(1).cast("long").alias("g"),
+            (F.col("id") * 3).alias("amt"),
+        ).coalesce(1),
+        ro,
+    )
+    snapshot_incremental_agg(spark, ro, mv_root, "g", "amt")
+    stamped_v2 = snapshot_versions(mv_root)[-1]
+    # pin the source to v2: the agg no-ops (already applied) but the entry
+    # must pin the STAMPED materialization, keeping pins<->content honest
+    catalog_pin_tables(cat, {"t": (ro, 2)})
+    res = catalog_refresh_mview(spark, cat, "t_rollup")
+    assert res["refreshed"] and res["version"] == stamped_v2
+    got = {r.g: r.n for r in catalog_read(spark, cat, "t_rollup").collect()}
+    assert got[1] == 10 + 20  # v2 content: group 1 grew by the new rows
+
+    # src advances v3 AND v4; one out-of-band IVM folds both (stamp jumps
+    # 2 -> 4, no commit stamped 3) — pinning the source at v3 has no
+    # matching materialization: refuse, never publish inconsistent pins
+    for lo, hi in ((60, 70), (70, 80)):
+        snapshot_commit(
+            spark.range(lo, hi).select(
+                "id", F.lit(2).cast("long").alias("g"),
+                (F.col("id") * 3).alias("amt"),
+            ).coalesce(1),
+            ro,
+        )
+    snapshot_incremental_agg(spark, ro, mv_root, "g", "amt")
+    catalog_pin_tables(cat, {"t": (ro, 3)})
+    with pytest.raises(CatalogConflictError, match="out-of-band"):
+        catalog_refresh_mview(spark, cat, "t_rollup")

@@ -383,7 +383,9 @@ def test_fast_agg_bounded_at_10k_commits(spark, tmp_path, monkeypatch):
         rel = os.path.join("data", cid, "part-0.parquet")
         commit_files[cid] = 1
         sidecars[cid] = os.path.join("manifests", f"sc-{cid}.json")
-        commit_ranges[cid] = {"id": [100 + i, 100 + i]}
+        # stamped like the coverage-fixed writer: fast_agg only serves
+        # stamped ranges as exact (unstamped vintages route to the scan)
+        commit_ranges[cid] = {"id": [100 + i, 100 + i], S._STATS_V_KEY: 1}
         commit_sizes[cid] = [1, 131072, 1, 7]  # 7 rows per synthetic commit
     manifest = {
         "version": 2, "parent": 1,
@@ -609,7 +611,7 @@ def test_merge_ranges_requires_stats_in_every_file():
         "data/c/b.parquet": {"x": [3, 9]},  # y's stats were dropped
     }
     merged = S._merge_ranges(stats)
-    assert merged == {"x": [1, 9]}
+    assert merged == {"x": [1, 9], S._STATS_V_KEY: 1}
 
 
 def test_sums_rejects_non_integral_request(spark, tmp_path):
@@ -621,3 +623,114 @@ def test_sums_rejects_non_integral_request(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integral"):
         snapshot_fast_agg(root, sums=["d"], spark=spark)
+
+
+def test_where_numeric_looking_string_partition_scans(spark, tmp_path):
+    """Hive path segments INT-COERCE numeric-looking strings, so the
+    recorded tuples conflate '02134' with '2134' — membership is
+    unprovable from metadata and the call must take the one-scan path
+    (the old probe compared str vs int and silently undercounted)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "02134"), (2, "2134"), (3, "02134"), (4, "ma")],
+        "id int, zip string",
+    )
+    snapshot_commit(df, root, partition_transforms=[("zip", "identity")])
+    got = snapshot_fast_agg(root, ["id"], where={"zip": "02134"}, spark=spark)
+    assert got["n_rows"] == 2 and got["rows_source"] == "scan"
+    assert got["columns"]["id"] == {"min": 1, "max": 3, "source": "scan"}
+    with pytest.raises(RuntimeError, match="allow_scan=False"):
+        snapshot_fast_agg(
+            root, where={"zip": "02134"}, spark=None, allow_scan=False
+        )
+    # a non-numeric string key keeps the metadata fast path
+    fast = snapshot_fast_agg(
+        root, where={"zip": "ma"}, spark=None, allow_scan=False
+    )
+    assert fast["n_rows"] == 1 and fast["rows_source"] != "scan"
+
+
+def test_where_type_mismatched_probe_scans(spark, tmp_path):
+    """A probe whose Python type cannot round-trip the hive-path
+    encoding for the column's declared type (float/bool literals, or a
+    string literal against an int column) is unprovable from parsed
+    tuples — the call scans instead of crashing on an int-vs-str
+    comparison or silently excluding files."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 30).select("id", (F.col("id") % 3).alias("shard"))
+    snapshot_commit(df, root, partition_transforms=[("shard", "identity")])
+    got = snapshot_fast_agg(root, where={"shard": 1.5}, spark=spark)
+    assert got["n_rows"] == 0 and got["rows_source"] == "scan"
+    got = snapshot_fast_agg(root, ["id"], where={"shard": "2"}, spark=spark)
+    truth = (
+        snapshot_read(spark, root).where(F.col("shard") == "2").count()
+    )
+    assert got["n_rows"] == truth and got["rows_source"] == "scan"
+
+
+def test_unstamped_legacy_ranges_route_minmax_to_scan(
+    spark, tmp_path, monkeypatch
+):
+    """commit_ranges/sidecar stats written before the coverage fix carry
+    no format stamp — their bounds may under-cover (subset-of-row-groups
+    merges, truncated string stats), so MIN/MAX must fall back to the
+    scan while COUNT(*) (footer row counts, never truncated) stays on
+    the root path."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_batch(spark, 0, 40).coalesce(1), root)
+    # strip the stamps, simulating a pre-fix engine's manifest + sidecar
+    m = dict(S._load_manifest(root, 1))
+    m["commit_ranges"] = {
+        cid: {c: r for c, r in rngs.items() if c != S._STATS_V_KEY}
+        for cid, rngs in m["commit_ranges"].items()
+    }
+    with open(S._manifest_path(root, 1), "w") as f:
+        _json.dump(m, f)
+    for sc_rel in m["sidecars"].values():
+        with open(os.path.join(root, sc_rel)) as f:
+            sc = _json.load(f)
+        sc.pop("stats_v", None)
+        with open(os.path.join(root, sc_rel), "w") as f:
+            _json.dump(sc, f)
+    S._metadata_cache_clear()
+    with pytest.raises(RuntimeError, match="allow_scan=False"):
+        snapshot_fast_agg(root, ["id"], spark=None, allow_scan=False)
+    got = snapshot_fast_agg(root, ["id"], spark=spark)
+    assert got["columns"]["id"] == {"min": 0, "max": 39, "source": "scan"}
+    assert got["n_rows"] == 40 and got["rows_source"] == "root"
+    # COUNT alone still needs no scan on the legacy vintage
+    _bomb_scan(monkeypatch)
+    only_n = snapshot_fast_agg(root, spark=None, allow_scan=False)
+    assert only_n["n_rows"] == 40
+
+
+def test_missing_sidecar_degrades_to_scan(spark, tmp_path):
+    """A deleted/unreadable sidecar on a PARTIALLY-retained commit (its
+    surviving file names live in the manifest, but its per-file rows/
+    stats live in the lost sidecar) must degrade to the one-scan
+    fallback when allow_scan=True — the API promises exact-or-one-scan,
+    not exact-or-crash — and keep raising under allow_scan=False."""
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        _batch(spark, 0, 200).repartitionByRange(2, "id")
+        .sortWithinPartitions("id"),
+        root,
+    )
+    snapshot_delete(spark, root, "id", 0, 10)  # COW: one file rewritten
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    subset_cids = [
+        cid for cid, mk in m["commit_files"].items() if isinstance(mk, list)
+    ]
+    assert subset_cids, "expected a partially-retained commit"
+    for cid in subset_cids:
+        os.remove(os.path.join(root, m["sidecars"][cid]))
+    S._metadata_cache_clear()
+    with pytest.raises((FileNotFoundError, RuntimeError)):
+        snapshot_fast_agg(root, ["id"], spark=None, allow_scan=False)
+    got = snapshot_fast_agg(root, ["id"], spark=spark)
+    # rows may still answer from footers (exact, metadata-only); the
+    # ranges lost their sidecar stats and must come from the scan
+    assert got["n_rows"] == 189 and got["rows_source"] in ("footer", "scan")
+    assert got["columns"]["id"] == {"min": 11, "max": 199, "source": "scan"}

@@ -1294,6 +1294,83 @@ def test_ivm_stamp_survives_compact_and_expire(spark, tmp_path):
     assert rows == [(0, 4, 36), (1, 4, 44), (2, 4, 52)]
 
 
+def test_incremental_agg_general_multikey_minmax_avg(spark, tmp_path):
+    """Generalized IVM: multi-column group keys merge on a derived
+    composite key; count/sum/avg/min/max all stay exact across appends
+    AND retractions — a delete that holds a group's MINIMUM displaces
+    it, which is resolved by recomputing extremes for exactly the
+    retracting groups (never a full recompute); AVG derives from the
+    stored (total, nn) so NULL amounts divide by the non-null count."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+        snapshot_incremental_agg,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    aggs = ("count", "sum", "avg", "min", "max")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            "id",
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") % 2).alias("h"),
+            F.when(F.col("id") % 5 == 0, None)
+            .otherwise(F.col("id") * 3).alias("amt"),
+        )
+
+    def truth():
+        return sorted(
+            tuple(r)
+            for r in snapshot_read(spark, src)
+            .groupBy("g", "h")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amt").alias("total"),
+                F.avg("amt").alias("avg"),
+                F.min("amt").alias("mn"),
+                F.max("amt").alias("mx"),
+            )
+            .collect()
+        )
+
+    def maintained():
+        out = snapshot_read(spark, dst).where("n > 0")
+        return sorted(
+            (r.g, r.h, r.n, r.total,
+             (r.total / r.nn) if r.nn else None, r.mn, r.mx)
+            for r in out.collect()
+        )
+
+    snapshot_commit(rows(0, 30).coalesce(1), src)
+    r = snapshot_incremental_agg(spark, src, dst, ["g", "h"], "amt", aggs=aggs)
+    assert r["refreshed"] is True
+    assert maintained() == truth()
+    # a retraction that DELETES group minima (small ids = small amts)
+    snapshot_delete_mor(spark, src, "id < 12", key_col="id")
+    snapshot_incremental_agg(spark, src, dst, ["g", "h"], "amt", aggs=aggs)
+    assert maintained() == truth()
+    # insert-only advance: extremes merge without touching the source
+    snapshot_commit(rows(30, 50).coalesce(1), src)
+    snapshot_incremental_agg(spark, src, dst, ["g", "h"], "amt", aggs=aggs)
+    assert maintained() == truth()
+    # empty a whole group-pair and verify it vanishes from the surface
+    snapshot_delete_mor(spark, src, "g = 2 AND h = 0", key_col="id")
+    snapshot_incremental_agg(spark, src, dst, ["g", "h"], "amt", aggs=aggs)
+    assert maintained() == truth()
+    assert all(t[0:2] != (2, 0) for t in maintained())
+    # idempotent on the high-water mark
+    before = snapshot_versions(dst)
+    r2 = snapshot_incremental_agg(spark, src, dst, ["g", "h"], "amt", aggs=aggs)
+    assert r2["refreshed"] is False and snapshot_versions(dst) == before
+    # validation: unknown aggregate names are refused loudly
+    with pytest.raises(ValueError, match="aggs"):
+        snapshot_incremental_agg(
+            spark, src, dst, ["g", "h"], "amt", aggs=("count", "median")
+        )
+
+
 def test_undelete_rollback_fails_change_walkers(spark, tmp_path):
     """A rollback that resurrects MOR-deleted rows (tombstones removed,
     files unchanged) must fail the batch change feed and CDC replay
