@@ -438,12 +438,96 @@ def _metadata_sum(
     return [total, nonnull], source
 
 
+def _fast_group_by(
+    root: str,
+    manifest: dict,
+    v: int,
+    group_by: str,
+    sums_cols: list[str],
+    spark: SparkSession | None,
+    allow_scan: bool,
+) -> dict:
+    """The group_by= arm of snapshot_fast_agg: sidecar rollup when every
+    file's group is provable, ONE Spark GROUP BY otherwise."""
+    rollup = None
+    if not manifest.get("tombstones"):
+        try:
+            rollup = _group_rollup(root, manifest, group_by, sums_cols)
+        except (FileNotFoundError, RuntimeError):
+            if not allow_scan:
+                raise
+            rollup = None
+    if rollup is not None:
+        groups, src = rollup
+        out_groups = [
+            {
+                "key": k,
+                "n_rows": ent[0],
+                "sums": {
+                    c: {
+                        "value": s if nn else None,
+                        "n_nonnull": nn,
+                    }
+                    for c, (s, nn) in ent[1].items()
+                },
+            }
+            for k, ent in groups.items()
+        ]
+        out_groups.sort(key=lambda g: (g["key"] is not None, g["key"]))
+        return {
+            "version": v, "group_by": group_by, "source": src,
+            "groups": out_groups,
+        }
+    if not allow_scan:
+        raise RuntimeError(
+            f"metadata cannot answer GROUP BY {group_by} exactly for "
+            f"version {v} (live tombstones or unprovable group "
+            "attribution) and allow_scan=False"
+        )
+    if spark is None:
+        raise ValueError("scan fallback required but spark=None")
+    from pyspark.sql import functions as F
+
+    df = snapshot_read(spark, root, version=v)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in sums_cols:
+        aggs.append(F.sum(c).alias(f"__sm_{c}"))
+        aggs.append(F.count(c).alias(f"__sn_{c}"))
+    rows = df.groupBy(group_by).agg(*aggs).collect()
+    out_groups = []
+    for r in rows:
+        d = r.asDict()
+        out_groups.append(
+            {
+                "key": d[group_by],
+                "n_rows": int(d["__n"]),
+                "sums": {
+                    c: {
+                        "value": (
+                            int(d[f"__sm_{c}"])
+                            if d[f"__sm_{c}"] is not None
+                            else None
+                        ),
+                        "n_nonnull": int(d[f"__sn_{c}"]),
+                    }
+                    for c in sums_cols
+                },
+            }
+        )
+    out_groups.sort(key=lambda g: (g["key"] is not None, g["key"]))
+    return {
+        "version": v, "group_by": group_by, "source": "scan",
+        "groups": out_groups,
+    }
+
+
 def snapshot_fast_agg(
     root: str,
     cols: tuple[str, ...] | list[str] = (),
     *,
     sums: tuple[str, ...] | list[str] = (),
     where: dict | None = None,
+    group_by: str | None = None,
     version: int | None = None,
     spark: SparkSession | None = None,
     allow_scan: bool = True,
@@ -466,7 +550,21 @@ def snapshot_fast_agg(
     (legacy per-file parquet footer reads — metadata, never data pages),
     or ``scan`` (the exactness fallback). ``allow_scan=False`` raises
     RuntimeError instead of scanning; ``spark`` is only required when the
-    scan fallback is reachable."""
+    scan fallback is reachable.
+
+    ``group_by=col`` (mutually exclusive with ``cols``/``where``) is the
+    metadata-only GROUP BY — Iceberg's partitions-metadata rollup as an
+    aggregate: for an IDENTITY-partitioned column every file belongs to
+    exactly one group, so per-group COUNT(*) and SUM(sums) roll up from
+    the commit sidecars' row/sum maps with zero data I/O. Returns::
+
+        {"version": v, "group_by": col, "source": src,
+         "groups": [{"key": value, "n_rows": int,
+                     "sums": {c: {"value": .., "n_nonnull": ..}}}, ...]}
+
+    sorted by key (NULL first). Any unprovable attribution (no identity
+    spec, pre-spec commits, int-coerced string tuples, missing per-file
+    sums) flips the whole call to one Spark GROUP BY scan."""
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {root}")
@@ -500,6 +598,18 @@ def snapshot_fast_agg(
             raise ValueError(
                 "where values must be non-NULL (equality never matches NULL)"
             )
+    if group_by is not None:
+        if cols or where:
+            raise ValueError(
+                "group_by= is mutually exclusive with cols/where"
+            )
+        if group_by not in current:
+            raise ValueError(
+                f"group_by column {group_by!r} not in version {v} schema"
+            )
+        return _fast_group_by(
+            root, manifest, v, group_by, list(sums), spark, allow_scan
+        )
 
     out: dict = {"version": v, "columns": {}, "sums": {}}
     scan_cols: list[str] = []

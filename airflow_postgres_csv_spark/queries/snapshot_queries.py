@@ -4372,3 +4372,66 @@ register(
     FROM events
     """,
 )(snapshot_fast_sum_query)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only GROUP BY (round 11, fast_agg.py group_by=): Iceberg's
+# partitions-metadata rollup as an aggregate — per-group COUNT(*)/SUM over
+# an identity-partitioned column from the commit sidecars' row/sum maps,
+# zero data I/O. allow_scan=False inside the query makes the zero-scan
+# claim part of the oracle gate itself: if the rollup ever needed data,
+# the query would raise instead of matching.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_partition_rollup_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.fast_agg import (
+        snapshot_fast_agg,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _temp_root()
+    snapshot_commit(
+        docs.where(F.pmod("doc_id", F.lit(2)) == 0),
+        root,
+        partition_transforms=[("lang", "identity")],
+        sum_cols=["n_chars"],
+    )
+    snapshot_commit(  # spec + sum config sticky across commits
+        docs.where(F.pmod("doc_id", F.lit(2)) == 1), root
+    )
+    res = snapshot_fast_agg(
+        root, group_by="lang", sums=["n_chars"], spark=None,
+        allow_scan=False,
+    )
+    rows = [
+        (
+            g["key"],
+            g["n_rows"],
+            g["sums"]["n_chars"]["value"],
+            g["sums"]["n_chars"]["n_nonnull"],
+        )
+        for g in res["groups"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs bigint, chars_total bigint, n_chars_nn bigint",
+    ).orderBy("lang")
+
+
+register(
+    "snapshot_partition_rollup",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_chars_nn
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)(snapshot_partition_rollup_query)

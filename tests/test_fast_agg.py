@@ -734,3 +734,120 @@ def test_missing_sidecar_degrades_to_scan(spark, tmp_path):
     # ranges lost their sidecar stats and must come from the scan
     assert got["n_rows"] == 189 and got["rows_source"] in ("footer", "scan")
     assert got["columns"]["id"] == {"min": 11, "max": 199, "source": "scan"}
+
+
+def test_group_by_metadata_rollup(spark, tmp_path, monkeypatch):
+    """group_by=: metadata-only GROUP BY over an identity-partitioned
+    column — per-group COUNT(*) and SUM roll up from the sidecars' row
+    and sum maps, zero data I/O (scan bombed), across multiple commits.
+    The Iceberg partitions-metadata shape as an aggregate."""
+
+    def sgb(lo, hi):
+        return spark.range(lo, hi).select(
+            "id",
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string"))
+            .alias("lang"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 3).alias("amt"),
+        )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        sgb(0, 60), root,
+        partition_transforms=[("lang", "identity")], sum_cols=["amt"],
+    )
+    snapshot_commit(sgb(60, 100), root)  # spec + sum_cols are sticky
+    want = {
+        (r.lang): (r.n, r.s, r.nn)
+        for r in snapshot_read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amt").alias("s"),
+            F.count("amt").alias("nn"),
+        )
+        .collect()
+    }
+    S._metadata_cache_clear()
+    _bomb_scan(monkeypatch)
+    got = snapshot_fast_agg(
+        root, group_by="lang", sums=["amt"], spark=None, allow_scan=False
+    )
+    assert got["source"] in ("root", "sidecar")
+    assert [g["key"] for g in got["groups"]] == sorted(want)
+    for g in got["groups"]:
+        n, s, nn = want[g["key"]]
+        assert g["n_rows"] == n
+        assert g["sums"]["amt"] == {"value": s, "n_nonnull": nn}
+    # mutually exclusive with cols/where
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snapshot_fast_agg(root, ["id"], group_by="lang")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snapshot_fast_agg(root, group_by="lang", where={"lang": "L1"})
+
+
+def test_group_by_falls_back_to_scan(spark, tmp_path):
+    """Unprovable attribution (no identity spec / tombstones /
+    numeric-looking string groups whose path tuples int-coerced) flips
+    group_by to one Spark GROUP BY; allow_scan=False raises."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor as _dmor,
+    )
+
+    # no spec at all
+    root = str(tmp_path / "plain")
+    snapshot_commit(_batch(spark, 0, 30).coalesce(1), root)
+    with pytest.raises(RuntimeError, match="allow_scan=False"):
+        snapshot_fast_agg(root, group_by="tag", allow_scan=False)
+    got = snapshot_fast_agg(root, group_by="x", spark=spark)
+    assert got["source"] == "scan"
+    want = {
+        r.x: r.n
+        for r in snapshot_read(spark, root)
+        .groupBy("x").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {g["key"]: g["n_rows"] for g in got["groups"]} == want
+    # numeric-looking string groups: parse image is irrecoverable
+    root2 = str(tmp_path / "zips")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "02134"), (2, "2134"), (3, "ma")], "id int, zip string"
+        ),
+        root2,
+        partition_transforms=[("zip", "identity")],
+    )
+    got2 = snapshot_fast_agg(root2, group_by="zip", spark=spark)
+    assert got2["source"] == "scan"
+    assert [(g["key"], g["n_rows"]) for g in got2["groups"]] == [
+        ("02134", 1), ("2134", 1), ("ma", 1)
+    ]
+    # tombstones force the scan
+    root3 = str(tmp_path / "mor")
+    snapshot_commit(
+        _batch(spark, 0, 40).coalesce(1), root3,
+        partition_transforms=[("tag", "identity")],
+    )
+    _dmor(spark, root3, condition="id >= 30", key_col="id")
+    got3 = snapshot_fast_agg(root3, group_by="tag", spark=spark)
+    assert got3["source"] == "scan"
+    assert sum(g["n_rows"] for g in got3["groups"]) == 30
+
+
+def test_metadata_partitions_table_record_count(spark, tmp_path):
+    """The partitions metadata table exposes record_count per partition
+    tuple (Iceberg's partitions-table shape) — summed from sidecar row
+    maps, NULL when any member file predates per-file counts."""
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_metadata_table,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        "id", (F.col("id") % 3).alias("g")
+    )
+    snapshot_commit(df, root, partition_transforms=[("g", "identity")])
+    parts = snapshot_metadata_table(spark, root, "partitions")
+    got = {r.partition: r.record_count for r in parts.collect()}
+    assert got == {"[0]": 30, "[1]": 30, "[2]": 30}
+    files = snapshot_metadata_table(spark, root, "files")
+    assert sum(r.record_count for r in files.collect()) == 90
