@@ -158,7 +158,7 @@ _CARRY_KEYS = (
     "commit_sizes", "sketch_commits", "small_bytes",
     "partition_specs", "commit_partitions", "partition_spec",
     "column_history", "retired_columns", "constraints",
-    "sums", "commit_sums",
+    "sums", "commit_sums", "sort_order", "sorted_commits",
     "last_batch_id", "cdc_applied_version", "ivm_applied_version",
     "sketch",
     # frozen index/model metadata: a published index branch (streaming

@@ -470,6 +470,18 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
             if inc is not None:
                 mv["incremental"] = dict(inc)
             tables[name] = {"mview": mv}
+        elif kind == "set_mview":
+            # INTERNAL (catalog branch publish): install a fully-formed
+            # materialized-view entry — create or update — in the same
+            # atomic flip as the accompanying table pins. Not part of
+            # the public DDL surface; user-facing paths go through
+            # create_mview / catalog_refresh_mview.
+            existing = tables.get(name)
+            if existing is not None and not _is_mview(existing):
+                raise ValueError(
+                    f"set_mview: {name!r} is not a materialized view"
+                )
+            tables[name] = {"mview": dict(op["mview"])}
         elif kind == "drop_mview":
             if name not in tables or not _is_mview(tables[name]):
                 raise KeyError(
@@ -1267,22 +1279,49 @@ def catalog_publish_branch(
     cur = catalog_state(broot_cat)
     head_state = catalog_state(catalog_root)
     touched = {n: p for n, p in cur.items() if "base_root" in p}
-    # stored-view changes staged on the branch (DDL against the branch
-    # catalog) publish in the SAME atomic flip as the table pins —
-    # first-committer-wins per view name, exactly like tables
+    # materialized-view changes staged on the branch (create / refresh /
+    # drop DDL against the branch catalog) publish in the SAME atomic
+    # flip as the table pins — first-committer-wins per name, and a
+    # refreshed mview must pin the BRANCH HEAD of every source (the
+    # staleness re-check: publishing an mview refreshed before a later
+    # branch write would expose a stale materialization as fresh). Pins
+    # that reference per-table branch roots are translated to the
+    # published (real-root, version) pins after the fast-forwards.
     fork_mv = {n: e for n, e in fork["tables"].items() if _is_mview(e)}
     cur_mv = {n: e for n, e in cur.items() if _is_mview(e)}
-    if fork_mv != cur_mv:
-        moved = sorted(
-            n
-            for n in set(fork_mv) | set(cur_mv)
-            if fork_mv.get(n) != cur_mv.get(n)
-        )
-        raise ValueError(
-            f"catalog branch {name!r} changed materialized views {moved}; "
-            "create/refresh materialized views on main (their materialized "
-            "tables live outside the branch's staging scope)"
-        )
+    mv_changed = sorted(
+        n
+        for n in set(fork_mv) | set(cur_mv)
+        if fork_mv.get(n) != cur_mv.get(n)
+    )
+    mv_stage: list[tuple[str, dict | None]] = []  # (name, entry|None=drop)
+    for n in mv_changed:
+        if head_state.get(n) != fork_mv.get(n):
+            raise CatalogConflictError(
+                f"catalog branch {name!r}: materialized view {n!r} moved "
+                "on main since the fork; rebase the branch or re-run "
+                "against the new state"
+            )
+        c = cur_mv.get(n)
+        if c is None:
+            mv_stage.append((n, None))
+            continue
+        mv = dict(c["mview"])
+        if mv.get("pins"):
+            for tname, pin in mv["pins"].items():
+                bpin = cur.get(tname)
+                if (
+                    bpin is None
+                    or _is_virtual(bpin)
+                    or [bpin["root"], bpin["version"]] != list(pin)
+                ):
+                    raise CatalogConflictError(
+                        f"catalog branch {name!r}: materialized view {n!r} "
+                        f"is STALE on the branch (source {tname!r} moved "
+                        "after its refresh) — refresh it on the branch, "
+                        "then publish"
+                    )
+        mv_stage.append((n, mv))
     fork_views = {n: e for n, e in fork["tables"].items() if _is_view(e)}
     cur_views = {n: e for n, e in cur.items() if _is_view(e)}
     vddl: list[dict] = []
@@ -1301,7 +1340,24 @@ def catalog_publish_branch(
             vddl.append({"op": "create_view", "name": n, **c["view"]})
         else:
             vddl.append({"op": "replace_view", "name": n, **c["view"]})
-    if not touched and not vddl:
+    def _mv_ops(published: dict[str, tuple[str, int]]) -> list[dict]:
+        # translate staged mview pins from branch-table coordinates to
+        # the just-published (real root, version) pins
+        ops: list[dict] = []
+        for n, mv in mv_stage:
+            if mv is None:
+                ops.append({"op": "drop_mview", "name": n})
+                continue
+            if mv.get("pins"):
+                mv = dict(mv)
+                mv["pins"] = {
+                    t: list(published.get(t) or pin)
+                    for t, pin in mv["pins"].items()
+                }
+            ops.append({"op": "set_mview", "name": n, "mview": mv})
+        return ops
+
+    if not touched and not vddl and not mv_stage:
         shutil.rmtree(broot_cat)
         return _load_catalog(
             catalog_root, catalog_versions(catalog_root)[-1]
@@ -1317,7 +1373,7 @@ def catalog_publish_branch(
             )
     if not touched:
         out = catalog_ddl(
-            catalog_root, vddl,
+            catalog_root, vddl + _mv_ops({}),
             note=note or f"publish catalog branch {name} (views)",
         )
         shutil.rmtree(broot_cat)
@@ -1327,8 +1383,9 @@ def catalog_publish_branch(
     for n, p in touched.items():
         m = B.snapshot_publish_branch(p["base_root"], tb)
         pins[n] = (p["base_root"], m["version"])
+    ddl = vddl + _mv_ops(pins)
     out = catalog_pin_tables(
-        catalog_root, pins, retries=retries, ddl=vddl or None,
+        catalog_root, pins, retries=retries, ddl=ddl or None,
         note=note or f"publish catalog branch {name}",
     )
     shutil.rmtree(broot_cat)

@@ -114,10 +114,12 @@ def snapshot_maintenance_plan(
     small_thr = target_bytes // 4
     tombs = m.get("tombstones", [])
     opt = set(m.get("optimized_commits", []))
+    sort_order = m.get("sort_order")
+    sorted_cids = set(m.get("sorted_commits", []))
     sketch_cols = (m.get("sketch") or {}).get("cols", [])
     sketch_rollup = m.get("sketch_commits")  # None only on legacy roots
     n_files = total_bytes = small = 0
-    n_commits = unoptimized = 0
+    n_commits = unoptimized = unsorted = 0
     sketch_gap = 0
     tomb_cids: set = set()
     for t in tombs:
@@ -133,6 +135,8 @@ def snapshot_maintenance_plan(
         small += ns
         if opt and cid not in opt:
             unoptimized += 1
+        if sort_order and cid not in sorted_cids:
+            unsorted += 1
         if sketch_cols:
             has = (
                 cid in sketch_rollup
@@ -161,6 +165,7 @@ def snapshot_maintenance_plan(
         "n_tombstones": len(tombs),
         "n_commits": n_commits,
         "unoptimized_commits": unoptimized if opt else None,
+        "unsorted_commits": unsorted if sort_order else None,
         "sketch_gap_commits": sketch_gap if sketch_cols else None,
         "retained_versions": len(versions),
         "n_branches": len(branches),
@@ -190,6 +195,15 @@ def snapshot_maintenance_plan(
                 "reason": f"{unoptimized} commits arrived since the last "
                 "optimize — scan pruning on the clustered columns is "
                 "decaying for new data",
+            }
+        )
+    if sort_order and unsorted >= max_unoptimized_commits:
+        actions.append(
+            {
+                "action": "compact",
+                "reason": f"{unsorted} commits are not laid out by the "
+                f"declared sort order {sort_order} — range pruning on the "
+                "sort key is decaying; a compact rewrite restores it",
             }
         )
     if len(versions) > max_versions:
@@ -254,14 +268,18 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
     m = _load_manifest(root, v)
     small_thr = m.get("small_bytes", _SMALL_FILE_BYTES)
     opt = set(m.get("optimized_commits", []))
+    sort_order = m.get("sort_order")
+    sorted_cids = set(m.get("sorted_commits", []))
     sketch_cols = (m.get("sketch") or {}).get("cols", [])
     sketch_rollup = m.get("sketch_commits")
     specs = m.get("partition_specs") or []
     cparts = m.get("commit_partitions") or {}
     n_commits = n_files = total_bytes = small = 0
-    clustered = sketched = partial = partitioned = 0
+    clustered = sketched = partial = partitioned = sorted_n = 0
     for cid, n, subset in _commit_markers(root, m):
         n_commits += 1
+        if cid in sorted_cids:
+            sorted_n += 1
         nf, tb, ns = _commit_size_triple(root, m, cid, n, subset, small_thr)
         n_files += nf
         total_bytes += tb
@@ -293,6 +311,14 @@ def snapshot_table_stats(root: str, version: int | None = None) -> dict:
         # below 1.0 means staged/legacy commits rely on zone maps alone
         "partition_spec": [list(f) for f in specs[-1]] if specs else None,
         "partition_coverage": (partitioned / n_commits) if specs else None,
+        # declared write order (Iceberg sort order): the clustered-by
+        # columns and the share of commits actually laid out by them —
+        # below 1.0 means pre-declaration or merge-scrambled commits
+        # (compact restores; the advisor reports the debt)
+        "sort_order": list(sort_order) if sort_order else None,
+        "sorted_coverage": (
+            (sorted_n / n_commits) if sort_order and n_commits else None
+        ),
         "n_branches": len(snapshot_branches(root)),
         # declared CHECK constraints (name -> SQL) enforced on every
         # value-introducing write — straight from the root manifest

@@ -65,6 +65,21 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "manifests"
 _DATA_DIR = "data"
 
+
+def new_sorted_layout(
+    forced: bool, cluster_exprs, partition_by, so
+) -> bool:
+    """Whether the commit being written lands SORTED by the declared
+    order: the default write path sorts whenever the order itself drives
+    the clustering; maintenance rewrites that pre-shaped the frame pass
+    ``_sorted_layout=True`` explicitly."""
+    if forced:
+        return True
+    if cluster_exprs is not None:
+        return False
+    return partition_by is None or list(partition_by) == list(so)
+
+
 # Pseudo-column stamp inside each commit_ranges entry (and "stats_v" at the
 # sidecar top level): vouches the stats were produced by the coverage-fixed
 # writer, so fast_agg may serve them as EXACT. Propagates for free with the
@@ -81,7 +96,7 @@ _RESERVED_KEYS = frozenset(
         "delete_info", "committed_at", "commit_files", "sketch",
         "commit_sizes", "sketch_commits", "small_bytes",
         "partition_specs", "commit_partitions", "constraints",
-        "sums", "commit_sums",
+        "sums", "commit_sums", "sort_order", "sorted_commits",
     }
 )
 
@@ -592,7 +607,7 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
     for key in ("last_batch_id", "defaults", "partition_spec",
                 "cdc_applied_version", "ivm_applied_version", "sketch",
                 "small_bytes", "partition_specs", "column_history",
-                "retired_columns", "constraints", "sums",
+                "retired_columns", "constraints", "sums", "sort_order",
                 # persisted-index / model metadata: a maintenance commit
                 # (compact, incremental OPTIMIZE, COW delete/merge,
                 # rollback) is a row-preserving rewrite of the same
@@ -630,6 +645,12 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
         kept = [c for c in prev["optimized_commits"] if c in cids]
         if kept:
             out["optimized_commits"] = kept
+    if "sorted_commits" in prev:
+        # same contract as optimized_commits: a COW rewrite that keeps a
+        # SUBSET of a sorted commit keeps rows sorted — the stamp survives
+        kept = [c for c in prev["sorted_commits"] if c in cids]
+        if kept:
+            out["sorted_commits"] = kept
     return out
 
 
@@ -646,11 +667,13 @@ def snapshot_commit(
     sum_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     partition_transforms: list | None = None,
+    sort_order: list[str] | None = None,
     column_defaults: dict | None = None,
     extra: dict | None = None,
     retries: int = 0,
     expected_head: int | None = None,
     _cluster_exprs: list | None = None,
+    _sorted_layout: bool = False,
 ) -> dict:
     """Commit ``df`` as a new version; returns the new manifest dict.
 
@@ -781,6 +804,19 @@ def snapshot_commit(
         }
     else:
         sums_cfg = prev.get("sums") if prev else None
+    # declared SORT ORDER (Iceberg write-order): sticky like the spec —
+    # later plain commits keep sorting without re-passing it. Re-declaring
+    # a DIFFERENT order replaces it and voids the previous layout stamps
+    # (old commits are not sorted by the new keys). Layout only, never a
+    # correctness dependency: pruning reads the zone maps either way.
+    order_changed = False
+    if sort_order:
+        so = [str(c) for c in sort_order]
+        _validate_sort_order(df.schema, so)
+        prev_so = prev.get("sort_order") if prev else None
+        order_changed = prev_so is not None and prev_so != so
+    else:
+        so = prev.get("sort_order") if prev else None
     from airflow_postgres_csv_spark.operators import partitioning as P
 
     specs = list((prev.get("partition_specs") if prev else None) or [])
@@ -794,6 +830,17 @@ def snapshot_commit(
         P.validate_spec(spec, df.schema)
     else:
         spec = None
+    # effective within-write clustering: maintenance exprs win (an EMPTY
+    # list means "already shaped upstream, do not re-shuffle"), then the
+    # caller's partition_by, then the sticky declared sort order
+    eff_cluster = (
+        _cluster_exprs
+        if _cluster_exprs is not None
+        else (partition_by or so)
+    )
+    stamp_sorted = bool(so) and new_sorted_layout(
+        _sorted_layout, _cluster_exprs, partition_by, so
+    )
     if spec:
         # _cluster_exprs (maintenance-internal): arbitrary sort Columns —
         # compaction keeps the hidden-partition layout and curve-sorts
@@ -801,10 +848,10 @@ def snapshot_commit(
         commit_id, new_files = _write_data(
             df, root,
             partition_cols=P.transform_columns(spec, df.schema),
-            cluster_by=_cluster_exprs or partition_by,
+            cluster_by=eff_cluster,
         )
     else:
-        commit_id, new_files = _write_data(df, root, cluster_by=partition_by)
+        commit_id, new_files = _write_data(df, root, cluster_by=eff_cluster)
     rules = list(expect or []) + sorted(
         ((prev.get("constraints") or {}) if prev else {}).items()
     )
@@ -835,6 +882,16 @@ def snapshot_commit(
             body["sketch"] = sketch_cfg
         if sums_cfg:
             body["sums"] = sums_cfg
+        if so:
+            body["sort_order"] = so
+            if order_changed:
+                # old commits are laid out by the PREVIOUS keys — their
+                # sorted stamps are void under the new declaration
+                body.pop("sorted_commits", None)
+            if stamp_sorted and new_files:
+                body["sorted_commits"] = sorted(
+                    set(body.get("sorted_commits", [])) | {commit_id}
+                )
         if column_defaults:
             body["defaults"] = {**body.get("defaults", {}), **column_defaults}
         if partition_by:
@@ -1277,6 +1334,27 @@ def _build_sums(
             for c in present
         }
     return out
+
+
+_ORDERABLE = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string",
+    "date", "boolean",
+)
+
+
+def _validate_sort_order(schema, cols: list[str]) -> None:
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"sort_order: no such column {c!r}")
+        t = by_name[c]
+        if t not in _ORDERABLE and not t.startswith(
+            ("decimal", "timestamp")
+        ):
+            raise ValueError(
+                f"sort_order: {c!r} is {t} — declared sort orders support "
+                "atomic orderable columns only"
+            )
 
 
 def _validate_sum_cols(schema, cols: list[str]) -> None:
@@ -2341,12 +2419,29 @@ def snapshot_compact(
             # partition instead of range-partitioning globally
             cluster_exprs = [z.alias("__z")]
         else:
-            cluster_exprs = None
+            # pre-shaped here: the empty list tells the commit path not
+            # to re-shuffle (None would fall through to the sticky order)
+            cluster_exprs = []
             df = df.repartitionByRange(n_out, z.alias("__z")).sortWithinPartitions(
                 z.alias("__z")
             )
+        sorted_layout = False
+    elif manifest.get("sort_order"):
+        # no explicit curve: the rewrite HONORS the declared sort order —
+        # compaction restores the clustered layout for pre-declaration
+        # and merge-scrambled commits
+        from pyspark.sql import functions as F
+
+        so = manifest["sort_order"]
+        if manifest.get("partition_specs"):
+            cluster_exprs = [F.col(c) for c in so]
+        else:
+            cluster_exprs = []
+            df = df.repartitionByRange(n_out, *so).sortWithinPartitions(*so)
+        sorted_layout = True
     else:
         cluster_exprs = None
+        sorted_layout = False
         if not manifest.get("partition_specs"):
             df = df.repartition(n_out)
     # Stamp WHAT this overwrite is (inside the atomic publish): a
@@ -2358,6 +2453,7 @@ def snapshot_compact(
     new_m = snapshot_commit(
         df, root, mode="overwrite", extra={"compaction_of": versions[-1]},
         expected_head=versions[-1], _cluster_exprs=cluster_exprs,
+        _sorted_layout=sorted_layout,
     )
     new_m["files_before"] = manifest["n_files"]
     return new_m
@@ -3494,7 +3590,7 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
               "cdc_applied_version", "ivm_applied_version",
               "commit_sizes", "sketch_commits", "small_bytes",
               "partition_specs", "commit_partitions", "constraints",
-              "sums", "commit_sums",
+              "sums", "commit_sums", "sort_order", "sorted_commits",
               # restore the target's sketch config, rename lineage /
               # retired-name reservations, and frozen index/model
               # metadata verbatim — dropping them would NULL-fill
@@ -3878,7 +3974,7 @@ def snapshot_clone(
     for k in ("bloom", "defaults", "partition_spec",
               "commit_sizes", "sketch_commits", "small_bytes",
               "partition_specs", "commit_partitions", "constraints",
-              "sums", "commit_sums",
+              "sums", "commit_sums", "sort_order", "sorted_commits",
               # sketch CONFIG rides with sketch_commits; rename lineage
               # and frozen index/model metadata must survive a clone or
               # the clone null-fills renamed columns / cannot serve

@@ -4435,3 +4435,173 @@ register(
     ORDER BY lang
     """,
 )(snapshot_partition_rollup_query)
+
+
+# ---------------------------------------------------------------------------
+# Declared sort orders (round 11, snapshot_commit(sort_order=)): Iceberg's
+# write-order as sticky table metadata — every commit lands range-clustered
+# on the key, so a range probe prunes MOST files from the zone maps alone.
+# The pruning payoff is part of the oracle gate: the query emits
+# pruned_half = 1 only when the planner skipped at least half the files
+# (and the oracle pins the literal 1), so a layout regression fails
+# correctness, not just a benchmark.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_sort_order_pruned_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = _temp_root()
+    # AQE would coalesce the tiny test-scale range shuffle into one file
+    # and hide the layout; at 100 TB the range write produces thousands
+    # of files and the same probe skips the same fraction
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        snapshot_commit(
+            events.where(F.pmod("event_id", F.lit(2)) == 0),
+            root, sort_order=["cents"],
+        )
+        snapshot_commit(  # the declared order is sticky
+            events.where(F.pmod("event_id", F.lit(2)) == 1), root
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    plan = snapshot_scan_files(root, "cents", 10_000, 19_999)
+    pruned_half = int(
+        plan["skipped"] >= (plan["kept"] + plan["skipped"]) / 2
+    )
+    probe = snapshot_scan(spark, root, "cents", 10_000, 19_999)
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents_total"),
+        F.min("cents").alias("cents_min"),
+        F.max("cents").alias("cents_max"),
+        F.lit(pruned_half).alias("pruned_half"),
+    )
+
+
+register(
+    "snapshot_sort_order_pruned",
+    """
+    WITH cents_rows AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           MIN(cents) AS cents_min,
+           MAX(cents) AS cents_max,
+           1 AS pruned_half
+    FROM cents_rows
+    WHERE cents BETWEEN 10000 AND 19999
+    """,
+)(snapshot_sort_order_pruned_query)
+
+
+# ---------------------------------------------------------------------------
+# Mviews on catalog branches (round 11): a materialized-view refresh staged
+# ON a catalog branch publishes in the SAME atomic flip as the table pins —
+# all-or-nothing visibility of (table write + consistent mview), with the
+# staleness re-check at publish and pin translation from branch-table
+# coordinates to the published main pins. The atomic_pin column is computed
+# in-query: 1 only if the pre-publish catalog version still served the
+# fork-time rollup while the post-publish head serves the full one — the
+# oracle pins the literal, so a visibility leak fails correctness.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_branch_mview_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branch,
+        catalog_branch_write,
+        catalog_ddl,
+        catalog_publish_branch,
+        catalog_read,
+        catalog_refresh_mview,
+        catalog_txn,
+        catalog_versions,
+    )
+
+    cat, eroot, mroot = _temp_root(), _temp_root(), _temp_root()
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    half1 = events.where(F.pmod("event_id", F.lit(2)) == 0)
+    half2 = events.where(F.pmod("event_id", F.lit(2)) == 1)
+    catalog_txn(cat, [{"name": "gold.events", "root": eroot, "df": half1}])
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview", "name": "gold.by_type", "root": mroot,
+            "sql": (
+                "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(SUM(cents) AS BIGINT) AS cents_total "
+                "FROM e GROUP BY event_type"
+            ),
+            "tables": {"e": "gold.events"},
+        }],
+    )
+    catalog_refresh_mview(spark, cat, "gold.by_type")
+    fork_rows = {
+        r.event_type: (r.n, r.cents_total)
+        for r in catalog_read(spark, cat, "gold.by_type").collect()
+    }
+    broot = catalog_branch(cat, "exp")
+    catalog_branch_write(
+        spark, cat, "exp", [{"name": "gold.events", "df": half2}]
+    )
+    catalog_refresh_mview(spark, broot, "gold.by_type")
+    pre_publish_v = catalog_versions(cat)[-1]
+    catalog_publish_branch(cat, "exp")
+    # atomicity: the pre-publish catalog version still serves the
+    # fork-time materialization; the head serves the full one
+    old_rows = {
+        r.event_type: (r.n, r.cents_total)
+        for r in catalog_read(
+            spark, cat, "gold.by_type", catalog_version=pre_publish_v
+        ).collect()
+    }
+    atomic_pin = int(old_rows == fork_rows)
+    return (
+        catalog_read(spark, cat, "gold.by_type")
+        .select(
+            "event_type", "n", "cents_total",
+            F.lit(atomic_pin).alias("atomic_pin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "snapshot_catalog_branch_mview",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_total,
+           1 AS atomic_pin
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(snapshot_catalog_branch_mview_query)

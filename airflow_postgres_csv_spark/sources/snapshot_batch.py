@@ -614,6 +614,49 @@ def _sql_views(spark) -> dict:
     return reg
 
 
+def _sql_reuse(spark) -> dict:
+    """Per-view reuse fingerprints: view -> {"sql", "state"} of the LAST
+    statement that registered its relation. A repeated statement whose
+    text AND table-state token both match skips the fresh-relation
+    re-registration entirely — the relation's scan cache already holds
+    exactly that statement's partitions."""
+    reg = getattr(spark, "_snapshot_sql_reuse", None)
+    if reg is None:
+        reg = {}
+        spark._snapshot_sql_reuse = reg
+    return reg
+
+
+def _spec_state(spec: dict):
+    """A cheap token of the table state a version-unpinned relation
+    resolves to NOW (one directory listing — ~1000x cheaper than a
+    re-registration): latest snapshot version, or the catalog head for
+    catalog-routed views. None = never reuse (branch heads and errors
+    are conservatively fresh)."""
+    try:
+        if spec.get("catalog") is not None:
+            if spec.get("catalog_version") is not None:
+                return ("cat", spec["catalog_version"])
+            from airflow_postgres_csv_spark.operators.catalog_txn import (
+                catalog_versions,
+            )
+
+            vs = catalog_versions(spec["catalog"])
+            return ("cat", vs[-1] if vs else None)
+        if spec.get("branch") is not None:
+            return None
+        if spec.get("version") is not None:
+            return ("v", spec["version"])
+        from airflow_postgres_csv_spark.operators.snapshots import (
+            snapshot_versions,
+        )
+
+        vs = snapshot_versions(spec["root"])
+        return ("v", vs[-1] if vs else None)
+    except Exception:
+        return None
+
+
 def _install_sql_hook(spark) -> None:
     """Give raw ``spark.sql`` text fresh-relation semantics for the
     pruning views in this session's registry (the Python-side analog of
@@ -657,6 +700,24 @@ def _install_sql_hook(spark) -> None:
             _re.search(r"\b(CREATE|CACHE)\b", sqlQuery, _re.IGNORECASE)
         )
         with lock:
+            reuse = _sql_reuse(spark)
+            if not derives:
+                # repeated-identical-statement fast path: same text, same
+                # table state -> the current relation's scan cache holds
+                # exactly this statement's partitions; skip the fresh
+                # registration (saves the dominant per-statement cost)
+                states = {n: _spec_state(views[n]) for n in hit}
+                if all(
+                    (ent := reuse.get(n)) is not None
+                    and states[n] is not None
+                    and ent["sql"] == sqlQuery
+                    and ent["state"] == states[n]
+                    and spark.catalog.tableExists(n)
+                    for n in hit
+                ):
+                    return orig_sql(sqlQuery, *args, **kwargs)
+            else:
+                states = {}
             for n in hit:
                 try:
                     _register_view_relation(
@@ -676,6 +737,10 @@ def _install_sql_hook(spark) -> None:
                             spark, n, views[n], pushdown=False
                         )
                 df = orig_sql(sqlQuery, *args, **kwargs)
+            if not derives:
+                for n in hit:
+                    if n in views and states.get(n) is not None:
+                        reuse[n] = {"sql": sqlQuery, "state": states[n]}
             return df
 
     orig_table = spark.table
@@ -684,6 +749,7 @@ def _install_sql_hook(spark) -> None:
         views = _sql_views(spark)
         if tableName in views:
             with lock:
+                _sql_reuse(spark).pop(tableName, None)
                 try:
                     # a handle the caller may save and reuse across
                     # differently-filtered queries: give it its own
@@ -705,6 +771,7 @@ def snapshot_sql_unregister(spark, name: str) -> None:
     """Drop ``name`` from the pruning registry and the temp-view catalog
     (the statement hook stays installed but no longer touches it)."""
     _sql_views(spark).pop(name, None)
+    _sql_reuse(spark).pop(name, None)
     spark.catalog.dropTempView(name)
 
 
@@ -808,6 +875,7 @@ def snapshot_sql_register(
         "table": table,
         "catalog_version": catalog_version,
     }
+    _sql_reuse(spark).pop(name, None)  # new spec: stale fingerprint dies
     if pushdown:
         _sql_views(spark)[name] = spec
         _install_sql_hook(spark)

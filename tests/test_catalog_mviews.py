@@ -131,9 +131,112 @@ def test_mview_guards(spark, tmp_path):
     catalog_ddl(cat, [{"op": "drop", "name": "sales.orders"}])
 
 
-def test_mview_branch_changes_refused(spark, tmp_path):
+def test_mview_staged_on_branch_publishes_atomically(spark, tmp_path):
+    """Mviews on catalog branches: a refresh staged ON the branch
+    publishes in the SAME atomic flip as the table pins (all-or-nothing
+    visibility of table write + consistent mview), the staleness
+    re-check refuses publishing a refresh that predates a later branch
+    write, and a drop staged on the branch publishes too."""
     from airflow_postgres_csv_spark.operators.catalog_txn import (
+        CatalogConflictError,
         catalog_branch,
+        catalog_branch_write,
+        catalog_publish_branch,
+    )
+
+    cat, ro = _seed(spark, tmp_path)
+    catalog_refresh_mview(spark, cat, "sales.rollup")
+    pre_rollup = {
+        r.bucket: (r.n, r.total)
+        for r in catalog_read(spark, cat, "sales.rollup").collect()
+    }
+    broot = catalog_branch(cat, "exp")
+
+    def more(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 5).alias("bucket"),
+            (F.col("id") % 7).cast("double").alias("amount"),
+        ).coalesce(1)
+
+    catalog_branch_write(
+        spark, cat, "exp", [{"name": "sales.orders", "df": more(100, 160)}]
+    )
+    catalog_refresh_mview(spark, broot, "sales.rollup")
+    # a LATER branch write makes the staged refresh stale: refuse
+    catalog_branch_write(
+        spark, cat, "exp", [{"name": "sales.orders", "df": more(160, 200)}]
+    )
+    with pytest.raises(CatalogConflictError, match="STALE"):
+        catalog_publish_branch(cat, "exp")
+    # re-refresh at the branch head -> publishable, one atomic flip
+    catalog_refresh_mview(spark, broot, "sales.rollup")
+    pre_versions = catalog_versions(cat)
+    catalog_publish_branch(cat, "exp")
+    post_versions = catalog_versions(cat)
+    assert len(post_versions) == len(pre_versions) + 1  # ONE catalog flip
+    got = {
+        r.bucket: (r.n, r.total)
+        for r in catalog_read(spark, cat, "sales.rollup").collect()
+    }
+    want = {
+        r.bucket: (r.n, r.total)
+        for r in catalog_read(spark, cat, "sales.orders")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want and got != pre_rollup
+    # mview entry pins translated to MAIN coordinates (no branch roots)
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_mviews,
+    )
+
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_state,
+    )
+
+    mv = catalog_mviews(cat)["sales.rollup"]
+    assert mv["stale"] is False
+    # pins were translated from branch-table coordinates to the exact
+    # main pins the flip published
+    head = catalog_state(cat)
+    assert mv["pins"]["sales.orders"] == [
+        head["sales.orders"]["root"], head["sales.orders"]["version"]
+    ]
+    # time travel: the pre-publish catalog version serves the OLD world
+    old = {
+        r.bucket: (r.n, r.total)
+        for r in catalog_read(
+            spark, cat, "sales.rollup", catalog_version=pre_versions[-1]
+        ).collect()
+    }
+    assert old == pre_rollup
+    # a drop staged on a fresh branch publishes atomically too
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_branches,
+    )
+
+    catalog_branch(cat, "exp2")
+    b2 = catalog_branches(cat)["exp2"]["root"]
+    catalog_ddl(b2, [{"op": "drop_mview", "name": "sales.rollup"}])
+    catalog_publish_branch(cat, "exp2")
+    assert "sales.rollup" not in catalog_mviews(cat)
+
+
+def test_mview_branch_publish_conflicts_when_main_refreshed(
+    spark, tmp_path
+):
+    """First-committer-wins per mview name: a branch that staged a
+    refresh conflicts if main refreshed (moved) the same mview since
+    the fork."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        CatalogConflictError,
+        catalog_branch,
+        catalog_branch_write,
         catalog_drop_branch,
         catalog_publish_branch,
     )
@@ -141,8 +244,35 @@ def test_mview_branch_changes_refused(spark, tmp_path):
     cat, ro = _seed(spark, tmp_path)
     catalog_refresh_mview(spark, cat, "sales.rollup")
     broot = catalog_branch(cat, "exp")
-    catalog_ddl(broot, [{"op": "drop_mview", "name": "sales.rollup"}])
-    with pytest.raises(ValueError, match="materialized views"):
+    catalog_branch_write(
+        spark, cat, "exp",
+        [{
+            "name": "sales.orders",
+            "df": spark.range(100, 120).select(
+                "id", (F.col("id") % 5).alias("bucket"),
+                (F.col("id") % 7).cast("double").alias("amount"),
+            ).coalesce(1),
+        }],
+    )
+    catalog_refresh_mview(spark, broot, "sales.rollup")
+    # main moves the SAME mview (out-of-band source write + refresh)
+    snapshot_commit(
+        spark.range(500, 510).select(
+            "id", (F.col("id") % 5).alias("bucket"),
+            (F.col("id") % 7).cast("double").alias("amount"),
+        ).coalesce(1),
+        ro,
+    )
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_pin_tables,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_versions as _svs,
+    )
+
+    catalog_pin_tables(cat, {"sales.orders": (ro, _svs(ro)[-1])})
+    catalog_refresh_mview(spark, cat, "sales.rollup")
+    with pytest.raises(CatalogConflictError):
         catalog_publish_branch(cat, "exp")
     catalog_drop_branch(cat, "exp")
 

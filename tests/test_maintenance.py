@@ -440,3 +440,40 @@ def test_vacuum_bounded_at_10k_commits(spark, tmp_path):
     assert wall < 5.0, f"vacuum took {wall:.2f}s at {n} commits"
     # every pinned file survived (the seed's real file reads back)
     assert snapshot_read(spark, root, version=1).count() == 10
+
+
+def test_maintenance_plan_sort_debt_axis(spark, tmp_path):
+    """Advisor trigger/recovery for declared sort orders: commits that
+    predate the declaration (or arrived via direct-publish rewrites) are
+    unsorted debt — at the threshold the plan recommends a compact with
+    the sort-order reason; the compact honors the order and the plan
+    clears."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "t")
+    for k in range(8):  # pre-declaration commits: all unsorted debt
+        snapshot_commit(_batch(spark, k * 10, (k + 1) * 10).coalesce(1), root)
+    snapshot_commit(
+        _batch(spark, 80, 90).coalesce(1), root, sort_order=["id"]
+    )
+    plan = snapshot_maintenance_plan(root)
+    assert plan["metrics"]["unsorted_commits"] == 8
+    reasons = [
+        a["reason"] for a in plan["actions"] if a["action"] == "compact"
+    ]
+    assert any("sort order" in r for r in reasons), plan["actions"]
+    # recovery: the compact rewrite restores the declared layout
+    snapshot_compact(spark, root)
+    plan2 = snapshot_maintenance_plan(root)
+    assert plan2["metrics"]["unsorted_commits"] == 0
+    assert not any(
+        "sort order" in a["reason"] for a in plan2["actions"]
+    )
+    # tables without a declared order never report the axis
+    root2 = str(tmp_path / "plain")
+    snapshot_commit(_batch(spark, 0, 10).coalesce(1), root2)
+    assert snapshot_maintenance_plan(root2)["metrics"][
+        "unsorted_commits"
+    ] is None

@@ -576,3 +576,58 @@ def test_sql_view_spark_table_handle_is_reuse_safe(spark, tmp_path):
         "SELECT * FROM sv_handle WHERE id >= 350"
     ).rdd.getNumPartitions()
     assert 0 < n_sel < n_full
+
+
+def test_sql_repeated_identical_statement_skips_reregistration(
+    spark, tmp_path, monkeypatch
+):
+    """Reuse fingerprint: a repeated IDENTICAL statement over the same
+    table state skips the fresh-relation re-registration (the dominant
+    per-statement cost) — while a new commit, a different statement, or
+    an interleaved different-filter statement still gets a fresh
+    relation, and the poisoning sequences stay exact."""
+    from airflow_postgres_csv_spark.sources import snapshot_batch as SB
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
+        )
+    snapshot_sql_register(spark, "sv_reuse", root)
+    calls = {"n": 0}
+    real = SB._register_view_relation
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(SB, "_register_view_relation", counting)
+    q = "SELECT COUNT(*) AS n FROM sv_reuse WHERE id >= 150"
+    assert spark.sql(q).first().n == 50
+    first = calls["n"]
+    assert first >= 1
+    # identical statement, unchanged table: zero new registrations
+    assert spark.sql(q).first().n == 50
+    assert calls["n"] == first
+    assert spark.sql(q).first().n == 50
+    assert calls["n"] == first
+    # a DIFFERENT statement re-registers (its own fresh cache)...
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_reuse").first().n == 200
+    assert calls["n"] > first
+    # ...and invalidates the reuse entry for the earlier text
+    mid = calls["n"]
+    assert spark.sql(q).first().n == 50
+    assert calls["n"] > mid
+    # a new commit moves the state token: the repeated text re-registers
+    # and sees the new rows (no stale serving through the fast path)
+    before = calls["n"]
+    assert spark.sql(q).first().n == 50
+    assert calls["n"] == before  # warm again
+    snapshot_commit(
+        _df(spark, 200, 260).repartition(2), root, partition_by=["id"]
+    )
+    assert spark.sql(q).first().n == 110
+    assert calls["n"] > before

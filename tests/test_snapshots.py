@@ -2818,3 +2818,101 @@ def test_alter_rename_validation_holes_closed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="once carried"):
         snapshot_alter(root, add={"a": "long"})
+
+
+def test_sort_order_sticky_layout_and_pruning(spark, tmp_path):
+    """Declared sort orders (Iceberg write-order): sticky across plain
+    commits, every commit written under it lands range-clustered on the
+    keys, and the payoff is structural — a range probe on the sort key
+    skips MOST files via the zone maps (the pin requires >= half). The
+    order survives direct-publish maintenance (merge) via inheritance,
+    the merge's own commit is correctly NOT stamped sorted, and
+    snapshot_compact restores full sorted coverage."""
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_table_stats,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_merge,
+        snapshot_scan,
+        snapshot_scan_files,
+    )
+
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "t")
+
+    def scrambled(lo, hi):
+        return spark.range(lo, hi).select(
+            ((F.col("id") * 37) % 1000).alias("v"), "id"
+        )
+
+    # AQE would coalesce this small shuffle into one file and hide the
+    # layout; at real scale the range write produces many files
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        m1 = snapshot_commit(scrambled(0, 4000), root, sort_order=["v"])
+        m2 = snapshot_commit(scrambled(4000, 8000), root)  # sticky
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    assert m["sort_order"] == ["v"]
+    assert set(m["sorted_commits"]) == {m1["commit_id"], m2["commit_id"]}
+    plan = snapshot_scan_files(root, "v", 100, 199)
+    total = plan["kept"] + plan["skipped"]
+    assert total >= 8 and plan["skipped"] >= total / 2, plan
+    got = sorted(
+        r.id for r in snapshot_scan(spark, root, "v", 100, 199).collect()
+    )
+    want = sorted(
+        r.id
+        for r in snapshot_read(spark, root)
+        .where("v between 100 and 199")
+        .collect()
+    )
+    assert got == want and got
+    st = snapshot_table_stats(root)
+    assert st["sort_order"] == ["v"] and st["sorted_coverage"] == 1.0
+    # COW merge publishes directly (bypasses snapshot_commit): the order
+    # must survive by inheritance, the merge commit is NOT sorted
+    snapshot_merge(
+        spark, root,
+        spark.createDataFrame([(5, 999_999)], "v long, id long"),
+        key="id",
+    )
+    st = snapshot_table_stats(root)
+    assert st["sort_order"] == ["v"] and st["sorted_coverage"] < 1.0
+    # compact honors the declared order and restores coverage
+    snapshot_compact(spark, root, target_bytes=64 * 1024)
+    st = snapshot_table_stats(root)
+    assert st["sorted_coverage"] == 1.0
+    assert snapshot_read(spark, root).count() == 8001
+
+
+def test_sort_order_redeclare_voids_stamps_and_validates(spark, tmp_path):
+    """Re-declaring a DIFFERENT order replaces it and voids the previous
+    layout stamps (old commits are not sorted by the new keys); invalid
+    columns are refused loudly."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 7).alias("v"),
+        F.array(F.lit(1)).alias("arr"),
+    )
+    m1 = snapshot_commit(df.drop("arr"), root, sort_order=["v"])
+    m2 = snapshot_commit(
+        spark.range(100, 200).select("id", (F.col("id") % 7).alias("v")),
+        root, sort_order=["id"],
+    )
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    assert m["sort_order"] == ["id"]
+    assert m["sorted_commits"] == [m2["commit_id"]], (
+        "stamps under the old order must be voided"
+    )
+    assert m1["commit_id"] not in m["sorted_commits"]
+    with pytest.raises(ValueError, match="no such column"):
+        snapshot_commit(df.drop("arr"), root, sort_order=["nope"])
+    with pytest.raises(ValueError, match="orderable"):
+        snapshot_commit(df, root, sort_order=["arr"],
+                        allow_schema_change=True)
