@@ -272,6 +272,16 @@ def _rebase_body(
         if cid in bm.get("sketch_commits", []):
             body.setdefault("sketch_commits", [])
             body["sketch_commits"].append(cid)
+        # sorted-layout stamps follow their commits, but only when the
+        # branch wrote under the SAME declared order main carries —
+        # a branch that re-declared a different order sorted by keys
+        # main does not recognize
+        if cid in bm.get("sorted_commits", []) and head_m.get(
+            "sort_order"
+        ) == bm.get("sort_order"):
+            body["sorted_commits"] = sorted(
+                set(body.get("sorted_commits", [])) | {cid}
+            )
     # monotone stamps merge by max: the streaming WAP sink threads its
     # batch id through the branch commit, and main may carry older stamps
     for stamp in ("last_batch_id", "cdc_applied_version",

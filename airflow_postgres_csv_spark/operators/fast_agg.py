@@ -318,17 +318,23 @@ def _partition_filtered(
 
 
 def _group_rollup(
-    root: str, manifest: dict, group_by: str, sums_cols: list[str]
+    root: str,
+    manifest: dict,
+    group_by: str,
+    sums_cols: list[str],
+    range_cols: list[str] = (),
 ) -> tuple | None:
-    """Exact per-group ``{value: [n_rows, {col: [sum, nn]}]}`` for an
-    IDENTITY-partitioned column, from commit sidecars alone — Iceberg's
-    partitions-metadata-table rollup as a GROUP BY: every file holds
-    exactly one value of an identity-transform column, so its sidecar
-    row count and per-file sums attribute to that group exactly. Returns
+    """Exact per-group ``{value: [n_rows, {col: [sum, nn]},
+    {col: [min, max]}]}`` for an IDENTITY-partitioned column, from
+    commit sidecars alone — Iceberg's partitions-metadata-table rollup
+    as a GROUP BY: every file holds exactly one value of an
+    identity-transform column, so its sidecar row count, per-file sums,
+    and per-file zone maps attribute to that group exactly. Returns
     ``(groups, source)`` or None when any pinned file cannot prove its
     group (no spec, pre-spec commit, non-identity field, missing tuple,
     a string column whose parsed tuple int-coerced — '0123' and '123'
-    conflate in hive paths — or a file without recorded sums).
+    conflate in hive paths — a file without recorded sums, or
+    unstamped/absent/incomparable range stats for ``range_cols``).
     O(commits) sidecar reads, zero data I/O."""
     specs = manifest.get("partition_specs") or []
     cparts = manifest.get("commit_partitions") or {}
@@ -367,6 +373,9 @@ def _group_rollup(
         pvals = sc.get("partitions") or {}
         rmap = sc.get("rows") or {}
         smap = sc.get("sums") or {}
+        stats = sc.get("stats") or {}
+        if range_cols and not sc.get("stats_v"):
+            return None  # unstamped vintage: ranges not provably exact
         files = (
             subset
             if subset is not None
@@ -375,7 +384,10 @@ def _group_rollup(
         if subset is None and len(files) != n:
             files = _commit_files_from_sidecar(root, manifest, cid, n)
         fields = _schema_fields(manifest, cid)
-        phys_of = {c: _written_name(c, fields, history) for c in sums_cols}
+        phys_of = {
+            c: _written_name(c, fields, history)
+            for c in set(sums_cols) | set(range_cols)
+        }
         for rel in files:
             tup = pvals.get(rel)
             if tup is None:
@@ -389,7 +401,12 @@ def _group_rollup(
                 nrows = _footer_meta(os.path.join(root, rel))[1]
                 source = _weaker(source, "footer")
             ent = groups.setdefault(
-                gval, [0, {c: [0, 0] for c in sums_cols}]
+                gval,
+                [
+                    0,
+                    {c: [0, 0] for c in sums_cols},
+                    {c: None for c in range_cols},
+                ],
             )
             ent[0] += nrows
             for c in sums_cols:
@@ -399,6 +416,22 @@ def _group_rollup(
                     return None  # a file without recorded sums: scan
                 ent[1][c][0] += int(s[0])
                 ent[1][c][1] += int(s[1])
+            for c in range_cols:
+                phys = phys_of[c]
+                rng = (stats.get(rel) or {}).get(phys) if phys else None
+                if rng is None:
+                    # absent stats cannot distinguish all-NULL from
+                    # dropped — only the scan is provably exact
+                    return None
+                cur = ent[2][c]
+                try:
+                    ent[2][c] = (
+                        list(rng)
+                        if cur is None
+                        else [min(cur[0], rng[0]), max(cur[1], rng[1])]
+                    )
+                except TypeError:
+                    return None  # incomparable cross-commit types
     return groups, source
 
 
@@ -443,16 +476,21 @@ def _fast_group_by(
     manifest: dict,
     v: int,
     group_by: str,
+    cols: list[str],
     sums_cols: list[str],
     spark: SparkSession | None,
     allow_scan: bool,
 ) -> dict:
     """The group_by= arm of snapshot_fast_agg: sidecar rollup when every
-    file's group is provable, ONE Spark GROUP BY otherwise."""
+    file's group is provable, ONE Spark GROUP BY otherwise. ``cols``
+    become per-group MIN/MAX (from stamped per-file zone maps — every
+    file of an identity partition belongs to exactly one group)."""
     rollup = None
     if not manifest.get("tombstones"):
         try:
-            rollup = _group_rollup(root, manifest, group_by, sums_cols)
+            rollup = _group_rollup(
+                root, manifest, group_by, sums_cols, cols
+            )
         except (FileNotFoundError, RuntimeError):
             if not allow_scan:
                 raise
@@ -469,6 +507,13 @@ def _fast_group_by(
                         "n_nonnull": nn,
                     }
                     for c, (s, nn) in ent[1].items()
+                },
+                "columns": {
+                    c: {
+                        "min": rng[0] if rng else None,
+                        "max": rng[1] if rng else None,
+                    }
+                    for c, rng in ent[2].items()
                 },
             }
             for k, ent in groups.items()
@@ -493,6 +538,9 @@ def _fast_group_by(
     for c in sums_cols:
         aggs.append(F.sum(c).alias(f"__sm_{c}"))
         aggs.append(F.count(c).alias(f"__sn_{c}"))
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
     rows = df.groupBy(group_by).agg(*aggs).collect()
     out_groups = []
     for r in rows:
@@ -511,6 +559,10 @@ def _fast_group_by(
                         "n_nonnull": int(d[f"__sn_{c}"]),
                     }
                     for c in sums_cols
+                },
+                "columns": {
+                    c: {"min": d[f"__mn_{c}"], "max": d[f"__mx_{c}"]}
+                    for c in cols
                 },
             }
         )
@@ -552,19 +604,22 @@ def snapshot_fast_agg(
     RuntimeError instead of scanning; ``spark`` is only required when the
     scan fallback is reachable.
 
-    ``group_by=col`` (mutually exclusive with ``cols``/``where``) is the
+    ``group_by=col`` (mutually exclusive with ``where``) is the
     metadata-only GROUP BY — Iceberg's partitions-metadata rollup as an
     aggregate: for an IDENTITY-partitioned column every file belongs to
-    exactly one group, so per-group COUNT(*) and SUM(sums) roll up from
-    the commit sidecars' row/sum maps with zero data I/O. Returns::
+    exactly one group, so per-group COUNT(*), SUM(sums), and
+    MIN/MAX(cols) roll up from the commit sidecars' row/sum/zone-map
+    entries with zero data I/O. Returns::
 
         {"version": v, "group_by": col, "source": src,
          "groups": [{"key": value, "n_rows": int,
-                     "sums": {c: {"value": .., "n_nonnull": ..}}}, ...]}
+                     "sums": {c: {"value": .., "n_nonnull": ..}},
+                     "columns": {c: {"min": .., "max": ..}}}, ...]}
 
     sorted by key (NULL first). Any unprovable attribution (no identity
     spec, pre-spec commits, int-coerced string tuples, missing per-file
-    sums) flips the whole call to one Spark GROUP BY scan."""
+    sums, unstamped/absent range stats) flips the whole call to one
+    Spark GROUP BY scan."""
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {root}")
@@ -599,16 +654,15 @@ def snapshot_fast_agg(
                 "where values must be non-NULL (equality never matches NULL)"
             )
     if group_by is not None:
-        if cols or where:
-            raise ValueError(
-                "group_by= is mutually exclusive with cols/where"
-            )
+        if where:
+            raise ValueError("group_by= is mutually exclusive with where")
         if group_by not in current:
             raise ValueError(
                 f"group_by column {group_by!r} not in version {v} schema"
             )
         return _fast_group_by(
-            root, manifest, v, group_by, list(sums), spark, allow_scan
+            root, manifest, v, group_by, list(cols), list(sums),
+            spark, allow_scan,
         )
 
     out: dict = {"version": v, "columns": {}, "sums": {}}

@@ -4405,7 +4405,7 @@ def snapshot_partition_rollup_query(
         docs.where(F.pmod("doc_id", F.lit(2)) == 1), root
     )
     res = snapshot_fast_agg(
-        root, group_by="lang", sums=["n_chars"], spark=None,
+        root, ["n_chars"], group_by="lang", sums=["n_chars"], spark=None,
         allow_scan=False,
     )
     rows = [
@@ -4414,12 +4414,15 @@ def snapshot_partition_rollup_query(
             g["n_rows"],
             g["sums"]["n_chars"]["value"],
             g["sums"]["n_chars"]["n_nonnull"],
+            g["columns"]["n_chars"]["min"],
+            g["columns"]["n_chars"]["max"],
         )
         for g in res["groups"]
     ]
     return spark.createDataFrame(
         rows,
-        "lang string, n_docs bigint, chars_total bigint, n_chars_nn bigint",
+        "lang string, n_docs bigint, chars_total bigint, "
+        "n_chars_nn bigint, chars_min bigint, chars_max bigint",
     ).orderBy("lang")
 
 
@@ -4429,7 +4432,9 @@ register(
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS chars_total,
-           CAST(COUNT(n_chars) AS BIGINT) AS n_chars_nn
+           CAST(COUNT(n_chars) AS BIGINT) AS n_chars_nn,
+           MIN(n_chars) AS chars_min,
+           MAX(n_chars) AS chars_max
     FROM documents
     GROUP BY lang
     ORDER BY lang

@@ -701,7 +701,7 @@ def _install_sql_hook(spark) -> None:
         )
         with lock:
             reuse = _sql_reuse(spark)
-            if not derives:
+            if not derives and not args and not kwargs:
                 # repeated-identical-statement fast path: same text, same
                 # table state -> the current relation's scan cache holds
                 # exactly this statement's partitions; skip the fresh
@@ -717,6 +717,9 @@ def _install_sql_hook(spark) -> None:
                 ):
                     return orig_sql(sqlQuery, *args, **kwargs)
             else:
+                # derived objects and PARAMETERIZED statements (args bind
+                # different literals into the same text -> different
+                # pushed filters) never take or record the fast path
                 states = {}
             for n in hit:
                 try:

@@ -191,6 +191,12 @@ HEADLINE = [
     "snapshot_catalog_mview_ivm",
     # metadata-only SUM pushdown via the per-commit integral sum rollup
     "snapshot_fast_sum",
+    # round-11 additions: metadata-only GROUP BY (sidecar rollup, zero
+    # data I/O), declared sort orders (pruning payoff pinned in-query),
+    # and mview refreshes staged + published atomically on catalog branches
+    "snapshot_partition_rollup",
+    "snapshot_sort_order_pruned",
+    "snapshot_catalog_branch_mview",
 ]
 
 

@@ -854,3 +854,28 @@ def test_publish_carries_index_model_metadata(spark, tmp_path):
         spark, root, emb.filter("vec_id < 3"), k=3, n_probe=8
     )
     assert out.count() == 9
+
+
+def test_branch_publish_carries_sorted_stamps(spark, tmp_path):
+    """A commit staged on a branch under the table's declared sort order
+    keeps its sorted-layout stamp through the fast-forward publish —
+    dropping it would make the advisor report phantom sort debt."""
+    from airflow_postgres_csv_spark.operators.branches import _branch_root
+    from airflow_postgres_csv_spark.operators.maintenance import (
+        snapshot_table_stats,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(0, 100).select("id", (F.col("id") % 9).alias("v")),
+        root, sort_order=["v"],
+    )
+    snapshot_branch(root, "exp")
+    broot = _branch_root(root, "exp")
+    snapshot_commit(
+        spark.range(100, 200).select("id", (F.col("id") % 9).alias("v")),
+        broot,
+    )
+    snapshot_publish_branch(root, "exp")
+    st = snapshot_table_stats(root)
+    assert st["sort_order"] == ["v"] and st["sorted_coverage"] == 1.0

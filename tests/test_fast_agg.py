@@ -758,30 +758,32 @@ def test_group_by_metadata_rollup(spark, tmp_path, monkeypatch):
     )
     snapshot_commit(sgb(60, 100), root)  # spec + sum_cols are sticky
     want = {
-        (r.lang): (r.n, r.s, r.nn)
+        (r.lang): (r.n, r.s, r.nn, r.mn, r.mx)
         for r in snapshot_read(spark, root)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("amt").alias("s"),
             F.count("amt").alias("nn"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
         )
         .collect()
     }
     S._metadata_cache_clear()
     _bomb_scan(monkeypatch)
     got = snapshot_fast_agg(
-        root, group_by="lang", sums=["amt"], spark=None, allow_scan=False
+        root, ["id"], group_by="lang", sums=["amt"], spark=None,
+        allow_scan=False,
     )
     assert got["source"] in ("root", "sidecar")
     assert [g["key"] for g in got["groups"]] == sorted(want)
     for g in got["groups"]:
-        n, s, nn = want[g["key"]]
+        n, s, nn, mn, mx = want[g["key"]]
         assert g["n_rows"] == n
         assert g["sums"]["amt"] == {"value": s, "n_nonnull": nn}
-    # mutually exclusive with cols/where
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        snapshot_fast_agg(root, ["id"], group_by="lang")
+        assert g["columns"]["id"] == {"min": mn, "max": mx}
+    # mutually exclusive with where
     with pytest.raises(ValueError, match="mutually exclusive"):
         snapshot_fast_agg(root, group_by="lang", where={"lang": "L1"})
 

@@ -631,3 +631,23 @@ def test_sql_repeated_identical_statement_skips_reregistration(
     )
     assert spark.sql(q).first().n == 110
     assert calls["n"] > before
+
+
+def test_sql_parameterized_statements_never_reuse(spark, tmp_path):
+    """Parameterized statements bind DIFFERENT literals into identical
+    text — the reuse fast path must never serve the previous binding's
+    pruned partitions."""
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100):
+        snapshot_commit(
+            _df(spark, lo, lo + 100).repartition(2), root, partition_by=["id"]
+        )
+    snapshot_sql_register(spark, "sv_param", root)
+    q = "SELECT COUNT(*) AS n FROM sv_param WHERE id >= :lo"
+    assert spark.sql(q, args={"lo": 150}).first().n == 50
+    assert spark.sql(q, args={"lo": 10}).first().n == 190
+    assert spark.sql(q, args={"lo": 150}).first().n == 50
