@@ -817,6 +817,13 @@ def snapshot_commit(
         order_changed = prev_so is not None and prev_so != so
     else:
         so = prev.get("sort_order") if prev else None
+        if so and any(c not in df.columns for c in so):
+            raise ValueError(
+                f"this table's declared sort order {so} references "
+                "columns missing from the batch — re-declare sort_order= "
+                "on this commit (or rename through snapshot_alter, which "
+                "follows the order automatically)"
+            )
     from airflow_postgres_csv_spark.operators import partitioning as P
 
     specs = list((prev.get("partition_specs") if prev else None) or [])
@@ -3384,6 +3391,22 @@ def snapshot_alter(
             protected.add(t["key_col"])
     protected |= set((prev.get("bloom") or {}).get("cols", []))
     protected |= set((prev.get("sketch") or {}).get("cols", []))
+    so_cols = set(prev.get("sort_order") or [])
+    sum_cols_cfg = set((prev.get("sums") or {}).get("cols", []))
+    for name in drop:
+        if name in so_cols:
+            raise ValueError(
+                f"DROP COLUMN {name!r}: the declared sort order "
+                f"{prev['sort_order']} depends on it — re-declare "
+                "sort_order on a commit first"
+            )
+        if name in sum_cols_cfg:
+            # the sticky sum config would make the NEXT write's
+            # _build_sums reference a missing column
+            raise ValueError(
+                f"DROP COLUMN {name!r}: the per-commit sum rollup config "
+                "still lists it — rewrite the table to reconfigure"
+            )
     # declared-constraint dependencies: conservative word match on the
     # stored SQL text (a column name inside a string literal refuses too
     # — drop the constraint first, then the column)
@@ -3457,6 +3480,22 @@ def snapshot_alter(
         history[new] = [old] + history.pop(old, [])
     commit_id = uuid.uuid4().hex[:12]
     body = _inherit_maps(prev, prev["files"])
+    if "sort_order" in body and rename:
+        # a rename leaves the physical layout (and the sorted stamps)
+        # untouched — the declared order follows the new name
+        body["sort_order"] = [
+            rename.get(c, c) for c in body["sort_order"]
+        ]
+    if "sums" in body and rename:
+        # the sticky sum config follows the rename too: new files record
+        # sums under the new physical name, old commits resolve through
+        # the rename lineage exactly like MIN/MAX zone maps
+        body["sums"] = {
+            **body["sums"],
+            "cols": sorted(
+                rename.get(c, c) for c in body["sums"].get("cols", [])
+            ),
+        }
     for key in ("bloom", "sketch"):
         if key in prev:
             body[key] = prev[key]

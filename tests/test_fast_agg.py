@@ -853,3 +853,33 @@ def test_metadata_partitions_table_record_count(spark, tmp_path):
     assert got == {"[0]": 30, "[1]": 30, "[2]": 30}
     files = snapshot_metadata_table(spark, root, "files")
     assert sum(r.record_count for r in files.collect()) == 90
+
+
+def test_sum_config_follows_rename_and_refuses_drop(spark, tmp_path):
+    """Renaming a summed column rewrites the sticky sum config so the
+    NEXT write's rollup builder targets the new name (the old config
+    would reference a missing column and crash); old commits keep
+    resolving through the rename lineage. Dropping a summed column is
+    refused with guidance."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(_sbatch(spark, 0, 40).coalesce(1), root, sum_cols=["amt"])
+    snapshot_alter(root, rename={"amt": "amount"})
+    # the write that used to crash: sticky config now targets 'amount'
+    snapshot_commit(
+        spark.range(40, 70).select(
+            "id", (F.col("id") % 5).alias("g"),
+            (F.col("id") * 3).alias("amount"),
+        ).coalesce(1),
+        root,
+    )
+    want = (
+        snapshot_read(spark, root).agg(F.sum("amount").alias("s")).first()["s"]
+    )
+    got = snapshot_fast_agg(root, sums=["amount"], spark=None, allow_scan=False)
+    assert got["sums"]["amount"]["value"] == want
+    with pytest.raises(ValueError, match="sum rollup config"):
+        snapshot_alter(root, drop=["amount"])

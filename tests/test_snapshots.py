@@ -2916,3 +2916,37 @@ def test_sort_order_redeclare_voids_stamps_and_validates(spark, tmp_path):
     with pytest.raises(ValueError, match="orderable"):
         snapshot_commit(df, root, sort_order=["arr"],
                         allow_schema_change=True)
+
+
+def test_sort_order_alter_interplay(spark, tmp_path):
+    """ALTER vs declared sort order: RENAME follows the order to the new
+    name (layout + stamps untouched), DROP of an order column is refused
+    with guidance, and a schema-changing commit that omits the order's
+    columns raises clearly instead of crashing inside the range write."""
+    from airflow_postgres_csv_spark.operators import snapshots as S
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_alter,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(0, 50).select("id", (F.col("id") % 9).alias("v")),
+        root, sort_order=["v"],
+    )
+    snapshot_alter(root, rename={"v": "score"})
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    assert m["sort_order"] == ["score"]
+    assert len(m["sorted_commits"]) == 1  # stamps survive the rename
+    snapshot_commit(  # sticky under the NEW name
+        spark.range(50, 80).select("id", (F.col("id") % 9).alias("score")),
+        root,
+    )
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    assert len(m["sorted_commits"]) == 2
+    with pytest.raises(ValueError, match="sort order"):
+        snapshot_alter(root, drop=["score"])
+    with pytest.raises(ValueError, match="sort order"):
+        snapshot_commit(
+            spark.range(3).select("id"), root, allow_schema_change=True,
+            mode="overwrite",
+        )
