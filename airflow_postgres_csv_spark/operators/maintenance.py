@@ -200,10 +200,11 @@ def snapshot_maintenance_plan(
     if sort_order and unsorted >= max_unoptimized_commits:
         actions.append(
             {
-                "action": "compact",
+                "action": "optimize_incremental",
                 "reason": f"{unsorted} commits are not laid out by the "
                 f"declared sort order {sort_order} — range pruning on the "
-                "sort key is decaying; a compact rewrite restores it",
+                "sort key is decaying; snapshot_optimize_incremental "
+                "(no zorder_by) re-clusters ONLY those commits",
             }
         )
     if len(versions) > max_versions:

@@ -2469,7 +2469,7 @@ def snapshot_compact(
 def snapshot_optimize_incremental(
     spark: SparkSession,
     root: str,
-    zorder_by: tuple[str, ...],
+    zorder_by: tuple[str, ...] | None = None,
     curve: str = "morton",
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
@@ -2479,6 +2479,15 @@ def snapshot_optimize_incremental(
     the maintenance shape a long-lived streaming table needs at 100 TB,
     where a full-table ``snapshot_compact`` rewrite per cycle is not an
     option (Delta's incremental OPTIMIZE / liquid-clustering cadence).
+
+    With ``zorder_by`` omitted, the cycle restores the table's DECLARED
+    SORT ORDER instead: commits stamped ``sorted_commits`` are inherited
+    by pointer, everything else (pre-declaration commits, COW-merge
+    rewrites, staged data-source writes) is read and range-clustered on
+    the declared keys as one new sorted-stamped commit — O(unsorted
+    data) per cycle, which is what the maintenance advisor recommends
+    for sort debt (a full compact would rewrite the already-sorted bulk
+    too).
 
     Files of commits stamped ``optimized_commits`` (this op's own prior
     outputs, inherited across appends; a COW rewrite that keeps a subset
@@ -2514,37 +2523,59 @@ def snapshot_optimize_incremental(
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"curve must be morton|hilbert, got {curve!r}")
     manifest = _load_manifest(root, versions[-1])
+    sort_mode = zorder_by is None
+    so = manifest.get("sort_order")
+    if sort_mode and not so:
+        raise ValueError(
+            "zorder_by omitted and the table declares no sort order — "
+            "pass zorder_by=(cols,) or snapshot_commit(sort_order=[...]) "
+            "first"
+        )
+    done = (
+        set(manifest.get("sorted_commits", []))
+        if sort_mode
+        else set(manifest.get("optimized_commits", []))
+    )
     prev_opt = set(manifest.get("optimized_commits", []))
-    keep = [rel for rel in manifest["files"] if _commit_of(rel) in prev_opt]
-    redo = [rel for rel in manifest["files"] if _commit_of(rel) not in prev_opt]
+    keep = [rel for rel in manifest["files"] if _commit_of(rel) in done]
+    redo = [rel for rel in manifest["files"] if _commit_of(rel) not in done]
     if len(redo) < min_files:
         return manifest
     df = _read_pinned(spark, root, manifest, redo)
 
-    curve_fn = hilbert_value if curve == "hilbert" else zorder_value
-    cols = tuple(zorder_by)
-    bits = min(16, max_curve_bits(len(cols)))
-    bounds = df.agg(*[f(c) for c in cols for f in (F.min, F.max)]).first()
-    scale = (1 << bits) - 1
+    if sort_mode:
+        z = None
+    else:
+        curve_fn = hilbert_value if curve == "hilbert" else zorder_value
+        cols = tuple(zorder_by)
+        bits = min(16, max_curve_bits(len(cols)))
+        bounds = df.agg(
+            *[f(c) for c in cols for f in (F.min, F.max)]
+        ).first()
+        scale = (1 << bits) - 1
 
-    def _norm(col, lo, hi):
-        if lo is None:  # empty unoptimized slice: layout is moot
-            lo, hi = 0, 1
-        span = max(int(hi) - int(lo), 1)
-        return (
-            (F.col(col).cast("long") - F.lit(int(lo))) * scale / F.lit(span)
-        ).cast("long")
+        def _norm(col, lo, hi):
+            if lo is None:  # empty unoptimized slice: layout is moot
+                lo, hi = 0, 1
+            span = max(int(hi) - int(lo), 1)
+            return (
+                (F.col(col).cast("long") - F.lit(int(lo)))
+                * scale / F.lit(span)
+            ).cast("long")
 
-    z = curve_fn(
-        *[
-            _norm(c, bounds[2 * i], bounds[2 * i + 1])
-            for i, c in enumerate(cols)
-        ],
-        bits=bits,
-    )
+        z = curve_fn(
+            *[
+                _norm(c, bounds[2 * i], bounds[2 * i + 1])
+                for i, c in enumerate(cols)
+            ],
+            bits=bits,
+        )
     total = _pinned_bytes(root, manifest, redo)  # sidecar byte maps, no stats
     n_out = max(1, math.ceil(total / target_bytes))
     specs = manifest.get("partition_specs") or []
+    cluster_exprs = (
+        [F.col(c) for c in so] if sort_mode else [z.alias("__z")]
+    )
     if specs:
         # hidden-partitioned table: the incremental rewrite PRESERVES the
         # declared layout (one dir per partition tuple) and curve-sorts
@@ -2556,8 +2587,13 @@ def snapshot_optimize_incremental(
         commit_id, new_files = _write_data(
             df, root,
             partition_cols=P.transform_columns(spec, df.schema),
-            cluster_by=[z.alias("__z")],
+            cluster_by=cluster_exprs,
         )
+    elif sort_mode:
+        clustered = df.repartitionByRange(n_out, *so).sortWithinPartitions(
+            *so
+        )
+        commit_id, new_files = _write_data(clustered, root)
     else:
         clustered = df.repartitionByRange(
             n_out, z.alias("__z")
@@ -2568,9 +2604,15 @@ def snapshot_optimize_incremental(
     bloom_cfg = manifest.get("bloom")
     if bloom_cfg:
         body["bloom"] = bloom_cfg
-    body["optimized_commits"] = sorted(
-        (prev_opt & {_commit_of(rel) for rel in keep}) | {commit_id}
-    )
+    kept_cids = {_commit_of(rel) for rel in keep}
+    if sort_mode:
+        # the rewrite IS the sorted layout; curve stamps just follow
+        # their surviving commits via _inherit_maps
+        body["sorted_commits"] = sorted((done & kept_cids) | {commit_id})
+    else:
+        body["optimized_commits"] = sorted(
+            (prev_opt & kept_cids) | {commit_id}
+        )
     body.update(
         mode="overwrite", commit_id=commit_id, files=files,
         n_files=len(files), schema=manifest["schema"],

@@ -445,32 +445,50 @@ def test_vacuum_bounded_at_10k_commits(spark, tmp_path):
 def test_maintenance_plan_sort_debt_axis(spark, tmp_path):
     """Advisor trigger/recovery for declared sort orders: commits that
     predate the declaration (or arrived via direct-publish rewrites) are
-    unsorted debt — at the threshold the plan recommends a compact with
-    the sort-order reason; the compact honors the order and the plan
-    clears."""
+    unsorted debt — at the threshold the plan recommends the INCREMENTAL
+    optimize (rewriting only those commits; a full compact would rewrite
+    the already-sorted bulk too); the cycle restores the layout by
+    pointer-inheriting every sorted commit and the plan clears."""
+    import os
+
     from airflow_postgres_csv_spark.operators.snapshots import (
-        snapshot_compact,
+        _load_manifest,
+        snapshot_optimize_incremental,
+        snapshot_read,
+        snapshot_versions,
     )
 
     root = str(tmp_path / "t")
     for k in range(8):  # pre-declaration commits: all unsorted debt
         snapshot_commit(_batch(spark, k * 10, (k + 1) * 10).coalesce(1), root)
-    snapshot_commit(
+    m9 = snapshot_commit(
         _batch(spark, 80, 90).coalesce(1), root, sort_order=["id"]
     )
     plan = snapshot_maintenance_plan(root)
     assert plan["metrics"]["unsorted_commits"] == 8
     reasons = [
-        a["reason"] for a in plan["actions"] if a["action"] == "compact"
+        a["reason"]
+        for a in plan["actions"]
+        if a["action"] == "optimize_incremental"
     ]
     assert any("sort order" in r for r in reasons), plan["actions"]
-    # recovery: the compact rewrite restores the declared layout
-    snapshot_compact(spark, root)
+    # recovery: the incremental cycle rewrites ONLY the 8 unsorted
+    # commits; the sorted commit's files are inherited by pointer
+    sorted_files = {
+        rel
+        for rel in _load_manifest(root, m9["version"])["files"]
+        if rel.split(os.sep)[1] == m9["commit_id"]
+    }
+    out = snapshot_optimize_incremental(spark, root)
+    assert out["files_kept"] == len(sorted_files)
+    m_after = _load_manifest(root, snapshot_versions(root)[-1])
+    assert sorted_files <= set(m_after["files"])  # kept by pointer
     plan2 = snapshot_maintenance_plan(root)
     assert plan2["metrics"]["unsorted_commits"] == 0
     assert not any(
         "sort order" in a["reason"] for a in plan2["actions"]
     )
+    assert snapshot_read(spark, root).count() == 90  # row-preserving
     # tables without a declared order never report the axis
     root2 = str(tmp_path / "plain")
     snapshot_commit(_batch(spark, 0, 10).coalesce(1), root2)
