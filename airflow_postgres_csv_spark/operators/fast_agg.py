@@ -201,19 +201,27 @@ def _partition_filtered(
     if not specs:
         return None
     history = manifest.get("column_history") or {}
-    # membership is tested against tuples PARSED BACK from hive path
-    # segments — probe through the same lossy encoding, and refuse when
-    # the encoding cannot prove equality (see _probe_image)
+    # Commits stamped ``tuples_v: 2`` recorded FAITHFUL tuples (string
+    # fields keep raw path text): raw-value equality is exact there.
+    # Legacy commits' tuples came from the lossy int-coercing parse —
+    # probe those through the same encoding (_probe_image) and refuse
+    # when it cannot prove equality.
     cur_types = {
         f["name"]: f["type"] for f in json.loads(manifest["schema"])["fields"]
     }
+    raw_ok: dict[str, bool] = {}
     img: dict[str, object] = {}
     for c, v in where.items():
-        iv = _probe_image(v, cur_types.get(c))
-        if iv is None:
-            return None  # unprovable from parsed tuples: one filtered scan
-        img[c] = iv
-    want = {c: (iv, iv) for c, iv in img.items()}
+        dt = cur_types.get(c)
+        raw_ok[c] = (dt == "string" and isinstance(v, str)) or (
+            dt in ("byte", "short", "integer", "long")
+            and isinstance(v, int)
+            and not isinstance(v, bool)
+        )
+        img[c] = _probe_image(v, dt)
+        if not raw_ok[c] and img[c] is None:
+            return None  # unprovable under any vintage: one filtered scan
+    want = {c: (v, v) for c, v in where.items()}
     total = 0
     ranges: dict[str, list | None] = {c: None for c in cols}
     fsums: dict[str, list] = {c: [0, 0] for c in sums_cols}
@@ -232,7 +240,6 @@ def _partition_filtered(
             return None
         spec = specs[si]
         idx: dict[str, int] = {}
-        probe: dict[str, object] = {}
         for c in where:
             j = next(
                 (
@@ -245,13 +252,20 @@ def _partition_filtered(
             if j is None:
                 return None  # not identity-partitioned in this commit
             idx[c] = j
-            probe[c] = img[c]
         if si not in pred_cache:
             pred_cache[si] = P.map_predicates(spec, want)
         if P.prune_commit(cp.get("f") or [], pred_cache[si]):
             continue  # whole commit excluded from the root summary alone
         sc = _load_sidecar(root, manifest, cid)
         source = _weaker(source, "sidecar")
+        if sc.get("tuples_v") == 2:
+            if not all(raw_ok[c] for c in where):
+                return None  # type-mismatched probe: equality undefined
+            probe = dict(where)
+        else:
+            if any(img[c] is None for c in where):
+                return None  # lossy-parse vintage, ambiguous encoding
+            probe = img
         pvals = sc.get("partitions") or {}
         rmap = sc.get("rows") or {}
         stats = sc.get("stats") or {}
@@ -388,12 +402,13 @@ def _group_rollup(
             c: _written_name(c, fields, history)
             for c in set(sums_cols) | set(range_cols)
         }
+        faithful = sc.get("tuples_v") == 2
         for rel in files:
             tup = pvals.get(rel)
             if tup is None:
                 return None
             gval = tup[j]
-            if dtype == "string" and isinstance(gval, int):
+            if not faithful and dtype == "string" and isinstance(gval, int):
                 return None  # int-coerced path parse: value irrecoverable
             if rel in rmap:
                 nrows = int(rmap[rel])

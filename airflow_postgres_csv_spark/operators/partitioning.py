@@ -233,11 +233,19 @@ def transform_literal(field: list, value):
 _ORDERED = ("identity", "day", "hour", "month", "year", "truncate")
 
 
-def partition_values_from_rel(rel: str, n_fields: int) -> list | None:
+def partition_values_from_rel(
+    rel: str, n_fields: int, keep_str: list | None = None
+) -> list | None:
     """Parse the hive-layout partition tuple out of one data file's rel
     path (``data/<cid>/_p0=5/_p1=xx/part-*.parquet``). Returns None for
     files written without the spec (pre-spec commits, compaction
-    rewrites)."""
+    rewrites).
+
+    Bare int-coercion is LOSSY for string source columns ('0123' and
+    '123' both coerce to 123). ``keep_str`` (per-field booleans, derived
+    from the spec + write schema via :func:`string_fields`) keeps those
+    fields' raw segment text — the writer stamps sidecars produced this
+    way ``tuples_v: 2`` so readers know the tuples are faithful."""
     vals: dict[int, object] = {}
     for seg in rel.split(os.sep):
         if not seg.startswith("_p") or "=" not in seg:
@@ -250,6 +258,8 @@ def partition_values_from_rel(rel: str, n_fields: int) -> list | None:
         raw = unquote(raw)
         if raw == "__HIVE_DEFAULT_PARTITION__":
             vals[idx] = None
+        elif keep_str is not None and idx < len(keep_str) and keep_str[idx]:
+            vals[idx] = raw
         else:
             try:
                 vals[idx] = int(raw)
@@ -258,6 +268,18 @@ def partition_values_from_rel(rel: str, n_fields: int) -> list | None:
     if len(vals) != n_fields:
         return None
     return [vals[i] for i in range(n_fields)]
+
+
+def string_fields(spec: list[list], schema) -> list:
+    """Per-field flags: True where the hive path segment IS the source
+    value verbatim (identity/truncate over a STRING column) — every
+    derived transform (day/hour/month/year/bucket, int truncate) emits
+    integers, which round-trip the path exactly."""
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return [
+        f[1] in ("identity", "truncate") and by_name.get(f[0]) == "string"
+        for f in spec
+    ]
 
 
 def commit_partition_summary(spec: list[list], tuples: list[list]) -> list:

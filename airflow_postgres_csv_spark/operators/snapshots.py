@@ -873,9 +873,14 @@ def snapshot_commit(
         df.sparkSession, root, new_files, bloom_cfg, sketch_cfg, sums_cfg
     )
     if spec and new_files:
+        keep_str = P.string_fields(spec, df.schema)
         sidecar["partitions"] = {
-            rel: P.partition_values_from_rel(rel, len(spec)) for rel in new_files
+            rel: P.partition_values_from_rel(rel, len(spec), keep_str)
+            for rel in new_files
         }
+        # faithful tuples: string fields keep their raw segment text
+        # (no int-coercion conflation) — fast paths may trust equality
+        sidecar["tuples_v"] = 2
     while True:
         files = (
             list(prev["files"]) + new_files
@@ -2627,10 +2632,12 @@ def snapshot_optimize_incremental(
     if specs and new_files:
         from airflow_postgres_csv_spark.operators import partitioning as P
 
+        keep_str = P.string_fields(specs[-1], df.schema)
         sidecar["partitions"] = {
-            rel: P.partition_values_from_rel(rel, len(specs[-1]))
+            rel: P.partition_values_from_rel(rel, len(specs[-1]), keep_str)
             for rel in new_files
         }
+        sidecar["tuples_v"] = 2
         body.setdefault("commit_partitions", {})[commit_id] = {
             "s": len(specs) - 1,
             "f": P.commit_partition_summary(

@@ -625,25 +625,59 @@ def test_sums_rejects_non_integral_request(spark, tmp_path):
         snapshot_fast_agg(root, sums=["d"], spark=spark)
 
 
-def test_where_numeric_looking_string_partition_scans(spark, tmp_path):
-    """Hive path segments INT-COERCE numeric-looking strings, so the
-    recorded tuples conflate '02134' with '2134' — membership is
-    unprovable from metadata and the call must take the one-scan path
-    (the old probe compared str vs int and silently undercounted)."""
+def test_where_numeric_looking_string_partition_exact(spark, tmp_path):
+    """Hive path segments int-coerce numeric-looking strings ('02134'
+    and '2134' conflate), so bare parsed tuples cannot prove equality.
+    The writer now records FAITHFUL tuples (string fields keep raw path
+    text, stamped tuples_v=2): fresh tables answer such probes from
+    metadata EXACTLY — while commits from the lossy-parse vintage
+    (stamp stripped below) still flip the call to the one-scan path
+    instead of silently undercounting."""
+    import json as _json
+
     root = str(tmp_path / "t")
     df = spark.createDataFrame(
         [(1, "02134"), (2, "2134"), (3, "02134"), (4, "ma")],
         "id int, zip string",
     )
     snapshot_commit(df, root, partition_transforms=[("zip", "identity")])
-    got = snapshot_fast_agg(root, ["id"], where={"zip": "02134"}, spark=spark)
-    assert got["n_rows"] == 2 and got["rows_source"] == "scan"
-    assert got["columns"]["id"] == {"min": 1, "max": 3, "source": "scan"}
+    got = snapshot_fast_agg(
+        root, ["id"], where={"zip": "02134"}, spark=None, allow_scan=False
+    )
+    assert got["n_rows"] == 2 and got["rows_source"] != "scan"
+    assert got["columns"]["id"]["min"] == 1
+    assert got["columns"]["id"]["max"] == 3
+    # '2134' must NOT pick up the '02134' files
+    other = snapshot_fast_agg(
+        root, where={"zip": "2134"}, spark=None, allow_scan=False
+    )
+    assert other["n_rows"] == 1
+    # legacy vintage: strip the stamp + re-coerce the tuples like the old
+    # parser did — the probe is now unprovable and the call must scan
+    m = S._load_manifest(root, snapshot_versions(root)[-1])
+    for sc_rel in m["sidecars"].values():
+        with open(os.path.join(root, sc_rel)) as f:
+            sc = _json.load(f)
+        sc.pop("tuples_v", None)
+        sc["partitions"] = {
+            rel: [
+                int(v) if isinstance(v, str) and v.isdigit() else v
+                for v in tup
+            ]
+            for rel, tup in (sc.get("partitions") or {}).items()
+        }
+        with open(os.path.join(root, sc_rel), "w") as f:
+            _json.dump(sc, f)
+    S._metadata_cache_clear()
     with pytest.raises(RuntimeError, match="allow_scan=False"):
         snapshot_fast_agg(
             root, where={"zip": "02134"}, spark=None, allow_scan=False
         )
-    # a non-numeric string key keeps the metadata fast path
+    legacy = snapshot_fast_agg(
+        root, ["id"], where={"zip": "02134"}, spark=spark
+    )
+    assert legacy["n_rows"] == 2 and legacy["rows_source"] == "scan"
+    # a non-numeric string key keeps the metadata fast path either way
     fast = snapshot_fast_agg(
         root, where={"zip": "ma"}, spark=None, allow_scan=False
     )
@@ -809,7 +843,8 @@ def test_group_by_falls_back_to_scan(spark, tmp_path):
         .groupBy("x").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {g["key"]: g["n_rows"] for g in got["groups"]} == want
-    # numeric-looking string groups: parse image is irrecoverable
+    # numeric-looking string groups: faithful tuples keep the metadata
+    # path exact — '02134' and '2134' stay distinct groups
     root2 = str(tmp_path / "zips")
     snapshot_commit(
         spark.createDataFrame(
@@ -818,8 +853,8 @@ def test_group_by_falls_back_to_scan(spark, tmp_path):
         root2,
         partition_transforms=[("zip", "identity")],
     )
-    got2 = snapshot_fast_agg(root2, group_by="zip", spark=spark)
-    assert got2["source"] == "scan"
+    got2 = snapshot_fast_agg(root2, group_by="zip", allow_scan=False)
+    assert got2["source"] != "scan"
     assert [(g["key"], g["n_rows"]) for g in got2["groups"]] == [
         ("02134", 1), ("2134", 1), ("ma", 1)
     ]
