@@ -4320,84 +4320,52 @@ def _ivm_gk(keys: list[str]):
     return F.concat_ws("-", *parts)
 
 
-def snapshot_incremental_agg(
-    spark: SparkSession,
-    src_root: str,
-    dst_root: str,
-    group_col: str | list[str],
-    amount_col: str,
-    up_to: int | None = None,
-    aggs: tuple[str, ...] | list[str] = ("count", "sum"),
-) -> dict:
-    """Incremental view maintenance (IVM) WITH RETRACTIONS: keep a
-    persisted per-group aggregate in sync with a source snapshot table
-    across appends AND deletes/merges, reading only the changes.
-
-    ``group_col`` may be one column or a list (multi-column group keys
-    merge on a derived composite key). ``aggs`` picks the maintained
-    aggregates from ``count / sum / avg / min / max``; the stored schema
-    is ``n`` (live row count, always — it drives liveness), ``total``
-    (when sum/avg), ``nn`` (non-null amount count, when avg — exact
-    AVG = total / nn, never total / n which miscounts NULLs), and
-    ``mn`` / ``mx`` (when min/max).
-
-    Classic incremental rollups break at the first delete; this one
-    consumes the batch change feed (``snapshot_table_changes``) and
-    applies each change with a sign — insert +1, delete -1 — so the
-    maintained aggregate equals a full GROUP BY over the source's live
-    state at O(changed data) per refresh, never O(table). MIN/MAX are
-    not sign-invertible (a retraction can displace the extreme), so
-    groups whose batch contains ANY delete recompute their extremes from
-    the source's live rows RESTRICTED to those groups — O(affected
-    groups' data), never a full recompute; insert-only groups merge
-    ``least/greatest`` against the stored extremes with no source read.
-    This is the materialized-view maintenance discipline (delta
-    processing with retractions, Flink/Materialize-style) on lakehouse
-    commits.
-
-    Exactly-once without idempotence tricks: the refresh is ONE commit
-    (merge upsert of changed groups, seeded by a plain commit), and the
-    ``ivm_applied_version`` high-water mark rides ``extra=`` inside that
-    commit's atomic publish — a crash either applied the delta with its
-    stamp or nothing. Increments are NOT idempotent, so the two-commit
-    shape used elsewhere would double-count on replay; groups whose live
-    count reaches zero are therefore kept as ``n = 0`` rows rather than
-    deleted in a second commit (filter ``n > 0`` when reading).
-    """
-    from pyspark.sql import functions as F
-
+def _ivm_keys(group_col: str | list[str]) -> list[str]:
     keys = [group_col] if isinstance(group_col, str) else list(group_col)
     if not keys:
         raise ValueError("group_col: at least one grouping column")
+    return keys
+
+
+def _ivm_flags(aggs) -> set:
     agg_set = set(aggs)
     bad = agg_set - set(_IVM_AGGS)
     if bad:
         raise ValueError(
             f"aggs: unsupported {sorted(bad)} (supported: {_IVM_AGGS})"
         )
+    return agg_set
+
+
+def _ivm_apply(
+    spark: SparkSession,
+    ch: DataFrame,
+    dst_root: str,
+    keys: list[str],
+    amount_col: str,
+    aggs,
+    stamp: dict,
+    live_rows,
+) -> None:
+    """Fold one signed change feed into the persisted per-group aggregate
+    at ``dst_root`` in ONE commit carrying ``stamp`` — the shared apply
+    step of :func:`snapshot_incremental_agg` (single-table IVM) and
+    :func:`snapshot_incremental_join_agg` (two-table join IVM). ``ch``
+    is any DataFrame of row changes with a ``_change_type`` column
+    (``insert`` / ``delete``) plus the group + amount columns — where
+    the changes came from (a table's change feed, a delta-join
+    expansion) is the caller's business. ``live_rows(retracting_groups)``
+    must return the CURRENT live rows restricted to those groups — the
+    min/max displacement recompute reads it (see the maintenance notes
+    on the public functions)."""
+    from pyspark.sql import functions as F
+
+    agg_set = _ivm_flags(aggs)
     need_total = bool(agg_set & {"sum", "avg"})
     need_nn = "avg" in agg_set
     need_mm = bool(agg_set & {"min", "max"})
     multi = len(keys) > 1
-
-    src_versions = snapshot_versions(src_root)
-    if not src_versions:
-        raise FileNotFoundError(f"no snapshot versions at {src_root}")
-    src_latest = src_versions[-1]
-    if up_to is not None:
-        # catalog-pinned refresh: advance exactly to the pinned source
-        # version, not past it (out-of-band commits beyond the pin fold
-        # in at the NEXT pinned refresh)
-        if up_to not in src_versions:
-            raise ValueError(
-                f"up_to={up_to} is not a retained source version"
-            )
-        src_latest = up_to
     dvs = snapshot_versions(dst_root)
-    applied = _max_stamp(dst_root, "ivm_applied_version", 0)
-    if src_latest <= applied:
-        return {"applied_through": applied, "refreshed": False}
-    ch = snapshot_table_changes(spark, src_root, applied, src_latest)
     ins = F.col("_change_type") == "insert"
     sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
     amt = F.col(amount_col)
@@ -4416,7 +4384,6 @@ def snapshot_incremental_agg(
             F.max(F.when(~ins, F.lit(1)).otherwise(F.lit(0))).alias("__del"),
         ]
     delta = ch.groupBy(*keys).agg(*delta_aggs)
-    stamp = {"ivm_applied_version": src_latest}
 
     cur = snapshot_read(spark, dst_root).drop(_IVM_KEY) if dvs else None
     if cur is None:
@@ -4466,15 +4433,14 @@ def snapshot_incremental_agg(
     if need_mm:
         # A delete can DISPLACE a stored extreme — signs can't undo
         # min/max. Recompute exactly the retracting groups from the
-        # source's live rows: the join restricts the scan to affected
-        # groups (AQE broadcast when few), never the whole table.
+        # live rows the caller serves up: the join restricts the scan to
+        # affected groups (AQE broadcast when few), never the whole table.
         pinned = updated.persist()
         has_del = bool(pinned.where(F.col("__del") == 1).limit(1).count())
         if has_del:
             retr = pinned.where(F.col("__del") == 1).select(*keys)
-            src_live = snapshot_read(spark, src_root, version=src_latest)
             rec = (
-                src_live.join(retr, keys, "inner")
+                live_rows(retr)
                 .groupBy(*keys)
                 .agg(
                     F.min(amt).alias("__mn_r"),
@@ -4505,7 +4471,270 @@ def snapshot_incremental_agg(
     finally:
         if pinned is not None:
             pinned.unpersist()
+
+
+def snapshot_incremental_agg(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    group_col: str | list[str],
+    amount_col: str,
+    up_to: int | None = None,
+    aggs: tuple[str, ...] | list[str] = ("count", "sum"),
+) -> dict:
+    """Incremental view maintenance (IVM) WITH RETRACTIONS: keep a
+    persisted per-group aggregate in sync with a source snapshot table
+    across appends AND deletes/merges, reading only the changes.
+
+    ``group_col`` may be one column or a list (multi-column group keys
+    merge on a derived composite key). ``aggs`` picks the maintained
+    aggregates from ``count / sum / avg / min / max``; the stored schema
+    is ``n`` (live row count, always — it drives liveness), ``total``
+    (when sum/avg), ``nn`` (non-null amount count, when avg — exact
+    AVG = total / nn, never total / n which miscounts NULLs), and
+    ``mn`` / ``mx`` (when min/max).
+
+    Classic incremental rollups break at the first delete; this one
+    consumes the batch change feed (``snapshot_table_changes``) and
+    applies each change with a sign — insert +1, delete -1 — so the
+    maintained aggregate equals a full GROUP BY over the source's live
+    state at O(changed data) per refresh, never O(table). MIN/MAX are
+    not sign-invertible (a retraction can displace the extreme), so
+    groups whose batch contains ANY delete recompute their extremes from
+    the source's live rows RESTRICTED to those groups — O(affected
+    groups' data), never a full recompute; insert-only groups merge
+    ``least/greatest`` against the stored extremes with no source read.
+    This is the materialized-view maintenance discipline (delta
+    processing with retractions, Flink/Materialize-style) on lakehouse
+    commits.
+
+    Exactly-once without idempotence tricks: the refresh is ONE commit
+    (merge upsert of changed groups, seeded by a plain commit), and the
+    ``ivm_applied_version`` high-water mark rides ``extra=`` inside that
+    commit's atomic publish — a crash either applied the delta with its
+    stamp or nothing. Increments are NOT idempotent, so the two-commit
+    shape used elsewhere would double-count on replay; groups whose live
+    count reaches zero are therefore kept as ``n = 0`` rows rather than
+    deleted in a second commit (filter ``n > 0`` when reading).
+    """
+    keys = _ivm_keys(group_col)
+    _ivm_flags(aggs)
+
+    src_versions = snapshot_versions(src_root)
+    if not src_versions:
+        raise FileNotFoundError(f"no snapshot versions at {src_root}")
+    src_latest = src_versions[-1]
+    if up_to is not None:
+        # catalog-pinned refresh: advance exactly to the pinned source
+        # version, not past it (out-of-band commits beyond the pin fold
+        # in at the NEXT pinned refresh)
+        if up_to not in src_versions:
+            raise ValueError(
+                f"up_to={up_to} is not a retained source version"
+            )
+        src_latest = up_to
+    applied = _max_stamp(dst_root, "ivm_applied_version", 0)
+    if src_latest <= applied:
+        return {"applied_through": applied, "refreshed": False}
+    ch = snapshot_table_changes(spark, src_root, applied, src_latest)
+    _ivm_apply(
+        spark, ch, dst_root, keys, amount_col, aggs,
+        {"ivm_applied_version": src_latest},
+        lambda retr: snapshot_read(spark, src_root, version=src_latest)
+        .join(retr, keys, "inner"),
+    )
     return {"applied_through": src_latest, "refreshed": True}
+
+
+def _ivm_restrict(big: DataFrame, delta: DataFrame, jk: list[str], cap: int):
+    """Prune the UNCHANGED side of a delta join down to the join keys the
+    delta actually touches. Few distinct single-column keys (<= cap)
+    become an IN-list literal filter — parquet row-group statistics skip
+    non-matching data at the scan, so the unchanged side costs O(matching
+    row groups), not O(table). Many keys (or composite join keys) fall
+    back to a left-semi join: one shuffle, still O(matching + delta) and
+    never a full materialization of the big side. NULL join keys never
+    match an inner join, so dropping them from the IN-list is exact."""
+    from pyspark.sql import functions as F
+
+    dk = delta.select(*jk).distinct()
+    if len(jk) == 1:
+        head = [r[0] for r in dk.limit(cap + 1).collect()]
+        if len(head) <= cap:
+            vals = [v for v in head if v is not None]
+            if not vals:
+                return big.where(F.lit(False))
+            return big.where(F.col(jk[0]).isin(vals))
+    return big.join(dk, jk, "left_semi")
+
+
+def snapshot_incremental_join_agg(
+    spark: SparkSession,
+    a_root: str,
+    b_root: str,
+    dst_root: str,
+    on: str | list[str] | dict,
+    group_col: str | list[str],
+    amount_col: str,
+    up_to_a: int | None = None,
+    up_to_b: int | None = None,
+    aggs: tuple[str, ...] | list[str] = ("count", "sum"),
+    key_pushdown_cap: int = 256,
+) -> dict:
+    """Incremental view maintenance for a TWO-TABLE inner equi-join
+    aggregate: keep ``SELECT group, aggs(amount) FROM A JOIN B ON ...
+    GROUP BY group`` in sync with BOTH source snapshot tables across
+    appends and deletes, reading only the deltas plus the join-matching
+    slices of the other side — never recomputing the join.
+
+    The delta algebra (signed multiset semantics, the standard DBSP /
+    Materialize decomposition): with applied state ``(A0, B0)`` and
+    targets ``(A1, B1)``,
+
+        ``ΔJ = ΔA ⋈ B1  +  A0 ⋈ ΔB``
+
+    — exact because ``A1⋈B1 − A0⋈B0 = ΔA⋈B1 + A0⋈ΔB`` (the ΔA⋈ΔB
+    cross-term belongs to the first factor once B1 absorbs ΔB). Each
+    joined row keeps its delta row's sign (insert/delete), and the
+    signed rows feed the same per-group apply step as single-table IVM
+    (:func:`snapshot_incremental_agg`): count/sum/avg by signed sums,
+    min/max with retraction-scoped recompute against the restricted
+    CURRENT join. ``B1`` is read at the target version and ``A0`` at the
+    PREVIOUSLY APPLIED version — time travel supplies the old state, no
+    shadow copy; both are pruned to the delta's join keys first
+    (:func:`_ivm_restrict`: IN-list pushdown under ``key_pushdown_cap``
+    distinct keys, left-semi join beyond), so a refresh costs
+    O(|ΔA| + |ΔB| + matching rows), not O(|A| + |B|).
+
+    ``on`` is one shared column name, a list of shared names (USING
+    semantics), or a ``{a_col: b_col}`` mapping (the B side is renamed
+    to the A names before joining). Non-key column names must not
+    collide across the two sources. Group and amount columns are
+    POST-JOIN names (either side). Rows with NULL join keys never match
+    — exactly the recompute's inner-join behavior.
+
+    Exactly-once like the single-table path: ONE commit per refresh
+    carries both ``ivm_applied_a`` / ``ivm_applied_b`` high-water stamps
+    in its atomic publish. Reading ``A0`` requires the applied version
+    to still be retained — expire the A side with enough history for
+    the refresh cadence, or reseed into a fresh ``dst_root``.
+    """
+    keys = _ivm_keys(group_col)
+    _ivm_flags(aggs)
+    if isinstance(on, str):
+        pairs = [(on, on)]
+    elif isinstance(on, dict):
+        pairs = list(on.items())
+    else:
+        pairs = [(c, c) for c in on]
+    if not pairs:
+        raise ValueError("on: at least one join key")
+    jk = [a for a, _ in pairs]
+
+    avs = snapshot_versions(a_root)
+    bvs = snapshot_versions(b_root)
+    if not avs or not bvs:
+        raise FileNotFoundError(
+            f"no snapshot versions at {a_root if not avs else b_root}"
+        )
+    a_v, b_v = avs[-1], bvs[-1]
+    for up_to, vs, side in ((up_to_a, avs, "a"), (up_to_b, bvs, "b")):
+        if up_to is not None and up_to not in vs:
+            raise ValueError(
+                f"up_to_{side}={up_to} is not a retained source version"
+            )
+    if up_to_a is not None:
+        a_v = up_to_a
+    if up_to_b is not None:
+        b_v = up_to_b
+    applied_a = _max_stamp(dst_root, "ivm_applied_a", 0)
+    applied_b = _max_stamp(dst_root, "ivm_applied_b", 0)
+    if a_v < applied_a or b_v < applied_b:
+        raise ValueError(
+            f"target versions (a={a_v}, b={b_v}) regress the applied "
+            f"stamps (a={applied_a}, b={applied_b}) — IVM never rewinds"
+        )
+    if a_v == applied_a and b_v == applied_b:
+        return {
+            "applied_through": {"a": applied_a, "b": applied_b},
+            "refreshed": False,
+        }
+
+    def _b_named(df: DataFrame) -> DataFrame:
+        for a_c, b_c in pairs:
+            if a_c != b_c:
+                df = df.withColumnRenamed(b_c, a_c)
+        return df
+
+    need = list(dict.fromkeys(keys + [amount_col, "_change_type"]))
+    pieces: list[DataFrame] = []
+    pinned: list[DataFrame] = []
+    try:
+        if a_v > applied_a:
+            d_a = snapshot_table_changes(
+                spark, a_root, applied_a, a_v
+            ).drop("_commit_version").persist()
+            pinned.append(d_a)
+            b1 = _ivm_restrict(
+                _b_named(snapshot_read(spark, b_root, version=b_v)),
+                d_a, jk, key_pushdown_cap,
+            )
+            _check_overlap(d_a, b1, jk)
+            pieces.append(d_a.join(b1, jk, "inner").select(*need))
+        if b_v > applied_b:
+            d_b = _b_named(
+                snapshot_table_changes(spark, b_root, applied_b, b_v)
+                .drop("_commit_version")
+            ).persist()
+            pinned.append(d_b)
+            if applied_a > 0:
+                a0 = _ivm_restrict(
+                    snapshot_read(spark, a_root, version=applied_a),
+                    d_b, jk, key_pushdown_cap,
+                )
+                _check_overlap(a0, d_b, jk)
+                pieces.append(a0.join(d_b, jk, "inner").select(*need))
+        # at least one side advanced (the no-op case returned above), and
+        # a B-only advance implies a prior refresh stamped applied_a >= 1,
+        # so `pieces` is never empty here
+        ch = pieces[0]
+        for p in pieces[1:]:
+            ch = ch.unionByName(p)
+
+        def _live(retr: DataFrame) -> DataFrame:
+            a1 = snapshot_read(spark, a_root, version=a_v)
+            b1f = _b_named(snapshot_read(spark, b_root, version=b_v))
+            # restrict whichever side carries ALL the group columns
+            # before the join; the final inner join is exact regardless
+            if set(keys) <= set(a1.columns):
+                a1 = a1.join(retr, keys, "left_semi")
+            elif set(keys) <= set(b1f.columns):
+                b1f = b1f.join(retr, keys, "left_semi")
+            return a1.join(b1f, jk, "inner").join(retr, keys, "inner")
+
+        _ivm_apply(
+            spark, ch, dst_root, keys, amount_col, aggs,
+            {"ivm_applied_a": a_v, "ivm_applied_b": b_v}, _live,
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
+    return {"applied_through": {"a": a_v, "b": b_v}, "refreshed": True}
+
+
+def _check_overlap(left: DataFrame, right: DataFrame, jk: list[str]) -> None:
+    """Join-IVM hygiene: non-key columns shared by both sides would make
+    post-join references ambiguous — refuse up front with the offending
+    names instead of surfacing Spark's analysis error mid-plan."""
+    shared = (
+        (set(left.columns) & set(right.columns))
+        - set(jk) - {"_change_type"}
+    )
+    if shared:
+        raise ValueError(
+            f"join sources share non-key columns {sorted(shared)}; "
+            "rename them apart (the join keys may repeat, nothing else)"
+        )
 
 
 def _upsert_evolving(spark: SparkSession, dst_root: str, rows: DataFrame, key_col: str) -> dict:
