@@ -259,10 +259,14 @@ def _normalize_incremental(name: str, inc: dict) -> dict:
     ``{group_cols: [...], amount_col, aggs: [...]}`` shapes; returns the
     canonical ``{group_cols, amount_col, aggs}`` with aggs in the fixed
     count/sum/avg/min/max order (the stored-schema and read-surface
-    column order both derive from it)."""
+    column order both derive from it). An ``on`` key declares a TWO-TABLE
+    join rollup (``snapshot_incremental_join_agg``): one shared column
+    name, a list of shared names, or ``{a_col: b_col}`` — canonicalized
+    to ``[[a_col, b_col], ...]`` pairs in declaration order; the mview's
+    FIRST bound table is the A side."""
     from airflow_postgres_csv_spark.operators.snapshots import _IVM_AGGS
 
-    allowed = {"group_col", "group_cols", "amount_col", "aggs"}
+    allowed = {"group_col", "group_cols", "amount_col", "aggs", "on"}
     if (
         set(inc) - allowed
         or "amount_col" not in inc
@@ -270,7 +274,7 @@ def _normalize_incremental(name: str, inc: dict) -> dict:
     ):
         raise ValueError(
             f"mview {name!r}: incremental needs exactly 'amount_col' plus "
-            "'group_col' OR 'group_cols' (optional: 'aggs')"
+            "'group_col' OR 'group_cols' (optional: 'aggs', 'on')"
         )
     keys = (
         [inc["group_col"]] if "group_col" in inc else list(inc["group_cols"])
@@ -287,11 +291,34 @@ def _normalize_incremental(name: str, inc: dict) -> dict:
         raise ValueError(
             f"mview {name!r}: aggs supports {_IVM_AGGS}, got {sorted(bad)}"
         )
-    return {
+    out = {
         "group_cols": keys,
         "amount_col": inc["amount_col"],
         "aggs": [a for a in _IVM_AGGS if a in want],
     }
+    if "on" in inc:
+        on = inc["on"]
+        if isinstance(on, str):
+            pairs = [[on, on]]
+        elif isinstance(on, dict):
+            pairs = [[a, b] for a, b in on.items()]
+        else:
+            pairs = [list(p) if isinstance(p, (list, tuple)) else [p, p]
+                     for p in on]
+        if not pairs or not all(
+            len(p) == 2 and all(isinstance(c, str) and c for c in p)
+            for p in pairs
+        ):
+            raise ValueError(
+                f"mview {name!r}: 'on' must name join key columns "
+                "(shared name, list, or {{a_col: b_col}})"
+            )
+        if len({p[0] for p in pairs}) != len(pairs):
+            raise ValueError(
+                f"mview {name!r}: duplicate A-side join keys in 'on'"
+            )
+        out["on"] = pairs
+    return out
 
 
 _IVM_SQL_AGG = {
@@ -303,15 +330,24 @@ _IVM_SQL_AGG = {
 }
 
 
-def _ivm_sql(inc: dict, src: str) -> str:
+def _ivm_sql(inc: dict, src: str, src_b: str | None = None) -> str:
     """The recompute-equivalent SQL for an incremental mview — stored for
-    listings and as the redefinition guard's identity."""
+    listings and as the redefinition guard's identity. Join rollups
+    render the two-table inner-join form with explicit key equalities."""
     a = inc["amount_col"]
     cols = ", ".join(
         list(inc["group_cols"])
         + [_IVM_SQL_AGG[x].format(a=a) for x in inc["aggs"]]
     )
     keys = ", ".join(inc["group_cols"])
+    if src_b is not None:
+        cond = " AND ".join(
+            f"{src}.{l} = {src_b}.{r}" for l, r in inc["on"]
+        )
+        return (
+            f"SELECT {cols} FROM {src} JOIN {src_b} ON {cond} "
+            f"GROUP BY {keys} -- incremental join IVM"
+        )
     return f"SELECT {cols} FROM {src} GROUP BY {keys} -- incremental IVM"
 
 
@@ -443,15 +479,20 @@ def _apply_ddl(tables: dict, ops: list[dict]) -> None:
                 # count/sum/avg/min/max, min/max maintained with
                 # retraction-scoped recompute).
                 inc = _normalize_incremental(name, inc)
-                if len(op.get("tables") or {}) != 1:
+                n_src = 2 if "on" in inc else 1
+                if len(op.get("tables") or {}) != n_src:
                     raise ValueError(
                         f"mview {name!r}: incremental mviews take exactly "
-                        "one source table"
+                        f"{'two source tables (A then B)' if n_src == 2 else 'one source table'}"
                     )
+                aliases = list(op["tables"])
                 op = {
                     **op,
                     "incremental": inc,
-                    "sql": _ivm_sql(inc, next(iter(op["tables"]))),
+                    "sql": _ivm_sql(
+                        inc, aliases[0],
+                        aliases[1] if n_src == 2 else None,
+                    ),
                 }
             ent = _view_entry(tables, op)
             mroot = op.get("root")
@@ -693,57 +734,85 @@ def catalog_refresh_mview(
         return {"refreshed": False, "version": mv["version"], "pins": src_pins}
     if mv.get("incremental"):
         # change-feed IVM: apply only the source delta since the last
-        # refresh, exactly up to the pinned source version — O(changes),
-        # never a recompute (snapshots.snapshot_incremental_agg)
+        # refresh, exactly up to the pinned source version(s) —
+        # O(changes), never a recompute (snapshots.snapshot_incremental_
+        # agg / snapshot_incremental_join_agg for the two-table shape)
         from airflow_postgres_csv_spark.operators.snapshots import (
             _load_manifest as _lm,
             snapshot_incremental_agg,
+            snapshot_incremental_join_agg,
             snapshot_versions as _svs,
         )
 
-        (src_name,) = mv["tables"].values()
         inc = _normalize_incremental(name, mv["incremental"])
-        pin = state[src_name]["version"]
-        snapshot_incremental_agg(
-            spark,
-            state[src_name]["root"],
-            mv["root"],
-            inc["group_cols"],
-            inc["amount_col"],
-            up_to=pin,
-            aggs=tuple(inc["aggs"]),
-        )
-        # Serve the dst version whose ivm_applied_version STAMP equals the
-        # pinned source version — never blindly the latest: an out-of-band
-        # advance (direct snapshot_incremental_agg past the pin, or an
-        # ivm_batch sink sharing the dst) makes the agg above a no-op, and
-        # pinning head would publish content AHEAD of the recorded pins.
-        # The stamp is monotone along the chain (inherited, max-guarded),
-        # so the FIRST version reaching it — found by binary search,
+        srcs = list(mv["tables"].values())
+        if "on" in inc:
+            a_name, b_name = srcs
+            pa = state[a_name]["version"]
+            pb = state[b_name]["version"]
+            snapshot_incremental_join_agg(
+                spark,
+                state[a_name]["root"],
+                state[b_name]["root"],
+                mv["root"],
+                on={l: r for l, r in inc["on"]},
+                group_col=inc["group_cols"],
+                amount_col=inc["amount_col"],
+                up_to_a=pa,
+                up_to_b=pb,
+                aggs=tuple(inc["aggs"]),
+            )
+            want = [("ivm_applied_a", pa), ("ivm_applied_b", pb)]
+        else:
+            (src_name,) = srcs
+            pin = state[src_name]["version"]
+            snapshot_incremental_agg(
+                spark,
+                state[src_name]["root"],
+                mv["root"],
+                inc["group_cols"],
+                inc["amount_col"],
+                up_to=pin,
+                aggs=tuple(inc["aggs"]),
+            )
+            want = [("ivm_applied_version", pin)]
+        # Serve the dst version whose applied STAMP(S) equal the pinned
+        # source version(s) — never blindly the latest: an out-of-band
+        # advance (direct incremental agg past the pin, or an ivm_batch
+        # sink sharing the dst) makes the agg above a no-op, and pinning
+        # head would publish content AHEAD of the recorded pins. Each
+        # stamp is monotone along the chain (inherited, max-guarded), so
+        # the FIRST version reaching ALL pins — found by binary search,
         # O(log versions) manifest reads — is the stamping commit itself;
         # an out-of-band commit after it only inherits and is never picked.
         dvs = _svs(mv["root"])
+
+        def _stamps(i: int) -> list:
+            m = _lm(mv["root"], dvs[i])
+            return [m.get(k) for k, _ in want]
+
         lo_i, hi_i = 0, len(dvs) - 1
         while lo_i <= hi_i:
             mid = (lo_i + hi_i) // 2
-            st = _lm(mv["root"], dvs[mid]).get("ivm_applied_version")
-            if st is None or st < pin:
+            if any(
+                s is None or s < p
+                for s, (_, p) in zip(_stamps(mid), want)
+            ):
                 lo_i = mid + 1
             else:
                 hi_i = mid - 1
         served = (
             dvs[lo_i]
-            if lo_i < len(dvs)
-            and _lm(mv["root"], dvs[lo_i]).get("ivm_applied_version") == pin
+            if lo_i < len(dvs) and _stamps(lo_i) == [p for _, p in want]
             else None
         )
         if served is None:
             raise CatalogConflictError(
                 f"mview {name!r}: destination {mv['root']!r} was advanced "
-                f"out-of-band past source version {pin} and no retained "
-                "materialization matches the pin; re-pin the source table "
-                "(catalog_pin_tables) or refresh after the source head "
-                "catches up"
+                f"out-of-band past the pinned source version(s) "
+                f"{dict(want)} and no retained materialization matches; "
+                "re-pin the source table (catalog_pin_tables) or refresh "
+                "after the source head catches up"
             )
         m = {"version": served}
     else:

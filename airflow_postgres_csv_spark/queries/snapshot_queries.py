@@ -4298,6 +4298,140 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# TWO-TABLE JOIN IVM (round 11): a catalog mview over orders JOIN customer,
+# maintained by the signed delta-join dJ = dA JOIN B1 + A0 JOIN dB
+# (snapshot_incremental_join_agg) — B read at the target version, A at the
+# PREVIOUSLY APPLIED version via time travel, both pruned to the delta's
+# join keys. The phases force every path: seed (half the orders, most
+# customers), an orders append (dA x B1), a customer append whose already-
+# present orders light up (A0 x dB), an orders MOR delete displacing group
+# MAXIMA (retraction-scoped recompute against the live join), and a
+# customer delete retracting whole joined groups. The oracle recomputes the
+# final join rollup from the surviving rows; any drift in the delta algebra
+# (double-counted dAxdB cross term, stale A0, missed retraction) breaks
+# value equality.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_catalog_mview_join_ivm_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_ddl,
+        catalog_pin_tables,
+        catalog_read,
+        catalog_refresh_mview,
+        catalog_txn,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+
+    cat, oroot, croot, mroot = (
+        _temp_root(), _temp_root(), _temp_root(), _temp_root()
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    catalog_txn(
+        cat,
+        [
+            {
+                "name": "gold.orders", "root": oroot,
+                "df": orders.where(F.pmod("o_orderkey", F.lit(2)) == 0),
+            },
+            {
+                "name": "gold.customer", "root": croot,
+                "df": customer.where(F.pmod("c_custkey", F.lit(3)) != 0),
+            },
+        ],
+    )
+    catalog_ddl(
+        cat,
+        [{
+            "op": "create_mview", "name": "gold.seg_rev", "root": mroot,
+            "tables": {"o": "gold.orders", "c": "gold.customer"},
+            "incremental": {
+                "group_cols": ["c_mktsegment"],
+                "amount_col": "cents",
+                "aggs": ["count", "sum", "avg", "min", "max"],
+                "on": {"o_custkey": "c_custkey"},
+            },
+        }],
+    )
+    catalog_refresh_mview(spark, cat, "gold.seg_rev")
+    # phase 2, orders side: append the other half (dA x B1)
+    snapshot_commit(
+        orders.where(F.pmod("o_orderkey", F.lit(2)) == 1), oroot
+    )
+    catalog_pin_tables(cat, {"gold.orders": (oroot, 2)})
+    catalog_refresh_mview(spark, cat, "gold.seg_rev")
+    # phase 3, customer side: the %3 customers arrive — their ALREADY
+    # PRESENT orders must light up through A0 x dB (A0 = orders @ v2)
+    snapshot_commit(
+        customer.where(F.pmod("c_custkey", F.lit(3)) == 0), croot
+    )
+    # phase 4, retractions on BOTH sides in one refresh: erase the most
+    # expensive orders (displaces segment MAXIMA) and a slice of
+    # customers (whole joined groups shrink)
+    snapshot_delete_mor(
+        spark, oroot, condition="cents > 30000000", key_col="o_orderkey"
+    )
+    snapshot_delete_mor(
+        spark, croot, condition="c_custkey % 10 = 7", key_col="c_custkey"
+    )
+    catalog_pin_tables(
+        cat, {"gold.orders": (oroot, 3), "gold.customer": (croot, 3)}
+    )
+    catalog_refresh_mview(spark, cat, "gold.seg_rev")
+    return (
+        catalog_read(spark, cat, "gold.seg_rev")
+        .select(
+            "c_mktsegment",
+            "n",
+            F.col("total").alias("cents_total"),
+            F.col("avg").alias("cents_avg"),
+            F.col("mn").alias("cents_min"),
+            F.col("mx").alias("cents_max"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "snapshot_catalog_mview_join_ivm",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ), surviving AS (
+        SELECT c.c_mktsegment, o.cents
+        FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.cents <= 30000000 AND c.c_custkey % 10 <> 7
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(cents) AS cents_avg,
+           MIN(cents) AS cents_min,
+           MAX(cents) AS cents_max
+    FROM surviving
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)(snapshot_catalog_mview_join_ivm_query)
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only SUM pushdown (round 10, fast_agg.py + sum_cols config):
 # per-commit integral column sums stamped at publish answer SUM() from the
 # root alone — exact, order-independent integer addition, sticky config

@@ -197,6 +197,8 @@ HEADLINE = [
     "snapshot_partition_rollup",
     "snapshot_sort_order_pruned",
     "snapshot_catalog_branch_mview",
+    # two-table join IVM: dJ = dA x B1 + A0 x dB, retractions both sides
+    "snapshot_catalog_mview_join_ivm",
 ]
 
 

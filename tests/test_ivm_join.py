@@ -177,7 +177,9 @@ def test_join_ivm_renamed_keys_and_validation(spark, tmp_path):
             amount_col="amt",
         )
 
-    # up_to below the applied stamp refused (IVM never rewinds)
+    # up_to at/behind the applied stamps on BOTH sides: silent no-op
+    # (the catalog's stamp check owns the out-of-band diagnosis); a
+    # MIXED rewind — one side behind, the other advancing — is refused
     snapshot_commit(
         spark.createDataFrame([(3, 10, 9)], "id int, custkey int, amt int"),
         ra, mode="append",
@@ -185,6 +187,14 @@ def test_join_ivm_renamed_keys_and_validation(spark, tmp_path):
     snapshot_incremental_join_agg(
         spark, ra, rb, dst, on={"custkey": "c_custkey"},
         group_col="seg", amount_col="amt",
+    )
+    assert not snapshot_incremental_join_agg(
+        spark, ra, rb, dst, on={"custkey": "c_custkey"},
+        group_col="seg", amount_col="amt", up_to_a=1, up_to_b=1,
+    )["refreshed"]
+    snapshot_commit(
+        spark.createDataFrame([(30, "tin")], "c_custkey int, seg string"),
+        rb, mode="append",
     )
     with pytest.raises(ValueError, match="never rewinds"):
         snapshot_incremental_join_agg(
@@ -242,3 +252,94 @@ def test_join_ivm_multi_group_and_key_fanout(spark, tmp_path):
     )
     snapshot_incremental_join_agg(spark, ra, rb, dst, **kw)
     assert served() == truth()
+
+
+def test_join_ivm_catalog_mview(spark, tmp_path):
+    """create_mview(incremental={..., on}) binds TWO sources (A then B);
+    refresh folds both deltas exactly to the catalog pins via the
+    delta-join, reads project the declared surface, and the served dst
+    version is the one whose TWO stamps match the pins (out-of-band
+    advances surface as CatalogConflictError, never stale-ahead data)."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        CatalogConflictError,
+        catalog_ddl,
+        catalog_pin_tables,
+        catalog_read,
+        catalog_refresh_mview,
+        catalog_txn,
+    )
+
+    cat = str(tmp_path / "cat")
+    ra, rb, mv = (str(tmp_path / x) for x in ("orders", "cust", "mv"))
+    orders = spark.createDataFrame(
+        [(1, 10, 500), (2, 20, 300), (3, 10, 200)],
+        "o_id int, o_custkey int, price int",
+    )
+    cust = spark.createDataFrame(
+        [(10, "BUILDING"), (20, "AUTO")], "c_custkey int, seg string"
+    )
+    catalog_txn(cat, [
+        {"name": "orders", "root": ra, "df": orders},
+        {"name": "cust", "root": rb, "df": cust},
+    ])
+    catalog_ddl(cat, [{
+        "op": "create_mview", "name": "seg_rev",
+        "tables": {"o": "orders", "c": "cust"}, "root": mv,
+        "incremental": {
+            "group_cols": ["seg"], "amount_col": "price",
+            "aggs": ["count", "sum", "avg", "min", "max"],
+            "on": {"o_custkey": "c_custkey"},
+        },
+    }])
+    assert catalog_refresh_mview(spark, cat, "seg_rev")["refreshed"]
+
+    def served():
+        return {
+            r["seg"]: (r["n"], r["total"], r["avg"], r["mn"], r["mx"])
+            for r in catalog_read(spark, cat, "seg_rev").collect()
+        }
+
+    assert served() == {
+        "BUILDING": (2, 700, 350.0, 200, 500),
+        "AUTO": (1, 300, 300.0, 300, 300),
+    }
+    assert not catalog_refresh_mview(spark, cat, "seg_rev")["refreshed"]
+
+    # move BOTH sides: new order for a new customer + delete the AUTO
+    # customer (his order's joined row retracts), pin, refresh
+    snapshot_commit(
+        spark.createDataFrame([(4, 30, 50)], "o_id int, o_custkey int, price int"),
+        ra, mode="append",
+    )
+    snapshot_commit(
+        spark.createDataFrame([(30, "BUILDING")], "c_custkey int, seg string"),
+        rb, mode="append",
+    )
+    snapshot_delete_mor(spark, rb, "c_custkey = 20", "c_custkey")
+    catalog_pin_tables(cat, {"orders": (ra, 2), "cust": (rb, 3)})
+    assert catalog_refresh_mview(spark, cat, "seg_rev")["refreshed"]
+    assert served() == {"BUILDING": (3, 750, 250.0, 50, 500)}
+
+    # orders advances v3 AND v4; one out-of-band direct join-IVM folds
+    # both (stamp_a jumps 2 -> 4, no commit stamped 3). Pinning orders at
+    # the SKIPPED v3 has no matching materialization: the refresh must
+    # refuse rather than serve content ahead of the recorded pins —
+    # while pinning at v4 finds the stamped commit and publishes honestly.
+    for oid, price in ((5, 9000), (6, 1000)):
+        snapshot_commit(
+            spark.createDataFrame(
+                [(oid, 10, price)], "o_id int, o_custkey int, price int"
+            ),
+            ra, mode="append",
+        )
+    snapshot_incremental_join_agg(
+        spark, ra, rb, mv, on={"o_custkey": "c_custkey"},
+        group_col="seg", amount_col="price",
+        aggs=("count", "sum", "avg", "min", "max"),
+    )
+    catalog_pin_tables(cat, {"orders": (ra, 3)})
+    with pytest.raises(CatalogConflictError, match="out-of-band"):
+        catalog_refresh_mview(spark, cat, "seg_rev")
+    catalog_pin_tables(cat, {"orders": (ra, 4)})
+    assert catalog_refresh_mview(spark, cat, "seg_rev")["refreshed"]
+    assert served()["BUILDING"] == (5, 10750, 2150.0, 50, 9000)
