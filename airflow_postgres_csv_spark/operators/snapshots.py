@@ -4129,6 +4129,139 @@ def snapshot_update(
     return snapshot_merge(spark, root, updates, key=key_col)
 
 
+def snapshot_update_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    extra: dict | None = None,
+) -> dict:
+    """KEYLESS SQL UPDATE as ONE merge-on-read commit: positional
+    tombstones retract the pre-image rows and the post-images append
+    beside them, atomically — the Iceberg-v2 delete-vector-plus-data-file
+    snapshot shape, and the execution Delta reserves for deletion-vector
+    updates. Where :func:`snapshot_update` needs a unique key column (it
+    is a COW merge), this addresses rows by (file, row_index), so it
+    works on tables with duplicate or absent keys and costs O(changed
+    rows) — address pairs plus post-image bytes — with NO file rewrites;
+    at 100 TB a 100-row UPDATE moves kilobytes. The trade is the
+    standard MOR one: reads carry the tombstone anti-join until
+    compaction folds it.
+
+    One scan finds the matching rows (predicate pushed to parquet) and
+    feeds both sides: their addresses become the delete vector, their
+    SET-transformed images (any SQL over the row's columns; results cast
+    to the declared column types) become the appended files, written
+    under the table's partition spec like any commit, with declared
+    CHECK constraints validated against the staged post-images before
+    publish. The change feed needs no new machinery: the commit's new
+    tombstone emits the delete pre-images and its added files emit the
+    insert post-images — exactly the UPDATE pair CDC expects. A
+    no-match UPDATE publishes nothing and returns
+    ``{"updated_rows": 0}``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    fields = StructType.fromJson(json.loads(manifest["schema"])).fields
+    cols = [f.name for f in fields]
+    types = {f.name: f.dataType for f in fields}
+    bad = set(set_exprs) - set(cols)
+    if bad:
+        raise ValueError(
+            f"snapshot_update_where: no such column(s) {sorted(bad)}"
+        )
+    matched = (
+        _read_pinned(
+            spark, root, manifest, manifest["files"], with_position=True
+        )
+        .where(F.expr(condition))
+        .persist()
+    )
+    try:
+        addr = matched.select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        per_file = addr.groupBy("file").count().collect()
+        n_rows = sum(int(r["count"]) for r in per_file)
+        if n_rows == 0:
+            return {
+                "updated_rows": 0, "version": versions[-1],
+                "committed": False,
+            }
+        post = matched.select(
+            *[
+                F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        commit_id, new_files = _write_rewrite(post, root, manifest)
+        rules = sorted((manifest.get("constraints") or {}).items())
+        if rules:
+            violations = _staged_violations(spark, root, new_files, rules)
+            if violations:
+                shutil.rmtree(
+                    os.path.join(root, _DATA_DIR, commit_id),
+                    ignore_errors=True,
+                )
+                raise SnapshotExpectationError(violations)
+        # the delete vector lives under its own dir so no sidecar/commit
+        # enumeration can ever mistake it for a data file of this commit
+        vec_id = uuid.uuid4().hex[:12]
+        vec_dir = os.path.join(root, _DATA_DIR, vec_id)
+        addr.coalesce(1).write.mode("error").parquet(vec_dir)
+        vec_files = sorted(
+            os.path.join(_DATA_DIR, vec_id, name)
+            for name in os.listdir(vec_dir)
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
+        )
+        sidecar = _new_sidecar(
+            spark, root, new_files, manifest.get("bloom"),
+            manifest.get("sketch"), manifest.get("sums"),
+        )
+        files = list(manifest["files"]) + new_files
+        body = _inherit_maps(manifest, files)
+        if manifest.get("bloom"):
+            body["bloom"] = manifest["bloom"]
+        if extra:
+            reserved = set(body) | {
+                "mode", "commit_id", "files", "n_files", "schema",
+            }
+            bad_keys = set(extra) & reserved
+            if bad_keys:
+                raise ValueError(
+                    "extra metadata may not override reserved keys: "
+                    f"{sorted(bad_keys)}"
+                )
+            body.update(extra)
+        body.update(
+            mode="update-mor", commit_id=commit_id, files=files,
+            n_files=len(files), schema=manifest["schema"],
+        )
+        body["commit_schemas"][commit_id] = manifest["schema"]
+        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+        body["tombstones"] = list(body.get("tombstones", [])) + [
+            {
+                "kind": "positional",
+                "predicate": condition,
+                "files": vec_files,
+                "applies": sorted(str(r["file"]) for r in per_file),
+                "n_keys": n_rows,
+            }
+        ]
+        out = _publish(root, versions, body, commit_id, sidecar)
+        out["updated_rows"] = n_rows
+        return out
+    finally:
+        matched.unpersist()
+
+
 def snapshot_table_changes(
     spark: SparkSession,
     root: str,
@@ -4649,16 +4782,20 @@ def snapshot_incremental_join_agg(
         b_v = up_to_b
     applied_a = _max_stamp(dst_root, "ivm_applied_a", 0)
     applied_b = _max_stamp(dst_root, "ivm_applied_b", 0)
-    if a_v < applied_a or b_v < applied_b:
-        raise ValueError(
-            f"target versions (a={a_v}, b={b_v}) regress the applied "
-            f"stamps (a={applied_a}, b={applied_b}) — IVM never rewinds"
-        )
-    if a_v == applied_a and b_v == applied_b:
+    if a_v <= applied_a and b_v <= applied_b:
+        # both targets at/behind the applied state: nothing to fold (an
+        # out-of-band dst advance past a catalog pin surfaces at the
+        # caller's stamp check, same as the single-table contract)
         return {
             "applied_through": {"a": applied_a, "b": applied_b},
             "refreshed": False,
         }
+    if a_v < applied_a or b_v < applied_b:
+        raise ValueError(
+            f"target versions (a={a_v}, b={b_v}) regress one side of the "
+            f"applied stamps (a={applied_a}, b={applied_b}) while "
+            "advancing the other — IVM never rewinds"
+        )
 
     def _b_named(df: DataFrame) -> DataFrame:
         for a_c, b_c in pairs:

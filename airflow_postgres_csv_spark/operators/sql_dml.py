@@ -1,0 +1,367 @@
+"""SQL-text DML over snapshot tables: ``DELETE FROM`` / ``UPDATE`` /
+``INSERT INTO`` / ``MERGE INTO`` statements routed to the native snapshot
+operators — the Delta/Iceberg Spark-SQL-extensions surface, without a
+session-catalog plugin (Python data sources have no DML extension point
+in Spark 4.1, so the statements are parsed here and the WHERE/SET/ON
+expression fragments are handed to Spark unmodified).
+
+Spark itself cannot run DML on plain parquet; pointing these statements
+at the snapshot format buys the lakehouse semantics each operator already
+guarantees:
+
+- ``DELETE FROM t WHERE c``   → ``snapshot_delete_positional`` (keyless
+  merge-on-read delete vectors; O(deleted rows), rewrites nothing)
+- ``UPDATE t SET ... WHERE c`` → ``snapshot_update_where`` (keyless MOR
+  update: delete vector + post-image files in ONE commit)
+- ``INSERT INTO t <query|VALUES ...>``      → ``snapshot_commit`` append
+- ``INSERT OVERWRITE t <query|VALUES ...>`` → ``snapshot_commit`` overwrite
+- ``MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON t.k = s.k WHEN ...``
+  → ``snapshot_merge_into`` (full clause surface incl. NOT MATCHED BY
+  SOURCE)
+
+Table names resolve through an explicit ``tables={name: root}`` mapping
+or the session's ``snapshot_sql_register`` registry; DML against a
+version-/branch-/catalog-pinned registration is refused (writes land on
+heads, never on time-travel pins). The reference has no SQL engine of its
+own (it delegates statements to Postgres — reference operators.py:80);
+this is the write-side twin of the ``snapshot_sql_register`` read surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    snapshot_commit,
+    snapshot_delete_positional,
+    snapshot_merge_into,
+    snapshot_update_where,
+)
+
+__all__ = ["snapshot_sql_exec"]
+
+# table names as users write them: plain or dotted identifiers, optionally
+# backquoted per part (`a.b` written as `a`.`b`)
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*"
+
+
+def _unquote(name: str) -> str:
+    return ".".join(
+        p[1:-1] if p.startswith("`") else p for p in name.split(".")
+    )
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero — SET lists and VALUES
+    tuples carry commas inside function calls and string literals."""
+    out, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    # SQL doubles quotes to escape them
+                    if i + 1 < n and s[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [p.strip() for p in out]
+
+
+def _resolve(spark: SparkSession, name: str, tables: dict | None) -> str:
+    """Table name -> snapshot root, via the explicit mapping first, then
+    the session SQL registry. Pinned registrations are not writable."""
+    if tables and name in tables:
+        return tables[name]
+    from airflow_postgres_csv_spark.sources.snapshot_batch import _sql_views
+
+    spec = _sql_views(spark).get(name)
+    if spec is None:
+        raise KeyError(
+            f"table {name!r} is not resolvable: pass tables={{name: root}} "
+            "or snapshot_sql_register it first"
+        )
+    if (
+        spec.get("version") is not None
+        or spec.get("branch")
+        or spec.get("catalog")
+    ):
+        raise ValueError(
+            f"table {name!r} is registered with a version/branch/catalog "
+            "pin — DML writes to table heads only; register the bare root "
+            "or pass tables={name: root}"
+        )
+    return spec["root"]
+
+
+def _source_df(spark: SparkSession, query: str):
+    """An INSERT/MERGE source: a full query (SELECT/WITH/TABLE/VALUES,
+    possibly parenthesized) or a bare table name. Runs through
+    ``spark.sql`` so registered snapshot views keep their fresh-relation
+    pruning semantics."""
+    q = query.strip()
+    while q.startswith("(") and q.endswith(")"):
+        # strip only a TRUE outer wrap — "(a) UNION (b)" closes its first
+        # paren mid-string and must stay intact
+        depth = 0
+        wraps = True
+        for i, ch in enumerate(q):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(q) - 1:
+                    wraps = False
+                    break
+        if not wraps:
+            break
+        q = q[1:-1].strip()
+    if re.fullmatch(_IDENT, q):
+        return spark.sql(f"SELECT * FROM {q}")
+    return spark.sql(q)
+
+
+def _aligned(df, root: str, columns: list[str] | None):
+    """Cast/align an INSERT source to the table's declared schema:
+    positional when no column list is given (arity must match), by-name
+    into the listed columns otherwise (unlisted columns fill NULL)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_versions,
+    )
+
+    manifest = _load_manifest(root, snapshot_versions(root)[-1])
+    fields = StructType.fromJson(json.loads(manifest["schema"])).fields
+    if columns is None:
+        if len(df.columns) != len(fields):
+            raise ValueError(
+                f"INSERT arity mismatch: query produces {len(df.columns)} "
+                f"column(s), table has {len(fields)}"
+            )
+        return df.select(
+            *[
+                F.col(df.columns[i]).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(fields)
+            ]
+        )
+    declared = {f.name: f for f in fields}
+    bad = [c for c in columns if c not in declared]
+    if bad:
+        raise ValueError(f"INSERT column(s) {bad} not in table schema")
+    if len(df.columns) != len(columns):
+        raise ValueError(
+            f"INSERT arity mismatch: query produces {len(df.columns)} "
+            f"column(s) for {len(columns)} listed"
+        )
+    by_pos = dict(zip(columns, df.columns))
+    return df.select(
+        *[
+            F.col(by_pos[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in by_pos
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields
+        ]
+    )
+
+
+_DELETE_RE = re.compile(
+    rf"DELETE\s+FROM\s+(?P<t>{_IDENT})(?:\s+WHERE\s+(?P<w>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    rf"UPDATE\s+(?P<t>{_IDENT})\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHERE\s+(?P<w>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    rf"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>{_IDENT})"
+    r"\s*(?:\((?P<cols>[^)]*)\)\s*(?=\s*(?:SELECT|VALUES|WITH|TABLE|\()))?"
+    r"\s*(?P<q>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    rf"MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+    rf"(?P<t>{_IDENT})(?:\s+AS)?(?:\s+(?P<ta>[A-Za-z_][\w$]*))?\s+"
+    rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS)?"
+    r"(?:\s+(?P<sa>[A-Za-z_][\w$]*))?\s+ON\s+(?P<on>.+?)"
+    r"(?P<when>\s+WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<by_src>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<act>DELETE|INSERT\s*\*|UPDATE\s+SET\s+.+?)\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_RE = re.compile(
+    r"^\s*(?P<a1>[A-Za-z_][\w$]*)\.(?P<c1>[A-Za-z_][\w$]*)\s*=\s*"
+    r"(?P<a2>[A-Za-z_][\w$]*)\.(?P<c2>[A-Za-z_][\w$]*)\s*$"
+)
+
+
+def _realias(expr: str, ta: str, sa: str) -> str:
+    """Rewrite the statement's target/source aliases to the fixed ``t``/
+    ``s`` that ``snapshot_merge_into`` expressions use."""
+    expr = re.sub(rf"\b{re.escape(ta)}\s*\.", "t.", expr)
+    expr = re.sub(rf"\b{re.escape(sa)}\s*\.", "s.", expr)
+    return expr.strip()
+
+
+def _parse_set(set_text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in _split_top(set_text):
+        m = re.match(
+            r"^\s*(?:`(?P<q>[^`]+)`|(?P<c>[A-Za-z_][\w$]*))\s*=\s*"
+            r"(?P<e>.+)$",
+            part,
+            re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SET assignment: {part!r}")
+        col = m.group("q") or m.group("c")
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        out[col] = m.group("e").strip()
+    return out
+
+
+def snapshot_sql_exec(
+    spark: SparkSession, sql: str, tables: dict[str, str] | None = None
+) -> dict:
+    """Execute ONE DML statement against snapshot tables (see module
+    docstring for the statement surface and routing). Returns the
+    underlying operator's result dict plus ``{"statement": kind}``.
+    Multi-statement scripts, DDL, and plain SELECT belong to their
+    existing surfaces (``spark.sql`` over registered views; the catalog
+    DDL ops)."""
+    stmt = sql.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "DELETE":
+        m = _DELETE_RE.fullmatch(stmt)
+        if not m:
+            raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
+        root = _resolve(spark, _unquote(m.group("t")), tables)
+        out = snapshot_delete_positional(
+            spark, root, (m.group("w") or "true").strip()
+        )
+        return {**out, "statement": "delete"}
+    if head == "UPDATE":
+        m = _UPDATE_RE.fullmatch(stmt)
+        if not m:
+            raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
+        root = _resolve(spark, _unquote(m.group("t")), tables)
+        out = snapshot_update_where(
+            spark, root, (m.group("w") or "true").strip(),
+            _parse_set(m.group("set")),
+        )
+        return {**out, "statement": "update"}
+    if head == "INSERT":
+        m = _INSERT_RE.fullmatch(stmt)
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
+        root = _resolve(spark, _unquote(m.group("t")), tables)
+        cols = (
+            [c.strip().strip("`") for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        df = _aligned(_source_df(spark, m.group("q")), root, cols)
+        mode = (
+            "append" if m.group("mode").upper() == "INTO" else "overwrite"
+        )
+        out = snapshot_commit(df, root, mode=mode)
+        return {"version": out["version"], "statement": f"insert_{mode}"}
+    if head == "MERGE":
+        return _exec_merge(spark, stmt, tables)
+    raise ValueError(
+        f"unsupported statement {head!r}: snapshot_sql_exec runs "
+        "DELETE/UPDATE/INSERT/MERGE (SELECT goes through spark.sql over "
+        "snapshot_sql_register'd views)"
+    )
+
+
+def _exec_merge(
+    spark: SparkSession, stmt: str, tables: dict | None
+) -> dict:
+    m = _MERGE_RE.fullmatch(stmt)
+    if not m:
+        raise ValueError(f"cannot parse MERGE statement: {stmt!r}")
+    tname = _unquote(m.group("t"))
+    root = _resolve(spark, tname, tables)
+    ta = m.group("ta") or tname
+    src_text = m.group("src")
+    sa = m.group("sa") or (
+        _unquote(src_text) if re.fullmatch(_IDENT, src_text) else None
+    )
+    if sa is None:
+        raise ValueError("MERGE with a subquery source needs an alias")
+    on = _ON_RE.match(m.group("on"))
+    if not on:
+        raise ValueError(
+            "MERGE ON must be a single equality t.<key> = s.<key> "
+            f"(got {m.group('on')!r})"
+        )
+    sides = {on.group("a1"): on.group("c1"), on.group("a2"): on.group("c2")}
+    if set(sides) != {ta, sa} or on.group("c1") != on.group("c2"):
+        raise ValueError(
+            "MERGE ON must equate the SAME column name across the target "
+            f"and source aliases ({ta!r}, {sa!r}); got {m.group('on')!r}"
+        )
+    key = on.group("c1")
+    kw: dict = {"key": key, "insert_when_not_matched": False}
+    if m.group("evolve"):
+        kw["merge_schema"] = True
+    for w in _WHEN_RE.finditer(m.group("when")):
+        act = re.sub(r"\s+", " ", w.group("act")).upper()
+        cond = (
+            _realias(w.group("cond"), ta, sa) if w.group("cond") else None
+        )
+        if w.group("by_src"):
+            if not w.group("not") or act != "DELETE":
+                raise ValueError(
+                    "WHEN [NOT] MATCHED BY SOURCE supports THEN DELETE only"
+                )
+            kw["not_matched_by_source_delete"] = cond or "true"
+        elif w.group("not"):
+            if act != "INSERT *":
+                raise ValueError(
+                    "WHEN NOT MATCHED supports THEN INSERT * only "
+                    "(the snapshot MERGE is INSERT-star shaped)"
+                )
+            kw["insert_when_not_matched"] = True
+            if cond:
+                kw["not_matched_condition"] = cond
+        elif act == "DELETE":
+            kw["matched_delete_condition"] = cond or "true"
+        else:
+            set_text = re.sub(
+                r"^UPDATE\s+SET\s+", "", w.group("act"),
+                flags=re.IGNORECASE,
+            )
+            kw["matched_update"] = {
+                c: _realias(e, ta, sa)
+                for c, e in _parse_set(set_text).items()
+            }
+            if cond:
+                kw["matched_update_condition"] = cond
+    out = snapshot_merge_into(spark, root, _source_df(spark, src_text), **kw)
+    return {**out, "statement": "merge"}

@@ -4432,6 +4432,117 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# SQL-TEXT DML (round 11): DELETE FROM / UPDATE / MERGE INTO / INSERT
+# statements routed to the native snapshot operators (operators/sql_dml.py)
+# — the Delta/Iceberg Spark-SQL-extensions surface the reference gets by
+# delegating statements to Postgres (reference operators.py:80). The UPDATE
+# runs keyless merge-on-read (snapshot_update_where: ONE commit carrying the
+# positional delete vector AND the post-image files); the MERGE exercises
+# all three matched/not-matched clause kinds. The oracle replays the same
+# statement sequence declaratively as a CTE chain over the base rows.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_sql_dml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.sql_dml import (
+        snapshot_sql_exec,
+    )
+
+    root = _temp_root()
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(base, root)
+    base.where(F.pmod("k", F.lit(10)) == 3).createOrReplaceTempView(
+        "snapshot_dml_merge_src"
+    )
+    t = {"t": root}
+    snapshot_sql_exec(
+        spark, "DELETE FROM t WHERE cents < 10000000", tables=t
+    )
+    snapshot_sql_exec(
+        spark,
+        "UPDATE t SET status = concat(status, '+') WHERE cents > 40000000",
+        tables=t,
+    )
+    snapshot_sql_exec(
+        spark,
+        """
+        MERGE INTO t AS g USING snapshot_dml_merge_src AS u ON g.k = u.k
+        WHEN MATCHED AND u.cents > 30000000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET cents = g.cents + 7
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables=t,
+    )
+    snapshot_sql_exec(
+        spark,
+        "INSERT INTO t VALUES (-1, 'Z', 123), (-2, 'Z', 456)",
+        tables=t,
+    )
+    return (
+        snapshot_read(spark, root)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents_total"),
+            F.min("cents").alias("cents_min"),
+            F.max("cents").alias("cents_max"),
+        )
+        .orderBy("status")
+    )
+
+
+register(
+    "snapshot_sql_dml",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    d1 AS (SELECT * FROM base WHERE cents >= 10000000),
+    u1 AS (
+        SELECT k,
+               CASE WHEN cents > 40000000 THEN status || '+'
+                    ELSE status END AS status,
+               cents
+        FROM d1
+    ),
+    src AS (SELECT * FROM base WHERE k % 10 = 3),
+    merged AS (
+        SELECT u1.k, u1.status, u1.cents + 7 AS cents
+        FROM u1 JOIN src ON u1.k = src.k
+        WHERE NOT (src.cents > 30000000)
+        UNION ALL
+        SELECT u1.* FROM u1 LEFT JOIN src ON u1.k = src.k
+        WHERE src.k IS NULL
+        UNION ALL
+        SELECT src.* FROM src LEFT JOIN u1 ON u1.k = src.k
+        WHERE u1.k IS NULL
+    ),
+    final AS (
+        SELECT * FROM merged
+        UNION ALL
+        SELECT * FROM (VALUES (-1, 'Z', 123), (-2, 'Z', 456))
+            AS v(k, status, cents)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           MIN(cents) AS cents_min, MAX(cents) AS cents_max
+    FROM final
+    GROUP BY status
+    ORDER BY status
+    """,
+)(snapshot_sql_dml_query)
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only SUM pushdown (round 10, fast_agg.py + sum_cols config):
 # per-commit integral column sums stamped at publish answer SUM() from the
 # root alone — exact, order-independent integer addition, sticky config

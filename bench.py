@@ -199,6 +199,8 @@ HEADLINE = [
     "snapshot_catalog_branch_mview",
     # two-table join IVM: dJ = dA x B1 + A0 x dB, retractions both sides
     "snapshot_catalog_mview_join_ivm",
+    # SQL-text DML: DELETE/UPDATE(keyless MOR)/MERGE/INSERT statements
+    "snapshot_sql_dml",
 ]
 
 

@@ -1,0 +1,232 @@
+"""SQL-text DML (operators/sql_dml.py) + the keyless MOR UPDATE operator
+(snapshots.snapshot_update_where): DELETE/UPDATE/INSERT/MERGE statements
+routed to the native snapshot ops, with the update commit carrying BOTH
+the positional delete vector and the post-image files atomically.
+
+No reference analog for the execution (the reference sends statements to
+Postgres — reference operators.py:12-98); the statement surface itself is
+exactly what those delegated statements look like, which is the parity
+point."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_csv_spark.operators.snapshots import (
+    SnapshotExpectationError,
+    snapshot_add_constraint,
+    snapshot_commit,
+    snapshot_read,
+    snapshot_table_changes,
+    snapshot_update_where,
+    snapshot_versions,
+)
+from airflow_postgres_csv_spark.operators.sql_dml import snapshot_sql_exec
+
+
+def _rows(spark, root):
+    return {
+        (r["id"], r["grp"], r["amt"])
+        for r in snapshot_read(spark, root).collect()
+    }
+
+
+def _seed(spark, tmp_path, name="t"):
+    root = str(tmp_path / name)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)],
+            "id int, grp string, amt int",
+        ),
+        root,
+    )
+    return root
+
+
+def test_update_where_mor_single_commit(spark, tmp_path):
+    """One UPDATE = ONE commit: pre-images tombstoned positionally,
+    post-images appended; reads see the new values, time travel the old;
+    the change feed emits the delete/insert pair with no new machinery;
+    duplicate keys are no obstacle (keyless addressing)."""
+    root = str(tmp_path / "t")
+    snapshot_commit(
+        spark.createDataFrame(
+            # id=1 appears twice — a keyed COW update could not target it
+            [(1, "a", 10), (1, "a", 11), (2, "b", 20), (3, "c", 30)],
+            "id int, grp string, amt int",
+        ),
+        root,
+    )
+    out = snapshot_update_where(
+        spark, root, "grp = 'a'", {"amt": "amt + 100"}
+    )
+    assert out["updated_rows"] == 2 and out["version"] == 2
+    assert _rows(spark, root) == {
+        (1, "a", 110), (1, "a", 111), (2, "b", 20), (3, "c", 30)
+    }
+    # time travel: the pre-update image is intact at v1
+    v1 = {
+        (r["id"], r["amt"])
+        for r in snapshot_read(spark, root, version=1).collect()
+    }
+    assert v1 == {(1, 10), (1, 11), (2, 20), (3, 30)}
+    # CDC: the version-2 delta is exactly the delete/insert pairs
+    ch = snapshot_table_changes(spark, root, 1, 2).collect()
+    got = {(r["_change_type"], r["id"], r["amt"]) for r in ch}
+    assert got == {
+        ("delete", 1, 10), ("delete", 1, 11),
+        ("insert", 1, 110), ("insert", 1, 111),
+    }
+    # no-match update publishes nothing
+    noop = snapshot_update_where(spark, root, "grp = 'zz'", {"amt": "0"})
+    assert noop == {"updated_rows": 0, "version": 2, "committed": False}
+    assert snapshot_versions(root) == [1, 2]
+    # SET expressions referencing other columns + casts
+    snapshot_update_where(
+        spark, root, "id = 2", {"amt": "id * 1000", "grp": "upper(grp)"}
+    )
+    assert (2, "B", 2000) in _rows(spark, root)
+
+
+def test_update_where_respects_constraints(spark, tmp_path):
+    root = _seed(spark, tmp_path)
+    snapshot_add_constraint(spark, root, "amt_pos", "amt >= 0")
+    with pytest.raises(SnapshotExpectationError):
+        snapshot_update_where(spark, root, "grp = 'a'", {"amt": "-1"})
+    # failed update leaves the table untouched
+    assert snapshot_versions(root) == [1, 2]
+    assert _rows(spark, root) == {
+        (1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)
+    }
+
+
+def test_sql_delete_update_insert(spark, tmp_path):
+    root = _seed(spark, tmp_path)
+    t = {"t": root}
+    out = snapshot_sql_exec(
+        spark, "DELETE FROM t WHERE grp = 'c'", tables=t
+    )
+    assert out["statement"] == "delete"
+    assert _rows(spark, root) == {(1, "a", 10), (2, "b", 20), (3, "a", 30)}
+
+    out = snapshot_sql_exec(
+        spark,
+        "UPDATE t SET amt = amt + least(5, id), grp = concat(grp, '!') "
+        "WHERE id >= 2;",
+        tables=t,
+    )
+    assert out["statement"] == "update" and out["updated_rows"] == 2
+    assert _rows(spark, root) == {
+        (1, "a", 10), (2, "b!", 22), (3, "a!", 33)
+    }
+
+    out = snapshot_sql_exec(
+        spark, "INSERT INTO t VALUES (9, 'z', 90), (10, 'z', 100)",
+        tables=t,
+    )
+    assert out["statement"] == "insert_append"
+    assert (9, "z", 90) in _rows(spark, root)
+    # column-list insert: unlisted columns fill NULL
+    snapshot_sql_exec(
+        spark, "INSERT INTO t (id, grp) VALUES (11, 'n')", tables=t
+    )
+    row11 = [
+        r for r in snapshot_read(spark, root).collect() if r["id"] == 11
+    ]
+    assert row11[0]["amt"] is None and row11[0]["grp"] == "n"
+
+    # INSERT ... SELECT over a registered snapshot view
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    other = _seed(spark, tmp_path, "src_tbl")
+    snapshot_sql_register(spark, "src_tbl", other)
+    snapshot_sql_exec(
+        spark,
+        "INSERT INTO t SELECT id + 100, grp, amt FROM src_tbl "
+        "WHERE grp = 'b'",
+        tables=t,
+    )
+    assert (102, "b", 20) in _rows(spark, root)
+
+    # INSERT OVERWRITE replaces the live rows (history stays)
+    before = snapshot_versions(root)[-1]
+    snapshot_sql_exec(
+        spark, "INSERT OVERWRITE t VALUES (1, 'only', 1)", tables=t
+    )
+    assert _rows(spark, root) == {(1, "only", 1)}
+    assert len(snapshot_read(spark, root, version=before).collect()) > 1
+
+
+def test_sql_exec_registry_resolution_and_guards(spark, tmp_path):
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = _seed(spark, tmp_path)
+    snapshot_sql_register(spark, "dml_reg", root)
+    snapshot_sql_exec(spark, "DELETE FROM dml_reg WHERE id = 4")
+    assert (4, "c", 40) not in _rows(spark, root)
+    # version-pinned registration refuses DML
+    snapshot_sql_register(spark, "dml_pin", root, version=1)
+    with pytest.raises(ValueError, match="version/branch/catalog pin"):
+        snapshot_sql_exec(spark, "DELETE FROM dml_pin")
+    with pytest.raises(KeyError, match="not resolvable"):
+        snapshot_sql_exec(spark, "DELETE FROM no_such_table")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        snapshot_sql_exec(spark, "SELECT * FROM dml_reg")
+
+
+def test_sql_merge_full_clause_surface(spark, tmp_path):
+    """MERGE INTO with UPDATE SET + DELETE + INSERT * + NOT MATCHED BY
+    SOURCE, aliases rewritten to the operator's t/s convention."""
+    root = str(tmp_path / "tgt")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, 100), (2, 200), (3, 300), (4, 400)], "k int, v int"
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(2, 20), (3, -1), (5, 500)], "k int, v int"
+    )
+    src.createOrReplaceTempView("dml_merge_src")
+    out = snapshot_sql_exec(
+        spark,
+        """
+        MERGE INTO tgt AS g USING dml_merge_src AS u ON g.k = u.k
+        WHEN MATCHED AND u.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = g.v + u.v
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND g.k = 1 THEN DELETE
+        """,
+        tables={"tgt": root},
+    )
+    assert out["statement"] == "merge"
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, root).collect()}
+    # 1 deleted (not matched by source), 2 updated, 3 deleted (v<0),
+    # 4 carried, 5 inserted
+    assert got == {(2, 220), (4, 400), (5, 500)}
+
+    # subquery source with required alias; no NOT MATCHED clause = no
+    # inserts
+    snapshot_sql_exec(
+        spark,
+        "MERGE INTO tgt AS g "
+        "USING (SELECT k, v * 2 AS v FROM dml_merge_src WHERE k = 5) s2 "
+        "ON g.k = s2.k "
+        "WHEN MATCHED THEN UPDATE SET v = s2.v",
+        tables={"tgt": root},
+    )
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, root).collect()}
+    assert got == {(2, 220), (4, 400), (5, 1000)}
+
+    with pytest.raises(ValueError, match="single equality"):
+        snapshot_sql_exec(
+            spark,
+            "MERGE INTO tgt AS g USING dml_merge_src AS u "
+            "ON g.k = u.k AND g.v = u.v WHEN MATCHED THEN DELETE",
+            tables={"tgt": root},
+        )
