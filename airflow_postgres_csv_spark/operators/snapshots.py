@@ -5040,13 +5040,15 @@ def snapshot_apply_changes(
                 "tombstones without rewriting files (rollback/un-delete); "
                 "re-anchor from_version past it or reconcile via table_diff"
             )
-        if added:
-            rows = _read_pinned(spark, src_root, cur, added)
-            if snapshot_versions(dst_root):
-                _upsert_evolving(spark, dst_root, rows, key_col)
-            else:
-                snapshot_commit(rows, dst_root)
-            appends += 1
+        # NEW tombstones replay BEFORE the appended files: a mixed commit
+        # (snapshot_update_where — delete vector + post-images in one
+        # version) retracts pre-image keys and re-inserts their post-
+        # images under the SAME keys, so upserting first would let the
+        # tombstone replay wrongly delete the rows it just wrote. The
+        # tombstone binds to files of EARLIER commits only (never the
+        # version's own additions), so delete-then-upsert reproduces the
+        # source's final state for every commit shape — including an
+        # UPDATE that rewrites the key column itself.
         prev_tombs = (prev or {}).get("tombstones", [])
         for t in cur.get("tombstones", []):
             if t in prev_tombs:
@@ -5084,6 +5086,13 @@ def snapshot_apply_changes(
                 dst_root, keys, key_col, t.get("predicate", "<cdc replay>")
             )
             deletes += 1
+        if added:
+            rows = _read_pinned(spark, src_root, cur, added)
+            if snapshot_versions(dst_root):
+                _upsert_evolving(spark, dst_root, rows, key_col)
+            else:
+                snapshot_commit(rows, dst_root)
+            appends += 1
         prev = cur
     dvs = snapshot_versions(dst_root)
     if dvs and latest > applied:

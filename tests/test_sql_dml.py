@@ -230,3 +230,59 @@ def test_sql_merge_full_clause_surface(spark, tmp_path):
             "ON g.k = u.k AND g.v = u.v WHEN MATCHED THEN DELETE",
             tables={"tgt": root},
         )
+
+
+def test_apply_changes_replays_keyless_update(spark, tmp_path):
+    """CDC replay of an update-mor commit: the version carries BOTH a
+    positional tombstone (pre-images) and appended post-image files
+    under the SAME keys — the replay must delete-then-upsert, or the
+    tombstone erases the rows it just wrote (the order regression this
+    pins). Also covers an update that rewrites the key column itself."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_apply_changes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "id int, grp string, amt int",
+        ),
+        src,
+    )
+    snapshot_apply_changes(spark, src, dst, "id")
+    snapshot_update_where(spark, src, "grp = 'a'", {"amt": "amt * 10"})
+    out = snapshot_apply_changes(spark, src, dst, "id")
+    assert out["append_batches"] == 1 and out["delete_batches"] == 1
+    want = {
+        (r["id"], r["amt"]) for r in snapshot_read(spark, src).collect()
+    }
+    got = {(r["id"], r["amt"]) for r in snapshot_read(spark, dst).collect()}
+    assert got == want == {(1, 100), (2, 20), (3, 300)}
+    # key-rewriting update: id 2 becomes id 20 (pre-key deleted, new
+    # key inserted downstream)
+    snapshot_update_where(spark, src, "id = 2", {"id": "id * 10"})
+    snapshot_apply_changes(spark, src, dst, "id")
+    got = {(r["id"], r["amt"]) for r in snapshot_read(spark, dst).collect()}
+    assert got == {(1, 100), (20, 20), (3, 300)}
+
+
+def test_update_where_then_compact_folds_vector(spark, tmp_path):
+    """Compaction after a keyless update folds the delete vector: the
+    rewritten files hold the post-update rows, the tombstone dies with
+    the files it addressed, and reads stay identical."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+    )
+
+    root = _seed(spark, tmp_path)
+    snapshot_update_where(spark, root, "grp = 'a'", {"amt": "amt + 1"})
+    before = _rows(spark, root)
+    snapshot_compact(spark, root)
+    head = _load_manifest(root, snapshot_versions(root)[-1])
+    assert not head.get("tombstones")
+    assert _rows(spark, root) == before == {
+        (1, "a", 11), (2, "b", 20), (3, "a", 31), (4, "c", 40)
+    }
