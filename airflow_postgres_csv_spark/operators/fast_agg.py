@@ -92,6 +92,55 @@ def _probe_image(value, dtype: str | None):
     return None
 
 
+def _where_image(manifest: dict, where: dict):
+    """Per-column probe preparation for an equality ``where`` over
+    identity-partitioned columns: ``(raw_ok, img)`` where ``raw_ok[c]``
+    says the raw literal may be compared against FAITHFUL (tuples_v=2)
+    tuples, and ``img[c]`` is the lossy-parse image for legacy tuples
+    (None when unprovable under that encoding). Returns None when a
+    column is unprovable under EVERY vintage — the caller scans."""
+    cur_types = {
+        f["name"]: f["type"] for f in json.loads(manifest["schema"])["fields"]
+    }
+    raw_ok: dict[str, bool] = {}
+    img: dict[str, object] = {}
+    for c, v in where.items():
+        dt = cur_types.get(c)
+        raw_ok[c] = (dt == "string" and isinstance(v, str)) or (
+            dt in ("byte", "short", "integer", "long")
+            and isinstance(v, int)
+            and not isinstance(v, bool)
+        )
+        img[c] = _probe_image(v, dt)
+        if not raw_ok[c] and img[c] is None:
+            return None
+    return raw_ok, img
+
+
+def _sidecar_probe(
+    sc: dict, where: dict, raw_ok: dict, img: dict
+) -> dict | None:
+    """The per-sidecar equality probe: raw values against faithful
+    (tuples_v=2) tuples, the lossy-parse image against legacy tuples;
+    None when THIS sidecar's vintage cannot prove equality."""
+    if sc.get("tuples_v") == 2:
+        if not all(raw_ok[c] for c in where):
+            return None  # type-mismatched probe: equality undefined
+        return dict(where)
+    if any(img[c] is None for c in where):
+        return None  # lossy-parse vintage, ambiguous encoding
+    return img
+
+
+def _identity_index(spec: list, col: str) -> int | None:
+    """Position of ``col`` as an IDENTITY transform in the spec, else
+    None (derived transforms cannot prove row-level equality)."""
+    return next(
+        (k for k, f in enumerate(spec) if f[0] == col and f[1] == "identity"),
+        None,
+    )
+
+
 def _metadata_rows(root: str, manifest: dict) -> tuple[int, str]:
     """Exact pinned row count from metadata: ``(n_rows, source)`` where
     source is the weakest level consulted (root < sidecar < footer)."""
@@ -206,21 +255,10 @@ def _partition_filtered(
     # Legacy commits' tuples came from the lossy int-coercing parse —
     # probe those through the same encoding (_probe_image) and refuse
     # when it cannot prove equality.
-    cur_types = {
-        f["name"]: f["type"] for f in json.loads(manifest["schema"])["fields"]
-    }
-    raw_ok: dict[str, bool] = {}
-    img: dict[str, object] = {}
-    for c, v in where.items():
-        dt = cur_types.get(c)
-        raw_ok[c] = (dt == "string" and isinstance(v, str)) or (
-            dt in ("byte", "short", "integer", "long")
-            and isinstance(v, int)
-            and not isinstance(v, bool)
-        )
-        img[c] = _probe_image(v, dt)
-        if not raw_ok[c] and img[c] is None:
-            return None  # unprovable under any vintage: one filtered scan
+    probes = _where_image(manifest, where)
+    if probes is None:
+        return None  # unprovable under any vintage: one filtered scan
+    raw_ok, img = probes
     want = {c: (v, v) for c, v in where.items()}
     total = 0
     ranges: dict[str, list | None] = {c: None for c in cols}
@@ -241,14 +279,7 @@ def _partition_filtered(
         spec = specs[si]
         idx: dict[str, int] = {}
         for c in where:
-            j = next(
-                (
-                    k
-                    for k, f in enumerate(spec)
-                    if f[0] == c and f[1] == "identity"
-                ),
-                None,
-            )
+            j = _identity_index(spec, c)
             if j is None:
                 return None  # not identity-partitioned in this commit
             idx[c] = j
@@ -258,14 +289,9 @@ def _partition_filtered(
             continue  # whole commit excluded from the root summary alone
         sc = _load_sidecar(root, manifest, cid)
         source = _weaker(source, "sidecar")
-        if sc.get("tuples_v") == 2:
-            if not all(raw_ok[c] for c in where):
-                return None  # type-mismatched probe: equality undefined
-            probe = dict(where)
-        else:
-            if any(img[c] is None for c in where):
-                return None  # lossy-parse vintage, ambiguous encoding
-            probe = img
+        probe = _sidecar_probe(sc, where, raw_ok, img)
+        if probe is None:
+            return None
         pvals = sc.get("partitions") or {}
         rmap = sc.get("rows") or {}
         stats = sc.get("stats") or {}
@@ -334,22 +360,29 @@ def _partition_filtered(
 def _group_rollup(
     root: str,
     manifest: dict,
-    group_by: str,
+    group_by: list[str],
     sums_cols: list[str],
     range_cols: list[str] = (),
+    where: dict | None = None,
 ) -> tuple | None:
-    """Exact per-group ``{value: [n_rows, {col: [sum, nn]},
-    {col: [min, max]}]}`` for an IDENTITY-partitioned column, from
+    """Exact per-group ``{key: [n_rows, {col: [sum, nn]},
+    {col: [min, max]}]}`` for IDENTITY-partitioned column(s), from
     commit sidecars alone — Iceberg's partitions-metadata-table rollup
-    as a GROUP BY: every file holds exactly one value of an
+    as a GROUP BY: every file holds exactly one value of each
     identity-transform column, so its sidecar row count, per-file sums,
-    and per-file zone maps attribute to that group exactly. Returns
-    ``(groups, source)`` or None when any pinned file cannot prove its
-    group (no spec, pre-spec commit, non-identity field, missing tuple,
-    a string column whose parsed tuple int-coerced — '0123' and '123'
-    conflate in hive paths — a file without recorded sums, or
-    unstamped/absent/incomparable range stats for ``range_cols``).
-    O(commits) sidecar reads, zero data I/O."""
+    and per-file zone maps attribute to that group (a TUPLE key for
+    multi-column grouping) exactly. An optional equality ``where`` over
+    further identity columns restricts the rollup file-by-file — whole
+    commits the root partition summary excludes are pruned before their
+    sidecar is opened. Returns ``(groups, source)`` or None when any
+    pinned file cannot prove its group or membership (no spec, pre-spec
+    commit, non-identity field, missing tuple, a string column whose
+    parsed tuple int-coerced — '0123' and '123' conflate in hive paths,
+    unless the sidecar carries faithful tuples_v=2 tuples — a file
+    without recorded sums, or unstamped/absent/incomparable range stats
+    for ``range_cols``). O(commits) sidecar reads, zero data I/O."""
+    from airflow_postgres_csv_spark.operators import partitioning as P
+
     specs = manifest.get("partition_specs") or []
     cparts = manifest.get("commit_partitions") or {}
     if not specs:
@@ -358,9 +391,20 @@ def _group_rollup(
     cur_types = {
         f["name"]: f["type"] for f in json.loads(manifest["schema"])["fields"]
     }
-    dtype = cur_types.get(group_by)
-    if dtype not in ("byte", "short", "integer", "long", "string"):
+    dtypes = [cur_types.get(g) for g in group_by]
+    if any(
+        dt not in ("byte", "short", "integer", "long", "string")
+        for dt in dtypes
+    ):
         return None
+    if where:
+        probes = _where_image(manifest, where)
+        if probes is None:
+            return None
+        raw_ok, img = probes
+        want = {c: (val, val) for c, val in where.items()}
+        pred_cache: dict[int, list] = {}
+    multi = len(group_by) > 1
     groups: dict = {}
     source = "sidecar"
     for cid, n, subset in _commit_markers(root, manifest):
@@ -373,17 +417,26 @@ def _group_rollup(
         if not (0 <= si < len(specs)):
             return None
         spec = specs[si]
-        j = next(
-            (
-                k
-                for k, f in enumerate(spec)
-                if f[0] == group_by and f[1] == "identity"
-            ),
-            None,
-        )
-        if j is None:
+        idxs = [_identity_index(spec, g) for g in group_by]
+        if any(j is None for j in idxs):
             return None  # not identity-partitioned in this commit
+        probe: dict | None = None
+        widx: dict[str, int] = {}
+        if where:
+            for c in where:
+                wj = _identity_index(spec, c)
+                if wj is None:
+                    return None
+                widx[c] = wj
+            if si not in pred_cache:
+                pred_cache[si] = P.map_predicates(spec, want)
+            if P.prune_commit(cp.get("f") or [], pred_cache[si]):
+                continue  # whole commit excluded from the root summary
         sc = _load_sidecar(root, manifest, cid)
+        if where:
+            probe = _sidecar_probe(sc, where, raw_ok, img)
+            if probe is None:
+                return None
         pvals = sc.get("partitions") or {}
         rmap = sc.get("rows") or {}
         smap = sc.get("sums") or {}
@@ -407,9 +460,17 @@ def _group_rollup(
             tup = pvals.get(rel)
             if tup is None:
                 return None
-            gval = tup[j]
-            if not faithful and dtype == "string" and isinstance(gval, int):
+            if probe is not None and any(
+                tup[widx[c]] != probe[c] for c in where
+            ):
+                continue  # identity mismatch: provably zero matching rows
+            vals = [tup[j] for j in idxs]
+            if not faithful and any(
+                dt == "string" and isinstance(gv, int)
+                for dt, gv in zip(dtypes, vals)
+            ):
                 return None  # int-coerced path parse: value irrecoverable
+            gval = tuple(vals) if multi else vals[0]
             if rel in rmap:
                 nrows = int(rmap[rel])
             else:
@@ -486,25 +547,37 @@ def _metadata_sum(
     return [total, nonnull], source
 
 
+def _key_sort(key):
+    """NULL-first total order for scalar or composite group keys."""
+    if isinstance(key, (list, tuple)):
+        return tuple((k is not None, k) for k in key)
+    return ((key is not None, key),)
+
+
 def _fast_group_by(
     root: str,
     manifest: dict,
     v: int,
-    group_by: str,
+    group_by: list[str],
     cols: list[str],
     sums_cols: list[str],
+    where: dict | None,
     spark: SparkSession | None,
     allow_scan: bool,
 ) -> dict:
     """The group_by= arm of snapshot_fast_agg: sidecar rollup when every
-    file's group is provable, ONE Spark GROUP BY otherwise. ``cols``
-    become per-group MIN/MAX (from stamped per-file zone maps — every
-    file of an identity partition belongs to exactly one group)."""
+    file's group (and its ``where`` membership) is provable, ONE Spark
+    GROUP BY otherwise. ``cols`` become per-group MIN/MAX (from stamped
+    per-file zone maps — every file of an identity partition belongs to
+    exactly one group). Multi-column grouping emits LIST keys in the
+    declared column order."""
+    multi = len(group_by) > 1
+    gb_out = list(group_by) if multi else group_by[0]
     rollup = None
     if not manifest.get("tombstones"):
         try:
             rollup = _group_rollup(
-                root, manifest, group_by, sums_cols, cols
+                root, manifest, group_by, sums_cols, cols, where
             )
         except (FileNotFoundError, RuntimeError):
             if not allow_scan:
@@ -514,7 +587,7 @@ def _fast_group_by(
         groups, src = rollup
         out_groups = [
             {
-                "key": k,
+                "key": list(k) if multi else k,
                 "n_rows": ent[0],
                 "sums": {
                     c: {
@@ -533,9 +606,9 @@ def _fast_group_by(
             }
             for k, ent in groups.items()
         ]
-        out_groups.sort(key=lambda g: (g["key"] is not None, g["key"]))
+        out_groups.sort(key=lambda g: _key_sort(g["key"]))
         return {
-            "version": v, "group_by": group_by, "source": src,
+            "version": v, "group_by": gb_out, "source": src,
             "groups": out_groups,
         }
     if not allow_scan:
@@ -549,6 +622,8 @@ def _fast_group_by(
     from pyspark.sql import functions as F
 
     df = snapshot_read(spark, root, version=v)
+    for c, val in (where or {}).items():
+        df = df.where(F.col(c) == F.lit(val))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in sums_cols:
         aggs.append(F.sum(c).alias(f"__sm_{c}"))
@@ -556,13 +631,15 @@ def _fast_group_by(
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
-    rows = df.groupBy(group_by).agg(*aggs).collect()
+    rows = df.groupBy(*group_by).agg(*aggs).collect()
     out_groups = []
     for r in rows:
         d = r.asDict()
         out_groups.append(
             {
-                "key": d[group_by],
+                "key": (
+                    [d[g] for g in group_by] if multi else d[group_by[0]]
+                ),
                 "n_rows": int(d["__n"]),
                 "sums": {
                     c: {
@@ -581,9 +658,9 @@ def _fast_group_by(
                 },
             }
         )
-    out_groups.sort(key=lambda g: (g["key"] is not None, g["key"]))
+    out_groups.sort(key=lambda g: _key_sort(g["key"]))
     return {
-        "version": v, "group_by": group_by, "source": "scan",
+        "version": v, "group_by": gb_out, "source": "scan",
         "groups": out_groups,
     }
 
@@ -594,7 +671,7 @@ def snapshot_fast_agg(
     *,
     sums: tuple[str, ...] | list[str] = (),
     where: dict | None = None,
-    group_by: str | None = None,
+    group_by: str | list[str] | None = None,
     version: int | None = None,
     spark: SparkSession | None = None,
     allow_scan: bool = True,
@@ -619,22 +696,25 @@ def snapshot_fast_agg(
     RuntimeError instead of scanning; ``spark`` is only required when the
     scan fallback is reachable.
 
-    ``group_by=col`` (mutually exclusive with ``where``) is the
-    metadata-only GROUP BY — Iceberg's partitions-metadata rollup as an
-    aggregate: for an IDENTITY-partitioned column every file belongs to
-    exactly one group, so per-group COUNT(*), SUM(sums), and
+    ``group_by=col`` (or a LIST of columns for composite grouping) is
+    the metadata-only GROUP BY — Iceberg's partitions-metadata rollup as
+    an aggregate: for IDENTITY-partitioned column(s) every file belongs
+    to exactly one group, so per-group COUNT(*), SUM(sums), and
     MIN/MAX(cols) roll up from the commit sidecars' row/sum/zone-map
-    entries with zero data I/O. Returns::
+    entries with zero data I/O. ``where`` COMBINES with ``group_by``
+    (equality over further identity columns — ``COUNT(*) WHERE lang='en'
+    GROUP BY year`` stays metadata-only, with root-summary commit
+    pruning before any sidecar opens). Returns::
 
-        {"version": v, "group_by": col, "source": src,
-         "groups": [{"key": value, "n_rows": int,
+        {"version": v, "group_by": col | [cols], "source": src,
+         "groups": [{"key": value | [values], "n_rows": int,
                      "sums": {c: {"value": .., "n_nonnull": ..}},
                      "columns": {c: {"min": .., "max": ..}}}, ...]}
 
     sorted by key (NULL first). Any unprovable attribution (no identity
-    spec, pre-spec commits, int-coerced string tuples, missing per-file
-    sums, unstamped/absent range stats) flips the whole call to one
-    Spark GROUP BY scan."""
+    spec, pre-spec commits, int-coerced string tuples without the
+    faithful tuples_v=2 stamp, missing per-file sums, unstamped/absent
+    range stats) flips the whole call to one Spark GROUP BY scan."""
     versions = snapshot_versions(root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {root}")
@@ -669,14 +749,22 @@ def snapshot_fast_agg(
                 "where values must be non-NULL (equality never matches NULL)"
             )
     if group_by is not None:
-        if where:
-            raise ValueError("group_by= is mutually exclusive with where")
-        if group_by not in current:
+        gb = [group_by] if isinstance(group_by, str) else list(group_by)
+        if not gb or len(set(gb)) != len(gb):
+            raise ValueError("group_by= needs distinct column name(s)")
+        bad_gb = [g for g in gb if g not in current]
+        if bad_gb:
             raise ValueError(
-                f"group_by column {group_by!r} not in version {v} schema"
+                f"group_by column(s) {bad_gb} not in version {v} schema"
+            )
+        overlap = set(gb) & set(where or {})
+        if overlap:
+            raise ValueError(
+                f"column(s) {sorted(overlap)} appear in both group_by= "
+                "and where= (an equality-filtered column has one group)"
             )
         return _fast_group_by(
-            root, manifest, v, group_by, list(cols), list(sums),
+            root, manifest, v, gb, list(cols), list(sums), where,
             spark, allow_scan,
         )
 

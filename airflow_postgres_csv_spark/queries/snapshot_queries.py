@@ -4687,6 +4687,78 @@ register(
 )(snapshot_partition_rollup_query)
 
 
+def snapshot_partition_rollup_where_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-11 extension of the metadata GROUP BY: COMPOSITE group keys
+    over two identity columns PLUS an equality ``where`` over one of
+    them restricting a second call — both answered from commit sidecars
+    with zero data I/O (``allow_scan=False`` makes the zero-scan claim
+    part of the correctness gate; commits the root partition summary
+    excludes are pruned before their sidecar opens)."""
+    from airflow_postgres_csv_spark.operators.fast_agg import (
+        snapshot_fast_agg,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = _temp_root()
+    snapshot_commit(
+        docs.where(F.pmod("doc_id", F.lit(2)) == 0),
+        root,
+        partition_transforms=[("lang", "identity"), ("source", "identity")],
+        sum_cols=["n_chars"],
+    )
+    snapshot_commit(docs.where(F.pmod("doc_id", F.lit(2)) == 1), root)
+    multi = snapshot_fast_agg(
+        root, group_by=["lang", "source"], sums=["n_chars"], spark=None,
+        allow_scan=False,
+    )
+    filtered = snapshot_fast_agg(
+        root, group_by="source", sums=["n_chars"], where={"lang": "en"},
+        spark=None, allow_scan=False,
+    )
+    en_totals = {
+        g["key"]: (g["n_rows"], g["sums"]["n_chars"]["value"])
+        for g in filtered["groups"]
+    }
+    rows = []
+    for g in multi["groups"]:
+        lang, source = g["key"]
+        fn, ft = en_totals.get(source, (0, 0)) if lang == "en" else (0, 0)
+        rows.append(
+            (
+                lang,
+                source,
+                g["n_rows"],
+                g["sums"]["n_chars"]["value"],
+                # cross-check column: the where= path must agree with the
+                # multi-key path on every en group (pinned by the oracle)
+                int(lang != "en" or (fn == g["n_rows"] and ft == g["sums"]["n_chars"]["value"])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "lang string, source string, n_docs bigint, chars_total bigint, "
+        "paths_agree int",
+    ).orderBy("lang", "source")
+
+
+register(
+    "snapshot_partition_rollup_where",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           1 AS paths_agree
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)(snapshot_partition_rollup_where_query)
+
+
 # ---------------------------------------------------------------------------
 # Declared sort orders (round 11, snapshot_commit(sort_order=)): Iceberg's
 # write-order as sticky table metadata — every commit lands range-clustered

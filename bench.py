@@ -201,6 +201,8 @@ HEADLINE = [
     "snapshot_catalog_mview_join_ivm",
     # SQL-text DML: DELETE/UPDATE(keyless MOR)/MERGE/INSERT statements
     "snapshot_sql_dml",
+    # metadata GROUP BY: composite keys + where-filtered, zero data I/O
+    "snapshot_partition_rollup_where",
 ]
 
 

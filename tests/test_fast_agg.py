@@ -817,8 +817,8 @@ def test_group_by_metadata_rollup(spark, tmp_path, monkeypatch):
         assert g["n_rows"] == n
         assert g["sums"]["amt"] == {"value": s, "n_nonnull": nn}
         assert g["columns"]["id"] == {"min": mn, "max": mx}
-    # mutually exclusive with where
-    with pytest.raises(ValueError, match="mutually exclusive"):
+    # grouping by an equality-filtered column is degenerate: refused
+    with pytest.raises(ValueError, match="one group"):
         snapshot_fast_agg(root, group_by="lang", where={"lang": "L1"})
 
 
@@ -918,3 +918,120 @@ def test_sum_config_follows_rename_and_refuses_drop(spark, tmp_path):
     assert got["sums"]["amount"]["value"] == want
     with pytest.raises(ValueError, match="sum rollup config"):
         snapshot_alter(root, drop=["amount"])
+
+
+def test_group_by_multi_column_metadata(spark, tmp_path):
+    """Composite group keys over two identity columns roll up from the
+    sidecars with zero data I/O (allow_scan=False as the gate); list
+    keys in declared order, NULL-first sort."""
+    root = str(tmp_path / "t")
+    rows = [
+        (i, ["en", "fr"][i % 2], 2020 + (i % 3), i * 10) for i in range(12)
+    ]
+    snapshot_commit(
+        spark.createDataFrame(rows, "id int, lang string, yr int, amt int"),
+        root,
+        partition_transforms=[("lang", "identity"), ("yr", "identity")],
+        sum_cols=["amt"],
+    )
+    got = snapshot_fast_agg(
+        root, group_by=["lang", "yr"], sums=["amt"], allow_scan=False
+    )
+    assert got["source"] != "scan" and got["group_by"] == ["lang", "yr"]
+    want = {
+        (r["lang"], r["yr"]): (r["n"], r["s"])
+        for r in spark.createDataFrame(
+            rows, "id int, lang string, yr int, amt int"
+        ).groupBy("lang", "yr").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s")
+        ).collect()
+    }
+    assert {
+        tuple(g["key"]): (g["n_rows"], g["sums"]["amt"]["value"])
+        for g in got["groups"]
+    } == want
+    # keys sorted composite NULL-first
+    keys = [tuple(g["key"]) for g in got["groups"]]
+    assert keys == sorted(keys)
+    # duplicate / unknown group columns refused
+    with pytest.raises(ValueError, match="distinct column"):
+        snapshot_fast_agg(root, group_by=["lang", "lang"], spark=spark)
+
+
+def test_group_by_with_where_metadata_and_pruning(spark, tmp_path):
+    """where= equality COMBINES with group_by — the rollup stays
+    metadata-only, and commits whose root partition summary excludes the
+    probe are pruned before their sidecar is read (sidecar-open spy)."""
+    import airflow_postgres_csv_spark.operators.snapshots as S_mod
+
+    root = str(tmp_path / "t")
+    mk = lambda lang, years: spark.createDataFrame(
+        [(i, lang, y, (i + 1) * 100) for i, y in enumerate(years)],
+        "id int, lang string, yr int, amt int",
+    )
+    snapshot_commit(
+        mk("en", [2020, 2020, 2021]), root,
+        partition_transforms=[("lang", "identity"), ("yr", "identity")],
+        sum_cols=["amt"],
+    )
+    snapshot_commit(mk("fr", [2020, 2022]), root)
+    snapshot_commit(mk("en", [2021, 2022]), root)
+    got = snapshot_fast_agg(
+        root, group_by="yr", sums=["amt"], where={"lang": "en"},
+        allow_scan=False,
+    )
+    assert got["source"] != "scan"
+    truth = {
+        r["yr"]: (r["n"], r["s"])
+        for r in snapshot_read(spark, root)
+        .where("lang = 'en'")
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert {
+        g["key"]: (g["n_rows"], g["sums"]["amt"]["value"])
+        for g in got["groups"]
+    } == truth
+    # the all-fr commit is excluded by the ROOT summary: its sidecar is
+    # never opened
+    S._metadata_cache_clear()
+    opened = []
+    orig = S_mod._load_sidecar
+
+    def spy(root_, manifest_, cid_):
+        opened.append(cid_)
+        return orig(root_, manifest_, cid_)
+
+    S_mod._load_sidecar, FA._load_sidecar = spy, spy
+    try:
+        snapshot_fast_agg(
+            root, group_by="yr", where={"lang": "en"}, allow_scan=False
+        )
+    finally:
+        S_mod._load_sidecar, FA._load_sidecar = orig, orig
+    vs = snapshot_versions(root)
+    m = S._load_manifest(root, vs[-1])
+    fr_cid = [
+        cid for cid, sc_rel in m["sidecars"].items()
+        if "fr" in str(
+            (S._load_sidecar(root, m, cid).get("partitions") or {}).values()
+        )
+    ]
+    assert len(opened) == 2 and all(c not in opened for c in fr_cid)
+    # group_by/where overlap refused
+    with pytest.raises(ValueError, match="one group"):
+        snapshot_fast_agg(
+            root, group_by="lang", where={"lang": "en"}, spark=spark
+        )
+    # where over a non-identity column: one scan, still exact
+    scan = snapshot_fast_agg(
+        root, group_by="yr", where={"id": 0}, spark=spark
+    )
+    assert scan["source"] == "scan"
+    truth0 = {
+        r["yr"]: r["n"]
+        for r in snapshot_read(spark, root).where("id = 0").groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {g["key"]: g["n_rows"] for g in scan["groups"]} == truth0
