@@ -83,8 +83,12 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _resolve(spark: SparkSession, name: str, tables: dict | None) -> str:
-    """Table name -> snapshot root, via the explicit mapping first, then
-    the session SQL registry. Pinned registrations are not writable."""
+    """Table name -> WRITABLE snapshot root, via the explicit mapping
+    first, then the session SQL registry. A BRANCH registration resolves
+    to the branch's own root — DML against a write-audit-publish staging
+    branch in plain SQL, exactly the WAP flow (audit the branch, publish
+    atomically); version- and catalog-pinned registrations are read-only
+    time-travel views and refuse DML."""
     if tables and name in tables:
         return tables[name]
     from airflow_postgres_csv_spark.sources.snapshot_batch import _sql_views
@@ -95,16 +99,18 @@ def _resolve(spark: SparkSession, name: str, tables: dict | None) -> str:
             f"table {name!r} is not resolvable: pass tables={{name: root}} "
             "or snapshot_sql_register it first"
         )
-    if (
-        spec.get("version") is not None
-        or spec.get("branch")
-        or spec.get("catalog")
-    ):
+    if spec.get("version") is not None or spec.get("catalog"):
         raise ValueError(
-            f"table {name!r} is registered with a version/branch/catalog "
+            f"table {name!r} is registered with a version/catalog "
             "pin — DML writes to table heads only; register the bare root "
             "or pass tables={name: root}"
         )
+    if spec.get("branch"):
+        from airflow_postgres_csv_spark.operators.branches import (
+            _branch_root,
+        )
+
+        return _branch_root(spec["root"], spec["branch"])
     return spec["root"]
 
 

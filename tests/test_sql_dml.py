@@ -171,7 +171,7 @@ def test_sql_exec_registry_resolution_and_guards(spark, tmp_path):
     assert (4, "c", 40) not in _rows(spark, root)
     # version-pinned registration refuses DML
     snapshot_sql_register(spark, "dml_pin", root, version=1)
-    with pytest.raises(ValueError, match="version/branch/catalog pin"):
+    with pytest.raises(ValueError, match="version/catalog"):
         snapshot_sql_exec(spark, "DELETE FROM dml_pin")
     with pytest.raises(KeyError, match="not resolvable"):
         snapshot_sql_exec(spark, "DELETE FROM no_such_table")
@@ -286,3 +286,36 @@ def test_update_where_then_compact_folds_vector(spark, tmp_path):
     assert _rows(spark, root) == before == {
         (1, "a", 11), (2, "b", 20), (3, "a", 31), (4, "c", 40)
     }
+
+
+def test_sql_dml_on_wap_branch(spark, tmp_path):
+    """DML against a BRANCH registration lands on the branch root — the
+    write-audit-publish flow in plain SQL: main is untouched until
+    snapshot_publish_branch flips it atomically, update-mor vector files
+    and all."""
+    from airflow_postgres_csv_spark.operators.branches import (
+        snapshot_branch,
+        snapshot_publish_branch,
+    )
+    from airflow_postgres_csv_spark.sources.snapshot_batch import (
+        snapshot_sql_register,
+    )
+
+    root = _seed(spark, tmp_path)
+    snapshot_branch(root, "audit")
+    snapshot_sql_register(spark, "dml_wap", root, branch="audit")
+    snapshot_sql_exec(
+        spark, "UPDATE dml_wap SET amt = amt * 2 WHERE grp = 'a'"
+    )
+    snapshot_sql_exec(spark, "DELETE FROM dml_wap WHERE grp = 'c'")
+    # main untouched; the branch registration reads the staged state
+    assert _rows(spark, root) == {
+        (1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)
+    }
+    staged = {
+        (r["id"], r["amt"])
+        for r in spark.sql("SELECT id, amt FROM dml_wap").collect()
+    }
+    assert staged == {(1, 20), (2, 20), (3, 60)}
+    snapshot_publish_branch(root, "audit")
+    assert _rows(spark, root) == {(1, "a", 20), (2, "b", 20), (3, "a", 60)}
