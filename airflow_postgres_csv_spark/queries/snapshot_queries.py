@@ -4543,6 +4543,107 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# STREAMING JOIN IVM (round 11): facts stream into a snapshot table while a
+# per-cohort rollup over facts JOIN dimension advances beside them — the
+# streaming face of the delta-join (streaming/sinks.py start_join_ivm_sink).
+# The dimension side has NO stream: a late dimension append lights up
+# ALREADY-INGESTED facts through the A0 x dB term, and a dimension MOR
+# delete retracts every joined row of the erased users — both folded in at
+# the next micro-batch, across a checkpointed restart. The oracle
+# recomputes the final join rollup from the surviving rows.
+# ---------------------------------------------------------------------------
+
+
+def streaming_join_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_delete_mor,
+    )
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        start_join_ivm_sink,
+    )
+
+    src_files = os.path.join(_temp_root(), "in")
+    os.makedirs(src_files)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    for i in (0, 1):
+        _stage_stream_file(ev.where(F.col("event_id") % 3 == i), src_files, i)
+    schema = spark.read.parquet(src_files).schema
+    a_root, b_root, dst_root = _temp_root(), _temp_root(), _temp_root()
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        F.concat(F.lit("c"), F.pmod("user_id", F.lit(5)).cast("string"))
+        .alias("cohort"),
+    )
+    # seed the dimension with the EVEN users only — odd users' facts
+    # stream in dark and light up when the dimension catches up
+    snapshot_commit(dim.where(F.pmod("user_id", F.lit(2)) == 0), b_root)
+
+    def prepare(df):
+        return df.select(
+            "event_id",
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+
+    def run_stream():
+        q = start_join_ivm_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_files),
+            a_root, b_root, dst_root,
+            os.path.join(_temp_root(), "ckpt-jivm"),
+            on="user_id",
+            group_col="cohort",
+            amount_col="cents",
+            prepare=prepare,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    # dimension moves while the stream is DOWN: the odd users arrive
+    # (already-ingested facts light up via A0 x dB) and the %7==1 users
+    # are erased (their joined rows retract)
+    snapshot_commit(dim.where(F.pmod("user_id", F.lit(2)) == 1), b_root)
+    snapshot_delete_mor(
+        spark, b_root, condition="user_id % 7 = 1", key_col="user_id"
+    )
+    _stage_stream_file(ev.where(F.col("event_id") % 3 == 2), src_files, 2)
+    run_stream()  # checkpointed restart: exactly-once + catch-up
+    return (
+        snapshot_read(spark, dst_root)
+        .where(F.col("n") > 0)
+        .select("cohort", "n", F.col("total").alias("cents_total"))
+        .orderBy("cohort")
+    )
+
+
+register(
+    "streaming_join_ivm_live",
+    """
+    WITH dim AS (
+        SELECT DISTINCT user_id,
+               'c' || CAST(user_id % 5 AS VARCHAR) AS cohort
+        FROM events
+        WHERE user_id % 7 <> 1
+    )
+    SELECT d.cohort, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_total
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    ORDER BY d.cohort
+    """,
+)(streaming_join_ivm_live)
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only SUM pushdown (round 10, fast_agg.py + sum_cols config):
 # per-commit integral column sums stamped at publish answer SUM() from the
 # root alone — exact, order-independent integer addition, sticky config

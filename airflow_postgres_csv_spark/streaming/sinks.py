@@ -823,6 +823,78 @@ def ivm_batch(
     return committed
 
 
+def join_ivm_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    a_root: str,
+    b_root: str,
+    dst_root: str,
+    on,
+    group_col,
+    amount_col: str,
+    aggs=("count", "sum"),
+) -> bool:
+    """foreachBatch body for the JOIN-rollup stream: ingest one
+    micro-batch into the FACT snapshot table exactly once
+    (``snapshot_batch_commit``'s batch-id gate), then advance the
+    incrementally-maintained join rollup over fact ⋈ dimension to both
+    tables' heads (``snapshot_incremental_join_agg`` — the signed
+    delta-join, high-water-marked on ``ivm_applied_a``/``_b`` inside its
+    ONE atomic commit).
+
+    The crash matrix is ``ivm_batch``'s: a replay after the fact commit
+    skips the ingest and re-runs the rollup as a no-op catch-up; a crash
+    between the steps leaves the rollup behind by one delta the next
+    batch folds in, because the join IVM reads changes from its own
+    applied stamps. The DIMENSION side needs no stream at all —
+    out-of-band appends and MOR deletes against ``b_root`` (late
+    dimension arrivals, GDPR erasures) fold into the live rollup at the
+    next batch through the ``A0 ⋈ ΔB`` term."""
+    committed = snapshot_batch_commit(batch_df, batch_id, a_root)
+    from airflow_postgres_csv_spark.operators import snapshots as S
+
+    S.snapshot_incremental_join_agg(
+        batch_df.sparkSession, a_root, b_root, dst_root,
+        on, group_col, amount_col, aggs=aggs,
+    )
+    return committed
+
+
+def start_join_ivm_sink(
+    stream_df: DataFrame,
+    a_root: str,
+    b_root: str,
+    dst_root: str,
+    checkpoint_dir: str,
+    on,
+    group_col,
+    amount_col: str,
+    aggs=("count", "sum"),
+    prepare=None,
+) -> StreamingQuery:
+    """Stream facts into a snapshot table AND keep a live per-group
+    rollup over ``facts ⋈ dimension`` incrementally maintained beside it
+    — the streaming face of ``snapshot_incremental_join_agg``. ``on`` /
+    ``group_col`` / ``aggs`` follow the batch operator (the group and
+    amount columns are POST-JOIN names, either side). Read the rollup
+    with ``snapshot_read(dst_root)`` filtered to ``n > 0``."""
+
+    def body(df: DataFrame, bid: int) -> None:
+        if prepare is not None:
+            df = prepare(df)
+        join_ivm_batch(
+            df, bid, a_root, b_root, dst_root, on, group_col, amount_col,
+            aggs,
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_ivm_sink(
     stream_df: DataFrame,
     src_root: str,

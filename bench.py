@@ -203,6 +203,8 @@ HEADLINE = [
     "snapshot_sql_dml",
     # metadata GROUP BY: composite keys + where-filtered, zero data I/O
     "snapshot_partition_rollup_where",
+    # streaming join IVM: facts stream, dimension moves out-of-band
+    "streaming_join_ivm_live",
 ]
 
 

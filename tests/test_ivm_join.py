@@ -343,3 +343,38 @@ def test_join_ivm_catalog_mview(spark, tmp_path):
     catalog_pin_tables(cat, {"orders": (ra, 4)})
     assert catalog_refresh_mview(spark, cat, "seg_rev")["refreshed"]
     assert served()["BUILDING"] == (5, 10750, 2150.0, 50, 9000)
+
+
+def test_join_ivm_batch_replay_exactly_once(spark, tmp_path):
+    """join_ivm_batch replayed with the same batch id (post-crash
+    restart) skips the fact ingest via the batch-id gate and the rollup
+    catch-up no-ops — counts never double; a crash BETWEEN the two steps
+    (fact committed, rollup not) self-heals on the replay because the
+    join IVM reads from its own applied stamps."""
+    from airflow_postgres_csv_spark.streaming.sinks import (
+        join_ivm_batch,
+        snapshot_batch_commit,
+    )
+
+    ra, rb, dst = (str(tmp_path / x) for x in ("a", "b", "dst"))
+    snapshot_commit(
+        spark.createDataFrame([(10, "x"), (20, "y")], "k int, g string"), rb
+    )
+    b0 = spark.createDataFrame([(1, 10, 5), (2, 20, 7)], "id int, k int, amt int")
+    assert join_ivm_batch(b0, 0, ra, rb, dst, "k", "g", "amt")
+    served = lambda: {
+        (r["g"], r["n"], r["total"])
+        for r in snapshot_read(spark, dst).where("n > 0").collect()
+    }
+    want = {("x", 1, 5), ("y", 1, 7)}
+    assert served() == want
+    # full replay of the same batch: ingest skipped, rollup unchanged
+    assert not join_ivm_batch(b0, 0, ra, rb, dst, "k", "g", "amt")
+    assert served() == want
+    assert snapshot_versions(ra) == [1]
+    # crash window: batch 1 lands in A but the rollup step dies before
+    # running — the replay folds the missing delta exactly once
+    b1 = spark.createDataFrame([(3, 10, 100)], "id int, k int, amt int")
+    assert snapshot_batch_commit(b1, 1, ra)
+    assert join_ivm_batch(b1, 1, ra, rb, dst, "k", "g", "amt") is False
+    assert served() == {("x", 2, 105), ("y", 1, 7)}
