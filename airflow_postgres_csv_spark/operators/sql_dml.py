@@ -40,7 +40,7 @@ from airflow_postgres_csv_spark.operators.snapshots import (
     snapshot_update_where,
 )
 
-__all__ = ["snapshot_sql_exec"]
+__all__ = ["catalog_sql_exec", "snapshot_sql_exec"]
 
 # table names as users write them: plain or dotted identifiers, optionally
 # backquoted per part (`a.b` written as `a`.`b`)
@@ -48,9 +48,10 @@ _IDENT = r"(?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*"
 
 
 def _unquote(name: str) -> str:
-    return ".".join(
-        p[1:-1] if p.startswith("`") else p for p in name.split(".")
-    )
+    # split at part boundaries, never inside backquotes: `gold.t` is ONE
+    # part whose stored name contains the dot
+    parts = re.findall(r"`[^`]+`|[^.`]+", name)
+    return ".".join(p[1:-1] if p.startswith("`") else p for p in parts)
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -303,6 +304,82 @@ def snapshot_sql_exec(
         "DELETE/UPDATE/INSERT/MERGE (SELECT goes through spark.sql over "
         "snapshot_sql_register'd views)"
     )
+
+
+def _target_name(stmt: str) -> str:
+    """The table a DML statement writes to, by the same grammar the
+    executors use."""
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    m = {
+        "DELETE": _DELETE_RE,
+        "UPDATE": _UPDATE_RE,
+        "INSERT": _INSERT_RE,
+        "MERGE": _MERGE_RE,
+    }.get(head, re.compile(r"(?!x)x")).fullmatch(stmt)
+    if not m:
+        raise ValueError(f"cannot parse {head or 'empty'} statement: {stmt!r}")
+    return _unquote(m.group("t"))
+
+
+def catalog_sql_exec(
+    spark: SparkSession,
+    catalog_root: str,
+    sql: str,
+    retries: int = 0,
+    note: str = "",
+) -> dict:
+    """Run ONE DML statement against a CATALOG table and advance its pin:
+    the statement resolves through the catalog head, executes on the
+    table root (each snapshot commit is atomic), and the catalog then
+    pins the new table version — so catalog readers flip from the
+    pre-DML world to the post-DML world in one catalog version, never a
+    mixture. A crash between the table commit and the pin leaves the
+    catalog serving the OLD pinned version with the new one staged —
+    the standard catalog crash contract; re-running the pin (or this
+    call's no-op twin) adopts it.
+
+    Refuses when the pinned version is not the table's head: an
+    out-of-band writer advanced the root past the catalog's knowledge,
+    and running DML on top would silently pull those unpinned commits
+    into catalog visibility — re-pin deliberately first
+    (``catalog_pin_tables``). MERGE sources must be queryable by name in
+    the session (a temp view or a registered snapshot view)."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        _is_virtual,
+        catalog_pin_tables,
+        catalog_state,
+        catalog_versions,
+    )
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_versions,
+    )
+
+    stmt = sql.strip().rstrip(";").strip()
+    name = _target_name(stmt)
+    state = catalog_state(catalog_root, catalog_versions(catalog_root)[-1])
+    ent = state.get(name)
+    if ent is None or _is_virtual(ent):
+        raise KeyError(
+            f"catalog_sql_exec: {name!r} is not a table at the catalog "
+            "head (views/mviews are not DML targets)"
+        )
+    root, pinned = ent["root"], ent["version"]
+    head = snapshot_versions(root)[-1]
+    if pinned != head:
+        raise ValueError(
+            f"catalog_sql_exec: table {name!r} is pinned at version "
+            f"{pinned} but its root head is {head} — an out-of-band "
+            "writer advanced it; catalog_pin_tables first, then re-run"
+        )
+    out = snapshot_sql_exec(spark, stmt, tables={name: root})
+    new_head = snapshot_versions(root)[-1]
+    if new_head == head:
+        return {**out, "catalog_version": None, "pinned": False}
+    cat = catalog_pin_tables(
+        catalog_root, {name: (root, new_head)}, retries=retries,
+        note=note or f"sql: {stmt.splitlines()[0][:80]}",
+    )
+    return {**out, "catalog_version": cat["version"], "pinned": True}
 
 
 def _exec_merge(

@@ -319,3 +319,63 @@ def test_sql_dml_on_wap_branch(spark, tmp_path):
     assert staged == {(1, 20), (2, 20), (3, 60)}
     snapshot_publish_branch(root, "audit")
     assert _rows(spark, root) == {(1, "a", 20), (2, "b", 20), (3, "a", 60)}
+
+
+def test_catalog_sql_exec_pins_atomically(spark, tmp_path):
+    """DML through the catalog: the statement runs on the pinned head and
+    the catalog pin advances with it — readers flip worlds in one catalog
+    version; out-of-band drift between pin and head is refused; a
+    no-match UPDATE leaves the catalog untouched."""
+    from airflow_postgres_csv_spark.operators.catalog_txn import (
+        catalog_read,
+        catalog_txn,
+        catalog_versions,
+    )
+    from airflow_postgres_csv_spark.operators.sql_dml import (
+        catalog_sql_exec,
+    )
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "t")
+    catalog_txn(cat, [{
+        "name": "gold.t", "root": root,
+        "df": spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "id int, grp string, amt int",
+        ),
+    }])
+    v0 = catalog_versions(cat)[-1]
+    out = catalog_sql_exec(
+        spark, cat, "UPDATE `gold.t` SET amt = amt + 1 WHERE grp = 'a'"
+    )
+    assert out["pinned"] and out["updated_rows"] == 2
+    assert out["catalog_version"] == v0 + 1
+    got = {
+        (r["id"], r["amt"])
+        for r in catalog_read(spark, cat, "gold.t").collect()
+    }
+    assert got == {(1, 11), (2, 20), (3, 31)}
+    # catalog time travel still serves the pre-DML world
+    old = {
+        (r["id"], r["amt"])
+        for r in catalog_read(
+            spark, cat, "gold.t", catalog_version=v0
+        ).collect()
+    }
+    assert old == {(1, 10), (2, 20), (3, 30)}
+    # no-match: nothing committed, nothing pinned
+    noop = catalog_sql_exec(
+        spark, cat, "UPDATE `gold.t` SET amt = 0 WHERE grp = 'zz'"
+    )
+    assert noop == {
+        "updated_rows": 0, "version": 2, "committed": False,
+        "statement": "update", "catalog_version": None, "pinned": False,
+    }
+    assert catalog_versions(cat)[-1] == v0 + 1
+    # out-of-band drift refused
+    snapshot_commit(
+        spark.createDataFrame([(9, "z", 90)], "id int, grp string, amt int"),
+        root, mode="append",
+    )
+    with pytest.raises(ValueError, match="out-of-band"):
+        catalog_sql_exec(spark, cat, "DELETE FROM `gold.t` WHERE id = 1")
