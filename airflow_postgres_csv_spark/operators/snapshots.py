@@ -2471,6 +2471,173 @@ def snapshot_compact(
     return new_m
 
 
+def snapshot_compact_partition(
+    spark: SparkSession,
+    root: str,
+    where: dict,
+    min_files: int = 2,
+) -> dict:
+    """PARTITION-SCOPED compaction (Iceberg's ``rewrite_data_files`` with
+    a filter): rewrite only the files whose identity-partition tuple
+    matches the ``where`` equality, inheriting every other file by
+    pointer — the maintenance shape for a hot partition at 100 TB, where
+    ``snapshot_compact``'s full rewrite is not an option and
+    ``snapshot_optimize_incremental`` is scoped by commit age, not by
+    partition.
+
+    Membership is decided per FILE from the recorded partition tuples
+    (exact both directions for identity transforms — the same machinery
+    as ``snapshot_fast_agg(where=...)``), with whole commits pruned via
+    the root partition summary before their sidecar opens. The matched
+    files are read with merge-on-read tombstones folded in and rewritten
+    under the declared spec (sorted within partitions by the declared
+    sort order when one exists, which earns the new commit its sorted
+    stamp); tombstone entries narrow to the files that survive. The
+    publish is row-preserving and stamps ``compaction_of``, so change
+    feeds, CDC replay, and the streaming source verify-and-skip it like
+    any compaction. Unprovable membership (no spec, a non-identity
+    column, a pre-spec commit, a lossy-vintage ambiguous tuple) RAISES
+    with guidance instead of silently widening the rewrite — maintenance
+    must touch exactly what it was asked to. Fewer than ``min_files``
+    matching files publishes nothing. The rewrite lands as the writer's
+    standard one-file-per-partition-tuple layout — exactly the merge a
+    hot partition's small-file debt needs."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_csv_spark.operators import partitioning as P
+    from airflow_postgres_csv_spark.operators.fast_agg import (
+        _identity_index,
+        _sidecar_probe,
+        _where_image,
+    )
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions at {root}")
+    manifest = _load_manifest(root, versions[-1])
+    specs = manifest.get("partition_specs") or []
+    if not where or any(v is None for v in where.values()):
+        raise ValueError("where: non-NULL equality values required")
+    if not specs:
+        raise ValueError(
+            "snapshot_compact_partition needs a declared partition spec "
+            "(snapshot_commit(partition_transforms=...)); use "
+            "snapshot_compact for unpartitioned tables"
+        )
+    probes = _where_image(manifest, where)
+    if probes is None:
+        raise ValueError(
+            f"membership for {where} is unprovable from partition tuples "
+            "(type mismatch); run snapshot_compact instead"
+        )
+    raw_ok, img = probes
+    want = {c: (v, v) for c, v in where.items()}
+    cparts = manifest.get("commit_partitions") or {}
+    by_cid: dict[str, list[str]] = {}
+    for rel in manifest["files"]:
+        by_cid.setdefault(_commit_of(rel), []).append(rel)
+    matched: list[str] = []
+    untouched: list[str] = []
+    pred_cache: dict[int, list] = {}
+    for cid, rels in by_cid.items():
+        cp = cparts.get(cid)
+        if cp is None:
+            raise ValueError(
+                f"commit {cid} predates the partition spec — its files' "
+                "membership is unprovable; snapshot_compact (full) folds "
+                "it into the declared layout first"
+            )
+        si = cp.get("s", len(specs) - 1)
+        spec = specs[si] if 0 <= si < len(specs) else None
+        idx: dict[str, int] = {}
+        for c in where:
+            j = _identity_index(spec or [], c)
+            if j is None:
+                raise ValueError(
+                    f"column {c!r} is not an identity partition field of "
+                    f"commit {cid}'s spec — partition-scoped compaction "
+                    "needs exact file membership"
+                )
+            idx[c] = j
+        if si not in pred_cache:
+            pred_cache[si] = P.map_predicates(spec, want)
+        if P.prune_commit(cp.get("f") or [], pred_cache[si]):
+            untouched.extend(rels)
+            continue
+        sc = _load_sidecar(root, manifest, cid)
+        probe = _sidecar_probe(sc, where, raw_ok, img)
+        if probe is None:
+            raise ValueError(
+                f"commit {cid}'s tuples are a lossy vintage that cannot "
+                f"prove equality for {where}; snapshot_compact (full) "
+                "rewrites it with faithful tuples"
+            )
+        pvals = sc.get("partitions") or {}
+        for rel in rels:
+            tup = pvals.get(rel)
+            if tup is None:
+                raise ValueError(
+                    f"file {rel} has no recorded partition tuple; "
+                    "snapshot_compact (full) re-establishes the layout"
+                )
+            if all(tup[idx[c]] == probe[c] for c in where):
+                matched.append(rel)
+            else:
+                untouched.append(rel)
+    if len(matched) < min_files:
+        return manifest
+    df = _read_pinned(spark, root, manifest, matched)
+    so = manifest.get("sort_order")
+    spec = specs[-1]
+    P.validate_spec(spec, df.schema)
+    commit_id, new_files = _write_data(
+        df, root,
+        partition_cols=P.transform_columns(spec, df.schema),
+        cluster_by=[F.col(c) for c in so] if so else None,
+    )
+    files = untouched + new_files
+    body = _inherit_maps(manifest, files)
+    if manifest.get("bloom"):
+        body["bloom"] = manifest["bloom"]
+    kept_cids = {_commit_of(rel) for rel in untouched}
+    sorted_set = set(manifest.get("sorted_commits", [])) & kept_cids
+    if so:
+        sorted_set.add(commit_id)
+    if sorted_set:
+        body["sorted_commits"] = sorted(sorted_set)
+    opt_set = set(manifest.get("optimized_commits", [])) & kept_cids
+    if opt_set:
+        body["optimized_commits"] = sorted(opt_set)
+    body.update(
+        mode="overwrite", commit_id=commit_id, files=files,
+        n_files=len(files), schema=manifest["schema"],
+        compaction_of=versions[-1],
+    )
+    body["commit_schemas"][commit_id] = manifest["schema"]
+    sidecar = _new_sidecar(
+        spark, root, new_files, manifest.get("bloom"),
+        manifest.get("sketch"), manifest.get("sums"),
+    )
+    body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    keep_str = P.string_fields(spec, df.schema)
+    sidecar["partitions"] = {
+        rel: P.partition_values_from_rel(rel, len(spec), keep_str)
+        for rel in new_files
+    }
+    sidecar["tuples_v"] = 2
+    body.setdefault("commit_partitions", {})[commit_id] = {
+        "s": len(specs) - 1,
+        "f": P.commit_partition_summary(
+            spec,
+            [v for v in sidecar["partitions"].values() if v is not None],
+        ),
+    }
+    out = _publish(root, versions, body, commit_id, sidecar)
+    out["files_rewritten"] = len(matched)
+    out["files_kept"] = len(untouched)
+    return out
+
+
 def snapshot_optimize_incremental(
     spark: SparkSession,
     root: str,

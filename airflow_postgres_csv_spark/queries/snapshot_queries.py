@@ -4644,6 +4644,83 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Partition-scoped compaction (round 11): Iceberg's rewrite_data_files with
+# a filter — only the hot partition's files rewrite (MOR tombstones folded
+# in), every other partition is inherited by pointer. The structural claims
+# ride the oracle: scoped_rewrite pins that files OUTSIDE the filter
+# survived untouched while the target partition collapsed to the writer's
+# one-file-per-tuple layout, and the content equality pins row preservation
+# through the tombstone fold.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_compact_partition_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        _load_manifest,
+        _load_sidecar,
+        snapshot_compact_partition,
+        snapshot_delete_mor,
+    )
+
+    root = _temp_root()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    # four commits: the en partition accumulates small-file debt
+    snapshot_commit(
+        docs.where(F.pmod("doc_id", F.lit(4)) == 0), root,
+        partition_transforms=[("lang", "identity")],
+    )
+    for i in (1, 2, 3):
+        snapshot_commit(docs.where(F.pmod("doc_id", F.lit(4)) == i), root)
+    # erase the longest documents (both partitions carry tombstones)
+    snapshot_delete_mor(
+        spark, root, condition="n_chars > 1500", key_col="doc_id"
+    )
+    m0 = _load_manifest(root, snapshot_versions(root)[-1])
+    out = snapshot_compact_partition(spark, root, {"lang": "en"})
+    en_before = sum(
+        1
+        for cid, sc_rel in m0["sidecars"].items()
+        for rel, tup in (
+            _load_sidecar(root, m0, cid).get("partitions") or {}
+        ).items()
+        if rel in set(m0["files"]) and tup == ["en"]
+    )
+    scoped = int(
+        out["files_rewritten"] == en_before
+        and out["files_kept"] == len(m0["files"]) - en_before
+        and en_before > 1
+    )
+    return (
+        snapshot_read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .select("lang", "n_docs", "chars_total", F.lit(scoped).alias("scoped_rewrite"))
+        .orderBy("lang")
+    )
+
+
+register(
+    "snapshot_compact_partition",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           1 AS scoped_rewrite
+    FROM documents
+    WHERE n_chars <= 1500
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)(snapshot_compact_partition_query)
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only SUM pushdown (round 10, fast_agg.py + sum_cols config):
 # per-commit integral column sums stamped at publish answer SUM() from the
 # root alone — exact, order-independent integer addition, sticky config

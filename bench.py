@@ -205,6 +205,8 @@ HEADLINE = [
     "snapshot_partition_rollup_where",
     # streaming join IVM: facts stream, dimension moves out-of-band
     "streaming_join_ivm_live",
+    # partition-scoped compaction: hot-partition rewrite, rest by pointer
+    "snapshot_compact_partition",
 ]
 
 
