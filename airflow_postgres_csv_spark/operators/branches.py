@@ -160,6 +160,7 @@ _CARRY_KEYS = (
     "column_history", "retired_columns", "constraints",
     "sums", "commit_sums", "sort_order", "sorted_commits",
     "last_batch_id", "cdc_applied_version", "ivm_applied_version",
+    "ivm_applied_a", "ivm_applied_b",
     "sketch",
     # frozen index/model metadata: a published index branch (streaming
     # ANN/BM25 sinks staged through WAP) must keep serving on main
@@ -285,7 +286,8 @@ def _rebase_body(
     # monotone stamps merge by max: the streaming WAP sink threads its
     # batch id through the branch commit, and main may carry older stamps
     for stamp in ("last_batch_id", "cdc_applied_version",
-                  "ivm_applied_version"):
+                  "ivm_applied_version", "ivm_applied_a",
+                  "ivm_applied_b"):
         vals = [m[stamp] for m in (head_m, bm) if m.get(stamp) is not None]
         if vals:
             body[stamp] = max(vals)

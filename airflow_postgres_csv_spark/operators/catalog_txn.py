@@ -311,7 +311,7 @@ def _normalize_incremental(name: str, inc: dict) -> dict:
         ):
             raise ValueError(
                 f"mview {name!r}: 'on' must name join key columns "
-                "(shared name, list, or {{a_col: b_col}})"
+                "(shared name, list, or {a_col: b_col})"
             )
         if len({p[0] for p in pairs}) != len(pairs):
             raise ValueError(

@@ -282,6 +282,24 @@ def string_fields(spec: list[list], schema) -> list:
     ]
 
 
+def faithful_partitions(spec: list[list], schema, rels) -> tuple[dict, int]:
+    """The commit sidecar's ``partitions`` map for freshly-written files
+    plus the tuples vintage stamp (``2`` = faithful: string
+    identity/truncate fields keep their raw path text, no int-coercion
+    conflation). ONE definition so every writer that records its own
+    tuples (plain commits, incremental optimize, partition-scoped
+    compaction) stamps under the same rules — fast-path equality trusts
+    the stamp, so divergent copies would corrupt the contract."""
+    keep = string_fields(spec, schema)
+    return (
+        {
+            rel: partition_values_from_rel(rel, len(spec), keep)
+            for rel in rels
+        },
+        2,
+    )
+
+
 def commit_partition_summary(spec: list[list], tuples: list[list]) -> list:
     """Per-field commit-level rollup for the ROOT manifest: ordered
     transforms get ``[lo, hi]``; bucket(N<=64) gets a presence BITMASK

@@ -605,7 +605,8 @@ def _inherit_maps(prev: dict | None, files: list[str]) -> dict:
                 tombstones.append({**t, "commits": applies})
     out["tombstones"] = tombstones
     for key in ("last_batch_id", "defaults", "partition_spec",
-                "cdc_applied_version", "ivm_applied_version", "sketch",
+                "cdc_applied_version", "ivm_applied_version",
+                "ivm_applied_a", "ivm_applied_b", "sketch",
                 "small_bytes", "partition_specs", "column_history",
                 "retired_columns", "constraints", "sums", "sort_order",
                 # persisted-index / model metadata: a maintenance commit
@@ -873,14 +874,11 @@ def snapshot_commit(
         df.sparkSession, root, new_files, bloom_cfg, sketch_cfg, sums_cfg
     )
     if spec and new_files:
-        keep_str = P.string_fields(spec, df.schema)
-        sidecar["partitions"] = {
-            rel: P.partition_values_from_rel(rel, len(spec), keep_str)
-            for rel in new_files
-        }
         # faithful tuples: string fields keep their raw segment text
         # (no int-coercion conflation) — fast paths may trust equality
-        sidecar["tuples_v"] = 2
+        sidecar["partitions"], sidecar["tuples_v"] = P.faithful_partitions(
+            spec, df.schema, new_files
+        )
     while True:
         files = (
             list(prev["files"]) + new_files
@@ -2619,12 +2617,9 @@ def snapshot_compact_partition(
         manifest.get("sketch"), manifest.get("sums"),
     )
     body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
-    keep_str = P.string_fields(spec, df.schema)
-    sidecar["partitions"] = {
-        rel: P.partition_values_from_rel(rel, len(spec), keep_str)
-        for rel in new_files
-    }
-    sidecar["tuples_v"] = 2
+    sidecar["partitions"], sidecar["tuples_v"] = P.faithful_partitions(
+        spec, df.schema, new_files
+    )
     body.setdefault("commit_partitions", {})[commit_id] = {
         "s": len(specs) - 1,
         "f": P.commit_partition_summary(
@@ -2799,12 +2794,9 @@ def snapshot_optimize_incremental(
     if specs and new_files:
         from airflow_postgres_csv_spark.operators import partitioning as P
 
-        keep_str = P.string_fields(specs[-1], df.schema)
-        sidecar["partitions"] = {
-            rel: P.partition_values_from_rel(rel, len(specs[-1]), keep_str)
-            for rel in new_files
-        }
-        sidecar["tuples_v"] = 2
+        sidecar["partitions"], sidecar["tuples_v"] = P.faithful_partitions(
+            specs[-1], df.schema, new_files
+        )
         body.setdefault("commit_partitions", {})[commit_id] = {
             "s": len(specs) - 1,
             "f": P.commit_partition_summary(
@@ -3843,6 +3835,7 @@ def snapshot_rollback(spark: SparkSession, root: str, to_version: int) -> dict:
     }
     for k in ("bloom", "defaults", "partition_spec", "last_batch_id",
               "cdc_applied_version", "ivm_applied_version",
+              "ivm_applied_a", "ivm_applied_b",
               "commit_sizes", "sketch_commits", "small_bytes",
               "partition_specs", "commit_partitions", "constraints",
               "sums", "commit_sums", "sort_order", "sorted_commits",
@@ -4665,6 +4658,17 @@ def _ivm_apply(
     need_nn = "avg" in agg_set
     need_mm = bool(agg_set & {"min", "max"})
     multi = len(keys) > 1
+    if need_total:
+        # the maintained total adds EXACT integers (cast to long per
+        # delta); a float amount would truncate silently, diverging from
+        # the recompute-equivalent SQL — same contract as fast_agg sums
+        dt = dict(ch.dtypes).get(amount_col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"amount_col {amount_col!r} is {dt or 'missing'}: sum/avg "
+                "IVM adds exact integers only — store money as integer "
+                "cents / a scaled long (min/max alone accept any type)"
+            )
     dvs = snapshot_versions(dst_root)
     ins = F.col("_change_type") == "insert"
     sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
@@ -5009,7 +5013,11 @@ def snapshot_incremental_join_agg(
             a1 = snapshot_read(spark, a_root, version=a_v)
             b1f = _b_named(snapshot_read(spark, b_root, version=b_v))
             # restrict whichever side carries ALL the group columns
-            # before the join; the final inner join is exact regardless
+            # before the join; the final inner join is exact regardless.
+            # Group keys SPANNING both sides leave only the post-join
+            # restriction — a delete batch then recomputes extremes over
+            # the full join (documented cost of cross-side grouping with
+            # min/max; single-side group keys stay delta-sized).
             if set(keys) <= set(a1.columns):
                 a1 = a1.join(retr, keys, "left_semi")
             elif set(keys) <= set(b1f.columns):

@@ -56,7 +56,8 @@ def _unquote(name: str) -> str:
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero — SET lists and VALUES
-    tuples carry commas inside function calls and string literals."""
+    tuples carry commas inside function calls and string literals
+    (both SQL doubled-quote and backslash escapes honored)."""
     out, depth, start, i, n = [], 0, 0, 0, len(s)
     while i < n:
         ch = s[i]
@@ -64,6 +65,9 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             q = ch
             i += 1
             while i < n:
+                if s[i] == "\\":
+                    i += 2
+                    continue
                 if s[i] == q:
                     # SQL doubles quotes to escape them
                     if i + 1 < n and s[i + 1] == q:
@@ -81,6 +85,40 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
         i += 1
     out.append(s[start:])
     return [p.strip() for p in out]
+
+
+def _mask_literals(s: str) -> str:
+    """A same-length copy of ``s`` with quoted-literal BODIES blanked
+    (the quotes themselves survive), so the statement grammar's keyword
+    boundaries (WHERE / WHEN / SET commas) can never bind inside a
+    string like ``'fix where x'`` — matches run on the mask and slice
+    the ORIGINAL text by span. Honors SQL doubled-quote and backslash
+    escapes."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == "\\":
+                    out[i] = " "
+                    if i + 1 < n:
+                        out[i + 1] = " "
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+        i += 1
+    return "".join(out)
 
 
 def _resolve(spark: SparkSession, name: str, tables: dict | None) -> str:
@@ -174,6 +212,8 @@ def _aligned(df, root: str, columns: list[str] | None):
     bad = [c for c in columns if c not in declared]
     if bad:
         raise ValueError(f"INSERT column(s) {bad} not in table schema")
+    if len(set(columns)) != len(columns):
+        raise ValueError(f"duplicate INSERT column(s) in {columns}")
     if len(df.columns) != len(columns):
         raise ValueError(
             f"INSERT arity mismatch: query produces {len(df.columns)} "
@@ -227,10 +267,13 @@ _ON_RE = re.compile(
 
 def _realias(expr: str, ta: str, sa: str) -> str:
     """Rewrite the statement's target/source aliases to the fixed ``t``/
-    ``s`` that ``snapshot_merge_into`` expressions use."""
-    expr = re.sub(rf"\b{re.escape(ta)}\s*\.", "t.", expr)
-    expr = re.sub(rf"\b{re.escape(sa)}\s*\.", "s.", expr)
-    return expr.strip()
+    ``s`` that ``snapshot_merge_into`` expressions use. Both aliases are
+    first moved to collision-proof placeholders so a statement whose
+    SOURCE alias is literally ``t`` (or target ``s``) cannot have its
+    just-rewritten references re-rewritten by the second pass."""
+    expr = re.sub(rf"\b{re.escape(ta)}\s*\.", "\x00T\x00.", expr)
+    expr = re.sub(rf"\b{re.escape(sa)}\s*\.", "\x00S\x00.", expr)
+    return expr.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.").strip()
 
 
 def _parse_set(set_text: str) -> dict[str, str]:
@@ -261,37 +304,38 @@ def snapshot_sql_exec(
     existing surfaces (``spark.sql`` over registered views; the catalog
     DDL ops)."""
     stmt = sql.strip().rstrip(";").strip()
+    masked = _mask_literals(stmt)
     head = stmt.split(None, 1)[0].upper() if stmt else ""
     if head == "DELETE":
-        m = _DELETE_RE.fullmatch(stmt)
+        m = _DELETE_RE.fullmatch(masked)
         if not m:
             raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
-        root = _resolve(spark, _unquote(m.group("t")), tables)
+        root = _resolve(spark, _unquote(_g(m, stmt, "t")), tables)
         out = snapshot_delete_positional(
-            spark, root, (m.group("w") or "true").strip()
+            spark, root, (_g(m, stmt, "w") or "true").strip()
         )
         return {**out, "statement": "delete"}
     if head == "UPDATE":
-        m = _UPDATE_RE.fullmatch(stmt)
+        m = _UPDATE_RE.fullmatch(masked)
         if not m:
             raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
-        root = _resolve(spark, _unquote(m.group("t")), tables)
+        root = _resolve(spark, _unquote(_g(m, stmt, "t")), tables)
         out = snapshot_update_where(
-            spark, root, (m.group("w") or "true").strip(),
-            _parse_set(m.group("set")),
+            spark, root, (_g(m, stmt, "w") or "true").strip(),
+            _parse_set(_g(m, stmt, "set")),
         )
         return {**out, "statement": "update"}
     if head == "INSERT":
-        m = _INSERT_RE.fullmatch(stmt)
+        m = _INSERT_RE.fullmatch(masked)
         if not m:
             raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
-        root = _resolve(spark, _unquote(m.group("t")), tables)
+        root = _resolve(spark, _unquote(_g(m, stmt, "t")), tables)
         cols = (
             [c.strip().strip("`") for c in m.group("cols").split(",")]
             if m.group("cols")
             else None
         )
-        df = _aligned(_source_df(spark, m.group("q")), root, cols)
+        df = _aligned(_source_df(spark, _g(m, stmt, "q")), root, cols)
         mode = (
             "append" if m.group("mode").upper() == "INTO" else "overwrite"
         )
@@ -306,6 +350,16 @@ def snapshot_sql_exec(
     )
 
 
+def _g(m: re.Match, original: str, name: str) -> str | None:
+    """A group's text from the ORIGINAL statement by the span matched on
+    its literal-masked copy (same length, so spans line up)."""
+    return (
+        original[m.start(name):m.end(name)]
+        if m.group(name) is not None
+        else None
+    )
+
+
 def _target_name(stmt: str) -> str:
     """The table a DML statement writes to, by the same grammar the
     executors use."""
@@ -315,10 +369,10 @@ def _target_name(stmt: str) -> str:
         "UPDATE": _UPDATE_RE,
         "INSERT": _INSERT_RE,
         "MERGE": _MERGE_RE,
-    }.get(head, re.compile(r"(?!x)x")).fullmatch(stmt)
+    }.get(head, re.compile(r"(?!x)x")).fullmatch(_mask_literals(stmt))
     if not m:
         raise ValueError(f"cannot parse {head or 'empty'} statement: {stmt!r}")
-    return _unquote(m.group("t"))
+    return _unquote(_g(m, stmt, "t"))
 
 
 def catalog_sql_exec(
@@ -372,11 +426,14 @@ def catalog_sql_exec(
             "writer advanced it; catalog_pin_tables first, then re-run"
         )
     out = snapshot_sql_exec(spark, stmt, tables={name: root})
-    new_head = snapshot_versions(root)[-1]
-    if new_head == head:
+    # pin the DML's OWN commit version (every operator result carries
+    # it) — never a re-read head, which could silently adopt a foreign
+    # commit that landed in the window after the drift check
+    new_v = out.get("version")
+    if out.get("committed") is False or new_v is None or new_v == head:
         return {**out, "catalog_version": None, "pinned": False}
     cat = catalog_pin_tables(
-        catalog_root, {name: (root, new_head)}, retries=retries,
+        catalog_root, {name: (root, new_v)}, retries=retries,
         note=note or f"sql: {stmt.splitlines()[0][:80]}",
     )
     return {**out, "catalog_version": cat["version"], "pinned": True}
@@ -385,15 +442,18 @@ def catalog_sql_exec(
 def _exec_merge(
     spark: SparkSession, stmt: str, tables: dict | None
 ) -> dict:
-    m = _MERGE_RE.fullmatch(stmt)
+    masked = _mask_literals(stmt)
+    m = _MERGE_RE.fullmatch(masked)
     if not m:
         raise ValueError(f"cannot parse MERGE statement: {stmt!r}")
-    tname = _unquote(m.group("t"))
+    tname = _unquote(_g(m, stmt, "t"))
     root = _resolve(spark, tname, tables)
     ta = m.group("ta") or tname
-    src_text = m.group("src")
+    src_text = _g(m, stmt, "src")
     sa = m.group("sa") or (
-        _unquote(src_text) if re.fullmatch(_IDENT, src_text) else None
+        _unquote(src_text)
+        if re.fullmatch(_IDENT, m.group("src"))
+        else None
     )
     if sa is None:
         raise ValueError("MERGE with a subquery source needs an alias")
@@ -413,10 +473,42 @@ def _exec_merge(
     kw: dict = {"key": key, "insert_when_not_matched": False}
     if m.group("evolve"):
         kw["merge_schema"] = True
-    for w in _WHEN_RE.finditer(m.group("when")):
+    seen: set[str] = set()
+    when_orig = _g(m, stmt, "when")
+    for w in _WHEN_RE.finditer(masked[m.start("when"):m.end("when")]):
+        act_orig = when_orig[w.start("act"):w.end("act")]
+        cond_orig = (
+            when_orig[w.start("cond"):w.end("cond")]
+            if w.group("cond") is not None
+            else None
+        )
         act = re.sub(r"\s+", " ", w.group("act")).upper()
+        kind = (
+            "by_source" if w.group("by_src")
+            else "insert" if w.group("not")
+            else "delete" if act == "DELETE"
+            else "update"
+        )
+        if kind in seen:
+            # SQL gives same-kind clauses first-match-wins semantics the
+            # single-slot operator cannot express — refuse, never drop
+            raise ValueError(
+                f"duplicate WHEN clause kind {kind!r}: the snapshot MERGE "
+                "takes at most one clause of each kind"
+            )
+        if kind == "delete" and "update" in seen:
+            # the operator's fixed order is DELETE -> UPDATE; a statement
+            # writing UPDATE first means first-match-wins would UPDATE
+            # rows this engine would delete — refuse the reordering
+            raise ValueError(
+                "WHEN MATCHED THEN UPDATE written before WHEN MATCHED "
+                "THEN DELETE: this engine evaluates DELETE first, which "
+                "changes first-match-wins semantics — write the DELETE "
+                "clause first"
+            )
+        seen.add(kind)
         cond = (
-            _realias(w.group("cond"), ta, sa) if w.group("cond") else None
+            _realias(cond_orig, ta, sa) if cond_orig is not None else None
         )
         if w.group("by_src"):
             if not w.group("not") or act != "DELETE":
@@ -437,7 +529,7 @@ def _exec_merge(
             kw["matched_delete_condition"] = cond or "true"
         else:
             set_text = re.sub(
-                r"^UPDATE\s+SET\s+", "", w.group("act"),
+                r"^UPDATE\s+SET\s+", "", act_orig,
                 flags=re.IGNORECASE,
             )
             kw["matched_update"] = {

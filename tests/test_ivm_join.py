@@ -378,3 +378,69 @@ def test_join_ivm_batch_replay_exactly_once(spark, tmp_path):
     assert snapshot_batch_commit(b1, 1, ra)
     assert join_ivm_batch(b1, 1, ra, rb, dst, "k", "g", "amt") is False
     assert served() == {("x", 2, 105), ("y", 1, 7)}
+
+
+def test_join_ivm_stamps_survive_maintenance_and_rollback(spark, tmp_path):
+    """ivm_applied_a/_b are STICKY manifest keys: a maintenance commit on
+    the rollup dst (compaction) inherits them, and a rollback restores
+    the TARGET's stamps so the next refresh re-folds exactly the deltas
+    whose content was rolled back — the monotone-scan contract
+    _max_stamp and the catalog's binary stamp search rely on."""
+    from airflow_postgres_csv_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_rollback,
+    )
+
+    ra, rb, dst = (str(tmp_path / x) for x in ("a", "b", "dst"))
+    snapshot_commit(
+        spark.createDataFrame([(1, 10, 5)], "id int, k int, amt int"), ra
+    )
+    snapshot_commit(
+        spark.createDataFrame([(10, "x")], "k int, g string"), rb
+    )
+    kw = dict(on="k", group_col="g", amount_col="amt")
+    snapshot_incremental_join_agg(spark, ra, rb, dst, **kw)
+    # maintenance on the dst: the stamps ride through the compaction
+    snapshot_compact(spark, dst)
+    head = _load_manifest(dst, snapshot_versions(dst)[-1])
+    assert head["ivm_applied_a"] == 1 and head["ivm_applied_b"] == 1
+    # advance + refresh, then roll the dst back: stamps rewind WITH the
+    # content, so the re-run refresh folds the delta again (no gap)
+    snapshot_commit(
+        spark.createDataFrame([(2, 10, 7)], "id int, k int, amt int"),
+        ra, mode="append",
+    )
+    snapshot_incremental_join_agg(spark, ra, rb, dst, **kw)
+    v_before = snapshot_versions(dst)[-2]
+    snapshot_rollback(spark, dst, v_before)
+    head = _load_manifest(dst, snapshot_versions(dst)[-1])
+    assert head["ivm_applied_a"] == 1  # rewound with the content
+    out = snapshot_incremental_join_agg(spark, ra, rb, dst, **kw)
+    assert out["refreshed"]
+    got = {
+        (r["g"], r["n"], r["total"])
+        for r in snapshot_read(spark, dst).where("n > 0").collect()
+    }
+    assert got == {("x", 2, 12)}
+
+
+def test_join_ivm_rejects_float_amount_for_sum(spark, tmp_path):
+    """sum/avg maintenance adds exact integers; a double amount raises
+    instead of silently truncating (min/max alone still accept it)."""
+    ra, rb, dst = (str(tmp_path / x) for x in ("a", "b", "dst"))
+    snapshot_commit(
+        spark.createDataFrame([(1, 10, 5.5)], "id int, k int, amt double"),
+        ra,
+    )
+    snapshot_commit(
+        spark.createDataFrame([(10, "x")], "k int, g string"), rb
+    )
+    with pytest.raises(ValueError, match="integer cents"):
+        snapshot_incremental_join_agg(
+            spark, ra, rb, dst, on="k", group_col="g", amount_col="amt"
+        )
+    out = snapshot_incremental_join_agg(
+        spark, ra, rb, str(tmp_path / "d2"), on="k", group_col="g",
+        amount_col="amt", aggs=("count", "min", "max"),
+    )
+    assert out["refreshed"]

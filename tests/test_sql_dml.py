@@ -379,3 +379,68 @@ def test_catalog_sql_exec_pins_atomically(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="out-of-band"):
         catalog_sql_exec(spark, cat, "DELETE FROM `gold.t` WHERE id = 1")
+
+
+def test_parser_literals_and_alias_hardening(spark, tmp_path):
+    """Review-pass regressions: keywords inside string literals must not
+    bind ('where' in a SET literal, commas/escapes in literals); a MERGE
+    source aliased literally 't' must not have target refs re-rewritten;
+    duplicate/reordered MERGE clauses and duplicate INSERT columns are
+    refused."""
+    root = _seed(spark, tmp_path)
+    t = {"t": root}
+    # 'where' inside a literal: statement has NO WHERE clause
+    out = snapshot_sql_exec(
+        spark, "UPDATE t SET grp = 'fix where broken'", tables=t
+    )
+    assert out["updated_rows"] == 4
+    assert {r["grp"] for r in snapshot_read(spark, root).collect()} == {
+        "fix where broken"
+    }
+    # comma + escaped quote inside a literal in a multi-assignment SET
+    snapshot_sql_exec(
+        spark,
+        "UPDATE t SET grp = 'a,b''c', amt = amt + 1 WHERE id = 1",
+        tables=t,
+    )
+    row = [r for r in snapshot_read(spark, root).collect() if r["id"] == 1]
+    assert row[0]["grp"] == "a,b'c" and row[0]["amt"] == 11
+
+    # MERGE whose SOURCE alias is literally 't' — t.v must stay the
+    # SOURCE's value and g.v the target's
+    tgt = str(tmp_path / "m")
+    snapshot_commit(
+        spark.createDataFrame([(1, 100)], "k int, v int"), tgt
+    )
+    spark.createDataFrame([(1, 7)], "k int, v int").createOrReplaceTempView(
+        "dml_alias_src"
+    )
+    snapshot_sql_exec(
+        spark,
+        "MERGE INTO m AS g USING dml_alias_src AS t ON g.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = g.v + t.v",
+        tables={"m": tgt},
+    )
+    assert snapshot_read(spark, tgt).collect()[0]["v"] == 107
+
+    # duplicate clause kind / UPDATE-before-DELETE order refused
+    with pytest.raises(ValueError, match="duplicate WHEN clause"):
+        snapshot_sql_exec(
+            spark,
+            "MERGE INTO m AS g USING dml_alias_src AS s ON g.k = s.k "
+            "WHEN MATCHED AND s.v < 0 THEN UPDATE SET v = 0 "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+            tables={"m": tgt},
+        )
+    with pytest.raises(ValueError, match="DELETE first"):
+        snapshot_sql_exec(
+            spark,
+            "MERGE INTO m AS g USING dml_alias_src AS s ON g.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN MATCHED AND s.v < 0 THEN DELETE",
+            tables={"m": tgt},
+        )
+    with pytest.raises(ValueError, match="duplicate INSERT column"):
+        snapshot_sql_exec(
+            spark, "INSERT INTO t (id, id) VALUES (7, 8)", tables=t
+        )
