@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python interop: Arrow batches, never per-row pickling ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # call-site capture for error messages costs 3 py4j round trips +
+        # a Python stack walk on EVERY DataFrame API call (pyspark/errors/
+        # utils.py::_with_origin) — pure driver-side latency, off for
+        # production runs at any scale (guide §5: the driver should do
+        # almost no work; errors lose only the user-code line annotation)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Arrow batch size = model/decoder batch size for pandas UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # split size for file scans: 128 MiB keeps scan tasks memory-safe

@@ -543,9 +543,16 @@ class SnapshotTableDataSource(DataSource):
 def register_snapshot_table(spark) -> None:
     # the engine refuses to plan a reader that implements pushFilters
     # while the (runtime-settable) pushdown flag is off — enabling it at
-    # registration keeps the source usable from any session
+    # registration keeps the source usable from any session.
+    # Registration is memoized per session: `dataSource.register`
+    # cloudpickles and ships the class on every call (~0.25 s of pure
+    # driver latency), and the statement hook re-registers relations per
+    # statement — without the memo every SQL statement paid it again.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if getattr(spark, "_snapshot_table_registered", False):
+        return
     spark.dataSource.register(SnapshotTableDataSource)
+    spark._snapshot_table_registered = True
 
 
 def _register_view_relation(spark, name: str, spec: dict, pushdown: bool):
@@ -575,6 +582,25 @@ def _register_view_relation(spark, name: str, spec: dict, pushdown: bool):
     return df
 
 
+def _count_python_scans(plan, ident, counts) -> bool:
+    """Bump per-instance counts for every PythonTable scan LEAF of one
+    plan tree; True as soon as any instance is seen twice.
+    ``DataSourceV2ScanRelation`` is a leaf node, so ``collectLeaves``
+    (ONE py4j round trip for the whole tree) replaces the per-node
+    children()/apply() recursion that dominated this check's cost."""
+    leaves = plan.collectLeaves()
+    for i in range(leaves.length()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() == "DataSourceV2ScanRelation":
+            tbl = node.relation().table()
+            if tbl.getClass().getSimpleName() == "PythonTable":
+                h = ident(tbl)
+                counts[h] = counts.get(h, 0) + 1
+                if counts[h] > 1:
+                    return True
+    return False
+
+
 def _has_repeated_python_scan(spark, df) -> bool:
     """True iff some Python-data-source TABLE INSTANCE is scanned more
     than once in ``df``'s optimized plan (children AND subquery plans).
@@ -587,22 +613,15 @@ def _has_repeated_python_scan(spark, df) -> bool:
     one writer (that scan's own pushdown) or none."""
     counts: dict[int, int] = {}
     ident = spark._jvm.java.lang.System.identityHashCode
-    stack = [df._jdf.queryExecution().optimizedPlan()]
-    while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "DataSourceV2ScanRelation":
-            tbl = node.relation().table()
-            if tbl.getClass().getSimpleName() == "PythonTable":
-                h = ident(tbl)
-                counts[h] = counts.get(h, 0) + 1
-                if counts[h] > 1:
-                    return True
-        ch = node.children()
-        for i in range(ch.length()):
-            stack.append(ch.apply(i))
-        sq = node.subqueries()
-        for i in range(sq.length()):
-            stack.append(sq.apply(i))
+    root = df._jdf.queryExecution().optimizedPlan()
+    if _count_python_scans(root, ident, counts):
+        return True
+    # subqueriesAll is recursive (nested subqueries included) — one
+    # round trip for the list, then leaves-only per subquery plan
+    subs = root.subqueriesAll()
+    for i in range(subs.length()):
+        if _count_python_scans(subs.apply(i), ident, counts):
+            return True
     return False
 
 
@@ -733,7 +752,29 @@ def _install_sql_hook(spark) -> None:
                     # a string literal) is not poisoned by the registry
                     views.pop(n, None)
             df = orig_sql(sqlQuery, *args, **kwargs)
-            if not derives and _has_repeated_python_scan(spark, df):
+            # The optimizer can only scan ONE relation instance twice when
+            # the statement references a view name twice (self-join, set
+            # op, subquery naming it again) or contains a CTE (a WITH body
+            # referenced twice duplicates its subtree). A single textual
+            # occurrence with no WITH provably yields at most one scan per
+            # fresh relation — skip the (plan-walking) repeat check, which
+            # measured ~1.6 s/statement via py4j before the leaf rewrite.
+            # occurrences followed by a dot are COLUMN QUALIFIERS
+            # (``n.n_regionkey``), not relation references — only bare
+            # occurrences (FROM n, JOIN n, EXISTS (SELECT .. FROM n))
+            # can introduce another scan of the relation
+            may_repeat = bool(
+                _re.search(r"\bWITH\b", sqlQuery, _re.IGNORECASE)
+            ) or any(
+                len(
+                    _re.findall(
+                        rf"\b{_re.escape(n)}\b(?!\s*\.)", sqlQuery, _re.IGNORECASE
+                    )
+                )
+                > 1
+                for n in hit
+            )
+            if not derives and may_repeat and _has_repeated_python_scan(spark, df):
                 for n in hit:
                     if n in views:
                         _register_view_relation(
@@ -789,6 +830,7 @@ def snapshot_sql_register(
     table: str | None = None,
     catalog_version: int | None = None,
     pushdown: bool = True,
+    defer: bool = False,
 ):
     """Make a snapshot (or catalog-pinned) table addressable by NAME in
     raw ``spark.sql`` text: plans the scan through the ``snapshot_table``
@@ -882,6 +924,13 @@ def snapshot_sql_register(
     if pushdown:
         _sql_views(spark)[name] = spec
         _install_sql_hook(spark)
+        if defer:
+            # the statement hook registers a FRESH relation before every
+            # statement naming the view anyway, so an eager registration
+            # here would be built only to be replaced — callers that
+            # ignore the returned DataFrame (catalog view / mview
+            # resolution) skip straight to the hook's registration
+            return None
     else:
         _sql_views(spark).pop(name, None)
     return _register_view_relation(spark, name, spec, pushdown=pushdown)

@@ -655,5 +655,10 @@ class SnapshotFeedDataSource(DataSource):
 
 def register_snapshot_feed(spark) -> None:
     """Idempotently register the ``snapshot_feed`` streaming format on a
-    session (Python data sources are session-scoped)."""
+    session (Python data sources are session-scoped). Memoized: each
+    ``dataSource.register`` call cloudpickles and ships the class to the
+    JVM (~1.7 s measured) — once per session is enough."""
+    if getattr(spark, "_snapshot_feed_registered", False):
+        return
     spark.dataSource.register(SnapshotFeedDataSource)
+    spark._snapshot_feed_registered = True
