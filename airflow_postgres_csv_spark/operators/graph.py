@@ -105,13 +105,20 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    converged = e.isEmpty()
+    # one count doubles as the emptiness probe AND the first round's
+    # previous-cardinality (isEmpty would be a separate job)
+    n_prev = e.count()
+    converged = n_prev == 0
     if not converged:
+        # Exact set equality per round: equal counts + one-sided
+        # difference empty. The previous round's count is carried across
+        # iterations instead of recounting the (checkpointed) edge set —
+        # one fewer job per round; exceptAll only runs on count equality.
         for _ in range(max_iter):
             e1 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            # Exact set equality: equal counts + one-sided difference empty.
-            converged = e1.count() == e.count() and e1.exceptAll(e).isEmpty()
-            e = e1
+            n_cur = e1.count()
+            converged = n_cur == n_prev and e1.exceptAll(e).isEmpty()
+            e, n_prev = e1, n_cur
             if converged:
                 break
         if not converged:
@@ -267,6 +274,13 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        # LAZY checkpoint: still truncates the driver-side plan to O(1)
+        # per round (Catalyst sees an RDD leaf), but materialization
+        # happens inside the ONE final action instead of an eager job per
+        # round — each round's table has exactly one consumer (the next
+        # round's broadcast/join), so laziness never duplicates work,
+        # and the fixed-iteration loop needs no per-round convergence
+        # action (guide §2.4: remove per-iteration jobs outright).
         r = (
             nodes.join(sums, "node", "left")
             .select(
@@ -276,7 +290,7 @@ def pagerank_integer(
                     + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return r.select("node", F.col("r").alias("rank_scaled"))
 

@@ -21,6 +21,18 @@ _COS = (
     "      * list_reduce(list_transform(list_zip({b}, {b}), s -> s[1] * s[2]), (x,y) -> x + y))"
 )
 
+
+def _pin(df):
+    """Materialize a tiny (probe-set-sized, ≤ k × n_queries rows) search
+    result ONCE. The recall/equality harnesses consume these results in
+    several comparison branches (exceptAll both ways, hit joins, absence
+    filters): left lazy, EVERY branch re-executes the full search / exact
+    brute-force that produced the rows — measured 14 search executions in
+    similarity_ann_delete for 6 distinct results. localCheckpoint stores
+    the few rows and each branch reads them back (guide §5: cache only
+    what is reused AND expensive to recompute)."""
+    return df.localCheckpoint(eager=True)
+
 register(
     "similarity_topk_bruteforce",
     f"""
@@ -70,8 +82,10 @@ register(
 def _ann_recall(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = S.topk_cosine_bruteforce(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     ann = S.lsh_bucket_topk(
         emb, queries, k=5, n_planes=4, n_tables=8, multiprobe=True
@@ -147,8 +161,11 @@ register(
 def _ivf_recall(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = S.topk_cosine_bruteforce(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
+    # exact feeds both the hit join and per_query: pin (2 -> 1)
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     ann = S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=8).select(
         "query_id", "neighbor_id"
@@ -219,8 +236,11 @@ register(
 def _pq_recall(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = S.topk_cosine_bruteforce(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
+    # exact feeds both the hit join and per_query: pin (2 -> 1)
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     ann = S.pq_topk(emb, queries, k=5, m=16, n_codes=16, rerank_factor=4).select(
         "query_id", "neighbor_id"
@@ -571,8 +591,12 @@ def _ann_persisted(spark, sf_dir):
     ivf_root, pq_root = _temp_root(), _temp_root()
     m_ivf = S.ivf_build_index(emb, ivf_root, n_cells=16)
     m_pq = S.pq_build_index(emb, pq_root, m=16, n_codes=16)
-    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
-        "query_id", "neighbor_id"
+    # consumed by per_query + both _recall_ok branches: pin (3 -> 1
+    # brute-force executions)
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, qs, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     per_query = exact.groupBy("query_id").count().withColumnRenamed(
         "count", "n_exact"
@@ -643,8 +667,11 @@ def _ann_incremental(spark, sf_dir):
     root = _temp_root()
     m1 = S.ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), root, n_cells=16)
     m2 = S.ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), root)
-    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
-        "query_id", "neighbor_id"
+    # exact feeds both the hit join and per_query: pin (2 -> 1)
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, qs, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     ann = S.ivf_search_index(spark, root, qs, k=5, n_probe=8).select(
         "query_id", "neighbor_id"
@@ -704,8 +731,13 @@ def _ann_delete(spark, sf_dir):
     ivf_root, pq_root = _temp_root(), _temp_root()
     m_ivf = S.ivf_build_index(emb, ivf_root, n_cells=16)
     m_pq = S.pq_build_index(emb, pq_root, m=16, n_codes=16)
-    pre = S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
-        "query_id", "neighbor_id", "rank"
+    # every search result below is consumed by 2-3 comparison branches
+    # (set equality both ways, the deleted-absent filter) — pinned, each
+    # search runs exactly once instead of 14 total executions
+    pre = _pin(
+        S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
+            "query_id", "neighbor_id", "rank"
+        )
     )
     d_ivf = S.ann_index_delete(spark, ivf_root, gone)
     d_pq = S.ann_index_delete(spark, pq_root, gone)
@@ -713,23 +745,33 @@ def _ann_delete(spark, sf_dir):
     def _same(a, b):
         return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
-    post_ivf = S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
-        "query_id", "neighbor_id", "rank"
+    post_ivf = _pin(
+        S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
+            "query_id", "neighbor_id", "rank"
+        )
     )
-    want_ivf = S.ivf_topk(
-        survivors, qs, k=5, n_probe=8,
-        centroids=m_ivf["ann_index"]["centroids"],
-    ).select("query_id", "neighbor_id", "rank")
-    post_pq = S.pq_search_index(
-        spark, pq_root, qs, k=5, rerank_factor=4
-    ).select("query_id", "neighbor_id", "rank")
-    want_pq = S.pq_topk(
-        survivors, qs, k=5, rerank_factor=4,
-        codebooks=m_pq["ann_index"]["codebooks"],
-    ).select("query_id", "neighbor_id", "rank")
-    pinned = S.ivf_search_index(
-        spark, ivf_root, qs, k=5, n_probe=8, version=m_ivf["version"]
-    ).select("query_id", "neighbor_id", "rank")
+    want_ivf = _pin(
+        S.ivf_topk(
+            survivors, qs, k=5, n_probe=8,
+            centroids=m_ivf["ann_index"]["centroids"],
+        ).select("query_id", "neighbor_id", "rank")
+    )
+    post_pq = _pin(
+        S.pq_search_index(
+            spark, pq_root, qs, k=5, rerank_factor=4
+        ).select("query_id", "neighbor_id", "rank")
+    )
+    want_pq = _pin(
+        S.pq_topk(
+            survivors, qs, k=5, rerank_factor=4,
+            codebooks=m_pq["ann_index"]["codebooks"],
+        ).select("query_id", "neighbor_id", "rank")
+    )
+    pinned = _pin(
+        S.ivf_search_index(
+            spark, ivf_root, qs, k=5, n_probe=8, version=m_ivf["version"]
+        ).select("query_id", "neighbor_id", "rank")
+    )
 
     ivf_match = int(_same(post_ivf, want_ivf))
     pq_match = int(_same(post_pq, want_pq))
@@ -786,8 +828,11 @@ def _ann_ivfpq(spark, sf_dir):
         emb.where(F.col("vec_id") % 2 == 0), root, n_cells=16, m=16, n_codes=16
     )
     m2 = S.ivfpq_index_append(emb.where(F.col("vec_id") % 2 == 1), root)
-    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
-        "query_id", "neighbor_id"
+    # exact feeds both the hit join and per_query: pin (2 -> 1)
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, qs, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     ann = S.ivfpq_search_index(
         spark, root, qs, k=5, n_probe=8, rerank_factor=4
@@ -899,17 +944,25 @@ def _streaming_ann_index_live(spark, sf_dir):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    live = S.ivf_search_index(spark, live_root, qs, k=5, n_probe=8).select(
-        "query_id", "neighbor_id", "rank"
+    # live/ref feed set-equality both ways + the hit join; exact feeds
+    # the hit join + per_query — pinned, each runs once
+    live = _pin(
+        S.ivf_search_index(spark, live_root, qs, k=5, n_probe=8).select(
+            "query_id", "neighbor_id", "rank"
+        )
     )
-    ref = S.ivf_search_index(spark, ref_root, qs, k=5, n_probe=8).select(
-        "query_id", "neighbor_id", "rank"
+    ref = _pin(
+        S.ivf_search_index(spark, ref_root, qs, k=5, n_probe=8).select(
+            "query_id", "neighbor_id", "rank"
+        )
     )
     serve_equal = int(
         live.exceptAll(ref).count() == 0 and ref.exceptAll(live).count() == 0
     )
-    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
-        "query_id", "neighbor_id"
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, qs, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     hits = (
         exact.join(live.select("query_id", "neighbor_id"),
@@ -980,8 +1033,11 @@ def _ann_autotune(spark, sf_dir):
     monotone_ok = int(all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:])))
     # held-out queries (disjoint from the probe set's lowest ids)
     qs = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
-    exact = S.topk_cosine_bruteforce(emb, qs, k=5).select(
-        "query_id", "neighbor_id"
+    # exact feeds the hit join + the recall denominator count: pin (2 -> 1)
+    exact = _pin(
+        S.topk_cosine_bruteforce(emb, qs, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     ann = S.ivf_search_index(
         spark, ivf_root, qs, k=5, n_probe=d_ivf["n_probe"]
