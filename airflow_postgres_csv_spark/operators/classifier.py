@@ -68,10 +68,18 @@ def hashed_token_counts(
     """``(id, y, b, cnt)`` — md5-bucketed token occurrence counts per
     document. One explode + one hash-agg."""
     from airflow_postgres_csv_spark.functions import texts as X
+    from airflow_postgres_csv_spark.operators.localframe import (
+        spread_small_input,
+    )
 
-    toks = docs.select(
-        F.col(id_col),
-        label.cast("int").alias("y"),
+    # tokenize + per-token md5 run map-side: spread a one-row-group
+    # corpus across the session's cores first (guide §2.5; no-op when
+    # input splits >= cores)
+    toks = spread_small_input(
+        docs.select(F.col(id_col), label.cast("int").alias("y"), text_col)
+    ).select(
+        id_col,
+        "y",
         F.explode(X.tokens(text_col)).alias("_tok"),
     )
     return (
@@ -135,9 +143,13 @@ def train_quality_classifier(
 
 
 def _score_feats(feats: DataFrame, model: dict, id_col: str) -> DataFrame:
+    from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
+
     spark = feats.sparkSession
-    wdf = spark.createDataFrame(
-        [(b, v) for b, v in model["llr"].items()], "b long, llr decimal(18,9)"
+    wdf = arrow_local_df(
+        spark,
+        [(b, v) for b, v in model["llr"].items()],
+        "b long, llr decimal(18,9)",
     )
     return (
         feats.join(F.broadcast(wdf), "b")
@@ -186,9 +198,11 @@ def save_classifier(spark, model: dict, root: str) -> dict:
     O(n_buckets) llr table is the data, prior/n_buckets ride the
     manifest ``extra``. Retraining commits a new version — serving pins
     any generation via time travel; returns the manifest."""
+    from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
     from airflow_postgres_csv_spark.operators.snapshots import snapshot_commit
 
-    wdf = spark.createDataFrame(
+    wdf = arrow_local_df(
+        spark,
         sorted((b, v) for b, v in model["llr"].items()),
         "b long, llr decimal(18,9)",
     ).coalesce(1)

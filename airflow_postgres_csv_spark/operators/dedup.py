@@ -436,9 +436,16 @@ def simhash_bits(
     ``num_bits`` conditional-sum aggregates in one shuffle; the nibble
     array is materialized once per token, not per bit.
     """
+    from airflow_postgres_csv_spark.operators.localframe import (
+        spread_small_input,
+    )
+
     n_nibs = num_bits // 4
     toks = (
-        df.select(id_col, F.explode(X.tokens(text_col)).alias("tok"))
+        # per-token md5 + nibble transform + 64 partial sums all run
+        # MAP-SIDE — spread a one-row-group corpus first (guide §2.5)
+        spread_small_input(df.select(id_col, text_col))
+        .select(id_col, F.explode(X.tokens(text_col)).alias("tok"))
         .withColumn("h", F.md5("tok"))
         .withColumn(
             "nibs",
@@ -853,7 +860,14 @@ def winnowing_fingerprints(
     norm = X.normalize_text(F.col(text_col))
     if cap is not None:
         norm = F.substring(norm, 1, cap)
-    d = df.select(F.col(id_col), norm.alias("__norm"))
+    from airflow_postgres_csv_spark.operators.localframe import (
+        spread_small_input,
+    )
+
+    # O(len(norm)) md5 calls PER ROW below — spread the projected
+    # (id, capped-norm) pair before the kernel (measured at sf0.1: the
+    # whole fingerprint pass was ONE 6.3 s task off a one-row-group file)
+    d = spread_small_input(df.select(F.col(id_col), norm.alias("__norm")))
     keys = F.expr(
         f"""
         CASE WHEN length(__norm) >= {1 << 20} THEN

@@ -114,8 +114,14 @@ def connected_components(
         # difference empty. The previous round's count is carried across
         # iterations instead of recounting the (checkpointed) edge set —
         # one fewer job per round; exceptAll only runs on count equality.
+        # The checkpoint is LAZY and the count right after it is the
+        # materializing action (a lazy localCheckpoint persists on its
+        # first computation), so checkpoint + convergence probe cost ONE
+        # job per round instead of two (guide §2.4); every later consumer
+        # (next round's stars, exceptAll, the fixpoint star read) reads
+        # the stored partitions.
         for _ in range(max_iter):
-            e1 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e1 = _small_star(_large_star(e)).localCheckpoint(eager=False)
             n_cur = e1.count()
             converged = n_cur == n_prev and e1.exceptAll(e).isEmpty()
             e, n_prev = e1, n_cur
@@ -170,9 +176,13 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        # consumed by degree-count, wedge build (×2) and the closing join:
-        # materialize once so the upstream plan doesn't re-execute per branch
-        .localCheckpoint(eager=False)
+        # consumed by degree-count, wedge build (×2) and the closing join.
+        # EAGER: with AQE the independent downstream shuffle stages are
+        # submitted CONCURRENTLY, and a lazy checkpoint that none of them
+        # has materialized yet makes each racing stage recompute the whole
+        # upstream edge derivation (measured at sf0.1: duplicate 0.8 s /
+        # 0.6 s job pairs in the profile). One eager job pins it once.
+        .localCheckpoint(eager=True)
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("a", "n")
@@ -189,7 +199,11 @@ def triangle_counts(
             F.col("b").alias("t"),
             F.col("db").alias("dt"),
         )
-        .localCheckpoint(eager=False)  # consumed 3× (both wedge sides + closing)
+        # consumed 3× (both wedge sides + closing join) — EAGER for the
+        # same AQE concurrent-stage reason as ``e`` above: lazy left the
+        # three consumers racing to materialize it, each re-running the
+        # degree joins.
+        .localCheckpoint(eager=True)
     )
     w1 = keyed.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("d1"))
     w2 = keyed.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("d2"))
@@ -317,7 +331,11 @@ def connected_components_propagation(
         .distinct()
     )
     labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    # Lazy checkpoint: the convergence-sum collect right below is the
+    # materializing action, so checkpoint + checksum cost ONE job per
+    # round instead of two (guide §2.4); the next round's join then reads
+    # the stored partitions.
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_iter):
@@ -334,7 +352,7 @@ def connected_components_propagation(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
@@ -378,9 +396,18 @@ def kcore_nodes(
     e = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # The lazy checkpoint + count fold materialization and the carried
+    # cardinality into ONE job per round (guide §2.4). Edges only ever
+    # get DELETED by the peel, so count equality <=> the round removed
+    # nothing <=> the peel reached its fixpoint — every remaining round
+    # would be a no-op on the same set, so breaking early returns the
+    # bit-identical result of running all ``rounds`` rounds.
+    n_prev = e.count()
     for _ in range(rounds):
+        if n_prev == 0:
+            break
         keep = (
             e.groupBy("u")
             .agg(F.count(F.lit(1)).alias("__d"))
@@ -391,8 +418,12 @@ def kcore_nodes(
             e.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_cur = e.count()
+        if n_cur == n_prev:
+            break  # fixpoint: the remaining rounds cannot change the set
+        n_prev = n_cur
     return (
         e.groupBy("u")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -457,15 +488,20 @@ def bfs_hops(
         fr = frontier.select(F.col("node").alias("u"))
         if n_frontier <= broadcast_max_frontier:
             fr = F.broadcast(fr)
-        # expand one level: neighbours of the frontier not yet visited
+        # expand one level: neighbours of the frontier not yet visited.
+        # Both checkpoints are LAZY: the next loop iteration's
+        # frontier.count() is the single materializing action for the new
+        # frontier AND (through the anti-join) for the carried visited
+        # set — one job per hop where the eager pair cost three
+        # (guide §2.4).
         frontier = (
             e.join(fr, "u")
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(
             frontier.select("node", F.lit(hop).cast("int").alias("hop"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return visited

@@ -370,7 +370,12 @@ def snapshot_metadata_table(
             )
             for h in snapshot_history(root)
         ]
-        return spark.createDataFrame(
+        from airflow_postgres_csv_spark.operators.localframe import (
+            arrow_local_df,
+        )
+
+        return arrow_local_df(
+            spark,
             rows,
             "version int, parent int, mode string, commit_id string, "
             "n_files bigint, n_tombstones bigint, committed_at bigint",
@@ -402,7 +407,10 @@ def snapshot_metadata_table(
                 _json.dumps(ptuple) if ptuple is not None else None,
             )
         )
-    files_df = spark.createDataFrame(
+    from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
+
+    files_df = arrow_local_df(
+        spark,
         rows,
         "file string, commit_id string, bytes bigint, "
         "record_count bigint, partition string",

@@ -591,7 +591,10 @@ def _exact_pairs_by_query(
 
 
 def _probes_df(spark: SparkSession, entries: list) -> DataFrame:
-    return spark.createDataFrame(
+    from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
+
+    return arrow_local_df(
+        spark,
         [(q["id"], q["vec"]) for q in entries],
         "vec_id bigint, embedding array<double>",
     )
@@ -1141,7 +1144,10 @@ def _ivfpq_train(
 
 
 def _centroid_table(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
+    from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
+
+    return arrow_local_df(
+        spark,
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, _cent array<double>",
     )

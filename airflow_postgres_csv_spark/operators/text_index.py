@@ -343,8 +343,11 @@ def text_index_phrase_search(
 
     from airflow_postgres_csv_spark.operators.snapshots import _read_pinned
 
-    row = spark.createDataFrame([(phrase,)], "t string").select(
-        X.tokens("t").alias("tk")
+    # tokenizing one literal phrase needs no Python-RDD relation — a
+    # range(1) projection stays entirely in the JVM (localframe.py: the
+    # pickled-slice path costs a Python-worker round trip per slice)
+    row = spark.range(1).select(
+        X.tokens(F.lit(phrase)).alias("tk")
     ).first()
     terms = list(row["tk"])
     if not terms or terms == [""]:

@@ -80,3 +80,45 @@ def utc_date(col: str | Column) -> Column:
     wall-clock truncation) — no float division anywhere.
     """
     return F.to_date(utc_ntz(col))
+
+
+def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact multiset equality of two same-schema DataFrames in ONE job.
+
+    The classic ``a.exceptAll(b).count() == 0 and b.exceptAll(a).count()
+    == 0`` runs two full aggregation jobs; signed per-row counts need one:
+    tag +1/−1, group by all columns (NULL-safe, same as exceptAll), equal
+    multisets ⇔ every signed sum is zero."""
+    cols = a.columns
+    tagged = a.select(*cols, F.lit(1).alias("__s")).unionByName(
+        b.select(*cols, F.lit(-1).alias("__s"))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("__s").alias("__d"))
+        .where(F.col("__d") != 0)
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
+def stage_single_parquet(df: DataFrame, dst: str, mtime: int) -> None:
+    """Stage a SMALL DataFrame as one parquet file at ``dst`` with a pinned
+    mtime (file-stream sources order micro-batches by mtime).
+
+    ``df.coalesce(1).write.parquet`` funnels the whole upstream through ONE
+    task (and pays a write-job + commit-protocol round trip per staged
+    file — measured 1-6 s each in the streaming harnesses); these staged
+    frames are micro-batch-sized by construction, so collect them through
+    Arrow (parallel upstream tasks, zero-copy driver assembly) and write
+    the file driver-side with pyarrow. Same rows, same Spark schema on
+    re-read (``toArrow`` uses PySpark's own type mapping).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = df.toArrow()
+    pq.write_table(table, dst)
+    os.utime(dst, (mtime, mtime))

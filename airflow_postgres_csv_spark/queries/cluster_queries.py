@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
+from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import t
 
@@ -58,7 +59,7 @@ array_min(transform(cents, (c, i) -> struct(
 
 def _assign(pts, spark, cents):
     """Per-point nearest-centroid assignment — broadcast, shuffle-free."""
-    cdf = spark.createDataFrame(
+    cdf = arrow_local_df(spark, 
         [(cents,)],
         StructType([StructField("cents", ArrayType(ArrayType(DoubleType())))]),
     )

@@ -849,16 +849,14 @@ def streaming_dedup_ingest_live(spark, sf_dir):
     )
     src = os.path.join(_temp_root(), "src")
     os.makedirs(src)
+    from airflow_postgres_csv_spark.queries._helpers import (
+        stage_single_parquet,
+    )
+
     for i, part in enumerate((evens, batch1)):
-        part_dir = os.path.join(_temp_root(), f"b{i}")
-        part.coalesce(1).write.parquet(part_dir)
-        f = next(
-            n for n in os.listdir(part_dir)
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        stage_single_parquet(
+            part, os.path.join(src, f"{i:03d}.parquet"), 1_000_000 + i
         )
-        dst = os.path.join(src, f"{i:03d}.parquet")
-        shutil.move(os.path.join(part_dir, f), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
     root, keys_root = _temp_root(), _temp_root()
     q = start_dedup_ingest_sink(
         spark.readStream.schema(docs.schema)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
 from airflow_postgres_csv_spark.operators import similarity as S
 from airflow_postgres_csv_spark.queries import register
 from airflow_postgres_csv_spark.queries._helpers import t
@@ -742,8 +743,11 @@ def _ann_delete(spark, sf_dir):
     d_ivf = S.ann_index_delete(spark, ivf_root, gone)
     d_pq = S.ann_index_delete(spark, pq_root, gone)
 
+    from airflow_postgres_csv_spark.queries._helpers import multiset_equal
+
     def _same(a, b):
-        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # one signed-count job instead of two exceptAll jobs (guide §2.4)
+        return multiset_equal(a, b)
 
     post_ivf = _pin(
         S.ivf_search_index(spark, ivf_root, qs, k=5, n_probe=8).select(
@@ -909,20 +913,20 @@ def _streaming_ann_index_live(spark, sf_dir):
     S.ivf_index_append(odds, ref_root)
     src = os.path.join(_temp_root(), "src")
     os.makedirs(src)
+    from airflow_postgres_csv_spark.queries._helpers import (
+        stage_single_parquet,
+    )
+
     staged = []
     for i in (0, 1):
-        part_dir = os.path.join(_temp_root(), f"half{i}")
-        odds.where(F.col("vec_id") % 4 == 2 * i + 1).coalesce(1).write.parquet(
-            part_dir
+        part_path = os.path.join(_temp_root(), f"half{i}.parquet")
+        stage_single_parquet(
+            odds.where(F.col("vec_id") % 4 == 2 * i + 1),
+            part_path,
+            1_000_000 + i,
         )
-        part = next(
-            n for n in os.listdir(part_dir)
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
-        )
-        staged.append(os.path.join(part_dir, part))
-    dst0 = os.path.join(src, "000.parquet")
-    shutil.move(staged[0], dst0)
-    os.utime(dst0, (1_000_000, 1_000_000))
+        staged.append(part_path)
+    shutil.move(staged[0], os.path.join(src, "000.parquet"))
     schema = emb.schema
     ckpt = os.path.join(_temp_root(), "ckpt")
 
@@ -956,9 +960,9 @@ def _streaming_ann_index_live(spark, sf_dir):
             "query_id", "neighbor_id", "rank"
         )
     )
-    serve_equal = int(
-        live.exceptAll(ref).count() == 0 and ref.exceptAll(live).count() == 0
-    )
+    from airflow_postgres_csv_spark.queries._helpers import multiset_equal
+
+    serve_equal = int(multiset_equal(live, ref))
     exact = _pin(
         S.topk_cosine_bruteforce(emb, qs, k=5).select(
             "query_id", "neighbor_id"
@@ -1044,7 +1048,7 @@ def _ann_autotune(spark, sf_dir):
     ).select("query_id", "neighbor_id")
     hits = exact.join(ann, ["query_id", "neighbor_id"]).count()
     holdout_ok = int(hits / exact.count() >= 0.5)
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         [(6, derived_ok, monotone_ok, holdout_ok)],
         "n_probe_queries int, derived_ok int, ladder_monotone_ok int, "
         "holdout_recall_ok int",

@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_postgres_csv_spark.operators.localframe import arrow_local_df
 from airflow_postgres_csv_spark.catalog import load
 from airflow_postgres_csv_spark.operators.snapshots import (
     snapshot_commit,
@@ -99,7 +100,7 @@ def snapshot_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for v in snapshot_versions(root):
         rows.append((v, snapshot_read(spark, root, version=v).count()))
-    return spark.createDataFrame(rows, "version int, n_rows bigint").orderBy("version")
+    return arrow_local_df(spark, rows, "version int, n_rows bigint").orderBy("version")
 
 
 register(
@@ -247,7 +248,7 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = nation.where(F.pmod("n_nationkey", F.lit(5)) == 0).withColumn(
         "n_name", F.concat("n_name", F.lit("*"))
     )
-    inserted = spark.createDataFrame([(999, "ATLANTIS", 0)], nation.schema)
+    inserted = arrow_local_df(spark, [(999, "ATLANTIS", 0)], nation.schema)
     snapshot_merge(
         spark, root, updates.unionByName(inserted), key="n_nationkey"
     )
@@ -1065,7 +1066,7 @@ def snapshot_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h["version"], h["parent"], h["mode"], h["n_tombstones"])
         for h in snapshot_history(root)
     ]
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         rows, "version int, parent int, mode string, n_tombstones int"
     ).orderBy("version")
 
@@ -1314,7 +1315,7 @@ def pipeline_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFr
         m["violations"]["status_final"],
         readback_written, readback_quar,
     )
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         [row],
         "n_input long, n_written long, n_quarantined long, n_dropped long,"
         " viol_price long, viol_priority long, viol_status long,"
@@ -1728,7 +1729,7 @@ def snapshot_catalog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in hist
         for name in sorted(h["tables"])
     ]
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         rows,
         "catalog_version int, parent int, note string, n_tables int,"
         " table_name string, pinned_version int",
@@ -2127,10 +2128,10 @@ def snapshot_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
     replica = snapshot_read(spark, dst).select(
         "event_id", "user_id", "value", "score"
     )
-    replica_ok = int(
-        final.exceptAll(replica).count() == 0
-        and replica.exceptAll(final).count() == 0
-    )
+    from airflow_postgres_csv_spark.queries._helpers import multiset_equal
+
+    # one signed-count aggregation instead of two full exceptAll jobs
+    replica_ok = int(multiset_equal(final, replica))
     return (
         final.withColumn(
             "class",
@@ -2211,15 +2212,9 @@ def streaming_merge_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
     ev = load(spark, sf_dir, "events")
     for i in (0, 1):
-        half_dir = os.path.join(_temp_root(), f"half{i}")
-        ev.where(F.col("event_id") % 2 == i).coalesce(1).write.parquet(half_dir)
-        part = next(
-            n for n in os.listdir(half_dir)
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        _stage_stream_file(
+            ev.where(F.col("event_id") % 2 == i), src, i
         )
-        dst = os.path.join(src, f"{i:03d}.parquet")
-        os.rename(os.path.join(half_dir, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
     schema = spark.read.parquet(src).schema
     root = _temp_root()
 
@@ -3194,15 +3189,7 @@ def streaming_wap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(_temp_root(), "src")
     _os.makedirs(src)
     for i, b in enumerate(batches):
-        stage = _os.path.join(_temp_root(), f"b{i}")
-        b.coalesce(1).write.parquet(stage)
-        f = next(
-            n for n in _os.listdir(stage)
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
-        )
-        dst = _os.path.join(src, f"{i:03d}.parquet")
-        _shutil.move(_os.path.join(stage, f), dst)
-        _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        _stage_stream_file(b, src, i)
     root = _temp_root()
     q = start_wap_sink(
         spark.readStream.schema(events.schema)
@@ -3718,7 +3705,7 @@ def snapshot_fast_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = snapshot_fast_agg(root, ["event_id"], spark=spark)
     scan_exact = int(post["rows_source"] == "scan")
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         [
             (
                 meta["n_rows"],
@@ -3890,7 +3877,7 @@ def snapshot_partition_count_query(spark: SparkSession, sf_dir: str) -> DataFram
         spark=None, allow_scan=False,  # scan REFUSED: metadata must answer
     )
     metadata_only = int(got["rows_source"] in ("root", "sidecar"))
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         [
             (
                 got["n_rows"],
@@ -4042,7 +4029,7 @@ def snapshot_constraints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_append = bad_merge = 0
     try:
         snapshot_commit(
-            spark.createDataFrame(
+            arrow_local_df(spark, 
                 [(None, "click", 1.0)],
                 "event_id bigint, event_type string, value double",
             ),
@@ -4053,7 +4040,7 @@ def snapshot_constraints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         snapshot_merge(
             spark, root,
-            spark.createDataFrame(
+            arrow_local_df(spark, 
                 [(2, None, 1.0)],
                 "event_id bigint, event_type string, value double",
             ),
@@ -4106,15 +4093,13 @@ def _stage_stream_file(df, src_files: str, idx: int) -> None:
     with a monotone mtime (file streams order batches by mtime)."""
     import os
 
-    half_dir = os.path.join(_temp_root(), f"stage{idx}")
-    df.coalesce(1).write.parquet(half_dir)
-    part = next(
-        n for n in os.listdir(half_dir)
-        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    from airflow_postgres_csv_spark.queries._helpers import (
+        stage_single_parquet,
     )
-    dst = os.path.join(src_files, f"{idx:03d}.parquet")
-    os.rename(os.path.join(half_dir, part), dst)
-    os.utime(dst, (1_000_000 + idx, 1_000_000 + idx))
+
+    stage_single_parquet(
+        df, os.path.join(src_files, f"{idx:03d}.parquet"), 1_000_000 + idx
+    )
 
 
 def streaming_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4763,7 +4748,7 @@ def snapshot_fast_sum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         proot, sums=["cents"], where={"event_type": "click"},
         spark=None, allow_scan=False,
     )
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         [
             (
                 total["n_rows"],
@@ -4842,7 +4827,7 @@ def snapshot_partition_rollup_query(
         )
         for g in res["groups"]
     ]
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         rows,
         "lang string, n_docs bigint, chars_total bigint, "
         "n_chars_nn bigint, chars_min bigint, chars_max bigint",
@@ -4916,7 +4901,7 @@ def snapshot_partition_rollup_where_query(
                 int(lang != "en" or (fn == g["n_rows"] and ft == g["sums"]["n_chars"]["value"])),
             )
         )
-    return spark.createDataFrame(
+    return arrow_local_df(spark, 
         rows,
         "lang string, source string, n_docs bigint, chars_total bigint, "
         "paths_agree int",

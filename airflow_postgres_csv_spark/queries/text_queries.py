@@ -1997,22 +1997,22 @@ def streaming_classifier_live(spark, sf_dir):
     model_root = _temp_root()
     save_classifier(spark, model, model_root)
 
+    from airflow_postgres_csv_spark.queries._helpers import (
+        stage_single_parquet,
+    )
+
     src = os.path.join(_temp_root(), "src")
     os.makedirs(src)
     staged = []
     for i in (0, 1):
-        part_dir = os.path.join(_temp_root(), f"half{i}")
-        docs.where(F.pmod("doc_id", F.lit(2)) == i).coalesce(1).write.parquet(
-            part_dir
+        part_path = os.path.join(_temp_root(), f"half{i}.parquet")
+        stage_single_parquet(
+            docs.where(F.pmod("doc_id", F.lit(2)) == i),
+            part_path,
+            1_000_000 + i,
         )
-        part = next(
-            n for n in os.listdir(part_dir)
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
-        )
-        staged.append(os.path.join(part_dir, part))
-    dst0 = os.path.join(src, "000.parquet")
-    shutil.move(staged[0], dst0)
-    os.utime(dst0, (1_000_000, 1_000_000))
+        staged.append(part_path)
+    shutil.move(staged[0], os.path.join(src, "000.parquet"))
     schema = docs.schema
     ckpt = os.path.join(_temp_root(), "ckpt")
     root = _temp_root()

@@ -45,14 +45,27 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative operators (pagerank_integer) chain LAZY localCheckpoints
+        # whose whole prior-round lineage can materialize inside one
+        # executeBroadcast wait; the 300 s default is the one failure mode
+        # the lazy chain adds on a big cluster, so give broadcast builds
+        # the same patience as a long stage (ADVICE r11: document/raise)
+        .config("spark.sql.broadcastTimeout", "3600")
         # --- python interop: Arrow batches, never per-row pickling ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # call-site capture for error messages costs 3 py4j round trips +
         # a Python stack walk on EVERY DataFrame API call (pyspark/errors/
         # utils.py::_with_origin) — pure driver-side latency, off for
         # production runs at any scale (guide §5: the driver should do
-        # almost no work; errors lose only the user-code line annotation)
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # almost no work; errors lose only the user-code line annotation).
+        # NOTE: pyspark caches this flag PROCESS-WIDE from the first
+        # session (_enable_debugging_cache), so later sessions in the same
+        # process inherit it; SPARK_GRAFT_DEBUG=1 is the escape hatch for
+        # debugging sessions that want call-site annotations back.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DEBUG") else "false",
+        )
         # Arrow batch size = model/decoder batch size for pandas UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # split size for file scans: 128 MiB keeps scan tasks memory-safe

@@ -740,41 +740,46 @@ def _install_sql_hook(spark) -> None:
                 # different literals into the same text -> different
                 # pushed filters) never take or record the fast path
                 states = {}
+            reg_errs: dict[str, Exception] = {}
             for n in hit:
                 try:
                     _register_view_relation(
                         spark, n, views[n], pushdown=not derives
                     )
-                except Exception:
+                except Exception as exc:
                     # the table root is gone (a torn-down scratch dir):
                     # the view is dead either way — unregister so a
                     # statement that merely MENTIONS the name (a column,
-                    # a string literal) is not poisoned by the registry
+                    # a string literal) is not poisoned by the registry.
+                    # Keep the ORIGINAL error: the statement would
+                    # otherwise surface a generic TABLE_OR_VIEW_NOT_FOUND
+                    # for the alias with the dead-root cause lost
+                    # (ADVICE r11 low, diagnosability).
                     views.pop(n, None)
-            df = orig_sql(sqlQuery, *args, **kwargs)
-            # The optimizer can only scan ONE relation instance twice when
-            # the statement references a view name twice (self-join, set
-            # op, subquery naming it again) or contains a CTE (a WITH body
-            # referenced twice duplicates its subtree). A single textual
-            # occurrence with no WITH provably yields at most one scan per
-            # fresh relation — skip the (plan-walking) repeat check, which
-            # measured ~1.6 s/statement via py4j before the leaf rewrite.
-            # occurrences followed by a dot are COLUMN QUALIFIERS
-            # (``n.n_regionkey``), not relation references — only bare
-            # occurrences (FROM n, JOIN n, EXISTS (SELECT .. FROM n))
-            # can introduce another scan of the relation
-            may_repeat = bool(
-                _re.search(r"\bWITH\b", sqlQuery, _re.IGNORECASE)
-            ) or any(
-                len(
-                    _re.findall(
-                        rf"\b{_re.escape(n)}\b(?!\s*\.)", sqlQuery, _re.IGNORECASE
-                    )
-                )
-                > 1
-                for n in hit
-            )
-            if not derives and may_repeat and _has_repeated_python_scan(spark, df):
+                    reg_errs[n] = exc
+            try:
+                df = orig_sql(sqlQuery, *args, **kwargs)
+            except Exception as exc:
+                for n, cause in reg_errs.items():
+                    if _re.search(
+                        rf"\b{_re.escape(n)}\b", str(exc), _re.IGNORECASE
+                    ):
+                        raise RuntimeError(
+                            f"view {n!r} was dropped from the SQL registry "
+                            f"because its table failed to register: {cause}"
+                        ) from exc
+                raise
+            # Scan-cache poisoning guard: some OPTIMIZER RULES duplicate a
+            # single-referenced scan subtree without a second textual
+            # occurrence (runtime bloom-filter injection clones the
+            # creation side; future rules may differ), so a textual
+            # "name appears once, no WITH" test is NOT a sound reason to
+            # skip the plan-level check (ADVICE r11 medium). After the
+            # leaf-based rewrite the check costs a handful of py4j calls
+            # on the already-built optimized plan (~10 ms/statement
+            # measured, vs ~1.6 s for the old per-node recursion), so it
+            # runs UNCONDITIONALLY — correctness backstop first.
+            if not derives and _has_repeated_python_scan(spark, df):
                 for n in hit:
                     if n in views:
                         _register_view_relation(

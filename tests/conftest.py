@@ -17,7 +17,11 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest")
+    # the suite runs on sf0.001/sf0.01 fixtures where fixed per-task
+    # scheduling overhead dominates 32-partition shuffles; 8 state/shuffle
+    # partitions measurably cut wall-clock (the engine's production
+    # default in session.py is untouched — this scopes the TEST session)
+    s = get_spark("pytest", extra_conf={"spark.sql.shuffle.partitions": "8"})
     yield s
 
 

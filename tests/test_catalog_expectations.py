@@ -132,6 +132,7 @@ def test_out_of_band_head_surfaces_as_conflict(spark, tmp_path):
     assert len(catalog_versions(cat)) == 1
 
 
+@pytest.mark.slow
 def test_streaming_sink_end_to_end(spark, tmp_path):
     import os
     import shutil

@@ -17,6 +17,8 @@ Invariants, checked by hypothesis over generated histories:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -116,6 +118,7 @@ def _read_all(spark, cat, catalog_version=None):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=2, max_size=5))
+@pytest.mark.slow
 def test_random_catalog_histories_match_model(spark, tmp_path_factory, ops):
     base = tmp_path_factory.mktemp("catmodel")
     cat = str(base / "cat")

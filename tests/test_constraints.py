@@ -60,6 +60,7 @@ def test_append_and_overwrite_enforced(spark, tmp_path):
     assert snapshot_read(spark, root).count() == 6
 
 
+@pytest.mark.slow
 def test_merge_paths_enforced(spark, tmp_path):
     root = _table(spark, tmp_path)
     with pytest.raises(SnapshotExpectationError):
@@ -80,6 +81,7 @@ def test_merge_paths_enforced(spark, tmp_path):
     assert got[1] == 99 and min(got.values()) >= 0
 
 
+@pytest.mark.slow
 def test_constraints_survive_compact_rollback_and_drop(spark, tmp_path):
     root = _table(spark, tmp_path)
     snapshot_commit(_df(spark, [(7, 70)]), root)
@@ -105,6 +107,7 @@ def test_alter_refuses_touching_constrained_columns(spark, tmp_path):
     snapshot_alter(root, rename={"v": "w"})  # unblocked
 
 
+@pytest.mark.slow
 def test_staged_datasource_write_enforced(spark, tmp_path):
     from airflow_postgres_csv_spark.sources.snapshot_batch import (
         register_snapshot_table,
@@ -122,6 +125,7 @@ def test_staged_datasource_write_enforced(spark, tmp_path):
     assert snapshot_read(spark, root).count() == 6
 
 
+@pytest.mark.slow
 def test_rollback_resurrecting_violations_refused(spark, tmp_path):
     from airflow_postgres_csv_spark.operators.snapshots import (
         snapshot_delete,
@@ -139,6 +143,7 @@ def test_rollback_resurrecting_violations_refused(spark, tmp_path):
         snapshot_commit(_df(spark, [(3, -1)]), root)
 
 
+@pytest.mark.slow
 def test_rollback_validation_scans_only_resurrected_files(
     spark, tmp_path, monkeypatch
 ):
@@ -160,6 +165,7 @@ def test_rollback_validation_scans_only_resurrected_files(
         snapshot_commit(_df(spark, [(8, -8)]), root)
 
 
+@pytest.mark.slow
 def test_constraints_survive_branch_publish(spark, tmp_path):
     """Fast-forward publishing a branch must carry the declared
     constraints onto main (they were absent from the carry list)."""
@@ -184,6 +190,7 @@ def test_constraints_survive_branch_publish(spark, tmp_path):
     assert snapshot_read(spark, root).count() == 6
 
 
+@pytest.mark.slow
 def test_rebase_enforces_constraint_declared_by_winner(
     spark, tmp_path, monkeypatch
 ):
@@ -224,6 +231,7 @@ def test_rebase_enforces_constraint_declared_by_winner(
     assert snapshot_read(spark, root).count() == 2
 
 
+@pytest.mark.slow
 def test_rollback_does_not_resurrect_dropped_constraints(spark, tmp_path):
     """HEAD-wins on the declaration set even when it is EMPTY: rolling
     back to a version that carried a constraint must not re-declare a

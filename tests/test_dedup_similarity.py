@@ -27,6 +27,7 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert exact == mh
 
 
+@pytest.mark.slow
 def test_simhash_flags_near_duplicates(spark, sf_dir):
     """Planted near-dups (jaccard >= 0.9) should sit within small Hamming
     distance; SimHash pairs must be symmetric-unique and verified."""
@@ -478,6 +479,7 @@ def test_semantic_dedup_autosizes_cells_to_corpus(spark):
     assert b.select(F.max("cell")).first()[0] <= 63
 
 
+@pytest.mark.slow
 def test_persisted_ann_index_serves_without_training(spark, tmp_path, monkeypatch):
     """VERDICT r6: the persisted IVF/PQ indexes are build-once/serve-many —
     the SEARCH path runs zero training jobs (centroids/codebooks come from
@@ -610,6 +612,7 @@ def test_ivf_index_append_serves_old_and_new_without_retraining(spark, tmp_path,
         S.ivf_index_append(new, pq_root)
 
 
+@pytest.mark.slow
 def test_pq_index_append_no_retraining(spark, tmp_path, monkeypatch):
     """PQ incremental ingest: new vectors encoded with the frozen
     codebooks and appended; the persisted search then equals the
@@ -657,6 +660,7 @@ def test_pq_index_append_no_retraining(spark, tmp_path, monkeypatch):
         S.pq_index_append(new, ivf_root)
 
 
+@pytest.mark.slow
 def test_ann_index_delete_no_retraining_no_rewrite(spark, tmp_path, monkeypatch):
     """VERDICT r7 item 3: evicting vectors from a persisted ANN index is
     a merge-on-read tombstone — no retraining, no data files rewritten,
@@ -749,6 +753,7 @@ def test_ann_index_delete_no_retraining_no_rewrite(spark, tmp_path, monkeypatch)
         S.ann_index_delete(spark, ivf_root, [])
 
 
+@pytest.mark.slow
 def test_ivfpq_index_build_serve_append_delete(spark, tmp_path, monkeypatch):
     """Composite IVF-PQ (FAISS IVFPQ shape): residual-coded corpus with
     both models frozen per generation. Pins: recall floor vs exact

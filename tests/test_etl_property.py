@@ -5,6 +5,8 @@ null-string (and empty string, NULL '' default) reads back as NULL."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -55,6 +57,7 @@ _row = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_csv_dialect_roundtrip_property(
     spark, tmp_path_factory, rows, delimiter, quote_char, null_string, has_header, gzip_on
 ):

@@ -415,6 +415,7 @@ def test_fast_agg_bounded_at_10k_commits(spark, tmp_path, monkeypatch):
     assert wall < 2.0, f"fast_agg took {wall:.2f}s at {n} commits"
 
 
+@pytest.mark.slow
 def test_fast_agg_matches_model_over_random_histories(
     spark, tmp_path_factory
 ):

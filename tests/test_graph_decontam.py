@@ -38,6 +38,7 @@ def test_cc_nonconvergence_raises(spark):
         _assign(spark, [(i, i + 1) for i in range(1, 12)], list(range(1, 13)), max_iter=2)
 
 
+@pytest.mark.slow
 def test_cc_long_chain_converges_in_log_rounds(spark):
     """A 60-deep path graph: diameter 60 > 25, so per-hop propagation
     exhausts its round budget, while the large-star/small-star default

@@ -4,6 +4,8 @@ equivalence) verified against actual physical plans."""
 
 from __future__ import annotations
 
+import pytest
+
 import uuid
 
 from pyspark.sql import functions as F
@@ -273,6 +275,7 @@ def test_substring_windows_all_equi_joins(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+@pytest.mark.slow
 def test_corpus_plan_audit_clean(spark):
     """Corpus-wide lint: no batch query may plan a CartesianProduct or
     BroadcastNestedLoopJoin unless it is on the audited BY_DESIGN list

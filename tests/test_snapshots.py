@@ -1294,6 +1294,7 @@ def test_ivm_stamp_survives_compact_and_expire(spark, tmp_path):
     assert rows == [(0, 4, 36), (1, 4, 44), (2, 4, 52)]
 
 
+@pytest.mark.slow
 def test_incremental_agg_general_multikey_minmax_avg(spark, tmp_path):
     """Generalized IVM: multi-column group keys merge on a derived
     composite key; count/sum/avg/min/max all stay exact across appends

@@ -19,6 +19,8 @@ equality tombstones cannot express.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from airflow_postgres_csv_spark.operators.snapshots import (
@@ -130,6 +132,7 @@ def _snapshot_rows(spark, root, version=None, col="stamp"):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=3, max_size=7))
+@pytest.mark.slow
 def test_random_histories_match_model(spark, tmp_path_factory, ops):
     root = str(tmp_path_factory.mktemp("snapmodel") / "snap")
     # model: multiset of (id, stamp); history[v] = model after version v
@@ -338,6 +341,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
         )
 
 
+@pytest.mark.slow
 def test_concurrent_committers_threads_no_lost_commits(spark, tmp_path):
     """Real-thread race: 6 writers × 2 commits each against one root,
     retrying on SnapshotConflictError. First-writer-wins must serialize
@@ -416,6 +420,7 @@ _cdf_op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_cdf_op, min_size=3, max_size=6))
+@pytest.mark.slow
 def test_change_feed_reconstructs_every_version(spark, tmp_path_factory, ops):
     """CDF soundness as a model property: over random histories of every
     feed-expressible commit kind, net-applying the batch change feed

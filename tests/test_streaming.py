@@ -56,6 +56,7 @@ def _batch_tumbling(spark):
     )
 
 
+@pytest.mark.slow
 def test_tumbling_stream_matches_batch(spark, events_stream_dir):
     ev = SW.stream_events(spark, events_stream_dir)
     q = SW.run_to_memory_sink(SW.tumbling_counts(ev, watermark="10 minutes"), "t_tumble")
@@ -76,6 +77,7 @@ def test_tumbling_stream_matches_batch(spark, events_stream_dir):
         q.stop()
 
 
+@pytest.mark.slow
 def test_session_stream_emits_finalized_sessions(spark, events_stream_dir):
     ev = SW.stream_events(spark, events_stream_dir)
     q = SW.run_to_memory_sink(SW.session_counts(ev, gap="5 minutes", watermark="5 minutes"), "t_sess")
@@ -89,6 +91,7 @@ def test_session_stream_emits_finalized_sessions(spark, events_stream_dir):
         q.stop()
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark(spark, tmp_path):
     """Duplicates inside the watermark horizon are dropped; the same key
     recurring far outside the horizon is legitimately emitted again."""
@@ -144,6 +147,7 @@ def test_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """An event older than (max ts - watermark) arriving in a later batch
     must not resurrect or alter an already-finalized window."""
@@ -180,6 +184,7 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stateful_user_profiles(spark, events_stream_dir):
     ev = SW.stream_events(spark, events_stream_dir)
     q = SW.run_to_memory_sink(stateful.user_profiles(ev), "t_prof", output_mode="update")
@@ -285,6 +290,7 @@ def test_jdbc_upsert_sink_exactly_once(spark, events_stream_dir, tmp_path):
     assert back2.count() == n_events
 
 
+@pytest.mark.slow
 def test_outer_join_null_rows_emit_on_watermark(spark, tmp_path):
     """LEFT OUTER stream-stream join: matched pairs emit as they form;
     unmatched purchases emit NULL-padded only after the watermark passes

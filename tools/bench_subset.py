@@ -24,6 +24,14 @@ def main() -> None:
     from airflow_postgres_csv_spark.session import get_spark
 
     reg = registry()
+    if not names:
+        print("usage: python -m tools.bench_subset <query> [query ...]",
+              file=sys.stderr)
+        sys.exit(2)
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
     spark = get_spark("bench-subset")
     for tbl in TABLES:
         load(spark, sf_dir, tbl).count()

@@ -1,4 +1,5 @@
-"""Capture `.explain("formatted")` for registry queries into plans/r11/.
+"""Capture `.explain("formatted")` for registry queries into plans/<round>/
+(round from $SPARK_GRAFT_PLANS, default r12).
 
     python -m tools.capture_plan before q1_pricing_summary graph_kcore ...
     python -m tools.capture_plan after  q1_pricing_summary
@@ -20,7 +21,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-OUT_DIR = os.path.join(_REPO, "plans", "r11")
+OUT_DIR = os.path.join(_REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS", "r12"))
 
 
 def main() -> None:
