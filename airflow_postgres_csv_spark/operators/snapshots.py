@@ -2875,51 +2875,43 @@ def snapshot_merge(
         raise ValueError("snapshot_merge: updates schema differs from table schema")
     from pyspark.sql import functions as F
 
-    # ``updates`` (delta-sized by the MERGE contract) feeds THREE actions
-    # below — the key-bounds aggregate, the COW rewrite, and the
-    # merged-keys write; unpersisted, each re-executes its whole upstream
-    # (guide §5: cache what is reused AND expensive to recompute)
-    updates = updates.persist()
-    try:
-        lo, hi = updates.agg(F.min(key), F.max(key)).first()
-        commit_id = uuid.uuid4().hex[:12]
-        if lo is None:  # empty updates — metadata-only no-op commit
-            body = _inherit_maps(manifest, manifest["files"])
-            if manifest.get("bloom"):
-                body["bloom"] = manifest["bloom"]
-            if extra:
-                body.update(extra)
-            body.update(
-                mode="merge", commit_id=commit_id,
-                files=list(manifest["files"]),
-                n_files=manifest["n_files"], schema=manifest["schema"],
-            )
-            return _publish(root, versions, body, commit_id, None)
-        key_ranges = _key_stats_for_merge(root, manifest, key)
-        candidates, untouched = [], []
-        for rel in manifest["files"]:
-            if _range_disjoint(key_ranges.get(rel), lo, hi):
-                untouched.append(rel)
-            else:
-                candidates.append(rel)
-        current = _read_pinned(spark, root, manifest, candidates)
-        rewritten = current.join(
-            updates.select(key), key, "left_anti"
-        ).unionByName(updates)
-        commit_id, new_files = _write_rewrite(rewritten, root, manifest)
-        _enforce_constraints(
-            spark, root, manifest, new_files,
-            [os.path.join(_DATA_DIR, commit_id)],
+    lo, hi = updates.agg(F.min(key), F.max(key)).first()
+    commit_id = uuid.uuid4().hex[:12]
+    if lo is None:  # empty updates — metadata-only no-op commit
+        body = _inherit_maps(manifest, manifest["files"])
+        if manifest.get("bloom"):
+            body["bloom"] = manifest["bloom"]
+        if extra:
+            body.update(extra)
+        body.update(
+            mode="merge", commit_id=commit_id,
+            files=list(manifest["files"]),
+            n_files=manifest["n_files"], schema=manifest["schema"],
         )
-        # Record the merged KEYS (O(keys) bytes, own flat dir so expire's
-        # commit-dir walk stays single-level): the change feed replays this
-        # COW rewrite as delete pre-image + insert post-image restricted to
-        # these keys, instead of failing on the file delta.
-        mk_dirname = f"{commit_id}-mk"
-        mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
-        updates.select(key).distinct().coalesce(1).write.mode("error").parquet(mk_dir)
-    finally:
-        updates.unpersist()
+        return _publish(root, versions, body, commit_id, None)
+    key_ranges = _key_stats_for_merge(root, manifest, key)
+    candidates, untouched = [], []
+    for rel in manifest["files"]:
+        if _range_disjoint(key_ranges.get(rel), lo, hi):
+            untouched.append(rel)
+        else:
+            candidates.append(rel)
+    current = _read_pinned(spark, root, manifest, candidates)
+    rewritten = current.join(
+        updates.select(key), key, "left_anti"
+    ).unionByName(updates)
+    commit_id, new_files = _write_rewrite(rewritten, root, manifest)
+    _enforce_constraints(
+        spark, root, manifest, new_files,
+        [os.path.join(_DATA_DIR, commit_id)],
+    )
+    # Record the merged KEYS (O(keys) bytes, own flat dir so expire's
+    # commit-dir walk stays single-level): the change feed replays this
+    # COW rewrite as delete pre-image + insert post-image restricted to
+    # these keys, instead of failing on the file delta.
+    mk_dirname = f"{commit_id}-mk"
+    mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
+    updates.select(key).distinct().coalesce(1).write.mode("error").parquet(mk_dir)
     mk_files = sorted(
         os.path.join(_DATA_DIR, mk_dirname, name)
         for name in os.listdir(mk_dir)
@@ -3109,164 +3101,156 @@ def snapshot_merge_into(
         if key in matched_update:
             raise ValueError("matched_update: may not update the merge key")
 
-    # ``source`` (delta-sized by the MERGE contract) feeds several
-    # actions below (key-bounds/dup aggregate, the affected-keys
-    # checkpoint, the COW rewrite); persist it once so each action
-    # does not re-execute its whole upstream (guide §5)
-    source = source.persist()
-    try:
-        lo, hi, n_nonnull, n_keys = source.agg(
-            F.min(key), F.max(key), F.count(key), F.count_distinct(F.col(key))
-        ).first()
-        if n_nonnull != n_keys:
-            raise ValueError(
-                f"snapshot_merge_into: source has {n_nonnull - n_keys} "
-                f"duplicate value(s) of key {key!r} — SQL MERGE requires at "
-                "most one source row per key (duplicates would fan out "
-                "matched target rows); de-duplicate the source first"
-            )
-        commit_id = uuid.uuid4().hex[:12]
+    lo, hi, n_nonnull, n_keys = source.agg(
+        F.min(key), F.max(key), F.count(key), F.count_distinct(F.col(key))
+    ).first()
+    if n_nonnull != n_keys:
+        raise ValueError(
+            f"snapshot_merge_into: source has {n_nonnull - n_keys} "
+            f"duplicate value(s) of key {key!r} — SQL MERGE requires at "
+            "most one source row per key (duplicates would fan out "
+            "matched target rows); de-duplicate the source first"
+        )
+    commit_id = uuid.uuid4().hex[:12]
 
-        def _noop() -> dict:
-            body = _inherit_maps(manifest, manifest["files"])
-            if manifest.get("bloom"):
-                body["bloom"] = manifest["bloom"]
-            if extra:
-                body.update(extra)
-            body.update(
-                mode="merge", commit_id=commit_id, files=list(manifest["files"]),
-                n_files=manifest["n_files"], schema=manifest["schema"],
-            )
-            return _publish(root, versions, body, commit_id, None)
-
-        if lo is None and not not_matched_by_source_delete:  # empty source
-            return _noop()
-        if not_matched_by_source_delete:
-            # BY SOURCE clauses examine every target row: no key-range prune
-            candidates, untouched = list(manifest["files"]), []
-        else:
-            key_ranges = _key_stats_for_merge(root, manifest, key)
-            candidates, untouched = [], []
-            for rel in manifest["files"]:
-                if _range_disjoint(key_ranges.get(rel), lo, hi):
-                    untouched.append(rel)
-                else:
-                    candidates.append(rel)
-        t_raw = _read_pinned(spark, root, manifest, candidates)
-        if evolved_json != manifest["schema"]:
-            # align both sides to the evolved schema: new columns read NULL
-            # on the target side / target-only columns read NULL on the
-            # source side, widened columns up-cast — the same alignment the
-            # read path applies to old commits after the schema changes
-            t = _align_to_schema(t_raw, evolved).alias("t")
-            s = _align_to_schema(source, evolved).alias("s")
-        else:
-            t = t_raw.alias("t")
-            s = source.alias("s")
-        on = F.col(f"t.{key}") == F.col(f"s.{key}")
-        matched = t.join(s, on, "inner")
-        del_cond = (
-            F.coalesce(F.expr(matched_delete_condition), F.lit(False))
-            if matched_delete_condition
-            else F.lit(False)
-        )
-        upd_cond = (
-            F.coalesce(F.expr(matched_update_condition), F.lit(False))
-            if matched_update_condition
-            else F.lit(True)
-        ) if matched_update else F.lit(False)
-
-        t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
-        updated = matched.where(~del_cond & upd_cond).select(
-            *[
-                F.expr(matched_update[c]).cast(dtypes[c]).alias(c)
-                if c in (matched_update or {})
-                else F.col(f"t.{c}").alias(c)
-                for c in cols
-            ]
-        )
-        deleted_keys = matched.where(del_cond).select(F.col(f"t.{key}").alias(key))
-        carried_matched = matched.where(~del_cond & ~upd_cond).select(*t_cols)
-        carried_unmatched = t.join(s.select(f"s.{key}"), key, "left_anti")
-        if not_matched_by_source_delete:
-            bs_cond = F.coalesce(
-                F.expr(not_matched_by_source_delete), F.lit(False)
-            )
-            deleted_keys = deleted_keys.unionByName(
-                carried_unmatched.where(bs_cond).select(F.col(f"t.{key}").alias(key))
-            )
-            carried_unmatched = carried_unmatched.where(~bs_cond)
-        if insert_when_not_matched:
-            inserts = s.join(t.select(f"t.{key}"), key, "left_anti")
-            if not_matched_condition:
-                inserts = inserts.where(
-                    F.coalesce(F.expr(not_matched_condition), F.lit(False))
-                )
-            inserts = inserts.select(*[F.col(f"s.{c}").alias(c) for c in cols])
-        else:
-            from airflow_postgres_csv_spark.operators.localframe import (
-                arrow_local_df,
-            )
-
-            inserts = arrow_local_df(spark, [], t.schema).select(
-                *[F.col(c) for c in cols]
-            )
-        # keys the merge actually CHANGED — the change feed's replay scope
-        affected_keys = (
-            updated.select(key)
-            .unionByName(deleted_keys)
-            .unionByName(inserts.select(key))
-            .distinct()
-        )
-        # one small job decides no-op vs rewrite; localCheckpoint keeps the
-        # multi-consumed key set from recomputing the three-way union per use
-        affected_keys = affected_keys.localCheckpoint(eager=True)
-        if affected_keys.isEmpty():  # JVM limit-1 probe, no Python-RDD hop
-            return _noop()
-        rewritten = (
-            carried_unmatched.select(*[F.col(c) for c in cols])
-            .unionByName(carried_matched)
-            .unionByName(updated)
-            .unionByName(inserts)
-        )
-        commit_id, new_files = _write_rewrite(rewritten, root, manifest)
-        _enforce_constraints(
-            spark, root, manifest, new_files,
-            [os.path.join(_DATA_DIR, commit_id)],
-        )
-        mk_dirname = f"{commit_id}-mk"
-        mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
-        affected_keys.coalesce(1).write.mode("error").parquet(mk_dir)
-        mk_files = sorted(
-            os.path.join(_DATA_DIR, mk_dirname, name)
-            for name in os.listdir(mk_dir)
-            if name.endswith(".parquet") and not name.startswith(("_", "."))
-        )
-        files = untouched + new_files
-        body = _inherit_maps(manifest, files)
-        body["merge_info"] = {
-            "key_col": key, "key_files": mk_files,
-            "replaced_files": sorted(candidates),
-        }
-        bloom_cfg = manifest.get("bloom")
-        if bloom_cfg:
-            body["bloom"] = bloom_cfg
+    def _noop() -> dict:
+        body = _inherit_maps(manifest, manifest["files"])
+        if manifest.get("bloom"):
+            body["bloom"] = manifest["bloom"]
         if extra:
             body.update(extra)
         body.update(
-            mode="merge", commit_id=commit_id, files=files, n_files=len(files),
-            schema=evolved_json,
+            mode="merge", commit_id=commit_id, files=list(manifest["files"]),
+            n_files=manifest["n_files"], schema=manifest["schema"],
         )
-        sidecar = _new_sidecar(
-            spark, root, new_files, bloom_cfg, manifest.get("sketch"),
-            manifest.get("sums"),
+        return _publish(root, versions, body, commit_id, None)
+
+    if lo is None and not not_matched_by_source_delete:  # empty source
+        return _noop()
+    if not_matched_by_source_delete:
+        # BY SOURCE clauses examine every target row: no key-range prune
+        candidates, untouched = list(manifest["files"]), []
+    else:
+        key_ranges = _key_stats_for_merge(root, manifest, key)
+        candidates, untouched = [], []
+        for rel in manifest["files"]:
+            if _range_disjoint(key_ranges.get(rel), lo, hi):
+                untouched.append(rel)
+            else:
+                candidates.append(rel)
+    t_raw = _read_pinned(spark, root, manifest, candidates)
+    if evolved_json != manifest["schema"]:
+        # align both sides to the evolved schema: new columns read NULL
+        # on the target side / target-only columns read NULL on the
+        # source side, widened columns up-cast — the same alignment the
+        # read path applies to old commits after the schema changes
+        t = _align_to_schema(t_raw, evolved).alias("t")
+        s = _align_to_schema(source, evolved).alias("s")
+    else:
+        t = t_raw.alias("t")
+        s = source.alias("s")
+    on = F.col(f"t.{key}") == F.col(f"s.{key}")
+    matched = t.join(s, on, "inner")
+    del_cond = (
+        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
+        if matched_delete_condition
+        else F.lit(False)
+    )
+    upd_cond = (
+        F.coalesce(F.expr(matched_update_condition), F.lit(False))
+        if matched_update_condition
+        else F.lit(True)
+    ) if matched_update else F.lit(False)
+
+    t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
+    updated = matched.where(~del_cond & upd_cond).select(
+        *[
+            F.expr(matched_update[c]).cast(dtypes[c]).alias(c)
+            if c in (matched_update or {})
+            else F.col(f"t.{c}").alias(c)
+            for c in cols
+        ]
+    )
+    deleted_keys = matched.where(del_cond).select(F.col(f"t.{key}").alias(key))
+    carried_matched = matched.where(~del_cond & ~upd_cond).select(*t_cols)
+    carried_unmatched = t.join(s.select(f"s.{key}"), key, "left_anti")
+    if not_matched_by_source_delete:
+        bs_cond = F.coalesce(
+            F.expr(not_matched_by_source_delete), F.lit(False)
         )
-        if new_files:
-            body["commit_schemas"][commit_id] = evolved_json
-            body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
-        return _publish(root, versions, body, commit_id, sidecar if new_files else None)
-    finally:
-        source.unpersist()
+        deleted_keys = deleted_keys.unionByName(
+            carried_unmatched.where(bs_cond).select(F.col(f"t.{key}").alias(key))
+        )
+        carried_unmatched = carried_unmatched.where(~bs_cond)
+    if insert_when_not_matched:
+        inserts = s.join(t.select(f"t.{key}"), key, "left_anti")
+        if not_matched_condition:
+            inserts = inserts.where(
+                F.coalesce(F.expr(not_matched_condition), F.lit(False))
+            )
+        inserts = inserts.select(*[F.col(f"s.{c}").alias(c) for c in cols])
+    else:
+        from airflow_postgres_csv_spark.operators.localframe import (
+            arrow_local_df,
+        )
+
+        inserts = arrow_local_df(spark, [], t.schema).select(
+            *[F.col(c) for c in cols]
+        )
+    # keys the merge actually CHANGED — the change feed's replay scope
+    affected_keys = (
+        updated.select(key)
+        .unionByName(deleted_keys)
+        .unionByName(inserts.select(key))
+        .distinct()
+    )
+    # one small job decides no-op vs rewrite; localCheckpoint keeps the
+    # multi-consumed key set from recomputing the three-way union per use
+    affected_keys = affected_keys.localCheckpoint(eager=True)
+    if affected_keys.isEmpty():  # JVM limit-1 probe, no Python-RDD hop
+        return _noop()
+    rewritten = (
+        carried_unmatched.select(*[F.col(c) for c in cols])
+        .unionByName(carried_matched)
+        .unionByName(updated)
+        .unionByName(inserts)
+    )
+    commit_id, new_files = _write_rewrite(rewritten, root, manifest)
+    _enforce_constraints(
+        spark, root, manifest, new_files,
+        [os.path.join(_DATA_DIR, commit_id)],
+    )
+    mk_dirname = f"{commit_id}-mk"
+    mk_dir = os.path.join(root, _DATA_DIR, mk_dirname)
+    affected_keys.coalesce(1).write.mode("error").parquet(mk_dir)
+    mk_files = sorted(
+        os.path.join(_DATA_DIR, mk_dirname, name)
+        for name in os.listdir(mk_dir)
+        if name.endswith(".parquet") and not name.startswith(("_", "."))
+    )
+    files = untouched + new_files
+    body = _inherit_maps(manifest, files)
+    body["merge_info"] = {
+        "key_col": key, "key_files": mk_files,
+        "replaced_files": sorted(candidates),
+    }
+    bloom_cfg = manifest.get("bloom")
+    if bloom_cfg:
+        body["bloom"] = bloom_cfg
+    if extra:
+        body.update(extra)
+    body.update(
+        mode="merge", commit_id=commit_id, files=files, n_files=len(files),
+        schema=evolved_json,
+    )
+    sidecar = _new_sidecar(
+        spark, root, new_files, bloom_cfg, manifest.get("sketch"),
+        manifest.get("sums"),
+    )
+    if new_files:
+        body["commit_schemas"][commit_id] = evolved_json
+        body["commit_ranges"][commit_id] = _merge_ranges(sidecar["stats"])
+    return _publish(root, versions, body, commit_id, sidecar if new_files else None)
 
 
 def snapshot_delete(
@@ -4772,19 +4756,15 @@ def _ivm_apply(
             F.greatest(old["mx"], F.col("__mx_i")).alias("mx"),
             F.col("__del").alias("__del"),
         ]
-    # ``updated`` is delta-sized (touched groups only) and consumed 3+
-    # times downstream — snapshot_merge alone runs three actions over it
-    # (key-bounds aggregate, the COW rewrite, the merged-keys write).
-    # Unpersisted, EVERY action re-executes the whole delta graph
-    # (change feeds + restricted joins); persist it once (guide §5:
-    # cache only what is reused AND expensive to recompute).
-    pinned = updated = joined.select(*out_cols).persist()
+    updated = joined.select(*out_cols)
 
+    pinned = None
     if need_mm:
         # A delete can DISPLACE a stored extreme — signs can't undo
         # min/max. Recompute exactly the retracting groups from the
         # live rows the caller serves up: the join restricts the scan to
         # affected groups (AQE broadcast when few), never the whole table.
+        pinned = updated.persist()
         has_del = bool(pinned.where(F.col("__del") == 1).limit(1).count())
         if has_del:
             retr = pinned.where(F.col("__del") == 1).select(*keys)
@@ -4796,9 +4776,6 @@ def _ivm_apply(
                     F.max(amt).alias("__mx_r"),
                 )
             )
-            # the displacement recompute (a restricted scan of the live
-            # join) would otherwise also re-execute per downstream
-            # action — pin the final frame too
             updated = pinned.join(rec, keys, "left").select(
                 *([_IVM_KEY] if multi else []),
                 *keys,
@@ -4809,7 +4786,7 @@ def _ivm_apply(
                 .otherwise(F.col("mn")).alias("mn"),
                 F.when(F.col("__del") == 1, F.col("__mx_r"))
                 .otherwise(F.col("mx")).alias("mx"),
-            ).persist()
+            )
         else:
             updated = pinned.drop("__del")
     try:
@@ -4821,9 +4798,8 @@ def _ivm_apply(
                 key=_IVM_KEY if multi else keys[0], extra=stamp,
             )
     finally:
-        pinned.unpersist()
-        if updated is not pinned:
-            updated.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
 
 
 def snapshot_incremental_agg(
